@@ -1,0 +1,158 @@
+package graft.catalog
+
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.schema.{SchemaOps, TypeMapping}
+
+/** Distributed schema-evolving catalog writer — the Spark-native
+  * replacement for the reference's `write_to_s3_glue`
+  * (`src/utils/spark/spark_utils.py:113-140`), which collects the frame
+  * to pandas on the driver and has Athena (a second engine) commit into
+  * Iceberg with `schema_evolution=True, fill_missing_columns_in_df=True`.
+  * That driver collect is the reference's scalability cliff (SURVEY §3.1
+  * stage W); here the append stays distributed end-to-end:
+  *
+  *   diff incoming vs table schema (E2) → `ALTER TABLE … ADD COLUMNS`
+  *   for new columns → conform the frame to the evolved table schema
+  *   (E1: cast common, null-fill missing) → `writeTo(t).append()`.
+  *
+  * Iceberg's hidden partition `month(created_at)` (reference
+  * `job.py:125`, `spark_utils.py:163`) is unavailable offline (no
+  * Iceberg jar — SURVEY §7.0), so the same pruning is obtained with an
+  * explicit derived `month_created_at` column and
+  * `PARTITIONED BY (month_created_at)`; Catalyst then gives static and
+  * dynamic partition pruning on it for free. ZSTD parquet compression
+  * (`spark_utils.py:167-168`) comes from the session conf set in
+  * [[configure]].
+  */
+object EvolvingWriter {
+
+  /** Derived partition column standing in for Iceberg's hidden
+    * `month(created_at)` transform.
+    */
+  val PartitionColumn = "month_created_at"
+
+  /** Reference TBLPROPERTIES (`spark_utils.py:165-172`) — carried as
+    * inert properties for parity; the compaction/vacuum knobs were
+    * executed by Athena, not by the reference code (SURVEY §4).
+    */
+  val DefaultTableProps: Map[String, String] = Map(
+    "format" -> "parquet",
+    "write_compression" -> "ZSTD",
+    "optimize_rewrite_data_file_threshold" -> "5",
+    "optimize_rewrite_delete_file_threshold" -> "2",
+    "vacuum_min_snapshots_to_keep" -> "5")
+
+  /** H2/B4 analog — session conf for the local warehouse: ZSTD parquet,
+    * dynamic partition overwrite (`spark_utils.py:56`).
+    */
+  def configure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  }
+
+  /** B2 — `CREATE DATABASE IF NOT EXISTS` (`spark_utils.py:142-150`). */
+  def createDatabase(spark: SparkSession, db: String,
+      location: Option[String] = None): Unit = {
+    val loc = location.map(l => s" LOCATION '$l'").getOrElse("")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`$loc")
+  }
+
+  /** A3 — catalog table schema, `None` if the table doesn't exist
+    * (`spark_utils.py:176-192`). The reference has a second fetch path
+    * via Glue metadata (A4, `spark_utils.py:237-242`); both report the
+    * same fact, so they are unified here.
+    */
+  def tableSchema(spark: SparkSession, table: String): Option[StructType] =
+    Try(spark.table(table).schema).toOption
+
+  /** B3 — create a partitioned table for `schema`
+    * (`spark_utils.py:153-173`). Partition column goes last, as Spark
+    * stores it.
+    */
+  def createTable(spark: SparkSession, table: String, schema: StructType,
+      props: Map[String, String] = DefaultTableProps): Unit = {
+    val dataFields = schema.fields.filterNot(_.name == PartitionColumn).toIndexedSeq
+    val partitioned = schema.fieldNames.contains(PartitionColumn)
+    val partClause =
+      if (partitioned) s" PARTITIONED BY (`$PartitionColumn` string)" else ""
+    val tblProps =
+      if (props.isEmpty) ""
+      else props.map { case (k, v) => s"'$k'='$v'" }
+        .mkString(" TBLPROPERTIES (", ", ", ")")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $table (${TypeMapping.columnsDdl(dataFields)})
+         |USING parquet$partClause$tblProps""".stripMargin)
+  }
+
+  /** Stamp the derived partition column from `created_at` (no-op if the
+    * frame has no `created_at`).
+    */
+  def withPartitionColumn(df: DataFrame): DataFrame =
+    if (!df.columns.contains("created_at") ||
+        df.columns.contains(PartitionColumn)) df
+    else df.withColumn(PartitionColumn,
+      date_format(col("created_at"), "yyyy-MM"))
+
+  /** B1 — distributed append with schema evolution. Returns the columns
+    * added to the table (empty when no evolution happened).
+    */
+  def appendWithEvolution(spark: SparkSession, input: DataFrame,
+      table: String): Seq[StructField] = {
+    val df = withPartitionColumn(input)
+    tableSchema(spark, table) match {
+      case None =>
+        createTable(spark, table, df.schema)
+        val created = tableSchema(spark, table).getOrElse(df.schema)
+        append(spark, SchemaOps.alignTo(df, created), table)
+        Seq.empty
+      case Some(existing) =>
+        val d = SchemaOps.diff(df.schema, existing)
+        if (d.extraInSource.nonEmpty) {
+          spark.sql(s"ALTER TABLE $table ADD COLUMNS (${TypeMapping.columnsDdl(d.extraInSource)})")
+        }
+        val evolved = tableSchema(spark, table).get
+        append(spark, SchemaOps.alignTo(df, evolved), table)
+        d.extraInSource
+    }
+  }
+
+  /** B4 — dynamic-partition overwrite of the months present in `input`
+    * (same evolution semantics as append).
+    */
+  def overwritePartitions(spark: SparkSession, input: DataFrame,
+      table: String): Unit = {
+    val df = withPartitionColumn(input)
+    if (tableSchema(spark, table).isEmpty) {
+      appendWithEvolution(spark, df, table)
+    } else {
+      val d = SchemaOps.diff(df.schema, tableSchema(spark, table).get)
+      if (d.extraInSource.nonEmpty)
+        spark.sql(s"ALTER TABLE $table ADD COLUMNS (${TypeMapping.columnsDdl(d.extraInSource)})")
+      // alignTo puts columns in exact table order, so the position-based
+      // v1 insertInto is safe; with partitionOverwriteMode=dynamic only
+      // the months present in `input` are replaced.
+      SchemaOps.alignTo(df, tableSchema(spark, table).get)
+        .write.mode("overwrite").insertInto(table)
+    }
+  }
+
+  /** Distributed append. Spark 4's DataFrameWriterV2 (`writeTo`) refuses
+    * v1 session-catalog tables, so this uses the v1 writer; `saveAsTable`
+    * in append mode resolves columns BY NAME against the existing table
+    * (unlike `insertInto`), which is the semantic the evolving append
+    * needs.
+    */
+  private def append(spark: SparkSession, aligned: DataFrame,
+      table: String): Unit = {
+    val w = aligned.write.mode("append").format("parquet")
+    val partitioned =
+      if (aligned.columns.contains(PartitionColumn)) w.partitionBy(PartitionColumn)
+      else w
+    partitioned.saveAsTable(table)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.EvolvingWriter
+import graft.gen.FakeData
+import graft.ingest.CsvIngest
+
+/** End-to-end: generated drift CSVs → ingest pipeline → evolving
+  * warehouse table → re-read (SURVEY §7.2 steps 3-4; the reference's
+  * core demo, its `README.md:3-7`).
+  */
+class IngestWriterSpec extends AnyFunSuite {
+  lazy val spark = TestSparkSession.spark
+  val clock: Instant = Instant.parse("2026-01-01T00:00:00Z")
+
+  test("discover errors on empty dir (reference job.py:29-37)") {
+    val empty = Files.createTempDirectory("graft-empty").toString
+    intercept[IllegalArgumentException] { CsvIngest.discover(empty) }
+  }
+
+  test("ingest: drift CSVs union with normalized names, created_at first") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    FakeData.generate(dir, start = 1, end = 5, records = 10, seed = 42L,
+      maxOptional = 8)
+    val out = CsvIngest.ingest(spark, dir, clock)
+    assert(out.columns.head == "created_at")
+    // mandatory columns always present, normalized
+    for (c <- Seq("index", "customer_id", "first_name", "last_name",
+        "subscription_date"))
+      assert(out.columns.contains(c), s"missing $c in ${out.columns.toSeq}")
+    // all names normalized (no uppercase/space/hyphen/parens)
+    assert(out.columns.forall(c => c == c.toLowerCase &&
+      !c.exists(" -()".contains(_))))
+    assert(out.count() >= 5) // >=1 row per file
+    // deterministic: same seed → same data
+    assert(out.count() == CsvIngest.ingest(spark, dir, clock).count())
+  }
+
+  test("evolving writer: second batch with new columns grows the table, old rows read null") {
+    val csvA = Files.createTempDirectory("graft-batchA").toString
+    val csvB = Files.createTempDirectory("graft-batchB").toString
+    // batch A: few optional columns; batch B: different seed → different drift
+    FakeData.generate(csvA, start = 1, end = 3, records = 5, seed = 1L, maxOptional = 3)
+    FakeData.generate(csvB, start = 1, end = 3, records = 5, seed = 99L, maxOptional = 12)
+    val table = "spark_catalog.default.customers_evo"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    EvolvingWriter.configure(spark)
+
+    val dfA = CsvIngest.ingest(spark, csvA, clock)
+    val addedA = EvolvingWriter.appendWithEvolution(spark, dfA, table)
+    assert(addedA.isEmpty) // table created, nothing "evolved"
+    val schemaA = EvolvingWriter.tableSchema(spark, table).get
+    val countA = spark.table(table).count()
+    assert(countA == dfA.count())
+
+    val dfB = CsvIngest.ingest(spark, csvB,
+      Instant.parse("2026-02-01T00:00:00Z"))
+    val newCols = dfB.columns.filterNot(schemaA.fieldNames.contains).toSet
+    val addedB = EvolvingWriter.appendWithEvolution(spark, dfB, table)
+    assert(addedB.map(_.name).toSet == newCols)
+
+    val evolved = EvolvingWriter.tableSchema(spark, table).get
+    assert(schemaA.fieldNames.toSet.subsetOf(evolved.fieldNames.toSet))
+    assert(newCols.subsetOf(evolved.fieldNames.toSet))
+    val total = spark.table(table).count()
+    assert(total == countA + dfB.count())
+    // old rows must read null for evolved columns
+    if (newCols.nonEmpty) {
+      val c = newCols.head
+      val oldRowsNull = spark.table(table)
+        .filter(org.apache.spark.sql.functions.col("month_created_at") === "2026-01")
+        .filter(org.apache.spark.sql.functions.col(s"`$c`").isNull).count()
+      assert(oldRowsNull == countA, s"old rows should be null for $c")
+    }
+    // partition pruning column present and populated
+    assert(spark.table(table).columns.contains(EvolvingWriter.PartitionColumn))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("overwritePartitions replaces only the overlapping month") {
+    val csv = Files.createTempDirectory("graft-ow").toString
+    FakeData.generate(csv, start = 1, end = 2, records = 5, seed = 5L, maxOptional = 3)
+    val table = "spark_catalog.default.customers_ow"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    EvolvingWriter.configure(spark)
+    val jan = CsvIngest.ingest(spark, csv, Instant.parse("2026-01-15T00:00:00Z"))
+    val feb = CsvIngest.ingest(spark, csv, Instant.parse("2026-02-15T00:00:00Z"))
+    EvolvingWriter.appendWithEvolution(spark, jan, table)
+    EvolvingWriter.appendWithEvolution(spark, feb, table)
+    val before = spark.table(table).count()
+    // overwrite January only: table keeps feb rows + new jan rows
+    EvolvingWriter.overwritePartitions(spark, jan.limit(1), table)
+    val after = spark.table(table)
+    assert(after.filter(org.apache.spark.sql.functions.col("month_created_at") === "2026-01").count() == 1)
+    assert(after.filter(org.apache.spark.sql.functions.col("month_created_at") === "2026-02").count() == feb.count())
+    assert(after.count() == feb.count() + 1)
+    assert(before == jan.count() + feb.count())
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+}

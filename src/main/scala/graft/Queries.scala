@@ -328,10 +328,96 @@ object Queries {
   )
 
   // =====================================================================
+  // Text-analysis extension queries (documents table; graft.functions
+  // .TextFunctions — LLM-pipeline surface, SURVEY §7.3)
+  // =====================================================================
+
+  private val textQueries: Seq[QueryDef] = {
+    import graft.functions.TextFunctions._
+    Seq(
+      QueryDef("text_token_count",
+        (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+          wsTokenCount(col("text")).as("n_ws_tokens"),
+          bpeishTokenCount(col("text")).as("n_bpe_tokens")),
+        Some("""SELECT doc_id,
+               |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+               |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+               |FROM documents""".stripMargin)),
+
+      QueryDef("text_langid",
+        (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+          langId(col("text")).as("lang_pred")),
+        Some("""WITH pad AS (
+               |  SELECT doc_id,
+               |    ' ' || trim(regexp_replace(lower(text), '\s+', ' ', 'g')) || ' ' AS p
+               |  FROM documents
+               |), s AS (
+               |  SELECT doc_id,
+               |    CAST(contains(p, ' the ') AS INTEGER) + CAST(contains(p, ' a ') AS INTEGER)
+               |      + CAST(contains(p, ' of ') AS INTEGER) + CAST(contains(p, ' and ') AS INTEGER)
+               |      + CAST(contains(p, ' is ') AS INTEGER) AS s_en,
+               |    CAST(contains(p, ' el ') AS INTEGER) + CAST(contains(p, ' la ') AS INTEGER)
+               |      + CAST(contains(p, ' de ') AS INTEGER) + CAST(contains(p, ' que ') AS INTEGER)
+               |      + CAST(contains(p, ' y ') AS INTEGER) AS s_es,
+               |    CAST(contains(p, ' der ') AS INTEGER) + CAST(contains(p, ' die ') AS INTEGER)
+               |      + CAST(contains(p, ' das ') AS INTEGER) + CAST(contains(p, ' und ') AS INTEGER)
+               |      + CAST(contains(p, ' ist ') AS INTEGER) AS s_de,
+               |    CAST(contains(p, ' le ') AS INTEGER) + CAST(contains(p, ' la ') AS INTEGER)
+               |      + CAST(contains(p, ' les ') AS INTEGER) + CAST(contains(p, ' et ') AS INTEGER)
+               |      + CAST(contains(p, ' est ') AS INTEGER) AS s_fr,
+               |    CAST(contains(p, '的') AS INTEGER) + CAST(contains(p, '是') AS INTEGER)
+               |      + CAST(contains(p, '了') AS INTEGER) AS s_zh
+               |  FROM pad
+               |)
+               |SELECT doc_id,
+               |  CASE
+               |    WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_en > 0 THEN 'en'
+               |    WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_es > 0 THEN 'es'
+               |    WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_de > 0 THEN 'de'
+               |    WHEN s_fr = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+               |    WHEN s_zh = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+               |    ELSE 'und'
+               |  END AS lang_pred
+               |FROM s""".stripMargin)),
+
+      QueryDef("text_quality",
+        (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+          wsTokenCount(col("text")).as("n_ws_tokens"),
+          punctCount(col("text")).as("n_punct"),
+          stopwordCount(col("text")).as("n_stop"),
+          qualityScore(col("text")).as("quality")),
+        Some("""WITH m AS (
+               |  SELECT doc_id,
+               |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+               |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+               |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               |         tok -> tok IN ('the','a','of','and','is'))) AS BIGINT) AS n_stop,
+               |    length(text) AS n_len
+               |  FROM documents
+               |)
+               |SELECT doc_id, n_ws_tokens, n_punct, n_stop,
+               |  LEAST(CAST(n_ws_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+               |  + (1.0 - LEAST(CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE) * 5.0, 1.0)) * 0.3
+               |  + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE)) * 0.3 AS quality
+               |FROM m""".stripMargin)),
+
+      QueryDef("text_fingerprint",
+        (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+          fingerprintExact(col("text")).as("fp_exact"),
+          fingerprintKey(col("text")).as("fp_key")),
+        Some("""SELECT doc_id,
+               |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_exact,
+               |  md5(array_to_string(list_sort(list_distinct(
+               |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))), ' ')) AS fp_key
+               |FROM documents""".stripMargin))
+    )
+  }
+
+  // =====================================================================
   // Registry
   // =====================================================================
 
-  val registry: Seq[QueryDef] = schemaOpQueries ++ tpchQueries
+  val registry: Seq[QueryDef] = schemaOpQueries ++ tpchQueries ++ textQueries
 
   /** name → ((spark, sfDir) => result). */
   def all: Map[String, (SparkSession, String) => DataFrame] =

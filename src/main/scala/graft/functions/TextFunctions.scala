@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for LLM-training-data pipelines (extension
+  * surface, SURVEY §7.3; additions beyond the reference, which has no
+  * scalar text ops except whitespace normalization,
+  * `src/utils/fake_data.py:34-38`).
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * expressions — no UDFs — so the whole document pipeline stays inside
+  * WholeStageCodegen and scales with input bytes (no serialization
+  * boundary per row). Each function has an exact DuckDB-SQL mirror used
+  * by the oracle queries; expressions are kept structurally identical on
+  * both sides so doubles match bitwise.
+  */
+object TextFunctions {
+
+  /** Canonical text form: lowercase, whitespace runs collapsed, trimmed
+    * (reference I2 normalization, generalized with lowercasing).
+    */
+  def normalText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace token count. */
+  def wsTokenCount(c: Column): Column =
+    size(split(trim(c), "\\s+")).cast("long")
+
+  /** BPE-ish token count: alpha runs, digit runs, single punctuation —
+    * a deterministic stand-in for a real BPE vocab (simplified form of
+    * the GPT-2 pre-tokenizer regex).
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  /** Count of non-alphanumeric, non-space characters. */
+  def punctCount(c: Column): Column =
+    length(regexp_replace(lower(c), "[a-z0-9 ]", "")).cast("long")
+
+  /** English stopword-token count (small fixed list, shared with the
+    * langid markers).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "is")
+
+  def stopwordCount(c: Column): Column =
+    size(filter(split(trim(lower(c)), "\\s+"),
+      t => t.isin(Stopwords.map(lit): _*))).cast("long")
+
+  /** Marker-word language scores: for each language, how many of its
+    * marker words occur in the text. Deterministic n-gram-style
+    * heuristic; argmax with fixed priority order decides.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " of ", " and ", " is "),
+    "es" -> Seq(" el ", " la ", " de ", " que ", " y "),
+    "de" -> Seq(" der ", " die ", " das ", " und ", " ist "),
+    "fr" -> Seq(" le ", " la ", " les ", " et ", " est "),
+    "zh" -> Seq("的", "是", "了"))
+
+  private def langScore(padded: Column, markers: Seq[String]): Column =
+    markers.map(m => when(padded.contains(m), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Predicted language code, or "und" when no marker hits. Ties break
+    * by the fixed [[LangMarkers]] order.
+    */
+  def langId(c: Column): Column = {
+    val padded = concat(lit(" "), normalText(c), lit(" "))
+    val scores = LangMarkers.map { case (lang, ms) => lang -> langScore(padded, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === best && s > 0, lang).otherwise(els)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]:
+    * 0.4·min(tokens/50, 1) + 0.3·(1 − min(5·punctRatio, 1)) +
+    * 0.3·(1 − stopRatio). Structure mirrored exactly in the oracle SQL
+    * so the doubles agree bitwise.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = wsTokenCount(c).cast("double")
+    val punctRatio = punctCount(c).cast("double") / length(c).cast("double")
+    val stopRatio = stopwordCount(c).cast("double") / nTok
+    least(nTok / lit(50.0), lit(1.0)) * lit(0.4) +
+      (lit(1.0) - least(punctRatio * lit(5.0), lit(1.0))) * lit(0.3) +
+      (lit(1.0) - stopRatio) * lit(0.3)
+  }
+
+  /** Exact-content fingerprint: md5 of the canonical text. */
+  def fingerprintExact(c: Column): Column = md5(normalText(c).cast("binary"))
+
+  /** Key fingerprint (OpenRefine-style): md5 of the sorted distinct
+    * token set — stable under token reordering and duplication, the
+    * cheap near-dup canonical key.
+    */
+  def fingerprintKey(c: Column): Column =
+    md5(concat_ws(" ",
+      array_sort(array_distinct(split(normalText(c), " ")))).cast("binary"))
+}

@@ -414,10 +414,124 @@ object Queries {
   }
 
   // =====================================================================
+  // Deduplication extension queries (documents/embeddings tables;
+  // graft.operators.Dedup / Similarity — SURVEY §7.3). The corpus for
+  // the near-dup demos is documents ∪ deterministic mutants (ids offset
+  // by 100000) so duplicates provably exist at every SF; the approximate
+  // families (MinHash/SimHash/LSH) are rows-only checked, exact dedup
+  // and brute-force cosine carry full oracles.
+  // =====================================================================
+
+  /** documents ∪ exact copies of every 7th doc (id+100000). */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  /** documents ∪ near-dup mutants (3 tokens appended) of every 10th doc. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" graft dup marker"))))
+  }
+
+  /** embeddings ∪ perturbed mutants (±0.01 alternating) of every 10th. */
+  private def nearDupVectors(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    e.unionByName(e.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("embedding",
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, d) => (x + when(d % 2 === 0, lit(0.01f)).otherwise(lit(-0.01f)))
+            .cast("float"))))
+  }
+
+  private val dedupQueries: Seq[QueryDef] = {
+    import graft.operators.{Dedup, Similarity}
+    Seq(
+      QueryDef("dedup_exact",
+        (s, dir) => Dedup.exact(dupCorpus(s, dir)),
+        Some("""WITH corpus AS (
+               |  SELECT doc_id, text FROM documents
+               |  UNION ALL
+               |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+               |)
+               |SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               |       MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+               |FROM corpus
+               |GROUP BY 1""".stripMargin)),
+
+      QueryDef("dedup_minhash",
+        (s, dir) => Dedup.minhashPairs(nearDupCorpus(s, dir),
+          shingleLen = 3, k = 64, bands = 16, threshold = 0.6),
+        None),
+
+      QueryDef("dedup_simhash",
+        (s, dir) => Dedup.simhashPairs(nearDupCorpus(s, dir), maxHamming = 8),
+        None),
+
+      QueryDef("dedup_ngram",
+        (s, dir) => Dedup.ngramJaccardPairs(nearDupCorpus(s, dir),
+          shingleLen = 3, threshold = 0.5, maxDocFreq = 50),
+        None),
+
+      QueryDef("dedup_embedding",
+        (s, dir) => Similarity.embeddingNearDupPairs(nearDupVectors(s, dir),
+          threshold = 0.995),
+        None)
+    )
+  }
+
+  // =====================================================================
+  // Similarity-search extension queries
+  // =====================================================================
+
+  private val simQueries: Seq[QueryDef] = {
+    import graft.operators.Similarity
+    Seq(
+      QueryDef("sim_topk_bruteforce",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        },
+        // exact mirror of the Spark fold: sequential left-fold with
+        // double widening -> bit-identical sims -> identical ranking
+        Some("""WITH pairs AS (
+               |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+               |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+               |      (acc, x) -> acc + x) AS dot_qn,
+               |    sqrt(list_reduce(list_transform(q.embedding,
+               |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nq,
+               |    sqrt(list_reduce(list_transform(c.embedding,
+               |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)) AS nc
+               |  FROM embeddings q, embeddings c
+               |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+               |), sims AS (
+               |  SELECT q_id, n_id, dot_qn / (nq * nc) AS sim,
+               |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+               |      ORDER BY dot_qn / (nq * nc) DESC, n_id) AS BIGINT) AS rank
+               |  FROM pairs
+               |)
+               |SELECT q_id, n_id, sim, rank FROM sims WHERE rank <= 10""".stripMargin)),
+
+      QueryDef("sim_topk_lsh",
+        (s, dir) => {
+          val emb = t(s, dir, "embeddings")
+          Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        },
+        None)
+    )
+  }
+
+  // =====================================================================
   // Registry
   // =====================================================================
 
-  val registry: Seq[QueryDef] = schemaOpQueries ++ tpchQueries ++ textQueries
+  val registry: Seq[QueryDef] =
+    schemaOpQueries ++ tpchQueries ++ textQueries ++ dedupQueries ++ simQueries
 
   /** name → ((spark, sfDir) => result). */
   def all: Map[String, (SparkSession, String) => DataFrame] =

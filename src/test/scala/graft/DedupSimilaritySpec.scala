@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SimHash64
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSparkSession.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near-dup of 1
+    (3L, "completely different text about spark query engines and columnar execution"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "unrelated short note")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical canonical text") {
+    val out = Dedup.exact(corpus).collect()
+    assert(out.length == 4) // 1&4 merge
+    val dupGroup = out.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dupGroup.getAs[Long]("doc_id") == 1L)
+  }
+
+  test("minhash LSH finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.minhashPairs(corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // exact dup also caught
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash expression: identical text -> distance 0, near-dup small, unrelated large") {
+    val fps = Dedup.simhashes(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(4L))
+    assert(SimHash64.hamming(fps(1L), fps(2L)) <= 12)
+    assert(SimHash64.hamming(fps(1L), fps(3L)) > 12)
+    // blocking guarantee (pigeonhole over 4 bands) holds for hamming <= 3:
+    // the exact dup must be found; the ~8-bit pair (1,2) may or may not
+    // share a clean band and is out of the guarantee
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard inverted index finds near-dups with exact score") {
+    val rows = Dedup.ngramJaccardPairs(corpus, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows.contains((1L, 4L)) && rows((1L, 4L)) == 1.0)
+    assert(rows.contains((1L, 2L)) && rows((1L, 2L)) > 0.5 && rows((1L, 2L)) < 1.0)
+    assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash codegen and interpreted paths agree") {
+    val df = corpus.select(SimHash64.simhash64(col("text")).as("h"))
+    val viaScala = corpus.collect().map(r => SimHash64.compute(r.getString(1)))
+    assert(df.collect().map(_.getLong(0)).toSeq == viaScala.toSeq)
+  }
+
+  private val vecs = {
+    val r = new scala.util.Random(3)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(r.nextGaussian().toFloat)
+      v
+    }
+    val base = unit()
+    val nearDup = base.zipWithIndex.map { case (x, i) =>
+      x + (if (i % 2 == 0) 0.01f else -0.01f) }
+    Seq((0L, base), (1L, nearDup), (2L, unit()), (3L, unit()), (4L, unit()))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("brute-force topk ranks the near-dup vector first") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(out.head.getAs[Long]("n_id") == 1L)
+    assert(out.head.getAs[Double]("sim") > 0.99)
+    assert(out.length == 2)
+  }
+
+  test("embedding near-dup pairs via LSH banding finds the planted pair") {
+    val pairs = Similarity.embeddingNearDupPairs(vecs, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("lsh topk returns subset consistent with brute force at high band count") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 4)
+      .collect().map(_.getAs[Long]("n_id")).toSet
+    val lsh = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 0), k = 4,
+      bitsPerBand = 2, bands = 8)
+      .collect().map(_.getAs[Long]("n_id")).toSet
+    assert(lsh.subsetOf(bf + 1L))
+    assert(lsh.contains(1L)) // near-identical vector must share a band
+  }
+}

@@ -527,11 +527,39 @@ object Queries {
   }
 
   // =====================================================================
+  // Multimodal extension queries (binary payload plumbing over a media
+  // table derived from documents; decode is stubbed — Multimodal.scala)
+  // =====================================================================
+
+  private val multimodalQueries: Seq[QueryDef] = {
+    import graft.operators.Multimodal
+    Seq(
+      QueryDef("mm_checksums",
+        (s, dir) => Multimodal.checksums(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents"))),
+        Some("""SELECT doc_id AS media_id,
+               |  CASE CAST(doc_id % 3 AS INTEGER)
+               |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+               |  END AS kind,
+               |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               |  sha256(text) AS sha256
+               |FROM documents""".stripMargin)),
+
+      QueryDef("mm_frame_sample",
+        (s, dir) => Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents")),
+          frameLen = 64, stride = 32),
+        None)
+    )
+  }
+
+  // =====================================================================
   // Registry
   // =====================================================================
 
   val registry: Seq[QueryDef] =
-    schemaOpQueries ++ tpchQueries ++ textQueries ++ dedupQueries ++ simQueries
+    schemaOpQueries ++ tpchQueries ++ textQueries ++ dedupQueries ++
+      simQueries ++ multimodalQueries
 
   /** name → ((spark, sfDir) => result). */
   def all: Map[String, (SparkSession, String) => DataFrame] =

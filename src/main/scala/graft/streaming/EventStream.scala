@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream (extension
+  * surface — the reference has no streaming at all, SURVEY §1.1; this
+  * is the `readStream → transform → writeStream` shape its ingest
+  * pipeline would take for continuous loads).
+  *
+  * Batch/stream parity: both transforms are plain DataFrame/Dataset
+  * programs, so the same function serves `spark.read` (backfill) and
+  * `spark.readStream` (live) — the Kappa-architecture property Spark
+  * gives for free.
+  */
+object EventStream {
+
+  /** Event row shape (events testdata table, µs timestamps). */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** One closed session per user: bounded by an inactivity gap. */
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  // field names chosen to avoid clashes with methods Catalyst's
+  // generated code resolves on the state object (e.g. `sum`)
+  case class SessionState(startMs: Long, lastMs: Long,
+      nEvents: Long, sumValue: Double)
+
+  /** Watermarked tumbling-window aggregation: events per
+    * (event_type, window), late data beyond `watermark` dropped.
+    * Works identically on a batch frame (watermark is a no-op there).
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(10,2)")).cast("double").as("sum_value"))
+      .select(col("event_type"), col("window.start").as("window_start"),
+        col("n"), col("sum_value"))
+
+  /** Stateful sessionization with `flatMapGroupsWithState`: per user,
+    * events within `gapMs` of each other belong to one session; a
+    * session closes when the gap passes (event-time driven here via
+    * sorted-within-group processing for the batch-test path, timeout
+    * driven in a live stream).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          // within one trigger the group's events arrive unordered
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            if (st == null) {
+              st = SessionState(t, t, 1L, e.value)
+            } else if (t - st.lastMs > gapMs) {
+              out += Session(userId, new Timestamp(st.startMs),
+                new Timestamp(st.lastMs), st.nEvents, st.sumValue)
+              st = SessionState(t, t, 1L, e.value)
+            } else {
+              st = SessionState(st.startMs, t, st.nEvents + 1, st.sumValue + e.value)
+            }
+          }
+          if (st != null) state.update(st) else state.remove()
+          out.iterator
+      }
+  }
+
+  /** Flush any open sessions (batch-path epilogue: a live stream would
+    * instead emit them on state timeout).
+    */
+  def closedAndOpenSessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroups { (userId: Long, it: Iterator[Event]) =>
+        val sorted = it.toSeq.sortBy(_.ts.getTime)
+        val out = scala.collection.mutable.ArrayBuffer[Session]()
+        var st: SessionState = null
+        for (e <- sorted) {
+          val t = e.ts.getTime
+          if (st == null) st = SessionState(t, t, 1L, e.value)
+          else if (t - st.lastMs > gapMs) {
+            out += Session(userId, new Timestamp(st.startMs),
+              new Timestamp(st.lastMs), st.nEvents, st.sumValue)
+            st = SessionState(t, t, 1L, e.value)
+          } else st = SessionState(st.startMs, t, st.nEvents + 1, st.sumValue + e.value)
+        }
+        if (st != null)
+          out += Session(userId, new Timestamp(st.startMs),
+            new Timestamp(st.lastMs), st.nEvents, st.sumValue)
+        out.iterator
+      }
+  }
+
+  /** Open the events table as a file stream (one-file-per-trigger so
+    * tests exercise multi-batch behavior).
+    */
+  def readEventStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+}

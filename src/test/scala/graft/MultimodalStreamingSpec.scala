@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.streaming.EventStream
+
+class MultimodalStreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSparkSession.spark
+
+  private lazy val docs =
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+  private lazy val media = Multimodal.mediaFromDocuments(docs)
+
+  test("media table has the canonical multimodal schema") {
+    assert(media.schema("content").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    // compare names+types; nullability of literal-built fields differs
+    val metaFields = media.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(metaFields == Multimodal.MetaSchema.fields
+      .map(f => (f.name, f.dataType)).toSeq)
+    assert(media.select("kind").distinct().collect().map(_.getString(0)).toSet
+      == Set("image", "audio", "video"))
+  }
+
+  test("checksums: byte length matches n_chars, sha256 is stable") {
+    val out = media.join(docs, col("media_id") === col("doc_id"))
+      .select(col("media_id"), length(col("content")).cast("long").as("lb"),
+        col("n_chars"))
+      .filter(col("lb") =!= col("n_chars"))
+    assert(out.count() == 0)
+    val c = Multimodal.checksums(media)
+    assert(c.select("sha256").distinct().count() == media.count()) // distinct texts
+  }
+
+  test("feature extraction: stubbed decode yields normalized 16-bin histogram") {
+    val feats = Multimodal.extractFeatures(media.limit(20)).collect()
+    assert(feats.length == 20)
+    for (f <- feats) {
+      assert(f.features.length == Multimodal.FakeDecoder.FeatureDim)
+      assert(math.abs(f.features.sum - 1.0) < 1e-9) // histogram normalized
+    }
+  }
+
+  test("frame sampling slices video payloads at stride") {
+    val frames = Multimodal.sampleFrames(media, frameLen = 32, stride = 16)
+    val one = frames.filter(col("media_id") === 2).orderBy("frame_idx").collect()
+    assert(one.nonEmpty)
+    assert(one.head.getLong(1) == 0L)
+    assert(one.forall(_.getAs[Array[Byte]]("frame_bytes").length <= 32))
+    // frames overlap at stride 16 < frameLen 32: frame i starts at i*16
+    val content = media.filter(col("media_id") === 2)
+      .select("content").collect().head.getAs[Array[Byte]](0)
+    assert(one.head.getAs[Array[Byte]]("frame_bytes").toSeq ==
+      content.slice(0, 32).toSeq)
+    assert(one(1).getAs[Array[Byte]]("frame_bytes").toSeq ==
+      content.slice(16, 48).toSeq)
+  }
+
+  test("resize truncates or zero-pads to the target length") {
+    val out = Multimodal.resize(media, 64)
+      .select(length(col("content")).as("l")).distinct().collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(64))
+  }
+
+  test("streaming windowed counts equal the batch aggregation") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    // re-write as multiple files so maxFilesPerTrigger yields >1 microbatch
+    val dir = Files.createTempDirectory("graft-stream").toString
+    ev.repartition(4).write.mode("overwrite").parquet(dir)
+    val batch = EventStream.windowedCounts(spark.read.parquet(dir))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+    val stream = EventStream.readEventStream(spark, dir, ev.schema)
+    val q = EventStream.windowedCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_counts")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions at the inactivity gap") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val events = Seq(
+      EventStream.Event(1, at(0), 7L, "view", 1.0, ""),
+      EventStream.Event(2, at(5), 7L, "click", 2.0, ""),
+      EventStream.Event(3, at(60), 7L, "view", 3.0, ""),   // new session
+      EventStream.Event(4, at(0), 8L, "view", 5.0, "")
+    ).toDS()
+    val sessions = EventStream.closedAndOpenSessions(events, gapMs = 30 * 60000)
+      .collect().map(s => (s.user_id, s.n_events, s.sum_value)).toSet
+    assert(sessions == Set((7L, 2L, 3.0), (7L, 1L, 3.0), (8L, 1L, 5.0)))
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions across batches") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    // two parquet files -> two microbatches (state must persist between)
+    val dir = Files.createTempDirectory("graft-sess").toString
+    Seq(EventStream.Event(1, at(0), 7L, "view", 1.0, ""),
+      EventStream.Event(2, at(5), 7L, "click", 2.0, ""))
+      .toDS().coalesce(1).write.parquet(s"$dir/f1")
+    Seq(EventStream.Event(3, at(120), 7L, "view", 3.0, ""))
+      .toDS().coalesce(1).write.parquet(s"$dir/f2")
+    // stream sees f1 then f2; the 120-min gap closes session 1
+    val schema = implicitly[org.apache.spark.sql.Encoder[EventStream.Event]].schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .as[EventStream.Event]
+    val q = EventStream.sessionize(stream, gapMs = 30 * 60000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val closed = spark.table("sessions")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value"))).toSet
+      assert(closed == Set((7L, 2L, 3.0))) // first session closed by the gap
+    } finally q.stop()
+  }
+}

@@ -22,6 +22,13 @@ import graft.functions.SimHash64
   * across executors; frequent-key blowup is bounded by `maxDocFreq`
   * filters on posting lists. This is the standard web-scale dedup shape
   * (e.g. the C4/RefinedWeb pipelines).
+  *
+  * Shuffle discipline (round-2 plan fixes): candidate joins carry IDS
+  * ONLY — shingle arrays / payloads are recomputed or re-joined for the
+  * surviving candidates instead of riding the wide shuffle; document
+  * frequencies come from a partial-aggregating `groupBy().count()`
+  * (map-side combine), never from a `Window.partitionBy` sort-shuffle
+  * of the full postings table.
   */
 object Dedup {
 
@@ -73,6 +80,13 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
+    * The candidate self-join carries `(band_id, band_hash, id)` only;
+    * shingle sets are re-joined from the base projection for the
+    * (much smaller) surviving candidate set, so the big shuffle payload
+    * is 3 longs per posting instead of the whole corpus text twice.
+    * Recomputing shingles for the two re-joins trades cheap, perfectly
+    * parallel CPU for shuffle bytes — the right trade at 100 TB.
+    *
     * @param threshold keep pairs with exact shingle-Jaccard ≥ threshold
     * @return (id_a, id_b, jaccard), id_a < id_b, one row per pair
     */
@@ -83,23 +97,26 @@ object Dedup {
     val r = k / bands
     val base = docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleLen).as("shingles"))
-    val withBands = base
-      .withColumn("sig", minhashSignature(col("shingles"), k))
-      .select(col("id"), col("shingles"),
-        explode(bandHashes(col("sig"), bands, r)).as("band"))
-      .select(col("id"), col("shingles"),
+    val banded = base
+      .select(col("id"),
+        explode(bandHashes(minhashSignature(col("shingles"), k), bands, r))
+          .as("band"))
+      .select(col("id"),
         col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
-    // bucket-local candidate pairs: equality join on (band_id, band_hash)
-    val a = withBands.alias("a")
-    val b = withBands.alias("b")
+    // bucket-local candidate pairs: equality join on (band_id, band_hash),
+    // ids only
+    val a = banded.alias("a")
+    val b = banded.alias("b")
     val candidates = a.join(b,
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // exact-Jaccard verify: fetch shingles for survivors only
     candidates
+      .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -117,19 +134,43 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       SimHash64.simhash64(normalText(col(textCol))).as("simhash"))
 
-  /** SimHash near-duplicate pairs: block on 4×16-bit bands (a pair
-    * within Hamming distance ≤ 3 of a 64-bit hash must agree on at
-    * least one of 4 bands — pigeonhole), then filter by exact Hamming
-    * distance.
+  /** Bit-band columns for a 64-bit fingerprint split into `bands`
+    * near-equal contiguous bands (widths differ by at most one bit).
+    */
+  private def simhashBands(fp: Column, bands: Int): Column = {
+    val baseW = 64 / bands
+    val extra = 64 % bands
+    val widths = Seq.tabulate(bands)(i => baseW + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    array((0 until bands).map { i =>
+      struct(lit(i).as("band_id"),
+        shiftrightunsigned(fp, offsets(i))
+          .bitwiseAND(lit((1L << widths(i)) - 1)).as("band_val"))
+    }: _*)
+  }
+
+  /** SimHash near-duplicate pairs with a SOUND blocking guarantee:
+    * the fingerprint is split into `maxHamming + 1` bands, so any pair
+    * within Hamming distance ≤ maxHamming must agree exactly on at
+    * least one band (pigeonhole — maxHamming flipped bits cannot touch
+    * all maxHamming+1 bands). Candidates come from an equality join per
+    * band; the exact `bit_count(xor)` filter then removes false
+    * positives.
+    *
+    * Scale note: band width = 64/(maxHamming+1) bits. For maxHamming=3
+    * that is 4×16-bit bands (65 536 buckets each — the Manku/Google
+    * web-dedup parameterization). Larger radii shrink the bands and
+    * grow the buckets quadratically, so keep maxHamming small at scale
+    * (or move to the multi-table combined-block scheme).
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming=$maxHamming out of range [0, 31]")
+    val bands = maxHamming + 1
     val fp = simhashes(docs, idCol, textCol)
     val banded = fp.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("band_id"),
-          shiftrightunsigned(col("simhash"), i * 16)
-            .bitwiseAND(lit(0xffffL)).as("band_val"))): _*)).as("band"))
+      explode(simhashBands(col("simhash"), bands)).as("band"))
       .select(col("id"), col("simhash"),
         col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
     val a = banded.alias("a")
@@ -152,11 +193,20 @@ object Dedup {
   // -------------------------------------------------------------------
 
   /** Exact n-gram-Jaccard near-duplicate pairs via an inverted-index
-    * candidate join: explode shingles → drop shingles appearing in more
-    * than `maxDocFreq` docs (stopword-shingle blowup guard — the
-    * standard trick; at 100 TB this bound is what keeps the self-join
-    * from going quadratic) → count shared shingles per pair →
+    * candidate join.
+    *
+    * Plan: explode shingles into postings → document frequency per
+    * shingle via `groupBy(sh).count()` (hash aggregate with map-side
+    * partial combine — NOT a window sort-shuffle over every posting) →
+    * keep postings whose shingle appears in ≤ `maxDocFreq` docs (the
+    * stopword-shingle guard that keeps the candidate join from going
+    * quadratic at 100 TB) → per-shingle doc lists (bounded by
+    * `maxDocFreq`, so the aggregation buffer is bounded too) → ordered
+    * pairs exploded bucket-locally → shared-shingle counts per pair →
     * Jaccard = shared / (|A| + |B| − shared).
+    *
+    * Two shuffles total: postings→df/buckets (one exchange on `sh`,
+    * reused by the join and the collect) and the per-pair count.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleLen: Int = 3,
@@ -166,17 +216,23 @@ object Dedup {
       .withColumn("n_sh", size(col("shingles")))
     val postings = base
       .select(col("id"), col("n_sh"), explode(col("shingles")).as("sh"))
-    val rare = postings
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-      .filter(col("df") <= maxDocFreq)
-      .drop("df")
-    val a = rare.alias("a")
-    val b = rare.alias("b")
-    val shared = a.join(b,
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+    // document frequency: partial-aggregating count, then keep the rare
+    // shingles; dropping frequent shingles FIRST bounds the collect_list
+    // buffer below at maxDocFreq elements per key
+    val rare = postings.groupBy("sh").count()
+      .filter(col("count") <= maxDocFreq && col("count") >= 2)
+      .select(col("sh"))
+    val buckets = postings.join(rare, "sh")
+      .groupBy(col("sh"))
+      .agg(collect_list(struct(col("id"), col("n_sh"))).as("ds"))
+    // bucket-local ordered pairs: |ds| ≤ maxDocFreq keeps this bounded
+    val pairs = buckets.select(explode(flatten(transform(col("ds"), x =>
+        transform(filter(col("ds"), y => y("id") > x("id")), y =>
+          struct(x("id").as("id_a"), y("id").as("id_b"),
+            x("n_sh").as("n_a"), y("n_sh").as("n_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.n_a"), col("p.n_b"))
+    val shared = pairs
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("shared"))
     shared
       .withColumn("jaccard", col("shared").cast("double") /

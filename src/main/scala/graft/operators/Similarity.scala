@@ -16,6 +16,13 @@ import graft.functions.VectorFunctions._
   *  - LSH-bucketed (random hyperplane signs): approximate; candidates
   *    come from an equality join on sign-bit bands, so the corpus never
   *    cross-joins — the scale path for corpus×corpus workloads
+  *
+  * Shuffle discipline (round-2 plan fixes): banded candidate joins carry
+  * ids only; vectors are re-joined for the surviving candidates. Default
+  * self-join bands are 16 bits wide (65 536 buckets per band) — at 1 B
+  * vectors that is ~15 k vectors per bucket (~10⁸ in-bucket pairs per
+  * band, shuffle-partitioned across the cluster) instead of the
+  * quadratic blowup an 8-bit/256-bucket parameterization hits.
   */
 object Similarity {
 
@@ -39,36 +46,48 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
   }
 
-  /** Approximate top-k via random-hyperplane LSH: vectors are bucketed
-    * by `bands` b-bit sign bands; query and corpus rows joining on any
-    * shared band become candidates; exact cosine ranks the candidates.
-    * Recall rises with `bands`, cost with `bitsPerBand` shrinking
-    * buckets.
+  /** (id, band_id, band_val) rows for `bands` sign-bit bands of
+    * `bitsPerBand` each — the id-only blocking projection shared by the
+    * LSH paths.
+    */
+  private def bandedIds(df: DataFrame, idCol: String, vecCol: String,
+      outId: String, bitsPerBand: Int, bands: Int): DataFrame = {
+    val bits = bitsPerBand * bands
+    df.select(col(idCol).as(outId), lshSignBits(col(vecCol), bits).as("sig"))
+      .select(col(outId), explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band_id"),
+          shiftrightunsigned(col("sig"), j * bitsPerBand)
+            .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("band_val"))): _*))
+        .as("band"))
+      .select(col(outId), col("band.band_id").as("band_id"),
+        col("band.band_val").as("band_val"))
+  }
+
+  /** Approximate top-k via random-hyperplane LSH: query and corpus rows
+    * joining on any shared sign band become candidates; exact cosine
+    * ranks the candidates. Recall rises with `bands`, cost falls as
+    * `bitsPerBand` shrinks buckets. The banded join is ids-only; both
+    * vector sides are re-joined afterwards (queries broadcast).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bitsPerBand: Int = 8, bands: Int = 4,
+      bitsPerBand: Int = 16, bands: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bits = bitsPerBand * bands
-    def banded(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-        lshSignBits(col(vecCol), bits).as("sig"))
-        .select(col(id), col(vec), explode(array((0 until bands).map(j =>
-          struct(lit(j).as("band_id"),
-            shiftrightunsigned(col("sig"), j * bitsPerBand)
-              .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("band_val"))): _*))
-          .as("band"))
-        .select(col(id), col(vec), col("band.band_id").as("band_id"),
-          col("band.band_val").as("band_val"))
-    val c = banded(corpus, "n_id", "n_vec")
-    val q = banded(queries, "q_id", "q_vec").renameBands("q_")
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id"))
-    c.join(broadcast(q),
+    val c = bandedIds(corpus, idCol, vecCol, "n_id", bitsPerBand, bands)
+    val q = bandedIds(queries, idCol, vecCol, "q_id", bitsPerBand, bands)
+      .withColumnRenamed("band_id", "q_band_id")
+      .withColumnRenamed("band_val", "q_band_val")
+    val candidates = c.join(broadcast(q),
         col("band_id") === col("q_band_id") &&
         col("band_val") === col("q_band_val") &&
         col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
+      .select(col("q_id"), col("n_id"))
       .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    candidates
+      .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id")
+      .join(broadcast(
+        queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))), "q_id")
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -77,39 +96,26 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: LSH sign-band blocking over the
     * corpus against itself, exact-cosine verification ≥ `threshold`.
-    * Same bucket-join shape as [[Dedup.minhashPairs]] — no cross join.
+    * Same id-only bucket-join shape as [[Dedup.minhashPairs]] — no cross
+    * join, no vectors in the blocking shuffle.
     */
   def embeddingNearDupPairs(corpus: DataFrame, threshold: Double = 0.99,
-      bitsPerBand: Int = 8, bands: Int = 4,
+      bitsPerBand: Int = 16, bands: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bits = bitsPerBand * bands
-    val banded = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshSignBits(col(vecCol), bits).as("sig"))
-      .select(col("id"), col("vec"), explode(array((0 until bands).map(j =>
-        struct(lit(j).as("band_id"),
-          shiftrightunsigned(col("sig"), j * bitsPerBand)
-            .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("band_val"))): _*))
-        .as("band"))
-      .select(col("id"), col("vec"), col("band.band_id").as("band_id"),
-        col("band.band_val").as("band_val"))
+    val banded = bandedIds(corpus, idCol, vecCol, "id", bitsPerBand, bands)
     val a = banded.alias("a")
     val b = banded.alias("b")
-    a.join(b,
+    val candidates = a.join(b,
         col("a.band_id") === col("b.band_id") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.vec").as("va"), col("b.vec").as("vb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
+      .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
-  }
-
-  /** Renaming helper for LSH band structs on the query side. */
-  private implicit class BandRenames(df: DataFrame) {
-    def renameBands(prefix: String): DataFrame =
-      df.withColumnRenamed("band_id", s"${prefix}band_id")
-        .withColumnRenamed("band_val", s"${prefix}band_val")
   }
 }

@@ -48,6 +48,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("simhash pigeonhole banding finds pairs the fixed-4-band scheme missed") {
+    // deterministic planted pair at Hamming distance 5 whose fingerprints
+    // share NONE of the four 16-bit bands — the r1 parameterization
+    // (4 bands, maxHamming=8) silently dropped exactly this shape
+    val baseText = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val mutText = baseText + " am max"
+    val ha = SimHash64.compute(baseText)
+    val hb = SimHash64.compute(mutText)
+    assert(SimHash64.hamming(ha, hb) == 5)
+    assert((0 until 4).forall(i =>
+      ((ha >>> (i * 16)) & 0xffffL) != ((hb >>> (i * 16)) & 0xffffL)))
+    val docs = Seq((1L, baseText), (2L, mutText)).toDF("doc_id", "text")
+    // maxHamming = 5 -> 6 bands -> guaranteed recall by pigeonhole
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash blocking guarantee: every pair within radius is emitted") {
+    // across the whole corpus, simhashPairs(maxHamming=h) must emit
+    // EVERY pair whose true Hamming distance is <= h (soundness of the
+    // maxHamming+1 banding)
+    val fps = corpus.collect().map(r => r.getLong(0) -> SimHash64.compute(
+      r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim)).toMap
+    for (h <- Seq(0, 3, 12)) {
+      val expected = (for {
+        a <- fps.keys; b <- fps.keys if a < b
+        if SimHash64.hamming(fps(a), fps(b)) <= h
+      } yield (a, b)).toSet
+      val got = Dedup.simhashPairs(corpus, maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"maxHamming=$h")
+    }
+  }
+
+  test("ngram jaccard pairs match a naive all-pairs oracle") {
+    // independent truth: exact Jaccard over Scala-computed shingle sets
+    def shingles(t: String): Set[String] = {
+      val toks = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ").toSeq
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = corpus.collect().map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+    val expected = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      j = (sh(a) & sh(b)).size.toDouble / (sh(a) | sh(b)).size.toDouble
+      if j >= 0.5
+    } yield (a, b) -> j).toMap
+    val got = Dedup.ngramJaccardPairs(corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == expected)
+  }
+
   test("ngram jaccard inverted index finds near-dups with exact score") {
     val rows = Dedup.ngramJaccardPairs(corpus, threshold = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

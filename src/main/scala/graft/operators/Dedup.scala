@@ -59,33 +59,18 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  /** k-permutation MinHash signature: element i is
-    * min over shingles of xxhash64(shingle, '#', i).
-    */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles,
-        s => xxhash64(concat(s, lit("#"), i.cast("string"))))))
-
-  /** LSH banding of a k-signature into `bands` buckets of `rowsPerBand`:
-    * array of (band_id, band_hash) structs.
-    */
-  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      j => struct(
-        j.as("band_id"),
-        xxhash64(concat_ws("_",
-          transform(slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)),
-            h => h.cast("string")))).as("band_hash")))
-
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
-    * The candidate self-join carries `(band_id, band_hash, id)` only;
-    * shingle sets are re-joined from the base projection for the
-    * (much smaller) surviving candidate set, so the big shuffle payload
-    * is 3 longs per posting instead of the whole corpus text twice.
-    * Recomputing shingles for the two re-joins trades cheap, perfectly
-    * parallel CPU for shuffle bytes — the right trade at 100 TB.
+    * Banding runs inside the one-pass codegen'd
+    * [[graft.functions.MinHash]] expression (each shingle byte-hashed
+    * once, k permutations derived arithmetically, band keys folded
+    * without materializing the signature). The candidate self-join
+    * carries `(band_id, band_hash, id)` only; shingle sets are re-joined
+    * from the base projection for the (much smaller) surviving candidate
+    * set, so the big shuffle payload is 3 longs per posting instead of
+    * the whole corpus text twice. Recomputing shingles for the two
+    * re-joins trades cheap, perfectly parallel CPU for shuffle bytes —
+    * the right trade at 100 TB.
     *
     * @param threshold keep pairs with exact shingle-Jaccard ≥ threshold
     * @return (id_a, id_b, jaccard), id_a < id_b, one row per pair
@@ -94,15 +79,12 @@ object Dedup {
       textCol: String = "text", shingleLen: Int = 3, k: Int = 64,
       bands: Int = 16, threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
-    val r = k / bands
     val base = docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleLen).as("shingles"))
     val banded = base
       .select(col("id"),
-        explode(bandHashes(minhashSignature(col("shingles"), k), bands, r))
-          .as("band"))
-      .select(col("id"),
-        col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+        posexplode(graft.functions.MinHash.minhashBands(col("shingles"), k, bands))
+          .as(Seq("band_id", "band_hash")))
     // bucket-local candidate pairs: equality join on (band_id, band_hash),
     // ids only
     val a = banded.alias("a")

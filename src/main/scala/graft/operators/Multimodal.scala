@@ -123,7 +123,10 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameLen: Int, stride: Int): DataFrame = {
     val nFrames = greatest(
       floor((length(col("content")) - frameLen) / stride) + 1, lit(0))
-    media.filter(col("kind") === "video")
+    // payloads shorter than one frame emit nothing (the explicit filter
+    // also guards Spark's sequence(), which would otherwise count DOWN
+    // for a negative frame count)
+    media.filter(col("kind") === "video" && length(col("content")) >= frameLen)
       .select(col("media_id"),
         posexplode(transform(sequence(lit(0), nFrames.cast("int") - 1),
           i => substring(col("content"), (i * stride + 1).cast("int"), lit(frameLen))))

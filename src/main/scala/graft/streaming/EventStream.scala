@@ -106,6 +106,50 @@ object EventStream {
       }
   }
 
+  /** Micros-precision event row for the oracle-checked batch
+    * sessionization path: `events.ts` carries microsecond precision and
+    * `java.sql.Timestamp.getTime` truncates to milliseconds, which could
+    * flip a gap comparison right at the boundary — so the registry path
+    * sessionizes on epoch-micros longs end to end.
+    */
+  case class MicroEvent(user_id: Long, ts_us: Long)
+
+  case class MicroSession(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long)
+
+  /** Batch gap-sessionization over epoch-micros events: per user, a gap
+    * strictly greater than `gapUs` closes the session (same rule as
+    * [[sessionize]]); open tails are emitted too, so the output is the
+    * complete deterministic session inventory — directly comparable to a
+    * SQL `lag`-based oracle.
+    *
+    * Scale note: groupByKey shuffles by user; each group sorts in
+    * memory, bounded by that user's event count — the same contract as
+    * `flatMapGroupsWithState` in a live stream (state per key).
+    */
+  def sessionizeBatch(events: Dataset[MicroEvent], gapUs: Long): Dataset[MicroSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroups { (userId: Long, it: Iterator[MicroEvent]) =>
+        val sorted = it.map(_.ts_us).toArray
+        java.util.Arrays.sort(sorted)
+        val out = scala.collection.mutable.ArrayBuffer[MicroSession]()
+        var start = 0L
+        var last = 0L
+        var n = 0L
+        for (t <- sorted) {
+          if (n == 0L) { start = t; last = t; n = 1L }
+          else if (t - last > gapUs) {
+            out += MicroSession(userId, start, last, n)
+            start = t; last = t; n = 1L
+          } else { last = t; n += 1L }
+        }
+        if (n > 0L) out += MicroSession(userId, start, last, n)
+        out.iterator
+      }
+  }
+
   /** Open the events table as a file stream (one-file-per-trigger so
     * tests exercise multi-batch behavior).
     */

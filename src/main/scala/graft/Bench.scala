@@ -1,24 +1,39 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.config.GraftConfig
+
+/** Benchmark main: times every registry query on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line for the driver.
+  *
+  * Each query is fully materialized through the `noop` DataSourceV2
+  * sink rather than `count()` — under count Catalyst prunes unused
+  * projections, so map-only queries would be measuring row counting
+  * instead of their own expressions (VERDICT r1 bench caveat). A short
+  * warm-up query runs first so JVM/codegen initialization is not
+  * charged to the first timed query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cfg = GraftConfig.fromEnv(appName = "graft-bench")
+    val spark = cfg.newSession()
+
+    def exec(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, cfg.sfDir).write.format("noop").mode("overwrite").save()
+
+    // warm-up: parquet scan + shuffle + codegen paths, untimed
+    SparkEntry.queries.get("q1_agg").foreach { fn =>
+      try exec(fn) catch { case _: Throwable => () }
+    }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${cfg.sfDir}"}""")
     spark.stop()
   }
 }

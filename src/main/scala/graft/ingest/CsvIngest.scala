@@ -65,16 +65,34 @@ object CsvIngest {
     * @param fillDefaults apply the dormant C5 null-default projection
     */
   def ingest(spark: SparkSession, dir: String, clock: Instant,
-      persist: Boolean = false, fillDefaults: Boolean = false): DataFrame = {
+      persist: Boolean = false, fillDefaults: Boolean = false): DataFrame =
+    build(spark, dir, clock, persist, fillDefaults)._2
+
+  /** F2 parity (`job.py:133-137` unpersists in `finally`): run `body`
+    * over the ingested frame, then unpersist every per-file frame that
+    * `persist=true` pinned — the resource-safe variant of [[ingest]]
+    * for callers that persist.
+    */
+  def withIngested[A](spark: SparkSession, dir: String, clock: Instant,
+      persist: Boolean = true, fillDefaults: Boolean = false)
+      (body: DataFrame => A): A = {
+    val (persisted, result) = build(spark, dir, clock, persist, fillDefaults)
+    try body(result)
+    finally persisted.foreach(_.unpersist())
+  }
+
+  private def build(spark: SparkSession, dir: String, clock: Instant,
+      persist: Boolean, fillDefaults: Boolean): (Seq[DataFrame], DataFrame) = {
     val files = discover(dir)
     val dfs = files.map(f => readOne(spark, f))
     val persisted =
-      if (persist) dfs.map(_.persist(StorageLevel.DISK_ONLY)) else dfs
-    val target = persisted.head.schema
-    val aligned = persisted.map(SchemaOps.alignTo(_, target))
+      if (persist) dfs.map(_.persist(StorageLevel.DISK_ONLY)) else Seq.empty
+    val frames = if (persist) persisted else dfs
+    val target = frames.head.schema
+    val aligned = frames.map(SchemaOps.alignTo(_, target))
     val union = SchemaOps.unionByNameAll(aligned)
     val named = SchemaOps.normalizeNames(union)
     val stamped = SchemaOps.stampCreatedAt(named, clock)
-    if (fillDefaults) SchemaOps.withDefaults(stamped) else stamped
+    (persisted, if (fillDefaults) SchemaOps.withDefaults(stamped) else stamped)
   }
 }

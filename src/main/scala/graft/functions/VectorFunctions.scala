@@ -23,9 +23,12 @@ object VectorFunctions {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** cos(a,b) = a·b / (‖a‖·‖b‖); NaN-safe only insofar as inputs are
-    * non-zero vectors (testdata embeddings are).
+    * non-zero vectors (testdata embeddings are). Delegates to the
+    * one-pass codegen'd [[CosineSim]] expression — bit-identical to the
+    * fold formulation (same double ops, same order), minus the HOF
+    * interpretation overhead.
     */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = CosineSim.cosineSim(a, b)
 
   /** Random-hyperplane LSH signature: `bits` sign bits packed into a
     * long. Sign bit i is sgn(Σ_d v_d · r_{i,d}) with r ∈ {−1,+1}

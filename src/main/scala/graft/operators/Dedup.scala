@@ -49,15 +49,13 @@ object Dedup {
   // -------------------------------------------------------------------
 
   /** Word n-gram shingles of the canonical text, de-duplicated. Documents
-    * shorter than n words become a single whole-text shingle.
+    * shorter than n words become a single whole-text shingle. Delegates
+    * to the one-pass codegen'd [[graft.functions.WordShingles]]
+    * expression (the HOF formulation was interpreted per element and
+    * dominated both dedup families).
     */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = split(normalText(c), " ")
-    array_distinct(
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  def wordShingles(c: Column, n: Int): Column =
+    graft.functions.WordShingles.wordShingles(c, n)
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *

@@ -109,6 +109,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("wordShingles expression matches the HOF formulation on real docs") {
+    import graft.functions.TextFunctions.normalText
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val toks = split(normalText(col("text")), " ")
+    val viaHof = array_sort(array_distinct(
+      when(size(toks) < 3, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3)))))))
+    val mismatches = docs.select(
+        array_sort(Dedup.wordShingles(col("text"), 3)).as("fast"),
+        viaHof.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+    // short/empty-doc edge cases
+    val edge = Seq((1L, ""), (2L, "  "), (3L, "one"), (4L, "one two"),
+      (5L, "one two three"), (6L, "a  b\tc\nd")).toDF("doc_id", "text")
+    val got = edge.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(got(1L) == Seq("") && got(2L) == Seq(""))
+    assert(got(3L) == Seq("one") && got(4L) == Seq("one two"))
+    assert(got(5L) == Seq("one two three"))
+    assert(got(6L) == Seq("a b c", "b c d"))
+  }
+
   test("simhash codegen and interpreted paths agree") {
     val df = corpus.select(SimHash64.simhash64(col("text")).as("h"))
     val viaScala = corpus.collect().map(r => SimHash64.compute(r.getString(1)))

@@ -509,32 +509,35 @@ object Queries {
   private def simhashCheck(s: SparkSession, dir: String, maxHamming: Int): DataFrame = {
     import graft.operators.Dedup
     val corpus = nearDupCorpus(s, dir)
-    val pairs = Dedup.simhashPairs(corpus, maxHamming = maxHamming)
+    // one full-outer join of (planted pairs ⋈ fingerprints) against the
+    // emitted pairs, then ONE aggregate with conditional counts — the
+    // banded self-join runs once, not once per check branch
     val fps = Dedup.simhashes(corpus)
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = maxHamming)
+      .withColumn("emitted", lit(1))
     val planted = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
-    val plantedHam = planted
+      .withColumn("planted", lit(1))
+    val joined = planted
+      .join(pairs, Seq("id_a", "id_b"), "full_outer")
       .join(fps.select(col("id").as("id_a"), col("simhash").as("fp_a")), "id_a")
       .join(fps.select(col("id").as("id_b"), col("simhash").as("fp_b")), "id_b")
-      .withColumn("hamming_true", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-    val missed = plantedHam.filter(col("hamming_true") <= maxHamming)
-      .join(pairs, Seq("id_a", "id_b"), "left_anti")
-      .agg(count(lit(1)).as("n"))
-      .select(lit("planted_in_radius_missed").as("check"), col("n"))
-    val violations = pairs
-      .join(fps.select(col("id").as("id_a"), col("simhash").as("fp_a")), "id_a")
-      .join(fps.select(col("id").as("id_b"), col("simhash").as("fp_b")), "id_b")
-      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) > maxHamming ||
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) =!= col("hamming"))
-      .agg(count(lit(1)).as("n"))
-      .select(lit("hamming_violations").as("check"), col("n"))
-    val dups = pairs.groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
-      .agg(count(lit(1)).as("n"))
-      .select(lit("duplicate_pairs").as("check"), col("n"))
-    val total = planted.agg(count(lit(1)).as("n"))
-      .select(lit("n_planted_total").as("check"), col("n"))
-    missed.unionByName(violations).unionByName(dups).unionByName(total)
+      .withColumn("ham_true", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+    val agg = joined.agg(
+      sum(when(col("planted") === 1 && col("ham_true") <= maxHamming &&
+        col("emitted").isNull, 1).otherwise(0)).as("missed"),
+      sum(when(col("emitted") === 1 && (col("ham_true") > maxHamming ||
+        col("ham_true") =!= col("hamming")), 1).otherwise(0)).as("violations"),
+      (count(when(col("emitted") === 1, 1)) -
+        countDistinct(when(col("emitted") === 1,
+          struct(col("id_a"), col("id_b"))))).as("dups"),
+      sum(when(col("planted") === 1, 1).otherwise(0)).as("planted_total"))
+    agg.select(expr(
+      """stack(4,
+        |  'planted_in_radius_missed', CAST(missed AS BIGINT),
+        |  'hamming_violations', CAST(violations AS BIGINT),
+        |  'duplicate_pairs', CAST(dups AS BIGINT),
+        |  'n_planted_total', CAST(planted_total AS BIGINT)) AS (check, n)""".stripMargin))
   }
 
   private val dedupQueries: Seq[QueryDef] = {

@@ -24,9 +24,15 @@ object Tables {
       case _        => spark.read.parquet(s"$dir/$name.parquet")
     }
 
-  /** events with `ts` restored to TimestampType (µs). */
+  /** events with `ts` restored to TimestampType (µs). The nanos-as-long
+    * flag is set once per session (idempotent check rather than an
+    * unconditional write — a library should not race on session conf
+    * from concurrent loads).
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true"))
+      spark.conf.set(key, "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

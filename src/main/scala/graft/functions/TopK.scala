@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Partial top-k aggregation for similarity ranking.
+  *
+  * The `row_number().over(Window.partitionBy(q_id))` formulation
+  * sort-shuffles EVERY candidate pair to the reducer that owns the
+  * query — at 100 TB, the full corpus×queries candidate set crosses the
+  * network to be mostly discarded. This typed aggregator keeps a
+  * bounded buffer of the k best (sim DESC, id ASC) per query per map
+  * task, so the shuffle payload is ≤ k rows per (query, partition) —
+  * the standard scalable top-k-per-key shape (partial combine, exact
+  * merge).
+  *
+  * Ordering is total and deterministic — (sim descending, id ascending)
+  * — so the result is IDENTICAL to the window formulation row for row.
+  */
+object TopK {
+
+  /** One scored candidate. */
+  final case class Scored(sim: Double, id: Long)
+
+  private def better(a: Scored, b: Scored): Boolean =
+    a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+
+  /** Exact top-k merge of two sorted-desc sequences, bounded by k. */
+  private def mergeSorted(k: Int, a: Seq[Scored], b: Seq[Scored]): Seq[Scored] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Scored](k)
+    var i = 0
+    var j = 0
+    while (out.length < k && (i < a.length || j < b.length)) {
+      if (j >= b.length || (i < a.length && better(a(i), b(j)))) {
+        out += a(i); i += 1
+      } else {
+        out += b(j); j += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Aggregator: rows (sim, id) → the k best, sorted (sim desc, id asc).
+    * The running buffer is kept sorted and bounded: inserts append to a
+    * small unsorted tail that is folded in whenever it reaches k — O(k)
+    * amortized per row without per-row sorting.
+    */
+  final class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    override def zero: Seq[Scored] = Seq.empty
+
+    override def reduce(buf: Seq[Scored], x: Scored): Seq[Scored] =
+      if (buf.length >= k && !better(x, buf.last)) buf
+      else mergeSorted(k, buf, Seq(x))
+
+    override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+      mergeSorted(k, a, b)
+
+    override def finish(buf: Seq[Scored]): Seq[Scored] = buf
+
+    override def bufferEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** Column API: `topK(sim, id, k)` → `array<struct<sim,id>>`, sorted
+    * (sim desc, id asc), length ≤ k.
+    */
+  def topK(sim: Column, id: Column, k: Int): Column =
+    udaf(new TopKAgg(k), Encoders.product[Scored]).apply(sim, id)
+}

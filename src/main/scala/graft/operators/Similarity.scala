@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -37,14 +36,25 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id"))
-    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+    rankTopK(scored, k)
   }
+
+  /** Exact top-k ranking of scored (q_id, n_id, sim) candidates via the
+    * partial-aggregating [[graft.functions.TopK]] UDAF: each map task
+    * ships at most k candidates per query instead of sort-shuffling the
+    * whole candidate set the way `row_number().over(Window)` would.
+    * Output rows are identical to the window formulation (total order:
+    * sim desc, n_id asc).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopK.topK(col("sim"), col("n_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.id").as("n_id"), col("s.sim").as("sim"),
+        (col("pos") + 1).cast("long").as("rank"))
 
   /** (id, band_id, band_val) rows for `bands` sign-bit bands of
     * `bitsPerBand` each — the id-only blocking projection shared by the
@@ -82,16 +92,12 @@ object Similarity {
         col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
       .dropDuplicates("q_id", "n_id")
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id"))
-    candidates
+    val scored = candidates
       .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id")
       .join(broadcast(
         queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))), "q_id")
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Embedding near-duplicate pairs: LSH sign-band blocking over the

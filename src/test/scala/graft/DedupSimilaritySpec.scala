@@ -167,6 +167,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("TopK aggregator matches row_number window ranking exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val r = new scala.util.Random(11)
+    val scored = (1 to 500).map(_ =>
+      (r.nextInt(5).toLong, r.nextLong().abs % 1000,
+        // duplicated sims force tie-breaks through the id ordering
+        (r.nextInt(20) / 20.0))).toDF("q_id", "n_id", "sim")
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val viaWindow = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7)
+      .select("q_id", "n_id", "sim", "rank")
+      .collect().map(_.toSeq).toSet
+    val viaAgg = scored
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopK.topK(col("sim"), col("n_id"), 7).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.id").as("n_id"), col("s.sim").as("sim"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .collect().map(_.toSeq).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("lsh topk returns subset consistent with brute force at high band count") {
     val bf = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 4)
       .collect().map(_.getAs[Long]("n_id")).toSet

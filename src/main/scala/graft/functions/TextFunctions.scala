@@ -23,21 +23,24 @@ object TextFunctions {
   def normalText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Whitespace token count. */
+  /** Whitespace token count (= `size(split(trim(c), "\\s+"))`, via the
+    * one-pass [[TextStats]] expression; whole-stage codegen
+    * subexpression elimination shares one evaluation across the sibling
+    * stats in a projection).
+    */
   def wsTokenCount(c: Column): Column =
-    size(split(trim(c), "\\s+")).cast("long")
+    TextStats.textStats(c).getField("n_ws_tokens")
 
   /** BPE-ish token count: alpha runs, digit runs, single punctuation —
     * a deterministic stand-in for a real BPE vocab (simplified form of
-    * the GPT-2 pre-tokenizer regex).
+    * the GPT-2 pre-tokenizer regex `[a-z]+|[0-9]+|[^a-z0-9\s]`).
     */
   def bpeishTokenCount(c: Column): Column =
-    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
-      .cast("long")
+    TextStats.textStats(c).getField("n_bpe_tokens")
 
   /** Count of non-alphanumeric, non-space characters. */
   def punctCount(c: Column): Column =
-    length(regexp_replace(lower(c), "[a-z0-9 ]", "")).cast("long")
+    TextStats.textStats(c).getField("n_punct")
 
   /** English stopword-token count (small fixed list, shared with the
     * langid markers).
@@ -45,8 +48,7 @@ object TextFunctions {
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "is")
 
   def stopwordCount(c: Column): Column =
-    size(filter(split(trim(lower(c)), "\\s+"),
-      t => t.isin(Stopwords.map(lit): _*))).cast("long")
+    TextStats.textStats(c).getField("n_stop")
 
   /** Marker-word language scores: for each language, how many of its
     * marker words occur in the text. Deterministic n-gram-style
@@ -78,16 +80,11 @@ object TextFunctions {
   /** Heuristic quality score in [0,1]:
     * 0.4·min(tokens/50, 1) + 0.3·(1 − min(5·punctRatio, 1)) +
     * 0.3·(1 − stopRatio). Structure mirrored exactly in the oracle SQL
+    * (and re-evaluated with identical double ops inside [[TextStats]])
     * so the doubles agree bitwise.
     */
-  def qualityScore(c: Column): Column = {
-    val nTok = wsTokenCount(c).cast("double")
-    val punctRatio = punctCount(c).cast("double") / length(c).cast("double")
-    val stopRatio = stopwordCount(c).cast("double") / nTok
-    least(nTok / lit(50.0), lit(1.0)) * lit(0.4) +
-      (lit(1.0) - least(punctRatio * lit(5.0), lit(1.0))) * lit(0.3) +
-      (lit(1.0) - stopRatio) * lit(0.3)
-  }
+  def qualityScore(c: Column): Column =
+    TextStats.textStats(c).getField("quality")
 
   /** Exact-content fingerprint: md5 of the canonical text. */
   def fingerprintExact(c: Column): Column = md5(normalText(c).cast("binary"))

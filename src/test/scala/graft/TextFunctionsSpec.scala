@@ -32,6 +32,56 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(noisy < clean)
   }
 
+  test("TextStats expression matches the regex/HOF formulation exactly") {
+    import org.apache.spark.sql.functions._
+    // the formulation each stat replaced (the oracle-mirrored semantics)
+    def refWs(c: org.apache.spark.sql.Column) =
+      size(split(trim(c), "\\s+")).cast("long")
+    def refBpe(c: org.apache.spark.sql.Column) =
+      size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+    def refPunct(c: org.apache.spark.sql.Column) =
+      length(regexp_replace(lower(c), "[a-z0-9 ]", "")).cast("long")
+    def refStop(c: org.apache.spark.sql.Column) =
+      size(filter(split(trim(lower(c)), "\\s+"),
+        t => t.isin(Stopwords.map(lit): _*))).cast("long")
+    def refQuality(c: org.apache.spark.sql.Column) = {
+      val nTok = refWs(c).cast("double")
+      val punctRatio = refPunct(c).cast("double") / length(c).cast("double")
+      val stopRatio = refStop(c).cast("double") / nTok
+      least(nTok / lit(50.0), lit(1.0)) * lit(0.4) +
+        (lit(1.0) - least(punctRatio * lit(5.0), lit(1.0))) * lit(0.3) +
+        (lit(1.0) - stopRatio) * lit(0.3)
+    }
+    val adversarial = Seq("", " ", "  \t ", "\tleading tab", "trailing tab\t",
+      "the The THE", "a", " a ", "mixedCASE And 42 !!", "于 中文 the 文本",
+      "emoji 😀 mid", "double  space", "crlf\r\nline", "xy")
+      .toDF("text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).unionByName(adversarial)
+      // ANSI Spark 4 makes the reference quality formulation THROW on
+      // empty text (x/0); TextStats deliberately yields NaN instead —
+      // compare on non-empty inputs, check the divergence separately
+      .filter(length(col("text")) > 0)
+    val mismatches = corpus.select(
+        wsTokenCount(col("text")).as("ws"), refWs(col("text")).as("ws_r"),
+        bpeishTokenCount(col("text")).as("bpe"), refBpe(col("text")).as("bpe_r"),
+        punctCount(col("text")).as("p"), refPunct(col("text")).as("p_r"),
+        stopwordCount(col("text")).as("s"), refStop(col("text")).as("s_r"),
+        qualityScore(col("text")).as("q"), refQuality(col("text")).as("q_r"))
+      .filter(col("ws") =!= col("ws_r") || col("bpe") =!= col("bpe_r") ||
+        col("p") =!= col("p_r") || col("s") =!= col("s_r") ||
+        // NaN-safe double equality
+        !(col("q") <=> col("q_r")))
+    assert(mismatches.count() == 0, mismatches.collect().take(3).mkString("; "))
+    // empty text: finite stats and a finite score (the 0/0 NaN is
+    // clamped by the least() term) instead of the ANSI divide error
+    val empty = Seq("").toDF("text").select(
+      wsTokenCount(col("text")).as("ws"), qualityScore(col("text")).as("q"))
+      .collect().head
+    assert(empty.getLong(0) == 1L)
+    assert(empty.getDouble(1) == 1.0 / 50.0 * 0.4 + 0.3)
+  }
+
   test("fingerprintKey is stable under token reorder/duplication, exact is not") {
     val a = "alpha beta gamma"
     val b = "gamma beta  alpha beta"

@@ -730,6 +730,20 @@ object Queries {
                |       substr(h, CAST(frame_idx * 64 + 1 AS BIGINT), 128) AS frame_hex
                |FROM f""".stripMargin)),
 
+      // byte-exact truncate/zero-pad resize (stub for pixel resampling;
+      // compared as hex, same technique as mm_frame_sample)
+      QueryDef("mm_resize",
+        (s, dir) => Multimodal.resize(
+            Multimodal.mediaFromDocuments(t(s, dir, "documents")), targetBytes = 128)
+          .select(col("media_id"), col("kind"),
+            lower(hex(col("content"))).as("content_hex")),
+        Some("""SELECT doc_id AS media_id,
+               |  CASE CAST(doc_id % 3 AS INTEGER)
+               |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+               |  END AS kind,
+               |  substr(lower(hex(encode(text))) || repeat('00', 128), 1, 256) AS content_hex
+               |FROM documents""".stripMargin)),
+
       // the mapPartitions decode path, checked on its pass-through
       // columns (the stub features stay unit-tested; a Dataset map is
       // opaque to Catalyst, so the decode genuinely runs here)

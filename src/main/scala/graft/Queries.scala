@@ -655,6 +655,18 @@ object Queries {
           Similarity.lshTopK(corpus,
             corpus.filter(col("vec_id") >= 100000), k = 1)
         },
+        Some(nnOracle)),
+
+      // IVF coarse-quantizer path, same recall@1 contract (training runs
+      // inside the timed query — the index is rebuilt per run here;
+      // a persisted deployment would reuse the model)
+      QueryDef("sim_topk_ivf",
+        (s, dir) => {
+          val corpus = nearDupVectors(s, dir)
+          graft.operators.Ivf.topK(corpus,
+            corpus.filter(col("vec_id") >= 100000), k = 1,
+            kClusters = 16, iters = 2, nprobe = 4)
+        },
         Some(nnOracle))
     )
   }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosine
+
+/** IVF (inverted-file) approximate nearest neighbor — the
+  * coarse-quantizer scale path next to the sign-LSH one in
+  * [[Similarity]]:
+  *
+  *  1. TRAIN: spherical k-means over the corpus. Assignment is fully
+  *     distributed (each executor scores its rows against the broadcast
+  *     centroid model); only the k×dims centroid MODEL ever reaches the
+  *     driver between iterations — the same contract as Spark MLlib's
+  *     k-means, not a data collect.
+  *  2. INDEX: each corpus vector belongs to its nearest centroid's
+  *     inverted list (a plain `cluster` column — at 100 TB this is a
+  *     partition/bucket key, so probing a cluster is a pruned read, not
+  *     a scan).
+  *  3. QUERY: each query probes its `nprobe` nearest centroids;
+  *     candidates are the corpus rows of those clusters (equality join
+  *     on the cluster id — no cross join); exact cosine + partial
+  *     top-k aggregation rank them.
+  *
+  * Determinism: centroid seeding orders by `xxhash64(vec_id)` (seeded,
+  * data-independent) and ties in assignment break toward the smaller
+  * cluster index, so the index is reproducible run to run.
+  */
+object Ivf {
+
+  /** Driver-side centroid model: cluster j = centroids(j). */
+  type Model = Seq[Seq[Double]]
+
+  /** Cosine of `vec` against one literal centroid. */
+  private def centroidSim(vec: Column, centroid: Seq[Double]): Column =
+    cosine(vec, typedLit(centroid))
+
+  /** Array of sims against every centroid. */
+  private def simsExpr(vec: Column, model: Model): Column =
+    array(model.map(c => centroidSim(vec, c)): _*)
+
+  /** Nearest-centroid index (0-based; ties → smallest index). */
+  def assignExpr(vec: Column, model: Model): Column =
+    (array_position(simsExpr(vec, model), array_max(simsExpr(vec, model))) - 1)
+      .cast("int")
+
+  /** The `nprobe` nearest centroid indexes, best first. */
+  def probeExpr(vec: Column, model: Model, nprobe: Int): Column = {
+    val sims = simsExpr(vec, model)
+    val ranked = array_sort(transform(sequence(lit(0), lit(-1) + size(sims)),
+      j => struct((element_at(sims, j + 1) * lit(-1.0)).as("neg"), j.as("j"))))
+    transform(slice(ranked, 1, nprobe), x => x.getField("j"))
+  }
+
+  /** Spherical k-means: deterministic hash-ordered seeding, `iters`
+    * Lloyd rounds (assign distributed, means via a (cluster, dim)
+    * aggregation — two narrow shuffles per round, model-sized collect).
+    * Empty clusters keep their previous centroid.
+    */
+  def train(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    var model: Model = corpus
+      .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Any](0).map {
+        case f: java.lang.Float  => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+      }.toSeq).toSeq
+    for (_ <- 1 to iters) {
+      val means = corpus
+        .select(assignExpr(col(vecCol), model).as("cluster"),
+          posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cluster"),
+          transform(col("dm"), s => s.getField("m")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+        .toMap
+      model = model.indices.map(j => means.getOrElse(j, model(j)))
+    }
+    model
+  }
+
+  /** Approximate top-k neighbors for each query via the IVF index.
+    * Output contract identical to [[Similarity.bruteForceTopK]]:
+    * (q_id, n_id, sim, rank), rank 1..k by (sim desc, n_id).
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+      kClusters: Int = 16, iters: Int = 2, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val model = train(corpus, kClusters, iters, idCol, vecCol)
+    topKWithModel(corpus, queries, model, k, nprobe, idCol, vecCol)
+  }
+
+  /** Query an already-trained model (the shape a persisted 100 TB index
+    * uses: assignment column precomputed, clusters as partition keys).
+    */
+  def topKWithModel(corpus: DataFrame, queries: DataFrame, model: Model,
+      k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val indexed = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      assignExpr(col(vecCol), model).as("cluster"))
+    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        explode(probeExpr(col(vecCol), model, nprobe)).as("cluster"))
+    // one row per (query, probed cluster); a corpus vector lives in ONE
+    // cluster and probes are distinct, so no duplicate (q, n) pairs
+    val scored = indexed.join(broadcast(probes), Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    Similarity.rankTopK(scored, k)
+  }
+}

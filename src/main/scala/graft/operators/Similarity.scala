@@ -48,7 +48,7 @@ object Similarity {
     * Output rows are identical to the window formulation (total order:
     * sim desc, n_id asc).
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("q_id"))
       .agg(graft.functions.TopK.topK(col("sim"), col("n_id"), k).as("top"))

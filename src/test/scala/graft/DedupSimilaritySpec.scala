@@ -191,6 +191,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
   }
 
+  test("IVF recall@1 on planted near-dup vectors at sf0.001") {
+    import graft.operators.Ivf
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.unionByName(e.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("embedding",
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, d) => (x + when(d % 2 === 0, lit(0.01f)).otherwise(lit(-0.01f)))
+            .cast("float"))))
+    val got = Ivf.topK(corpus, corpus.filter(col("vec_id") >= 100000), k = 1,
+        kClusters = 16, iters = 2, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val queries = corpus.filter(col("vec_id") >= 100000)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    assert(queries.nonEmpty)
+    // every mutant's nearest neighbor is its original
+    for (q <- queries) assert(got.get(q).contains(q - 100000), s"query $q")
+  }
+
   test("lsh topk returns subset consistent with brute force at high band count") {
     val bf = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 4)
       .collect().map(_.getAs[Long]("n_id")).toSet

@@ -55,11 +55,23 @@ object EvolvingWriter {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
   }
 
+  /** All writer DDL goes through the [[RunQuery]] status contract (the
+    * reference's writer submits its DDL via `run_query.py` the same
+    * way); a non-SUCCEEDED status becomes an exception here because the
+    * writer cannot proceed past failed DDL.
+    */
+  private def ddl(spark: SparkSession, sql: String): Unit = {
+    val o = RunQuery.run(spark, sql)
+    if (!o.succeeded)
+      throw new IllegalStateException(
+        s"DDL failed: ${o.message.getOrElse("(no message)")}\n$sql")
+  }
+
   /** B2 — `CREATE DATABASE IF NOT EXISTS` (`spark_utils.py:142-150`). */
   def createDatabase(spark: SparkSession, db: String,
       location: Option[String] = None): Unit = {
     val loc = location.map(l => s" LOCATION '$l'").getOrElse("")
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`$loc")
+    ddl(spark, s"CREATE DATABASE IF NOT EXISTS `$db`$loc")
   }
 
   /** A3 — catalog table schema, `None` if the table doesn't exist
@@ -84,7 +96,7 @@ object EvolvingWriter {
       if (props.isEmpty) ""
       else props.map { case (k, v) => s"'$k'='$v'" }
         .mkString(" TBLPROPERTIES (", ", ", ")")
-    spark.sql(
+    ddl(spark,
       s"""CREATE TABLE IF NOT EXISTS $table (${TypeMapping.columnsDdl(dataFields)})
          |USING parquet$partClause$tblProps""".stripMargin)
   }
@@ -113,7 +125,7 @@ object EvolvingWriter {
       case Some(existing) =>
         val d = SchemaOps.diff(df.schema, existing)
         if (d.extraInSource.nonEmpty) {
-          spark.sql(s"ALTER TABLE $table ADD COLUMNS (${TypeMapping.columnsDdl(d.extraInSource)})")
+          ddl(spark, s"ALTER TABLE $table ADD COLUMNS (${TypeMapping.columnsDdl(d.extraInSource)})")
         }
         val evolved = tableSchema(spark, table).get
         append(spark, SchemaOps.alignTo(df, evolved), table)
@@ -132,7 +144,7 @@ object EvolvingWriter {
     } else {
       val d = SchemaOps.diff(df.schema, tableSchema(spark, table).get)
       if (d.extraInSource.nonEmpty)
-        spark.sql(s"ALTER TABLE $table ADD COLUMNS (${TypeMapping.columnsDdl(d.extraInSource)})")
+        ddl(spark, s"ALTER TABLE $table ADD COLUMNS (${TypeMapping.columnsDdl(d.extraInSource)})")
       // alignTo puts columns in exact table order, so the position-based
       // v1 insertInto is safe; with partitionOverwriteMode=dynamic only
       // the months present in `input` are replaced.

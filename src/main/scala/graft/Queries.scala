@@ -314,6 +314,26 @@ object Queries {
              |FROM lineitem
              |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // salted-join skew pattern: result must be IDENTICAL to the plain
+    // join the oracle runs (the salt only changes row placement)
+    QueryDef("q_salted_join",
+      (s, dir) => {
+        import graft.operators.Skew
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        Skew.saltedInnerJoin(li, o, "l_orderkey", salts = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n_lines
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin)),
+
     QueryDef("q_events_hourly",
       (s, dir) => t(s, dir, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))

@@ -1,0 +1,102 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Property-style parity tests for the round-2 codegen expressions
+  * against the built-in (interpreted) formulations they replaced, over
+  * seeded random strings that deliberately include every Java-`\s`
+  * whitespace char, unicode (CJK, accents, astral-plane emoji), and
+  * degenerate shapes (empty, whitespace-only, single token). Hand-rolled
+  * generator, same style as SchemaOpsPropSpec (no scalacheck bridge in
+  * the offline cache).
+  */
+class ExprParityPropSpec extends AnyFunSuite {
+  lazy val spark = TestSparkSession.spark
+  import spark.implicits._
+
+  private val atoms = Vector(
+    "the", "a", "of", "and", "is", "word", "Wort", "mot", "X1",
+    "42", "3", "!!", "?", ",", "é", "Ünïcødé", "中文", "的", "😀",
+    "MiXeD", "snake_case", "x")
+  private val wsChars = Vector(" ", "\t", "\n", "", "\f", "\r", "  ", " \t ")
+
+  private def randomText(r: Random): String = {
+    val n = r.nextInt(30)
+    val sb = new StringBuilder
+    if (r.nextInt(4) == 0) sb.append(wsChars(r.nextInt(wsChars.length)))
+    for (_ <- 0 until n) {
+      sb.append(atoms(r.nextInt(atoms.length)))
+      sb.append(wsChars(r.nextInt(wsChars.length)))
+    }
+    if (r.nextInt(3) == 0 && sb.nonEmpty) sb.setLength(sb.length - 1)
+    sb.toString
+  }
+
+  private lazy val corpus = {
+    val r = new Random(123)
+    val texts = Seq("", " ", "\t", "one") ++ (1 to 300).map(_ => randomText(r))
+    texts.toDF("text")
+  }
+
+  test("WordShingles expression == HOF formulation on random unicode text") {
+    import graft.functions.TextFunctions.normalText
+    for (n <- Seq(1, 2, 3, 5)) {
+      val toks = split(normalText(col("text")), " ")
+      val viaHof = array_sort(array_distinct(
+        when(size(toks) < n, array(concat_ws(" ", toks)))
+          .otherwise(transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))))
+      val bad = corpus.select(col("text"),
+          array_sort(Dedup.wordShingles(col("text"), n)).as("fast"), viaHof.as("ref"))
+        .filter(col("fast") =!= col("ref"))
+      assert(bad.count() == 0,
+        s"n=$n: " + bad.select("text").collect().take(3).mkString("; "))
+    }
+  }
+
+  test("TextStats counts == regex formulations on random unicode text") {
+    def refWs(c: org.apache.spark.sql.Column) =
+      size(split(trim(c), "\\s+")).cast("long")
+    def refBpe(c: org.apache.spark.sql.Column) =
+      size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+    def refPunct(c: org.apache.spark.sql.Column) =
+      length(regexp_replace(lower(c), "[a-z0-9 ]", "")).cast("long")
+    def refStop(c: org.apache.spark.sql.Column) =
+      size(filter(split(trim(lower(c)), "\\s+"),
+        t => t.isin(TextFunctions.Stopwords.map(lit): _*))).cast("long")
+    val bad = corpus.select(col("text"),
+        TextFunctions.wsTokenCount(col("text")).as("ws"), refWs(col("text")).as("ws_r"),
+        TextFunctions.bpeishTokenCount(col("text")).as("bpe"), refBpe(col("text")).as("bpe_r"),
+        TextFunctions.punctCount(col("text")).as("p"), refPunct(col("text")).as("p_r"),
+        TextFunctions.stopwordCount(col("text")).as("s"), refStop(col("text")).as("s_r"))
+      .filter(col("ws") =!= col("ws_r") || col("bpe") =!= col("bpe_r") ||
+        col("p") =!= col("p_r") || col("s") =!= col("s_r"))
+    assert(bad.count() == 0, bad.collect().take(3).mkString("; "))
+  }
+
+  test("CosineSim expression == HOF fold bit-for-bit on random vectors") {
+    import graft.functions.CosineSim
+    def refDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    def refCos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      refDot(a, b) / (sqrt(refDot(a, a)) * sqrt(refDot(b, b)))
+    val r = new Random(9)
+    val vecs = (1 to 200).map { i =>
+      val d = 1 + r.nextInt(48)
+      (Array.fill(d)(r.nextGaussian().toFloat),
+        Array.fill(d)(r.nextGaussian().toFloat))
+    }.toDF("a", "b")
+    val bad = vecs.select(
+        CosineSim.cosineSim(col("a"), col("b")).as("fast"),
+        refCos(col("a"), col("b")).as("ref"))
+      .filter(!(col("fast") <=> col("ref")))
+    assert(bad.count() == 0, bad.collect().take(3).mkString("; "))
+  }
+}

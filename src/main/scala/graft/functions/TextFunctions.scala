@@ -61,21 +61,12 @@ object TextFunctions {
     "fr" -> Seq(" le ", " la ", " les ", " et ", " est "),
     "zh" -> Seq("的", "是", "了"))
 
-  private def langScore(padded: Column, markers: Seq[String]): Column =
-    markers.map(m => when(padded.contains(m), 1).otherwise(0))
-      .reduce(_ + _)
-
   /** Predicted language code, or "und" when no marker hits. Ties break
-    * by the fixed [[LangMarkers]] order.
+    * by the fixed [[LangMarkers]] order. One-pass [[LangId]] expression
+    * (the 23-`contains` column formulation re-normalized the text per
+    * marker; semantics unchanged).
     */
-  def langId(c: Column): Column = {
-    val padded = concat(lit(" "), normalText(c), lit(" "))
-    val scores = LangMarkers.map { case (lang, ms) => lang -> langScore(padded, ms) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
-      when(s === best && s > 0, lang).otherwise(els)
-    }
-  }
+  def langId(c: Column): Column = LangId.langId(c)
 
   /** Heuristic quality score in [0,1]:
     * 0.4·min(tokens/50, 1) + 0.3·(1 − min(5·punctRatio, 1)) +

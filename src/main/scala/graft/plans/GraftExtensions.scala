@@ -79,6 +79,12 @@ object GraftExtensions {
       args => {
         require(args.length == 1, "text_stats(str)")
         TextStatsExpr(args.head)
+      }),
+    ("lang_id",
+      "lang_id(str) - marker-word language code (en/es/de/fr/zh/und)",
+      args => {
+        require(args.length == 1, "lang_id(str)")
+        LangIdExpr(args.head)
       }))
 
   def registerAll(ext: SparkSessionExtensions): Unit =

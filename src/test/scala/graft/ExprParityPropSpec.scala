@@ -80,6 +80,25 @@ class ExprParityPropSpec extends AnyFunSuite {
     assert(bad.count() == 0, bad.collect().take(3).mkString("; "))
   }
 
+  test("LangId expression == contains-column formulation on random text") {
+    import graft.functions.TextFunctions.{normalText, LangMarkers}
+    def refLangId(c: org.apache.spark.sql.Column) = {
+      val padded = concat(lit(" "), normalText(c), lit(" "))
+      def score(ms: Seq[String]) =
+        ms.map(m => when(padded.contains(m), 1).otherwise(0)).reduce(_ + _)
+      val scores = LangMarkers.map { case (lang, ms) => lang -> score(ms) }
+      val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+      scores.foldRight(lit("und"): org.apache.spark.sql.Column) {
+        case ((lang, s), els) => when(s === best && s > 0, lang).otherwise(els)
+      }
+    }
+    val bad = corpus.select(col("text"),
+        TextFunctions.langId(col("text")).as("fast"),
+        refLangId(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(bad.count() == 0, bad.collect().take(3).mkString("; "))
+  }
+
   test("CosineSim expression == HOF fold bit-for-bit on random vectors") {
     import graft.functions.CosineSim
     def refDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

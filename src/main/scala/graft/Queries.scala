@@ -421,6 +421,81 @@ object Queries {
                |  + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE)) * 0.3 AS quality
                |FROM m""".stripMargin)),
 
+      // flagship composition: the C4-style cleaning pipeline a training
+      // corpus actually runs — language filter → quality filter → exact
+      // dedup (keep smallest id) — every stage oracle-mirrored
+      QueryDef("pipeline_clean_corpus",
+        (s, dir) => {
+          val scored = dupCorpus(s, dir).select(
+            col("doc_id"), col("text"),
+            langId(col("text")).as("lang_pred"),
+            qualityScore(col("text")).as("quality"),
+            wsTokenCount(col("text")).as("n_tokens"),
+            fingerprintExact(col("text")).as("fp"))
+          scored
+            .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+            .groupBy(col("fp"))
+            .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"),
+              min(col("quality")).as("quality"), min(col("n_tokens")).as("n_tokens"))
+        },
+        Some("""WITH corpus AS (
+               |  SELECT doc_id, text FROM documents
+               |  UNION ALL
+               |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+               |), pad AS (
+               |  SELECT doc_id, text,
+               |    ' ' || trim(regexp_replace(lower(text), '\s+', ' ', 'g')) || ' ' AS p
+               |  FROM corpus
+               |), sc AS (
+               |  SELECT doc_id, text,
+               |    CAST(contains(p, ' the ') AS INTEGER) + CAST(contains(p, ' a ') AS INTEGER)
+               |      + CAST(contains(p, ' of ') AS INTEGER) + CAST(contains(p, ' and ') AS INTEGER)
+               |      + CAST(contains(p, ' is ') AS INTEGER) AS s_en,
+               |    CAST(contains(p, ' el ') AS INTEGER) + CAST(contains(p, ' la ') AS INTEGER)
+               |      + CAST(contains(p, ' de ') AS INTEGER) + CAST(contains(p, ' que ') AS INTEGER)
+               |      + CAST(contains(p, ' y ') AS INTEGER) AS s_es,
+               |    CAST(contains(p, ' der ') AS INTEGER) + CAST(contains(p, ' die ') AS INTEGER)
+               |      + CAST(contains(p, ' das ') AS INTEGER) + CAST(contains(p, ' und ') AS INTEGER)
+               |      + CAST(contains(p, ' ist ') AS INTEGER) AS s_de,
+               |    CAST(contains(p, ' le ') AS INTEGER) + CAST(contains(p, ' la ') AS INTEGER)
+               |      + CAST(contains(p, ' les ') AS INTEGER) + CAST(contains(p, ' et ') AS INTEGER)
+               |      + CAST(contains(p, ' est ') AS INTEGER) AS s_fr,
+               |    CAST(contains(p, '的') AS INTEGER) + CAST(contains(p, '是') AS INTEGER)
+               |      + CAST(contains(p, '了') AS INTEGER) AS s_zh
+               |  FROM pad
+               |), lang AS (
+               |  SELECT doc_id, text,
+               |    CASE
+               |      WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_en > 0 THEN 'en'
+               |      WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_es > 0 THEN 'es'
+               |      WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_de > 0 THEN 'de'
+               |      WHEN s_fr = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+               |      WHEN s_zh = GREATEST(s_en, s_es, s_de, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+               |      ELSE 'und'
+               |    END AS lang_pred
+               |  FROM sc
+               |), m AS (
+               |  SELECT doc_id, text, lang_pred,
+               |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+               |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               |         tok -> tok IN ('the','a','of','and','is'))) AS BIGINT) AS n_stop,
+               |    length(text) AS n_len
+               |  FROM lang
+               |), q AS (
+               |  SELECT doc_id, text, lang_pred, n_tokens,
+               |    LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+               |    + (1.0 - LEAST(CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE) * 5.0, 1.0)) * 0.3
+               |    + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3 AS quality
+               |  FROM m
+               |)
+               |SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               |       MIN(doc_id) AS doc_id, COUNT(*) AS n_dups,
+               |       MIN(quality) AS quality, MIN(n_tokens) AS n_tokens
+               |FROM q
+               |WHERE lang_pred = 'en' AND quality >= 0.5
+               |GROUP BY 1""".stripMargin)),
+
       QueryDef("text_fingerprint",
         (s, dir) => t(s, dir, "documents").select(col("doc_id"),
           fingerprintExact(col("text")).as("fp_exact"),

@@ -421,6 +421,26 @@ object Queries {
                |  + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE)) * 0.3 AS quality
                |FROM m""".stripMargin)),
 
+      QueryDef("text_repetition",
+        (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+          dupLineFraction(col("text")).as("dup_line_frac"),
+          dupBigramFraction(col("text")).as("dup_bigram_frac")),
+        Some("""WITH m AS (
+               |  SELECT doc_id,
+               |    string_split(text, chr(10)) AS lines,
+               |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+               |  FROM documents
+               |)
+               |SELECT doc_id,
+               |  CASE WHEN len(lines) <= 1 THEN 0.0
+               |       ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+               |              / CAST(len(lines) AS DOUBLE) END AS dup_line_frac,
+               |  CASE WHEN len(t) - 1 <= 1 THEN 0.0
+               |       ELSE 1.0 - CAST(len(list_distinct(list_transform(range(0, len(t) - 1),
+               |              i -> array_to_string(t[i+1:i+2], ' ')))) AS DOUBLE)
+               |              / CAST(len(t) - 1 AS DOUBLE) END AS dup_bigram_frac
+               |FROM m""".stripMargin)),
+
       // flagship composition: the C4-style cleaning pipeline a training
       // corpus actually runs — language filter → quality filter → exact
       // dedup (keep smallest id) — every stage oracle-mirrored

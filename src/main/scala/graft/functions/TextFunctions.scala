@@ -77,6 +77,27 @@ object TextFunctions {
   def qualityScore(c: Column): Column =
     TextStats.textStats(c).getField("quality")
 
+  /** Repetition signals (Gopher-style quality heuristics): the
+    * duplicate fraction among newline-delimited lines and among word
+    * bigrams of the canonical text. 0 = all distinct, →1 = highly
+    * repetitive. Degenerate inputs (≤1 line / ≤2 tokens) score 0.
+    */
+  def dupLineFraction(c: Column): Column = {
+    val lines = split(c, "\n")
+    when(size(lines) <= 1, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
+  }
+
+  def dupBigramFraction(c: Column): Column = {
+    val toks = split(normalText(c), " ")
+    val total = size(toks) - 1
+    when(total <= 1, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(graft.functions.WordShingles.wordShingles(c, 2)).cast("double") /
+          total.cast("double"))
+  }
+
   /** Exact-content fingerprint: md5 of the canonical text. */
   def fingerprintExact(c: Column): Column = md5(normalText(c).cast("binary"))
 

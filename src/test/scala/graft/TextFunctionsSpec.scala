@@ -82,6 +82,15 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(empty.getDouble(1) == 1.0 / 50.0 * 0.4 + 0.3)
   }
 
+  test("repetition fractions: repetitive text scores high, varied text low") {
+    val looped = "spam ham spam ham spam ham spam ham"
+    // bigrams: 7 total, distinct {spam ham, ham spam} = 2 -> 1 - 2/7
+    assert(one(looped, dupBigramFraction(col("t"))) == 1.0 - 2.0 / 7.0)
+    assert(one("all words here are different", dupBigramFraction(col("t"))) == 0.0)
+    assert(one("line\nline\nother", dupLineFraction(col("t"))) == 1.0 - 2.0 / 3.0)
+    assert(one("single line only", dupLineFraction(col("t"))) == 0.0)
+  }
+
   test("fingerprintKey is stable under token reorder/duplication, exact is not") {
     val a = "alpha beta gamma"
     val b = "gamma beta  alpha beta"

@@ -26,6 +26,7 @@ final case class GraftConfig(
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -421,6 +421,58 @@ object Queries {
                |  + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE)) * 0.3 AS quality
                |FROM m""".stripMargin)),
 
+      // PII scrubbing over a corpus with planted emails/phones (every
+      // 5th doc) so the masking is exercised, not vacuous
+      QueryDef("text_scrub_pii",
+        (s, dir) => {
+          val planted = t(s, dir, "documents").select(col("doc_id"),
+            when(col("doc_id") % 5 === 0,
+              concat(col("text"),
+                lit(" contact jo.doe+1@example-mail.com or 555-123-4567 ok")))
+              .otherwise(col("text")).as("text"))
+          planted.select(col("doc_id"),
+            emailCount(col("text")).as("n_emails"),
+            phoneCount(col("text")).as("n_phones"),
+            scrubPii(col("text")).as("text_scrubbed"))
+        },
+        Some("""WITH planted AS (
+               |  SELECT doc_id,
+               |    CASE WHEN doc_id % 5 = 0
+               |      THEN text || ' contact jo.doe+1@example-mail.com or 555-123-4567 ok'
+               |      ELSE text END AS text
+               |  FROM documents
+               |)
+               |SELECT doc_id,
+               |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+               |  CAST(len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS INTEGER) AS n_phones,
+               |  regexp_replace(regexp_replace(text,
+               |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '[PHONE]', 'g') AS text_scrubbed
+               |FROM planted""".stripMargin)),
+
+      // per-shard sequence packing: docs → fixed-token-budget packs
+      QueryDef("pipeline_pack_sequences",
+        (s, dir) => {
+          val docs = t(s, dir, "documents").select(col("doc_id"),
+            wsTokenCount(col("text")).as("n_tokens"))
+          graft.operators.Pack.packSequences(docs, capacity = 512, shards = 8)
+        },
+        Some("""WITH d AS (
+               |  SELECT doc_id,
+               |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               |    CAST(doc_id % 8 AS INTEGER) AS shard
+               |  FROM documents
+               |), c AS (
+               |  SELECT doc_id, n_tokens, shard,
+               |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+               |  FROM d
+               |)
+               |SELECT doc_id, n_tokens, shard, cum_tokens,
+               |  CAST(shard AS BIGINT) * 4294967296
+               |    + CAST(floor((cum_tokens - n_tokens) / 512) AS BIGINT) AS pack_id
+               |FROM c""".stripMargin)),
+
       QueryDef("text_repetition",
         (s, dir) => t(s, dir, "documents").select(col("doc_id"),
           dupLineFraction(col("text")).as("dup_line_frac"),

@@ -98,6 +98,22 @@ object TextFunctions {
           total.cast("double"))
   }
 
+  /** PII scrubbing (training-corpus hygiene): mask email addresses and
+    * US-style phone numbers with typed placeholders. Patterns stay in
+    * the regex subset Java and RE2 share (character classes, `+`,
+    * bounded repeats) so the DuckDB oracle applies byte-identically.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
+  def emailCount(c: Column): Column = regexp_count(c, lit(EmailPattern))
+
+  def phoneCount(c: Column): Column = regexp_count(c, lit(PhonePattern))
+
   /** Exact-content fingerprint: md5 of the canonical text. */
   def fingerprintExact(c: Column): Column = md5(normalText(c).cast("binary"))
 

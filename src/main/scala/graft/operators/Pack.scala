@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-batch assembly: assign documents to
+  * fixed-token-budget packs.
+  *
+  * A single global greedy pack is inherently sequential (every
+  * assignment depends on the full prefix), so the scalable form packs
+  * PER SHARD: documents hash into `shards` deterministic shards, each
+  * shard packs independently by running token total — exactly how
+  * multi-worker training-data loaders shard-and-pack in practice. Each
+  * shard's window is a narrow sort over its own rows (shuffle by shard
+  * key, sort within partition); no global ordering bottleneck.
+  *
+  * `pack_id` is `(shard, seq)` flattened as `shard * 2^32 + seq` so
+  * packs are globally unique and reproducible. A document longer than
+  * `capacity` still gets its own pack (real loaders truncate it
+  * downstream).
+  */
+object Pack {
+
+  def packSequences(docs: DataFrame, capacity: Long, shards: Int,
+      idCol: String = "doc_id", tokenCol: String = "n_tokens"): DataFrame = {
+    require(capacity >= 1 && shards >= 1)
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("shard", pmod(col(idCol), lit(shards.toLong)).cast("int"))
+      .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      // the pack a doc CLOSES: ceil(cum/capacity) - 1 would split a doc
+      // across packs; instead a doc belongs to the pack its PREFIX
+      // (cum - n) opens: floor((cum - n) / capacity)
+      .withColumn("seq",
+        floor((col("cum_tokens") - col(tokenCol)) / capacity).cast("long"))
+      .withColumn("pack_id",
+        col("shard").cast("long") * lit(4294967296L) + col("seq"))
+      .drop("seq")
+  }
+}

@@ -100,12 +100,11 @@ class ExprParityPropSpec extends AnyFunSuite {
   }
 
   test("CosineSim expression == HOF fold bit-for-bit on random vectors") {
-    import graft.functions.CosineSim
-    def refDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
+    import graft.functions.{CosineSim, VectorFunctions}
+    // the documented HOF reference formulation stays the parity anchor
     def refCos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      refDot(a, b) / (sqrt(refDot(a, a)) * sqrt(refDot(b, b)))
+      VectorFunctions.dot(a, b) /
+        (VectorFunctions.norm(a) * VectorFunctions.norm(b))
     val r = new Random(9)
     val vecs = (1 to 200).map { i =>
       val d = 1 + r.nextInt(48)

@@ -28,6 +28,25 @@ class ScaleJoinSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("packSequences: budget crossings open new packs, per shard, deterministic") {
+    import graft.operators.Pack
+    val docs = Seq((0L, 300L), (8L, 300L), (16L, 300L), (24L, 100L),
+      (1L, 600L), (9L, 10L)).toDF("doc_id", "n_tokens")
+    val out = Pack.packSequences(docs, capacity = 512, shards = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("shard"), r.getAs[Long]("pack_id"))).toMap
+    // shard 0: prefixes 0,300,600,900 -> packs 0,0,1,1
+    assert(out(0L)._1 == 0 && out(8L)._1 == 0)
+    assert(out(0L)._2 == out(8L)._2)       // 300+300 crosses after doc 8
+    assert(out(16L)._2 == out(24L)._2)     // both in shard-0 pack 1
+    assert(out(0L)._2 != out(16L)._2)
+    // shard 1: oversized doc (600 > 512) owns pack 0, next doc starts pack 1
+    assert(out(1L)._1 == 1 && out(9L)._1 == 1)
+    assert(out(1L)._2 != out(9L)._2)
+    // pack ids globally unique across shards
+    assert(out(0L)._2 != out(1L)._2)
+  }
+
   test("co-bucketed tables sort-merge join with zero exchanges") {
     val db = "graft_bucket_db"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

@@ -56,22 +56,19 @@ object Similarity {
       .select(col("q_id"), col("s.id").as("n_id"), col("s.sim").as("sim"),
         (col("pos") + 1).cast("long").as("rank"))
 
-  /** (id, band_id, band_val) rows for `bands` sign-bit bands of
-    * `bitsPerBand` each — the id-only blocking projection shared by the
-    * LSH paths.
+  /** (id, band_id, band_val) rows for `bands` independent sign-bit
+    * bands of `bitsPerBand` each — the id-only blocking projection
+    * shared by the LSH paths. Each band is its own seeded hyperplane
+    * signature, so the band count is unlimited (recall knob) and the
+    * total per-row work stays `bands × bitsPerBand × dims`
+    * multiply-adds regardless of how the bits are grouped.
     */
   private def bandedIds(df: DataFrame, idCol: String, vecCol: String,
-      outId: String, bitsPerBand: Int, bands: Int): DataFrame = {
-    val bits = bitsPerBand * bands
-    df.select(col(idCol).as(outId), lshSignBits(col(vecCol), bits).as("sig"))
-      .select(col(outId), explode(array((0 until bands).map(j =>
-        struct(lit(j).as("band_id"),
-          shiftrightunsigned(col("sig"), j * bitsPerBand)
-            .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("band_val"))): _*))
-        .as("band"))
-      .select(col(outId), col("band.band_id").as("band_id"),
-        col("band.band_val").as("band_val"))
-  }
+      outId: String, bitsPerBand: Int, bands: Int): DataFrame =
+    df.select(col(idCol).as(outId),
+      posexplode(array((0 until bands).map(j =>
+        lshSignBits(col(vecCol), bitsPerBand, seed = 42 + j)): _*))
+        .as(Seq("band_id", "band_val")))
 
   /** Approximate top-k via random-hyperplane LSH: query and corpus rows
     * joining on any shared sign band become candidates; exact cosine
@@ -80,7 +77,7 @@ object Similarity {
     * vector sides are re-joined afterwards (queries broadcast).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bitsPerBand: Int = 16, bands: Int = 4,
+      bitsPerBand: Int = 16, bands: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = bandedIds(corpus, idCol, vecCol, "n_id", bitsPerBand, bands)
     val q = bandedIds(queries, idCol, vecCol, "q_id", bitsPerBand, bands)
@@ -106,7 +103,7 @@ object Similarity {
     * join, no vectors in the blocking shuffle.
     */
   def embeddingNearDupPairs(corpus: DataFrame, threshold: Double = 0.99,
-      bitsPerBand: Int = 16, bands: Int = 4,
+      bitsPerBand: Int = 16, bands: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val banded = bandedIds(corpus, idCol, vecCol, "id", bitsPerBand, bands)
     val a = banded.alias("a")

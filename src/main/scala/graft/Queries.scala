@@ -314,6 +314,23 @@ object Queries {
              |FROM lineitem
              |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // JSON scalar extraction (events.props carries a JSON payload):
+    // parse inside the scan projection, aggregate the extracted field
+    QueryDef("q_events_json",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k")),
+      Some("""SELECT event_type,
+             |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events
+             |GROUP BY event_type""".stripMargin)),
+
     // salted-join skew pattern: result must be IDENTICAL to the plain
     // join the oracle runs (the salt only changes row placement)
     QueryDef("q_salted_join",

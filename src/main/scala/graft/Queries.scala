@@ -314,6 +314,26 @@ object Queries {
              |FROM lineitem
              |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // data profiling: exact-safe per-group column statistics (the
+    // pre-ingest sanity pass a pipeline runs before heavy work)
+    QueryDef("q_profile",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship")),
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  COUNT(DISTINCT l_orderkey) AS n_orders,
+             |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+             |FROM lineitem
+             |GROUP BY l_returnflag""".stripMargin)),
+
     // JSON scalar extraction (events.props carries a JSON payload):
     // parse inside the scan projection, aggregate the extracted field
     QueryDef("q_events_json",
@@ -976,6 +996,38 @@ object Queries {
                |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
                |FROM events
                |GROUP BY 1, 2""".stripMargin)),
+
+      // the SAME sessionization via Spark's BUILT-IN session_window
+      // (compose-first: prefer the native operator where its semantics
+      // fit — here the boundary rule is `gap >= 30min starts a new
+      // session`, vs the typed path's strict `>`)
+      QueryDef("stream_session_window",
+        (s, dir) => t(s, dir, "events")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(10,2)")).cast("double").as("sum_value"))
+          .select(col("user_id"), col("w.start").as("session_start"),
+            col("w.end").as("session_end_excl"), col("n_events"), col("sum_value")),
+        Some("""WITH e AS (
+               |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+               |), marked AS (
+               |  SELECT user_id, ts, value,
+               |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+               |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+               |  FROM e
+               |), numbered AS (
+               |  SELECT user_id, ts, value,
+               |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+               |                   ROWS UNBOUNDED PRECEDING) AS sid
+               |  FROM marked
+               |)
+               |SELECT user_id, MIN(ts) AS session_start,
+               |       MAX(ts) + INTERVAL 30 MINUTE AS session_end_excl,
+               |       COUNT(*) AS n_events,
+               |       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+               |FROM numbered
+               |GROUP BY user_id, sid""".stripMargin)),
 
       QueryDef("stream_sessionize",
         (s, dir) => {

@@ -153,6 +153,42 @@ object EvolvingWriter {
     }
   }
 
+  /** Spark-native analog of the compaction the reference delegates to
+    * Athena via `optimize_rewrite_data_file_threshold`
+    * (`spark_utils.py:165-172` — table properties only; the engine that
+    * honored them was Athena's OPTIMIZE): partitions accumulating one
+    * small file per append are rewritten in place with
+    * `targetRowsPerFile` rows per output file. Dynamic partition
+    * overwrite rewrites ONLY the partitions present (all of them here,
+    * since compaction reads the whole table — run it per-partition at
+    * 100 TB by filtering first); `repartition(n, partitionCol)` keeps
+    * each partition's rows together so the writer emits ~1 file per
+    * partition per target chunk.
+    *
+    * @return (files before, files after) for observability
+    */
+  def compact(spark: SparkSession, table: String,
+      targetRowsPerFile: Long = 1000000L): (Long, Long) = {
+    def fileCount(): Long =
+      spark.table(table).select(input_file_name()).distinct().count()
+    val before = fileCount()
+    val df = spark.table(table)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+    val compacted =
+      if (df.columns.contains(PartitionColumn))
+        df.repartition(nFiles.toInt, col(PartitionColumn))
+      else df.repartition(nFiles.toInt)
+    // Spark refuses to overwrite a table it is reading from in the same
+    // plan — localCheckpoint materializes the compacted rows and cuts
+    // the lineage first (at 100 TB: stage through a temp table per
+    // partition instead). insertInto is position-based; the frame came
+    // from the table, so order already matches.
+    compacted.localCheckpoint(true)
+      .write.mode("overwrite").insertInto(table)
+    (before, fileCount())
+  }
+
   /** Distributed append. Spark 4's DataFrameWriterV2 (`writeTo`) refuses
     * v1 session-catalog tables, so this uses the v1 writer; `saveAsTable`
     * in append mode resolves columns BY NAME against the existing table

@@ -81,6 +81,36 @@ class IngestWriterSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("compact merges per-append small files, data unchanged") {
+    val csv = Files.createTempDirectory("graft-compact").toString
+    FakeData.generate(csv, start = 1, end = 3, records = 8, seed = 21L, maxOptional = 3)
+    val table = "spark_catalog.default.customers_compact"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    EvolvingWriter.configure(spark)
+    // five small appends -> at least five files in the month partition
+    val df = CsvIngest.ingest(spark, csv, clock)
+    for (_ <- 1 to 5) EvolvingWriter.appendWithEvolution(spark, df, table)
+    val rowsBefore = spark.table(table).count()
+    val checksumBefore = spark.table(table)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.concat_ws("|",
+          spark.table(table).columns.sorted.map(c =>
+            org.apache.spark.sql.functions.col(s"`$c`").cast("string")): _*)).as("h"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val (before, after) = EvolvingWriter.compact(spark, table)
+    assert(before >= 5)
+    assert(after < before)
+    assert(spark.table(table).count() == rowsBefore)
+    val checksumAfter = spark.table(table)
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.concat_ws("|",
+          spark.table(table).columns.sorted.map(c =>
+            org.apache.spark.sql.functions.col(s"`$c`").cast("string")): _*)).as("h"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(checksumAfter == checksumBefore)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("overwritePartitions replaces only the overlapping month") {
     val csv = Files.createTempDirectory("graft-ow").toString
     FakeData.generate(csv, start = 1, end = 2, records = 5, seed = 5L, maxOptional = 3)

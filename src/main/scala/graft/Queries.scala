@@ -314,6 +314,33 @@ object Queries {
              |FROM lineitem
              |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // as-of join (operator Spark lacks; composed as one sort-merge pass
+    // — see graft.operators.AsOf): each event picks up the latest
+    // at-or-before hourly per-user stats; DuckDB's native ASOF LEFT
+    // JOIN is the oracle
+    QueryDef("q_asof_join",
+      (s, dir) => {
+        import graft.operators.AsOf
+        val ev = t(s, dir, "events")
+        val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+        val hourly = ev
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("ts"))
+          .agg(count(lit(1)).as("hourly_n"),
+            sum(col("value").cast("decimal(10,2)")).cast("double").as("hourly_value"))
+        AsOf.joinAsOf(left, hourly, keyCol = "user_id", tsCol = "ts",
+          valueCols = Seq("hourly_n", "hourly_value"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+             |), h AS (
+             |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hts,
+             |         COUNT(*) AS hourly_n,
+             |         CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS hourly_value
+             |  FROM events GROUP BY 1, 2
+             |)
+             |SELECT e.event_id, e.user_id, e.ts, h.hourly_n, h.hourly_value
+             |FROM e ASOF LEFT JOIN h ON e.user_id = h.user_id AND e.ts >= h.hts""".stripMargin)),
+
     // data profiling: exact-safe per-group column statistics (the
     // pre-ingest sanity pass a pipeline runs before heavy work)
     QueryDef("q_profile",

@@ -28,6 +28,21 @@ class ScaleJoinSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("joinAsOf: latest at-or-before right row, nulls before any right row") {
+    import graft.operators.AsOf
+    val left = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (1L, 20L, "e3"),
+      (2L, 5L, "e4")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 50L, "z"))
+      .toDF("k", "ts", "v")
+    val out = AsOf.joinAsOf(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[String]("v")).toMap
+    assert(out == Map(
+      "e1" -> "a",  // equal ts matches
+      "e3" -> "b",  // equal ts at 20 matches the newer right row
+      "e2" -> "b",  // latest at-or-before 25 is ts=20
+      "e4" -> null)) // right row is in the future -> null
+  }
+
   test("packSequences: budget crossings open new packs, per shard, deterministic") {
     import graft.operators.Pack
     val docs = Seq((0L, 300L), (8L, 300L), (16L, 300L), (24L, 100L),

@@ -341,6 +341,35 @@ object Queries {
              |SELECT e.event_id, e.user_id, e.ts, h.hourly_n, h.hourly_value
              |FROM e ASOF LEFT JOIN h ON e.user_id = h.user_id AND e.ts >= h.hts""".stripMargin)),
 
+    // range join (point-in-interval) via bucketed equi-join — see
+    // graft.operators.RangeJoin; intervals are the first half-hour of
+    // every active (user, hour), so roughly half the events match
+    QueryDef("q_range_join",
+      (s, dir) => {
+        import graft.operators.RangeJoin
+        val ev = t(s, dir, "events")
+        val points = ev.select(col("event_id"), col("user_id"), col("ts"))
+        val windows = ev
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("window_start"))
+          .agg(count(lit(1)).as("n_in_hour"))
+          .select(col("user_id"), col("window_start"),
+            (col("window_start") + expr("INTERVAL 30 MINUTES")).as("window_end"))
+        RangeJoin.pointInInterval(points, windows, keyCol = "user_id",
+            ptCol = "ts", startCol = "window_start", endCol = "window_end",
+            bucketUs = 30L * 60 * 1000000)
+          .select(col("event_id"), col("user_id"), col("ts"), col("window_start"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+             |), w AS (
+             |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start
+             |  FROM events GROUP BY 1, 2
+             |)
+             |SELECT e.event_id, e.user_id, e.ts, w.window_start
+             |FROM e JOIN w ON e.user_id = w.user_id
+             |  AND e.ts >= w.window_start
+             |  AND e.ts < w.window_start + INTERVAL 30 MINUTE""".stripMargin)),
+
     // data profiling: exact-safe per-group column statistics (the
     // pre-ingest sanity pass a pipeline runs before heavy work)
     QueryDef("q_profile",

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join — the second classic operator Spark
+  * has no efficient native form of (a plain inequality join plans as a
+  * broadcast-nested-loop or cartesian product).
+  *
+  * Scale shape: time is cut into fixed `bucketUs` buckets; every
+  * interval is exploded onto each bucket it overlaps, points carry
+  * their single bucket, and the join becomes an EQUI-join on
+  * (key, bucket) followed by the exact `start <= t < end` filter. With
+  * `bucketUs` chosen near the typical interval length, each interval
+  * lands on O(1) buckets, so the join cost is O(|P| + |I|) shuffled by
+  * (key, bucket) — no quadratic blowup, and a point meets a matching
+  * interval in exactly one bucket (its own), so no dedup pass is
+  * needed.
+  *
+  * Timestamps are compared at microsecond precision (`unix_micros`),
+  * matching the parquet events precision.
+  */
+object RangeJoin {
+
+  /** Inner-join `points` to every interval containing them
+    * (half-open: start <= t < end), sharing `keyCol`.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      keyCol: String, ptCol: String, startCol: String, endCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs >= 1, s"bucketUs=$bucketUs must be >= 1")
+    val p = points
+      .withColumn("__bucket", floor(unix_micros(col(ptCol)) / bucketUs))
+    val i = intervals
+      .withColumn("__bucket", explode(sequence(
+        floor(unix_micros(col(startCol)) / bucketUs),
+        // half-open end: the bucket of the last contained microsecond
+        floor((unix_micros(col(endCol)) - 1) / bucketUs))))
+    p.join(i, Seq(keyCol, "__bucket"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("__bucket")
+  }
+}

@@ -43,6 +43,28 @@ class ScaleJoinSpec extends AnyFunSuite {
       "e4" -> null)) // right row is in the future -> null
   }
 
+  test("pointInInterval: half-open containment, buckets spanned correctly") {
+    import graft.operators.RangeJoin
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")),  // == start -> in
+      (1L, 11L, ts("2024-01-01 00:29:59")),  // just inside
+      (1L, 12L, ts("2024-01-01 00:30:00")),  // == end -> out (half-open)
+      (1L, 13L, ts("2024-01-01 02:15:00")),  // inside the long interval
+      (2L, 14L, ts("2024-01-01 00:05:00"))   // wrong key -> out
+    ).toDF("k", "event_id", "t")
+    val intervals = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00")),
+      // long interval spanning many buckets
+      (1L, ts("2024-01-01 01:00:00"), ts("2024-01-01 03:00:00"))
+    ).toDF("k", "s", "e")
+    val got = RangeJoin.pointInInterval(points, intervals, "k", "t", "s", "e",
+      bucketUs = 30L * 60 * 1000000)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L, 11L, 13L))
+  }
+
   test("packSequences: budget crossings open new packs, per shard, deterministic") {
     import graft.operators.Pack
     val docs = Seq((0L, 300L), (8L, 300L), (16L, 300L), (24L, 100L),

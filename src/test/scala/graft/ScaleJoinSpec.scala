@@ -65,6 +65,52 @@ class ScaleJoinSpec extends AnyFunSuite {
     assert(got == Set(10L, 11L, 13L))
   }
 
+  test("joinAsOf == naive latest-at-or-before on random data") {
+    import graft.operators.AsOf
+    val r = new scala.util.Random(17)
+    val left = (1 to 400).map(i =>
+      (r.nextInt(5).toLong, r.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "ts", "lid")
+    val right = (1 to 150).map(i =>
+      (r.nextInt(5).toLong, r.nextInt(1000).toLong, s"v$i"))
+      .distinct.toDF("k", "ts", "v")
+      // contract: unique (k, ts) on the right
+      .dropDuplicates("k", "ts")
+    val rightRows = right.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    val expected = left.collect().map { row =>
+      val (k, ts, lid) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      val best = rightRows.filter(x => x._1 == k && x._2 <= ts)
+        .sortBy(_._2).lastOption.map(_._3).orNull
+      lid -> best
+    }.toMap
+    val got = AsOf.joinAsOf(left, right, "k", "ts", Seq("v"))
+      .collect().map(x => x.getAs[Long]("lid") -> x.getAs[String]("v")).toMap
+    assert(got == expected)
+  }
+
+  test("pointInInterval == naive inequality join on random data") {
+    import graft.operators.RangeJoin
+    import java.sql.Timestamp
+    val r = new scala.util.Random(23)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(min: Long) = new Timestamp(base + min * 60000)
+    val points = (1 to 300).map(i =>
+      (r.nextInt(4).toLong, i.toLong, t(r.nextInt(600).toLong)))
+      .toDF("k", "pid", "ts")
+    val intervals = (1 to 60).map { i =>
+      val s = r.nextInt(600).toLong
+      (r.nextInt(4).toLong, i.toLong, t(s), t(s + 1 + r.nextInt(90).toLong))
+    }.toDF("k", "iid", "s", "e")
+    val naive = points.join(intervals, Seq("k"))
+      .filter(col("ts") >= col("s") && col("ts") < col("e"))
+      .select("pid", "iid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val got = RangeJoin.pointInInterval(points, intervals, "k", "ts", "s", "e",
+        bucketUs = 45L * 60 * 1000000)
+      .select("pid", "iid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == naive)
+  }
+
   test("packSequences: budget crossings open new packs, per shard, deterministic") {
     import graft.operators.Pack
     val docs = Seq((0L, 300L), (8L, 300L), (16L, 300L), (24L, 100L),

@@ -105,6 +105,51 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Pair graph → clusters
+  // -------------------------------------------------------------------
+
+  /** Connected components over a near-duplicate pair graph: every node
+    * gets the smallest id reachable from it as `cluster_rep` (the
+    * canonical document its cluster keeps). Nodes absent from any pair
+    * are their own representative.
+    *
+    * Distributed min-label propagation (Pregel-lite): each round joins
+    * the current labels across the edge list and keeps the minimum of
+    * a node's own label and its neighbors' — one shuffle per round,
+    * converging in O(component diameter) rounds (near-dup clusters are
+    * shallow; `maxIter` bounds pathological chains). The driver loop
+    * carries only the CHANGED-row count per round; labels stay
+    * distributed, `localCheckpoint` cuts the growing lineage.
+    */
+  def clusters(pairs: DataFrame, allIds: DataFrame,
+      idCol: String = "id", maxIter: Int = 15): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = allIds.select(col(idCol).as("id"), col(idCol).as("rep"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("rep", "nbr_rep"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_rep")).as("nbr_rep"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.rep") =!= col("o.rep")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("rep").as("cluster_rep"))
+  }
+
+  // -------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------
 

@@ -134,6 +134,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(6L) == Seq("a b c", "b c d"))
   }
 
+  test("clusters: min-label propagation finds components incl. chains") {
+    // chain 1-2, 2-3 (one component), pair 5-6, singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    val got = Dedup.clusters(pairs, ids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
   test("simhash codegen and interpreted paths agree") {
     val df = corpus.select(SimHash64.simhash64(col("text")).as("h"))
     val viaScala = corpus.collect().map(r => SimHash64.compute(r.getString(1)))

@@ -123,8 +123,11 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, allIds: DataFrame,
       idCol: String = "id", maxIter: Int = 15): DataFrame = {
+    // materialize the (small) edge list once — the pair pipeline behind
+    // it would otherwise recompute on BOTH union branches EVERY round
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
     var labels = allIds.select(col(idCol).as("id"), col(idCol).as("rep"))
       .localCheckpoint(true)
     var converged = false

@@ -1154,12 +1154,113 @@ object Queries {
   }
 
   // =====================================================================
+  // Corpus-governance queries (graft.operators.Governance — the
+  // bookkeeping a training pipeline runs around cleaning/dedup:
+  // reproducible splits, eval-contamination audit, frequent n-grams,
+  // per-group exact quantile profiling)
+  // =====================================================================
+
+  /** DuckDB CTEs producing word-n-gram shingle sets of `documents`
+    * (same canonicalization as [[graft.operators.Dedup.wordShingles]]:
+    * lower → collapse whitespace → trim → split → n-token windows →
+    * distinct; short docs collapse to one whole-text shingle).
+    */
+  private def docShingleCtes(n: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+       |  FROM documents
+       |), shsets AS (
+       |  SELECT doc_id, CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+       |    ELSE list_distinct(list_transform(range(0, len(t) - ${n - 1}),
+       |           i -> array_to_string(t[i+1:i+$n], ' ')))
+       |    END AS shingles FROM toks
+       |)""".stripMargin
+
+  private val governanceQueries: Seq[QueryDef] = {
+    import graft.operators.Governance
+    Seq(
+      // deterministic salted-hash split: pure projection, no RNG — the
+      // doc's assignment is stable under corpus growth and backfills
+      QueryDef("pipeline_split_assign",
+        (s, dir) => Governance.splitAssign(t(s, dir, "documents"))
+          .select(col("doc_id"), col("split")),
+        Some("""SELECT doc_id,
+               |  CASE WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+               |       WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'valid'
+               |       ELSE 'train' END AS split
+               |FROM documents""".stripMargin)),
+
+      // eval-set n-gram contamination audit (GPT-3/PaLM-style overlap
+      // check; n=5 here because testdata docs are 10–99 tokens — real
+      // pipelines use 8–13)
+      QueryDef("pipeline_contamination",
+        (s, dir) => Governance.contamination(t(s, dir, "documents"),
+          isEval = col("doc_id") % 10 === 0, n = 5),
+        Some(s"""${docShingleCtes(5)}, ev AS (
+               |  SELECT doc_id, unnest(shingles) AS sh FROM shsets WHERE doc_id % 10 = 0
+               |), tr AS (
+               |  SELECT DISTINCT unnest(shingles) AS sh FROM shsets WHERE doc_id % 10 != 0
+               |), totals AS (
+               |  SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY doc_id
+               |), hits AS (
+               |  SELECT ev.doc_id, count(*) AS n_contaminated
+               |  FROM ev JOIN tr USING (sh) GROUP BY ev.doc_id
+               |)
+               |SELECT t.doc_id, t.n_shingles,
+               |  CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               |  CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+               |    / CAST(t.n_shingles AS DOUBLE) AS contamination
+               |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin)),
+
+      // corpus-wide frequent bigrams by document frequency; bounded
+      // top-k (TakeOrderedAndProject), strict total order so the set is
+      // engine-independent
+      QueryDef("text_top_ngrams",
+        (s, dir) => Governance.topNgrams(t(s, dir, "documents"), n = 2, k = 50),
+        Some(s"""${docShingleCtes(2)}, grams AS (
+               |  SELECT unnest(shingles) AS ngram FROM shsets
+               |)
+               |SELECT ngram, count(*) AS df FROM grams
+               |GROUP BY ngram ORDER BY df DESC, ngram LIMIT 50""".stripMargin)),
+
+      // per-language exact token-count quantiles (profiling pass before
+      // heavy work; exact `percentile` = sort + linear interpolation,
+      // the same definition as DuckDB quantile_cont)
+      QueryDef("profile_quantiles",
+        (s, dir) => {
+          import graft.functions.TextFunctions.wsTokenCount
+          t(s, dir, "documents")
+            .select(col("lang"), wsTokenCount(col("text")).as("n"))
+            .groupBy("lang")
+            .agg(percentile(col("n"),
+              array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("qs"))
+            .select(col("lang"),
+              element_at(col("qs"), 1).as("q25"),
+              element_at(col("qs"), 2).as("q50"),
+              element_at(col("qs"), 3).as("q75"),
+              element_at(col("qs"), 4).as("q95"))
+        },
+        Some("""WITH m AS (
+               |  SELECT lang,
+               |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+               |  FROM documents
+               |), q AS (
+               |  SELECT lang, quantile_cont(n, [0.25, 0.5, 0.75, 0.95]) AS qs
+               |  FROM m GROUP BY lang
+               |)
+               |SELECT lang, qs[1] AS q25, qs[2] AS q50, qs[3] AS q75, qs[4] AS q95
+               |FROM q""".stripMargin))
+    )
+  }
+
+  // =====================================================================
   // Registry
   // =====================================================================
 
   val registry: Seq[QueryDef] =
     schemaOpQueries ++ tpchQueries ++ textQueries ++ dedupQueries ++
-      simQueries ++ multimodalQueries ++ streamingQueries
+      simQueries ++ multimodalQueries ++ streamingQueries ++
+      governanceQueries
 
   /** name → ((spark, sfDir) => result). */
   def all: Map[String, (SparkSession, String) => DataFrame] =

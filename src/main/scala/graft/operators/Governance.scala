@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-governance operators for LLM-training-data pipelines:
+  * reproducible dataset splits, eval-set contamination detection, and
+  * corpus-wide frequent-n-gram mining. These are the bookkeeping steps a
+  * production pipeline runs around the cleaning/dedup stages (the
+  * reference repo at /root/reference has no analog — this is extension
+  * surface per SURVEY §7.3).
+  *
+  * Scale posture:
+  *  - [[splitAssign]] is a pure map-side projection (hash of the id) —
+  *    zero shuffles, deterministic across reruns/backfills, and stable
+  *    under corpus growth (a doc's split never changes when other docs
+  *    are added — the property train/test splits must have, and why
+  *    random() splits are wrong).
+  *  - [[contamination]] joins eval n-grams against the distinct train
+  *    n-gram set: both sides shuffle-partition by the n-gram key, and
+  *    the eval side of the join is tiny relative to train (eval sets
+  *    are ~10³–10⁵ docs while train is the 100 TB corpus), so at scale
+  *    the right physical plan is a shuffle join keyed by n-gram with
+  *    map-side combine on the train distinct. A bloom filter on the
+  *    (small) eval n-gram set pushed into the train scan cuts the
+  *    shuffle further; Spark's AQE runtime filter does this when
+  *    beneficial.
+  *  - [[topNgrams]] is a partial-aggregating groupBy followed by a
+  *    bounded top-k (`TakeOrderedAndProject` — each task ships only its
+  *    local top k, never the full frequency table).
+  */
+object Governance {
+
+  /** Deterministic train/valid/test assignment from a salted md5 of the
+    * document id. The first two hex chars (256 slots) are compared
+    * lexicographically against slot boundaries, so the assignment is a
+    * pure expression reproducible in any engine with md5 — no RNG, no
+    * shuffle, no dependence on row order or corpus size.
+    *
+    * `testSlots`/`validSlots` are counts out of 256 (13/256 ≈ 5.1%).
+    */
+  def splitAssign(docs: DataFrame, idCol: String = "doc_id",
+      salt: String = "graft", testSlots: Int = 13,
+      validSlots: Int = 13): DataFrame = {
+    require(testSlots >= 0 && validSlots >= 0 &&
+      testSlots + validSlots <= 256, "slot counts must fit in 256")
+    val prefix = substring(
+      md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 2)
+    docs.withColumn("split",
+      when(prefix < lit(f"$testSlots%02x"), lit("test"))
+        .when(prefix < lit(f"${testSlots + validSlots}%02x"), lit("valid"))
+        .otherwise(lit("train")))
+  }
+
+  /** Per-eval-document n-gram contamination against the training split:
+    * for each eval doc, the fraction of its distinct word n-grams that
+    * also appear anywhere in the train split. This is the standard
+    * train/test-overlap audit (GPT-3/PaLM-style n-gram collision check;
+    * those pipelines use n = 8–13 — n is a parameter here because the
+    * testdata docs are short).
+    *
+    * Output: one row per eval doc — `n_shingles` (distinct n-grams),
+    * `n_contaminated` (those present in train), `contamination` (the
+    * ratio; 0.0 for clean docs, which ARE emitted).
+    */
+  def contamination(corpus: DataFrame, isEval: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 8): DataFrame = {
+    val shingled = corpus.select(col(idCol), isEval.as("is_eval"),
+      Dedup.wordShingles(col(textCol), n).as("shingles"))
+    val evalSh = shingled.filter(col("is_eval"))
+      .select(col(idCol), explode(col("shingles")).as("sh"))
+    val trainSh = shingled.filter(!col("is_eval"))
+      .select(explode(col("shingles")).as("sh")).distinct()
+    val totals = evalSh.groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = evalSh.join(trainSh, Seq("sh"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_shingles"))
+  }
+
+  /** Corpus-wide frequent word n-grams by document frequency (each doc
+    * counts an n-gram once — [[Dedup.wordShingles]] emits distinct
+    * shingles per doc). Total order is (df desc, ngram asc), so the
+    * top-k set is unique and engine-independent.
+    */
+  def topNgrams(docs: DataFrame, textCol: String = "text", n: Int = 2,
+      k: Int = 50): DataFrame =
+    docs.select(explode(Dedup.wordShingles(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram").asc)
+      .limit(k)
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Governance
+
+class GovernanceSpec extends AnyFunSuite {
+  lazy val spark = TestSparkSession.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta other words here"), // shares 4-gram prefix with 1
+    (10L, "alpha beta gamma delta epsilon zeta"), // eval twin of 1
+    (20L, "totally novel eval content nothing shared anywhere"),
+    (3L, "unrelated train text about engines")
+  ).toDF("doc_id", "text")
+
+  test("splitAssign partitions every doc into exactly one split, deterministically") {
+    val docs = spark.range(0, 2000).toDF("doc_id")
+    val a = Governance.splitAssign(docs).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.keySet.subsetOf(Set("train", "valid", "test")))
+    assert(a.values.sum == 2000)
+    // ~13/256 each for test/valid; allow wide tolerance, assert shape
+    assert(a("train") > a("valid") && a("train") > a("test"))
+    // determinism: same assignment on rerun
+    val b = Governance.splitAssign(docs).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("splitAssign is stable under corpus growth (subset keeps its assignment)") {
+    val big = Governance.splitAssign(spark.range(0, 1000).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val small = Governance.splitAssign(spark.range(0, 100).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    small.foreach { case (id, s) => assert(big(id) == s) }
+  }
+
+  test("splitAssign salt changes the assignment") {
+    val docs = spark.range(0, 500).toDF("doc_id")
+    val a = Governance.splitAssign(docs, salt = "graft")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Governance.splitAssign(docs, salt = "other")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a != b)
+  }
+
+  test("contamination finds the fully-contaminated eval twin and the clean doc") {
+    val out = Governance.contamination(corpus,
+      isEval = col("doc_id") >= 10, n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_contaminated"),
+          r.getAs[Double]("contamination"))).toMap
+    // doc 10 is an exact copy of train doc 1: every 3-gram contaminated
+    assert(out(10L)._1 == 4 && out(10L)._2 == 4 && out(10L)._3 == 1.0)
+    // doc 20 shares nothing: emitted with contamination 0
+    assert(out(20L)._2 == 0 && out(20L)._3 == 0.0)
+    assert(out.size == 2) // only eval docs appear
+  }
+
+  test("topNgrams counts document frequency with strict (df desc, ngram asc) order") {
+    val out = Governance.topNgrams(corpus, n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // 'alpha beta' and 'beta gamma' and 'gamma delta' appear in docs 1,2,10
+    assert(out.toSeq == Seq(("alpha beta", 3L), ("beta gamma", 3L),
+      ("gamma delta", 3L)))
+  }
+}

@@ -1149,7 +1149,31 @@ object Queries {
                |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
                |       COUNT(*) AS n_events
                |FROM numbered
-               |GROUP BY user_id, sid""".stripMargin))
+               |GROUP BY user_id, sid""".stripMargin)),
+
+      // exact dedup of an at-least-once delivery: events ∪ re-delivered
+      // copies of every 20th event (same event_id, ts + 1 min). The
+      // streaming path (EventStream.dedupEvents, watermark-bounded
+      // state) is unit-tested; this registry entry checks the
+      // deterministic batch parity: first-arrival ts + delivery count
+      QueryDef("stream_dedup_events",
+        (s, dir) => {
+          val ev = t(s, dir, "events")
+          val redelivered = ev.unionByName(
+            ev.filter(col("event_id") % 20 === 0)
+              .withColumn("ts", col("ts") + expr("INTERVAL 1 MINUTE")))
+          redelivered.groupBy(col("event_id"))
+            .agg(min(col("ts")).as("first_ts"),
+              count(lit(1)).as("n_deliveries"))
+        },
+        Some("""WITH delivered AS (
+               |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+               |  UNION ALL
+               |  SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 1 MINUTE
+               |  FROM events WHERE event_id % 20 = 0
+               |)
+               |SELECT event_id, MIN(ts) AS first_ts, COUNT(*) AS n_deliveries
+               |FROM delivered GROUP BY event_id""".stripMargin))
     )
   }
 
@@ -1249,7 +1273,36 @@ object Queries {
                |  FROM m GROUP BY lang
                |)
                |SELECT lang, qs[1] AS q25, qs[2] AS q50, qs[3] AS q75, qs[4] AS q95
-               |FROM q""".stripMargin))
+               |FROM q""".stripMargin)),
+
+      // mixture reweighting: deterministic per-language downsampling
+      // (en to 50%, es to 25%) — pure hash projection, no RNG/shuffle
+      QueryDef("pipeline_sample_stratified",
+        (s, dir) => Governance.sampleStratified(t(s, dir, "documents"),
+          strataCol = "lang", rates = Map("en" -> 0.5, "es" -> 0.25))
+          .select(col("doc_id"), col("lang")),
+        Some("""SELECT doc_id, lang FROM documents
+               |WHERE substr(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+               |  CASE WHEN lang = 'en' THEN '8000'
+               |       WHEN lang = 'es' THEN '4000'
+               |       ELSE 'g' END""".stripMargin)),
+
+      // HLL sketch demonstration (THE distinct-count operator at 100 TB:
+      // fixed-size mergeable state vs a full distinct shuffle). The
+      // oracle checks the exact counts and the sketch's bounded-error
+      // property (rsd 0.02, asserted within 5% = 2.5σ); the estimate
+      // itself is engine-specific so it stays out of the compared schema
+      QueryDef("sketch_distinct_users",
+        (s, dir) => t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"),
+            approx_count_distinct(col("user_id"), rsd = 0.02).as("n_approx"))
+          .select(col("event_type"), col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")).cast("double") /
+              col("n_exact").cast("double") <= 0.05).as("approx_ok")),
+        Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+               |  TRUE AS approx_ok
+               |FROM events GROUP BY event_type""".stripMargin))
     )
   }
 

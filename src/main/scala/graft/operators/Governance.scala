@@ -52,6 +52,32 @@ object Governance {
         .otherwise(lit("train")))
   }
 
+  /** Deterministic per-stratum downsampling — the mixture-reweighting
+    * step that rebalances over-represented languages/sources before
+    * training. Each stratum gets a keep-rate in [0, 1]; a doc is kept
+    * iff the first 4 hex chars of its salted md5 (65 536 slots) fall
+    * under `rate * 65536`. Like [[splitAssign]] this is a pure
+    * projection: no RNG state, no shuffle, reproducible everywhere, and
+    * a doc's fate never changes when the corpus grows. Strata missing
+    * from `rates` keep everything.
+    */
+  def sampleStratified(docs: DataFrame, strataCol: String,
+      rates: Map[String, Double], idCol: String = "doc_id",
+      salt: String = "graft-sample"): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val prefix = substring(
+      md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 4)
+    // fixed-width lowercase hex compares lexicographically == numerically;
+    // "g" sorts above every hex digit, so rate 1.0 keeps everything
+    val bound = rates.foldLeft(lit("g")) { case (acc, (stratum, r)) =>
+      val slots = (r * 65536).toLong
+      val b = if (slots >= 65536L) "g" else f"$slots%04x"
+      when(col(strataCol) === stratum, lit(b)).otherwise(acc)
+    }
+    docs.filter(prefix < bound)
+  }
+
   /** Per-eval-document n-gram contamination against the training split:
     * for each eval doc, the fraction of its distinct word n-grams that
     * also appear anywhere in the train split. This is the standard

@@ -150,6 +150,22 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: keep the FIRST arrival of each `event_id`,
+    * dropping re-deliveries that arrive within the watermark horizon —
+    * the at-least-once → effectively-once repair every ingest pipeline
+    * needs. State is bounded: ids older than the watermark are evicted,
+    * so memory is O(events per horizon), not O(stream length) — the
+    * property that makes this run forever on a real cluster.
+    *
+    * Works on a batch frame too (watermark is a no-op; duplicates
+    * collapse to one arbitrary representative) — but the deterministic
+    * batch parity the registry checks is the groupBy formulation in
+    * `Queries.stream_dedup_events`.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Open the events table as a file stream (one-file-per-trigger so
     * tests exercise multi-batch behavior).
     */

@@ -61,6 +61,29 @@ class GovernanceSpec extends AnyFunSuite {
     assert(out.size == 2) // only eval docs appear
   }
 
+  test("sampleStratified downsamples only the named strata, deterministically") {
+    import graft.operators.Governance
+    val docs = spark.range(0, 3000).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 3 === 0, "en")
+        .when(col("doc_id") % 3 === 1, "es").otherwise("de"))
+    val kept = Governance.sampleStratified(docs, "lang",
+      Map("en" -> 0.5, "es" -> 0.0))
+    val counts = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("es", 0L) == 0L) // rate 0 drops everything
+    assert(counts("de") == 1000L) // unnamed stratum untouched
+    val en = counts("en").toDouble / 1000.0
+    assert(en > 0.4 && en < 0.6) // ~50%
+    // determinism + subset stability: kept ids at rate 0.5 are kept
+    // regardless of what other docs exist
+    val keptIds = kept.filter(col("lang") === "en")
+      .collect().map(_.getLong(0)).toSet
+    val keptAgain = Governance.sampleStratified(docs.limit(300), "lang",
+      Map("en" -> 0.5, "es" -> 0.0)).filter(col("lang") === "en")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptAgain.subsetOf(keptIds))
+  }
+
   test("topNgrams counts document frequency with strict (df desc, ngram asc) order") {
     val out = Governance.topNgrams(corpus, n = 2, k = 3).collect()
       .map(r => (r.getString(0), r.getLong(1)))

@@ -106,6 +106,35 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(sessions == Set((7L, 2L, 3.0), (7L, 1L, 3.0), (8L, 1L, 5.0)))
   }
 
+  test("streaming dedup drops re-delivered event_ids across microbatches") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    // f1 delivers ids 1,2; f2 re-delivers id 1 (inside the watermark
+    // horizon) and delivers id 3 — state must persist between batches
+    Seq(EventStream.Event(1, at(0), 7L, "view", 1.0, ""),
+      EventStream.Event(2, at(1), 7L, "click", 2.0, ""))
+      .toDS().coalesce(1).write.parquet(s"$dir/f1")
+    Seq(EventStream.Event(1, at(2), 7L, "view", 1.0, ""),
+      EventStream.Event(3, at(3), 8L, "view", 3.0, ""))
+      .toDS().coalesce(1).write.parquet(s"$dir/f2")
+    val schema = implicitly[org.apache.spark.sql.Encoder[EventStream.Event]].schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+    val q = EventStream.dedupEvents(stream, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("deduped")
+        .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[java.sql.Timestamp]("ts")))
+      assert(rows.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L)) // one row per id
+      // the FIRST arrival of id 1 survives, not the re-delivery
+      assert(rows.toMap.apply(1L) == at(0))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions across batches") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

@@ -1173,7 +1173,31 @@ object Queries {
                |  FROM events WHERE event_id % 20 = 0
                |)
                |SELECT event_id, MIN(ts) AS first_ts, COUNT(*) AS n_deliveries
-               |FROM delivered GROUP BY event_id""".stripMargin))
+               |FROM delivered GROUP BY event_id""".stripMargin)),
+
+      // stream-stream interval join in batch mode: clicks attribute to
+      // the same user's views within the preceding 10 minutes; the
+      // event-time bound is what lets a live stream expire join state
+      QueryDef("stream_click_attribution",
+        (s, dir) => {
+          val ev = t(s, dir, "events")
+          EventStream.clickAttribution(
+            ev.filter(col("event_type") === "view"),
+            ev.filter(col("event_type") === "click"))
+        },
+        Some("""WITH v AS (
+               |  SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+               |         event_id AS view_id
+               |  FROM events WHERE event_type = 'view'
+               |), c AS (
+               |  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+               |         event_id AS click_id
+               |  FROM events WHERE event_type = 'click'
+               |)
+               |SELECT v.user_id, view_id, click_id, view_ts, click_ts
+               |FROM v JOIN c ON v.user_id = c.user_id
+               |  AND click_ts > view_ts
+               |  AND click_ts <= view_ts + INTERVAL 10 MINUTE""".stripMargin))
     )
   }
 

@@ -166,6 +166,28 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (click attribution): each click pairs
+    * with the same user's views from the preceding `horizonMin`
+    * minutes. Both sides are watermarked and the join carries an
+    * explicit event-time bound — that bound is what lets Spark EXPIRE
+    * buffered join state, so state stays O(events per horizon) instead
+    * of growing with the stream. The same function runs in batch
+    * (watermarks are no-ops) — the registry's oracle-checked path.
+    */
+  def clickAttribution(views: DataFrame, clicks: DataFrame,
+      watermark: String = "10 minutes", horizonMin: Int = 10): DataFrame = {
+    val v = views.select(col("user_id"), col("ts").as("view_ts"),
+      col("event_id").as("view_id")).withWatermark("view_ts", watermark)
+    val c = clicks.select(col("user_id").as("c_user_id"),
+      col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    v.join(c, col("user_id") === col("c_user_id") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMin MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Open the events table as a file stream (one-file-per-trigger so
     * tests exercise multi-batch behavior).
     */

@@ -135,6 +135,33 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to in-horizon views only") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val vDir = Files.createTempDirectory("graft-views").toString
+    val cDir = Files.createTempDirectory("graft-clicks").toString
+    Seq(EventStream.Event(1, at(0), 7L, "view", 1.0, ""),
+      EventStream.Event(2, at(0), 8L, "view", 1.0, ""))
+      .toDS().coalesce(1).write.mode("overwrite").parquet(vDir)
+    Seq(EventStream.Event(10, at(5), 7L, "click", 1.0, ""),   // in horizon
+      EventStream.Event(11, at(30), 7L, "click", 1.0, ""),    // past horizon
+      EventStream.Event(12, at(3), 9L, "click", 1.0, ""))     // other user
+      .toDS().coalesce(1).write.mode("overwrite").parquet(cDir)
+    val schema = implicitly[org.apache.spark.sql.Encoder[EventStream.Event]].schema
+    def rs(dir: String) = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStream.clickAttribution(rs(vDir), rs(cDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("view_id"), r.getAs[Long]("click_id")))
+      assert(rows.toSeq == Seq((7L, 1L, 10L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions across batches") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

@@ -314,6 +314,68 @@ object Queries {
              |FROM lineitem
              |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // outer-join aggregation: customers WITHOUT orders must appear with
+    // zero counts (the null-preserving path exact dedup/semi joins skip)
+    QueryDef("q_outer_join_agg",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(col("o_totalprice").cast("decimal(14,2)")), lit(0))
+            .cast("double").as("total_spend")),
+      Some("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+             |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 0) AS DOUBLE)
+             |    AS total_spend
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey, c_name""".stripMargin)),
+
+    // set operators (distinct semantics on both engines): customers with
+    // both open and finished orders vs open-only
+    QueryDef("q_set_ops",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val open = orders.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey"))
+        val fin = orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey"))
+        open.intersect(fin).withColumn("kind", lit("open_and_finished"))
+          .unionByName(open.except(fin).withColumn("kind", lit("open_only")))
+      },
+      Some("""SELECT o_custkey, 'open_and_finished' AS kind FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |  INTERSECT
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |UNION ALL
+             |SELECT o_custkey, 'open_only' AS kind FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |  EXCEPT
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin)),
+
+    // sliding-frame window aggregation (5-row moving average per user;
+    // decimal-exact sum keeps the doubles bit-identical across engines)
+    QueryDef("q_moving_avg",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-4, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("mov_sum",
+            sum(col("value").cast("decimal(10,2)")).over(w).cast("double"))
+          .withColumn("mov_n", count(lit(1)).over(w))
+          .select(col("user_id"), col("event_id"), col("mov_sum"), col("mov_n"),
+            (col("mov_sum") / col("mov_n")).as("mov_avg"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER w AS DOUBLE) AS mov_sum,
+             |  COUNT(*) OVER w AS mov_n,
+             |  CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER w AS DOUBLE)
+             |    / (COUNT(*) OVER w) AS mov_avg
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id
+             |             ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // as-of join (operator Spark lacks; composed as one sort-merge pass
     // — see graft.operators.AsOf): each event picks up the latest
     // at-or-before hourly per-user stats; DuckDB's native ASOF LEFT

@@ -57,10 +57,23 @@ object Ivf {
     * Lloyd rounds (assign distributed, means via a (cluster, dim)
     * aggregation — two narrow shuffles per round, model-sized collect).
     * Empty clusters keep their previous centroid.
+    *
+    * Training reads at most `sampleMax` vectors, chosen by the same
+    * deterministic hash order as seeding (a bounded `TakeOrdered`, not
+    * a full sort) — the standard IVF practice: centroid quality needs a
+    * representative sample, not the corpus, so training cost stays flat
+    * as the corpus grows to 100 TB while assignment stays full-corpus.
     */
   def train(corpus: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
-    var model: Model = corpus
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleMax: Int = 100000): Model = {
+    require(sampleMax >= k, s"sampleMax=$sampleMax must be >= k=$k")
+    val sample = corpus
+      .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
+      .limit(sampleMax)
+      .select(col(idCol), col(vecCol))
+      .localCheckpoint(true)
+    var model: Model = sample
       .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
       .limit(k)
       .select(col(vecCol))
@@ -70,7 +83,7 @@ object Ivf {
         case d: java.lang.Double => d.doubleValue()
       }.toSeq).toSeq
     for (_ <- 1 to iters) {
-      val means = corpus
+      val means = sample
         .select(assignExpr(col(vecCol), model).as("cluster"),
           posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))

@@ -153,6 +153,62 @@ object EvolvingWriter {
     }
   }
 
+  /** MERGE-style keyed upsert (extension beyond the reference's
+    * append-only writer — the backfill/correction path a production
+    * pipeline needs): incoming rows replace table rows sharing the same
+    * `keyCols`; everything else is untouched. Same schema-evolution
+    * semantics as [[appendWithEvolution]].
+    *
+    * Scale shape: only TOUCHED partitions are rewritten — the months
+    * present in the incoming batch plus the months holding old versions
+    * of the incoming keys (a key's `created_at` may have moved it).
+    * Survivors of those partitions are anti-joined against the incoming
+    * keys and unioned with the batch under dynamic partition overwrite,
+    * so rewrite cost is bounded by the touched partitions, not the
+    * table. The only driver-side data is the touched-partition NAME
+    * list (one value per month — model-sized). A partition whose rows
+    * all migrate away would be skipped by dynamic overwrite, so empties
+    * are dropped explicitly.
+    */
+  def upsert(spark: SparkSession, input: DataFrame, table: String,
+      keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val df = withPartitionColumn(input)
+    tableSchema(spark, table) match {
+      case None =>
+        appendWithEvolution(spark, df, table); ()
+      case Some(existing) =>
+        val d = SchemaOps.diff(df.schema, existing)
+        if (d.extraInSource.nonEmpty)
+          ddl(spark, s"ALTER TABLE $table ADD COLUMNS (${TypeMapping.columnsDdl(d.extraInSource)})")
+        val evolved = tableSchema(spark, table).get
+        val incoming = SchemaOps.alignTo(df, evolved).localCheckpoint(true)
+        val keys = incoming.select(keyCols.map(col): _*).distinct()
+        val tbl = spark.table(table)
+        if (!evolved.fieldNames.contains(PartitionColumn)) {
+          // unpartitioned: rewrite the whole table (small-table path)
+          tbl.join(keys, keyCols, "left_anti").unionByName(incoming)
+            .localCheckpoint(true)
+            .write.mode("overwrite").insertInto(table)
+        } else {
+          val touched = incoming.select(col(PartitionColumn))
+            .unionByName(tbl.join(keys, keyCols, "left_semi")
+              .select(col(PartitionColumn)))
+            .distinct().collect().map(_.getString(0)).toSeq
+          val survivors = tbl
+            .filter(col(PartitionColumn).isin(touched: _*))
+            .join(keys, keyCols, "left_anti")
+          val out = survivors.unionByName(incoming).localCheckpoint(true)
+          out.write.mode("overwrite").insertInto(table)
+          val written = out.select(col(PartitionColumn)).distinct()
+            .collect().map(_.getString(0)).toSet
+          for (p <- touched if !written.contains(p))
+            ddl(spark,
+              s"ALTER TABLE $table DROP IF EXISTS PARTITION ($PartitionColumn='$p')")
+        }
+    }
+  }
+
   /** Spark-native analog of the compaction the reference delegates to
     * Athena via `optimize_rewrite_data_file_threshold`
     * (`spark_utils.py:165-172` — table properties only; the engine that

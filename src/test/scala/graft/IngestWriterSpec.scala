@@ -111,6 +111,46 @@ class IngestWriterSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("upsert replaces keyed rows, keeps others, handles cross-partition key moves") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val table = "spark_catalog.default.customers_upsert"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    EvolvingWriter.configure(spark)
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(Instant.parse(s))
+    val jan = Seq((1L, "a", ts("2026-01-10T00:00:00Z")),
+      (2L, "b", ts("2026-01-11T00:00:00Z")))
+      .toDF("id", "v", "created_at")
+    val feb = Seq((3L, "c", ts("2026-02-10T00:00:00Z")))
+      .toDF("id", "v", "created_at")
+    EvolvingWriter.appendWithEvolution(spark, jan, table)
+    EvolvingWriter.appendWithEvolution(spark, feb, table)
+
+    // update id=1 in place (same month), move id=2 to March, add id=4
+    val batch = Seq((1L, "a2", ts("2026-01-20T00:00:00Z")),
+      (2L, "b2", ts("2026-03-01T00:00:00Z")),
+      (4L, "d", ts("2026-03-02T00:00:00Z")))
+      .toDF("id", "v", "created_at")
+    EvolvingWriter.upsert(spark, batch, table, Seq("id"))
+
+    val rows = spark.table(table).select("id", "v", "month_created_at")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "a2", "2026-01"), (2L, "b2", "2026-03"),
+      (3L, "c", "2026-02"), (4L, "d", "2026-03")))
+
+    // all of January migrates to April -> the 2026-01 partition must
+    // disappear entirely (the dynamic-overwrite empty-partition edge)
+    val drain = Seq((1L, "a3", ts("2026-04-01T00:00:00Z")))
+      .toDF("id", "v", "created_at")
+    EvolvingWriter.upsert(spark, drain, table, Seq("id"))
+    val parts = spark.table(table).select("month_created_at")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(parts == Set("2026-02", "2026-03", "2026-04"))
+    assert(spark.table(table).filter(col("id") === 1L)
+      .select("v").collect().map(_.getString(0)).toSeq == Seq("a3"))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("overwritePartitions replaces only the overlapping month") {
     val csv = Files.createTempDirectory("graft-ow").toString
     FakeData.generate(csv, start = 1, end = 2, records = 5, seed = 5L, maxOptional = 3)

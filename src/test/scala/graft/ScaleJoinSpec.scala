@@ -130,6 +130,42 @@ class ScaleJoinSpec extends AnyFunSuite {
     assert(out(0L)._2 != out(1L)._2)
   }
 
+  test("writeSorted yields near-disjoint file ranges and file-pruned range scans") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString + "/ev"
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("value"))
+    graft.sources.Layout.writeSorted(ev, dir, Seq("event_id"), nFiles = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == ev.count())
+    // per-file event_id ranges must not overlap (range clustering worked;
+    // sorting on a bigint because parquet INT96 timestamps carry no
+    // pushdown-usable statistics)
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("event_id").as("lo"), max("event_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length == 8)
+    for (Seq((_, hi), (lo, _)) <- ranges.toSeq.sliding(2))
+      assert(hi <= lo, s"overlapping file ranges: $hi vs $lo")
+    // a narrow predicate: the pushed filter + per-row-group min/max
+    // statistics let the parquet reader SKIP the 7 non-matching files'
+    // row groups entirely — the scan's output rows stay near the first
+    // file's row count instead of the full dataset (this skipping only
+    // happens because the layout clustered event_id; on an unsorted
+    // layout every row group spans the whole range, nothing is skipped)
+    val probe = ranges.head._2 // inside the first file's range only
+    val scan = back.filter(col("event_id") <= probe)
+    scan.collect()
+    val scanNode = scan.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    val scannedRows = scanNode.metrics("numOutputRows").value
+    val total = back.count()
+    assert(scannedRows < total,
+      s"expected row-group skipping: scanned $scannedRows of $total")
+  }
+
   test("co-bucketed tables sort-merge join with zero exchanges") {
     val db = "graft_bucket_db"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

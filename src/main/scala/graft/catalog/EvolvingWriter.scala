@@ -169,6 +169,10 @@ object EvolvingWriter {
     * list (one value per month — model-sized). A partition whose rows
     * all migrate away would be skipped by dynamic overwrite, so empties
     * are dropped explicitly.
+    *
+    * Duplicate keys WITHIN `input` are inserted as-is (SQL MERGE would
+    * reject them); callers needing last-writer-wins should dedup the
+    * batch first (e.g. [[graft.operators.Dedup.exact]] semantics).
     */
   def upsert(spark: SparkSession, input: DataFrame, table: String,
       keyCols: Seq[String]): Unit = {

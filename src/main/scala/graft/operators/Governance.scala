@@ -46,9 +46,13 @@ object Governance {
       testSlots + validSlots <= 256, "slot counts must fit in 256")
     val prefix = substring(
       md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 2)
+    // "g" sorts above every hex digit — the 256-slot boundary ("100")
+    // would compare wrong lexicographically against 2-char prefixes
+    def bound(slots: Int): String =
+      if (slots >= 256) "g" else f"$slots%02x"
     docs.withColumn("split",
-      when(prefix < lit(f"$testSlots%02x"), lit("test"))
-        .when(prefix < lit(f"${testSlots + validSlots}%02x"), lit("valid"))
+      when(prefix < lit(bound(testSlots)), lit("test"))
+        .when(prefix < lit(bound(testSlots + validSlots)), lit("valid"))
         .otherwise(lit("train")))
   }
 

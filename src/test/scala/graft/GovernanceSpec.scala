@@ -39,6 +39,16 @@ class GovernanceSpec extends AnyFunSuite {
     small.foreach { case (id, s) => assert(big(id) == s) }
   }
 
+  test("splitAssign 256-slot boundary puts every doc in the named splits") {
+    import graft.operators.Governance
+    val docs = spark.range(0, 500).toDF("doc_id")
+    val a = Governance.splitAssign(docs, testSlots = 128, validSlots = 128)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!a.contains("train")) // 128+128 = 256 slots: nothing left over
+    assert(a.values.sum == 500)
+  }
+
   test("splitAssign salt changes the assignment") {
     val docs = spark.range(0, 500).toDF("doc_id")
     val a = Governance.splitAssign(docs, salt = "graft")

@@ -119,7 +119,11 @@ object Dedup {
     * converging in O(component diameter) rounds (near-dup clusters are
     * shallow; `maxIter` bounds pathological chains). The driver loop
     * carries only the CHANGED-row count per round; labels stay
-    * distributed, `localCheckpoint` cuts the growing lineage.
+    * distributed, `localCheckpoint` cuts the growing lineage. The
+    * changed flag rides the propagation row itself (min-labels only
+    * decrease, so `new < old` IS the change test), making the
+    * convergence count a scan of the just-checkpointed partitions
+    * rather than a second join per round.
     */
   def clusters(pairs: DataFrame, allIds: DataFrame,
       idCol: String = "id", maxIter: Int = 15): DataFrame = {
@@ -140,12 +144,11 @@ object Dedup {
         .agg(min(col("nbr_rep")).as("nbr_rep"))
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"),
+          (coalesce(col("nbr_rep"), col("rep")) < col("rep")).as("chg"))
         .localCheckpoint(true)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.rep") =!= col("o.rep")).count()
-      labels = next
+      val changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("rep"))
       converged = changed == 0
       iter += 1
     }

@@ -173,10 +173,30 @@ object EvolvingWriter {
     * Duplicate keys WITHIN `input` are inserted as-is (SQL MERGE would
     * reject them); callers needing last-writer-wins should dedup the
     * batch first (e.g. [[graft.operators.Dedup.exact]] semantics).
+    * NULL key values follow SQL MERGE semantics: `NULL = NULL` never
+    * matches, so a null-key incoming row always inserts and never
+    * replaces an existing null-key row.
+    *
+    * The partition-scoped rewrite requires dynamic partition overwrite;
+    * upsert pins the conf itself for the duration of the write (static
+    * mode would truncate the whole table on `insertInto(overwrite)`),
+    * restoring the caller's setting afterwards.
     */
   def upsert(spark: SparkSession, input: DataFrame, table: String,
       keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try upsertImpl(spark, input, table, keyCols)
+    finally prevMode match {
+      case Some(m) => spark.conf.set(modeKey, m)
+      case None    => spark.conf.unset(modeKey)
+    }
+  }
+
+  private def upsertImpl(spark: SparkSession, input: DataFrame,
+      table: String, keyCols: Seq[String]): Unit = {
     val df = withPartitionColumn(input)
     tableSchema(spark, table) match {
       case None =>

@@ -157,10 +157,10 @@ object EventStream {
     * so memory is O(events per horizon), not O(stream length) — the
     * property that makes this run forever on a real cluster.
     *
-    * Works on a batch frame too (watermark is a no-op; duplicates
-    * collapse to one arbitrary representative) — but the deterministic
-    * batch parity the registry checks is the groupBy formulation in
-    * `Queries.stream_dedup_events`.
+    * STREAMING ONLY: Spark rejects `dropDuplicatesWithinWatermark` on
+    * batch frames (`UnsupportedOperationChecker`). The batch-parity
+    * formulation the registry oracle checks is the deterministic
+    * groupBy in `Queries.stream_dedup_events`.
     */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

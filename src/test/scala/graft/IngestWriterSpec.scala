@@ -151,6 +151,36 @@ class IngestWriterSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("upsert is safe under static partitionOverwriteMode (pins dynamic itself)") {
+    import org.apache.spark.sql.functions.col
+    val table = "spark_catalog.default.customers_upsert_static"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    EvolvingWriter.configure(spark)
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(Instant.parse(s))
+    val jan = Seq((1L, "a", ts("2026-01-10T00:00:00Z"))).toDF("id", "v", "created_at")
+    val feb = Seq((2L, "b", ts("2026-02-10T00:00:00Z"))).toDF("id", "v", "created_at")
+    EvolvingWriter.appendWithEvolution(spark, jan, table)
+    EvolvingWriter.appendWithEvolution(spark, feb, table)
+    // simulate a session that never called configure: static mode would
+    // make a partitioned overwrite truncate the WHOLE table
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(modeKey, "static")
+    try {
+      EvolvingWriter.upsert(spark,
+        Seq((1L, "a2", ts("2026-01-12T00:00:00Z"))).toDF("id", "v", "created_at"),
+        table, Seq("id"))
+      // February must survive; January row updated
+      val rows = spark.table(table).select("id", "v")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((1L, "a2"), (2L, "b")))
+      assert(spark.conf.get(modeKey) == "static") // caller's conf restored
+    } finally {
+      spark.conf.set(modeKey, "dynamic")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("overwritePartitions replaces only the overlapping month") {
     val csv = Files.createTempDirectory("graft-ow").toString
     FakeData.generate(csv, start = 1, end = 2, records = 5, seed = 5L, maxOptional = 3)

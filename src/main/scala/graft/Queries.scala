@@ -1373,6 +1373,38 @@ object Queries {
                |       WHEN lang = 'es' THEN '4000'
                |       ELSE 'g' END""".stripMargin)),
 
+      // per-source quality curation: keep the 3 best docs per source by
+      // (quality desc, doc_id asc) through the partial-aggregating TopK
+      // UDAF (map tasks ship <= k rows per group, not the group)
+      QueryDef("pipeline_best_per_source",
+        (s, dir) => {
+          import graft.functions.TextFunctions.qualityScore
+          graft.operators.Governance.bestPerGroup(
+            t(s, dir, "documents"), groupCol = "source",
+            scoreCol = qualityScore(col("text")), k = 3)
+        },
+        Some("""WITH m AS (
+               |  SELECT doc_id, source,
+               |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+               |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+               |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               |         tok -> tok IN ('the','a','of','and','is'))) AS BIGINT) AS n_stop,
+               |    length(text) AS n_len
+               |  FROM documents
+               |), q AS (
+               |  SELECT doc_id, source,
+               |    LEAST(CAST(n_ws_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+               |    + (1.0 - LEAST(CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE) * 5.0, 1.0)) * 0.3
+               |    + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE)) * 0.3 AS score
+               |  FROM m
+               |), ranked AS (
+               |  SELECT source, doc_id, score,
+               |    ROW_NUMBER() OVER (PARTITION BY source
+               |                       ORDER BY score DESC, doc_id) AS rank
+               |  FROM q
+               |)
+               |SELECT source, doc_id, score, rank FROM ranked WHERE rank <= 3""".stripMargin)),
+
       // HLL sketch demonstration (THE distinct-count operator at 100 TB:
       // fixed-size mergeable state vs a full distinct shuffle). The
       // oracle checks the exact counts and the sketch's bounded-error

@@ -112,6 +112,23 @@ object Governance {
         col("n_contaminated").cast("double") / col("n_shingles"))
   }
 
+  /** Best-k rows per group by (score desc, id asc) via the
+    * partial-aggregating [[graft.functions.TopK]] UDAF — the curation
+    * step that keeps the k highest-quality documents per source/domain.
+    * Map tasks ship at most k candidates per group, never the full
+    * group, unlike the `row_number().over(Window)` formulation which
+    * sort-shuffles every row to its group's reducer. Output is
+    * identical to the window version row for row (total order).
+    */
+  def bestPerGroup(docs: DataFrame, groupCol: String, scoreCol: Column,
+      idCol: String = "doc_id", k: Int = 3): DataFrame =
+    docs.select(col(groupCol), scoreCol.as("score"), col(idCol))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopK.topK(col("score"), col(idCol), k).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col(groupCol), col("s.id").as(idCol),
+        col("s.sim").as("score"), (col("pos") + 1).cast("long").as("rank"))
+
   /** Corpus-wide frequent word n-grams by document frequency (each doc
     * counts an n-gram once — [[Dedup.wordShingles]] emits distinct
     * shingles per doc). Total order is (df desc, ngram asc), so the

@@ -94,6 +94,19 @@ class GovernanceSpec extends AnyFunSuite {
     assert(keptAgain.subsetOf(keptIds))
   }
 
+  test("bestPerGroup keeps k best per group with (score desc, id asc) tie-break") {
+    import graft.operators.Governance
+    val rows = Seq(
+      ("s1", 1L, 0.9), ("s1", 2L, 0.9), ("s1", 3L, 0.5), ("s1", 4L, 0.7),
+      ("s2", 5L, 0.1)
+    ).toDF("source", "doc_id", "sc")
+    val out = Governance.bestPerGroup(rows, "source", col("sc"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .sortBy(x => (x._1, x._3))
+    // tie at 0.9 broken by id asc; 0.7 beats 0.5; singleton group kept
+    assert(out.toSeq == Seq(("s1", 1L, 1L), ("s1", 2L, 2L), ("s2", 5L, 1L)))
+  }
+
   test("topNgrams counts document frequency with strict (df desc, ngram asc) order") {
     val out = Governance.topNgrams(corpus, n = 2, k = 3).collect()
       .map(r => (r.getString(0), r.getLong(1)))

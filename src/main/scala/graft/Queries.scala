@@ -1373,6 +1373,30 @@ object Queries {
                |       WHEN lang = 'es' THEN '4000'
                |       ELSE 'g' END""".stripMargin)),
 
+      // rare-vocabulary quality signal: fraction of each doc's token
+      // occurrences whose corpus-wide count <= 2 (two-pass corpus
+      // statistic: global counts joined back per doc; all-integer
+      // until one final exact division)
+      QueryDef("text_rare_token_ratio",
+        (s, dir) => graft.operators.Governance.rareTokenRatio(
+          t(s, dir, "documents"), rareMax = 2),
+        Some("""WITH toks AS (
+               |  SELECT doc_id,
+               |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+               |  FROM documents
+               |), rare AS (
+               |  SELECT tok FROM toks GROUP BY tok HAVING count(*) <= 2
+               |), per_doc AS (
+               |  SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id
+               |), hits AS (
+               |  SELECT t.doc_id, count(*) AS n_rare
+               |  FROM toks t JOIN rare USING (tok) GROUP BY t.doc_id
+               |)
+               |SELECT p.doc_id, p.n_tokens,
+               |  CAST(COALESCE(h.n_rare, 0) AS BIGINT) AS n_rare,
+               |  CAST(COALESCE(h.n_rare, 0) AS DOUBLE) / p.n_tokens AS rare_ratio
+               |FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id""".stripMargin)),
+
       // per-source quality curation: keep the 3 best docs per source by
       // (quality desc, doc_id asc) through the partial-aggregating TopK
       // UDAF (map tasks ship <= k rows per group, not the group)

@@ -129,6 +129,34 @@ object Governance {
       .select(col(groupCol), col("s.id").as(idCol),
         col("s.sim").as("score"), (col("pos") + 1).cast("long").as("rank"))
 
+  /** Per-document rare-token ratio: the fraction of a doc's token
+    * OCCURRENCES whose corpus-wide count is ≤ `rareMax` — the
+    * OOV/rare-vocabulary quality signal (CCNet-style pipelines filter
+    * on corpus statistics like this; unlike perplexity it is exactly
+    * reproducible, all-integer until one final division).
+    *
+    * The shape is the canonical two-pass corpus statistic: tokenize →
+    * global counts (partial-aggregating groupBy) → join the (small)
+    * rare-token set back per doc. At 100 TB the rare set is the long
+    * tail — large — so the join shuffles by token; the frequent set is
+    * what broadcast would want but rare-set membership is the signal.
+    */
+  def rareTokenRatio(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", rareMax: Long = 2): DataFrame = {
+    import graft.functions.TextFunctions.normalText
+    val toks = docs.select(col(idCol),
+      explode(split(normalText(col(textCol)), " ")).as("tok"))
+    val rare = toks.groupBy("tok").count()
+      .filter(col("count") <= rareMax).select("tok")
+    val perDoc = toks.groupBy(idCol).agg(count(lit(1)).as("n_tokens"))
+    val rareHits = toks.join(rare, Seq("tok"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_rare"))
+    perDoc.join(rareHits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_rare"))
+      .withColumn("rare_ratio",
+        col("n_rare").cast("double") / col("n_tokens"))
+  }
+
   /** Corpus-wide frequent word n-grams by document frequency (each doc
     * counts an n-gram once — [[Dedup.wordShingles]] emits distinct
     * shingles per doc). Total order is (df desc, ngram asc), so the

@@ -94,6 +94,20 @@ class GovernanceSpec extends AnyFunSuite {
     assert(keptAgain.subsetOf(keptIds))
   }
 
+  test("rareTokenRatio counts occurrences against corpus-wide counts") {
+    import graft.operators.Governance
+    val docs = Seq(
+      (1L, "common common zebra"),   // 'common' appears 4x in corpus
+      (2L, "common common yak yak")  // 'yak' appears twice -> rare at max 2
+    ).toDF("doc_id", "text")
+    val out = Governance.rareTokenRatio(docs, rareMax = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_rare"),
+          r.getAs[Double]("rare_ratio"))).toMap
+    assert(out(1L) == ((3L, 1L, 1.0 / 3)))  // zebra (1 occurrence) rare
+    assert(out(2L) == ((4L, 2L, 0.5)))      // both yak occurrences rare
+  }
+
   test("bestPerGroup keeps k best per group with (score desc, id asc) tie-break") {
     import graft.operators.Governance
     val rows = Seq(

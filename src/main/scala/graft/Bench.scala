@@ -27,19 +27,32 @@ object Bench {
 
     // best of two runs per query: the repeatable time, insulated from
     // one-off host-contention spikes (standard benchmarking practice;
-    // both runs execute fully through the noop sink)
+    // both runs execute fully through the noop sink). A failing query
+    // must NOT be reported as a (fast) success — swallowing the error
+    // would make a broken build look like the fastest run yet — so
+    // failures are surfaced in an `errors` map and excluded from times
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try exec(fn) catch { case _: Throwable => () }
+      exec(fn)
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+    val outcomes = SparkEntry.queries.map { case (name, fn) =>
+      name -> (try Right(math.min(timeOnce(fn), timeOnce(fn)))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          Left(e.getClass.getSimpleName)
+      })
     }
+    val results = outcomes.collect { case (k, Right(v)) => k -> v }
+    val errors = outcomes.collect { case (k, Left(m)) => k -> m }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${cfg.sfDir}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${cfg.sfDir}"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

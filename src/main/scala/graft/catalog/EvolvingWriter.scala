@@ -241,9 +241,15 @@ object EvolvingWriter {
     * `targetRowsPerFile` rows per output file. Dynamic partition
     * overwrite rewrites ONLY the partitions present (all of them here,
     * since compaction reads the whole table — run it per-partition at
-    * 100 TB by filtering first); `repartition(n, partitionCol)` keeps
-    * each partition's rows together so the writer emits ~1 file per
-    * partition per target chunk.
+    * 100 TB by filtering first).
+    *
+    * Chunking: hashing by the partition column alone would send ALL of
+    * one partition's rows to a single task (one straggler, one giant
+    * file, `targetRowsPerFile` ignored). Instead per-partition row
+    * counts — driver data bounded by the partition count — size a
+    * per-partition chunk count, broadcast-joined back so each row gets
+    * a stable `pmod(xxhash64(row), chunks)` chunk key; the shuffle then
+    * spreads each partition over ~chunks tasks of ~target rows each.
     *
     * @return (files before, files after) for observability
     */
@@ -256,9 +262,19 @@ object EvolvingWriter {
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
     val compacted =
-      if (df.columns.contains(PartitionColumn))
-        df.repartition(nFiles.toInt, col(PartitionColumn))
-      else df.repartition(nFiles.toInt)
+      if (df.columns.contains(PartitionColumn)) {
+        import spark.implicits._
+        val chunks = df.groupBy(col(PartitionColumn)).count()
+          .collect().map { r =>
+            r.getString(0) ->
+              math.max(1L, (r.getLong(1) + targetRowsPerFile - 1) / targetRowsPerFile)
+          }.toSeq.toDF(PartitionColumn, "__chunks")
+        val dataCols = df.columns.map(c => col(s"`$c`"))
+        df.join(broadcast(chunks), PartitionColumn)
+          .withColumn("__chunk", pmod(xxhash64(dataCols: _*), col("__chunks")))
+          .repartition(col(PartitionColumn), col("__chunk"))
+          .select(dataCols: _*)
+      } else df.repartition(nFiles.toInt)
     // Spark refuses to overwrite a table it is reading from in the same
     // plan — localCheckpoint materializes the compacted rows and cuts
     // the lineage first (at 100 TB: stage through a temp table per

@@ -23,8 +23,18 @@ object TopK {
   /** One scored candidate. */
   final case class Scored(sim: Double, id: Long)
 
+  // NaN ranks GREATEST, matching Spark's descending sort order — so the
+  // UDAF stays row-for-row identical to the row_number window
+  // formulation even when a zero-norm vector makes cosine return NaN
+  // (naive `>` / `==` are both false for NaN, which would silently drop
+  // such candidates once the buffer fills)
+  private def simGt(a: Double, b: Double): Boolean =
+    (a.isNaN && !b.isNaN) || a > b
+  private def simEq(a: Double, b: Double): Boolean =
+    (a.isNaN && b.isNaN) || a == b
+
   private def better(a: Scored, b: Scored): Boolean =
-    a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+    simGt(a.sim, b.sim) || (simEq(a.sim, b.sim) && a.id < b.id)
 
   /** Exact top-k merge of two sorted-desc sequences, bounded by k. */
   private def mergeSorted(k: Int, a: Seq[Scored], b: Seq[Scored]): Seq[Scored] = {

@@ -14,11 +14,17 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape: tag and union both inputs, one shuffle by key, one
   * in-partition sort by (ts, side) with right rows first at equal
-  * timestamps, then `last(value, ignoreNulls)` over the unbounded
-  * preceding window threads the newest right value onto every left
-  * row. That is exactly the merge phase of a sort-merge as-of join:
-  * no range cross-product, no per-row probe, scales as one
+  * timestamps, then ONE `last(struct, ignoreNulls)` over the unbounded
+  * preceding window threads the newest right row's values onto every
+  * left row. That is exactly the merge phase of a sort-merge as-of
+  * join: no range cross-product, no per-row probe, scales as one
   * shuffle+sort of |L| + |R|.
+  *
+  * The window carries a PRESENCE struct (non-null for every right row,
+  * even when the right row's value columns are all null), so a matched
+  * right row whose value is NULL yields NULL — identical to ASOF LEFT
+  * JOIN — instead of looking through to an older right row, which is
+  * what threading the bare value column with `ignoreNulls` would do.
   *
   * Contract: `right` must be unique per (key, ts) — duplicate right
   * rows at the same instant make "the latest" ambiguous in any as-of
@@ -29,16 +35,14 @@ object AsOf {
   def joinAsOf(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val taggedLeft = valueCols.foldLeft(left.withColumn("__side", lit(1))) {
-      (df, v) => df.withColumn(v, lit(null).cast(
-        right.schema(v).dataType))
-    }
-    val taggedRight = right.select(
-      (Seq(col(keyCol), col(tsCol)) ++ valueCols.map(col)): _*)
+    val taggedRight = right.select(col(keyCol), col(tsCol),
+        struct(valueCols.map(col): _*).as("__vals"))
       .withColumn("__side", lit(0))
+    val valsType = taggedRight.schema("__vals").dataType
+    val taggedLeft = left.withColumn("__side", lit(1))
+      .withColumn("__vals", lit(null).cast(valsType))
     // missing left-only columns on the right side -> typed nulls
-    val rightAligned = leftCols.filterNot(
-      c => c == keyCol || c == tsCol || valueCols.contains(c))
+    val rightAligned = leftCols.filterNot(c => c == keyCol || c == tsCol)
       .foldLeft(taggedRight) { (df, c) =>
         df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
@@ -47,10 +51,10 @@ object AsOf {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val threaded = valueCols.foldLeft(unioned) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
-    threaded.filter(col("__side") === 1)
-      .select((leftCols ++ valueCols).map(col): _*)
+    unioned
+      .withColumn("__vals", last(col("__vals"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        valueCols.map(v => col("__vals").getField(v).as(v))): _*)
   }
 }

@@ -152,6 +152,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // silent truncation would hand back labels that are not cluster
+    // minima — multiple "representatives" per cluster downstream
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusters() did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter); raise maxIter")
     labels.select(col("id"), col("rep").as("cluster_rep"))
   }
 
@@ -174,9 +180,11 @@ object Dedup {
     val widths = Seq.tabulate(bands)(i => baseW + (if (i < extra) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     array((0 until bands).map { i =>
+      // width 64 (bands=1): 1L<<64 wraps to 1, so mask explicitly
+      val mask = if (widths(i) >= 64) -1L else (1L << widths(i)) - 1
       struct(lit(i).as("band_id"),
         shiftrightunsigned(fp, offsets(i))
-          .bitwiseAND(lit((1L << widths(i)) - 1)).as("band_val"))
+          .bitwiseAND(lit(mask)).as("band_val"))
     }: _*)
   }
 

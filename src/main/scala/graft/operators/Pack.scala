@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing for training-batch assembly: assign documents to
-  * fixed-token-budget packs.
+  * capacity-aligned packs of the per-shard token stream.
   *
   * A single global greedy pack is inherently sequential (every
   * assignment depends on the full prefix), so the scalable form packs
@@ -15,10 +15,18 @@ import org.apache.spark.sql.functions._
   * shard's window is a narrow sort over its own rows (shuffle by shard
   * key, sort within partition); no global ordering bottleneck.
   *
+  * Capacity semantics (chunked-concatenation, SOFT capacity): a pack is
+  * the window `[k*capacity, (k+1)*capacity)` of the shard's
+  * concatenated token stream, and a document belongs to the pack
+  * containing its FIRST token. A document straddling a boundary is NOT
+  * split, so a pack can run over `capacity` by up to its last
+  * document's length − 1 tokens; callers needing hard caps split or
+  * truncate that tail downstream (as concat-and-chunk loaders do).
+  * This is the prefix-sum-parallel formulation — a strict
+  * first-fit/no-overflow pack would reintroduce the sequential scan.
+  *
   * `pack_id` is `(shard, seq)` flattened as `shard * 2^32 + seq` so
-  * packs are globally unique and reproducible. A document longer than
-  * `capacity` still gets its own pack (real loaders truncate it
-  * downstream).
+  * packs are globally unique and reproducible.
   */
 object Pack {
 

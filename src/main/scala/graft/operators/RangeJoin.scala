@@ -24,6 +24,12 @@ object RangeJoin {
 
   /** Inner-join `points` to every interval containing them
     * (half-open: start <= t < end), sharing `keyCol`.
+    *
+    * Empty or inverted intervals (end <= start) are dropped BEFORE the
+    * bucket explode: they can match nothing under half-open semantics,
+    * and `sequence` counts DOWN when its bounds invert, so one bad
+    * upstream row (e.g. swapped columns) would otherwise explode onto
+    * every bucket between end and start.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       keyCol: String, ptCol: String, startCol: String, endCol: String,
@@ -32,6 +38,7 @@ object RangeJoin {
     val p = points
       .withColumn("__bucket", floor(unix_micros(col(ptCol)) / bucketUs))
     val i = intervals
+      .filter(col(endCol) > col(startCol))
       .withColumn("__bucket", explode(sequence(
         floor(unix_micros(col(startCol)) / bucketUs),
         // half-open end: the bucket of the last contained microsecond

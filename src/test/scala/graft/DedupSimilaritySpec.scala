@@ -34,6 +34,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("simhashPairs maxHamming=0 (one 64-bit band) finds exact dups without mask overflow") {
+    // 1L<<64 wraps to 1; a zero mask would put EVERY doc in one bucket
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 4L, 0))) // only the exact dup pair
+  }
+
+  test("clusters throws instead of returning truncated labels when maxIter is too small") {
+    import org.apache.spark.sql.functions.col
+    // chain 1-2-3-4-5: diameter 4, needs >2 rounds to converge
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    intercept[IllegalStateException] {
+      Dedup.clusters(pairs, ids, maxIter = 2).collect()
+    }
+    val ok = Dedup.clusters(pairs, ids, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(1L)) // whole chain labels to min id
+  }
+
+  test("topK UDAF ranks NaN sims first (matching Spark's descending sort order)") {
+    import org.apache.spark.sql.functions._
+    val scored = Seq((1L, 0.9, 10L), (1L, Double.NaN, 11L), (1L, 0.8, 12L),
+      (1L, Double.NaN, 9L)).toDF("q_id", "sim", "n_id")
+    val top = scored.groupBy("q_id")
+      .agg(graft.functions.TopK.topK(col("sim"), col("n_id"), 3).as("t"))
+      .select(explode(col("t")).as("s")).select("s.id").collect().map(_.getLong(0))
+    // NaN ties broken by id asc, then finite sims descending
+    assert(top.toSeq == Seq(9L, 11L, 10L))
+  }
+
   test("simhash expression: identical text -> distance 0, near-dup small, unrelated large") {
     val fps = Dedup.simhashes(corpus).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -65,6 +65,33 @@ class ScaleJoinSpec extends AnyFunSuite {
     assert(got == Set(10L, 11L, 13L))
   }
 
+  test("joinAsOf: a matched right row with NULL value yields NULL, not an older value") {
+    import graft.operators.AsOf
+    val left = Seq((1L, 30L, "e1")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, Some("old")), (1L, 20L, None))
+      .toDF("k", "ts", "v")
+    // ASOF semantics: latest at-or-before 30 is ts=20 whose v IS null;
+    // threading the bare column with ignoreNulls would leak "old"
+    val out = AsOf.joinAsOf(left, right, "k", "ts", Seq("v")).collect()
+    assert(out.length == 1 && out.head.getAs[String]("v") == null)
+  }
+
+  test("pointInInterval drops empty and inverted intervals before the bucket explode") {
+    import graft.operators.RangeJoin
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val points = Seq((1L, 10L, ts("2024-01-01 00:10:00"))).toDF("k", "pid", "t")
+    val intervals = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00")), // valid
+      (1L, ts("2024-01-01 00:15:00"), ts("2024-01-01 00:15:00")), // empty
+      (1L, ts("2024-02-01 00:00:00"), ts("2024-01-01 00:00:00"))  // inverted
+    ).toDF("k", "s", "e")
+    val got = RangeJoin.pointInInterval(points, intervals, "k", "t", "s", "e",
+      bucketUs = 30L * 60 * 1000000)
+      .select("pid").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(10L)) // only the valid interval matches
+  }
+
   test("joinAsOf == naive latest-at-or-before on random data") {
     import graft.operators.AsOf
     val r = new scala.util.Random(17)

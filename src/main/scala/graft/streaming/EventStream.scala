@@ -188,6 +188,29 @@ object EventStream {
         col("view_ts"), col("click_ts"))
   }
 
+  /** Continuous ingest into the evolving catalog table: the reference's
+    * batch pipeline (align → evolve → append, `EvolvingWriter`) run as
+    * a stream via `foreachBatch`. Each micro-batch appends through the
+    * same schema-evolution path the batch job uses — one code path for
+    * backfill and live (the Kappa property), and the writer's
+    * ALTER-then-append handles a schema change between deployments.
+    * Exactly-once note: `foreachBatch` gives at-least-once delivery;
+    * the downstream exact-dedup ([[dedupEvents]] /
+    * `Queries.stream_dedup_events`) is the standard repair.
+    *
+    * @return the started query (caller awaits/stops it)
+    */
+  def writeToTable(stream: DataFrame, table: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.catalog.EvolvingWriter.appendWithEvolution(
+          batch.sparkSession, batch, table)
+        ()
+      }
+      .start()
+
   /** Open the events table as a file stream (one-file-per-trigger so
     * tests exercise multi-batch behavior).
     */

@@ -314,6 +314,17 @@ object Queries {
              |FROM lineitem
              |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // full cube over two dims (all four grouping combinations in one
+    // partial-aggregating pass)
+    QueryDef("q_cube",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
+
     // outer-join aggregation: customers WITHOUT orders must appear with
     // zero counts (the null-preserving path exact dedup/semi joins skip)
     QueryDef("q_outer_join_agg",
@@ -1428,6 +1439,41 @@ object Queries {
                |  FROM q
                |)
                |SELECT source, doc_id, score, rank FROM ranked WHERE rank <= 3""".stripMargin)),
+
+      // quantile sketch demonstration (the rank statistic at 100 TB:
+      // percentile_approx keeps a fixed-size mergeable summary instead
+      // of sorting the column). Oracle pins the exact quantiles and the
+      // sketch's rank-error property: each estimate must land within
+      // the exact p±5% rank window (holds at both SFs)
+      QueryDef("sketch_value_quantiles",
+        (s, dir) => {
+          val ev = t(s, dir, "events")
+          val est = ev.groupBy(col("event_type"))
+            .agg(percentile_approx(col("value"),
+                array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("aq"),
+              percentile(col("value"),
+                array(lit(0.20), lit(0.30), lit(0.45), lit(0.55),
+                  lit(0.70), lit(0.80))).as("bounds"),
+              percentile(col("value"),
+                array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
+          est.select(col("event_type"),
+            element_at(col("q"), 1).as("q25"),
+            element_at(col("q"), 2).as("q50"),
+            element_at(col("q"), 3).as("q75"),
+            (element_at(col("aq"), 1).between(
+                element_at(col("bounds"), 1), element_at(col("bounds"), 2)) &&
+              element_at(col("aq"), 2).between(
+                element_at(col("bounds"), 3), element_at(col("bounds"), 4)) &&
+              element_at(col("aq"), 3).between(
+                element_at(col("bounds"), 5), element_at(col("bounds"), 6)))
+              .as("approx_ok"))
+        },
+        Some("""SELECT event_type,
+               |  quantile_cont(value, 0.25) AS q25,
+               |  quantile_cont(value, 0.5) AS q50,
+               |  quantile_cont(value, 0.75) AS q75,
+               |  TRUE AS approx_ok
+               |FROM events GROUP BY event_type""".stripMargin)),
 
       // HLL sketch demonstration (THE distinct-count operator at 100 TB:
       // fixed-size mergeable state vs a full distinct shuffle). The

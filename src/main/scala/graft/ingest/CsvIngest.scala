@@ -55,6 +55,34 @@ object CsvIngest {
     }
   }
 
+  /** A2 variant for hostile inputs: PERMISSIVE mode with an explicit
+    * schema plus a corrupt-record column. A malformed row lands intact
+    * in `_corrupt_record` (other fields null) instead of failing the
+    * job (FAILFAST would kill a 100 TB batch for one bad row) or
+    * vanishing (DROPMALFORMED silently loses data). Returns
+    * (good rows without the marker column, quarantined raw lines) —
+    * route the quarantine to a side sink and reconcile counts.
+    */
+  def readQuarantined(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val marker = "_corrupt_record"
+    val withMarker = org.apache.spark.sql.types.StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        marker, org.apache.spark.sql.types.StringType))
+    val raw = spark.read.option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", marker)
+      .schema(withMarker)
+      .csv(path)
+      // Spark requires materializing before filtering on the corrupt
+      // column alone (it is populated during parsing, not a data column)
+      .cache()
+    val good = raw.filter(col(marker).isNull).drop(marker)
+    val bad = raw.filter(col(marker).isNotNull).select(col(marker).as("raw_line"))
+    (good, bad)
+  }
+
   /** Stages 5-10 of the reference job: read all files, align to the
     * first file's schema, union, normalize names, stamp `created_at`.
     *

@@ -40,6 +40,22 @@ class IngestWriterSpec extends AnyFunSuite {
     assert(out.count() == CsvIngest.ingest(spark, dir, clock).count())
   }
 
+  test("readQuarantined splits malformed rows into the quarantine, keeps good rows") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-quarantine")
+    val f = dir.resolve("bad.csv")
+    Files.write(f, java.util.List.of(
+      "id,qty", "1,2", "x,notanint", "3,4"))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("qty", IntegerType)))
+    val (good, bad) = CsvIngest.readQuarantined(spark, f.toString, schema)
+    assert(good.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      Set((1, 2), (3, 4)))
+    assert(!good.columns.contains("_corrupt_record"))
+    val lines = bad.collect().map(_.getString(0))
+    assert(lines.toSeq == Seq("x,notanint")) // raw line preserved intact
+  }
+
   test("evolving writer: second batch with new columns grows the table, old rows read null") {
     val csvA = Files.createTempDirectory("graft-batchA").toString
     val csvB = Files.createTempDirectory("graft-batchB").toString

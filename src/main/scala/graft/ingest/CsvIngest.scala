@@ -106,7 +106,9 @@ object CsvIngest {
       (body: DataFrame => A): A = {
     val (persisted, result) = build(spark, dir, clock, persist, fillDefaults)
     try body(result)
-    finally persisted.foreach(_.unpersist())
+    // blocking: the resource-safe variant must guarantee release on
+    // return (async unpersist leaves pins draining in the background)
+    finally persisted.foreach(_.unpersist(blocking = true))
   }
 
   private def build(spark: SparkSession, dir: String, clock: Instant,

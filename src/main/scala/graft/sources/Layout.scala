@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, shiftleft}
 
 /** Data-layout control for scan pruning (extension surface; the
   * reference writes unsorted partitions and leaves layout to Athena).
@@ -28,6 +28,41 @@ object Layout {
     require(sortCols.nonEmpty && nFiles > 0)
     df.repartitionByRange(nFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** 2-D Morton (Z-order) key: interleaves the low 32 bits of `a` and
+    * `b` so that sorting by the result clusters rows that are close in
+    * EITHER dimension — each output file then covers a small rectangle
+    * of (a, b) space and carries tight min/max stats on BOTH columns,
+    * where a plain 1-D sort gives pruning on the leading column only.
+    * Pure built-in bitwise ops (the classic bit-spread), so the whole
+    * key computes inside WholeStageCodegen.
+    */
+  def mortonZ(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def spread(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      // 32 -> 64 bit spread: insert a zero between every bit
+      val s0 = x.bitwiseAND(lit(0xFFFFFFFFL))
+      val s1 = (s0.bitwiseOR(shiftleft(s0, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      val s2 = (s1.bitwiseOR(shiftleft(s1, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      val s3 = (s2.bitwiseOR(shiftleft(s2, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      val s4 = (s3.bitwiseOR(shiftleft(s3, 2))).bitwiseAND(lit(0x3333333333333333L))
+      (s4.bitwiseOR(shiftleft(s4, 1))).bitwiseAND(lit(0x5555555555555555L))
+    }
+    spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
+  }
+
+  /** Write `df` Z-order-clustered on two columns: range-partition and
+    * sort by the Morton key, then drop it — the 2-D analog of
+    * [[writeSorted]] (Iceberg/Delta's Z-ORDER for the two-column case).
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+      colB: String, nFiles: Int): Unit = {
+    require(nFiles > 0)
+    df.withColumn("__z", mortonZ(col(colA), col(colB)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
 }

@@ -193,6 +193,44 @@ class ScaleJoinSpec extends AnyFunSuite {
       s"expected row-group skipping: scanned $scannedRows of $total")
   }
 
+  test("mortonZ interleaves bits; writeZOrdered localizes files in BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    // bit-level check against a direct Scala interleave
+    def spreadRef(x: Long): Long = {
+      var v = x & 0xFFFFFFFFL
+      v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+      v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v << 2)) & 0x3333333333333333L
+      v = (v | (v << 1)) & 0x5555555555555555L
+      v
+    }
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 1023L),
+      (0xFFFFFFFFL, 0x12345678L))
+    val got = samples.toDF("a", "b")
+      .select(graft.sources.Layout.mortonZ(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    val want = samples.map { case (a, b) => spreadRef(a) | (spreadRef(b) << 1) }
+    assert(got.toSeq == want)
+
+    // layout property: files cover small rectangles of (a, b) space
+    val r = new scala.util.Random(29)
+    val grid = (1 to 4096).map(_ => (r.nextInt(1024).toLong, r.nextInt(1024).toLong))
+      .toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-z").toString + "/g"
+    graft.sources.Layout.writeZOrdered(grid, dir, "a", "b", nFiles = 16)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    assert(spans.length == 16)
+    // Z-order: every file's span in EACH dim is a fraction of the 1024
+    // domain (a 1-D sort on `a` would leave sb ~ full domain in every file)
+    val avgA = spans.map(_._1).sum.toDouble / spans.length
+    val avgB = spans.map(_._2).sum.toDouble / spans.length
+    assert(avgA < 600 && avgB < 600, s"avg spans: $avgA x $avgB")
+  }
+
   test("co-bucketed tables sort-merge join with zero exchanges") {
     val db = "graft_bucket_db"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

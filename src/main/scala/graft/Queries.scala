@@ -897,6 +897,41 @@ object Queries {
           shingleLen = 3, k = 64, bands = 16, threshold = 0.6),
         Some(jaccardOracle(0.6, None))),
 
+      // edit-distance verification of the near-dup pairs (the fuzzy
+      // second check pipelines run after shingle candidates): exact
+      // integer levenshtein in both engines; texts re-joined for the
+      // surviving pairs only, never shuffled through the candidate join
+      QueryDef("dedup_edit_distance",
+        (s, dir) => {
+          val corpus = nearDupCorpus(s, dir)
+          val pairs = Dedup.minhashPairs(corpus,
+            shingleLen = 3, k = 64, bands = 16, threshold = 0.6)
+            .select(col("id_a"), col("id_b"))
+          pairs
+            .join(corpus.select(col("doc_id").as("id_a"), col("text").as("t_a")), "id_a")
+            .join(corpus.select(col("doc_id").as("id_b"), col("text").as("t_b")), "id_b")
+            .select(col("id_a"), col("id_b"),
+              levenshtein(col("t_a"), col("t_b")).cast("long").as("edit_dist"))
+        },
+        Some(s"""$shingleCtes, rare AS (
+               |  SELECT sh FROM postings GROUP BY sh HAVING count(*) >= 2
+               |), rp AS (
+               |  SELECT p.* FROM postings p JOIN rare USING (sh)
+               |), shared AS (
+               |  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+               |         count(*) AS shared
+               |  FROM rp a JOIN rp b ON a.sh = b.sh AND a.id < b.id
+               |  GROUP BY 1, 2, 3, 4
+               |), pairs AS (
+               |  SELECT id_a, id_b FROM shared
+               |  WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.6
+               |)
+               |SELECT p.id_a, p.id_b,
+               |  CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS edit_dist
+               |FROM pairs p
+               |JOIN corpus ca ON ca.id = p.id_a
+               |JOIN corpus cb ON cb.id = p.id_b""".stripMargin)),
+
       // pair graph → connected-component clusters (the keep-one-
       // representative step after near-dup detection); oracle rebuilds
       // the SAME pair set in SQL and runs a recursive-CTE reachability

@@ -94,6 +94,20 @@ class GovernanceSpec extends AnyFunSuite {
     assert(keptAgain.subsetOf(keptIds))
   }
 
+  test("contamination treats docs shorter than n as one whole-text shingle") {
+    import graft.operators.Governance
+    val docs = Seq(
+      (1L, "tiny doc"),        // train: 2 tokens < n=3 -> whole-text shingle
+      (10L, "tiny doc"),       // eval twin: same whole-text shingle
+      (20L, "other short")     // eval: clean
+    ).toDF("doc_id", "text")
+    val out = Governance.contamination(docs, isEval = col("doc_id") >= 10, n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_contaminated"))).toMap
+    assert(out(10L) == ((1L, 1L))) // whole-text match counts
+    assert(out(20L) == ((1L, 0L)))
+  }
+
   test("rareTokenRatio counts occurrences against corpus-wide counts") {
     import graft.operators.Governance
     val docs = Seq(

@@ -167,6 +167,22 @@ class IngestWriterSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("upsert on an unpartitioned table rewrites keyed rows in place") {
+    val table = "spark_catalog.default.kv_upsert_flat"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    EvolvingWriter.configure(spark)
+    import spark.implicits._
+    // no created_at -> no partition column -> the whole-table path
+    EvolvingWriter.appendWithEvolution(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table)
+    EvolvingWriter.upsert(spark,
+      Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), table, Seq("id"))
+    val rows = spark.table(table)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("upsert is safe under static partitionOverwriteMode (pins dynamic itself)") {
     import org.apache.spark.sql.functions.col
     val table = "spark_catalog.default.customers_upsert_static"

@@ -968,6 +968,42 @@ object Queries {
             |)
             |SELECT id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin)),
 
+      // the end deliverable of near-dup removal: the CLEANED corpus —
+      // one representative (smallest id) per cluster, singletons kept
+      QueryDef("dedup_keep_representatives",
+        (s, dir) => {
+          import graft.operators.Dedup
+          val corpus = nearDupCorpus(s, dir)
+          val pairs = Dedup.minhashPairs(corpus,
+            shingleLen = 3, k = 64, bands = 16, threshold = 0.6)
+          Dedup.clusters(pairs, corpus.select(col("doc_id")), idCol = "doc_id")
+            .filter(col("id") === col("cluster_rep"))
+            .select(col("id").as("doc_id"))
+        },
+        Some(shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+          """, rare AS (
+            |  SELECT sh FROM postings GROUP BY sh HAVING count(*) >= 2
+            |), rp AS (
+            |  SELECT p.* FROM postings p JOIN rare USING (sh)
+            |), shared AS (
+            |  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+            |         count(*) AS shared
+            |  FROM rp a JOIN rp b ON a.sh = b.sh AND a.id < b.id
+            |  GROUP BY 1, 2, 3, 4
+            |), prs AS (
+            |  SELECT id_a, id_b FROM shared
+            |  WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.6
+            |), edges AS (
+            |  SELECT id_a AS src, id_b AS dst FROM prs
+            |  UNION ALL SELECT id_b, id_a FROM prs
+            |), reach(id, r) AS (
+            |  SELECT id, id FROM corpus
+            |  UNION
+            |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            |)
+            |SELECT id AS doc_id FROM reach
+            |GROUP BY id HAVING id = MIN(r)""".stripMargin)),
+
       QueryDef("dedup_simhash",
         (s, dir) => simhashCheck(s, dir, maxHamming = 3),
         Some("""SELECT 'planted_in_radius_missed' AS check, CAST(0 AS BIGINT) AS n

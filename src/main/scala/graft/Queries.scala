@@ -804,14 +804,18 @@ object Queries {
       |  SELECT id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM shsets
       |)""".stripMargin
 
-  /** Exact pairwise Jaccard ≥ `threshold` via an inverted-index join in
-    * DuckDB; `capClause` optionally reproduces the `maxDocFreq` posting
-    * filter (shared shingles counted over rare shingles only, set sizes
-    * over the full sets — the same semantics as the Spark plan).
+  /** CTE block `rare, rp, shared, prs` appended to [[shingleCtes]]:
+    * candidate pairs with exact inverted-index Jaccard ≥ `threshold`
+    * (`maxDocFreq` mirrors the posting cap — shared shingles counted
+    * over rare shingles only, set sizes over the full sets, the same
+    * semantics as the Spark plan). ONE definition feeds every
+    * pair-derived oracle (pairs, edit distance, clusters,
+    * representatives) so the SQL cannot drift per query.
     */
-  private def jaccardOracle(threshold: Double, maxDocFreq: Option[Int]): String = {
+  private def pairsCtes(threshold: Double,
+      maxDocFreq: Option[Int] = None): String = {
     val cap = maxDocFreq.map(m => s"AND count(*) <= $m").getOrElse("")
-    s"""$shingleCtes, rare AS (
+    s""", rare AS (
        |  SELECT sh FROM postings GROUP BY sh HAVING count(*) >= 2 $cap
        |), rp AS (
        |  SELECT p.* FROM postings p JOIN rare USING (sh)
@@ -820,12 +824,20 @@ object Queries {
        |         count(*) AS shared
        |  FROM rp a JOIN rp b ON a.sh = b.sh AND a.id < b.id
        |  GROUP BY 1, 2, 3, 4
-       |)
-       |SELECT id_a, id_b,
-       |       CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) AS jaccard
-       |FROM shared
-       |WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= $threshold""".stripMargin
+       |), prs AS (
+       |  SELECT id_a, id_b,
+       |    CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) AS jaccard
+       |  FROM shared
+       |  WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= $threshold
+       |)""".stripMargin
   }
+
+  /** Exact pairwise Jaccard ≥ `threshold` via an inverted-index join in
+    * DuckDB (see [[pairsCtes]]).
+    */
+  private def jaccardOracle(threshold: Double, maxDocFreq: Option[Int]): String =
+    s"""$shingleCtes${pairsCtes(threshold, maxDocFreq)}
+       |SELECT id_a, id_b, jaccard FROM prs""".stripMargin
 
   /** Property-check summary for the SimHash family (the fingerprint is a
     * custom FNV-based expression DuckDB cannot replicate, so the oracle
@@ -913,22 +925,10 @@ object Queries {
             .select(col("id_a"), col("id_b"),
               levenshtein(col("t_a"), col("t_b")).cast("long").as("edit_dist"))
         },
-        Some(s"""$shingleCtes, rare AS (
-               |  SELECT sh FROM postings GROUP BY sh HAVING count(*) >= 2
-               |), rp AS (
-               |  SELECT p.* FROM postings p JOIN rare USING (sh)
-               |), shared AS (
-               |  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
-               |         count(*) AS shared
-               |  FROM rp a JOIN rp b ON a.sh = b.sh AND a.id < b.id
-               |  GROUP BY 1, 2, 3, 4
-               |), pairs AS (
-               |  SELECT id_a, id_b FROM shared
-               |  WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.6
-               |)
+        Some(s"""$shingleCtes${pairsCtes(0.6)}
                |SELECT p.id_a, p.id_b,
                |  CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS edit_dist
-               |FROM pairs p
+               |FROM prs p
                |JOIN corpus ca ON ca.id = p.id_a
                |JOIN corpus cb ON cb.id = p.id_b""".stripMargin)),
 
@@ -946,19 +946,8 @@ object Queries {
           Dedup.clusters(pairs, corpus.select(col("doc_id")), idCol = "doc_id")
         },
         Some(shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
-          """, rare AS (
-            |  SELECT sh FROM postings GROUP BY sh HAVING count(*) >= 2
-            |), rp AS (
-            |  SELECT p.* FROM postings p JOIN rare USING (sh)
-            |), shared AS (
-            |  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
-            |         count(*) AS shared
-            |  FROM rp a JOIN rp b ON a.sh = b.sh AND a.id < b.id
-            |  GROUP BY 1, 2, 3, 4
-            |), prs AS (
-            |  SELECT id_a, id_b FROM shared
-            |  WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.6
-            |), edges AS (
+          pairsCtes(0.6) +
+          """, edges AS (
             |  SELECT id_a AS src, id_b AS dst FROM prs
             |  UNION ALL SELECT id_b, id_a FROM prs
             |), reach(id, r) AS (
@@ -981,19 +970,8 @@ object Queries {
             .select(col("id").as("doc_id"))
         },
         Some(shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
-          """, rare AS (
-            |  SELECT sh FROM postings GROUP BY sh HAVING count(*) >= 2
-            |), rp AS (
-            |  SELECT p.* FROM postings p JOIN rare USING (sh)
-            |), shared AS (
-            |  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
-            |         count(*) AS shared
-            |  FROM rp a JOIN rp b ON a.sh = b.sh AND a.id < b.id
-            |  GROUP BY 1, 2, 3, 4
-            |), prs AS (
-            |  SELECT id_a, id_b FROM shared
-            |  WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.6
-            |), edges AS (
+          pairsCtes(0.6) +
+          """, edges AS (
             |  SELECT id_a AS src, id_b AS dst FROM prs
             |  UNION ALL SELECT id_b, id_a FROM prs
             |), reach(id, r) AS (

@@ -218,17 +218,32 @@ object EvolvingWriter {
           val touched = incoming.select(col(PartitionColumn))
             .unionByName(tbl.join(keys, keyCols, "left_semi")
               .select(col(PartitionColumn)))
-            .distinct().collect().map(_.getString(0)).toSeq
-          val survivors = tbl
-            .filter(col(PartitionColumn).isin(touched: _*))
-            .join(keys, keyCols, "left_anti")
-          val out = survivors.unionByName(incoming).localCheckpoint(true)
-          out.write.mode("overwrite").insertInto(table)
-          val written = out.select(col(PartitionColumn)).distinct()
-            .collect().map(_.getString(0)).toSet
-          for (p <- touched if !written.contains(p))
-            ddl(spark,
-              s"ALTER TABLE $table DROP IF EXISTS PARTITION ($PartitionColumn='$p')")
+            .distinct().collect().map(r => Option(r.getString(0))).toSeq
+          if (touched.contains(None)) {
+            // NULL partition values poison the partition-scoped path:
+            // isin() never matches null (rows silently dropped from
+            // survivors → data loss or stale keys) and DROP PARTITION
+            // cannot name the null partition. Fall back to a STATIC
+            // whole-table rewrite — correct for every edge (including
+            // fully-drained partitions), just not partition-bounded
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+            tbl.join(keys, keyCols, "left_anti").unionByName(incoming)
+              .localCheckpoint(true)
+              .write.mode("overwrite").insertInto(table)
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          } else {
+            val touchedVals = touched.flatten
+            val survivors = tbl
+              .filter(col(PartitionColumn).isin(touchedVals: _*))
+              .join(keys, keyCols, "left_anti")
+            val out = survivors.unionByName(incoming).localCheckpoint(true)
+            out.write.mode("overwrite").insertInto(table)
+            val written = out.select(col(PartitionColumn)).distinct()
+              .collect().map(_.getString(0)).toSet
+            for (p <- touchedVals if !written.contains(p))
+              ddl(spark,
+                s"ALTER TABLE $table DROP IF EXISTS PARTITION ($PartitionColumn='$p')")
+          }
         }
     }
   }

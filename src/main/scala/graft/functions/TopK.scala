@@ -52,9 +52,10 @@ object TopK {
   }
 
   /** Aggregator: rows (sim, id) → the k best, sorted (sim desc, id asc).
-    * The running buffer is kept sorted and bounded: inserts append to a
-    * small unsorted tail that is folded in whenever it reaches k — O(k)
-    * amortized per row without per-row sorting.
+    * The running buffer is always sorted and bounded by k: a row that
+    * cannot beat the current k-th is rejected in O(1); an accepted row
+    * merges in O(k) (single [[mergeSorted]] pass) — no per-row full
+    * sort, and merge() between partial buffers is one O(k) merge.
     */
   final class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     override def zero: Seq[Scored] = Seq.empty

@@ -59,12 +59,17 @@ object CsvIngest {
     * schema plus a corrupt-record column. A malformed row lands intact
     * in `_corrupt_record` (other fields null) instead of failing the
     * job (FAILFAST would kill a 100 TB batch for one bad row) or
-    * vanishing (DROPMALFORMED silently loses data). Returns
-    * (good rows without the marker column, quarantined raw lines) —
-    * route the quarantine to a side sink and reconcile counts.
+    * vanishing (DROPMALFORMED silently loses data). Bracket-style: the
+    * parsed input must be cached to split on the corrupt column (Spark
+    * populates it during parsing, not as a data column), so the cache
+    * is released in `finally` when `body` returns — same resource
+    * discipline as [[withIngested]]. `body` receives (good rows without
+    * the marker column, quarantined raw lines); route the quarantine to
+    * a side sink and reconcile counts.
     */
-  def readQuarantined(spark: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+  def withQuarantined[A](spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType)
+      (body: (DataFrame, DataFrame) => A): A = {
     import org.apache.spark.sql.functions.col
     val marker = "_corrupt_record"
     val withMarker = org.apache.spark.sql.types.StructType(
@@ -75,12 +80,13 @@ object CsvIngest {
       .option("columnNameOfCorruptRecord", marker)
       .schema(withMarker)
       .csv(path)
-      // Spark requires materializing before filtering on the corrupt
-      // column alone (it is populated during parsing, not a data column)
       .cache()
-    val good = raw.filter(col(marker).isNull).drop(marker)
-    val bad = raw.filter(col(marker).isNotNull).select(col(marker).as("raw_line"))
-    (good, bad)
+    try {
+      val good = raw.filter(col(marker).isNull).drop(marker)
+      val bad = raw.filter(col(marker).isNotNull)
+        .select(col(marker).as("raw_line"))
+      body(good, bad)
+    } finally raw.unpersist(blocking = true)
   }
 
   /** Stages 5-10 of the reference job: read all files, align to the

@@ -122,12 +122,9 @@ object Governance {
     */
   def bestPerGroup(docs: DataFrame, groupCol: String, scoreCol: Column,
       idCol: String = "doc_id", k: Int = 3): DataFrame =
-    docs.select(col(groupCol), scoreCol.as("score"), col(idCol))
-      .groupBy(col(groupCol))
-      .agg(graft.functions.TopK.topK(col("score"), col(idCol), k).as("top"))
-      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "s")))
-      .select(col(groupCol), col("s.id").as(idCol),
-        col("s.sim").as("score"), (col("pos") + 1).cast("long").as("rank"))
+    Similarity.rankTopK(
+      docs.select(col(groupCol), scoreCol.as("score"), col(idCol)),
+      k, groupCol = groupCol, simCol = "score", idCol = idCol)
 
   /** Per-document rare-token ratio: the fraction of a doc's token
     * OCCURRENCES whose corpus-wide count is ≤ `rareMax` — the

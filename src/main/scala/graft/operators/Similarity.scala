@@ -48,12 +48,14 @@ object Similarity {
     * Output rows are identical to the window formulation (total order:
     * sim desc, n_id asc).
     */
-  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def rankTopK(scored: DataFrame, k: Int,
+      groupCol: String = "q_id", simCol: String = "sim",
+      idCol: String = "n_id"): DataFrame =
     scored
-      .groupBy(col("q_id"))
-      .agg(graft.functions.TopK.topK(col("sim"), col("n_id"), k).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
-      .select(col("q_id"), col("s.id").as("n_id"), col("s.sim").as("sim"),
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopK.topK(col(simCol), col(idCol), k).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col(groupCol), col("s.id").as(idCol), col("s.sim").as(simCol),
         (col("pos") + 1).cast("long").as("rank"))
 
   /** (id, band_id, band_val) rows for `bands` independent sign-bit

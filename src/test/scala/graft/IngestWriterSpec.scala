@@ -40,7 +40,7 @@ class IngestWriterSpec extends AnyFunSuite {
     assert(out.count() == CsvIngest.ingest(spark, dir, clock).count())
   }
 
-  test("readQuarantined splits malformed rows into the quarantine, keeps good rows") {
+  test("withQuarantined splits malformed rows into the quarantine, keeps good rows, releases cache") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft-quarantine")
     val f = dir.resolve("bad.csv")
@@ -48,12 +48,16 @@ class IngestWriterSpec extends AnyFunSuite {
       "id,qty", "1,2", "x,notanint", "3,4"))
     val schema = StructType(Seq(
       StructField("id", IntegerType), StructField("qty", IntegerType)))
-    val (good, bad) = CsvIngest.readQuarantined(spark, f.toString, schema)
-    assert(good.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
-      Set((1, 2), (3, 4)))
-    assert(!good.columns.contains("_corrupt_record"))
-    val lines = bad.collect().map(_.getString(0))
-    assert(lines.toSeq == Seq("x,notanint")) // raw line preserved intact
+    val before = spark.sparkContext.getPersistentRDDs.size
+    CsvIngest.withQuarantined(spark, f.toString, schema) { (good, bad) =>
+      assert(good.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
+        Set((1, 2), (3, 4)))
+      assert(!good.columns.contains("_corrupt_record"))
+      val lines = bad.collect().map(_.getString(0))
+      assert(lines.toSeq == Seq("x,notanint")) // raw line preserved intact
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "parsed-input cache must be released when the bracket returns")
   }
 
   test("evolving writer: second batch with new columns grows the table, old rows read null") {

@@ -187,6 +187,34 @@ class IngestWriterSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("upsert handles NULL partition values without losing or duplicating rows") {
+    import org.apache.spark.sql.functions.col
+    val table = "spark_catalog.default.customers_upsert_nullpart"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    EvolvingWriter.configure(spark)
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(Instant.parse(s))
+    // null created_at -> null month partition, alongside a real month
+    val seed = Seq((1L, "a", Option(ts("2026-01-10T00:00:00Z"))),
+      (2L, "b", Option.empty[java.sql.Timestamp]),
+      (3L, "c", Option(ts("2026-02-10T00:00:00Z"))))
+      .toDF("id", "v", "created_at")
+    EvolvingWriter.appendWithEvolution(spark, seed, table)
+    // update the null-month key AND an untouched-month key stays put
+    EvolvingWriter.upsert(spark,
+      Seq((2L, "b2", Option.empty[java.sql.Timestamp])).toDF("id", "v", "created_at"),
+      table, Seq("id"))
+    val rows = spark.table(table).select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    // repeated upsert must not accumulate duplicates
+    EvolvingWriter.upsert(spark,
+      Seq((2L, "b3", Option.empty[java.sql.Timestamp])).toDF("id", "v", "created_at"),
+      table, Seq("id"))
+    assert(spark.table(table).filter(col("id") === 2L).count() == 1)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("upsert is safe under static partitionOverwriteMode (pins dynamic itself)") {
     import org.apache.spark.sql.functions.col
     val table = "spark_catalog.default.customers_upsert_static"

@@ -40,7 +40,15 @@ object Ivf {
   private def simsExpr(vec: Column, model: Model): Column =
     array(model.map(c => centroidSim(vec, c)): _*)
 
-  /** Nearest-centroid index (0-based; ties → smallest index). */
+  /** Nearest-centroid index (0-based; ties → smallest index).
+    *
+    * `simsExpr` appears twice in the tree, but both occurrences sit in
+    * ONE projection, where whole-stage codegen's subexpression
+    * elimination evaluates the array once — measured ~2× faster than
+    * the single-reference alternative of ranking through
+    * [[probeExpr]] at depth 1 (whose `transform`/`array_sort` HOFs run
+    * interpreted).
+    */
   def assignExpr(vec: Column, model: Model): Column =
     (array_position(simsExpr(vec, model), array_max(simsExpr(vec, model))) - 1)
       .cast("int")

@@ -211,6 +211,27 @@ object EventStream {
       }
       .start()
 
+  /** CDC-style continuous ingest: like [[writeToTable]] but each
+    * micro-batch UPSERTS on `keyCols` — a late correction for a key
+    * replaces the earlier row instead of appending a duplicate. This is
+    * the streaming face of `EvolvingWriter.upsert`, so all its
+    * guarantees carry over (touched-partition-bounded rewrite, schema
+    * evolution, null-partition fallback). Micro-batch replays after a
+    * crash re-apply the same upserts idempotently — upsert-by-key makes
+    * foreachBatch's at-least-once effectively exactly-once for keyed
+    * data (the standard Structured Streaming idempotent-sink recipe).
+    */
+  def upsertToTable(stream: DataFrame, table: String, keyCols: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.catalog.EvolvingWriter.upsert(
+          batch.sparkSession, batch, table, keyCols)
+        ()
+      }
+      .start()
+
   /** Open the events table as a file stream (one-file-per-trigger so
     * tests exercise multi-batch behavior).
     */

@@ -1,0 +1,256 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+import java.util.concurrent.CountDownLatch
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{PartitionSpec, Snapshot, SnapshotConflictException, SnapshotLog, SnapshotTable}
+
+/** Pins the snapshot layer's contract: atomic commits, optimistic
+  * concurrency, time travel, rollback, expiry, hidden-partition
+  * pruning, and read-time schema widening.
+  */
+class SnapshotTableSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSparkSession.spark
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("snaptbl").resolve("t").toString
+
+  private val eventsSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("ts", TimestampType),
+    StructField("v", DoubleType)))
+
+  private def rows(ids: (Long, String, Double)*) =
+    ids.map { case (i, m, v) => (i, Timestamp.valueOf(s"$m 00:00:00"), v) }
+      .toDF("id", "ts", "v")
+
+  private val monthSpec = Some(PartitionSpec("ts", "month"))
+
+  /** Deterministic injected clock: each call +1s from t0. */
+  private def tickClock(t0: Long = 1000000L): () => Long = {
+    val n = new java.util.concurrent.atomic.AtomicLong(t0)
+    () => n.addAndGet(1000L)
+  }
+
+  test("create + append + read round-trips; manifest partitions are hidden") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    assert(t.currentVersion() == 1L)
+    assert(t.read().count() == 0L)
+    t.append(rows((1, "2024-01-05", 1.0), (2, "2024-02-06", 2.0)))
+    val df = t.read()
+    // hidden partitioning: no partition column surfaces in the schema
+    assert(df.columns.toSeq == Seq("id", "ts", "v"))
+    assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // manifest knows the partition values without touching data files
+    assert(t.currentSnapshot().partitions.flatten.toSet == Set("2024-01", "2024-02"))
+  }
+
+  test("null partition-source rows land in the null partition and read back") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    val withNull = rows((1, "2024-01-05", 1.0))
+      .unionByName(Seq((2L, null.asInstanceOf[Timestamp], 2.0)).toDF("id", "ts", "v"))
+    t.append(withNull)
+    assert(t.currentSnapshot().partitions.toSet == Set(Some("2024-01"), None))
+    assert(t.read().count() == 2L)
+    // null partition prunes like any other
+    assert(t.readPartitions(_.isEmpty).select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("appends are atomic: a staged-but-uncommitted batch is invisible") {
+    val root = freshRoot()
+    val t = SnapshotTable.create(spark, root, eventsSchema, monthSpec,
+      clock = tickClock())
+    t.append(rows((1, "2024-01-05", 1.0)))
+    // simulate a writer that crashed after staging, before commit:
+    // files under data/ with no manifest referencing them
+    rows((99, "2024-01-09", 9.9))
+      .withColumn(SnapshotTable.PartCol, date_format($"ts", "yyyy-MM"))
+      .write.partitionBy(SnapshotTable.PartCol)
+      .parquet(s"$root/${SnapshotLog.DataDirName}/deadbeefcrashed")
+    assert(t.read().select("id").as[Long].collect().toSeq == Seq(1L))
+    // orphan cleanup removes exactly the unreferenced files
+    val removed = t.removeOrphanFiles(olderThanMs = -3600 * 1000)
+    assert(removed >= 1)
+    assert(t.read().select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("time travel by version and timestamp; rollback preserves history") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec,
+      clock = tickClock())
+    t.append(rows((1, "2024-01-05", 1.0)))               // v2
+    val v2At = t.currentSnapshot().timestampMs
+    t.append(rows((2, "2024-01-06", 2.0)))               // v3
+    assert(t.readAt(2).count() == 1L)
+    assert(t.readAt(3).count() == 2L)
+    assert(t.readAsOf(v2At).count() == 1L)
+    val rb = t.rollback(2)                               // v4 = content of v2
+    assert(rb.version == 4L)
+    assert(t.read().select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(t.readAt(3).count() == 2L, "rollback must not destroy history")
+  }
+
+  test("overwritePartitions replaces exactly the incoming partitions") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    t.append(rows((1, "2024-01-05", 1.0), (2, "2024-02-06", 2.0)))
+    t.overwritePartitions(rows((10, "2024-01-07", 10.0)))
+    val out = t.read().select("id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(2L, 10L))
+  }
+
+  test("upsert replaces keyed rows, touches only their partitions, and is atomic") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    t.append(rows((1, "2024-01-05", 1.0), (2, "2024-02-06", 2.0),
+      (3, "2024-03-07", 3.0)))
+    val marchFiles = t.currentSnapshot().files
+      .filter(_.partition.contains("2024-03")).map(_.path).toSet
+    t.upsert(rows((1, "2024-01-05", 100.0), (4, "2024-02-08", 4.0)), Seq("id"))
+    val out = t.read().orderBy("id").select("id", "v")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 100.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)))
+    // untouched partition kept its physical files (partition-bounded rewrite)
+    val marchAfter = t.currentSnapshot().files
+      .filter(_.partition.contains("2024-03")).map(_.path).toSet
+    assert(marchAfter == marchFiles)
+  }
+
+  test("upsert against a stale base version raises a conflict, leaving the table intact") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    t.append(rows((1, "2024-01-05", 1.0)))
+    val stale = t.currentVersion()
+    t.append(rows((2, "2024-01-06", 2.0))) // someone else commits
+    val before = t.read().select("id").as[Long].collect().sorted.toSeq
+    intercept[SnapshotConflictException] {
+      t.upsertFrom(rows((1, "2024-01-05", 99.0)), Seq("id"), stale)
+    }
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == before)
+  }
+
+  test("concurrent appends both land via commit retry") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    val start = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        try {
+          start.await()
+          val tt = SnapshotTable.load(spark, t.root.toString)
+          tt.append(rows((i.toLong, "2024-01-05", i.toDouble)))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent append failed: ${errs.peek()}")
+    assert(t.currentVersion() == 3L)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("schema evolution: new column appends; old snapshots keep their schema") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    t.append(rows((1, "2024-01-05", 1.0)))
+    val evolvedBatch = rows((2, "2024-02-06", 2.0)).withColumn("tag", lit("b"))
+    t.append(evolvedBatch)
+    val df = t.read()
+    assert(df.columns.toSeq == Seq("id", "ts", "v", "tag"))
+    val byId = df.select("id", "tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(byId == Map(1L -> None, 2L -> Some("b")))
+    // time travel reads the contemporary (pre-evolution) schema
+    assert(t.readAt(2).columns.toSeq == Seq("id", "ts", "v"))
+  }
+
+  test("schema evolution: int→long and float→double widen; old narrow files still read") {
+    val narrow = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("score", FloatType)))
+    val t = SnapshotTable.create(spark, freshRoot(), narrow, None)
+    t.append(Seq((1, 1.5f)).toDF("id", "score"))
+    t.append(Seq((2L, 2.5d)).toDF("id", "score")) // wider batch
+    val s = t.schema
+    assert(s("id").dataType == LongType && s("score").dataType == DoubleType)
+    val out = t.read().orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1.5), (2L, 2.5)))
+  }
+
+  test("readTimestampRange prunes at the manifest and filters exactly") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    t.append(rows((1, "2024-01-05", 1.0), (2, "2024-02-06", 2.0),
+      (3, "2024-03-07", 3.0), (4, "2024-02-20", 4.0)))
+    val from = Instant.parse("2024-02-01T00:00:00Z")
+    val until = Instant.parse("2024-02-10T00:00:00Z")
+    val df = t.readTimestampRange(from, until)
+    assert(df.select("id").as[Long].collect().toSeq == Seq(2L))
+    // pruning proof: only the 2024-02 files appear in the scan
+    val scanned = df.select(input_file_name()).distinct()
+      .as[String].collect().toSet
+    val feb = t.currentSnapshot().files.filter(_.partition.contains("2024-02"))
+    assert(scanned.forall(f => feb.exists(e => f.endsWith(e.path.split('/').last))))
+    assert(scanned.size <= feb.size)
+  }
+
+  test("compact is partition-scoped, atomic per partition, and preserves rows") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    (1 to 4).foreach(i => t.append(rows((i.toLong, "2024-01-05", i.toDouble),
+      (100L + i, "2024-02-06", i.toDouble))))
+    val before = t.currentSnapshot()
+    assert(before.files.count(_.partition.contains("2024-01")) == 4)
+    val results = t.compact(targetRowsPerFile = 1000L,
+      partitions = Some(Seq(Some("2024-01"))))
+    assert(results.map(_._1) == Seq(Some("2024-01")))
+    val after = t.currentSnapshot()
+    assert(after.files.count(_.partition.contains("2024-01")) == 1)
+    // untouched partition's files unchanged
+    assert(after.files.filter(_.partition.contains("2024-02")).map(_.path).toSet ==
+      before.files.filter(_.partition.contains("2024-02")).map(_.path).toSet)
+    assert(t.read().count() == 8L)
+    // one commit per compacted partition
+    assert(after.version == before.version + 1)
+  }
+
+  test("expireSnapshots honors vacuum_min_snapshots_to_keep and deletes dead files") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec,
+      properties = Map("vacuum_min_snapshots_to_keep" -> "2"))
+    t.append(rows((1, "2024-01-05", 1.0)))
+    t.overwritePartitions(rows((2, "2024-01-06", 2.0))) // v2's files now dead
+    t.append(rows((3, "2024-02-07", 3.0)))
+    val deadPaths = t.history().flatMap(_.files.map(_.path)).toSet --
+      t.currentSnapshot().files.map(_.path).toSet
+    assert(deadPaths.nonEmpty)
+    val (expired, deleted) = t.expireSnapshots()
+    assert(expired == 2, "4 snapshots, keep 2") // v1, v2 expired
+    assert(deleted == deadPaths.size)
+    assert(t.history().map(_.version) == Seq(3L, 4L))
+    // live data unaffected
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("maintain() executes the reference's TBLPROPERTIES thresholds") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec,
+      properties = Map(
+        "optimize_rewrite_data_file_threshold" -> "3",
+        "vacuum_min_snapshots_to_keep" -> "3"))
+    (1 to 5).foreach(i => t.append(rows((i.toLong, "2024-01-05", i.toDouble))))
+    assert(t.currentSnapshot().files.size == 5)
+    t.maintain(targetRowsPerFile = 1000L)
+    assert(t.currentSnapshot().files.size == 1)
+    assert(t.history().size == 3)
+    assert(t.read().count() == 5L)
+  }
+
+  test("manifest JSON round-trips snapshots exactly") {
+    val s = Snapshot(7L, Some(6L), "append", 123456789L,
+      eventsSchema, Some(PartitionSpec("ts", "month")),
+      Map("k" -> "v'\"\\"),
+      Seq(graft.catalog.DataFileEntry("data/x/a.parquet", Some("2024-01"), 10L),
+        graft.catalog.DataFileEntry("data/x/b.parquet", None, 0L)))
+    assert(SnapshotLog.fromJson(SnapshotLog.toJson(s)) == s)
+  }
+}

@@ -55,6 +55,15 @@ object EvolvingWriter {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
   }
 
+  /** Escape a value for embedding in a single-quoted SQL string
+    * literal. Today's partition values are `yyyy-MM` strings from
+    * `date_format` and can't contain quotes, but as a LIBRARY surface a
+    * quote-bearing value must not break (or redirect) the generated
+    * DDL.
+    */
+  private[graft] def sqlStringLiteral(v: String): String =
+    v.replace("\\", "\\\\").replace("'", "\\'")
+
   /** All writer DDL goes through the [[RunQuery]] status contract (the
     * reference's writer submits its DDL via `run_query.py` the same
     * way); a non-SUCCEEDED status becomes an exception here because the
@@ -110,8 +119,40 @@ object EvolvingWriter {
     else df.withColumn(PartitionColumn,
       date_format(col("created_at"), "yyyy-MM"))
 
-  /** B1 — distributed append with schema evolution. Returns the columns
-    * added to the table (empty when no evolution happened).
+  /** Evolve `table` so it can hold `df` by NAME: `ALTER TABLE … ADD
+    * COLUMNS` for columns only in `df`, then metadata-only type
+    * promotion for common columns arriving WIDER (int→long,
+    * float→double — the lossless promotions Iceberg's schema evolution
+    * allows and Spark 4's parquet reader applies to old narrow pages at
+    * scan). v1 `ALTER COLUMN TYPE` refuses widening, so the promotion
+    * goes through [[org.apache.spark.sql.graftbridge.CatalogBridge]] —
+    * the same `SessionCatalog.alterTableDataSchema` mutation Spark's
+    * own ADD COLUMNS command uses. No data file is touched either way.
+    *
+    * @return (evolved table schema, columns added)
+    */
+  private def evolveTable(spark: SparkSession, df: DataFrame,
+      table: String): (StructType, Seq[StructField]) = {
+    val existing = tableSchema(spark, table).get
+    val d = SchemaOps.diff(df.schema, existing)
+    if (d.extraInSource.nonEmpty)
+      ddl(spark, s"ALTER TABLE $table ADD COLUMNS (${TypeMapping.columnsDdl(d.extraInSource)})")
+    val afterAdd = tableSchema(spark, table).get
+    val widened = SnapshotTable.evolve(afterAdd, df.schema)
+    if (widened != afterAdd) {
+      // the catalog's DATA schema excludes partition columns (which are
+      // never widened — month strings by construction)
+      val dataSchema = StructType(
+        widened.fields.filterNot(_.name == PartitionColumn))
+      org.apache.spark.sql.graftbridge.CatalogBridge
+        .alterTableDataSchema(spark, table, dataSchema)
+    }
+    (tableSchema(spark, table).get, d.extraInSource)
+  }
+
+  /** B1 — distributed append with schema evolution (new columns AND
+    * int→long / float→double widening, see [[evolveTable]]). Returns
+    * the columns added to the table (empty when no evolution happened).
     */
   def appendWithEvolution(spark: SparkSession, input: DataFrame,
       table: String): Seq[StructField] = {
@@ -122,14 +163,10 @@ object EvolvingWriter {
         val created = tableSchema(spark, table).getOrElse(df.schema)
         append(spark, SchemaOps.alignTo(df, created), table)
         Seq.empty
-      case Some(existing) =>
-        val d = SchemaOps.diff(df.schema, existing)
-        if (d.extraInSource.nonEmpty) {
-          ddl(spark, s"ALTER TABLE $table ADD COLUMNS (${TypeMapping.columnsDdl(d.extraInSource)})")
-        }
-        val evolved = tableSchema(spark, table).get
+      case Some(_) =>
+        val (evolved, added) = evolveTable(spark, df, table)
         append(spark, SchemaOps.alignTo(df, evolved), table)
-        d.extraInSource
+        added
     }
   }
 
@@ -142,13 +179,11 @@ object EvolvingWriter {
     if (tableSchema(spark, table).isEmpty) {
       appendWithEvolution(spark, df, table)
     } else {
-      val d = SchemaOps.diff(df.schema, tableSchema(spark, table).get)
-      if (d.extraInSource.nonEmpty)
-        ddl(spark, s"ALTER TABLE $table ADD COLUMNS (${TypeMapping.columnsDdl(d.extraInSource)})")
+      val (evolved, _) = evolveTable(spark, df, table)
       // alignTo puts columns in exact table order, so the position-based
       // v1 insertInto is safe; with partitionOverwriteMode=dynamic only
       // the months present in `input` are replaced.
-      SchemaOps.alignTo(df, tableSchema(spark, table).get)
+      SchemaOps.alignTo(df, evolved)
         .write.mode("overwrite").insertInto(table)
     }
   }
@@ -181,6 +216,13 @@ object EvolvingWriter {
     * upsert pins the conf itself for the duration of the write (static
     * mode would truncate the whole table on `insertInto(overwrite)`),
     * restoring the caller's setting afterwards.
+    *
+    * Atomicity: this path rewrites live partitions in place, so a crash
+    * mid-write can lose the touched partitions — the session-catalog
+    * storage layout offers nothing better. [[SnapshotTable.upsert]] is
+    * the crash-safe variant (immutable files, one atomic manifest
+    * commit, snapshot-isolation conflict detection); prefer it when the
+    * table does not need to live in the Hive-style session catalog.
     */
   def upsert(spark: SparkSession, input: DataFrame, table: String,
       keyCols: Seq[String]): Unit = {
@@ -201,11 +243,8 @@ object EvolvingWriter {
     tableSchema(spark, table) match {
       case None =>
         appendWithEvolution(spark, df, table); ()
-      case Some(existing) =>
-        val d = SchemaOps.diff(df.schema, existing)
-        if (d.extraInSource.nonEmpty)
-          ddl(spark, s"ALTER TABLE $table ADD COLUMNS (${TypeMapping.columnsDdl(d.extraInSource)})")
-        val evolved = tableSchema(spark, table).get
+      case Some(_) =>
+        val (evolved, _) = evolveTable(spark, df, table)
         val incoming = SchemaOps.alignTo(df, evolved).localCheckpoint(true)
         val keys = incoming.select(keyCols.map(col): _*).distinct()
         val tbl = spark.table(table)
@@ -242,7 +281,8 @@ object EvolvingWriter {
               .collect().map(_.getString(0)).toSet
             for (p <- touchedVals if !written.contains(p))
               ddl(spark,
-                s"ALTER TABLE $table DROP IF EXISTS PARTITION ($PartitionColumn='$p')")
+                s"ALTER TABLE $table DROP IF EXISTS PARTITION " +
+                  s"($PartitionColumn='${sqlStringLiteral(p)}')")
           }
         }
     }
@@ -266,37 +306,69 @@ object EvolvingWriter {
     * a stable `pmod(xxhash64(row), chunks)` chunk key; the shuffle then
     * spreads each partition over ~chunks tasks of ~target rows each.
     *
-    * @return (files before, files after) for observability
+    * `partitions`: compact ONLY these partition values — the 100 TB
+    * entry point (run partition-by-partition or month-batch-by-batch;
+    * reads, counts, and the rewrite all stay bounded by the selected
+    * partitions, and dynamic overwrite leaves the rest untouched).
+    * With `None` the whole table is read and rewritten — fine at
+    * warehouse-maintenance scale on small/medium tables only.
+    *
+    * Atomicity caveat (both scopes): the rewrite is parquet overwrite,
+    * so a crash mid-write can lose the partitions being rewritten —
+    * [[SnapshotTable.compact]] is the crash-safe variant (immutable
+    * files + one atomic manifest swap per partition).
+    *
+    * @return (files before, files after) within the compacted scope
     */
   def compact(spark: SparkSession, table: String,
-      targetRowsPerFile: Long = 1000000L): (Long, Long) = {
+      targetRowsPerFile: Long = 1000000L,
+      partitions: Option[Seq[String]] = None): (Long, Long) = {
+    val whole = spark.table(table)
+    require(partitions.isEmpty || whole.columns.contains(PartitionColumn),
+      s"partition-scoped compact needs a $PartitionColumn column")
+    def scoped(): DataFrame = partitions match {
+      case Some(ps) =>
+        spark.table(table).filter(col(PartitionColumn).isin(ps: _*))
+      case None => spark.table(table)
+    }
+    val df = scoped()
     def fileCount(): Long =
-      spark.table(table).select(input_file_name()).distinct().count()
+      scoped().select(input_file_name()).distinct().count()
     val before = fileCount()
-    val df = spark.table(table)
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+    val partitioned = df.columns.contains(PartitionColumn)
     val compacted =
-      if (df.columns.contains(PartitionColumn)) {
+      if (partitioned) {
         import spark.implicits._
         val chunks = df.groupBy(col(PartitionColumn)).count()
           .collect().map { r =>
-            r.getString(0) ->
+            Option(r.getString(0)) ->
               math.max(1L, (r.getLong(1) + targetRowsPerFile - 1) / targetRowsPerFile)
-          }.toSeq.toDF(PartitionColumn, "__chunks")
+          }.toSeq.toDF("__p", "__chunks")
         val dataCols = df.columns.map(c => col(s"`$c`"))
-        df.join(broadcast(chunks), PartitionColumn)
+        // null-safe join key: the null partition's rows must ride the
+        // rewrite too, and `=` would silently drop them from the plan
+        df.join(broadcast(chunks), col(PartitionColumn) <=> col("__p"))
           .withColumn("__chunk", pmod(xxhash64(dataCols: _*), col("__chunks")))
           .repartition(col(PartitionColumn), col("__chunk"))
           .select(dataCols: _*)
       } else df.repartition(nFiles.toInt)
     // Spark refuses to overwrite a table it is reading from in the same
-    // plan — localCheckpoint materializes the compacted rows and cuts
-    // the lineage first (at 100 TB: stage through a temp table per
-    // partition instead). insertInto is position-based; the frame came
-    // from the table, so order already matches.
-    compacted.localCheckpoint(true)
-      .write.mode("overwrite").insertInto(table)
+    // plan — localCheckpoint materializes the compacted rows (bounded
+    // by the selected partitions) and cuts the lineage first. insertInto
+    // is position-based; the frame came from the table, so order
+    // already matches. Dynamic overwrite is pinned for the write: under
+    // static mode a partition-scoped rewrite would TRUNCATE the table.
+    val materialized = compacted.localCheckpoint(true)
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(modeKey)
+    if (partitioned) spark.conf.set(modeKey, "dynamic")
+    try materialized.write.mode("overwrite").insertInto(table)
+    finally if (partitioned) prevMode match {
+      case Some(m) => spark.conf.set(modeKey, m)
+      case None    => spark.conf.unset(modeKey)
+    }
     (before, fileCount())
   }
 

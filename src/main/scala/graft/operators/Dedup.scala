@@ -124,16 +124,26 @@ object Dedup {
     * decrease, so `new < old` IS the change test), making the
     * convergence count a scan of the just-checkpointed partitions
     * rather than a second join per round.
+    *
+    * `reliableCheckpoints=false` (default) uses `localCheckpoint`:
+    * round state lives on executors only — fastest, right for
+    * `local[*]`, but an executor loss mid-job fails the query since
+    * lineage is cut. On a multi-executor cluster pass `true` to stage
+    * rounds through reliable `checkpoint()` (the caller must have set
+    * `spark.sparkContext.setCheckpointDir` to HDFS/object storage).
     */
   def clusters(pairs: DataFrame, allIds: DataFrame,
-      idCol: String = "id", maxIter: Int = 15): DataFrame = {
+      idCol: String = "id", maxIter: Int = 15,
+      reliableCheckpoints: Boolean = false): DataFrame = {
+    def materialize(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
     // materialize the (small) edge list once — the pair pipeline behind
     // it would otherwise recompute on BOTH union branches EVERY round
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = allIds.select(col(idCol).as("id"), col(idCol).as("rep"))
-      .localCheckpoint(true)
+    val edges = materialize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = materialize(
+      allIds.select(col(idCol).as("id"), col(idCol).as("rep")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -142,11 +152,10 @@ object Dedup {
           .withColumnRenamed("rep", "nbr_rep"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_rep")).as("nbr_rep"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val next = materialize(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"),
-          (coalesce(col("nbr_rep"), col("rep")) < col("rep")).as("chg"))
-        .localCheckpoint(true)
+          (coalesce(col("nbr_rep"), col("rep")) < col("rep")).as("chg")))
       val changed = next.filter(col("chg")).count()
       labels = next.select(col("id"), col("rep"))
       converged = changed == 0

@@ -265,4 +265,61 @@ class IngestWriterSpec extends AnyFunSuite {
     assert(before == jan.count() + feb.count())
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("appendWithEvolution widens int->long and float->double metadata-only") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val table = "spark_catalog.default.widen_t"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    EvolvingWriter.configure(spark)
+    EvolvingWriter.appendWithEvolution(spark,
+      Seq((1, 1.5f)).toDF("a", "b"), table)
+    assert(spark.table(table).schema("a").dataType == IntegerType)
+    // wider batch arrives: table promotes, old int32/float files still read
+    EvolvingWriter.appendWithEvolution(spark,
+      Seq((2L, 2.5d)).toDF("a", "b"), table)
+    val s = spark.table(table).schema
+    assert(s("a").dataType == LongType && s("b").dataType == DoubleType)
+    val out = spark.table(table).orderBy("a").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1.5), (2L, 2.5)))
+    // NARROWER later batch still appends (cast up by alignTo), no demotion
+    EvolvingWriter.appendWithEvolution(spark,
+      Seq((3, 3.5f)).toDF("a", "b"), table)
+    assert(spark.table(table).schema("a").dataType == LongType)
+    assert(spark.table(table).count() == 3)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("compact(partitions=...) rewrites only the selected month") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val csv = Files.createTempDirectory("graft-compact-p").toString
+    FakeData.generate(csv, start = 1, end = 3, records = 8, seed = 22L, maxOptional = 3)
+    val table = "spark_catalog.default.customers_compact_scoped"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    EvolvingWriter.configure(spark)
+    val df = CsvIngest.ingest(spark, csv, clock)
+    for (_ <- 1 to 4) EvolvingWriter.appendWithEvolution(spark, df, table)
+    val p = EvolvingWriter.PartitionColumn
+    val month = spark.table(table).select(col(p)).distinct()
+      .collect().map(_.getString(0)).min
+    def filesOutside(): Set[String] = spark.table(table)
+      .filter(col(p) =!= month).select(input_file_name())
+      .distinct().collect().map(_.getString(0)).toSet
+    val outsideBefore = filesOutside()
+    val rowsBefore = spark.table(table).count()
+    val (before, after) =
+      EvolvingWriter.compact(spark, table, partitions = Some(Seq(month)))
+    assert(before >= 4 && after < before)
+    assert(spark.table(table).count() == rowsBefore)
+    // untouched partitions keep their physical files — the rewrite was
+    // scoped, not a whole-table pass
+    assert(filesOutside() == outsideBefore)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("DROP PARTITION values are escaped as SQL literals") {
+    assert(EvolvingWriter.sqlStringLiteral("2024-01") == "2024-01")
+    assert(EvolvingWriter.sqlStringLiteral("a'b") == "a\\'b")
+    assert(EvolvingWriter.sqlStringLiteral("a\\'b") == "a\\\\\\'b")
+  }
 }

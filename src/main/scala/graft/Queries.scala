@@ -1085,9 +1085,98 @@ object Queries {
             corpus.filter(col("vec_id") >= 100000), k = 1,
             kClusters = 16, iters = 2, nprobe = 4)
         },
+        Some(nnOracle)),
+
+      // The persisted-index query shape: k-means training runs ONCE per
+      // dataset (memoized below — in production, a saved model table)
+      // and the timed query is assignment + probe only. This is the
+      // realistic steady-state IVF cost; `sim_topk_ivf` above measures
+      // cold build+query.
+      QueryDef("sim_topk_ivf_model",
+        (s, dir) => {
+          val corpus = nearDupVectors(s, dir)
+          val model = ivfModelCache.computeIfAbsent(dir, _ =>
+            graft.operators.Ivf.train(corpus, k = 16, iters = 2))
+          graft.operators.Ivf.topKWithModel(corpus,
+            corpus.filter(col("vec_id") >= 100000), model,
+            k = 1, nprobe = 4)
+        },
         Some(nnOracle))
     )
   }
+
+  private val ivfModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ivf.Model]()
+
+  // =====================================================================
+  // Snapshot-table queries: the atomic-commit layer's READ side, oracle-
+  // checked. A per-dataset events snapshot table is built ONCE per JVM
+  // (create → append evens → append odds → keyed upsert), then each
+  // query exercises one snapshot capability against a DuckDB oracle
+  // over the raw parquet: current read (post-upsert), time travel to
+  // the evens-only version, and manifest-level partition pruning.
+  // =====================================================================
+
+  private val snapTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once events snapshot table: hidden identity(event_type)
+    * partitioning (the data spans one month, so the month transform
+    * would yield a single partition — identity gives real pruning).
+    * Version history: v1 create, v2 append even event_ids, v3 append
+    * odd, v4 upsert value+1000 for event_id % 100 == 0.
+    */
+  private def snapshotEventsTable(s: SparkSession,
+      dir: String): graft.catalog.SnapshotTable = {
+    val root = snapTableCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-snaptbl")
+        .resolve("events").toString
+      val ev = t(s, dir, "events")
+      val tbl = graft.catalog.SnapshotTable.create(s, base, ev.schema,
+        Some(graft.catalog.PartitionSpec("event_type", "identity")))
+      tbl.append(ev.filter(col("event_id") % 2 === 0))
+      tbl.append(ev.filter(col("event_id") % 2 =!= 0))
+      tbl.upsert(ev.filter(col("event_id") % 100 === 0)
+        .withColumn("value", col("value") + lit(1000.0d)), Seq("event_id"))
+      base
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
+
+  /** The post-upsert value expression, shared by the oracles below. */
+  private val snapValueSql =
+    "CASE WHEN event_id % 100 = 0 THEN value + 1000.0 ELSE value END"
+
+  private def snapshotQueries: Seq[QueryDef] = Seq(
+    QueryDef("snap_read_hourly",
+      (s, dir) => snapshotEventsTable(s, dir).read()
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+      Some(s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+              |  event_type, count(*) AS n,
+              |  CAST(SUM(CAST($snapValueSql AS DECIMAL(12,2))) AS DOUBLE)
+              |    AS sum_value
+              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("snap_time_travel",
+      (s, dir) => snapshotEventsTable(s, dir).readAt(2)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events WHERE event_id % 2 = 0
+             |GROUP BY 1""".stripMargin)),
+
+    QueryDef("snap_prune_partitions",
+      (s, dir) => snapshotEventsTable(s, dir)
+        .readPartitions(p => p.exists(Set("click", "purchase")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+      Some(s"""SELECT event_type, count(*) AS n,
+              |  CAST(SUM(CAST($snapValueSql AS DECIMAL(12,2))) AS DOUBLE)
+              |    AS sum_value
+              |FROM events WHERE event_type IN ('click', 'purchase')
+              |GROUP BY 1""".stripMargin)))
 
   /** Exact nearest-neighbor oracle for the planted-mutant query set:
     * reconstructs the mutant corpus with mirrored float32 arithmetic,
@@ -1550,7 +1639,7 @@ object Queries {
   val registry: Seq[QueryDef] =
     schemaOpQueries ++ tpchQueries ++ textQueries ++ dedupQueries ++
       simQueries ++ multimodalQueries ++ streamingQueries ++
-      governanceQueries
+      governanceQueries ++ snapshotQueries
 
   /** name → ((spark, sfDir) => result). */
   def all: Map[String, (SparkSession, String) => DataFrame] =

@@ -36,7 +36,15 @@ object Bench {
       exec(fn)
       (System.nanoTime() - t0) / 1e9
     }
-    val outcomes = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1_agg,dedup_clusters restricts the run — the
+    // local iteration loop for single-query tuning; unset = full run
+    val selected = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(names) =>
+        val keep = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.filter { case (n, _) => keep(n) }
+      case None => SparkEntry.queries
+    }
+    val outcomes = selected.map { case (name, fn) =>
       name -> (try Right(math.min(timeOnce(fn), timeOnce(fn)))
       catch {
         case e: Throwable =>

@@ -130,6 +130,22 @@ final class SnapshotTable private (
         col(spec.source) < lit(java.sql.Timestamp.from(until)))
   }
 
+  /** Incremental (CDC-style) read: rows in files ADDED between
+    * `fromVersion` (exclusive) and `toVersion` (inclusive) — the
+    * Iceberg incremental-scan pattern a training-data pipeline uses to
+    * process only new data per run. Append-only consumption: files
+    * REMOVED in the range (overwrite/upsert/compact rewrites) are
+    * ignored; callers that must see replacements diff two full reads.
+    * Cost scales with the new files, not the table.
+    */
+  def readIncremental(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(toVersion >= fromVersion,
+      s"inverted range: $fromVersion .. $toVersion")
+    val to = log.read(toVersion)
+    val fromPaths = log.read(fromVersion).files.map(_.path).toSet
+    readFiles(to.schema, to.files.filterNot(f => fromPaths.contains(f.path)))
+  }
+
   private def readSnapshot(s: Snapshot): DataFrame = readFiles(s.schema, s.files)
 
   private def readFiles(schema: StructType, files: Seq[DataFileEntry]): DataFrame =
@@ -226,6 +242,40 @@ final class SnapshotTable private (
     }
   }
 
+  /** EXACTLY-ONCE streaming append: the micro-batch id rides the
+    * atomic commit (`graft.stream.last_batch_id` property), so a
+    * replayed batch after a crash is detected against the committed id
+    * and skipped — data and dedup marker move in ONE atomic operation,
+    * the transactional-sink recipe Structured Streaming expects from an
+    * Iceberg/Delta sink. Returns None when the batch was already
+    * committed (its staged files become orphans for
+    * [[removeOrphanFiles]]).
+    *
+    * Batch ids must be monotonically increasing per table, which is
+    * exactly what `foreachBatch` provides from one checkpointed query;
+    * do NOT share one snapshot table across two streaming queries'
+    * sinks (their id sequences would collide — same rule as any
+    * single-writer transactional sink).
+    */
+  def appendStreamBatch(df: DataFrame, batchId: Long): Option[Snapshot] = {
+    val key = SnapshotTable.StreamBatchProp
+    def committed(s: Snapshot): Boolean =
+      s.properties.get(key).exists(_.toLong >= batchId)
+    val base = currentSnapshot()
+    if (committed(base)) return None
+    val evolved = SnapshotTable.evolve(base.schema, df.schema)
+    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec)
+    try {
+      Some(commitRetry { latest =>
+        if (committed(latest))
+          throw new SnapshotConflictException(s"batch $batchId already committed")
+        val n = next(latest, s"stream-append[$batchId]",
+          SnapshotTable.evolve(latest.schema, evolved), latest.files ++ staged)
+        n.copy(properties = latest.properties + (key -> batchId.toString))
+      })
+    } catch { case _: SnapshotConflictException => None }
+  }
+
   /** Partition-scoped compaction — the VERDICT r2 `weak` fixed: each
     * partition is read, rewritten to ~`targetRowsPerFile`-row files,
     * and swapped with its OWN commit, so driver and executor memory are
@@ -234,6 +284,12 @@ final class SnapshotTable private (
     * orphans for [[removeOrphanFiles]]). No `localCheckpoint` of the
     * table is needed at all: compaction writes NEW files and never
     * overwrites what it reads.
+    *
+    * `sortBy` applies a sort order during the rewrite (Iceberg
+    * `rewrite_data_files` with a table sort order): rows range-cluster
+    * across the partition's output files and sort within each, so every
+    * file carries tight min/max stats on the sort columns and a range
+    * predicate skips non-overlapping files at scan.
     *
     * @param partitions restrict to these partition values (None value =
     *        the null partition); default all.
@@ -244,7 +300,8 @@ final class SnapshotTable private (
     */
   def compact(targetRowsPerFile: Long = 1000000L,
       partitions: Option[Seq[Option[String]]] = None,
-      minFiles: Int = 2): Seq[(Option[String], Int, Int)] = {
+      minFiles: Int = 2,
+      sortBy: Seq[String] = Nil): Seq[(Option[String], Int, Int)] = {
     val start = currentSnapshot()
     val todo = partitions.getOrElse(start.files.map(_.partition).distinct)
     todo.flatMap { p =>
@@ -254,7 +311,12 @@ final class SnapshotTable private (
       else {
         val rows = pFiles.map(_.rows).sum
         val nOut = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-        val data = readFiles(latest.schema, pFiles).repartition(nOut)
+        val raw = readFiles(latest.schema, pFiles)
+        val data =
+          if (sortBy.nonEmpty)
+            raw.repartitionByRange(nOut, sortBy.map(col): _*)
+              .sortWithinPartitions(sortBy.map(col): _*)
+          else raw.repartition(nOut)
         val staged = stage(data, latest.spec)
         val before = pFiles.map(_.path).toSet
         try {
@@ -345,7 +407,12 @@ final class SnapshotTable private (
     val props = currentSnapshot().properties
     val threshold =
       props.getOrElse("optimize_rewrite_data_file_threshold", "5").toInt
-    compact(targetRowsPerFile, minFiles = math.max(2, threshold))
+    // optional table sort order (comma-separated columns), applied on
+    // every maintenance rewrite — the Iceberg sort-order property
+    val sortOrder = props.get("graft.sort_order").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    compact(targetRowsPerFile, minFiles = math.max(2, threshold),
+      sortBy = sortOrder)
     expireSnapshots()
     ()
   }
@@ -425,6 +492,11 @@ object SnapshotTable {
   private val MaxCommitAttempts = 20
 
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Snapshot property carrying the last committed streaming batch id
+    * (see [[SnapshotTable.appendStreamBatch]]).
+    */
+  private[graft] val StreamBatchProp = "graft.stream.last_batch_id"
 
   /** Create a new snapshot table (commits version 1, empty). */
   def create(spark: SparkSession, root: String, schema: StructType,

@@ -232,6 +232,25 @@ object EventStream {
       }
       .start()
 
+  /** EXACTLY-ONCE continuous ingest into a [[graft.catalog.SnapshotTable]]:
+    * each micro-batch commits atomically with its batch id recorded IN
+    * the commit ([[graft.catalog.SnapshotTable.appendStreamBatch]]), so
+    * a post-crash replay of an already-committed batch is skipped — the
+    * transactional-sink upgrade over [[writeToTable]]'s at-least-once +
+    * downstream-dedup recipe. Schema evolution per micro-batch carries
+    * over from the snapshot append path.
+    */
+  def writeToSnapshotTable(stream: DataFrame, tableRoot: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.catalog.SnapshotTable.load(batch.sparkSession, tableRoot)
+          .appendStreamBatch(batch, batchId)
+        ()
+      }
+      .start()
+
   /** Open the events table as a file stream (one-file-per-trigger so
     * tests exercise multi-batch behavior).
     */

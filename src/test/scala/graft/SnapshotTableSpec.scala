@@ -245,6 +245,69 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 5L)
   }
 
+  test("readIncremental returns only rows from files added in the version range") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    t.append(rows((1, "2024-01-05", 1.0)))                 // v2
+    t.append(rows((2, "2024-02-06", 2.0), (3, "2024-02-07", 3.0))) // v3
+    t.append(rows((4, "2024-03-08", 4.0)))                 // v4
+    assert(t.readIncremental(2, 3).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L))
+    assert(t.readIncremental(2, 4).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 3L, 4L))
+    assert(t.readIncremental(4, 4).count() == 0L)
+  }
+
+  test("appendStreamBatch is exactly-once: a replayed batch id is skipped") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    assert(t.appendStreamBatch(rows((1, "2024-01-05", 1.0)), 0L).isDefined)
+    assert(t.appendStreamBatch(rows((2, "2024-01-06", 2.0)), 1L).isDefined)
+    // crash-replay of batch 1: must be a no-op, not a duplicate
+    assert(t.appendStreamBatch(rows((2, "2024-01-06", 2.0)), 1L).isEmpty)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(t.currentSnapshot().properties(SnapshotTable.StreamBatchProp) == "1")
+  }
+
+  test("compact(sortBy) range-clusters: output files cover disjoint id ranges") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    // interleaved appends so unsorted files all span the full id range
+    (0 until 4).foreach { i =>
+      t.append(rows((100L + i, "2024-01-05", 1.0), (200L + i, "2024-01-06", 2.0),
+        (300L + i, "2024-01-07", 3.0)))
+    }
+    t.compact(targetRowsPerFile = 4L, sortBy = Seq("id"))
+    val files = t.currentSnapshot().files
+    assert(files.size >= 2, "expected multiple range-clustered output files")
+    val ranges = files.map { f =>
+      val d = spark.read.schema(eventsSchema)
+        .parquet(new org.apache.hadoop.fs.Path(t.root, f.path).toString)
+      val r = d.agg(min("id"), max("id")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2,
+        s"file id ranges overlap: $ranges")
+      case _ =>
+    }
+  }
+
+  test("writeToSnapshotTable streams micro-batches exactly-once into the table") {
+    import graft.streaming.EventStream
+    val srcDir = Files.createTempDirectory("snap-stream-src").toString
+    val ckpt = Files.createTempDirectory("snap-stream-ckpt").toString
+    val root = freshRoot()
+    SnapshotTable.create(spark, root, eventsSchema, monthSpec)
+    rows((1, "2024-01-05", 1.0)).coalesce(1).write.parquet(s"$srcDir/f1")
+    rows((2, "2024-02-06", 2.0)).coalesce(1).write.parquet(s"$srcDir/f2")
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+    val q = EventStream.writeToSnapshotTable(stream, root, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val t = SnapshotTable.load(spark, root)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // one atomic commit per micro-batch, ids recorded
+    assert(t.currentSnapshot().properties.contains(SnapshotTable.StreamBatchProp))
+  }
+
   test("manifest JSON round-trips snapshots exactly") {
     val s = Snapshot(7L, Some(6L), "append", 123456789L,
       eventsSchema, Some(PartitionSpec("ts", "month")),

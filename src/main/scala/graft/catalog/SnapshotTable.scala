@@ -301,7 +301,12 @@ final class SnapshotTable private (
   def compact(targetRowsPerFile: Long = 1000000L,
       partitions: Option[Seq[Option[String]]] = None,
       minFiles: Int = 2,
-      sortBy: Seq[String] = Nil): Seq[(Option[String], Int, Int)] = {
+      sortBy: Seq[String] = Nil,
+      zOrderBy: Seq[String] = Nil): Seq[(Option[String], Int, Int)] = {
+    require(zOrderBy.isEmpty || zOrderBy.size == 2,
+      "zOrderBy takes exactly two columns (2-D Morton clustering)")
+    require(zOrderBy.isEmpty || sortBy.isEmpty,
+      "pass sortBy OR zOrderBy, not both")
     val start = currentSnapshot()
     val todo = partitions.getOrElse(start.files.map(_.partition).distinct)
     todo.flatMap { p =>
@@ -313,7 +318,16 @@ final class SnapshotTable private (
         val nOut = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
         val raw = readFiles(latest.schema, pFiles)
         val data =
-          if (sortBy.nonEmpty)
+          if (zOrderBy.nonEmpty)
+            // 2-D Morton clustering (Iceberg/Delta Z-ORDER rewrite):
+            // each output file covers a small rectangle of both key
+            // domains, so min/max stats prune on EITHER column
+            raw.withColumn("__z", graft.sources.Layout.mortonZ(
+                col(zOrderBy(0)), col(zOrderBy(1))))
+              .repartitionByRange(nOut, col("__z"))
+              .sortWithinPartitions(col("__z"))
+              .drop("__z")
+          else if (sortBy.nonEmpty)
             raw.repartitionByRange(nOut, sortBy.map(col): _*)
               .sortWithinPartitions(sortBy.map(col): _*)
           else raw.repartition(nOut)
@@ -407,12 +421,15 @@ final class SnapshotTable private (
     val props = currentSnapshot().properties
     val threshold =
       props.getOrElse("optimize_rewrite_data_file_threshold", "5").toInt
-    // optional table sort order (comma-separated columns), applied on
-    // every maintenance rewrite — the Iceberg sort-order property
-    val sortOrder = props.get("graft.sort_order").toSeq
+    // optional layout properties applied on every maintenance rewrite:
+    // graft.zorder (exactly two columns) wins over graft.sort_order —
+    // the Iceberg sort-order / Z-ORDER table properties
+    def cols(key: String): Seq[String] = props.get(key).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val zOrder = cols("graft.zorder")
+    val sortOrder = if (zOrder.size == 2) Nil else cols("graft.sort_order")
     compact(targetRowsPerFile, minFiles = math.max(2, threshold),
-      sortBy = sortOrder)
+      sortBy = sortOrder, zOrderBy = if (zOrder.size == 2) zOrder else Nil)
     expireSnapshots()
     ()
   }
@@ -469,10 +486,17 @@ final class SnapshotTable private (
     spark.read.parquet(dir.toString)
       .groupBy(input_file_name().as("__f")).count()
       .collect().toSeq.map { r =>
+        // input_file_name() is a URI: percent-encoded ON TOP of Hive's
+        // own %XX dir-name escaping. URI-decode first to recover the
+        // on-disk name (what the manifest must store); the Hive layer
+        // is undone separately for the partition VALUE only.
         val uri = r.getString(0)
-        val i = uri.indexOf(marker)
-        require(i >= 0, s"staged file $uri outside batch dir $rel")
-        val sub = uri.substring(i + marker.length)
+        val path =
+          try new java.net.URI(uri).getPath
+          catch { case _: java.net.URISyntaxException => uri }
+        val i = path.indexOf(marker)
+        require(i >= 0, s"staged file $path outside batch dir $rel")
+        val sub = path.substring(i + marker.length)
         val partition = sub.split('/').collectFirst {
           case seg if seg.startsWith(s"$PartCol=") =>
             decodePartitionValue(seg.substring(PartCol.length + 1))

@@ -308,6 +308,96 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.currentSnapshot().properties.contains(SnapshotTable.StreamBatchProp))
   }
 
+  test("compact(zOrderBy) clusters without leaking the Morton key, rows intact") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    (0 until 3).foreach { i =>
+      t.append(rows((10L + i, "2024-01-05", (i % 2).toDouble),
+        (20L + i, "2024-01-06", (i % 3).toDouble)))
+    }
+    t.compact(targetRowsPerFile = 3L, zOrderBy = Seq("id", "v"))
+    val df = t.read()
+    assert(df.columns.toSeq == Seq("id", "ts", "v"), "no __z leak")
+    assert(df.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 11L, 12L, 20L, 21L, 22L))
+    intercept[IllegalArgumentException] {
+      t.compact(zOrderBy = Seq("id"))
+    }
+  }
+
+  test("identity-partition values with path-hostile characters round-trip") {
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    val t = SnapshotTable.create(spark, freshRoot(), schema,
+      Some(PartitionSpec("k", "identity")))
+    // non-ASCII partition values are excluded: Spark's own file writer
+    // fails on them when the JVM locale is POSIX (container limitation,
+    // not a decode issue — the escaping under test is Hive %XX)
+    val vals = Seq("a b", "a/b", "a=b", "a%b", "a'b", "a:b")
+    t.append(vals.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v"))
+    // manifest partition values decode back to the ORIGINAL strings
+    assert(t.currentSnapshot().partitions.flatten.toSet == vals.toSet)
+    // pruning by a hostile value selects exactly its rows
+    assert(t.readPartitions(_.contains("a/b")).select("v").as[Long]
+      .collect().toSeq == Seq(1L))
+    assert(t.read().count() == vals.size.toLong)
+  }
+
+  test("4 concurrent writers with mixed appends all commit exactly once") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    val start = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        try {
+          start.await()
+          val tt = SnapshotTable.load(spark, t.root.toString)
+          tt.append(rows((i.toLong, s"2024-0$i-05", i.toDouble)))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent append failed: ${errs.peek()}")
+    assert(t.currentVersion() == 5L, "4 appends = versions 2..5, none lost")
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("manifest JSON round-trip is total over random snapshots (seeded property)") {
+    val r = new scala.util.Random(42)
+    val types: Vector[DataType] = Vector(StringType, IntegerType, LongType,
+      FloatType, DoubleType, BooleanType, TimestampType, DateType,
+      ArrayType(DoubleType), BinaryType,
+      StructType(Seq(StructField("x", LongType), StructField("y", StringType))),
+      MapType(StringType, LongType))
+    def randString(): String = {
+      val chars = "abz09 _-%/='\"\\\n\tπ☃"
+      (0 until 1 + r.nextInt(12)).map(_ => chars(r.nextInt(chars.length))).mkString
+    }
+    for (_ <- 1 to 200) {
+      val schema = StructType((0 until 1 + r.nextInt(6)).map(i =>
+        StructField(s"c$i-${randString()}", types(r.nextInt(types.length)),
+          nullable = r.nextBoolean())))
+      val files = (0 until r.nextInt(5)).map(i =>
+        graft.catalog.DataFileEntry(s"data/$i/${randString()}.parquet",
+          if (r.nextBoolean()) Some(randString()) else None,
+          r.nextLong().abs))
+      val s = Snapshot(
+        version = 1 + r.nextInt(1000).toLong,
+        parent = if (r.nextBoolean()) Some(r.nextInt(1000).toLong) else None,
+        operation = randString(),
+        timestampMs = r.nextLong().abs,
+        schema = schema,
+        spec = if (r.nextBoolean())
+          Some(PartitionSpec(randString(),
+            if (r.nextBoolean()) "month" else "identity")) else None,
+        properties = (0 until r.nextInt(4))
+          .map(_ => randString() -> randString()).toMap,
+        files = files)
+      assert(SnapshotLog.fromJson(SnapshotLog.toJson(s)) == s,
+        s"round-trip failed for $s")
+    }
+  }
+
   test("manifest JSON round-trips snapshots exactly") {
     val s = Snapshot(7L, Some(6L), "append", 123456789L,
       eventsSchema, Some(PartitionSpec("ts", "month")),

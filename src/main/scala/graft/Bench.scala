@@ -41,6 +41,13 @@ object Bench {
     val selected = sys.env.get("SPARK_GRAFT_ONLY") match {
       case Some(names) =>
         val keep = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = keep -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty) {
+          // a typo must not masquerade as a 0-second successful run
+          System.err.println(
+            s"[bench] unknown query name(s): ${unknown.mkString(", ")}")
+          sys.exit(2)
+        }
         SparkEntry.queries.filter { case (n, _) => keep(n) }
       case None => SparkEntry.queries
     }

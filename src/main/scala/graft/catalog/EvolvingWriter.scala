@@ -307,11 +307,14 @@ object EvolvingWriter {
     * spreads each partition over ~chunks tasks of ~target rows each.
     *
     * `partitions`: compact ONLY these partition values — the 100 TB
-    * entry point (run partition-by-partition or month-batch-by-batch;
+    * entry point (run partition-by-partition or month-batch-by-month;
     * reads, counts, and the rewrite all stay bounded by the selected
-    * partitions, and dynamic overwrite leaves the rest untouched).
-    * With `None` the whole table is read and rewritten — fine at
-    * warehouse-maintenance scale on small/medium tables only.
+    * partitions, and dynamic overwrite leaves the rest untouched). An
+    * inner `None` selects the NULL partition (isin() never matches
+    * null, so a plain value list could never reach it and its small
+    * files would accumulate forever). With outer `None` the whole
+    * table is read and rewritten — fine at warehouse-maintenance scale
+    * on small/medium tables only.
     *
     * Atomicity caveat (both scopes): the rewrite is parquet overwrite,
     * so a crash mid-write can lose the partitions being rewritten —
@@ -322,13 +325,18 @@ object EvolvingWriter {
     */
   def compact(spark: SparkSession, table: String,
       targetRowsPerFile: Long = 1000000L,
-      partitions: Option[Seq[String]] = None): (Long, Long) = {
+      partitions: Option[Seq[Option[String]]] = None): (Long, Long) = {
     val whole = spark.table(table)
     require(partitions.isEmpty || whole.columns.contains(PartitionColumn),
       s"partition-scoped compact needs a $PartitionColumn column")
     def scoped(): DataFrame = partitions match {
       case Some(ps) =>
-        spark.table(table).filter(col(PartitionColumn).isin(ps: _*))
+        val vals = ps.flatten
+        val cond0 =
+          if (vals.isEmpty) lit(false) else col(PartitionColumn).isin(vals: _*)
+        val cond =
+          if (ps.contains(None)) cond0 || col(PartitionColumn).isNull else cond0
+        spark.table(table).filter(cond)
       case None => spark.table(table)
     }
     val df = scoped()

@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Paths}
 
 import scala.util.control.NonFatal
 
@@ -131,33 +131,54 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
   }
 
   /** Atomically commit `s` as version `s.version`. Returns false when a
-    * concurrent writer committed that version first (caller rebases).
+    * concurrent writer committed that version first (caller rebases);
+    * write errors PROPAGATE (they are failures, not lost races).
+    *
+    * The manifest content is fully written to a temp file FIRST and
+    * only then published under the version name, so a crash or write
+    * error can never leave a partial `snap-*.json` as the highest
+    * committed version (the log is never observed half-written):
+    *   - local fs: `Files.createLink` — link(2) is kernel-atomic and
+    *     fails with FileAlreadyExistsException when the loser of a race
+    *     tries to publish (a plain rename would silently REPLACE the
+    *     winner's manifest on POSIX);
+    *   - HDFS: `fs.rename` — atomic in the NameNode, returns false when
+    *     the target exists.
+    * Routing is by the FILESYSTEM's scheme, not the path's: a
+    * scheme-less root on a cluster with `fs.defaultFS=hdfs://…` must
+    * commit through HDFS, not the driver's local disk. A crashed
+    * writer can leave only an orphaned temp file (`.tmp-*`, never
+    * matching the snapshot-name pattern), cleaned opportunistically on
+    * later commits.
     */
   def tryCommit(s: Snapshot): Boolean = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     val target = snapPath(s.version)
     val json = SnapshotLog.toJson(s).getBytes("UTF-8")
-    val uri = target.toUri
-    if (uri.getScheme == null || uri.getScheme == "file") {
-      // kernel-atomic O_CREAT|O_EXCL (probed: FileAlreadyExistsException
-      // on the loser); Hadoop's LocalFileSystem create(overwrite=false)
-      // is check-then-create and racy under real threads
+    if (fs.getScheme == "file") {
+      val dirPath = Paths.get(fs.makeQualified(logDir).toUri.getPath)
+      val tmp = Files.createTempFile(dirPath, s".tmp-${s.version}-", ".json")
       try {
-        val os = Files.newOutputStream(Paths.get(uri.getPath),
-          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-        try os.write(json) finally os.close()
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
+        Files.write(tmp, json)
+        try {
+          Files.createLink(
+            Paths.get(fs.makeQualified(target).toUri.getPath), tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } finally { Files.deleteIfExists(tmp); () }
     } else {
+      val tmp = new Path(logDir,
+        s".tmp-${s.version}-${java.util.UUID.randomUUID().toString.take(8)}.json")
+      val os = fs.create(tmp, false)
+      try os.write(json) finally os.close()
       try {
-        val os = fs.create(target, false)
-        try os.write(json) finally os.close()
-        true
+        val published = fs.rename(tmp, target)
+        if (!published) fs.delete(tmp, false)
+        published
       } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case NonFatal(e) if fs.exists(target) => false
+        case NonFatal(e) => fs.delete(tmp, false); throw e
       }
     }
   }

@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.time.{Instant, YearMonth, ZoneOffset}
+import java.time.{Instant, YearMonth}
 
 import org.apache.hadoop.fs.Path
 
@@ -117,11 +117,16 @@ final class SnapshotTable private (
     val spec = s.spec.getOrElse(sys.error("readTimestampRange needs a partition spec"))
     require(spec.transform == "month", "readTimestampRange needs the month transform")
     require(!until.isBefore(from), s"inverted range: $from .. $until")
-    val lo = YearMonth.from(from.atZone(ZoneOffset.UTC))
+    // month strings were produced by date_format under the SESSION time
+    // zone at write — pruning must use the same zone, or boundary rows
+    // written from a non-UTC session silently vanish from range reads
+    val zone = java.time.ZoneId.of(spark.conf.get(
+      "spark.sql.session.timeZone", java.time.ZoneId.systemDefault().getId))
+    val lo = YearMonth.from(from.atZone(zone))
     // until is exclusive: subtract 1µs so an on-boundary end month is
     // not opened needlessly
     val hiInstant = if (until == from) until else until.minusNanos(1000)
-    val hi = YearMonth.from(hiInstant.atZone(ZoneOffset.UTC))
+    val hi = YearMonth.from(hiInstant.atZone(zone))
     val months = Iterator.iterate(lo)(_.plusMonths(1)).takeWhile(!_.isAfter(hi))
       .map(_.toString).toSet
     val pruned = s.files.filter(f => f.partition.exists(months.contains))
@@ -265,15 +270,25 @@ final class SnapshotTable private (
     if (committed(base)) return None
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
     val staged = stage(SchemaOps.alignTo(df, evolved), base.spec)
-    try {
-      Some(commitRetry { latest =>
-        if (committed(latest))
-          throw new SnapshotConflictException(s"batch $batchId already committed")
-        val n = next(latest, s"stream-append[$batchId]",
-          SnapshotTable.evolve(latest.schema, evolved), latest.files ++ staged)
-        n.copy(properties = latest.properties + (key -> batchId.toString))
-      })
-    } catch { case _: SnapshotConflictException => None }
+    // own commit loop rather than commitRetry + catch: "already
+    // committed" (clean no-op, checkpoint may advance) must NOT be
+    // conflated with contention exhaustion (batch NOT committed —
+    // returning None there would let the streaming checkpoint advance
+    // past lost data, silently downgrading exactly-once to at-most-once)
+    var attempts = 0
+    while (attempts < SnapshotTable.MaxCommitAttempts) {
+      val latest = currentSnapshot()
+      if (committed(latest)) return None
+      val candidate = next(latest, s"stream-append[$batchId]",
+        SnapshotTable.evolve(latest.schema, evolved), latest.files ++ staged)
+        .copy(properties = latest.properties + (key -> batchId.toString))
+      if (log.tryCommit(candidate)) return Some(candidate)
+      attempts += 1
+    }
+    throw new SnapshotConflictException(
+      s"stream batch $batchId NOT committed: lost " +
+        s"${SnapshotTable.MaxCommitAttempts} commit races at $root — " +
+        "the streaming query must fail and replay this batch")
   }
 
   /** Partition-scoped compaction — the VERDICT r2 `weak` fixed: each
@@ -483,7 +498,14 @@ final class SnapshotTable private (
         aligned.write.parquet(dir.toString)
     }
     val marker = s"/$batch/"
-    spark.read.parquet(dir.toString)
+    // explicit read-back schema: an EMPTY batch writes no parquet files
+    // under partitionBy, and schema inference would throw instead of
+    // yielding the legal zero-file manifest entry list
+    val readBackSchema = spec match {
+      case Some(_) => aligned.schema.add(PartCol, StringType)
+      case None => aligned.schema
+    }
+    spark.read.schema(readBackSchema).parquet(dir.toString)
       .groupBy(input_file_name().as("__f")).count()
       .collect().toSeq.map { r =>
         // input_file_name() is a URI: percent-encoded ON TOP of Hive's

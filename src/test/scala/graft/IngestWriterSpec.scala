@@ -308,7 +308,7 @@ class IngestWriterSpec extends AnyFunSuite {
     val outsideBefore = filesOutside()
     val rowsBefore = spark.table(table).count()
     val (before, after) =
-      EvolvingWriter.compact(spark, table, partitions = Some(Seq(month)))
+      EvolvingWriter.compact(spark, table, partitions = Some(Seq(Some(month))))
     assert(before >= 4 && after < before)
     assert(spark.table(table).count() == rowsBefore)
     // untouched partitions keep their physical files — the rewrite was

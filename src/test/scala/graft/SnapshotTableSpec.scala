@@ -308,6 +308,33 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.currentSnapshot().properties.contains(SnapshotTable.StreamBatchProp))
   }
 
+  test("appending an empty batch commits a clean no-op snapshot") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    t.append(rows((1, "2024-01-05", 1.0)))
+    val filesBefore = t.currentSnapshot().files
+    t.append(rows().filter(col("id") < 0)) // legal empty input
+    assert(t.currentVersion() == 3L)
+    assert(t.currentSnapshot().files == filesBefore)
+    assert(t.read().count() == 1L)
+  }
+
+  test("readTimestampRange prunes in the session time zone, not UTC") {
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "America/Los_Angeles")
+    try {
+      val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+      // 2024-03-01T00:30Z is Feb 29 16:30 in LA -> partition 2024-02
+      t.append(Seq((1L, java.sql.Timestamp.from(
+        Instant.parse("2024-03-01T00:30:00Z")), 1.0)).toDF("id", "ts", "v"))
+      assert(t.currentSnapshot().partitions.flatten.toSet == Set("2024-02"))
+      val out = t.readTimestampRange(Instant.parse("2024-03-01T00:00:00Z"),
+        Instant.parse("2024-04-01T00:00:00Z"))
+      assert(out.select("id").as[Long].collect().toSeq == Seq(1L),
+        "UTC-based pruning would drop the row living in the 2024-02 partition")
+    } finally spark.conf.set(tzKey, prev)
+  }
+
   test("compact(zOrderBy) clusters without leaking the Morton key, rows intact") {
     val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
     (0 until 3).foreach { i =>

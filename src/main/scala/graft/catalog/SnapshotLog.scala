@@ -148,8 +148,8 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
     * scheme-less root on a cluster with `fs.defaultFS=hdfs://…` must
     * commit through HDFS, not the driver's local disk. A crashed
     * writer can leave only an orphaned temp file (`.tmp-*`, never
-    * matching the snapshot-name pattern), cleaned opportunistically on
-    * later commits.
+    * matching the snapshot-name pattern), cleaned age-guarded by
+    * `SnapshotTable.removeOrphanFiles`.
     */
   def tryCommit(s: Snapshot): Boolean = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)

@@ -141,7 +141,10 @@ final class SnapshotTable private (
     * process only new data per run. Append-only consumption: files
     * REMOVED in the range (overwrite/upsert/compact rewrites) are
     * ignored; callers that must see replacements diff two full reads.
-    * Cost scales with the new files, not the table.
+    * Cost scales with the new files, not the table. Note that a
+    * COMPACTION inside the range re-stages existing rows as new files,
+    * so incremental consumers see them again — schedule compaction
+    * outside consumers' version windows, or dedup downstream by key.
     */
   def readIncremental(fromVersion: Long, toVersion: Long): DataFrame = {
     require(toVersion >= fromVersion,
@@ -404,21 +407,33 @@ final class SnapshotTable private (
     * @return number of files deleted
     */
   def removeOrphanFiles(olderThanMs: Long = 24L * 3600 * 1000): Int = {
-    val dataDir = new Path(root, SnapshotLog.DataDirName)
-    if (!fs.exists(dataDir)) return 0
     val referenced = log.versions()
       .flatMap(v => log.read(v).files.map(_.path)).toSet
     // wall clock, NOT the injected snapshot clock: the comparison is
     // against filesystem modification times
     val cutoff = System.currentTimeMillis() - olderThanMs
     val rootUri = fs.makeQualified(root).toUri.getPath
-    val it = fs.listFiles(dataDir, true)
     var deleted = 0
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-      val isData = st.getPath.getName.endsWith(".parquet")
-      if (isData && !referenced.contains(rel) && st.getModificationTime <= cutoff) {
+    val dataDir = new Path(root, SnapshotLog.DataDirName)
+    if (fs.exists(dataDir)) {
+      val it = fs.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        val isData = st.getPath.getName.endsWith(".parquet")
+        if (isData && !referenced.contains(rel) && st.getModificationTime <= cutoff) {
+          fs.delete(st.getPath, false)
+          deleted += 1
+        }
+      }
+    }
+    // crashed commits can also leave aged .tmp-* manifests in the log
+    // directory (content staged but never published) — same age guard
+    val logDir = new Path(root, SnapshotLog.LogDirName)
+    if (fs.exists(logDir)) {
+      for (st <- fs.listStatus(logDir)
+           if st.getPath.getName.startsWith(".tmp-")
+           if st.getModificationTime <= cutoff) {
         fs.delete(st.getPath, false)
         deleted += 1
       }

@@ -77,10 +77,14 @@ class SnapshotTableSpec extends AnyFunSuite {
       .write.partitionBy(SnapshotTable.PartCol)
       .parquet(s"$root/${SnapshotLog.DataDirName}/deadbeefcrashed")
     assert(t.read().select("id").as[Long].collect().toSeq == Seq(1L))
-    // orphan cleanup removes exactly the unreferenced files
+    // a crashed COMMIT leaves a staged .tmp manifest in the log dir
+    Files.write(java.nio.file.Paths.get(root, SnapshotLog.LogDirName,
+      ".tmp-9-dead.json"), "{}".getBytes("UTF-8"))
+    // orphan cleanup removes exactly the unreferenced files + aged tmp
     val removed = t.removeOrphanFiles(olderThanMs = -3600 * 1000)
-    assert(removed >= 1)
+    assert(removed >= 2)
     assert(t.read().select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(t.currentVersion() == 2L, "tmp manifest never counted as a version")
   }
 
   test("time travel by version and timestamp; rollback preserves history") {

@@ -119,6 +119,48 @@ object Ivf {
     topKWithModel(corpus, queries, model, k, nprobe, idCol, vecCol)
   }
 
+  /** Materialize the inverted file as a [[graft.catalog.SnapshotTable]]
+    * hidden-partitioned by cluster id — the persisted 100 TB index
+    * shape made concrete: each corpus vector is assigned once at build,
+    * and the cluster id becomes a MANIFEST partition value, so a query
+    * that probes `nprobe` of `k` clusters opens only those clusters'
+    * files ([[topKWithIndex]]) — file-level pruning decided from
+    * metadata, zero data files touched for unprobed clusters. Rebuilds
+    * commit atomically (readers never see a half-built index) and old
+    * index versions remain time-travel-readable until expired.
+    */
+  def buildIndex(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+      model: Model, root: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): graft.catalog.SnapshotTable = {
+    val assigned = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      assignExpr(col(vecCol), model).as("cluster"))
+    val t = graft.catalog.SnapshotTable.create(spark, root, assigned.schema,
+      Some(graft.catalog.PartitionSpec("cluster", "identity")))
+    t.append(assigned)
+    t
+  }
+
+  /** Query a persisted [[buildIndex]] table: probe clusters are chosen
+    * per query vector from the broadcast model, the probed CLUSTER SET
+    * (≤ the model's k — model-sized driver data) prunes the index at
+    * the manifest, and candidates join by cluster id as in
+    * [[topKWithModel]]. Output contract identical to
+    * [[Similarity.bruteForceTopK]].
+    */
+  def topKWithIndex(index: graft.catalog.SnapshotTable, queries: DataFrame,
+      model: Model, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      explode(probeExpr(col(vecCol), model, nprobe)).as("cluster"))
+    val probed = probes.select(col("cluster").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val indexed = index.readPartitions(p => p.exists(probed.contains))
+    val scored = indexed.join(broadcast(probes), Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    Similarity.rankTopK(scored, k)
+  }
+
   /** Query an already-trained model (the shape a persisted 100 TB index
     * uses: assignment column precomputed, clusters as partition keys).
     */

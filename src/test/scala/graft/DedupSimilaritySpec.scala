@@ -252,6 +252,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     for (q <- queries) assert(got.get(q).contains(q - 100000), s"query $q")
   }
 
+  test("persisted IVF index: result-identical to in-memory path, manifest-pruned reads") {
+    import graft.operators.Ivf
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.unionByName(e.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+      .withColumn("embedding",
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, d) => (x + when(d % 2 === 0, lit(0.01f)).otherwise(lit(-0.01f)))
+            .cast("float"))))
+    val queries = corpus.filter(col("vec_id") >= 100000)
+    val model = Ivf.train(corpus, k = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivf-idx")
+      .resolve("t").toString
+    val index = Ivf.buildIndex(spark, corpus, model, root)
+    // cluster ids are manifest partition values, not extra data columns
+    // beyond the stored assignment
+    assert(index.currentSnapshot().partitions.flatten.nonEmpty)
+    val viaIndex = Ivf.topKWithIndex(index, queries, model, k = 1, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaModel = Ivf.topKWithModel(corpus, queries, model, k = 1, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == viaModel, "persisted index must not change results")
+    // pruning proof: reading one probed cluster opens strictly fewer
+    // files than the full index holds (file list cut at the manifest)
+    val someCluster = index.currentSnapshot().partitions.flatten.head
+    val opened = index.readPartitions(_.contains(someCluster))
+      .select(input_file_name()).distinct().count()
+    val total = index.currentSnapshot().files.size.toLong
+    assert(opened < total,
+      s"expected manifest pruning: opened $opened of $total files")
+  }
+
   test("lsh topk returns subset consistent with brute force at high band count") {
     val bf = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 4)
       .collect().map(_.getAs[Long]("n_id")).toSet

@@ -393,6 +393,17 @@ class SnapshotTableSpec extends AnyFunSuite {
       Seq(1L, 2L, 3L, 4L))
   }
 
+  test("snapshot reads keep parquet filter pushdown and column pruning") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    t.append(rows((1, "2024-01-05", 1.0), (2, "2024-02-06", 2.0)))
+    val df = t.read().filter(col("id") === 1L).select("id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,1"),
+      s"filter must reach the parquet scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint>"),
+      s"projection must prune to the selected column:\n$plan")
+  }
+
   test("manifest JSON round-trip is total over random snapshots (seeded property)") {
     val r = new scala.util.Random(42)
     val types: Vector[DataType] = Vector(StringType, IntegerType, LongType,

@@ -186,6 +186,21 @@ final class SnapshotTable private (
     }
   }
 
+  /** Atomic FULL-TABLE replace: one commit swaps the entire content for
+    * `df` (schema evolution applies). Blind last-writer-wins at table
+    * granularity, so a lost commit race rebases and retries — the
+    * rebuild primitive for derived tables like the IVF index.
+    */
+  def overwrite(df: DataFrame): Snapshot = {
+    val base = currentSnapshot()
+    val evolved = SnapshotTable.evolve(base.schema, df.schema)
+    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec)
+    commitRetry { latest =>
+      next(latest, "overwrite_table",
+        SnapshotTable.evolve(latest.schema, evolved), staged)
+    }
+  }
+
   /** Atomic dynamic-partition overwrite: exactly the partitions present
     * in `df` are replaced (including the NULL partition — no Hive DDL
     * edge cases on this path). Last committer wins per partition on a

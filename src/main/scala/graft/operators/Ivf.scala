@@ -125,18 +125,26 @@ object Ivf {
     * and the cluster id becomes a MANIFEST partition value, so a query
     * that probes `nprobe` of `k` clusters opens only those clusters'
     * files ([[topKWithIndex]]) — file-level pruning decided from
-    * metadata, zero data files touched for unprobed clusters. Rebuilds
-    * commit atomically (readers never see a half-built index) and old
-    * index versions remain time-travel-readable until expired.
+    * metadata, zero data files touched for unprobed clusters.
+    *
+    * REBUILDS (root already holds an index) are ONE atomic
+    * `overwrite` commit: readers see the old index or the new one,
+    * never a mixture, and old versions stay time-travel-readable until
+    * expired. A FIRST-time build is create + overwrite (two commits,
+    * the middle state being a valid empty index) — publish a brand-new
+    * root to readers only after buildIndex returns.
     */
   def buildIndex(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
       model: Model, root: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): graft.catalog.SnapshotTable = {
     val assigned = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       assignExpr(col(vecCol), model).as("cluster"))
-    val t = graft.catalog.SnapshotTable.create(spark, root, assigned.schema,
-      Some(graft.catalog.PartitionSpec("cluster", "identity")))
-    t.append(assigned)
+    val t =
+      if (graft.catalog.SnapshotTable.exists(spark, root))
+        graft.catalog.SnapshotTable.load(spark, root)
+      else graft.catalog.SnapshotTable.create(spark, root, assigned.schema,
+        Some(graft.catalog.PartitionSpec("cluster", "identity")))
+    t.overwrite(assigned)
     t
   }
 
@@ -150,15 +158,17 @@ object Ivf {
   def topKWithIndex(index: graft.catalog.SnapshotTable, queries: DataFrame,
       model: Model, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // materialized once: the pruning collect and the join side must see
+    // the SAME probe rows (a nondeterministic query source could
+    // otherwise probe a cluster at join time that pruning dropped), and
+    // probeExpr's k cosines per query row should not run twice
     val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      explode(probeExpr(col(vecCol), model, nprobe)).as("cluster"))
+        explode(probeExpr(col(vecCol), model, nprobe)).as("cluster"))
+      .localCheckpoint(true)
     val probed = probes.select(col("cluster").cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
-    val indexed = index.readPartitions(p => p.exists(probed.contains))
-    val scored = indexed.join(broadcast(probes), Seq("cluster"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
-    Similarity.rankTopK(scored, k)
+    scoreAndRank(index.readPartitions(p => p.exists(probed.contains)),
+      probes, k)
   }
 
   /** Query an already-trained model (the shape a persisted 100 TB index
@@ -171,8 +181,16 @@ object Ivf {
       assignExpr(col(vecCol), model).as("cluster"))
     val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         explode(probeExpr(col(vecCol), model, nprobe)).as("cluster"))
-    // one row per (query, probed cluster); a corpus vector lives in ONE
-    // cluster and probes are distinct, so no duplicate (q, n) pairs
+    scoreAndRank(indexed, probes, k)
+  }
+
+  /** Shared candidate scoring for the model and persisted-index query
+    * paths: one row per (query, probed cluster); a corpus vector lives
+    * in ONE cluster and probes are distinct, so no duplicate (q, n)
+    * pairs; exact cosine + partial top-k aggregation rank them.
+    */
+  private def scoreAndRank(indexed: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
     val scored = indexed.join(broadcast(probes), Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))

@@ -74,30 +74,38 @@ class ConfigRunQuerySpec extends AnyFunSuite {
     FakeData.generate(dir, start = 1, end = 3, records = 5, seed = 7L,
       maxOptional = 4)
     val clock = Instant.parse("2026-01-01T00:00:00Z")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // track RDD IDS, not map sizes: the shared session's ContextCleaner
+    // may concurrently release stale localCheckpoint RDDs from OTHER
+    // suites, so size comparisons race — only the pins this ingest
+    // creates are under test
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    var during = Set.empty[Int]
     val n = CsvIngest.withIngested(spark, dir, clock) { df =>
       val c = df.count() // materializes the DISK_ONLY pins
-      assert(spark.sparkContext.getPersistentRDDs.size > before,
+      during = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      assert((during -- before).nonEmpty,
         "per-file frames should be pinned inside the body")
       c
     }
     assert(n >= 3)
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "every pinned frame must be released after the body")
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after.intersect(during -- before).isEmpty,
+      "every frame pinned by ingest must be released after the body")
   }
 
   test("withIngested unpersists even when the body throws") {
     val dir = Files.createTempDirectory("graft-f2b").toString
     FakeData.generate(dir, start = 1, end = 2, records = 5, seed = 8L,
       maxOptional = 4)
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     intercept[RuntimeException] {
       CsvIngest.withIngested(spark, dir,
         Instant.parse("2026-01-01T00:00:00Z")) { _ =>
         throw new RuntimeException("boom")
       }
     }
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    // id-based (see above): no pin created by this ingest may survive
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
   }
 
   test("ingest(persist=true) still returns a usable frame (legacy path)") {

@@ -232,16 +232,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
   }
 
-  test("IVF recall@1 on planted near-dup vectors at sf0.001") {
-    import graft.operators.Ivf
+  /** sf0.001 embeddings ∪ planted ±0.01-perturbed mutants of every 10th
+    * vector (mirrors `Queries.nearDupVectors` and the DuckDB oracle's
+    * reconstruction — keep the three in sync).
+    */
+  private def plantedMutantCorpus(): org.apache.spark.sql.DataFrame = {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    val corpus = e.unionByName(e.filter(col("vec_id") % 10 === 0)
+    e.unionByName(e.filter(col("vec_id") % 10 === 0)
       .withColumn("vec_id", col("vec_id") + 100000)
       .withColumn("embedding",
         zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
           (x, d) => (x + when(d % 2 === 0, lit(0.01f)).otherwise(lit(-0.01f)))
             .cast("float"))))
+  }
+
+  test("IVF recall@1 on planted near-dup vectors at sf0.001") {
+    import graft.operators.Ivf
+    val corpus = plantedMutantCorpus()
     val got = Ivf.topK(corpus, corpus.filter(col("vec_id") >= 100000), k = 1,
         kClusters = 16, iters = 2, nprobe = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -254,14 +262,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("persisted IVF index: result-identical to in-memory path, manifest-pruned reads") {
     import graft.operators.Ivf
-    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-    val corpus = e.unionByName(e.filter(col("vec_id") % 10 === 0)
-      .withColumn("vec_id", col("vec_id") + 100000)
-      .withColumn("embedding",
-        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
-          (x, d) => (x + when(d % 2 === 0, lit(0.01f)).otherwise(lit(-0.01f)))
-            .cast("float"))))
+    val corpus = plantedMutantCorpus()
     val queries = corpus.filter(col("vec_id") >= 100000)
     val model = Ivf.train(corpus, k = 8, iters = 2)
     val root = java.nio.file.Files.createTempDirectory("ivf-idx")
@@ -283,6 +284,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val total = index.currentSnapshot().files.size.toLong
     assert(opened < total,
       s"expected manifest pruning: opened $opened of $total files")
+    // REBUILD on the same root: one atomic overwrite commit, same results
+    val vBefore = index.currentVersion()
+    val rebuilt = Ivf.buildIndex(spark, corpus, model, root)
+    assert(rebuilt.currentVersion() == vBefore + 1)
+    assert(rebuilt.currentSnapshot().operation == "overwrite_table")
+    val viaRebuilt = Ivf.topKWithIndex(rebuilt, queries, model, k = 1, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaRebuilt == viaModel)
   }
 
   test("lsh topk returns subset consistent with brute force at high band count") {

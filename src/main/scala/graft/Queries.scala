@@ -1193,6 +1193,18 @@ object Queries {
              |FROM events WHERE event_id % 2 = 0
              |GROUP BY 1""".stripMargin)),
 
+    // CDC-style incremental consumption: files added between v2 (evens)
+    // and v3 (odds) are exactly the odd-id append batch, read with its
+    // pre-upsert values — per-run cost scales with the new files only
+    QueryDef("snap_incremental",
+      (s, dir) => snapshotEventsTable(s, dir).readIncremental(2, 3)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events WHERE event_id % 2 = 1
+             |GROUP BY 1""".stripMargin)),
+
     QueryDef("snap_prune_partitions",
       (s, dir) => snapshotEventsTable(s, dir)
         .readPartitions(p => p.exists(Set("click", "purchase")))

@@ -84,7 +84,18 @@ final class SnapshotTable private (
   def read(): DataFrame = readSnapshot(currentSnapshot())
 
   /** Time travel by version. */
-  def readAt(version: Long): DataFrame = readSnapshot(log.read(version))
+  def readAt(version: Long): DataFrame = readSnapshot(snapshotAt(version))
+
+  /** Read a version's manifest with a clear error when it was expired
+    * (or never existed) instead of a raw filesystem exception.
+    */
+  private def snapshotAt(version: Long): Snapshot = {
+    val vs = log.versions()
+    require(vs.contains(version),
+      s"snapshot $version not available at $root (expired or never " +
+        s"committed); live versions: ${vs.mkString(", ")}")
+    log.read(version)
+  }
 
   /** Time travel by commit time: the latest snapshot whose commit
     * timestamp is ≤ `tsMs`.
@@ -386,7 +397,7 @@ final class SnapshotTable private (
     * Iceberg `rollback_to_snapshot` semantics.
     */
   def rollback(toVersion: Long): Snapshot = {
-    val target = log.read(toVersion)
+    val target = snapshotAt(toVersion)
     commitRetry { latest =>
       next(latest, s"rollback[$toVersion]", target.schema, target.files)
     }

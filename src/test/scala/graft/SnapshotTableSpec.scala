@@ -234,6 +234,9 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.history().map(_.version) == Seq(3L, 4L))
     // live data unaffected
     assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // time travel to an expired version: clear error naming the live range
+    val e = intercept[IllegalArgumentException] { t.readAt(1) }
+    assert(e.getMessage.contains("expired") && e.getMessage.contains("3, 4"))
   }
 
   test("maintain() executes the reference's TBLPROPERTIES thresholds") {

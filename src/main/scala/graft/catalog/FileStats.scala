@@ -1,0 +1,272 @@
+package graft.catalog
+
+import java.time.Instant
+
+import scala.util.Try
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.FilterBridge
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Per-file column statistics: collection (one aggregate pass over the
+  * freshly staged files, piggy-backed on the row-count pass
+  * [[SnapshotTable]] already runs) and predicate evaluation for
+  * manifest-level FILE SKIPPING — the Iceberg data-file stats
+  * capability (`lower_bounds`/`upper_bounds`/`null_value_counts`,
+  * which the reference's Iceberg tables get from the format and Athena
+  * uses to skip files). Combined with [[SnapshotTable.compact]]'s
+  * `sortBy`/`zOrderBy` rewrite, a range predicate on a sort column
+  * opens only the files whose bounds overlap — the lever that turns a
+  * 100 TB scan into a few-file read without touching any data file to
+  * decide.
+  *
+  * Correctness never depends on pruning: [[StatsPruner.mayMatch]] is
+  * conservative (missing stats, unparseable bounds, NaN renderings and
+  * untranslatable predicates all keep the file), and the caller always
+  * re-applies the FULL predicate to the surviving rows.
+  */
+object FileStats {
+
+  /** Max stored length for string bounds. A longer `min` is truncated
+    * to this PREFIX (still a valid lower bound); a longer `max` is
+    * dropped (a truncated upper bound would be invalid).
+    */
+  val MaxStringBound = 64
+
+  /** Columns that get manifest bounds. Nested/array/map/binary columns
+    * do not (same as Iceberg's default metrics for opaque types).
+    */
+  def eligible(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BooleanType | DateType |
+         TimestampType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** The aggregate columns for one stats pass: for eligible field i,
+    * aliases `__min_i`, `__max_i`, `__nulls_i` (positional aliases —
+    * immune to hostile field names). Timestamps render as epoch micros
+    * so bounds are time-zone-free; everything else renders via cast to
+    * string and is re-typed at prune time from the schema.
+    */
+  def aggColumns(schema: StructType): Seq[Column] =
+    eligibleFields(schema).zipWithIndex.flatMap { case (f, i) =>
+      val c = col(quoted(f.name))
+      val (mn, mx) = f.dataType match {
+        case TimestampType =>
+          (unix_micros(min(c)).cast("string"),
+            unix_micros(max(c)).cast("string"))
+        case StringType =>
+          // bound the manifest: never ship multi-KB document bodies
+          // into the file list
+          (substring(min(c), 1, MaxStringBound),
+            when(length(max(c)) <= MaxStringBound, max(c)))
+        case _ =>
+          (min(c).cast("string"), max(c).cast("string"))
+      }
+      Seq(mn.as(s"__min_$i"), mx.as(s"__max_$i"),
+        sum(c.isNull.cast("long")).as(s"__nulls_$i"))
+    }
+
+  def eligibleFields(schema: StructType): Seq[StructField] =
+    schema.fields.toIndexedSeq.filter(f => eligible(f.dataType))
+
+  /** Decode one aggregate row (positionally aligned with
+    * [[aggColumns]], starting at `offset`) into the manifest map.
+    */
+  def fromRow(schema: StructType, row: org.apache.spark.sql.Row,
+      offset: Int): Map[String, ColStats] =
+    eligibleFields(schema).zipWithIndex.map { case (f, i) =>
+      val b = offset + i * 3
+      def s(j: Int): Option[String] =
+        if (row.isNullAt(j)) None else Some(row.getString(j))
+      f.name -> ColStats(s(b), s(b + 1),
+        if (row.isNullAt(b + 2)) 0L else row.getLong(b + 2))
+    }.toMap
+
+  private def quoted(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+}
+
+/** Driver-side evaluation of `sources.Filter` predicates against
+  * manifest [[ColStats]] — decides from metadata alone whether a file
+  * MAY contain matching rows. All judgments are conservative: `true`
+  * means "cannot rule the file out".
+  */
+object StatsPruner {
+
+  /** Resolve `pred` against `schema` and translate it into source
+    * filters (conjuncts that failed translation are simply not used for
+    * pruning). Foldable subexpressions are constant-folded first so
+    * casts the analyzer wrapped around literals (`col("x") > 5` on a
+    * bigint column) still translate.
+    */
+  def translate(spark: SparkSession, schema: StructType,
+      pred: Column): Seq[Filter] = {
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val analyzed = empty.filter(pred).queryExecution.analyzed
+    val conditions = analyzed.collect { case f: LFilter => f.condition }
+    conditions.flatMap { cond =>
+      val folded = cond.transformUp {
+        case e: Expression if e.foldable && !e.isInstanceOf[Literal] &&
+            Try(e.eval(InternalRow.empty)).isSuccess =>
+          Literal.create(e.eval(InternalRow.empty), e.dataType)
+      }
+      splitConjuncts(folded).flatMap(FilterBridge.translate)
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case CAnd(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Can `file` contain a row matching every filter in `filters`? */
+  def mayMatchAll(file: DataFileEntry, schema: StructType,
+      filters: Seq[Filter]): Boolean =
+    filters.forall(f => mayMatch(file, schema, f))
+
+  def mayMatch(file: DataFileEntry, schema: StructType,
+      filter: Filter): Boolean = filter match {
+    case And(l, r) => mayMatch(file, schema, l) && mayMatch(file, schema, r)
+    case Or(l, r) => mayMatch(file, schema, l) || mayMatch(file, schema, r)
+    case EqualTo(a, v) => mayCompare(file, schema, a, v,
+      lo => lo <= 0, hi => hi >= 0)
+    case EqualNullSafe(a, null) => mayBeNull(file, a)
+    case EqualNullSafe(a, v) => mayCompare(file, schema, a, v,
+      lo => lo <= 0, hi => hi >= 0)
+    case GreaterThan(a, v) => mayCompare(file, schema, a, v,
+      _ => true, hi => hi > 0)
+    case GreaterThanOrEqual(a, v) => mayCompare(file, schema, a, v,
+      _ => true, hi => hi >= 0)
+    case LessThan(a, v) => mayCompare(file, schema, a, v,
+      lo => lo < 0, _ => true)
+    case LessThanOrEqual(a, v) => mayCompare(file, schema, a, v,
+      lo => lo <= 0, _ => true)
+    case In(a, vs) =>
+      vs.exists(v => v != null && mayCompare(file, schema, a, v,
+        lo => lo <= 0, hi => hi >= 0))
+    case IsNull(a) => mayBeNull(file, a)
+    case IsNotNull(a) =>
+      file.stats.get(a).forall(_.nullCount < file.rows)
+    case StringStartsWith(a, p) =>
+      file.stats.get(a) match {
+        case Some(st) if st.nullCount == file.rows => false
+        case Some(st) =>
+          // ∃ s ∈ [min,max] with prefix p ⟺ p ≤ max and
+          // (p ≥ min or min itself starts with p)
+          st.max.forall(mx => p <= mx || mx.startsWith(p)) &&
+            st.min.forall(mn => p >= mn || mn.startsWith(p))
+        case None => true
+      }
+    case Not(EqualTo(a, v)) =>
+      // prunable only when the file holds exactly one value == v
+      file.stats.get(a) match {
+        case Some(st) if st.nullCount == 0 =>
+          val single = (for {
+            mn <- st.min; mx <- st.max
+            dt <- fieldType(schema, a)
+            c1 <- compare(dt, mn, v); c2 <- compare(dt, mx, v)
+          } yield c1 == 0 && c2 == 0).getOrElse(false)
+          !single
+        case _ => true
+      }
+    case _ => true
+  }
+
+  private def mayBeNull(file: DataFileEntry, a: String): Boolean =
+    file.stats.get(a).forall(_.nullCount > 0)
+
+  /** Comparison-family evaluation: false (prune) only when stats PROVE
+    * no non-null value can satisfy the bound tests. `loOk` receives
+    * compare(min, v), `hiOk` receives compare(max, v); a missing bound
+    * or failed parse passes its test.
+    */
+  private def mayCompare(file: DataFileEntry, schema: StructType,
+      a: String, v: Any, loOk: Int => Boolean,
+      hiOk: Int => Boolean): Boolean =
+    file.stats.get(a) match {
+      case Some(st) if st.nullCount == file.rows =>
+        false // no non-null values: no comparison can match
+      case Some(st) =>
+        fieldType(schema, a) match {
+          case Some(dt) =>
+            val lo = st.min.flatMap(mn => compare(dt, mn, v)).forall(loOk)
+            val hi = st.max.flatMap(mx => compare(dt, mx, v)).forall(hiOk)
+            lo && hi
+          case None => true
+        }
+      case None => true
+    }
+
+  private def fieldType(schema: StructType, name: String): Option[DataType] =
+    schema.fields.find(_.name == name).map(_.dataType)
+
+  /** compare(stored-bound, filter-value) in the column's order; None =
+    * not comparable (unparseable bound such as NaN, or an unexpected
+    * external value type) → conservative keep.
+    */
+  private[graft] def compare(dt: DataType, bound: String,
+      v: Any): Option[Int] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | _: DecimalType =>
+      for {
+        b <- Try(BigDecimal(bound)).toOption
+        fv <- numeric(v)
+      } yield b.compare(fv)
+    case StringType => v match {
+      case s: String =>
+        // a min bound may be a 64-char truncation: as a PREFIX of the
+        // true min it stays a valid lower bound, so plain string
+        // comparison remains conservative-correct
+        Some(bound.compareTo(s))
+      case _ => None
+    }
+    case BooleanType => v match {
+      case b: Boolean =>
+        Try(bound.toBoolean).toOption.map(bb => bb.compareTo(b))
+      case _ => None
+    }
+    case DateType =>
+      // bound is cast-to-string `yyyy-MM-dd`; render the external value
+      // the same way (both java.sql.Date and LocalDate print ISO)
+      (v match {
+        case d: java.sql.Date => Some(d.toString)
+        case d: java.time.LocalDate => Some(d.toString)
+        case _ => None
+      }).map(bound.compareTo)
+    case TimestampType =>
+      // bound is epoch micros (written via unix_micros — TZ-free)
+      for {
+        b <- Try(bound.toLong).toOption
+        m <- v match {
+          case t: java.sql.Timestamp => Some(micros(t.toInstant))
+          case i: Instant => Some(micros(i))
+          case _ => None
+        }
+      } yield java.lang.Long.compare(b, m)
+    case _ => None
+  }
+
+  private def micros(i: Instant): Long =
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+      i.getNano / 1000L)
+
+  private def numeric(v: Any): Option[BigDecimal] = v match {
+    // scala.math.BigDecimal and java.math.BigDecimal both extend
+    // java.lang.Number, and both print a parseable decimal form
+    case n: java.lang.Number => v match {
+      case d: java.lang.Double if d.isNaN || d.isInfinite => None
+      case f: java.lang.Float if f.isNaN || f.isInfinite => None
+      case _ => Try(BigDecimal(n.toString)).toOption
+    }
+    case _ => None
+  }
+}

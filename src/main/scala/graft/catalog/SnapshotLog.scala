@@ -11,16 +11,34 @@ import org.json4s.jackson.JsonMethods
 
 import org.apache.spark.sql.types.{DataType, StructType}
 
+/** Per-file, per-column statistics recorded in the manifest at write
+  * time — the Iceberg data-file stats (`lower_bounds` / `upper_bounds`
+  * / `null_value_counts`) that make FILE skipping work on any column,
+  * not just the partition value. Values are stored as strings in a
+  * type-dependent canonical form (see [[FileStats]]): numerics render
+  * decimally, timestamps as epoch micros (time-zone-free), dates as
+  * `yyyy-MM-dd`, strings as themselves with `min` truncated to a
+  * 64-char PREFIX (a prefix is still a valid lower bound) and `max`
+  * dropped entirely when longer than 64 chars (`None` = unbounded —
+  * never an invalid truncated upper bound). `min`/`max` are `None` when
+  * every value in the file is NULL or the bound was dropped; pruning
+  * treats a missing bound as ±∞.
+  */
+final case class ColStats(min: Option[String], max: Option[String],
+    nullCount: Long)
+
 /** One immutable data file referenced by a snapshot. `path` is relative
   * to the table root (the table directory is relocatable as a unit);
   * `partition` is the hidden-partition value the file belongs to
   * (`None` for unpartitioned tables AND for the null partition — rows
   * whose partition source column is NULL); `rows` is the file's row
   * count, collected at write time for compaction planning and commit
-  * summaries.
+  * summaries; `stats` holds per-column bounds for stats-eligible
+  * columns (empty for manifests written before the stats format — a
+  * missing entry simply disables skipping for that file).
   */
 final case class DataFileEntry(path: String, partition: Option[String],
-    rows: Long)
+    rows: Long, stats: Map[String, ColStats] = Map.empty)
 
 /** Hidden-partition spec, Iceberg-style (the reference's
   * `month(created_at)`, `/root/reference/src/jobs/job.py:125` +
@@ -203,10 +221,19 @@ object SnapshotLog {
     */
   def toJson(s: Snapshot): String = {
     val files = JArray(s.files.toList.map { f =>
-      JObject(List(
-        "path" -> JString(f.path),
-        "partition" -> f.partition.map(JString(_)).getOrElse(JNull),
-        "rows" -> JLong(f.rows)))
+      val base = List(
+        "path" -> (JString(f.path): JValue),
+        "partition" -> (f.partition.map(JString(_)).getOrElse(JNull): JValue),
+        "rows" -> (JLong(f.rows): JValue))
+      val stats =
+        if (f.stats.isEmpty) Nil
+        else List("stats" -> (JObject(f.stats.toList.sortBy(_._1).map {
+          case (c, st) => c -> (JObject(List(
+            "min" -> (st.min.map(JString(_)).getOrElse(JNull): JValue),
+            "max" -> (st.max.map(JString(_)).getOrElse(JNull): JValue),
+            "nulls" -> (JLong(st.nullCount): JValue))): JValue)
+        }): JValue))
+      JObject(base ++ stats)
     })
     val spec = s.spec match {
       case Some(p) => JObject(List("source" -> JString(p.source),
@@ -252,14 +279,21 @@ object SnapshotLog {
       case JObject(kvs) => kvs.map { case (k, v) => k -> str(v) }.toMap
       case _ => Map.empty[String, String]
     }
+    def optStr(v: JValue): Option[String] = v match {
+      case JNull | JNothing => None
+      case other => Some(str(other))
+    }
     val files = field("files") match {
       case JArray(items) => items.map { f =>
-        DataFileEntry(str(f \ "path"),
-          (f \ "partition") match {
-            case JNull | JNothing => None
-            case v => Some(str(v))
-          },
-          lng(f \ "rows"))
+        val stats = (f \ "stats") match {
+          case JObject(kvs) => kvs.map { case (c, st) =>
+            c -> ColStats(optStr(st \ "min"), optStr(st \ "max"),
+              lng(st \ "nulls"))
+          }.toMap
+          case _ => Map.empty[String, ColStats]
+        }
+        DataFileEntry(str(f \ "path"), optStr(f \ "partition"),
+          lng(f \ "rows"), stats)
       }
       case _ => Seq.empty
     }

@@ -52,6 +52,17 @@ import graft.schema.SchemaOps
   * atomically like any other value) — the Hive-DDL fallback dance in
   * `EvolvingWriter.upsertImpl` does not exist on this path.
   */
+/** What [[SnapshotTable.merge]] does with target rows whose key exists
+  * in the source: replace the whole row with the source row
+  * (`UpdateAll` — SQL `WHEN MATCHED THEN UPDATE SET *`) or drop it
+  * (`Delete` — `WHEN MATCHED THEN DELETE`).
+  */
+sealed trait MergeAction
+object MergeAction {
+  case object UpdateAll extends MergeAction
+  case object Delete extends MergeAction
+}
+
 final class SnapshotTable private (
     spark: SparkSession,
     val root: Path,
@@ -163,6 +174,148 @@ final class SnapshotTable private (
     val to = log.read(toVersion)
     val fromPaths = log.read(fromVersion).files.map(_.path).toSet
     readFiles(to.schema, to.files.filterNot(f => fromPaths.contains(f.path)))
+  }
+
+  /** Stats-pruned read: files whose manifest column bounds PROVE no
+    * row can satisfy `pred` are skipped before any file opens — the
+    * Iceberg lower/upper-bound file skipping, working on ANY
+    * stats-eligible column rather than just the partition value. After
+    * a [[compact]] with `sortBy`/`zOrderBy` on the filtered columns,
+    * file ranges are disjoint and a selective range predicate opens
+    * O(matching) files. The FULL predicate is always re-applied to the
+    * surviving rows (and pushes down to parquet row groups as usual),
+    * so pruning can only skip work, never change results.
+    */
+  def readWhere(pred: Column): DataFrame = {
+    val s = currentSnapshot()
+    readFiles(s.schema, pruneFiles(s, pred)).filter(pred)
+  }
+
+  /** The file subset a [[readWhere]] of `pred` would open — exposed so
+    * callers (and tests) can observe skipping without reading data.
+    */
+  def pruneFiles(pred: Column): Seq[DataFileEntry] =
+    pruneFiles(currentSnapshot(), pred)
+
+  private def pruneFiles(s: Snapshot, pred: Column): Seq[DataFileEntry] = {
+    val filters = StatsPruner.translate(spark, s.schema, pred)
+    s.files.filter(f => StatsPruner.mayMatchAll(f, s.schema, filters))
+  }
+
+  /** Row-level DELETE, copy-on-write (Iceberg `DELETE FROM` with
+    * copy-on-write row-level operations): manifest stats prune to
+    * candidate files, one scoped job finds the files that ACTUALLY
+    * contain matching rows, and only those are rewritten without their
+    * matches — every other file survives physically untouched. SQL
+    * semantics: rows where `pred` is TRUE are deleted; FALSE and NULL
+    * rows are kept. Read-modify-write: a concurrent commit between read
+    * and publish raises [[SnapshotConflictException]].
+    *
+    * At 100 TB the cost is bounded by the candidate set — with data
+    * sort-clustered on the predicate columns ([[compact]] `sortBy`),
+    * that is O(files actually holding matches), not O(table).
+    */
+  def delete(pred: Column): Snapshot = {
+    val base = currentSnapshot()
+    val candidates = pruneFiles(base, pred)
+    val hit =
+      if (candidates.isEmpty) Nil
+      else {
+        val hitPaths = readFiles(base.schema, candidates).filter(pred)
+          .select(input_file_name().as("__f")).distinct()
+          .collect().map(r => relPath(r.getString(0))).toSet
+        candidates.filter(f => hitPaths.contains(f.path))
+      }
+    if (hit.isEmpty) return base // nothing matches: no new snapshot
+    val hitSet = hit.map(_.path).toSet
+    // keep rows where pred is FALSE or NULL: <=> TRUE is null-safe
+    val survivors = readFiles(base.schema, hit).filter(!(pred <=> lit(true)))
+    val staged = stage(survivors, base.spec)
+    commitStrict(base, next(base, "delete", base.schema,
+      base.files.filterNot(f => hitSet.contains(f.path)) ++ staged))
+  }
+
+  /** MERGE INTO, copy-on-write at FILE granularity: source key bounds
+    * prune candidate files via manifest stats, only files holding an
+    * actually-matched key are rewritten, and not-matched source rows
+    * append as new files — finer-grained than [[upsert]]'s
+    * partition-scoped rewrite when data is key-clustered (after
+    * [[compact]] `sortBy` on the key), identical cost otherwise.
+    * Semantics per SQL MERGE: `whenMatched` applies to target rows
+    * whose key exists in `source` ([[MergeAction.UpdateAll]] replaces
+    * the row with the source row, [[MergeAction.Delete]] drops it);
+    * `insertNotMatched` appends source rows with no target match
+    * (including NULL-keyed source rows — a NULL key never matches).
+    * Source keys must identify at most one source row (the
+    * Iceberg/Delta MERGE cardinality rule) — violations throw.
+    * Read-modify-write: concurrent commits raise
+    * [[SnapshotConflictException]]. Schema evolution applies (new
+    * source columns append; int→long / float→double widen).
+    */
+  def merge(source: DataFrame, on: Seq[String],
+      whenMatched: MergeAction = MergeAction.UpdateAll,
+      insertNotMatched: Boolean = true): Snapshot = {
+    require(on.nonEmpty, "merge needs at least one key column")
+    val base = currentSnapshot()
+    val evolved = SnapshotTable.evolve(base.schema, source.schema)
+    require(on.forall(evolved.fieldNames.contains),
+      s"merge keys ${on.mkString(",")} must exist in the table schema")
+    val src = SchemaOps.alignTo(source, evolved).localCheckpoint(true)
+    val srcKeys = src.select(on.map(col): _*).distinct()
+    if (src.groupBy(on.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"merge source has duplicate rows for key (${on.mkString(",")}) — " +
+          "each target row must match at most one source row")
+    // candidate files: manifest key-range overlap with the source's
+    // observed key bounds (per-key between() translates to the same
+    // filters parquet pushdown uses)
+    val boundsRow = src.select(on.flatMap(k =>
+      Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k"))): _*)
+      .collect()(0)
+    val keyPreds = on.zipWithIndex.flatMap { case (k, i) =>
+      val (lo, hi) = (boundsRow.get(2 * i), boundsRow.get(2 * i + 1))
+      if (lo == null || hi == null) None // no non-null source keys
+      else Some(col(k) >= lit(lo) && col(k) <= lit(hi))
+    }
+    val candidates =
+      if (keyPreds.size < on.size) Nil // some key entirely NULL: nothing matches
+      else pruneFiles(base, keyPreds.reduce(_ && _))
+    val hit =
+      if (candidates.isEmpty) Nil
+      else {
+        val hitPaths = readFiles(evolved, candidates)
+          .join(srcKeys, on, "left_semi")
+          .select(input_file_name().as("__f")).distinct()
+          .collect().map(r => relPath(r.getString(0))).toSet
+        candidates.filter(f => hitPaths.contains(f.path))
+      }
+    val hitSet = hit.map(_.path).toSet
+    val hitRows = readFiles(evolved, hit)
+    val survivors = hitRows.join(srcKeys, on, "left_anti")
+    val matchedKeys = hitRows.select(on.map(col): _*).distinct()
+    val additions = (whenMatched, insertNotMatched) match {
+      case (MergeAction.UpdateAll, true) => src
+      case (MergeAction.UpdateAll, false) =>
+        src.join(matchedKeys, on, "left_semi")
+      case (MergeAction.Delete, true) =>
+        src.join(matchedKeys, on, "left_anti")
+      case (MergeAction.Delete, false) => src.limit(0)
+    }
+    val staged = stage(survivors.unionByName(additions), base.spec)
+    commitStrict(base, next(base, "merge", evolved,
+      base.files.filterNot(f => hitSet.contains(f.path)) ++ staged))
+  }
+
+  /** Manifest path of an absolute data-file URI (the inverse of the
+    * staging path layout; URI-decoded like [[stage]]'s read-back).
+    */
+  private def relPath(uri: String): String = {
+    val p =
+      try new java.net.URI(uri).getPath
+      catch { case _: java.net.URISyntaxException => uri }
+    val rootPath = fs.makeQualified(root).toUri.getPath
+    p.stripPrefix(rootPath).stripPrefix("/")
   }
 
   private def readSnapshot(s: Snapshot): DataFrame = readFiles(s.schema, s.files)
@@ -521,7 +674,9 @@ final class SnapshotTable private (
   }
 
   /** Write `aligned` as immutable parquet under `data/<batch>/` and
-    * return manifest entries. Per-file row counts come from ONE
+    * return manifest entries. Per-file row counts AND per-column
+    * min/max/null-count bounds ([[FileStats]] — the Iceberg data-file
+    * stats that power manifest-level file skipping) come from ONE
     * aggregate over only the new files; partition values are parsed
     * from the staging paths (hive-style `__graft_p=` dirs), never
     * stored in the files themselves (hidden partitioning).
@@ -546,8 +701,11 @@ final class SnapshotTable private (
       case Some(_) => aligned.schema.add(PartCol, StringType)
       case None => aligned.schema
     }
+    val statSchema = aligned.schema // PartCol excluded: it lives in the manifest
+    val aggs = count(lit(1)).as("__rows") +: FileStats.aggColumns(statSchema)
     spark.read.schema(readBackSchema).parquet(dir.toString)
-      .groupBy(input_file_name().as("__f")).count()
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
         // input_file_name() is a URI: percent-encoded ON TOP of Hive's
         // own %XX dir-name escaping. URI-decode first to recover the
@@ -564,7 +722,8 @@ final class SnapshotTable private (
           case seg if seg.startsWith(s"$PartCol=") =>
             decodePartitionValue(seg.substring(PartCol.length + 1))
         }.flatten
-        DataFileEntry(s"$rel/$sub", partition, r.getLong(1))
+        DataFileEntry(s"$rel/$sub", partition, r.getLong(1),
+          FileStats.fromRow(statSchema, r, 2))
       }
   }
 }

@@ -422,10 +422,16 @@ class SnapshotTableSpec extends AnyFunSuite {
       val schema = StructType((0 until 1 + r.nextInt(6)).map(i =>
         StructField(s"c$i-${randString()}", types(r.nextInt(types.length)),
           nullable = r.nextBoolean())))
+      def randStats(): Map[String, graft.catalog.ColStats] =
+        (0 until r.nextInt(4)).map(_ => randString() ->
+          graft.catalog.ColStats(
+            if (r.nextBoolean()) Some(randString()) else None,
+            if (r.nextBoolean()) Some(randString()) else None,
+            r.nextLong().abs)).toMap
       val files = (0 until r.nextInt(5)).map(i =>
         graft.catalog.DataFileEntry(s"data/$i/${randString()}.parquet",
           if (r.nextBoolean()) Some(randString()) else None,
-          r.nextLong().abs))
+          r.nextLong().abs, randStats()))
       val s = Snapshot(
         version = 1 + r.nextInt(1000).toLong,
         parent = if (r.nextBoolean()) Some(r.nextInt(1000).toLong) else None,
@@ -447,8 +453,172 @@ class SnapshotTableSpec extends AnyFunSuite {
     val s = Snapshot(7L, Some(6L), "append", 123456789L,
       eventsSchema, Some(PartitionSpec("ts", "month")),
       Map("k" -> "v'\"\\"),
-      Seq(graft.catalog.DataFileEntry("data/x/a.parquet", Some("2024-01"), 10L),
+      Seq(graft.catalog.DataFileEntry("data/x/a.parquet", Some("2024-01"), 10L,
+        Map("id" -> graft.catalog.ColStats(Some("1"), Some("9"), 0L))),
         graft.catalog.DataFileEntry("data/x/b.parquet", None, 0L)))
     assert(SnapshotLog.fromJson(SnapshotLog.toJson(s)) == s)
+  }
+
+  // -------------------------------------------------------------------
+  // File-level column stats + skipping, row-level delete, MERGE INTO
+  // -------------------------------------------------------------------
+
+  /** Unpartitioned table with 4 id-range-clustered files: ids 1..40,
+    * file i holds one contiguous decade. v is NULL where id % 10 == 0.
+    */
+  private def rangeTable(): SnapshotTable = {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, None)
+    val df = (1L to 40L).map(i =>
+      (i, Timestamp.valueOf(f"2024-${(i - 1) / 10 + 1}%02d-01 00:00:00"),
+        if (i % 10 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(i.toDouble)))
+      .toDF("id", "ts", "v")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    t.append(df.select(col("id"), col("ts"), col("v").cast("double")))
+    t
+  }
+
+  test("manifest records per-file bounds and null counts in one pass") {
+    val t = rangeTable()
+    val files = t.currentSnapshot().files
+    assert(files.size == 4)
+    for (f <- files) {
+      val id = f.stats("id")
+      val (lo, hi) = (id.min.get.toLong, id.max.get.toLong)
+      assert(hi - lo == 9, s"file should hold one decade: $id")
+      assert(id.nullCount == 0)
+      assert(f.stats("v").nullCount == 1, "one NULL v per decade")
+      // timestamps are stored as epoch micros (TZ-free)
+      assert(f.stats("ts").min.get.toLong > 1700000000000000L)
+    }
+  }
+
+  test("string bounds: min truncates to a 64-char prefix, long max drops") {
+    val t = SnapshotTable.create(spark, freshRoot(),
+      StructType(Seq(StructField("k", LongType), StructField("s", StringType))), None)
+    t.append(Seq((1L, "a" * 100), (2L, "zz")).toDF("k", "s").coalesce(1))
+    val st = t.currentSnapshot().files.head.stats("s")
+    assert(st.min.contains("a" * 64))
+    assert(st.max.contains("zz"), "short max is exact")
+    t.append(Seq((3L, "aa"), (4L, "z" * 100)).toDF("k", "s").coalesce(1))
+    val st2 = t.currentSnapshot().files
+      .find(_.stats("k").min.contains("3")).get.stats("s")
+    assert(st2.max.isEmpty, "a >64-char max must DROP, not truncate")
+    // and the dropped bound keeps pruning conservative: prefix search
+    // beyond the min can never be ruled out
+    assert(graft.catalog.StatsPruner.mayMatch(
+      t.currentSnapshot().files.find(_.stats("k").min.contains("3")).get,
+      t.schema, org.apache.spark.sql.sources.StringStartsWith("s", "zzz")))
+  }
+
+  test("readWhere skips files by manifest bounds and matches a full read") {
+    val t = rangeTable()
+    val pred = col("id") >= 15L && col("id") <= 17L
+    assert(t.pruneFiles(pred).size == 1, "one decade file overlaps [15,17]")
+    assert(t.readWhere(pred).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(15L, 16L, 17L))
+    // int literal against bigint column: analyzer casts fold before
+    // translation, pruning still fires
+    assert(t.pruneFiles(col("id") === 33).size == 1)
+    // timestamp range pruning via epoch-micros bounds
+    val tsPred = col("ts") < lit(Timestamp.valueOf("2024-02-01 00:00:00"))
+    assert(t.pruneFiles(tsPred).size == 1)
+    assert(t.readWhere(tsPred).count() == t.read().filter(tsPred).count())
+    // IsNull can't skip here (every file holds one NULL v)…
+    assert(t.pruneFiles(col("v").isNull).size == 4)
+    // …but a comparison skips nothing-to-offer files only via bounds;
+    // an impossible range prunes everything
+    assert(t.pruneFiles(col("id") > 1000L).isEmpty)
+    // untranslatable predicates keep all files and stay correct
+    val odd = col("id") % 2 === 1
+    assert(t.pruneFiles(odd).size == 4)
+    assert(t.readWhere(odd).count() == 20L)
+  }
+
+  test("delete rewrites only files holding matches; NULL predicate rows survive") {
+    val t = rangeTable()
+    val before = t.currentSnapshot().files.map(_.path).toSet
+    t.delete(col("id").between(15L, 17L))
+    val after = t.currentSnapshot().files.map(_.path).toSet
+    assert((before -- after).size == 1, "exactly the one hit file is replaced")
+    assert((before & after).size == 3, "untouched files keep their physical paths")
+    assert(t.read().count() == 37L)
+    assert(t.read().filter(col("id").between(15L, 17L)).count() == 0L)
+    // v > 35 is NULL for id=40 (v NULL): those rows must SURVIVE a delete
+    t.delete(col("v") > 35.0)
+    val ids = t.read().select("id").as[Long].collect().sorted.toSeq
+    assert(ids.contains(40L), "NULL-predicate rows are kept by SQL DELETE")
+    assert(!ids.contains(36L) && !ids.contains(39L))
+    // a no-match delete commits nothing
+    val v = t.currentVersion()
+    t.delete(col("id") === 9999L)
+    assert(t.currentVersion() == v)
+  }
+
+  test("delete drops a file entirely when every row matches") {
+    val t = rangeTable()
+    t.delete(col("id") <= 10L)
+    assert(t.currentSnapshot().files.size == 3, "fully-matched file vanishes")
+    assert(t.read().count() == 30L)
+  }
+
+  test("merge UpdateAll: updates land, inserts append, only hit files rewrite") {
+    val t = rangeTable()
+    val before = t.currentSnapshot().files.map(_.path).toSet
+    val source = Seq(
+      (15L, Timestamp.valueOf("2024-02-01 00:00:00"), 1500.0),
+      (41L, Timestamp.valueOf("2024-05-01 00:00:00"), 41.0))
+      .toDF("id", "ts", "v")
+    t.merge(source, Seq("id"))
+    val after = t.currentSnapshot().files.map(_.path).toSet
+    assert((before & after).size == 3, "only the matched decade is rewritten")
+    val out = t.read().filter(col("id").isin(15L, 41L))
+      .orderBy("id").select("v").as[Double].collect().toSeq
+    assert(out == Seq(1500.0, 41.0))
+    assert(t.read().count() == 41L)
+  }
+
+  test("merge Delete drops matched keys; insertNotMatched controls the rest") {
+    val t = rangeTable()
+    val source = Seq(
+      (15L, Timestamp.valueOf("2024-02-01 00:00:00"), 0.0),
+      (99L, Timestamp.valueOf("2024-05-01 00:00:00"), 99.0))
+      .toDF("id", "ts", "v")
+    t.merge(source, Seq("id"), graft.catalog.MergeAction.Delete,
+      insertNotMatched = false)
+    assert(t.read().count() == 39L)
+    assert(t.read().filter(col("id").isin(15L, 99L)).count() == 0L)
+    t.merge(source, Seq("id"), graft.catalog.MergeAction.Delete,
+      insertNotMatched = true)
+    // neither key matches now (15 was deleted above) → BOTH insert:
+    // WHEN MATCHED DELETE + WHEN NOT MATCHED INSERT semantics
+    assert(t.read().filter(col("id").isin(15L, 99L)).count() == 2L)
+    assert(t.read().count() == 41L)
+  }
+
+  test("merge rejects duplicate source keys (MERGE cardinality rule)") {
+    val t = rangeTable()
+    val dup = Seq(
+      (15L, Timestamp.valueOf("2024-02-01 00:00:00"), 1.0),
+      (15L, Timestamp.valueOf("2024-02-02 00:00:00"), 2.0))
+      .toDF("id", "ts", "v")
+    val e = intercept[IllegalArgumentException] { t.merge(dup, Seq("id")) }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("merge with all-new keys is a pure append; NULL keys insert") {
+    val t = rangeTable()
+    val before = t.currentSnapshot().files.map(_.path).toSet
+    val source = Seq(
+      (100L, Timestamp.valueOf("2024-06-01 00:00:00"), 100.0))
+      .toDF("id", "ts", "v")
+      .unionByName(Seq((null.asInstanceOf[java.lang.Long], Timestamp.valueOf(
+        "2024-06-02 00:00:00"), 0.5)).toDF("id", "ts", "v")
+        .select(col("id").cast("long"), col("ts"), col("v")))
+    t.merge(source, Seq("id"))
+    assert(t.currentSnapshot().files.map(_.path).toSet.intersect(before) == before,
+      "no existing file is rewritten when nothing matches")
+    assert(t.read().count() == 42L)
+    assert(t.read().filter(col("id").isNull).count() == 1L)
   }
 }

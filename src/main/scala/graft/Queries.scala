@@ -1169,6 +1169,38 @@ object Queries {
     graft.catalog.SnapshotTable.load(s, root)
   }
 
+  private val skipTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val deleteTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val mergeTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once unpartitioned events snapshot table whose data files
+    * are id-range-clustered (repartitionByRange + sortWithinPartitions
+    * on event_id → 8 files with disjoint event_id bounds in the
+    * manifest), then apply `mutate` once — the substrate for the
+    * stats-skipping / row-level-delete / merge registry entries. The
+    * mutation runs inside the build, so repeated query runs (bench
+    * warm-up, best-of-two) read a stable table.
+    */
+  private def statsSnapshot(s: SparkSession, dir: String,
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      tag: String)(
+      mutate: graft.catalog.SnapshotTable => Unit): graft.catalog.SnapshotTable = {
+    val root = cache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory(s"graft-snap-$tag")
+        .resolve("t").toString
+      val ev = t(s, dir, "events")
+      val tbl = graft.catalog.SnapshotTable.create(s, base, ev.schema, None)
+      tbl.append(ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id"))
+      mutate(tbl)
+      base
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
+
   /** The post-upsert value expression, shared by the oracles below. */
   private val snapValueSql =
     "CASE WHEN event_id % 100 = 0 THEN value + 1000.0 ELSE value END"
@@ -1214,7 +1246,97 @@ object Queries {
               |  CAST(SUM(CAST($snapValueSql AS DECIMAL(12,2))) AS DOUBLE)
               |    AS sum_value
               |FROM events WHERE event_type IN ('click', 'purchase')
-              |GROUP BY 1""".stripMargin)))
+              |GROUP BY 1""".stripMargin)),
+
+    // Manifest min/max FILE skipping on a non-partition column: the
+    // build appends events as 8 id-range-clustered files, so the range
+    // predicate opens 1 of 8 files (pinned in SnapshotTableSpec); the
+    // oracle checks the VALUES are exactly the unpruned filter result
+    QueryDef("snap_skip_stats",
+      (s, dir) => statsSnapshot(s, dir, skipTableCache, "skip")(_ => ())
+        .readWhere(col("event_id").between(1000L, 1999L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events WHERE event_id BETWEEN 1000 AND 1999
+             |GROUP BY 1""".stripMargin)),
+
+    // Copy-on-write row-level DELETE: stats prune to the id-range's
+    // files, only files actually holding matches are rewritten, the
+    // swap is one atomic commit; the read proves the deleted range is
+    // gone and everything else intact
+    QueryDef("snap_delete_rows",
+      (s, dir) => statsSnapshot(s, dir, deleteTableCache, "del")(
+        _.delete(col("event_id").between(2000L, 3999L)))
+        .read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events WHERE event_id NOT BETWEEN 2000 AND 3999
+             |GROUP BY 1""".stripMargin)),
+
+    // MERGE INTO at file granularity (WHEN MATCHED UPDATE SET * +
+    // WHEN NOT MATCHED INSERT): ids %50 update in place (+5000 on
+    // value), ids %97 insert under shifted keys; key-range stats bound
+    // the rewrite to files holding matched keys
+    QueryDef("snap_merge_upsert",
+      (s, dir) => statsSnapshot(s, dir, mergeTableCache, "mrg") { tbl =>
+        val ev = t(s, dir, "events")
+        val updates = ev.filter(col("event_id") % 50 === 0)
+          .withColumn("value", col("value") + lit(5000.0d))
+        val inserts = ev.filter(col("event_id") % 97 === 0)
+          .withColumn("event_id", col("event_id") + lit(10000000L))
+        tbl.merge(updates.unionByName(inserts), Seq("event_id"))
+        ()
+      }.read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+      Some("""WITH merged AS (
+             |  SELECT event_type,
+             |    CASE WHEN event_id % 50 = 0 THEN value + 5000.0
+             |         ELSE value END AS value
+             |  FROM events
+             |  UNION ALL
+             |  SELECT event_type, value FROM events WHERE event_id % 97 = 0
+             |)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM merged GROUP BY 1""".stripMargin)))
+
+  // =====================================================================
+  // SQL surface: the same native expressions, called from spark.sql
+  // through the FunctionRegistry (graft.plans.GraftExtensions) — proves
+  // a SQL-only user gets the library without touching the Column API
+  // =====================================================================
+
+  private val sqlSurfaceQueries: Seq[QueryDef] = Seq(
+    QueryDef("sql_text_quality",
+      (s, dir) => {
+        // idempotent: GraftConfig sessions already carry the extensions;
+        // this also covers externally-built sessions
+        graft.plans.GraftExtensions.register(s)
+        t(s, dir, "documents").createOrReplaceTempView("graft_documents")
+        s.sql("""SELECT doc_id,
+                |  text_stats(text).n_ws_tokens AS n_ws_tokens,
+                |  text_stats(text).quality AS quality
+                |FROM graft_documents""".stripMargin)
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+             |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             |         tok -> tok IN ('the','a','of','and','is'))) AS BIGINT) AS n_stop,
+             |    length(text) AS n_len
+             |  FROM documents
+             |)
+             |SELECT doc_id, n_ws_tokens,
+             |  LEAST(CAST(n_ws_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+             |  + (1.0 - LEAST(CAST(n_punct AS DOUBLE) / CAST(n_len AS DOUBLE) * 5.0, 1.0)) * 0.3
+             |  + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_ws_tokens AS DOUBLE)) * 0.3 AS quality
+             |FROM m""".stripMargin)))
 
   /** Exact nearest-neighbor oracle for the planted-mutant query set:
     * reconstructs the mutant corpus with mirrored float32 arithmetic,
@@ -1677,7 +1799,7 @@ object Queries {
   val registry: Seq[QueryDef] =
     schemaOpQueries ++ tpchQueries ++ textQueries ++ dedupQueries ++
       simQueries ++ multimodalQueries ++ streamingQueries ++
-      governanceQueries ++ snapshotQueries
+      governanceQueries ++ snapshotQueries ++ sqlSurfaceQueries
 
   /** name → ((spark, sfDir) => result). */
   def all: Map[String, (SparkSession, String) => DataFrame] =

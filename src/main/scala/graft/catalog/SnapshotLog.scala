@@ -35,10 +35,17 @@ final case class ColStats(min: Option[String], max: Option[String],
   * count, collected at write time for compaction planning and commit
   * summaries; `stats` holds per-column bounds for stats-eligible
   * columns (empty for manifests written before the stats format — a
-  * missing entry simply disables skipping for that file).
+  * missing entry simply disables skipping for that file); `cols` is the
+  * file's WRITE SCHEMA as ordered (column-name-as-written, field-id)
+  * pairs — the Iceberg field-id indirection that makes column RENAME
+  * and DROP metadata-only: the read path matches files to the current
+  * schema by id, never by name (empty = legacy entry, names map
+  * positionally to the snapshot schema). `stats` keys are write-time
+  * names; pruning translates them through `cols`.
   */
 final case class DataFileEntry(path: String, partition: Option[String],
-    rows: Long, stats: Map[String, ColStats] = Map.empty)
+    rows: Long, stats: Map[String, ColStats] = Map.empty,
+    cols: Seq[(String, Int)] = Seq.empty)
 
 /** Hidden-partition spec, Iceberg-style (the reference's
   * `month(created_at)`, `/root/reference/src/jobs/job.py:125` +
@@ -70,10 +77,27 @@ final case class Snapshot(
     schema: StructType,
     spec: Option[PartitionSpec],
     properties: Map[String, String],
-    files: Seq[DataFileEntry]) {
+    files: Seq[DataFileEntry],
+    fieldIds: Seq[(String, Int)] = Seq.empty,
+    nextFieldId: Int = 0) {
 
   /** Distinct partition values present (None = null/unpartitioned). */
   def partitions: Seq[Option[String]] = files.map(_.partition).distinct
+
+  /** Current (column name, stable field id) pairs, schema-ordered.
+    * Field ids are the rename/drop indirection: a column keeps its id
+    * across renames, and a DROPPED name re-added later gets a FRESH id,
+    * so old files' same-named data never resurrects (Iceberg schema-
+    * evolution semantics). Legacy manifests (no recorded ids) map
+    * positionally.
+    */
+  def ids: Seq[(String, Int)] =
+    if (fieldIds.nonEmpty || schema.isEmpty) fieldIds
+    else schema.fieldNames.toIndexedSeq.zipWithIndex
+
+  /** The next free field id (allocator is monotonic per table). */
+  def nextIds: Int =
+    math.max(nextFieldId, ids.map(_._2).foldLeft(-1)(math.max) + 1)
 }
 
 /** A concurrent writer won the race for the version this commit was
@@ -233,7 +257,11 @@ object SnapshotLog {
             "max" -> (st.max.map(JString(_)).getOrElse(JNull): JValue),
             "nulls" -> (JLong(st.nullCount): JValue))): JValue)
         }): JValue))
-      JObject(base ++ stats)
+      val cols =
+        if (f.cols.isEmpty) Nil
+        else List("cols" -> (JArray(f.cols.toList.map { case (n, id) =>
+          JArray(List(JString(n), JInt(id))) }): JValue))
+      JObject(base ++ stats ++ cols)
     })
     val spec = s.spec match {
       case Some(p) => JObject(List("source" -> JString(p.source),
@@ -251,6 +279,9 @@ object SnapshotLog {
       "properties" -> JObject(s.properties.toList.map {
         case (k, v) => k -> (JString(v): JValue)
       }),
+      "fieldIds" -> JArray(s.fieldIds.toList.map { case (n, id) =>
+        JArray(List(JString(n), JInt(id))) }),
+      "nextFieldId" -> JInt(s.nextFieldId),
       "files" -> files))
     JsonMethods.compact(JsonMethods.render(obj))
   }
@@ -283,6 +314,13 @@ object SnapshotLog {
       case JNull | JNothing => None
       case other => Some(str(other))
     }
+    def pairs(v: JValue): Seq[(String, Int)] = v match {
+      case JArray(items) => items.map {
+        case JArray(List(n, id)) => (str(n), lng(id).toInt)
+        case other => sys.error(s"expected [name, id] pair, got $other")
+      }
+      case _ => Seq.empty
+    }
     val files = field("files") match {
       case JArray(items) => items.map { f =>
         val stats = (f \ "stats") match {
@@ -293,7 +331,7 @@ object SnapshotLog {
           case _ => Map.empty[String, ColStats]
         }
         DataFileEntry(str(f \ "path"), optStr(f \ "partition"),
-          lng(f \ "rows"), stats)
+          lng(f \ "rows"), stats, pairs(f \ "cols"))
       }
       case _ => Seq.empty
     }
@@ -305,6 +343,11 @@ object SnapshotLog {
       schema = DataType.fromJson(str(field("schema"))).asInstanceOf[StructType],
       spec = spec,
       properties = props,
-      files = files)
+      files = files,
+      fieldIds = pairs(field("fieldIds")),
+      nextFieldId = field("nextFieldId") match {
+        case JNull | JNothing => 0
+        case v => lng(v).toInt
+      })
   }
 }

@@ -125,7 +125,7 @@ final class SnapshotTable private (
     */
   def readPartitions(pred: Option[String] => Boolean): DataFrame = {
     val s = currentSnapshot()
-    readFiles(s.schema, s.files.filter(f => pred(f.partition)))
+    readResolved(s.schema, s.ids, s, s.files.filter(f => pred(f.partition)))
   }
 
   /** Hidden-partition predicate pushdown for the `month` transform: a
@@ -152,7 +152,7 @@ final class SnapshotTable private (
     val months = Iterator.iterate(lo)(_.plusMonths(1)).takeWhile(!_.isAfter(hi))
       .map(_.toString).toSet
     val pruned = s.files.filter(f => f.partition.exists(months.contains))
-    readFiles(s.schema, pruned)
+    readResolved(s.schema, s.ids, s, pruned)
       .filter(col(spec.source) >= lit(java.sql.Timestamp.from(from)) &&
         col(spec.source) < lit(java.sql.Timestamp.from(until)))
   }
@@ -173,7 +173,7 @@ final class SnapshotTable private (
       s"inverted range: $fromVersion .. $toVersion")
     val to = log.read(toVersion)
     val fromPaths = log.read(fromVersion).files.map(_.path).toSet
-    readFiles(to.schema, to.files.filterNot(f => fromPaths.contains(f.path)))
+    readResolved(to.schema, to.ids, to, to.files.filterNot(f => fromPaths.contains(f.path)))
   }
 
   /** Stats-pruned read: files whose manifest column bounds PROVE no
@@ -188,7 +188,7 @@ final class SnapshotTable private (
     */
   def readWhere(pred: Column): DataFrame = {
     val s = currentSnapshot()
-    readFiles(s.schema, pruneFiles(s, pred)).filter(pred)
+    readResolved(s.schema, s.ids, s, pruneFiles(s, pred)).filter(pred)
   }
 
   /** The file subset a [[readWhere]] of `pred` would open — exposed so
@@ -199,8 +199,22 @@ final class SnapshotTable private (
 
   private def pruneFiles(s: Snapshot, pred: Column): Seq[DataFileEntry] = {
     val filters = StatsPruner.translate(spark, s.schema, pred)
-    s.files.filter(f => StatsPruner.mayMatchAll(f, s.schema, filters))
+    s.files.filter(f =>
+      StatsPruner.mayMatchAll(effectiveStats(s, f), s.schema, filters))
   }
+
+  /** Re-key a file's write-name stats to CURRENT column names through
+    * the field ids, so pruning keeps working across renames (a file
+    * written as `v` still skips for predicates on its renamed self).
+    */
+  private def effectiveStats(s: Snapshot, f: DataFileEntry): DataFileEntry =
+    if (f.cols.isEmpty) f
+    else {
+      val currentById = s.ids.map { case (n, id) => id -> n }.toMap
+      f.copy(stats = f.cols.flatMap { case (wn, id) =>
+        for { cn <- currentById.get(id); st <- f.stats.get(wn) } yield cn -> st
+      }.toMap)
+    }
 
   /** Row-level DELETE, copy-on-write (Iceberg `DELETE FROM` with
     * copy-on-write row-level operations): manifest stats prune to
@@ -221,7 +235,7 @@ final class SnapshotTable private (
     val hit =
       if (candidates.isEmpty) Nil
       else {
-        val hitPaths = readFiles(base.schema, candidates).filter(pred)
+        val hitPaths = readResolved(base.schema, base.ids, base, candidates).filter(pred)
           .select(input_file_name().as("__f")).distinct()
           .collect().map(r => relPath(r.getString(0))).toSet
         candidates.filter(f => hitPaths.contains(f.path))
@@ -229,10 +243,11 @@ final class SnapshotTable private (
     if (hit.isEmpty) return base // nothing matches: no new snapshot
     val hitSet = hit.map(_.path).toSet
     // keep rows where pred is FALSE or NULL: <=> TRUE is null-safe
-    val survivors = readFiles(base.schema, hit).filter(!(pred <=> lit(true)))
+    val survivors = readResolved(base.schema, base.ids, base, hit).filter(!(pred <=> lit(true)))
     val staged = stage(survivors, base.spec)
     commitStrict(base, next(base, "delete", base.schema,
-      base.files.filterNot(f => hitSet.contains(f.path)) ++ staged))
+      base.files.filterNot(f => hitSet.contains(f.path)) ++
+        staged.map(_.copy(cols = base.ids))))
   }
 
   /** MERGE INTO, copy-on-write at FILE granularity: source key bounds
@@ -260,6 +275,7 @@ final class SnapshotTable private (
     val evolved = SnapshotTable.evolve(base.schema, source.schema)
     require(on.forall(evolved.fieldNames.contains),
       s"merge keys ${on.mkString(",")} must exist in the table schema")
+    val (pairs, schema2, ids2, nid) = integrate(base, evolved)
     val src = SchemaOps.alignTo(source, evolved).localCheckpoint(true)
     val srcKeys = src.select(on.map(col): _*).distinct()
     if (src.groupBy(on.map(col): _*).count()
@@ -284,14 +300,14 @@ final class SnapshotTable private (
     val hit =
       if (candidates.isEmpty) Nil
       else {
-        val hitPaths = readFiles(evolved, candidates)
+        val hitPaths = readResolved(evolved, pairs, base, candidates)
           .join(srcKeys, on, "left_semi")
           .select(input_file_name().as("__f")).distinct()
           .collect().map(r => relPath(r.getString(0))).toSet
         candidates.filter(f => hitPaths.contains(f.path))
       }
     val hitSet = hit.map(_.path).toSet
-    val hitRows = readFiles(evolved, hit)
+    val hitRows = readResolved(evolved, pairs, base, hit)
     val survivors = hitRows.join(srcKeys, on, "left_anti")
     val matchedKeys = hitRows.select(on.map(col): _*).distinct()
     val additions = (whenMatched, insertNotMatched) match {
@@ -303,8 +319,9 @@ final class SnapshotTable private (
       case (MergeAction.Delete, false) => src.limit(0)
     }
     val staged = stage(survivors.unionByName(additions), base.spec)
-    commitStrict(base, next(base, "merge", evolved,
-      base.files.filterNot(f => hitSet.contains(f.path)) ++ staged))
+    commitStrict(base, nextWithIds(base, "merge", schema2, ids2, nid,
+      base.files.filterNot(f => hitSet.contains(f.path)) ++
+        staged.map(_.copy(cols = pairs))))
   }
 
   /** Manifest path of an absolute data-file URI (the inverse of the
@@ -318,19 +335,50 @@ final class SnapshotTable private (
     p.stripPrefix(rootPath).stripPrefix("/")
   }
 
-  private def readSnapshot(s: Snapshot): DataFrame = readFiles(s.schema, s.files)
+  private def readSnapshot(s: Snapshot): DataFrame =
+    readResolved(s.schema, s.ids, s, s.files)
 
-  private def readFiles(schema: StructType, files: Seq[DataFileEntry]): DataFrame =
-    if (files.isEmpty) {
-      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    } else {
+  /** Read `files` under the `target` schema, matching file columns to
+    * target columns by FIELD ID (`targetIds`): a file written before a
+    * rename reads through its old physical name, a file written before
+    * a column was added null-fills it, and a file still containing a
+    * DROPPED-then-re-added name contributes NULLs for the new column
+    * (its physical data belongs to the retired id — Iceberg
+    * no-resurrection semantics). Files sharing a write schema are read
+    * in ONE `spark.read` (so the per-commit batch stays a single scan);
+    * legacy entries without recorded `cols` map positionally via the
+    * owning snapshot's ids.
+    */
+  private def readResolved(target: StructType, targetIds: Seq[(String, Int)],
+      owner: Snapshot, files: Seq[DataFileEntry]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), target)
+    val idByName = targetIds.toMap
+    val fieldById: Map[Int, StructField] =
+      target.fields.toIndexedSeq
+        .flatMap(f => idByName.get(f.name).map(_ -> f)).toMap
+    val groups = files.groupBy(f => if (f.cols.nonEmpty) f.cols else owner.ids)
+    val parts = groups.toSeq.map { case (pairs, fs) =>
+      val live = pairs.filter { case (_, id) => fieldById.contains(id) }
       // explicit leaf-file list: Spark takes each file's parent as its
       // base path, so the staging dirs' __graft_p=... segments do NOT
       // surface as a partition column (pinned in SnapshotTableSpec);
-      // the snapshot's schema widens older int32/float files at scan
-      spark.read.schema(schema)
-        .parquet(files.map(f => new Path(root, f.path).toString): _*)
+      // requesting the CURRENT (possibly widened) type per id lets the
+      // parquet reader widen older int32/float pages at scan
+      val physical = StructType(live.map { case (wn, id) =>
+        StructField(wn, fieldById(id).dataType, nullable = true) })
+      val df = spark.read.schema(physical)
+        .parquet(fs.map(f => new Path(root, f.path).toString): _*)
+      val writeNameById = live.map { case (wn, id) => id -> wn }.toMap
+      df.select(target.fields.toIndexedSeq.map { tf =>
+        idByName.get(tf.name).flatMap(writeNameById.get) match {
+          case Some(wn) => col(SnapshotTable.quoted(wn)).as(tf.name)
+          case None => lit(null).cast(tf.dataType).as(tf.name)
+        }
+      }: _*)
     }
+    parts.reduce(_ unionByName _)
+  }
 
   // ------------------------------------------------------------------
   // Writes
@@ -345,8 +393,9 @@ final class SnapshotTable private (
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
     val staged = stage(SchemaOps.alignTo(df, evolved), base.spec)
     commitRetry { latest =>
-      val schema2 = SnapshotTable.evolve(latest.schema, evolved)
-      next(latest, "append", schema2, latest.files ++ staged)
+      val (pairs, schema2, ids2, nid) = integrate(latest, evolved)
+      nextWithIds(latest, "append", schema2, ids2, nid,
+        latest.files ++ staged.map(_.copy(cols = pairs)))
     }
   }
 
@@ -360,8 +409,9 @@ final class SnapshotTable private (
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
     val staged = stage(SchemaOps.alignTo(df, evolved), base.spec)
     commitRetry { latest =>
-      next(latest, "overwrite_table",
-        SnapshotTable.evolve(latest.schema, evolved), staged)
+      val (pairs, schema2, ids2, nid) = integrate(latest, evolved)
+      nextWithIds(latest, "overwrite_table", schema2, ids2, nid,
+        staged.map(_.copy(cols = pairs)))
     }
   }
 
@@ -377,9 +427,10 @@ final class SnapshotTable private (
     val staged = stage(SchemaOps.alignTo(df, evolved), base.spec)
     val replaced = staged.map(_.partition).toSet
     commitRetry { latest =>
-      val schema2 = SnapshotTable.evolve(latest.schema, evolved)
-      next(latest, "overwrite",
-        schema2, latest.files.filterNot(f => replaced.contains(f.partition)) ++ staged)
+      val (pairs, schema2, ids2, nid) = integrate(latest, evolved)
+      nextWithIds(latest, "overwrite", schema2, ids2, nid,
+        latest.files.filterNot(f => replaced.contains(f.partition)) ++
+          staged.map(_.copy(cols = pairs)))
     }
   }
 
@@ -405,27 +456,30 @@ final class SnapshotTable private (
       baseVersion: Long): Snapshot = {
     val base = log.read(baseVersion)
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
+    val (pairs, schema2, ids2, nid) = integrate(base, evolved)
     val incoming = SchemaOps.alignTo(df, evolved).localCheckpoint(true)
     val keys = incoming.select(keyCols.map(col): _*).distinct()
     base.spec match {
       case None =>
         // unpartitioned: whole-table rewrite, still one atomic commit
-        val survivors = readFiles(evolved, base.files)
+        val survivors = readResolved(evolved, pairs, base, base.files)
           .join(keys, keyCols, "left_anti")
         val staged = stage(survivors.unionByName(incoming), None)
-        commitStrict(base, next(base, "upsert", evolved, staged))
+        commitStrict(base, nextWithIds(base, "upsert", schema2, ids2, nid,
+          staged.map(_.copy(cols = pairs))))
       case Some(spec) =>
         val pExpr = SnapshotTable.partitionExpr(spec)
         val touched = incoming.select(pExpr.as("p")).distinct()
-          .unionByName(readFiles(evolved, base.files)
+          .unionByName(readResolved(evolved, pairs, base, base.files)
             .join(keys, keyCols, "left_semi").select(pExpr.as("p")).distinct())
           .distinct().collect().map(r => Option(r.getString(0))).toSet
         val touchedFiles = base.files.filter(f => touched.contains(f.partition))
-        val survivors = readFiles(evolved, touchedFiles)
+        val survivors = readResolved(evolved, pairs, base, touchedFiles)
           .join(keys, keyCols, "left_anti")
         val staged = stage(survivors.unionByName(incoming), Some(spec))
-        val files = base.files.filterNot(f => touched.contains(f.partition)) ++ staged
-        commitStrict(base, next(base, "upsert", evolved, files))
+        val files = base.files.filterNot(f => touched.contains(f.partition)) ++
+          staged.map(_.copy(cols = pairs))
+        commitStrict(base, nextWithIds(base, "upsert", schema2, ids2, nid, files))
     }
   }
 
@@ -461,8 +515,9 @@ final class SnapshotTable private (
     while (attempts < SnapshotTable.MaxCommitAttempts) {
       val latest = currentSnapshot()
       if (committed(latest)) return None
-      val candidate = next(latest, s"stream-append[$batchId]",
-        SnapshotTable.evolve(latest.schema, evolved), latest.files ++ staged)
+      val (pairs, schema2, ids2, nid) = integrate(latest, evolved)
+      val candidate = nextWithIds(latest, s"stream-append[$batchId]",
+        schema2, ids2, nid, latest.files ++ staged.map(_.copy(cols = pairs)))
         .copy(properties = latest.properties + (key -> batchId.toString))
       if (log.tryCommit(candidate)) return Some(candidate)
       attempts += 1
@@ -513,7 +568,7 @@ final class SnapshotTable private (
       else {
         val rows = pFiles.map(_.rows).sum
         val nOut = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-        val raw = readFiles(latest.schema, pFiles)
+        val raw = readResolved(latest.schema, latest.ids, latest, pFiles)
         val data =
           if (zOrderBy.nonEmpty)
             // 2-D Morton clustering (Iceberg/Delta Z-ORDER rewrite):
@@ -536,13 +591,61 @@ final class SnapshotTable private (
             if (now != before)
               throw new SnapshotConflictException(
                 s"partition $p changed during compaction — skipped")
+            if (l.schema != latest.schema || l.ids != latest.ids)
+              throw new SnapshotConflictException(
+                s"schema evolved during compaction of $p — skipped " +
+                  "(staged files carry the pre-evolution write schema)")
             next(l, "compact", l.schema,
-              l.files.filterNot(f => before.contains(f.path)) ++ staged)
+              l.files.filterNot(f => before.contains(f.path)) ++
+                staged.map(_.copy(cols = latest.ids)))
           }
           Some((p, before.size, staged.size))
         } catch { case _: SnapshotConflictException => None }
       }
     }
+  }
+
+  /** Metadata-only column RENAME (Iceberg `ALTER TABLE … RENAME
+    * COLUMN`): the column keeps its field id, so every existing data
+    * file keeps serving its values through the old physical name — no
+    * data job runs at any scale. The hidden-partition spec follows a
+    * renamed source column. Time travel still shows the old name (each
+    * snapshot carries its contemporary schema), and manifest stats
+    * keep pruning through the id mapping.
+    */
+  def renameColumn(from: String, to: String): Snapshot = commitRetry { latest =>
+    require(latest.schema.fieldNames.contains(from),
+      s"no column $from in ${latest.schema.simpleString}")
+    require(!latest.schema.fieldNames.contains(to),
+      s"column $to already exists in ${latest.schema.simpleString}")
+    val schema2 = StructType(latest.schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val ids2 = latest.ids.map { case (n, id) =>
+      (if (n == from) to else n) -> id }
+    val spec2 = latest.spec.map(ps =>
+      if (ps.source == from) PartitionSpec(to, ps.transform) else ps)
+    nextWithIds(latest, s"rename[$from->$to]", schema2, ids2,
+      latest.nextIds, latest.files).copy(spec = spec2)
+  }
+
+  /** Metadata-only column DROP (Iceberg `ALTER TABLE … DROP COLUMN`):
+    * the field id is retired, files keep their bytes but readers never
+    * surface them, and a later re-ADD of the same name allocates a
+    * FRESH id — old values can never resurrect under the new column
+    * (the failure mode name-based parquet evolution cannot avoid).
+    * Dropping the hidden-partition source column is refused.
+    */
+  def dropColumn(name: String): Snapshot = commitRetry { latest =>
+    require(latest.schema.fieldNames.contains(name),
+      s"no column $name in ${latest.schema.simpleString}")
+    require(!latest.spec.exists(_.source == name),
+      s"cannot drop hidden-partition source column $name")
+    require(latest.schema.fields.length > 1,
+      "cannot drop the last column")
+    val schema2 = StructType(latest.schema.fields.filterNot(_.name == name))
+    val ids2 = latest.ids.filterNot(_._1 == name)
+    nextWithIds(latest, s"drop[$name]", schema2, ids2,
+      latest.nextIds, latest.files)
   }
 
   /** History-preserving rollback: commits a NEW snapshot whose content
@@ -552,7 +655,10 @@ final class SnapshotTable private (
   def rollback(toVersion: Long): Snapshot = {
     val target = snapshotAt(toVersion)
     commitRetry { latest =>
-      next(latest, s"rollback[$toVersion]", target.schema, target.files)
+      // the id ALLOCATOR stays monotonic across rollbacks so ids from
+      // the rolled-past versions are never reused for new columns
+      nextWithIds(latest, s"rollback[$toVersion]", target.schema,
+        target.ids, math.max(latest.nextIds, target.nextIds), target.files)
     }
   }
 
@@ -649,8 +755,38 @@ final class SnapshotTable private (
 
   private def next(parent: Snapshot, op: String, schema: StructType,
       files: Seq[DataFileEntry]): Snapshot =
+    nextWithIds(parent, op, schema, parent.ids, parent.nextIds, files)
+
+  private def nextWithIds(parent: Snapshot, op: String, schema: StructType,
+      ids: Seq[(String, Int)], nextFieldId: Int,
+      files: Seq[DataFileEntry]): Snapshot =
     Snapshot(parent.version + 1, Some(parent.version), op, clock(),
-      schema, parent.spec, parent.properties, files)
+      schema, parent.spec, parent.properties, files, ids, nextFieldId)
+
+  /** Resolve field ids for a commit that may evolve the schema: every
+    * staged column resolves to the CURRENT id of its name in `latest`
+    * (so a lost-race rebase keeps joining the right columns), names
+    * `latest` has never seen — including names that were DROPPED and
+    * are being re-added — get FRESH ids (no data resurrection). Returns
+    * (staged-file pairs, evolved schema, evolved ids, next free id).
+    * Known caveat (documented, matching the name-based rebase rule): a
+    * blind append racing a concurrent RENAME re-adds the old name as a
+    * new column instead of landing under the renamed id.
+    */
+  private def integrate(latest: Snapshot, stagedSchema: StructType):
+      (Seq[(String, Int)], StructType, Seq[(String, Int)], Int) = {
+    val latestIds = latest.ids.toMap
+    var nextId = latest.nextIds
+    val fresh = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def resolve(n: String): Int =
+      latestIds.getOrElse(n, fresh.getOrElseUpdate(n, {
+        val id = nextId; nextId += 1; id
+      }))
+    val stagedPairs = stagedSchema.fieldNames.toIndexedSeq.map(n => n -> resolve(n))
+    val schema2 = SnapshotTable.evolve(latest.schema, stagedSchema)
+    val ids2 = schema2.fieldNames.toIndexedSeq.map(n => n -> resolve(n))
+    (stagedPairs, schema2, ids2, nextId)
+  }
 
   /** Optimistic commit loop for rebasable (blind) operations. */
   private def commitRetry(make: Snapshot => Snapshot): Snapshot = {
@@ -735,6 +871,10 @@ object SnapshotTable {
     */
   private[graft] val PartCol = "__graft_p"
 
+  /** Backtick-escape a column name for `functions.col`. */
+  private[graft] def quoted(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   private val MaxCommitAttempts = 20
 
   private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
@@ -756,7 +896,9 @@ object SnapshotTable {
     val t = new SnapshotTable(spark, new Path(root), clock)
     require(t.log.currentVersion().isEmpty, s"table already exists at $root")
     val first = Snapshot(1L, None, "create", clock(), schema, spec,
-      properties, Seq.empty)
+      properties, Seq.empty,
+      fieldIds = schema.fieldNames.toIndexedSeq.zipWithIndex,
+      nextFieldId = schema.fields.length)
     if (!t.log.tryCommit(first))
       throw new SnapshotConflictException(s"concurrent create at $root")
     t

@@ -428,10 +428,12 @@ class SnapshotTableSpec extends AnyFunSuite {
             if (r.nextBoolean()) Some(randString()) else None,
             if (r.nextBoolean()) Some(randString()) else None,
             r.nextLong().abs)).toMap
+      def randPairs(): Seq[(String, Int)] =
+        (0 until r.nextInt(4)).map(_ => randString() -> r.nextInt(1000))
       val files = (0 until r.nextInt(5)).map(i =>
         graft.catalog.DataFileEntry(s"data/$i/${randString()}.parquet",
           if (r.nextBoolean()) Some(randString()) else None,
-          r.nextLong().abs, randStats()))
+          r.nextLong().abs, randStats(), randPairs()))
       val s = Snapshot(
         version = 1 + r.nextInt(1000).toLong,
         parent = if (r.nextBoolean()) Some(r.nextInt(1000).toLong) else None,
@@ -443,7 +445,9 @@ class SnapshotTableSpec extends AnyFunSuite {
             if (r.nextBoolean()) "month" else "identity")) else None,
         properties = (0 until r.nextInt(4))
           .map(_ => randString() -> randString()).toMap,
-        files = files)
+        files = files,
+        fieldIds = (0 until r.nextInt(5)).map(_ => randString() -> r.nextInt(1000)),
+        nextFieldId = r.nextInt(10000))
       assert(SnapshotLog.fromJson(SnapshotLog.toJson(s)) == s,
         s"round-trip failed for $s")
     }
@@ -604,6 +608,96 @@ class SnapshotTableSpec extends AnyFunSuite {
       .toDF("id", "ts", "v")
     val e = intercept[IllegalArgumentException] { t.merge(dup, Seq("id")) }
     assert(e.getMessage.contains("duplicate"))
+  }
+
+  // -------------------------------------------------------------------
+  // Field-id schema evolution: rename / drop / re-add
+  // -------------------------------------------------------------------
+
+  test("renameColumn is metadata-only and old files read through the id") {
+    val t = rangeTable()
+    val filesBefore = t.currentSnapshot().files.map(_.path).toSet
+    val preRename = t.currentVersion()
+    t.renameColumn("v", "score")
+    assert(t.currentSnapshot().files.map(_.path).toSet == filesBefore,
+      "rename must not touch a single data file")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "ts", "score"))
+    // values written under the OLD physical name arrive under the new one
+    assert(t.read().filter(col("id") === 3L)
+      .select("score").as[Double].collect().toSeq == Seq(3.0))
+    // time travel shows the contemporary (pre-rename) schema
+    assert(t.readAt(preRename).columns.toSeq == Seq("id", "ts", "v"))
+    // appends after the rename land under the new name and union cleanly
+    t.append(Seq((50L, Timestamp.valueOf("2024-05-01 00:00:00"), 50.0))
+      .toDF("id", "ts", "score"))
+    assert(t.read().filter(col("id").isin(3L, 50L))
+      .orderBy("id").select("score").as[Double].collect().toSeq == Seq(3.0, 50.0))
+  }
+
+  test("stats pruning keeps skipping across a rename") {
+    val t = rangeTable()
+    t.renameColumn("id", "event_key")
+    assert(t.pruneFiles(col("event_key").between(15L, 17L)).size == 1,
+      "bounds recorded under the old write name must prune via the field id")
+    assert(t.readWhere(col("event_key") === 33L).count() == 1L)
+  }
+
+  test("drop + re-add: old values never resurrect (fresh field id)") {
+    val t = rangeTable()
+    t.dropColumn("v")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "ts"))
+    assert(!t.read().columns.contains("v"))
+    // re-add the SAME name: new id, so files still physically holding
+    // the old `v` bytes must surface NULL, not stale data
+    t.append(Seq((100L, Timestamp.valueOf("2024-05-01 00:00:00"), 9.5))
+      .toDF("id", "ts", "v"))
+    val old = t.read().filter(col("id") === 3L).select("v").collect().head
+    assert(old.isNullAt(0), "dropped data must NOT resurrect under a re-added name")
+    val fresh = t.read().filter(col("id") === 100L)
+      .select("v").as[Double].collect().toSeq
+    assert(fresh == Seq(9.5))
+  }
+
+  test("dropping the hidden-partition source or the last column is refused") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    intercept[IllegalArgumentException] { t.dropColumn("ts") }
+    val u = SnapshotTable.create(spark, freshRoot(),
+      StructType(Seq(StructField("only", LongType))), None)
+    intercept[IllegalArgumentException] { u.dropColumn("only") }
+  }
+
+  test("partition spec follows a renamed source column") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    t.append(rows((1, "2024-01-05", 1.0), (2, "2024-02-06", 2.0)))
+    t.renameColumn("ts", "event_time")
+    assert(t.currentSnapshot().spec.map(_.source).contains("event_time"))
+    // hidden-partition range read works on the renamed source
+    val out = t.readTimestampRange(
+      Instant.parse("2024-01-01T00:00:00Z"), Instant.parse("2024-02-01T00:00:00Z"))
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L))
+    // and a month append after the rename still partitions correctly
+    t.append(Seq((3L, Timestamp.valueOf("2024-03-05 00:00:00"), 3.0))
+      .toDF("id", "event_time", "v"))
+    assert(t.currentSnapshot().partitions.flatten.toSet ==
+      Set("2024-01", "2024-02", "2024-03"))
+  }
+
+  test("upsert, merge and compact operate on renamed columns") {
+    val t = rangeTable()
+    t.renameColumn("v", "score")
+    t.merge(Seq((7L, Timestamp.valueOf("2024-01-01 00:00:00"), 700.0))
+      .toDF("id", "ts", "score"), Seq("id"))
+    assert(t.read().filter(col("id") === 7L)
+      .select("score").as[Double].collect().toSeq == Seq(700.0))
+    // compact rewrites old-name and new-name files into one write schema
+    val res = t.compact(targetRowsPerFile = 1000L, minFiles = 1)
+    assert(res.nonEmpty)
+    assert(t.read().count() == 40L)
+    assert(t.read().filter(col("id") === 7L)
+      .select("score").as[Double].collect().toSeq == Seq(700.0))
+    val colsNow = t.currentSnapshot().files.flatMap(_.cols.map(_._1)).toSet
+    assert(colsNow == Set("id", "ts", "score"),
+      "compacted files write the CURRENT names")
   }
 
   test("merge with all-new keys is a pure append; NULL keys insert") {

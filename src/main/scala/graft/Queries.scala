@@ -1201,6 +1201,31 @@ object Queries {
     graft.catalog.SnapshotTable.load(s, root)
   }
 
+  private val evolveTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once evolution-history table for `snap_rename_evolution`:
+    * v2 evens append (original names) → v3 value→score rename → v4
+    * props drop → v5 odds append under the new schema with props
+    * re-added (fresh field id).
+    */
+  private def evolutionSnapshot(s: SparkSession,
+      dir: String): graft.catalog.SnapshotTable = {
+    val root = evolveTableCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-snap-evo")
+        .resolve("t").toString
+      val ev = t(s, dir, "events")
+      val tbl = graft.catalog.SnapshotTable.create(s, base, ev.schema, None)
+      tbl.append(ev.filter(col("event_id") % 2 === 0))
+      tbl.renameColumn("value", "score")
+      tbl.dropColumn("props")
+      tbl.append(ev.filter(col("event_id") % 2 === 1)
+        .withColumnRenamed("value", "score"))
+      base
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
+
   /** The post-upsert value expression, shared by the oracles below. */
   private val snapValueSql =
     "CASE WHEN event_id % 100 = 0 THEN value + 1000.0 ELSE value END"
@@ -1276,6 +1301,22 @@ object Queries {
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
              |FROM events WHERE event_id NOT BETWEEN 2000 AND 3999
              |GROUP BY 1""".stripMargin)),
+
+    // Field-id schema evolution, oracle-pinned: evens append under the
+    // ORIGINAL names, then value->score renames (metadata-only), props
+    // drops, and odds append under the NEW schema with props RE-ADDED.
+    // The read must serve old files through the renamed id, and the
+    // re-added props must be NULL for pre-drop rows (fresh field id —
+    // no resurrection), which the n_props count proves
+    QueryDef("snap_rename_evolution",
+      (s, dir) => evolutionSnapshot(s, dir).read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("score")).as("sum_score"),
+          count(col("props")).as("n_props")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_score,
+             |  count(CASE WHEN event_id % 2 = 1 THEN props END) AS n_props
+             |FROM events GROUP BY 1""".stripMargin)),
 
     // MERGE INTO at file granularity (WHEN MATCHED UPDATE SET * +
     // WHEN NOT MATCHED INSERT): ids %50 update in place (+5000 on

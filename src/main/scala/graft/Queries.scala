@@ -1175,6 +1175,8 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val mergeTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val bloomTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Build-once unpartitioned events snapshot table whose data files
     * are id-range-clustered (repartitionByRange + sortWithinPartitions
@@ -1186,13 +1188,16 @@ object Queries {
     */
   private def statsSnapshot(s: SparkSession, dir: String,
       cache: java.util.concurrent.ConcurrentHashMap[String, String],
-      tag: String)(
+      tag: String,
+      extraProps: Map[String, String] = Map.empty)(
       mutate: graft.catalog.SnapshotTable => Unit): graft.catalog.SnapshotTable = {
     val root = cache.computeIfAbsent(dir, _ => {
       val base = java.nio.file.Files.createTempDirectory(s"graft-snap-$tag")
         .resolve("t").toString
       val ev = t(s, dir, "events")
-      val tbl = graft.catalog.SnapshotTable.create(s, base, ev.schema, None)
+      val tbl = graft.catalog.SnapshotTable.create(s, base, ev.schema, None,
+        properties =
+          graft.catalog.EvolvingWriter.DefaultTableProps ++ extraProps)
       tbl.append(ev.repartitionByRange(8, col("event_id"))
         .sortWithinPartitions("event_id"))
       mutate(tbl)
@@ -1300,6 +1305,21 @@ object Queries {
       Some("""SELECT event_type, count(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
              |FROM events WHERE event_id NOT BETWEEN 2000 AND 3999
+             |GROUP BY 1""".stripMargin)),
+
+    // Per-file Bloom point lookup: files are range-clustered on
+    // event_id, so user_id (uncorrelated) spans every file's min/max —
+    // ONLY the manifest Bloom filters can skip files for this equality
+    // probe (pinned in SnapshotTableSpec); the oracle checks the values
+    QueryDef("snap_bloom_lookup",
+      (s, dir) => statsSnapshot(s, dir, bloomTableCache, "bloom",
+        Map("graft.bloom.columns" -> "user_id"))(_ => ())
+        .readWhere(col("user_id") === 77L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events WHERE user_id = 77
              |GROUP BY 1""".stripMargin)),
 
     // Field-id schema evolution, oracle-pinned: evens append under the

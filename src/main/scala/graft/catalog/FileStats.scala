@@ -30,6 +30,28 @@ import org.apache.spark.sql.types._
   * untranslatable predicates all keep the file), and the caller always
   * re-applies the FULL predicate to the surviving rows.
   */
+/** Opt-in per-file Bloom filter configuration, read from the table
+  * properties: `graft.bloom.columns` (comma list), `graft.bloom.bits`
+  * (filter size, default 65536 = 8 KiB serialized), and
+  * `graft.bloom.hashes`.
+  */
+final case class BloomSpec(columns: Set[String], bits: Int, hashes: Int)
+
+object BloomSpec {
+  import graft.functions.BloomAgg
+
+  val Off: BloomSpec = BloomSpec(Set.empty, BloomAgg.DefaultBits,
+    BloomAgg.DefaultHashes)
+
+  def fromProperties(props: Map[String, String]): BloomSpec = BloomSpec(
+    props.get("graft.bloom.columns").toSeq.flatMap(_.split(","))
+      .map(_.trim).filter(_.nonEmpty).toSet,
+    props.get("graft.bloom.bits").flatMap(b => Try(b.toInt).toOption)
+      .getOrElse(BloomAgg.DefaultBits),
+    props.get("graft.bloom.hashes").flatMap(h => Try(h.toInt).toOption)
+      .getOrElse(BloomAgg.DefaultHashes))
+}
+
 object FileStats {
 
   /** Max stored length for string bounds. A longer `min` is truncated
@@ -55,8 +77,9 @@ object FileStats {
     * so bounds are time-zone-free; everything else renders via cast to
     * string and is re-typed at prune time from the schema.
     */
-  def aggColumns(schema: StructType): Seq[Column] =
-    eligibleFields(schema).zipWithIndex.flatMap { case (f, i) =>
+  def aggColumns(schema: StructType,
+      bloom: BloomSpec = BloomSpec.Off): Seq[Column] = {
+    val stats = eligibleFields(schema).zipWithIndex.flatMap { case (f, i) =>
       val c = col(quoted(f.name))
       val (mn, mx) = f.dataType match {
         case TimestampType =>
@@ -73,6 +96,21 @@ object FileStats {
       Seq(mn.as(s"__min_$i"), mx.as(s"__max_$i"),
         sum(c.isNull.cast("long")).as(s"__nulls_$i"))
     }
+    // opt-in per-file Bloom filters ride the SAME pass: xxhash64 is
+    // codegen'd, the filter state is a fixed word array per file
+    val blooms = bloomFields(schema, bloom).map { case (f, i) =>
+      graft.functions.BloomAgg.bloomAgg(
+        xxhash64(col(quoted(f.name))), bloom.bits, bloom.hashes)
+        .as(s"__bloom_$i")
+    }
+    stats ++ blooms
+  }
+
+  /** Bloom-indexed fields with their eligible-field ordinal. */
+  private def bloomFields(schema: StructType,
+      bloom: BloomSpec): Seq[(StructField, Int)] =
+    eligibleFields(schema).zipWithIndex
+      .filter { case (f, _) => bloom.columns.contains(f.name) }
 
   def eligibleFields(schema: StructType): Seq[StructField] =
     schema.fields.toIndexedSeq.filter(f => eligible(f.dataType))
@@ -81,14 +119,27 @@ object FileStats {
     * [[aggColumns]], starting at `offset`) into the manifest map.
     */
   def fromRow(schema: StructType, row: org.apache.spark.sql.Row,
-      offset: Int): Map[String, ColStats] =
+      offset: Int, bloom: BloomSpec = BloomSpec.Off): Map[String, ColStats] = {
+    def s(j: Int): Option[String] =
+      if (row.isNullAt(j)) None else Some(row.getString(j))
+    // the bloom agg yields raw BINARY; encode here with the BASIC (un-
+    // chunked) codec — Spark's base64() SQL function MIME-chunks with
+    // line breaks, which is hostile inside a JSON manifest
+    def bin(j: Int): Option[String] =
+      if (row.isNullAt(j)) None
+      else Some(java.util.Base64.getEncoder
+        .encodeToString(row.getAs[Array[Byte]](j)))
+    val nStats = eligibleFields(schema).length
+    val bloomAt = bloomFields(schema, bloom).zipWithIndex.map {
+      case ((f, _), pos) => f.name -> (offset + nStats * 3 + pos)
+    }.toMap
     eligibleFields(schema).zipWithIndex.map { case (f, i) =>
       val b = offset + i * 3
-      def s(j: Int): Option[String] =
-        if (row.isNullAt(j)) None else Some(row.getString(j))
       f.name -> ColStats(s(b), s(b + 1),
-        if (row.isNullAt(b + 2)) 0L else row.getLong(b + 2))
+        if (row.isNullAt(b + 2)) 0L else row.getLong(b + 2),
+        bloomAt.get(f.name).flatMap(bin))
     }.toMap
+  }
 
   private def quoted(name: String): String =
     "`" + name.replace("`", "``") + "`"
@@ -138,10 +189,10 @@ object StatsPruner {
     case And(l, r) => mayMatch(file, schema, l) && mayMatch(file, schema, r)
     case Or(l, r) => mayMatch(file, schema, l) || mayMatch(file, schema, r)
     case EqualTo(a, v) => mayCompare(file, schema, a, v,
-      lo => lo <= 0, hi => hi >= 0)
+      lo => lo <= 0, hi => hi >= 0) && bloomMayContain(file, schema, a, v)
     case EqualNullSafe(a, null) => mayBeNull(file, a)
     case EqualNullSafe(a, v) => mayCompare(file, schema, a, v,
-      lo => lo <= 0, hi => hi >= 0)
+      lo => lo <= 0, hi => hi >= 0) && bloomMayContain(file, schema, a, v)
     case GreaterThan(a, v) => mayCompare(file, schema, a, v,
       _ => true, hi => hi > 0)
     case GreaterThanOrEqual(a, v) => mayCompare(file, schema, a, v,
@@ -152,7 +203,7 @@ object StatsPruner {
       lo => lo <= 0, _ => true)
     case In(a, vs) =>
       vs.exists(v => v != null && mayCompare(file, schema, a, v,
-        lo => lo <= 0, hi => hi >= 0))
+        lo => lo <= 0, hi => hi >= 0) && bloomMayContain(file, schema, a, v))
     case IsNull(a) => mayBeNull(file, a)
     case IsNotNull(a) =>
       file.stats.get(a).forall(_.nullCount < file.rows)
@@ -179,6 +230,49 @@ object StatsPruner {
         case _ => true
       }
     case _ => true
+  }
+
+  /** Per-file Bloom probe for equality filters: definitely-absent
+    * prunes, everything else (no filter recorded, unknown value form,
+    * possible membership) keeps the file. The probe replays the exact
+    * write-side hash (`xxhash64`, seed 42) on the filter value;
+    * DecimalType is deliberately NOT probed (its internal
+    * representation is precision-dependent — a mismatched hash would
+    * prune wrongly).
+    */
+  private def bloomMayContain(file: DataFileEntry, schema: StructType,
+      a: String, v: Any): Boolean =
+    (for {
+      st <- file.stats.get(a)
+      b <- st.bloom
+      dt <- fieldType(schema, a)
+      h <- hashOf(dt, v)
+    } yield graft.functions.BloomAgg.mightContain(b, h)).getOrElse(true)
+
+  private def hashOf(dt: DataType, v: Any): Option[Long] = {
+    val catalystV: Option[Any] = dt match {
+      case StringType => v match {
+        case s: String =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        case _ => None
+      }
+      case TimestampType => v match {
+        case t: java.sql.Timestamp => Some(micros(t.toInstant))
+        case i: Instant => Some(micros(i))
+        case _ => None
+      }
+      case DateType => v match {
+        case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
+        case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
+        case _ => None
+      }
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | BooleanType => Some(v)
+      case _ => None
+    }
+    catalystV.flatMap(cv => Try(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(cv, dt, 42L)).toOption)
   }
 
   private def mayBeNull(file: DataFileEntry, a: String): Boolean =

@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * treats a missing bound as ±∞.
   */
 final case class ColStats(min: Option[String], max: Option[String],
-    nullCount: Long)
+    nullCount: Long, bloom: Option[String] = None)
 
 /** One immutable data file referenced by a snapshot. `path` is relative
   * to the table root (the table directory is relocatable as a unit);
@@ -255,7 +255,8 @@ object SnapshotLog {
           case (c, st) => c -> (JObject(List(
             "min" -> (st.min.map(JString(_)).getOrElse(JNull): JValue),
             "max" -> (st.max.map(JString(_)).getOrElse(JNull): JValue),
-            "nulls" -> (JLong(st.nullCount): JValue))): JValue)
+            "nulls" -> (JLong(st.nullCount): JValue)) ++
+            st.bloom.map(b => "bloom" -> (JString(b): JValue)).toList): JValue)
         }): JValue))
       val cols =
         if (f.cols.isEmpty) Nil
@@ -326,7 +327,7 @@ object SnapshotLog {
         val stats = (f \ "stats") match {
           case JObject(kvs) => kvs.map { case (c, st) =>
             c -> ColStats(optStr(st \ "min"), optStr(st \ "max"),
-              lng(st \ "nulls"))
+              lng(st \ "nulls"), optStr(st \ "bloom"))
           }.toMap
           case _ => Map.empty[String, ColStats]
         }

@@ -838,7 +838,9 @@ final class SnapshotTable private (
       case None => aligned.schema
     }
     val statSchema = aligned.schema // PartCol excluded: it lives in the manifest
-    val aggs = count(lit(1)).as("__rows") +: FileStats.aggColumns(statSchema)
+    val bloom = BloomSpec.fromProperties(currentSnapshot().properties)
+    val aggs = count(lit(1)).as("__rows") +:
+      FileStats.aggColumns(statSchema, bloom)
     spark.read.schema(readBackSchema).parquet(dir.toString)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -859,7 +861,7 @@ final class SnapshotTable private (
             decodePartitionValue(seg.substring(PartCol.length + 1))
         }.flatten
         DataFileEntry(s"$rel/$sub", partition, r.getLong(1),
-          FileStats.fromRow(statSchema, r, 2))
+          FileStats.fromRow(statSchema, r, 2, bloom))
       }
   }
 }

@@ -610,6 +610,57 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("per-file bloom filters skip equality probes on unsorted columns") {
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("tag", StringType), StructField("ts", TimestampType)))
+    val t = SnapshotTable.create(spark, freshRoot(), schema, None,
+      properties = Map("graft.bloom.columns" -> "k,tag,ts",
+        "graft.bloom.bits" -> "4096"))
+    def ts(i: Long) = new Timestamp(1700000000000L + i * 60000L)
+    // two files with OVERLAPPING value ranges (min/max cannot decide)
+    // but disjoint value SETS: evens vs odds
+    t.append(Seq.range(0L, 100L, 2).map(i => (i, s"e$i", ts(i)))
+      .toDF("k", "tag", "ts").coalesce(1))
+    t.append(Seq.range(1L, 100L, 2).map(i => (i, s"o$i", ts(i)))
+      .toDF("k", "tag", "ts").coalesce(1))
+    assert(t.currentSnapshot().files.forall(_.stats("k").bloom.isDefined))
+    assert(t.pruneFiles(col("k") === 42L).size == 1,
+      "bloom must prune the odds file for an even probe")
+    assert(t.pruneFiles(col("tag") === "e42").size == 1)
+    assert(t.pruneFiles(col("ts") === lit(ts(42))).size == 1,
+      "timestamp probe must replay the micros hash")
+    assert(t.pruneFiles(col("k").isin(2L, 3L)).size == 2,
+      "IN-list spanning both files keeps both")
+    // absent everywhere: evens file lacks e41 (bloom), odds file is out
+    // of string range (bounds)
+    assert(t.pruneFiles(col("tag") === "e41").isEmpty)
+    // correctness parity
+    assert(t.readWhere(col("k") === 42L).count() == 1L)
+    assert(t.readWhere(col("k") === 41L).count() == 1L)
+    assert(t.readWhere(col("tag") === "e41").count() == 0L)
+    // bloom keeps probing through a rename (id-translated stats)
+    t.renameColumn("k", "kk")
+    assert(t.pruneFiles(col("kk") === 42L).size == 1)
+  }
+
+  test("bloom build/probe round-trip and conservative unknown-version") {
+    import graft.functions.BloomAgg
+    val words = new Array[Long](4096 / 64)
+    val agg = new BloomAgg.BloomFilterAgg(4096, 7)
+    val hashes = (1L to 200L).map(i => i * 0x9e3779b97f4a7c15L)
+    hashes.foreach(h => agg.reduce(words, h))
+    val b64 = java.util.Base64.getEncoder.encodeToString(agg.finish(words))
+    assert(hashes.forall(h => BloomAgg.mightContain(b64, h)),
+      "no false negatives ever")
+    val absent = (1001L to 1200L).map(i => i * 0x9e3779b97f4a7c15L)
+    val fp = absent.count(h => BloomAgg.mightContain(b64, h))
+    assert(fp < 20, s"false-positive rate implausibly high: $fp/200")
+    assert(BloomAgg.mightContain("not-base64!!", 1L), "garbage answers true")
+    assert(BloomAgg.mightContain(
+      java.util.Base64.getEncoder.encodeToString(Array[Byte](99, 7)), 1L),
+      "unknown version answers true")
+  }
+
   // -------------------------------------------------------------------
   // Field-id schema evolution: rename / drop / re-add
   // -------------------------------------------------------------------

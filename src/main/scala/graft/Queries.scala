@@ -1124,6 +1124,25 @@ object Queries {
             corpus.filter(col("vec_id") >= 100000), model,
             k = 1, nprobe = 4)
         },
+        Some(nnOracle)),
+
+      // IVF-PQ: candidates in the probed clusters score by ADC — m=8
+      // byte codes + per-query lookup tables (~32× narrower than the
+      // float64 embedding column at scan time) — then the 8-deep
+      // shortlist re-ranks with the exact cosine, restoring the exact-
+      // NN answer the shared oracle demands. The memory-bandwidth gap
+      // vs sim_topk_ivf_model widens with corpus width and size.
+      QueryDef("sim_topk_ivfpq",
+        (s, dir) => {
+          val corpus = nearDupVectors(s, dir)
+          val model = ivfModelCache.computeIfAbsent(dir, _ =>
+            graft.operators.Ivf.train(corpus, k = 16, iters = 2))
+          val cb = pqCodebookCache.computeIfAbsent(dir, _ =>
+            graft.operators.Ivf.trainPq(corpus, m = 8, ksub = 16, iters = 5))
+          graft.operators.Ivf.topKPqWithModel(corpus,
+            corpus.filter(col("vec_id") >= 100000), model, cb,
+            k = 1, nprobe = 4, shortlist = 8)
+        },
         Some(nnOracle))
     )
   }
@@ -1133,6 +1152,9 @@ object Queries {
 
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.Pq.Codebook]()
 
   // =====================================================================
   // Snapshot-table queries: the atomic-commit layer's READ side, oracle-

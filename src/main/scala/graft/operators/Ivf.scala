@@ -196,4 +196,100 @@ object Ivf {
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
     Similarity.rankTopK(scored, k)
   }
+
+  // ------------------------------------------------------------------
+  // IVF-PQ: product-quantized candidate scoring (see functions/Pq)
+  // ------------------------------------------------------------------
+
+  /** Train a PQ codebook on a bounded, hash-ordered (deterministic)
+    * sample: `m` independent driver-side Lloyd runs, one per subspace —
+    * sample and codebook are model-sized, never corpus-sized, the same
+    * cost contract as [[train]]. Empty clusters keep their previous
+    * centroid; assignment ties break toward the smaller index.
+    */
+  def trainPq(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleMax: Int = 10000): graft.functions.Pq.Codebook = {
+    require(ksub >= 1 && ksub <= 256, s"ksub must be 1..256: $ksub")
+    val vecs: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
+      .limit(sampleMax)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: java.lang.Float  => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+      }.toArray)
+    require(vecs.nonEmpty, "trainPq needs a non-empty corpus")
+    val d = vecs.head.length
+    require(d % m == 0, s"dims=$d must divide into m=$m subspaces")
+    val dsub = d / m
+    val flat = new Array[Double](m * ksub * dsub)
+    for (s <- 0 until m) {
+      val subs = vecs.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      var cents = Array.tabulate(ksub)(j => subs(j % subs.length).clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Int](ksub)
+        for (v <- subs) {
+          var best = 0
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < ksub) {
+            var dist = 0.0
+            var i = 0
+            while (i < dsub) {
+              val diff = v(i) - cents(j)(i); dist += diff * diff; i += 1
+            }
+            if (dist < bestD) { bestD = dist; best = j }
+            j += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ksub)(j =>
+          if (counts(j) > 0) sums(j).map(_ / counts(j)) else cents(j))
+      }
+      for (j <- 0 until ksub; i <- 0 until dsub)
+        flat(s * ksub * dsub + j * dsub + i) = cents(j)(i)
+    }
+    graft.functions.Pq.Codebook(m, ksub, dsub, flat.toIndexedSeq)
+  }
+
+  /** IVF-PQ top-k: candidates in the probed clusters score by ADC —
+    * `m` table lookups against an m-BYTE code instead of a full-width
+    * cosine — then only the `shortlist` best per query re-rank with the
+    * exact cosine against true vectors fetched BY ID. At 100 TB the
+    * scoring scan streams the code column (~64× narrower than the
+    * embeddings); full vectors move only for queries×shortlist rows.
+    * Output contract identical to [[Similarity.bruteForceTopK]];
+    * results are exact whenever the true top-k survive the ADC
+    * shortlist (recall knobs: `nprobe`, `shortlist`, `m`, `ksub`).
+    */
+  def topKPqWithModel(corpus: DataFrame, queries: DataFrame, model: Model,
+      cb: graft.functions.Pq.Codebook, k: Int, nprobe: Int = 4,
+      shortlist: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.Pq
+    val coded = corpus.select(col(idCol).as("n_id"),
+      assignExpr(col(vecCol), model).as("cluster"),
+      Pq.encode(col(vecCol), cb).as("code"))
+    val probes = queries.select(col(idCol).as("q_id"),
+      explode(probeExpr(col(vecCol), model, nprobe)).as("cluster"),
+      Pq.lut(col(vecCol), cb).as("lut"))
+    // smaller ADC distance = closer: negate so rankTopK's (sim desc,
+    // id asc) order yields nearest-first deterministically
+    val approx = coded.join(broadcast(probes), Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", -Pq.adc(col("code"), col("lut"), cb))
+    val short = Similarity.rankTopK(approx, shortlist)
+      .select(col("q_id"), col("n_id"))
+    val rescored = short
+      .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), Seq("n_id"))
+      .join(broadcast(queries.select(col(idCol).as("q_id"),
+        col(vecCol).as("q_vec"))), Seq("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    Similarity.rankTopK(rescored, k)
+  }
 }

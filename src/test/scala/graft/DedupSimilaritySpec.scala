@@ -294,6 +294,62 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaRebuilt == viaModel)
   }
 
+  test("PQ encode/LUT/ADC agree with direct subspace arithmetic") {
+    import graft.functions.Pq
+    val r = new scala.util.Random(7)
+    val d = 8
+    val rows = (0L until 40L).map(i =>
+      (i, Array.fill(d)(r.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = graft.operators.Ivf.trainPq(df, m = 4, ksub = 4, iters = 5)
+    assert(cb.dsub == 2 && cb.flat.length == 4 * 4 * 2)
+    val out = df.select(col("vec_id"), Pq.encode(col("embedding"), cb).as("code"),
+        Pq.lut(col("embedding"), cb).as("lut"))
+      .withColumn("adc_self", Pq.adc(col("code"), col("lut"), cb))
+      .collect()
+    for (row <- out) {
+      val id = row.getLong(0)
+      val v = rows(id.toInt)._2.map(_.toDouble)
+      val code = row.getAs[Array[Byte]](1)
+      // each code entry is the argmin centroid of its subspace
+      for (s <- 0 until cb.m) {
+        val dists = (0 until cb.ksub).map { j =>
+          val c = cb.centroid(s, j)
+          (0 until cb.dsub).map(i => math.pow(v(s * cb.dsub + i) - c(i), 2)).sum
+        }
+        assert(code(s) == dists.indexOf(dists.min).toByte, s"id=$id s=$s")
+      }
+      // ADC of a vector against its own LUT = sum of per-subspace
+      // min distances (quantization error), reproduced exactly
+      val expect = (0 until cb.m).map { s =>
+        (0 until cb.ksub).map { j =>
+          val c = cb.centroid(s, j)
+          (0 until cb.dsub).map(i => math.pow(v(s * cb.dsub + i) - c(i), 2)).sum
+        }.min
+      }.sum
+      assert(math.abs(row.getDouble(3) - expect) < 1e-12, s"id=$id")
+    }
+  }
+
+  test("IVF-PQ with exact re-rank matches the plain IVF results exactly") {
+    import graft.operators.Ivf
+    val corpus = plantedMutantCorpus()
+    val queries = corpus.filter(col("vec_id") >= 100000)
+    val model = Ivf.train(corpus, k = 16, iters = 2)
+    val cb = Ivf.trainPq(corpus, m = 8, ksub = 16, iters = 5)
+    val viaPq = Ivf.topKPqWithModel(corpus, queries, model, cb,
+        k = 1, nprobe = 4, shortlist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaIvf = Ivf.topKWithModel(corpus, queries, model, k = 1, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the exact re-rank restores bit-identical (q, n, sim) triples as
+    // long as the true neighbor survives the ADC shortlist
+    assert(viaPq == viaIvf)
+    // and recall@1 is perfect on the planted mutants
+    val got = viaPq.map(t => t._1 -> t._2).toMap
+    got.foreach { case (q, n) => assert(n == q - 100000, s"query $q") }
+  }
+
   test("lsh topk returns subset consistent with brute force at high band count") {
     val bf = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 4)
       .collect().map(_.getAs[Long]("n_id")).toSet

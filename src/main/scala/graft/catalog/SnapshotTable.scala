@@ -199,22 +199,21 @@ final class SnapshotTable private (
 
   private def pruneFiles(s: Snapshot, pred: Column): Seq[DataFileEntry] = {
     val filters = StatsPruner.translate(spark, s.schema, pred)
+    val currentById = s.ids.map { case (n, id) => id -> n }.toMap
     s.files.filter(f =>
-      StatsPruner.mayMatchAll(effectiveStats(s, f), s.schema, filters))
+      StatsPruner.mayMatchAll(effectiveStats(currentById, f), s.schema, filters))
   }
 
   /** Re-key a file's write-name stats to CURRENT column names through
     * the field ids, so pruning keeps working across renames (a file
     * written as `v` still skips for predicates on its renamed self).
     */
-  private def effectiveStats(s: Snapshot, f: DataFileEntry): DataFileEntry =
+  private def effectiveStats(currentById: Map[Int, String],
+      f: DataFileEntry): DataFileEntry =
     if (f.cols.isEmpty) f
-    else {
-      val currentById = s.ids.map { case (n, id) => id -> n }.toMap
-      f.copy(stats = f.cols.flatMap { case (wn, id) =>
-        for { cn <- currentById.get(id); st <- f.stats.get(wn) } yield cn -> st
-      }.toMap)
-    }
+    else f.copy(stats = f.cols.flatMap { case (wn, id) =>
+      for { cn <- currentById.get(id); st <- f.stats.get(wn) } yield cn -> st
+    }.toMap)
 
   /** Row-level DELETE, copy-on-write (Iceberg `DELETE FROM` with
     * copy-on-write row-level operations): manifest stats prune to
@@ -278,7 +277,11 @@ final class SnapshotTable private (
     val (pairs, schema2, ids2, nid) = integrate(base, evolved)
     val src = SchemaOps.alignTo(source, evolved).localCheckpoint(true)
     val srcKeys = src.select(on.map(col): _*).distinct()
-    if (src.groupBy(on.map(col): _*).count()
+    // cardinality rule applies to MATCHABLE keys only: a NULL key never
+    // matches any target row (it always inserts), so duplicate
+    // NULL-keyed source rows are legal
+    if (src.filter(on.map(k => col(k).isNotNull).reduce(_ && _))
+        .groupBy(on.map(col): _*).count()
         .filter(col("count") > 1).limit(1).count() > 0)
       throw new IllegalArgumentException(
         s"merge source has duplicate rows for key (${on.mkString(",")}) — " +
@@ -296,6 +299,8 @@ final class SnapshotTable private (
     }
     val candidates =
       if (keyPreds.size < on.size) Nil // some key entirely NULL: nothing matches
+      else if (!on.forall(base.schema.fieldNames.contains))
+        Nil // a key column new to the table: target side is all-NULL, pure insert
       else pruneFiles(base, keyPreds.reduce(_ && _))
     val hit =
       if (candidates.isEmpty) Nil
@@ -618,6 +623,7 @@ final class SnapshotTable private (
       s"no column $from in ${latest.schema.simpleString}")
     require(!latest.schema.fieldNames.contains(to),
       s"column $to already exists in ${latest.schema.simpleString}")
+    requireNoLegacyEntries(latest, "renameColumn")
     val schema2 = StructType(latest.schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     val ids2 = latest.ids.map { case (n, id) =>
@@ -625,7 +631,8 @@ final class SnapshotTable private (
     val spec2 = latest.spec.map(ps =>
       if (ps.source == from) PartitionSpec(to, ps.transform) else ps)
     nextWithIds(latest, s"rename[$from->$to]", schema2, ids2,
-      latest.nextIds, latest.files).copy(spec = spec2)
+      latest.nextIds, latest.files).copy(spec = spec2,
+      properties = renameInBloomProps(latest.properties, from, Some(to)))
   }
 
   /** Metadata-only column DROP (Iceberg `ALTER TABLE … DROP COLUMN`):
@@ -642,11 +649,42 @@ final class SnapshotTable private (
       s"cannot drop hidden-partition source column $name")
     require(latest.schema.fields.length > 1,
       "cannot drop the last column")
+    requireNoLegacyEntries(latest, "dropColumn")
     val schema2 = StructType(latest.schema.fields.filterNot(_.name == name))
     val ids2 = latest.ids.filterNot(_._1 == name)
     nextWithIds(latest, s"drop[$name]", schema2, ids2,
       latest.nextIds, latest.files)
+      .copy(properties = renameInBloomProps(latest.properties, name, None))
   }
+
+  /** Rename/drop rely on per-file write schemas: a legacy entry (no
+    * recorded `cols`) maps POSITIONALLY to the current schema, so a
+    * rename would silently read its old physical column as NULL.
+    * Refuse, with the remedy in the message (compaction rewrites every
+    * entry with recorded ids).
+    */
+  private def requireNoLegacyEntries(s: Snapshot, op: String): Unit = {
+    val legacy = s.files.count(_.cols.isEmpty)
+    require(legacy == 0,
+      s"$op refused: $legacy data file(s) predate recorded write " +
+        "schemas (manifest format upgrade) — run compact() first so " +
+        "every file carries its column ids")
+  }
+
+  /** Keep the `graft.bloom.columns` property in step with a column
+    * rename (`to = Some(new)`) or drop (`to = None`), so new files keep
+    * (or stop) building Bloom filters for the column.
+    */
+  private def renameInBloomProps(props: Map[String, String], from: String,
+      to: Option[String]): Map[String, String] =
+    props.get("graft.bloom.columns") match {
+      case None => props
+      case Some(csv) =>
+        val updated = csv.split(",").map(_.trim).filter(_.nonEmpty)
+          .flatMap(c => if (c == from) to else Some(c))
+        if (updated.isEmpty) props - "graft.bloom.columns"
+        else props + ("graft.bloom.columns" -> updated.mkString(","))
+    }
 
   /** History-preserving rollback: commits a NEW snapshot whose content
     * (files + schema) is that of `toVersion` — audit trail intact,
@@ -657,8 +695,12 @@ final class SnapshotTable private (
     commitRetry { latest =>
       // the id ALLOCATOR stays monotonic across rollbacks so ids from
       // the rolled-past versions are never reused for new columns
+      // spec restores WITH the content: rolling back across a rename of
+      // the partition source must not leave a spec pointing at a name
+      // the restored schema no longer has
       nextWithIds(latest, s"rollback[$toVersion]", target.schema,
         target.ids, math.max(latest.nextIds, target.nextIds), target.files)
+        .copy(spec = target.spec)
     }
   }
 
@@ -817,8 +859,8 @@ final class SnapshotTable private (
     * from the staging paths (hive-style `__graft_p=` dirs), never
     * stored in the files themselves (hidden partitioning).
     */
-  private def stage(aligned: DataFrame,
-      spec: Option[PartitionSpec]): Seq[DataFileEntry] = {
+  private def stage(aligned: DataFrame, spec: Option[PartitionSpec],
+      props: Map[String, String]): Seq[DataFileEntry] = {
     val batch = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val rel = s"${SnapshotLog.DataDirName}/$batch"
     val dir = new Path(root, rel)
@@ -838,7 +880,7 @@ final class SnapshotTable private (
       case None => aligned.schema
     }
     val statSchema = aligned.schema // PartCol excluded: it lives in the manifest
-    val bloom = BloomSpec.fromProperties(currentSnapshot().properties)
+    val bloom = BloomSpec.fromProperties(props)
     val aggs = count(lit(1)).as("__rows") +:
       FileStats.aggColumns(statSchema, bloom)
     spark.read.schema(readBackSchema).parquet(dir.toString)

@@ -243,7 +243,7 @@ final class SnapshotTable private (
     val hitSet = hit.map(_.path).toSet
     // keep rows where pred is FALSE or NULL: <=> TRUE is null-safe
     val survivors = readResolved(base.schema, base.ids, base, hit).filter(!(pred <=> lit(true)))
-    val staged = stage(survivors, base.spec)
+    val staged = stage(survivors, base.spec, base.properties)
     commitStrict(base, next(base, "delete", base.schema,
       base.files.filterNot(f => hitSet.contains(f.path)) ++
         staged.map(_.copy(cols = base.ids))))
@@ -323,7 +323,7 @@ final class SnapshotTable private (
         src.join(matchedKeys, on, "left_anti")
       case (MergeAction.Delete, false) => src.limit(0)
     }
-    val staged = stage(survivors.unionByName(additions), base.spec)
+    val staged = stage(survivors.unionByName(additions), base.spec, base.properties)
     commitStrict(base, nextWithIds(base, "merge", schema2, ids2, nid,
       base.files.filterNot(f => hitSet.contains(f.path)) ++
         staged.map(_.copy(cols = pairs))))
@@ -396,7 +396,7 @@ final class SnapshotTable private (
   def append(df: DataFrame): Snapshot = {
     val base = currentSnapshot()
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
-    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec)
+    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec, base.properties)
     commitRetry { latest =>
       val (pairs, schema2, ids2, nid) = integrate(latest, evolved)
       nextWithIds(latest, "append", schema2, ids2, nid,
@@ -412,7 +412,7 @@ final class SnapshotTable private (
   def overwrite(df: DataFrame): Snapshot = {
     val base = currentSnapshot()
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
-    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec)
+    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec, base.properties)
     commitRetry { latest =>
       val (pairs, schema2, ids2, nid) = integrate(latest, evolved)
       nextWithIds(latest, "overwrite_table", schema2, ids2, nid,
@@ -429,7 +429,7 @@ final class SnapshotTable private (
   def overwritePartitions(df: DataFrame): Snapshot = {
     val base = currentSnapshot()
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
-    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec)
+    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec, base.properties)
     val replaced = staged.map(_.partition).toSet
     commitRetry { latest =>
       val (pairs, schema2, ids2, nid) = integrate(latest, evolved)
@@ -469,7 +469,7 @@ final class SnapshotTable private (
         // unpartitioned: whole-table rewrite, still one atomic commit
         val survivors = readResolved(evolved, pairs, base, base.files)
           .join(keys, keyCols, "left_anti")
-        val staged = stage(survivors.unionByName(incoming), None)
+        val staged = stage(survivors.unionByName(incoming), None, base.properties)
         commitStrict(base, nextWithIds(base, "upsert", schema2, ids2, nid,
           staged.map(_.copy(cols = pairs))))
       case Some(spec) =>
@@ -481,7 +481,7 @@ final class SnapshotTable private (
         val touchedFiles = base.files.filter(f => touched.contains(f.partition))
         val survivors = readResolved(evolved, pairs, base, touchedFiles)
           .join(keys, keyCols, "left_anti")
-        val staged = stage(survivors.unionByName(incoming), Some(spec))
+        val staged = stage(survivors.unionByName(incoming), Some(spec), base.properties)
         val files = base.files.filterNot(f => touched.contains(f.partition)) ++
           staged.map(_.copy(cols = pairs))
         commitStrict(base, nextWithIds(base, "upsert", schema2, ids2, nid, files))
@@ -510,7 +510,7 @@ final class SnapshotTable private (
     val base = currentSnapshot()
     if (committed(base)) return None
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
-    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec)
+    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec, base.properties)
     // own commit loop rather than commitRetry + catch: "already
     // committed" (clean no-op, checkpoint may advance) must NOT be
     // conflated with contention exhaustion (batch NOT committed —
@@ -588,7 +588,7 @@ final class SnapshotTable private (
             raw.repartitionByRange(nOut, sortBy.map(col): _*)
               .sortWithinPartitions(sortBy.map(col): _*)
           else raw.repartition(nOut)
-        val staged = stage(data, latest.spec)
+        val staged = stage(data, latest.spec, latest.properties)
         val before = pFiles.map(_.path).toSet
         try {
           commitRetry { l =>

@@ -28,3 +28,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Full local gate in one command: compile, unit tests, Verify dump at
+// sf0.01, then the DuckDB oracle replay (python3 + duckdb, driver-side
+// tooling). Round-end rule: this must be green before any end-of-round
+// commit.
+lazy val oracleGate = taskKey[Unit]("Replay oracle SQL in DuckDB against the Verify dump")
+oracleGate := {
+  import scala.sys.process._
+  val rc = Seq("python3", "tools/check_oracle.py",
+    "/root/testdata/sf0.01", "/tmp/verify_local").!
+  if (rc != 0) sys.error(s"oracle gate failed (rc=$rc)")
+}
+addCommandAlias("verifyLocal",
+  ";compile ;test " +
+  ";runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_local " +
+  ";oracleGate")

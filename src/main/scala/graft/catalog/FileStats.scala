@@ -239,6 +239,15 @@ object StatsPruner {
     * DecimalType is deliberately NOT probed (its internal
     * representation is precision-dependent — a mismatched hash would
     * prune wrongly).
+    *
+    * Type widening (int→long / float→double, [[SnapshotTable.evolve]]):
+    * a file written BEFORE the widening carries a filter built from the
+    * narrower type's xxhash64, which differs from the widened type's
+    * hash for the same value. The manifest does not record write-time
+    * types, so a file is pruned only when BOTH the wide and (when the
+    * value is representable) the narrowed hash say definitely-absent.
+    * A value NOT representable in the narrow type cannot occur in a
+    * pre-widening file at all, so the wide probe alone is decisive.
     */
   private def bloomMayContain(file: DataFileEntry, schema: StructType,
       a: String, v: Any): Boolean =
@@ -247,7 +256,26 @@ object StatsPruner {
       b <- st.bloom
       dt <- fieldType(schema, a)
       h <- hashOf(dt, v)
-    } yield graft.functions.BloomAgg.mightContain(b, h)).getOrElse(true)
+    } yield graft.functions.BloomAgg.mightContain(b, h) ||
+      narrowHashOf(dt, v).exists(graft.functions.BloomAgg.mightContain(b, _))
+    ).getOrElse(true)
+
+  /** The filter value's hash under the type a widened column had BEFORE
+    * evolution, when the value is representable there; None when `dt`
+    * is not a widening target or the value cannot be a narrow-typed
+    * file's content.
+    */
+  private def narrowHashOf(dt: DataType, v: Any): Option[Long] = dt match {
+    case LongType =>
+      Try(v.asInstanceOf[Number].longValue()).toOption
+        .filter(l => l >= Int.MinValue && l <= Int.MaxValue)
+        .flatMap(l => hashOf(IntegerType, l.toInt))
+    case DoubleType =>
+      Try(v.asInstanceOf[Number].doubleValue()).toOption
+        .filter(d => d.isNaN || d.toFloat.toDouble == d)
+        .flatMap(d => hashOf(FloatType, d.toFloat))
+    case _ => None
+  }
 
   private def hashOf(dt: DataType, v: Any): Option[Long] = {
     val catalystV: Option[Any] = dt match {

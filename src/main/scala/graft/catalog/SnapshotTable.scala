@@ -695,12 +695,16 @@ final class SnapshotTable private (
     commitRetry { latest =>
       // the id ALLOCATOR stays monotonic across rollbacks so ids from
       // the rolled-past versions are never reused for new columns
-      // spec restores WITH the content: rolling back across a rename of
-      // the partition source must not leave a spec pointing at a name
-      // the restored schema no longer has
+      // spec AND properties restore WITH the content: rolling back
+      // across a rename of the partition source must not leave a spec
+      // pointing at a name the restored schema no longer has, and
+      // rolling back across renameColumn/dropColumn must not leave
+      // graft.bloom.columns (rewritten by renameInBloomProps) pointing
+      // at names the restored schema lacks — which would silently stop
+      // building Bloom filters on subsequent appends
       nextWithIds(latest, s"rollback[$toVersion]", target.schema,
         target.ids, math.max(latest.nextIds, target.nextIds), target.files)
-        .copy(spec = target.spec)
+        .copy(spec = target.spec, properties = target.properties)
     }
   }
 

@@ -102,6 +102,20 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.readAt(3).count() == 2L, "rollback must not destroy history")
   }
 
+  test("rollback restores table properties with the content") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec,
+      properties = Map("graft.bloom.columns" -> "id"))
+    t.append(rows((1, "2024-01-05", 1.0)))               // v2
+    t.renameColumn("id", "uid")                          // v3: prop follows
+    assert(t.currentSnapshot().properties("graft.bloom.columns") == "uid")
+    val rb = t.rollback(2)                               // v4 = state of v2
+    // properties are table state too: leaving the post-rename bloom
+    // spec against the restored pre-rename schema would silently stop
+    // building Bloom filters for the column on every later append
+    assert(rb.properties("graft.bloom.columns") == "id")
+    assert(t.currentSnapshot().schema.fieldNames.contains("id"))
+  }
+
   test("overwritePartitions replaces exactly the incoming partitions") {
     val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
     t.append(rows((1, "2024-01-05", 1.0), (2, "2024-02-06", 2.0)))
@@ -641,6 +655,34 @@ class SnapshotTableSpec extends AnyFunSuite {
     // bloom keeps probing through a rename (id-translated stats)
     t.renameColumn("k", "kk")
     assert(t.pruneFiles(col("kk") === 42L).size == 1)
+  }
+
+  test("bloom probe stays correct across int->long / float->double widening") {
+    val schema = StructType(Seq(StructField("k", IntegerType),
+      StructField("x", FloatType)))
+    val t = SnapshotTable.create(spark, freshRoot(), schema, None,
+      properties = Map("graft.bloom.columns" -> "k,x",
+        "graft.bloom.bits" -> "4096"))
+    // pre-widening files: filters hash int/float representations
+    t.append(Seq.range(0, 100, 2).map(i => (i, i.toFloat))
+      .toDF("k", "x").coalesce(1))
+    t.append(Seq.range(1, 100, 2).map(i => (i, i.toFloat))
+      .toDF("k", "x").coalesce(1))
+    // widen both columns (schema evolution, no data rewrite)
+    t.append(Seq((1000000000000L, 1.5e300)).toDF("k", "x").coalesce(1))
+    assert(t.currentSnapshot().schema("k").dataType == LongType)
+    // the value 42 lives in the evens file, whose bloom hashed int 42;
+    // hashing long 42 differs — pruning on the wide hash alone would
+    // silently DROP the matching file (wrong results, not lost pruning)
+    assert(t.readWhere(col("k") === 42L).count() == 1L,
+      "pre-widening file must still be found through its narrow-hash bloom")
+    assert(t.readWhere(col("x") === 43.0d).count() == 1L)
+    // narrow probe keeps its pruning power for values absent everywhere
+    assert(t.pruneFiles(col("k") === 41L).size <= 2,
+      "even probe must still prune at least the out-of-range new file")
+    // a value unrepresentable as int can only live in post-widening
+    // files: wide hash is decisive there
+    assert(t.readWhere(col("k") === 1000000000000L).count() == 1L)
   }
 
   test("bloom build/probe round-trip and conservative unknown-version") {

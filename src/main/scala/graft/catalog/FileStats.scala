@@ -152,6 +152,15 @@ object FileStats {
   */
 object StatsPruner {
 
+  /** Resolves a sidecar bloom reference (`ref:…` token, file path) to
+    * its base64 payload — [[SnapshotLog.resolveBloom]] in production.
+    * `NoRefs` (the default) answers None, which keeps the file: inline
+    * payloads still probe, sidecar-backed ones just stop pruning.
+    */
+  type BloomResolver = (String, String) => Option[String]
+
+  val NoRefs: BloomResolver = (_, _) => None
+
   /** Resolve `pred` against `schema` and translate it into source
     * filters (conjuncts that failed translation are simply not used for
     * pruning). Foldable subexpressions are constant-folded first so
@@ -181,18 +190,23 @@ object StatsPruner {
 
   /** Can `file` contain a row matching every filter in `filters`? */
   def mayMatchAll(file: DataFileEntry, schema: StructType,
-      filters: Seq[Filter]): Boolean =
-    filters.forall(f => mayMatch(file, schema, f))
+      filters: Seq[Filter], resolver: BloomResolver = NoRefs): Boolean =
+    filters.forall(f => mayMatch(file, schema, f, resolver))
 
   def mayMatch(file: DataFileEntry, schema: StructType,
-      filter: Filter): Boolean = filter match {
-    case And(l, r) => mayMatch(file, schema, l) && mayMatch(file, schema, r)
-    case Or(l, r) => mayMatch(file, schema, l) || mayMatch(file, schema, r)
+      filter: Filter, resolver: BloomResolver = NoRefs): Boolean =
+      filter match {
+    case And(l, r) =>
+      mayMatch(file, schema, l, resolver) && mayMatch(file, schema, r, resolver)
+    case Or(l, r) =>
+      mayMatch(file, schema, l, resolver) || mayMatch(file, schema, r, resolver)
     case EqualTo(a, v) => mayCompare(file, schema, a, v,
-      lo => lo <= 0, hi => hi >= 0) && bloomMayContain(file, schema, a, v)
+      lo => lo <= 0, hi => hi >= 0) &&
+      bloomMayContain(file, schema, a, v, resolver)
     case EqualNullSafe(a, null) => mayBeNull(file, a)
     case EqualNullSafe(a, v) => mayCompare(file, schema, a, v,
-      lo => lo <= 0, hi => hi >= 0) && bloomMayContain(file, schema, a, v)
+      lo => lo <= 0, hi => hi >= 0) &&
+      bloomMayContain(file, schema, a, v, resolver)
     case GreaterThan(a, v) => mayCompare(file, schema, a, v,
       _ => true, hi => hi > 0)
     case GreaterThanOrEqual(a, v) => mayCompare(file, schema, a, v,
@@ -203,7 +217,8 @@ object StatsPruner {
       lo => lo <= 0, _ => true)
     case In(a, vs) =>
       vs.exists(v => v != null && mayCompare(file, schema, a, v,
-        lo => lo <= 0, hi => hi >= 0) && bloomMayContain(file, schema, a, v))
+        lo => lo <= 0, hi => hi >= 0) &&
+        bloomMayContain(file, schema, a, v, resolver))
     case IsNull(a) => mayBeNull(file, a)
     case IsNotNull(a) =>
       file.stats.get(a).forall(_.nullCount < file.rows)
@@ -250,10 +265,14 @@ object StatsPruner {
     * pre-widening file at all, so the wide probe alone is decisive.
     */
   private def bloomMayContain(file: DataFileEntry, schema: StructType,
-      a: String, v: Any): Boolean =
+      a: String, v: Any, resolver: BloomResolver = NoRefs): Boolean =
     (for {
       st <- file.stats.get(a)
-      b <- st.bloom
+      token <- st.bloom
+      // sidecar-backed payloads (format v2) load lazily, ONLY when an
+      // equality probe reaches this file — planning never pays them
+      b <- if (token.startsWith(SnapshotLog.RefPrefix))
+        resolver(token, file.path) else Some(token)
       dt <- fieldType(schema, a)
       h <- hashOf(dt, v)
     } yield graft.functions.BloomAgg.mightContain(b, h) ||

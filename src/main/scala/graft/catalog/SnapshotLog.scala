@@ -47,6 +47,12 @@ final case class DataFileEntry(path: String, partition: Option[String],
     rows: Long, stats: Map[String, ColStats] = Map.empty,
     cols: Seq[(String, Int)] = Seq.empty)
 
+/** One manifest file in a snapshot's manifest list: log-relative path
+  * plus its entry count (recorded so list-bounding decisions never
+  * need to open the manifest).
+  */
+final case class ManifestRef(path: String, fileCount: Int)
+
 /** Hidden-partition spec, Iceberg-style (the reference's
   * `month(created_at)`, `/root/reference/src/jobs/job.py:125` +
   * `spark_utils.py:163`): the partition value is DERIVED from a source
@@ -113,11 +119,33 @@ final class SnapshotConflictException(msg: String)
   * `/root/reference/src/utils/spark/spark_utils.py:153-173`), rebuilt
   * on plain filesystem semantics in the style of Iceberg's Hadoop
   * tables: the log directory `<root>/_graft_log/` holds one JSON
-  * manifest per committed version (`snap-%011d.json`), and COMMITTING
+  * snapshot per committed version (`snap-%011d.json`), and COMMITTING
   * version v+1 is a single create-exclusive of that one file. Readers
   * list the log directory and take the highest committed version;
   * writers that lose the create-exclusive race get a clean conflict
   * signal and rebase or abort.
+  *
+  * SHARDED METADATA (format v2 — Iceberg's manifest-list design): the
+  * snapshot file no longer embeds the table's full file list. It holds
+  * a MANIFEST LIST — relative paths of immutable per-commit manifest
+  * files (`_graft_log/manifests/m-*.json`), each carrying the
+  * [[DataFileEntry]]s one commit staged. A commit writes ONLY its own
+  * batch's manifest (plus rewritten manifests whose members it
+  * removed) and re-points at the parent's untouched manifests, so
+  * commit I/O is O(batch), not O(table) — at 10⁵–10⁶ data files the
+  * v1 whole-file-list rewrite is a multi-GB driver-side JSON per
+  * commit, the one structural scale-killer of the inline design.
+  * Bloom payloads (~8 KiB/file/column) are stripped out of manifests
+  * into per-batch SIDECAR files (`_graft_log/blooms/bl-*.json`) and
+  * referenced by `ref:` tokens, loaded lazily only when an equality
+  * probe actually consults them — planning never pays their bytes.
+  * The manifest-list length is bounded ([[SnapshotLog.MaxManifests]],
+  * table property `graft.manifest.max`): when exceeded, the smallest
+  * manifests fold into the commit's new manifest (amortized-bounded
+  * manifest compaction, so reads never degrade to unbounded tiny-file
+  * listings). Format-v1 snapshots (inline `files`) remain readable
+  * forever — migration is on first commit, which simply finds no
+  * parent manifests to reuse.
   *
   * Atomicity: on `file://` the create goes through NIO
   * `CREATE_NEW` (O_CREAT|O_EXCL — kernel-atomic); on HDFS,
@@ -131,6 +159,17 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
 
   private val fs: FileSystem = root.getFileSystem(conf)
   private val logDir = new Path(root, SnapshotLog.LogDirName)
+
+  /** Manifest / sidecar content is immutable once written (uuid names,
+    * never rewritten in place), so these caches are trivially coherent
+    * for the life of the process; entries are small relative to the
+    * data they describe (stats only — bloom payloads live in the
+    * sidecar cache and are loaded per probe, not per plan).
+    */
+  private val manifestCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[DataFileEntry]]
+  private val sidecarCache = scala.collection.concurrent.TrieMap
+    .empty[String, Map[String, Map[String, String]]]
 
   private def snapPath(v: Long): Path =
     new Path(logDir, f"snap-$v%011d.json")
@@ -149,8 +188,8 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  def read(version: Long): Snapshot = {
-    val in = fs.open(snapPath(version))
+  private def readBytes(p: Path): String = {
+    val in = fs.open(p)
     val bytes =
       try {
         val out = new java.io.ByteArrayOutputStream()
@@ -159,7 +198,45 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
         out.toByteArray
       } finally in.close()
-    SnapshotLog.fromJson(new String(bytes, "UTF-8"))
+    new String(bytes, "UTF-8")
+  }
+
+  def read(version: Long): Snapshot = {
+    val (snap, manifests) = SnapshotLog.fromJsonSharded(readBytes(snapPath(version)))
+    if (manifests.isEmpty) snap // format v1: inline file list
+    else snap.copy(files = manifests.flatMap(m => loadManifest(m.path)))
+  }
+
+  /** The manifest list of `version` — empty for format-v1 snapshots. */
+  def manifestList(version: Long): Seq[ManifestRef] =
+    SnapshotLog.fromJsonSharded(readBytes(snapPath(version)))._2
+
+  /** Entries of one immutable manifest file (cached). */
+  def loadManifest(rel: String): Seq[DataFileEntry] =
+    manifestCache.getOrElseUpdate(rel,
+      SnapshotLog.manifestFromJson(readBytes(new Path(logDir, rel))))
+
+  /** Distinct bloom-sidecar paths a manifest's entries reference. */
+  def sidecarsOf(rel: String): Seq[String] =
+    loadManifest(rel).flatMap(_.stats.valuesIterator
+      .flatMap(_.bloom).filter(_.startsWith(SnapshotLog.RefPrefix))
+      .map(t => t.stripPrefix(SnapshotLog.RefPrefix).takeWhile(_ != '#')))
+      .distinct
+
+  /** Resolve a `ref:<sidecar>#<writeCol>` bloom token to its base64
+    * payload: lazy, cached, and conservative — any failure to load
+    * yields None, which the pruner treats as "may contain" (keep the
+    * file). `filePath` keys the sidecar's per-file map; the write-time
+    * column name rides IN the token so probes keep working after a
+    * rename re-keys the stats to current names.
+    */
+  def resolveBloom(token: String, filePath: String): Option[String] = {
+    val body = token.stripPrefix(SnapshotLog.RefPrefix)
+    val (rel, col) = body.span(_ != '#')
+    if (col.isEmpty) return None
+    scala.util.Try(sidecarCache.getOrElseUpdate(rel,
+      SnapshotLog.sidecarFromJson(readBytes(new Path(logDir, rel)))))
+      .toOption.flatMap(_.get(filePath)).flatMap(_.get(col.drop(1)))
   }
 
   def current(): Option[Snapshot] = currentVersion().map(read)
@@ -196,7 +273,7 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
   def tryCommit(s: Snapshot): Boolean = {
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     val target = snapPath(s.version)
-    val json = SnapshotLog.toJson(s).getBytes("UTF-8")
+    val json = shard(s).getBytes("UTF-8")
     if (fs.getScheme == "file") {
       val dirPath = Paths.get(fs.makeQualified(logDir).toUri.getPath)
       val tmp = Files.createTempFile(dirPath, s".tmp-${s.version}-", ".json")
@@ -225,18 +302,133 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
     }
   }
 
-  /** Delete the manifest of an expired version (data files are handled
-    * by [[SnapshotTable.expireSnapshots]]).
+  /** Shard `s` for commit: reuse every parent manifest whose members
+    * all survive unchanged in `s.files`, write ONE new manifest for the
+    * remainder (the commit's batch), and strip that batch's inline
+    * Bloom payloads into one sidecar. Returns the (small) snapshot
+    * JSON; aux files are durably written before the caller publishes
+    * the snapshot name, so a reader can never see a snapshot whose
+    * manifests are missing. A lost commit race strands the aux files as
+    * orphans (uuid names — never clobbered), cleaned age-guarded by
+    * [[SnapshotTable.removeOrphanFiles]].
+    */
+  private def shard(s: Snapshot): String = {
+    import scala.util.Try
+    val parentMans = s.parent.toSeq
+      .flatMap(v => Try(manifestList(v)).getOrElse(Nil))
+    val byPath = s.files.iterator.map(f => f.path -> f).toMap
+    val reusable = parentMans.filter(m =>
+      Try(loadManifest(m.path)).toOption.exists(es =>
+        es.nonEmpty && es.forall(e => byPath.get(e.path).contains(e))))
+    val covered = reusable.iterator
+      .flatMap(m => loadManifest(m.path).iterator.map(_.path)).toSet
+    var newEntries = s.files.filterNot(f => covered.contains(f.path))
+    var kept = reusable
+    // bound the manifest list: fold the SMALLEST reused manifests into
+    // this commit's new manifest (amortized manifest compaction — read
+    // fan-out stays bounded without ever rewriting the whole table)
+    val max = math.max(2, s.properties.get("graft.manifest.max")
+      .flatMap(v => Try(v.toInt).toOption).getOrElse(SnapshotLog.MaxManifests))
+    if (kept.size + (if (newEntries.nonEmpty) 1 else 0) > max) {
+      val fold = kept.sortBy(_.fileCount)
+        .take(kept.size + 1 - max).map(_.path).toSet
+      newEntries = newEntries ++ kept.filter(m => fold.contains(m.path))
+        .flatMap(m => loadManifest(m.path))
+      kept = kept.filterNot(m => fold.contains(m.path))
+    }
+    val uuid = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val inline = newEntries.flatMap(e => e.stats.toSeq.collect {
+      case (c, st) if st.bloom.exists(!_.startsWith(SnapshotLog.RefPrefix)) =>
+        (e.path, c, st.bloom.get)
+    })
+    val batch =
+      if (inline.isEmpty) newEntries
+      else {
+        val sidecarRel = s"${SnapshotLog.BloomDirName}/bl-$uuid.json"
+        val perFile = inline.groupBy(_._1).map { case (p, xs) =>
+          p -> xs.map(x => x._2 -> x._3).toMap }
+        writeAux(sidecarRel, SnapshotLog.sidecarToJson(perFile))
+        sidecarCache.put(sidecarRel, perFile)
+        newEntries.map(e => e.copy(stats = e.stats.map { case (c, st) =>
+          c -> (st.bloom match {
+            case Some(b) if !b.startsWith(SnapshotLog.RefPrefix) =>
+              st.copy(bloom =
+                Some(s"${SnapshotLog.RefPrefix}$sidecarRel#$c"))
+            case _ => st
+          })
+        }))
+      }
+    val manifests = kept ++ (if (batch.isEmpty) Nil else {
+      val manRel = s"${SnapshotLog.ManifestDirName}/m-$uuid.json"
+      writeAux(manRel, SnapshotLog.manifestToJson(batch))
+      manifestCache.put(manRel, batch)
+      Seq(ManifestRef(manRel, batch.size))
+    })
+    SnapshotLog.toJsonSharded(s, manifests)
+  }
+
+  private def writeAux(rel: String, json: String): Unit = {
+    val p = new Path(logDir, rel)
+    if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
+    val os = fs.create(p, false)
+    try os.write(json.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Delete the snapshot file of an expired version (data files and
+    * now-unreferenced manifests/sidecars are handled by
+    * [[SnapshotTable.expireSnapshots]]).
     */
   def delete(version: Long): Unit = { fs.delete(snapPath(version), false); () }
+
+  /** Delete an aux (manifest/sidecar) file by log-relative path. */
+  def deleteAux(rel: String): Unit = {
+    fs.delete(new Path(logDir, rel), false)
+    manifestCache.remove(rel)
+    sidecarCache.remove(rel)
+    ()
+  }
 }
 
 object SnapshotLog {
 
   val LogDirName = "_graft_log"
   val DataDirName = "data"
+  val ManifestDirName = "manifests"
+  val BloomDirName = "blooms"
+
+  /** Prefix marking a ColStats.bloom value as a sidecar reference
+    * (`ref:<log-relative sidecar path>#<write-time column name>`)
+    * rather than an inline base64 payload.
+    */
+  val RefPrefix = "ref:"
+
+  /** Default manifest-list length bound (override per table with the
+    * `graft.manifest.max` property).
+    */
+  val MaxManifests = 100
 
   private val SnapName = raw"snap-(\d+)\.json".r
+
+  private def fileToJValue(f: DataFileEntry): JValue = {
+    val base = List(
+      "path" -> (JString(f.path): JValue),
+      "partition" -> (f.partition.map(JString(_)).getOrElse(JNull): JValue),
+      "rows" -> (JLong(f.rows): JValue))
+    val stats =
+      if (f.stats.isEmpty) Nil
+      else List("stats" -> (JObject(f.stats.toList.sortBy(_._1).map {
+        case (c, st) => c -> (JObject(List(
+          "min" -> (st.min.map(JString(_)).getOrElse(JNull): JValue),
+          "max" -> (st.max.map(JString(_)).getOrElse(JNull): JValue),
+          "nulls" -> (JLong(st.nullCount): JValue)) ++
+          st.bloom.map(b => "bloom" -> (JString(b): JValue)).toList): JValue)
+      }): JValue))
+    val cols =
+      if (f.cols.isEmpty) Nil
+      else List("cols" -> (JArray(f.cols.toList.map { case (n, id) =>
+        JArray(List(JString(n), JInt(id))) }): JValue))
+    JObject(base ++ stats ++ cols)
+  }
 
   /** Manifest codec — json4s AST in/out (jackson backend from Spark's
     * own jars), schema embedded as Spark's canonical `StructType.json`.
@@ -244,26 +436,7 @@ object SnapshotLog {
     * across json4s versions), every field explicit.
     */
   def toJson(s: Snapshot): String = {
-    val files = JArray(s.files.toList.map { f =>
-      val base = List(
-        "path" -> (JString(f.path): JValue),
-        "partition" -> (f.partition.map(JString(_)).getOrElse(JNull): JValue),
-        "rows" -> (JLong(f.rows): JValue))
-      val stats =
-        if (f.stats.isEmpty) Nil
-        else List("stats" -> (JObject(f.stats.toList.sortBy(_._1).map {
-          case (c, st) => c -> (JObject(List(
-            "min" -> (st.min.map(JString(_)).getOrElse(JNull): JValue),
-            "max" -> (st.max.map(JString(_)).getOrElse(JNull): JValue),
-            "nulls" -> (JLong(st.nullCount): JValue)) ++
-            st.bloom.map(b => "bloom" -> (JString(b): JValue)).toList): JValue)
-        }): JValue))
-      val cols =
-        if (f.cols.isEmpty) Nil
-        else List("cols" -> (JArray(f.cols.toList.map { case (n, id) =>
-          JArray(List(JString(n), JInt(id))) }): JValue))
-      JObject(base ++ stats ++ cols)
-    })
+    val files = JArray(s.files.toList.map(fileToJValue))
     val spec = s.spec match {
       case Some(p) => JObject(List("source" -> JString(p.source),
         "transform" -> JString(p.transform)))
@@ -287,68 +460,147 @@ object SnapshotLog {
     JsonMethods.compact(JsonMethods.render(obj))
   }
 
-  def fromJson(json: String): Snapshot = {
+  private def jStr(v: JValue): String = v match {
+    case JString(s) => s
+    case other => sys.error(s"expected string, got $other")
+  }
+
+  private def jLng(v: JValue): Long = v match {
+    case JLong(l) => l
+    case JInt(i) => i.toLong
+    case other => sys.error(s"expected long, got $other")
+  }
+
+  private def jOptLong(v: JValue): Option[Long] = v match {
+    case JNull | JNothing => None
+    case other => Some(jLng(other))
+  }
+
+  private def jOptStr(v: JValue): Option[String] = v match {
+    case JNull | JNothing => None
+    case other => Some(jStr(other))
+  }
+
+  private def jPairs(v: JValue): Seq[(String, Int)] = v match {
+    case JArray(items) => items.map {
+      case JArray(List(n, id)) => (jStr(n), jLng(id).toInt)
+      case other => sys.error(s"expected [name, id] pair, got $other")
+    }
+    case _ => Seq.empty
+  }
+
+  private def fileFromJValue(f: JValue): DataFileEntry = {
+    val stats = (f \ "stats") match {
+      case JObject(kvs) => kvs.map { case (c, st) =>
+        c -> ColStats(jOptStr(st \ "min"), jOptStr(st \ "max"),
+          jLng(st \ "nulls"), jOptStr(st \ "bloom"))
+      }.toMap
+      case _ => Map.empty[String, ColStats]
+    }
+    DataFileEntry(jStr(f \ "path"), jOptStr(f \ "partition"),
+      jLng(f \ "rows"), stats, jPairs(f \ "cols"))
+  }
+
+  def fromJson(json: String): Snapshot = fromJsonSharded(json)._1
+
+  /** Parse a snapshot of EITHER format: v1 yields inline files and an
+    * empty manifest list; v2 yields an empty file list plus the
+    * manifest refs for the caller to load.
+    */
+  def fromJsonSharded(json: String): (Snapshot, Seq[ManifestRef]) = {
     val j = JsonMethods.parse(json)
     def field(name: String): JValue = j \ name
-    def str(v: JValue): String = v match {
-      case JString(s) => s
-      case other => sys.error(s"expected string, got $other")
-    }
-    def lng(v: JValue): Long = v match {
-      case JLong(l) => l
-      case JInt(i) => i.toLong
-      case other => sys.error(s"expected long, got $other")
-    }
-    def optLong(v: JValue): Option[Long] = v match {
-      case JNull | JNothing => None
-      case other => Some(lng(other))
-    }
     val spec = field("partitionSpec") match {
       case JNull | JNothing => None
-      case o => Some(PartitionSpec(str(o \ "source"), str(o \ "transform")))
+      case o => Some(PartitionSpec(jStr(o \ "source"), jStr(o \ "transform")))
     }
     val props = field("properties") match {
-      case JObject(kvs) => kvs.map { case (k, v) => k -> str(v) }.toMap
+      case JObject(kvs) => kvs.map { case (k, v) => k -> jStr(v) }.toMap
       case _ => Map.empty[String, String]
     }
-    def optStr(v: JValue): Option[String] = v match {
-      case JNull | JNothing => None
-      case other => Some(str(other))
-    }
-    def pairs(v: JValue): Seq[(String, Int)] = v match {
-      case JArray(items) => items.map {
-        case JArray(List(n, id)) => (str(n), lng(id).toInt)
-        case other => sys.error(s"expected [name, id] pair, got $other")
-      }
-      case _ => Seq.empty
-    }
     val files = field("files") match {
-      case JArray(items) => items.map { f =>
-        val stats = (f \ "stats") match {
-          case JObject(kvs) => kvs.map { case (c, st) =>
-            c -> ColStats(optStr(st \ "min"), optStr(st \ "max"),
-              lng(st \ "nulls"), optStr(st \ "bloom"))
-          }.toMap
-          case _ => Map.empty[String, ColStats]
-        }
-        DataFileEntry(str(f \ "path"), optStr(f \ "partition"),
-          lng(f \ "rows"), stats, pairs(f \ "cols"))
-      }
+      case JArray(items) => items.map(fileFromJValue)
       case _ => Seq.empty
     }
-    Snapshot(
-      version = lng(field("version")),
-      parent = optLong(field("parent")),
-      operation = str(field("operation")),
-      timestampMs = lng(field("timestampMs")),
-      schema = DataType.fromJson(str(field("schema"))).asInstanceOf[StructType],
+    val manifests = field("manifests") match {
+      case JArray(items) => items.map(m =>
+        ManifestRef(jStr(m \ "path"), jLng(m \ "fileCount").toInt))
+      case _ => Seq.empty
+    }
+    val snap = Snapshot(
+      version = jLng(field("version")),
+      parent = jOptLong(field("parent")),
+      operation = jStr(field("operation")),
+      timestampMs = jLng(field("timestampMs")),
+      schema = DataType.fromJson(jStr(field("schema"))).asInstanceOf[StructType],
       spec = spec,
       properties = props,
       files = files,
-      fieldIds = pairs(field("fieldIds")),
+      fieldIds = jPairs(field("fieldIds")),
       nextFieldId = field("nextFieldId") match {
         case JNull | JNothing => 0
-        case v => lng(v).toInt
+        case v => jLng(v).toInt
       })
+    (snap, manifests)
   }
+
+  /** Format-v2 snapshot: the file list is replaced by a manifest list;
+    * everything else matches v1 field-for-field.
+    */
+  def toJsonSharded(s: Snapshot, manifests: Seq[ManifestRef]): String = {
+    val spec = s.spec match {
+      case Some(p) => JObject(List("source" -> JString(p.source),
+        "transform" -> JString(p.transform)))
+      case None => JNull
+    }
+    val obj = JObject(List(
+      "formatVersion" -> JInt(2),
+      "version" -> JLong(s.version),
+      "parent" -> s.parent.map(JLong(_)).getOrElse(JNull),
+      "operation" -> JString(s.operation),
+      "timestampMs" -> JLong(s.timestampMs),
+      "schema" -> JString(s.schema.json),
+      "partitionSpec" -> spec,
+      "properties" -> JObject(s.properties.toList.map {
+        case (k, v) => k -> (JString(v): JValue)
+      }),
+      "fieldIds" -> JArray(s.fieldIds.toList.map { case (n, id) =>
+        JArray(List(JString(n), JInt(id))) }),
+      "nextFieldId" -> JInt(s.nextFieldId),
+      "manifests" -> JArray(manifests.toList.map(m => JObject(List(
+        "path" -> (JString(m.path): JValue),
+        "fileCount" -> (JInt(m.fileCount): JValue)))))))
+    JsonMethods.compact(JsonMethods.render(obj))
+  }
+
+  def manifestToJson(entries: Seq[DataFileEntry]): String =
+    JsonMethods.compact(JsonMethods.render(JObject(List(
+      "formatVersion" -> JInt(1),
+      "files" -> JArray(entries.toList.map(fileToJValue))))))
+
+  def manifestFromJson(json: String): Seq[DataFileEntry] =
+    (JsonMethods.parse(json) \ "files") match {
+      case JArray(items) => items.map(fileFromJValue)
+      case other => sys.error(s"manifest without files array: $other")
+    }
+
+  /** Sidecar codec: file path → write-time column name → base64. */
+  def sidecarToJson(blooms: Map[String, Map[String, String]]): String =
+    JsonMethods.compact(JsonMethods.render(JObject(List(
+      "formatVersion" -> JInt(1),
+      "blooms" -> JObject(blooms.toList.sortBy(_._1).map { case (p, cols) =>
+        p -> (JObject(cols.toList.sortBy(_._1).map { case (c, b) =>
+          c -> (JString(b): JValue) }): JValue)
+      })))))
+
+  def sidecarFromJson(json: String): Map[String, Map[String, String]] =
+    (JsonMethods.parse(json) \ "blooms") match {
+      case JObject(kvs) => kvs.map { case (p, cols) =>
+        p -> (cols match {
+          case JObject(cs) => cs.map { case (c, b) => c -> jStr(b) }.toMap
+          case other => sys.error(s"expected bloom object, got $other")
+        })
+      }.toMap
+      case other => sys.error(s"sidecar without blooms object: $other")
+    }
 }

@@ -201,7 +201,8 @@ final class SnapshotTable private (
     val filters = StatsPruner.translate(spark, s.schema, pred)
     val currentById = s.ids.map { case (n, id) => id -> n }.toMap
     s.files.filter(f =>
-      StatsPruner.mayMatchAll(effectiveStats(currentById, f), s.schema, filters))
+      StatsPruner.mayMatchAll(effectiveStats(currentById, f), s.schema,
+        filters, log.resolveBloom))
   }
 
   /** Re-key a file's write-name stats to CURRENT column names through
@@ -725,7 +726,18 @@ final class SnapshotTable private (
     val retained = retain.flatMap(v => log.read(v).files.map(_.path)).toSet
     val dead = expire.flatMap(v => log.read(v).files.map(_.path))
       .distinct.filterNot(retained.contains)
+    // manifests (and the bloom sidecars only they reference) die with
+    // the last snapshot referencing them — shared ones are untouched,
+    // so this is O(expired metadata), never a table rewrite
+    val retainedMans = retain.flatMap(log.manifestList).map(_.path).toSet
+    val deadMans = expire.flatMap(log.manifestList).map(_.path)
+      .distinct.filterNot(retainedMans.contains)
+    val retainedSides = retainedMans.flatMap(log.sidecarsOf)
+    val deadSides = deadMans.flatMap(log.sidecarsOf)
+      .distinct.filterNot(retainedSides.contains)
     dead.foreach(p => fs.delete(new Path(root, p), false))
+    deadMans.foreach(log.deleteAux)
+    deadSides.foreach(log.deleteAux)
     expire.foreach(log.delete)
     (expire.size, dead.size)
   }
@@ -767,6 +779,24 @@ final class SnapshotTable private (
            if st.getModificationTime <= cutoff) {
         fs.delete(st.getPath, false)
         deleted += 1
+      }
+    }
+    // ...and aged manifest/sidecar files no live snapshot references
+    // (written durably BEFORE the snapshot publish, stranded when the
+    // publish lost its race or the writer crashed)
+    val liveMans = log.versions().flatMap(log.manifestList).map(_.path).toSet
+    val liveSides = liveMans.flatMap(log.sidecarsOf)
+    for (sub <- Seq(SnapshotLog.ManifestDirName, SnapshotLog.BloomDirName)) {
+      val dir = new Path(logDir, sub)
+      if (fs.exists(dir)) {
+        for (st <- fs.listStatus(dir)
+             if st.getModificationTime <= cutoff) {
+          val rel = s"$sub/${st.getPath.getName}"
+          if (!liveMans.contains(rel) && !liveSides.contains(rel)) {
+            fs.delete(st.getPath, false)
+            deleted += 1
+          }
+        }
       }
     }
     deleted

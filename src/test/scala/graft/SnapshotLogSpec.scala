@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{ColStats, DataFileEntry, Snapshot, SnapshotLog}
+
+/** Pins the sharded-metadata format (v2): commit I/O is O(batch) not
+  * O(table), Bloom payloads live in sidecars and resolve lazily,
+  * format-v1 logs stay readable, and the manifest list stays bounded.
+  * Pure log-layer tests — no SparkSession.
+  */
+class SnapshotLogSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("s", StringType)))
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("snaplog").resolve("t").toString
+
+  private def fakeBloom(seed: Int): String =
+    java.util.Base64.getEncoder.encodeToString(
+      Array.tabulate[Byte](1024)(i => ((i * seed) & 0xff).toByte))
+
+  private def entry(i: Int, bloom: Boolean = false): DataFileEntry =
+    DataFileEntry(f"data/b0/part-$i%05d.parquet", Some("2024-01"), 100L,
+      Map("k" -> ColStats(Some(s"${i * 10}"), Some(s"${i * 10 + 9}"), 0L,
+        if (bloom) Some(fakeBloom(i + 1)) else None)),
+      Seq("k" -> 0, "s" -> 1))
+
+  private def snap(v: Long, parent: Option[Long], files: Seq[DataFileEntry],
+      props: Map[String, String] = Map.empty): Snapshot =
+    Snapshot(v, parent, if (parent.isEmpty) "create" else "append",
+      1000000L + v, schema, None, props, files,
+      fieldIds = Seq("k" -> 0, "s" -> 1), nextFieldId = 2)
+
+  private def snapSize(root: String, v: Long): Long =
+    Files.size(Paths.get(root, SnapshotLog.LogDirName, f"snap-$v%011d.json"))
+
+  test("commit cost is O(batch), not O(table): 1000-file table, 10-file append") {
+    val root = freshRoot()
+    val log = new SnapshotLog(new Path(root), new Configuration())
+    val base = (1 to 1000).map(entry(_))
+    assert(log.tryCommit(snap(1, None, base)))
+    // the appending commit re-points at the parent's manifest and
+    // writes only its own 10-entry batch
+    val added = (2001 to 2010).map(entry(_))
+    assert(log.tryCommit(snap(2, Some(1), base ++ added)))
+    assert(snapSize(root, 2) < 4096,
+      s"snapshot file must stay pointer-sized, got ${snapSize(root, 2)}")
+    val mans = log.manifestList(2)
+    // commit-2 I/O = its snapshot + its 10-entry manifest; the table's
+    // 1000-entry manifest is reused by path, never rewritten
+    def manSize(rel: String): Long =
+      Files.size(Paths.get(root, SnapshotLog.LogDirName, rel))
+    val Seq(bigMan) = log.manifestList(1).map(_.path)
+    val newMan = mans.map(_.path).filterNot(_ == bigMan)
+    assert(newMan.size == 1)
+    assert(manSize(newMan.head) + snapSize(root, 2) < manSize(bigMan) / 20,
+      s"append wrote ${manSize(newMan.head) + snapSize(root, 2)} metadata " +
+        s"bytes against a ${manSize(bigMan)}-byte table manifest — not O(batch)")
+    assert(mans.size == 2, "one reused manifest + one new batch manifest")
+    assert(mans.map(_.fileCount).sorted == Seq(10, 1000))
+    assert(log.manifestList(1).map(_.path).toSet
+      .subsetOf(mans.map(_.path).toSet), "parent manifest reused by path")
+    // full read-back equality, order preserved (reused first, batch last)
+    assert(log.read(2).files == base ++ added)
+    // a metadata-only commit (same files) writes NO new manifest
+    assert(log.tryCommit(snap(3, Some(2), base ++ added)))
+    assert(log.manifestList(3).map(_.path) == mans.map(_.path))
+  }
+
+  test("bloom payloads move to a sidecar and resolve lazily by ref") {
+    val root = freshRoot()
+    val log = new SnapshotLog(new Path(root), new Configuration())
+    val files = (1 to 5).map(entry(_, bloom = true))
+    assert(log.tryCommit(snap(1, None, files)))
+    // neither the snapshot nor the manifest embeds the payload
+    val snapJson = new String(Files.readAllBytes(
+      Paths.get(root, SnapshotLog.LogDirName, f"snap-${1L}%011d.json")), "UTF-8")
+    assert(!snapJson.contains(fakeBloom(2).take(32)))
+    val readBack = log.read(1)
+    val tokens = readBack.files.map(_.stats("k").bloom.get)
+    assert(tokens.forall(_.startsWith(SnapshotLog.RefPrefix)))
+    val manJson = new String(Files.readAllBytes(Paths.get(root,
+      SnapshotLog.LogDirName, log.manifestList(1).head.path)), "UTF-8")
+    assert(!manJson.contains(fakeBloom(2).take(32)),
+      "manifest itself must not carry bloom bytes")
+    // the ref resolves to the exact original payload, keyed by file+col
+    readBack.files.zipWithIndex.foreach { case (f, i) =>
+      assert(log.resolveBloom(f.stats("k").bloom.get, f.path)
+        .contains(fakeBloom(i + 2)))
+    }
+    // a fresh log instance (cold cache) resolves too
+    val cold = new SnapshotLog(new Path(root), new Configuration())
+    val f0 = cold.read(1).files.head
+    assert(cold.resolveBloom(f0.stats("k").bloom.get, f0.path)
+      .contains(fakeBloom(2)))
+    // unknown refs keep conservative semantics: None, never a throw
+    assert(log.resolveBloom("ref:blooms/nope.json#k", "x").isEmpty)
+    // carried-forward ref tokens survive a partial rewrite untouched
+    val survivors = files.drop(1)
+    assert(log.tryCommit(snap(2, Some(1), survivors)))
+    val f1 = log.read(2).files.head
+    assert(log.resolveBloom(f1.stats("k").bloom.get, f1.path)
+      .contains(fakeBloom(3)), "rewritten manifest points at OLD sidecar")
+  }
+
+  test("format-v1 logs stay readable and migrate on first commit") {
+    val root = freshRoot()
+    val logDir = Paths.get(root, SnapshotLog.LogDirName)
+    Files.createDirectories(logDir)
+    val v1 = snap(1, None, (1 to 20).map(entry(_, bloom = true)))
+    Files.write(logDir.resolve(f"snap-${1L}%011d.json"),
+      SnapshotLog.toJson(v1).getBytes("UTF-8")) // old writer: inline files
+    val log = new SnapshotLog(new Path(root), new Configuration())
+    assert(log.manifestList(1).isEmpty, "v1 snapshot has no manifest list")
+    val r = log.read(1)
+    assert(r.files == v1.files)
+    assert(r.files.head.stats("k").bloom.exists(
+      !_.startsWith(SnapshotLog.RefPrefix)), "v1 blooms stay inline")
+    // first v2 commit on a v1 parent writes the one-time full manifest
+    assert(log.tryCommit(snap(2, Some(1), v1.files :+ entry(99))))
+    assert(log.manifestList(2).size == 1)
+    assert(log.read(2).files.map(_.path).toSet ==
+      (v1.files :+ entry(99)).map(_.path).toSet)
+  }
+
+  test("manifest list stays bounded by folding smallest manifests") {
+    val root = freshRoot()
+    val log = new SnapshotLog(new Path(root), new Configuration())
+    val props = Map("graft.manifest.max" -> "4")
+    var files = Seq.empty[DataFileEntry]
+    for (v <- 1 to 12) {
+      files = files :+ entry(v)
+      assert(log.tryCommit(snap(v, if (v == 1) None else Some(v - 1),
+        files, props)))
+      assert(log.manifestList(v).size <= 4,
+        s"v$v: ${log.manifestList(v).size} manifests exceed the bound")
+    }
+    assert(log.read(12).files.map(_.path).toSet == files.map(_.path).toSet)
+  }
+}

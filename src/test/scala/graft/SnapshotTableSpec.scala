@@ -253,6 +253,31 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("expired") && e.getMessage.contains("3, 4"))
   }
 
+  test("expiry garbage-collects manifests and bloom sidecars with their last referent") {
+    val root = freshRoot()
+    val t = SnapshotTable.create(spark, root, eventsSchema, None,
+      properties = Map("vacuum_min_snapshots_to_keep" -> "1",
+        "graft.bloom.columns" -> "id"))
+    t.append(rows((1, "2024-01-05", 1.0)))
+    t.overwrite(rows((2, "2024-01-06", 2.0))) // v2's manifest+sidecar die
+    def aux(sub: String): Set[String] = {
+      val d = new java.io.File(new java.io.File(root,
+        graft.catalog.SnapshotLog.LogDirName), sub)
+      Option(d.list()).map(_.filterNot(_.endsWith(".crc")).toSet)
+        .getOrElse(Set.empty)
+    }
+    assert(aux("manifests").size >= 2 && aux("blooms").size >= 2)
+    t.expireSnapshots()
+    assert(aux("manifests").size == 1,
+      "expired append's manifest must be deleted")
+    assert(aux("blooms").size == 1,
+      "expired append's bloom sidecar must be deleted")
+    // the survivor still reads and still bloom-prunes
+    assert(t.read().select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(t.pruneFiles(col("id") === 1L).isEmpty, "bloom+bounds prune")
+    assert(t.pruneFiles(col("id") === 2L).size == 1)
+  }
+
   test("maintain() executes the reference's TBLPROPERTIES thresholds") {
     val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec,
       properties = Map(

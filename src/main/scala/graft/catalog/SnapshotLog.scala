@@ -45,7 +45,22 @@ final case class ColStats(min: Option[String], max: Option[String],
   */
 final case class DataFileEntry(path: String, partition: Option[String],
     rows: Long, stats: Map[String, ColStats] = Map.empty,
-    cols: Seq[(String, Int)] = Seq.empty)
+    cols: Seq[(String, Int)] = Seq.empty, seq: Long = 0L)
+
+/** One equality-delete file (merge-on-read — Iceberg v2 delete files):
+  * a parquet file of DISTINCT key tuples whose matching data rows are
+  * removed at READ time by anti-join, so a point delete commits
+  * O(deleted keys) bytes instead of rewriting data files. `cols` are
+  * the key columns as (write-time name, field id) pairs — reads match
+  * through the ids, so renames don't break pending deletes; `seq` is
+  * the commit version that added the delete, and it applies only to
+  * data files with a STRICTLY SMALLER `seq` (a later re-append of the
+  * same key is not affected — Iceberg sequence-number semantics).
+  * Compaction rewrites carry a fresh seq, which retires fully-applied
+  * delete files (dropped once no data file predates them).
+  */
+final case class DeleteFileEntry(path: String, rows: Long,
+    cols: Seq[(String, Int)], seq: Long)
 
 /** One manifest file in a snapshot's manifest list: log-relative path
   * plus its entry count (recorded so list-bounding decisions never
@@ -85,7 +100,8 @@ final case class Snapshot(
     properties: Map[String, String],
     files: Seq[DataFileEntry],
     fieldIds: Seq[(String, Int)] = Seq.empty,
-    nextFieldId: Int = 0) {
+    nextFieldId: Int = 0,
+    deleteFiles: Seq[DeleteFileEntry] = Seq.empty) {
 
   /** Distinct partition values present (None = null/unpartitioned). */
   def partitions: Seq[Option[String]] = files.map(_.partition).distinct
@@ -427,8 +443,24 @@ object SnapshotLog {
       if (f.cols.isEmpty) Nil
       else List("cols" -> (JArray(f.cols.toList.map { case (n, id) =>
         JArray(List(JString(n), JInt(id))) }): JValue))
-    JObject(base ++ stats ++ cols)
+    val seq =
+      if (f.seq == 0L) Nil // legacy-compatible: 0 is the default
+      else List("seq" -> (JLong(f.seq): JValue))
+    JObject(base ++ stats ++ cols ++ seq)
   }
+
+  private def deleteFileToJValue(d: DeleteFileEntry): JValue =
+    JObject(List(
+      "path" -> (JString(d.path): JValue),
+      "rows" -> (JLong(d.rows): JValue),
+      "cols" -> (JArray(d.cols.toList.map { case (n, id) =>
+        JArray(List(JString(n), JInt(id))) }): JValue),
+      "seq" -> (JLong(d.seq): JValue)))
+
+  private def deleteFilesJson(s: Snapshot): List[(String, JValue)] =
+    if (s.deleteFiles.isEmpty) Nil
+    else List("deleteFiles" ->
+      (JArray(s.deleteFiles.toList.map(deleteFileToJValue)): JValue))
 
   /** Manifest codec — json4s AST in/out (jackson backend from Spark's
     * own jars), schema embedded as Spark's canonical `StructType.json`.
@@ -456,7 +488,7 @@ object SnapshotLog {
       "fieldIds" -> JArray(s.fieldIds.toList.map { case (n, id) =>
         JArray(List(JString(n), JInt(id))) }),
       "nextFieldId" -> JInt(s.nextFieldId),
-      "files" -> files))
+      "files" -> files) ++ deleteFilesJson(s))
     JsonMethods.compact(JsonMethods.render(obj))
   }
 
@@ -498,8 +530,17 @@ object SnapshotLog {
       case _ => Map.empty[String, ColStats]
     }
     DataFileEntry(jStr(f \ "path"), jOptStr(f \ "partition"),
-      jLng(f \ "rows"), stats, jPairs(f \ "cols"))
+      jLng(f \ "rows"), stats, jPairs(f \ "cols"),
+      jOptLong(f \ "seq").getOrElse(0L))
   }
+
+  private def deleteFilesFromJValue(v: JValue): Seq[DeleteFileEntry] =
+    v match {
+      case JArray(items) => items.map(d => DeleteFileEntry(
+        jStr(d \ "path"), jLng(d \ "rows"), jPairs(d \ "cols"),
+        jLng(d \ "seq")))
+      case _ => Seq.empty
+    }
 
   def fromJson(json: String): Snapshot = fromJsonSharded(json)._1
 
@@ -540,7 +581,8 @@ object SnapshotLog {
       nextFieldId = field("nextFieldId") match {
         case JNull | JNothing => 0
         case v => jLng(v).toInt
-      })
+      },
+      deleteFiles = deleteFilesFromJValue(field("deleteFiles")))
     (snap, manifests)
   }
 
@@ -567,9 +609,13 @@ object SnapshotLog {
       "fieldIds" -> JArray(s.fieldIds.toList.map { case (n, id) =>
         JArray(List(JString(n), JInt(id))) }),
       "nextFieldId" -> JInt(s.nextFieldId),
+      // delete files stay INLINE in the snapshot (not sharded into
+      // manifests): the live set is small by design — compaction
+      // retires fully-applied entries — and reads need them up front
       "manifests" -> JArray(manifests.toList.map(m => JObject(List(
         "path" -> (JString(m.path): JValue),
-        "fileCount" -> (JInt(m.fileCount): JValue)))))))
+        "fileCount" -> (JInt(m.fileCount): JValue))))))
+      ++ deleteFilesJson(s))
     JsonMethods.compact(JsonMethods.render(obj))
   }
 

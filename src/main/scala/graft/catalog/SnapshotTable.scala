@@ -63,6 +63,18 @@ object MergeAction {
   case object Delete extends MergeAction
 }
 
+/** One `WHEN MATCHED [AND condition]` clause for
+  * [[SnapshotTable.mergeConditional]]: `condition` (None = always
+  * true) is evaluated per matched pair — reference target columns as
+  * `col("t.<name>")` and source columns as `col("s.<name>")`. Clauses
+  * apply FIRST-MATCH-WINS in list order (SQL MERGE semantics); a
+  * matched row satisfying no clause is kept unchanged; a NULL
+  * condition result means "clause does not apply", exactly as SQL
+  * WHEN MATCHED AND treats it.
+  */
+final case class MergeClause(condition: Option[Column],
+    action: MergeAction)
+
 final class SnapshotTable private (
     spark: SparkSession,
     val root: Path,
@@ -125,7 +137,7 @@ final class SnapshotTable private (
     */
   def readPartitions(pred: Option[String] => Boolean): DataFrame = {
     val s = currentSnapshot()
-    readResolved(s.schema, s.ids, s, s.files.filter(f => pred(f.partition)))
+    readWithDeletes(s.schema, s.ids, s, s.files.filter(f => pred(f.partition)))
   }
 
   /** Hidden-partition predicate pushdown for the `month` transform: a
@@ -152,7 +164,7 @@ final class SnapshotTable private (
     val months = Iterator.iterate(lo)(_.plusMonths(1)).takeWhile(!_.isAfter(hi))
       .map(_.toString).toSet
     val pruned = s.files.filter(f => f.partition.exists(months.contains))
-    readResolved(s.schema, s.ids, s, pruned)
+    readWithDeletes(s.schema, s.ids, s, pruned)
       .filter(col(spec.source) >= lit(java.sql.Timestamp.from(from)) &&
         col(spec.source) < lit(java.sql.Timestamp.from(until)))
   }
@@ -173,7 +185,7 @@ final class SnapshotTable private (
       s"inverted range: $fromVersion .. $toVersion")
     val to = log.read(toVersion)
     val fromPaths = log.read(fromVersion).files.map(_.path).toSet
-    readResolved(to.schema, to.ids, to, to.files.filterNot(f => fromPaths.contains(f.path)))
+    readWithDeletes(to.schema, to.ids, to, to.files.filterNot(f => fromPaths.contains(f.path)))
   }
 
   /** Stats-pruned read: files whose manifest column bounds PROVE no
@@ -188,7 +200,7 @@ final class SnapshotTable private (
     */
   def readWhere(pred: Column): DataFrame = {
     val s = currentSnapshot()
-    readResolved(s.schema, s.ids, s, pruneFiles(s, pred)).filter(pred)
+    readWithDeletes(s.schema, s.ids, s, pruneFiles(s, pred)).filter(pred)
   }
 
   /** The file subset a [[readWhere]] of `pred` would open — exposed so
@@ -235,6 +247,10 @@ final class SnapshotTable private (
     val hit =
       if (candidates.isEmpty) Nil
       else {
+        // RAW read for file discovery: input_file_name() cannot span a
+        // multi-source plan (the MoR anti-join). A file whose only
+        // matches are MoR-deleted rewrites needlessly but correctly —
+        // the survivors below ARE delete-applied
         val hitPaths = readResolved(base.schema, base.ids, base, candidates).filter(pred)
           .select(input_file_name().as("__f")).distinct()
           .collect().map(r => relPath(r.getString(0))).toSet
@@ -243,7 +259,7 @@ final class SnapshotTable private (
     if (hit.isEmpty) return base // nothing matches: no new snapshot
     val hitSet = hit.map(_.path).toSet
     // keep rows where pred is FALSE or NULL: <=> TRUE is null-safe
-    val survivors = readResolved(base.schema, base.ids, base, hit).filter(!(pred <=> lit(true)))
+    val survivors = readWithDeletes(base.schema, base.ids, base, hit).filter(!(pred <=> lit(true)))
     val staged = stage(survivors, base.spec, base.properties)
     commitStrict(base, next(base, "delete", base.schema,
       base.files.filterNot(f => hitSet.contains(f.path)) ++
@@ -269,8 +285,30 @@ final class SnapshotTable private (
     */
   def merge(source: DataFrame, on: Seq[String],
       whenMatched: MergeAction = MergeAction.UpdateAll,
+      insertNotMatched: Boolean = true): Snapshot =
+    mergeConditional(source, on, Seq(MergeClause(None, whenMatched)),
+      insertNotMatched)
+
+  /** MERGE INTO with conditional `WHEN MATCHED AND <cond>` clauses —
+    * the remaining distance to Iceberg's full `MERGE INTO` surface on
+    * top of [[merge]]'s file-granularity copy-on-write. Each matched
+    * (target, source) pair walks `whenMatched` in order and the FIRST
+    * clause whose condition evaluates TRUE applies ([[MergeAction
+    * .UpdateAll]] replaces the target row with the source row,
+    * [[MergeAction.Delete]] drops it); a pair satisfying no clause
+    * keeps the target row unchanged — so a file whose matched rows all
+    * fall through is still rewritten only if it held a matched key
+    * (candidate pruning is clause-independent: key-range stats).
+    * Conditions see both sides: `col("t.x")` is the target row,
+    * `col("s.x")` the source row. Everything else ([[merge]]'s
+    * cardinality rule, schema evolution, pruning, strict
+    * read-modify-write commit) is identical.
+    */
+  def mergeConditional(source: DataFrame, on: Seq[String],
+      whenMatched: Seq[MergeClause],
       insertNotMatched: Boolean = true): Snapshot = {
     require(on.nonEmpty, "merge needs at least one key column")
+    require(whenMatched.nonEmpty, "merge needs at least one WHEN MATCHED clause")
     val base = currentSnapshot()
     val evolved = SnapshotTable.evolve(base.schema, source.schema)
     require(on.forall(evolved.fieldNames.contains),
@@ -306,6 +344,9 @@ final class SnapshotTable private (
     val hit =
       if (candidates.isEmpty) Nil
       else {
+        // RAW read (input_file_name() cannot span the MoR anti-join);
+        // over-approximates hits by MoR-deleted keys only — hitRows
+        // below is delete-applied, so content stays exact
         val hitPaths = readResolved(evolved, pairs, base, candidates)
           .join(srcKeys, on, "left_semi")
           .select(input_file_name().as("__f")).distinct()
@@ -313,17 +354,32 @@ final class SnapshotTable private (
         candidates.filter(f => hitPaths.contains(f.path))
       }
     val hitSet = hit.map(_.path).toSet
-    val hitRows = readResolved(evolved, pairs, base, hit)
-    val survivors = hitRows.join(srcKeys, on, "left_anti")
+    val hitRows = readWithDeletes(evolved, pairs, base, hit)
+    // rows in hit files whose key is NOT in the source stay untouched
+    val unmatched = hitRows.join(srcKeys, on, "left_anti")
     val matchedKeys = hitRows.select(on.map(col): _*).distinct()
-    val additions = (whenMatched, insertNotMatched) match {
-      case (MergeAction.UpdateAll, true) => src
-      case (MergeAction.UpdateAll, false) =>
-        src.join(matchedKeys, on, "left_semi")
-      case (MergeAction.Delete, true) =>
-        src.join(matchedKeys, on, "left_anti")
-      case (MergeAction.Delete, false) => src.limit(0)
+    // matched (target, source) pairs: the cardinality rule guarantees
+    // at most one source row per target row; a target key duplicated
+    // across rows updates EACH row (SQL UPDATE semantics)
+    val joinCond = on.map(k =>
+      col("t." + SnapshotTable.quoted(k)) === col("s." + SnapshotTable.quoted(k)))
+      .reduce(_ && _)
+    val pairsDf = hitRows.alias("t").join(src.alias("s"), joinCond, "inner")
+      .withColumn("__graft_clause",
+        whenMatched.zipWithIndex.foldLeft(when(lit(false), -1)) {
+          case (acc, (cl, i)) => acc.when(cl.condition.getOrElse(lit(true)), lit(i))
+        }.otherwise(lit(-1)))
+    // -1 = no clause applied: the matched row is kept unchanged;
+    // Delete clauses contribute nothing; UpdateAll emits the source row
+    val keptAsIs = pairsDf.filter(col("__graft_clause") === -1).select(col("t.*"))
+    val updated = whenMatched.zipWithIndex.collect {
+      case (MergeClause(_, MergeAction.UpdateAll), i) =>
+        pairsDf.filter(col("__graft_clause") === i).select(col("s.*"))
     }
+    val survivors = (unmatched +: keptAsIs +: updated).reduce(_ unionByName _)
+    val additions =
+      if (insertNotMatched) src.join(matchedKeys, on, "left_anti")
+      else src.limit(0)
     val staged = stage(survivors.unionByName(additions), base.spec, base.properties)
     commitStrict(base, nextWithIds(base, "merge", schema2, ids2, nid,
       base.files.filterNot(f => hitSet.contains(f.path)) ++
@@ -342,7 +398,112 @@ final class SnapshotTable private (
   }
 
   private def readSnapshot(s: Snapshot): DataFrame =
-    readResolved(s.schema, s.ids, s, s.files)
+    readWithDeletes(s.schema, s.ids, s, s.files)
+
+  /** [[readResolved]] plus merge-on-read equality-delete application:
+    * rows from data files that PREDATE a delete file (data seq <
+    * delete seq) and match its keys are anti-joined away. Files are
+    * grouped by their applicable-delete set (bounded by the live
+    * delete-file count, which compaction keeps small), so each group is
+    * one scan plus one anti-join per applicable delete.
+    */
+  private def readWithDeletes(target: StructType, targetIds: Seq[(String, Int)],
+      owner: Snapshot, files: Seq[DataFileEntry]): DataFrame = {
+    val dels = owner.deleteFiles
+    if (dels.isEmpty || files.isEmpty)
+      return readResolved(target, targetIds, owner, files)
+    val currentById = targetIds.map { case (n, id) => id -> n }.toMap
+    files.groupBy(f => dels.filter(_.seq > f.seq).map(_.path).toSet)
+      .toSeq.map { case (applicable, fs) =>
+        val base = readResolved(target, targetIds, owner, fs)
+        dels.filter(d => applicable.contains(d.path)).foldLeft(base) {
+          (df, d) =>
+            val keyNames = d.cols.map { case (_, id) =>
+              currentById.getOrElse(id, sys.error(
+                s"equality-delete file ${d.path} references dropped " +
+                  s"field id $id — dropColumn should have refused"))
+            }
+            df.join(readDeleteKeys(target, d, keyNames), keyNames, "left_anti")
+        }
+      }.reduce(_ unionByName _)
+  }
+
+  /** Read one equality-delete file's key tuples under CURRENT names and
+    * (possibly widened) types: physical columns are the write-time
+    * names in `d.cols`, re-aliased to `keyNames` (id-matched, so
+    * renames don't break pending deletes).
+    */
+  private def readDeleteKeys(target: StructType, d: DeleteFileEntry,
+      keyNames: Seq[String]): DataFrame = {
+    val physical = StructType(d.cols.zip(keyNames).map { case ((wn, _), cn) =>
+      StructField(wn, target(cn).dataType, nullable = true) })
+    val df = spark.read.schema(physical)
+      .parquet(new Path(root, d.path).toString)
+    df.select(d.cols.zip(keyNames).map { case ((wn, _), cn) =>
+      col(SnapshotTable.quoted(wn)).as(cn) }: _*)
+  }
+
+  /** Equality-delete, MERGE-ON-READ (Iceberg v2 delete files): commits
+    * a parquet file of the DISTINCT key tuples — O(deleted keys) bytes,
+    * zero data files rewritten — and subsequent reads drop matching
+    * rows from data files that predate the delete. The scale complement
+    * to copy-on-write [[delete]]: a point delete against a 1 GB file
+    * costs a few KB instead of the rewrite; reads pay one broadcast-
+    * sized anti-join until [[compact]]/[[maintain]] folds the delete
+    * into a rewrite and retires the entry.
+    *
+    * Key rows with any NULL component are ignored (SQL equality — a
+    * NULL key matches nothing). Keys appended again AFTER the delete
+    * are unaffected (sequence-number semantics). Blind-commutative:
+    * lost commit races rebase and retry.
+    */
+  def deleteByKeys(keys: DataFrame, on: Seq[String]): Snapshot = {
+    require(on.nonEmpty, "deleteByKeys needs at least one key column")
+    val base = currentSnapshot()
+    require(on.forall(base.schema.fieldNames.contains),
+      s"delete keys ${on.mkString(",")} must exist in the table schema")
+    val aligned = keys
+      .select(on.map(k => col(SnapshotTable.quoted(k))
+        .cast(base.schema(k).dataType).as(k)): _*)
+      .na.drop("any").distinct()
+    val staged = stageDeleteKeys(aligned)
+    if (staged.isEmpty) return base // no non-null keys: no new snapshot
+    commitRetry { latest =>
+      require(on.forall(latest.schema.fieldNames.contains),
+        s"delete keys ${on.mkString(",")} vanished during commit retry")
+      val ids = latest.ids.toMap
+      val cols = on.map(n => n -> ids(n))
+      val c = nextWithIds(latest, "delete-eq", latest.schema, latest.ids,
+        latest.nextIds, latest.files)
+      c.copy(deleteFiles = c.deleteFiles ++
+        staged.map { case (p, r) => DeleteFileEntry(p, r, cols, c.version) })
+    }
+  }
+
+  /** Stage distinct key tuples as parquet under `data/<batch>/`;
+    * returns (relative path, rows) per written file — empty when the
+    * key set is empty (an empty batch writes no parquet part files).
+    */
+  private def stageDeleteKeys(keys: DataFrame): Seq[(String, Long)] = {
+    val batch = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val rel = s"${SnapshotLog.DataDirName}/$batch"
+    keys.write.parquet(new Path(root, rel).toString)
+    val marker = s"/$batch/"
+    spark.read.schema(keys.schema)
+      .parquet(new Path(root, rel).toString)
+      .select(input_file_name().as("__f"))
+      .groupBy(col("__f")).agg(count(lit(1)).as("__rows"))
+      .collect().toSeq.flatMap { r =>
+        val path =
+          try new java.net.URI(r.getString(0)).getPath
+          catch { case _: java.net.URISyntaxException => r.getString(0) }
+        val i = path.indexOf(marker)
+        require(i >= 0, s"staged delete file $path outside batch dir $rel")
+        val rows = r.getLong(1)
+        if (rows == 0) None
+        else Some(s"$rel/${path.substring(i + marker.length)}" -> rows)
+      }
+  }
 
   /** Read `files` under the `target` schema, matching file columns to
     * target columns by FIELD ID (`targetIds`): a file written before a
@@ -468,7 +629,7 @@ final class SnapshotTable private (
     base.spec match {
       case None =>
         // unpartitioned: whole-table rewrite, still one atomic commit
-        val survivors = readResolved(evolved, pairs, base, base.files)
+        val survivors = readWithDeletes(evolved, pairs, base, base.files)
           .join(keys, keyCols, "left_anti")
         val staged = stage(survivors.unionByName(incoming), None, base.properties)
         commitStrict(base, nextWithIds(base, "upsert", schema2, ids2, nid,
@@ -476,11 +637,11 @@ final class SnapshotTable private (
       case Some(spec) =>
         val pExpr = SnapshotTable.partitionExpr(spec)
         val touched = incoming.select(pExpr.as("p")).distinct()
-          .unionByName(readResolved(evolved, pairs, base, base.files)
+          .unionByName(readWithDeletes(evolved, pairs, base, base.files)
             .join(keys, keyCols, "left_semi").select(pExpr.as("p")).distinct())
           .distinct().collect().map(r => Option(r.getString(0))).toSet
         val touchedFiles = base.files.filter(f => touched.contains(f.partition))
-        val survivors = readResolved(evolved, pairs, base, touchedFiles)
+        val survivors = readWithDeletes(evolved, pairs, base, touchedFiles)
           .join(keys, keyCols, "left_anti")
         val staged = stage(survivors.unionByName(incoming), Some(spec), base.properties)
         val files = base.files.filterNot(f => touched.contains(f.partition)) ++
@@ -574,7 +735,7 @@ final class SnapshotTable private (
       else {
         val rows = pFiles.map(_.rows).sum
         val nOut = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-        val raw = readResolved(latest.schema, latest.ids, latest, pFiles)
+        val raw = readWithDeletes(latest.schema, latest.ids, latest, pFiles)
         val data =
           if (zOrderBy.nonEmpty)
             // 2-D Morton clustering (Iceberg/Delta Z-ORDER rewrite):
@@ -651,6 +812,12 @@ final class SnapshotTable private (
     require(latest.schema.fields.length > 1,
       "cannot drop the last column")
     requireNoLegacyEntries(latest, "dropColumn")
+    // a live equality-delete file keyed on this column could no longer
+    // be applied — compaction folds deletes away, then the drop is legal
+    val dropId = latest.ids.toMap.get(name)
+    require(!latest.deleteFiles.exists(_.cols.exists(c => dropId.contains(c._2))),
+      s"cannot drop $name: a live equality-delete file keys on it — " +
+        "run compact() (or maintain()) first to fold pending deletes")
     val schema2 = StructType(latest.schema.fields.filterNot(_.name == name))
     val ids2 = latest.ids.filterNot(_._1 == name)
     nextWithIds(latest, s"drop[$name]", schema2, ids2,
@@ -705,7 +872,8 @@ final class SnapshotTable private (
       // building Bloom filters on subsequent appends
       nextWithIds(latest, s"rollback[$toVersion]", target.schema,
         target.ids, math.max(latest.nextIds, target.nextIds), target.files)
-        .copy(spec = target.spec, properties = target.properties)
+        .copy(spec = target.spec, properties = target.properties,
+          deleteFiles = target.deleteFiles)
     }
   }
 
@@ -723,8 +891,12 @@ final class SnapshotTable private (
       else props.getOrElse("vacuum_min_snapshots_to_keep", "5").toInt
     val vs = log.versions()
     val (expire, retain) = vs.splitAt(math.max(0, vs.size - math.max(1, k)))
-    val retained = retain.flatMap(v => log.read(v).files.map(_.path)).toSet
-    val dead = expire.flatMap(v => log.read(v).files.map(_.path))
+    def paths(v: Long): Seq[String] = {
+      val s = log.read(v)
+      s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+    }
+    val retained = retain.flatMap(paths).toSet
+    val dead = expire.flatMap(paths)
       .distinct.filterNot(retained.contains)
     // manifests (and the bloom sidecars only they reference) die with
     // the last snapshot referencing them — shared ones are untouched,
@@ -751,7 +923,10 @@ final class SnapshotTable private (
     */
   def removeOrphanFiles(olderThanMs: Long = 24L * 3600 * 1000): Int = {
     val referenced = log.versions()
-      .flatMap(v => log.read(v).files.map(_.path)).toSet
+      .flatMap { v =>
+        val s = log.read(v)
+        s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+      }.toSet
     // wall clock, NOT the injected snapshot clock: the comparison is
     // against filesystem modification times
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -835,9 +1010,20 @@ final class SnapshotTable private (
 
   private def nextWithIds(parent: Snapshot, op: String, schema: StructType,
       ids: Seq[(String, Int)], nextFieldId: Int,
-      files: Seq[DataFileEntry]): Snapshot =
-    Snapshot(parent.version + 1, Some(parent.version), op, clock(),
-      schema, parent.spec, parent.properties, files, ids, nextFieldId)
+      files: Seq[DataFileEntry]): Snapshot = {
+    val version = parent.version + 1
+    // freshly staged entries (seq = -1 sentinel from stage()) are
+    // stamped with THIS commit's version; carried entries keep theirs —
+    // the sequence numbers equality deletes are scoped by
+    val stamped = files.map(f => if (f.seq < 0) f.copy(seq = version) else f)
+    // retire delete files that no remaining data file predates (their
+    // matches were folded into rewrites) — keeps the live set small
+    val liveDels = parent.deleteFiles.filter(d =>
+      stamped.exists(_.seq < d.seq))
+    Snapshot(version, Some(parent.version), op, clock(),
+      schema, parent.spec, parent.properties, stamped, ids, nextFieldId,
+      liveDels)
+  }
 
   /** Resolve field ids for a commit that may evolve the schema: every
     * staged column resolves to the CURRENT id of its name in `latest`
@@ -937,7 +1123,7 @@ final class SnapshotTable private (
             decodePartitionValue(seg.substring(PartCol.length + 1))
         }.flatten
         DataFileEntry(s"$rel/$sub", partition, r.getLong(1),
-          FileStats.fromRow(statSchema, r, 2, bloom))
+          FileStats.fromRow(statSchema, r, 2, bloom), seq = -1L)
       }
   }
 }

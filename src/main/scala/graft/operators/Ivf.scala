@@ -136,9 +136,19 @@ object Ivf {
     */
   def buildIndex(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
       model: Model, root: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): graft.catalog.SnapshotTable = {
-    val assigned = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pq: Option[graft.functions.Pq.Codebook] = None): graft.catalog.SnapshotTable = {
+    val base = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       assignExpr(col(vecCol), model).as("cluster"))
+    // with a PQ codebook the index also stores the m-byte code per
+    // vector, so a probed-cluster ADC scan reads codes ONLY (parquet
+    // column pruning keeps the full vectors out of the scan until the
+    // shortlist re-rank) — manifest pruning and byte codes compose
+    val assigned = pq match {
+      case Some(cb) => base.withColumn("code",
+        graft.functions.Pq.encode(col("n_vec"), cb))
+      case None => base
+    }
     val t =
       if (graft.catalog.SnapshotTable.exists(spark, root))
         graft.catalog.SnapshotTable.load(spark, root)
@@ -167,8 +177,48 @@ object Ivf {
       .localCheckpoint(true)
     val probed = probes.select(col("cluster").cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
-    scoreAndRank(index.readPartitions(p => p.exists(probed.contains)),
-      probes, k)
+    scoreAndRank(index.readPartitions(p => p.exists(probed.contains))
+      .select(col("cluster"), col("n_id"), col("n_vec")), probes, k)
+  }
+
+  /** IVF-PQ over a persisted [[buildIndex]] table (built with a `pq`
+    * codebook): the probed CLUSTER SET prunes the index at the manifest
+    * (unprobed clusters' files are never opened), the ADC scan projects
+    * only `(cluster, n_id, code)` — parquet column pruning keeps the
+    * full vectors out of the hot scan, so the bytes read per probed
+    * cluster drop ~dims×8/m versus the float path — and only the
+    * `shortlist` ADC-best rows per query fetch their true vectors for
+    * the exact-cosine re-rank. Manifest pruning × byte codes: the
+    * FAISS IndexIVFPQ read shape on snapshot-table storage. Output
+    * contract identical to [[Similarity.bruteForceTopK]].
+    */
+  def topKPqWithIndex(index: graft.catalog.SnapshotTable, queries: DataFrame,
+      model: Model, cb: graft.functions.Pq.Codebook, k: Int,
+      nprobe: Int = 4, shortlist: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.Pq
+    require(index.schema.fieldNames.contains("code"),
+      "index table has no PQ codes — buildIndex(pq = Some(codebook))")
+    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        explode(probeExpr(col(vecCol), model, nprobe)).as("cluster"),
+        Pq.lut(col(vecCol), cb).as("lut"))
+      .localCheckpoint(true)
+    val probed = probes.select(col("cluster").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val pruned = index.readPartitions(p => p.exists(probed.contains))
+    val approx = pruned.select(col("cluster"), col("n_id"), col("code"))
+      .join(broadcast(probes.select(col("q_id"), col("cluster"), col("lut"))),
+        Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", -Pq.adc(col("code"), col("lut"), cb))
+    val short = Similarity.rankTopK(approx, shortlist)
+      .select(col("q_id"), col("n_id"))
+    val rescored = short
+      .join(pruned.select(col("n_id"), col("n_vec")), Seq("n_id"))
+      .join(broadcast(probes.select(col("q_id"), col("q_vec"))
+        .dropDuplicates(Seq("q_id"))), Seq("q_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    Similarity.rankTopK(rescored, k)
   }
 
   /** Query an already-trained model (the shape a persisted 100 TB index

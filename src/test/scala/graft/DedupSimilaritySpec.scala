@@ -350,6 +350,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     got.foreach { case (q, n) => assert(n == q - 100000, s"query $q") }
   }
 
+  test("IVF-PQ over the persisted index: manifest-pruned, code-only scan, identical results") {
+    import graft.operators.Ivf
+    val corpus = plantedMutantCorpus()
+    val queries = corpus.filter(col("vec_id") >= 100000)
+    val model = Ivf.train(corpus, k = 16, iters = 2)
+    val cb = Ivf.trainPq(corpus, m = 8, ksub = 16, iters = 5)
+    val root = java.nio.file.Files.createTempDirectory("ivfpq-idx")
+      .resolve("t").toString
+    val index = Ivf.buildIndex(spark, corpus, model, root, pq = Some(cb))
+    assert(index.schema.fieldNames.contains("code"))
+    val viaIndex = Ivf.topKPqWithIndex(index, queries, model, cb,
+        k = 1, nprobe = 4, shortlist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaModel = Ivf.topKPqWithModel(corpus, queries, model, cb,
+        k = 1, nprobe = 4, shortlist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex == viaModel,
+      "persisted PQ index must not change IVF-PQ results")
+    // an index built WITHOUT codes refuses the PQ read path up front
+    val plainRoot = java.nio.file.Files.createTempDirectory("ivfpq-plain")
+      .resolve("t").toString
+    val plain = Ivf.buildIndex(spark, corpus, model, plainRoot)
+    intercept[IllegalArgumentException](
+      Ivf.topKPqWithIndex(plain, queries, model, cb, k = 1))
+  }
+
   test("lsh topk returns subset consistent with brute force at high band count") {
     val bf = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 4)
       .collect().map(_.getAs[Long]("n_id")).toSet

@@ -472,7 +472,10 @@ class SnapshotTableSpec extends AnyFunSuite {
       val files = (0 until r.nextInt(5)).map(i =>
         graft.catalog.DataFileEntry(s"data/$i/${randString()}.parquet",
           if (r.nextBoolean()) Some(randString()) else None,
-          r.nextLong().abs, randStats(), randPairs()))
+          r.nextLong().abs, randStats(), randPairs(), r.nextInt(1000).toLong))
+      val deleteFiles = (0 until r.nextInt(3)).map(i =>
+        graft.catalog.DeleteFileEntry(s"data/d$i/${randString()}.parquet",
+          r.nextLong().abs, randPairs(), r.nextInt(1000).toLong))
       val s = Snapshot(
         version = 1 + r.nextInt(1000).toLong,
         parent = if (r.nextBoolean()) Some(r.nextInt(1000).toLong) else None,
@@ -486,7 +489,8 @@ class SnapshotTableSpec extends AnyFunSuite {
           .map(_ => randString() -> randString()).toMap,
         files = files,
         fieldIds = (0 until r.nextInt(5)).map(_ => randString() -> r.nextInt(1000)),
-        nextFieldId = r.nextInt(10000))
+        nextFieldId = r.nextInt(10000),
+        deleteFiles = deleteFiles)
       assert(SnapshotLog.fromJson(SnapshotLog.toJson(s)) == s,
         s"round-trip failed for $s")
     }
@@ -497,8 +501,10 @@ class SnapshotTableSpec extends AnyFunSuite {
       eventsSchema, Some(PartitionSpec("ts", "month")),
       Map("k" -> "v'\"\\"),
       Seq(graft.catalog.DataFileEntry("data/x/a.parquet", Some("2024-01"), 10L,
-        Map("id" -> graft.catalog.ColStats(Some("1"), Some("9"), 0L))),
-        graft.catalog.DataFileEntry("data/x/b.parquet", None, 0L)))
+        Map("id" -> graft.catalog.ColStats(Some("1"), Some("9"), 0L)), Seq.empty, 5L),
+        graft.catalog.DataFileEntry("data/x/b.parquet", None, 0L)),
+      deleteFiles = Seq(graft.catalog.DeleteFileEntry(
+        "data/y/k.parquet", 3L, Seq("id" -> 0), 7L)))
     assert(SnapshotLog.fromJson(SnapshotLog.toJson(s)) == s)
   }
 
@@ -832,5 +838,148 @@ class SnapshotTableSpec extends AnyFunSuite {
       "no existing file is rewritten when nothing matches")
     assert(t.read().count() == 42L)
     assert(t.read().filter(col("id").isNull).count() == 1L)
+  }
+
+  test("deleteByKeys is merge-on-read: no data file rewritten, reads exclude, re-append revives") {
+    val t = rangeTable() // ids 1..40 across 4 decade files
+    val before = t.currentSnapshot().files.map(f => f.path -> f.seq).toMap
+    t.deleteByKeys(Seq(5L, 17L, 23L).toDF("id"), Seq("id"))
+    val s = t.currentSnapshot()
+    assert(s.files.map(f => f.path -> f.seq).toMap == before,
+      "equality delete must not rewrite or re-stamp any data file")
+    assert(s.deleteFiles.nonEmpty && s.operation == "delete-eq")
+    assert(s.deleteFiles.forall(_.seq == s.version))
+    assert(t.read().count() == 37L)
+    assert(t.read().filter(col("id").isin(5L, 17L, 23L)).count() == 0L)
+    // time travel BEFORE the delete still sees the rows
+    assert(t.readAt(s.version - 1).count() == 40L)
+    // sequence semantics: re-appending a deleted key makes it visible
+    t.append(rows((5, "2024-05-01", 55.0)))
+    assert(t.read().filter(col("id") === 5L).count() == 1L)
+    assert(t.read().count() == 38L)
+    // NULL key components are ignored; an all-null key set is a no-op
+    val v = t.currentVersion()
+    t.deleteByKeys(Seq(Option.empty[Long]).toDF("id"), Seq("id"))
+    assert(t.currentVersion() == v, "all-NULL key delete commits nothing")
+    // readWhere composes with MoR deletes (stats prune + anti-join)
+    assert(t.readWhere(col("id") <= 20L).filter(col("id") === 17L).count() == 0L)
+  }
+
+  test("compact folds equality deletes into the rewrite and retires them") {
+    val t = rangeTable()
+    t.deleteByKeys(Seq(5L, 17L).toDF("id"), Seq("id"))
+    assert(t.currentSnapshot().deleteFiles.size == 1)
+    t.compact(minFiles = 1)
+    val s = t.currentSnapshot()
+    assert(s.deleteFiles.isEmpty,
+      "fully-applied delete files retire once no data file predates them")
+    assert(t.read().count() == 38L)
+    assert(t.read().filter(col("id").isin(5L, 17L)).count() == 0L)
+  }
+
+  test("CoW delete and merge after a pending MoR delete never resurrect rows") {
+    val t = rangeTable()
+    t.deleteByKeys(Seq(11L).toDF("id"), Seq("id"))
+    // CoW delete rewrites the decade file holding 11..20: the MoR-
+    // deleted row 11 must not come back in the rewritten file
+    t.delete(col("id") === 12L)
+    assert(t.read().filter(col("id").isin(11L, 12L)).count() == 0L)
+    assert(t.read().count() == 38L)
+    // merge over a file with a pending MoR delete: the deleted key is
+    // NOT matched (it inserts as new) and survivors exclude it
+    val t2 = rangeTable()
+    t2.deleteByKeys(Seq(3L).toDF("id"), Seq("id"))
+    t2.merge(Seq((3L, Timestamp.valueOf("2024-06-01 00:00:00"), 333.0))
+      .toDF("id", "ts", "v"), Seq("id"))
+    val threes = t2.read().filter(col("id") === 3L)
+      .select("v").as[Double].collect().toSeq
+    assert(threes == Seq(333.0), "deleted key re-inserts with source row only")
+  }
+
+  test("pending equality deletes survive a rename; drop of a keyed column is refused") {
+    val t = rangeTable()
+    t.deleteByKeys(Seq(7L).toDF("id"), Seq("id"))
+    t.renameColumn("id", "ident")
+    assert(t.read().filter(col("ident") === 7L).count() == 0L,
+      "delete keys written pre-rename still apply through the field id")
+    assert(t.read().count() == 39L)
+    val ex = intercept[IllegalArgumentException](t.dropColumn("ident"))
+    assert(ex.getMessage.contains("equality-delete"))
+    t.compact(minFiles = 1) // folds the delete away
+    t.dropColumn("v")       // now legal (never was keyed)
+    assert(t.currentSnapshot().deleteFiles.isEmpty)
+    assert(t.read().count() == 39L)
+  }
+
+  test("mergeConditional: first-match-wins clauses update, delete, and keep") {
+    import graft.catalog.{MergeAction, MergeClause}
+    val t = rangeTable() // ids 1..40, v = id.toDouble (NULL at multiples of 10)
+    val source = (1L to 40L).filter(_ % 4 == 0).map(i =>
+      (i, Timestamp.valueOf("2024-06-01 00:00:00"), i * 100.0))
+      .toDF("id", "ts", "v")
+    // clause 1: ids ≤ 16 update to the source row; clause 2: target v
+    // NULL deletes; anything else (id > 16 with non-null v) keeps
+    t.mergeConditional(source, Seq("id"), Seq(
+      MergeClause(Some(col("s.id") <= 16L), MergeAction.UpdateAll),
+      MergeClause(Some(col("t.v").isNull), MergeAction.Delete)),
+      insertNotMatched = false)
+    val out = t.read().select("id", "v").as[(Long, Option[Double])]
+      .collect().toMap
+    // ids 4,8,12,16 updated (v = id*100); 20,40 had NULL v → deleted;
+    // 24,28,32,36 matched but satisfied no clause → kept unchanged
+    assert(out(4L).contains(400.0) && out(16L).contains(1600.0))
+    assert(!out.contains(20L) && !out.contains(40L))
+    assert(out(24L).contains(24.0) && out(36L).contains(36.0))
+    // non-matched rows untouched, incl. the other NULL-v rows (10, 30)
+    assert(out(1L).contains(1.0) && out(10L).isEmpty && out(30L).isEmpty)
+    assert(t.read().count() == 38L, "40 rows - 2 conditional deletes")
+    // unconditional clause after a conditional one: catch-all update
+    val t2 = rangeTable()
+    t2.mergeConditional(source, Seq("id"), Seq(
+      MergeClause(Some(col("t.v").isNull), MergeAction.Delete),
+      MergeClause(None, MergeAction.UpdateAll)), insertNotMatched = true)
+    val out2 = t2.read().select("id", "v").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(!out2.contains(20L) && !out2.contains(40L))
+    assert(out2(4L).contains(400.0) && out2(36L).contains(3600.0))
+    assert(t2.read().count() == 38L)
+  }
+
+  test("bloom and stats agree on hostile long-string values (prune never drops a match)") {
+    // values that stress the 64-char stat truncation boundary and the
+    // UTF8String hash path: exactly-64, 65, multi-KB, multibyte unicode
+    // crossing the boundary, backticks/quotes, and the empty string.
+    // Stats store a truncated min / dropped max for the long ones while
+    // the bloom hashes the FULL value — the two prune channels must
+    // never contradict: a present value's file is always kept.
+    val hostile = Seq(
+      "a" * 64, "a" * 65, "a" * 63 + "é", "é" * 64,
+      "z" * 5000, ("文" * 100) + "tail", "`quoted`\"'\\", "",
+      "prefix" + (" " * 10) + "suffix", " leading and trailing ")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType)))
+    val t = SnapshotTable.create(spark, freshRoot(), schema, None,
+      properties = Map("graft.bloom.columns" -> "s",
+        "graft.bloom.bits" -> "4096"))
+    // one file per value: every probe decision is file-scoped
+    hostile.zipWithIndex.foreach { case (s, i) =>
+      t.append(Seq((i.toLong, s)).toDF("k", "s").coalesce(1))
+    }
+    for (s <- hostile) {
+      val kept = t.pruneFiles(col("s") === s)
+      assert(kept.nonEmpty, s"present value pruned away: ${s.take(40)}…")
+      assert(t.readWhere(col("s") === s).count() == 1L,
+        s"readWhere lost a present hostile value: ${s.take(40)}…")
+    }
+    // absent variants that share the 64-char truncated PREFIX with a
+    // present value: stats alone cannot rule them out, the bloom can —
+    // and must never rule out the twin that IS present
+    val absentSharedPrefix = Seq("a" * 66, "z" * 4999, "a" * 64 + "b")
+    for (s <- absentSharedPrefix)
+      assert(t.readWhere(col("s") === s).count() == 0L)
+    // the bloom actually prunes: an absent probe opens fewer files than
+    // the stats-only decision would (prefix-truncated bounds keep them)
+    assert(t.pruneFiles(col("s") === ("a" * 66)).size <
+      t.currentSnapshot().files.size)
   }
 }

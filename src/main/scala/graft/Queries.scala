@@ -1216,6 +1216,7 @@ object Queries {
       val tbl = graft.catalog.SnapshotTable.create(s, base, ev.schema,
         Some(graft.catalog.PartitionSpec("event_type", "identity")))
       tbl.append(ev.filter(col("event_id") % 2 === 0))
+      tbl.tag("evens-baseline") // dataset versioning: pin v2 by name
       tbl.append(ev.filter(col("event_id") % 2 =!= 0))
       tbl.upsert(ev.filter(col("event_id") % 100 === 0)
         .withColumn("value", col("value") + lit(1000.0d)), Seq("event_id"))
@@ -1307,6 +1308,19 @@ object Queries {
 
     QueryDef("snap_time_travel",
       (s, dir) => snapshotEventsTable(s, dir).readAt(2)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events WHERE event_id % 2 = 0
+             |GROUP BY 1""".stripMargin)),
+
+    // Time travel BY NAME (Iceberg tags): the build tagged the evens-
+    // only snapshot "evens-baseline" before later commits; reading the
+    // tag must reproduce that exact dataset — the reproducible-training
+    // -corpus primitive (and tagged snapshots are expiry-proof)
+    QueryDef("snap_read_tag",
+      (s, dir) => snapshotEventsTable(s, dir).readTag("evens-baseline")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
       Some("""SELECT event_type, count(*) AS n,

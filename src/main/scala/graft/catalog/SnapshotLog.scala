@@ -390,6 +390,54 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
     try os.write(json.getBytes("UTF-8")) finally os.close()
   }
 
+  // ------------------------------------------------------------------
+  // Refs (tags): named pointers to committed versions — Iceberg tag
+  // semantics. One JSON file per ref under `_graft_log/refs/`; creating
+  // a ref is create-exclusive (the same atomic primitive as commits),
+  // so two writers cannot silently both "own" a tag name.
+  // ------------------------------------------------------------------
+
+  private def refPath(name: String): Path = {
+    require(SnapshotLog.RefName.matches(name),
+      s"ref name must match ${SnapshotLog.RefName}: '$name'")
+    new Path(new Path(logDir, SnapshotLog.RefDirName), s"$name.json")
+  }
+
+  /** Create ref `name` → `version`. False when the name already exists
+    * (caller decides whether that is an error or a retag-after-drop).
+    */
+  def trySetRef(name: String, version: Long, createdMs: Long): Boolean = {
+    val p = refPath(name)
+    if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
+    if (fs.exists(p)) return false
+    val json = JsonMethods.compact(JsonMethods.render(JObject(List(
+      "version" -> (JLong(version): JValue),
+      "createdMs" -> (JLong(createdMs): JValue)))))
+    try {
+      val os = fs.create(p, false)
+      try os.write(json.getBytes("UTF-8")) finally os.close()
+      true
+    } catch { case _: java.io.IOException => false } // lost the race
+  }
+
+  /** All refs: name → version. */
+  def refs(): Map[String, Long] = {
+    val dir = new Path(logDir, SnapshotLog.RefDirName)
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).iterator.flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.endsWith(".json")) None
+      else scala.util.Try(n.stripSuffix(".json") ->
+        (JsonMethods.parse(readBytes(st.getPath)) \ "version" match {
+          case JLong(l) => l
+          case JInt(i) => i.toLong
+          case other => sys.error(s"bad ref version: $other")
+        })).toOption
+    }.toMap
+  }
+
+  def deleteRef(name: String): Boolean = fs.delete(refPath(name), false)
+
   /** Delete the snapshot file of an expired version (data files and
     * now-unreferenced manifests/sidecars are handled by
     * [[SnapshotTable.expireSnapshots]]).
@@ -411,6 +459,10 @@ object SnapshotLog {
   val DataDirName = "data"
   val ManifestDirName = "manifests"
   val BloomDirName = "blooms"
+  val RefDirName = "refs"
+
+  /** Legal ref (tag) names: filesystem-safe, no path separators. */
+  val RefName: scala.util.matching.Regex = "[A-Za-z0-9][A-Za-z0-9._-]{0,99}".r
 
   /** Prefix marking a ColStats.bloom value as a sidecar reference
     * (`ref:<log-relative sidecar path>#<write-time column name>`)

@@ -762,6 +762,11 @@ final class SnapshotTable private (
               throw new SnapshotConflictException(
                 s"schema evolved during compaction of $p — skipped " +
                   "(staged files carry the pre-evolution write schema)")
+            if (l.deleteFiles != latest.deleteFiles)
+              throw new SnapshotConflictException(
+                s"equality deletes changed during compaction of $p — " +
+                  "skipped (the rewrite would carry a fresh seq and " +
+                  "retire a delete it never applied, resurrecting rows)")
             next(l, "compact", l.schema,
               l.files.filterNot(f => before.contains(f.path)) ++
                 staged.map(_.copy(cols = latest.ids)))
@@ -877,6 +882,40 @@ final class SnapshotTable private (
     }
   }
 
+  // ------------------------------------------------------------------
+  // Tags (named refs) — Iceberg tag semantics. For a training-data
+  // pipeline this is dataset versioning: tag the exact snapshot a
+  // model trained on ("corpus-v1.0") and it stays readable and
+  // EXPIRY-PROOF until the tag is dropped, however many commits land
+  // after it.
+  // ------------------------------------------------------------------
+
+  /** Tag `version` (default: current) with `name`. Tags are immutable:
+    * re-tagging an existing name throws — drop it first (so a tag seen
+    * once can never silently point elsewhere).
+    */
+  def tag(name: String, version: Long = -1L): Unit = {
+    val v = if (version < 0) currentVersion() else version
+    snapshotAt(v) // validates liveness, clear error otherwise
+    if (!log.trySetRef(name, v, clock()))
+      throw new IllegalArgumentException(
+        s"tag '$name' already exists at $root — dropTag it first")
+  }
+
+  /** All tags: name → version. */
+  def tags(): Map[String, Long] = log.refs()
+
+  /** Read the snapshot a tag points at (time travel by name). */
+  def readTag(name: String): DataFrame = {
+    val v = tags().getOrElse(name,
+      sys.error(s"no tag '$name' at $root; tags: ${tags().keys.mkString(", ")}"))
+    readAt(v)
+  }
+
+  def dropTag(name: String): Unit = {
+    require(log.deleteRef(name), s"no tag '$name' at $root")
+  }
+
   /** Expire all but the newest `keep` snapshots (default: the table's
     * `vacuum_min_snapshots_to_keep` property — the reference's
     * `spark_utils.py:171` knob, executed here rather than left to
@@ -890,7 +929,12 @@ final class SnapshotTable private (
     val k = if (keep > 0) keep
       else props.getOrElse("vacuum_min_snapshots_to_keep", "5").toInt
     val vs = log.versions()
-    val (expire, retain) = vs.splitAt(math.max(0, vs.size - math.max(1, k)))
+    // tagged versions are expiry-proof (Iceberg ref retention): a
+    // training run's pinned dataset survives until its tag is dropped
+    val tagged = log.refs().values.toSet
+    val (old, recent) = vs.splitAt(math.max(0, vs.size - math.max(1, k)))
+    val expire = old.filterNot(tagged.contains)
+    val retain = old.filter(tagged.contains) ++ recent
     def paths(v: Long): Seq[String] = {
       val s = log.read(v)
       s.files.map(_.path) ++ s.deleteFiles.map(_.path)

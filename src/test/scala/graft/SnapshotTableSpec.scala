@@ -840,6 +840,32 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().filter(col("id").isNull).count() == 1L)
   }
 
+  test("tags: named refs read back, protect from expiry, and drop cleanly") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, None,
+      properties = Map("vacuum_min_snapshots_to_keep" -> "2"))
+    t.append(rows((1, "2024-01-01", 1.0)))    // v2
+    t.tag("corpus-v1.0")                      // → v2 (default: current)
+    t.append(rows((2, "2024-01-02", 2.0)))    // v3
+    t.overwrite(rows((9, "2024-03-01", 9.0))) // v4: v2's file leaves current
+    // tags are immutable until dropped; names are filesystem-safe only
+    intercept[IllegalArgumentException](t.tag("corpus-v1.0", 3))
+    intercept[IllegalArgumentException](t.tag("bad/name"))
+    assert(t.tags() == Map("corpus-v1.0" -> 2L))
+    assert(t.readTag("corpus-v1.0").select("id").as[Long].collect().toSeq
+      == Seq(1L))
+    // expiry keeps the tagged version AND its data files
+    t.expireSnapshots(keep = 1)
+    assert(t.log.versions().contains(2L), "tagged snapshot is expiry-proof")
+    assert(t.readTag("corpus-v1.0").count() == 1L)
+    // dropping the tag releases it to the next expiry
+    t.dropTag("corpus-v1.0")
+    intercept[RuntimeException](t.readTag("corpus-v1.0"))
+    t.expireSnapshots(keep = 1)
+    assert(!t.log.versions().contains(2L))
+    // tagging an expired version is refused with a clear error
+    intercept[IllegalArgumentException](t.tag("too-late", 2))
+  }
+
   test("deleteByKeys is merge-on-read: no data file rewritten, reads exclude, re-append revives") {
     val t = rangeTable() // ids 1..40 across 4 decade files
     val before = t.currentSnapshot().files.map(f => f.path -> f.seq).toMap

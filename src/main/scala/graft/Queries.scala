@@ -1237,6 +1237,31 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val morTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val specEvoTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once spec-evolution table: evens append under
+    * identity(event_type) partitioning, the spec evolves to month(ts)
+    * (metadata-only), odds append under the month spec, and
+    * migrateSpec() rewrites exactly the legacy event_type-partitioned
+    * files — ending with every file month-partitioned.
+    */
+  private def specEvoSnapshot(s: SparkSession,
+      dir: String): graft.catalog.SnapshotTable = {
+    val root = specEvoTableCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-snap-specevo")
+        .resolve("t").toString
+      val ev = t(s, dir, "events")
+      val tbl = graft.catalog.SnapshotTable.create(s, base, ev.schema,
+        Some(graft.catalog.PartitionSpec("event_type", "identity")))
+      tbl.append(ev.filter(col("event_id") % 2 === 0))
+      tbl.evolveSpec(Some(graft.catalog.PartitionSpec("ts", "month")))
+      tbl.append(ev.filter(col("event_id") % 2 === 1))
+      tbl.migrateSpec()
+      base
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
 
   /** Build-once unpartitioned events snapshot table whose data files
     * are id-range-clustered (repartitionByRange + sortWithinPartitions
@@ -1491,6 +1516,35 @@ object Queries {
              |SELECT event_type, count(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
              |FROM merged GROUP BY 1""".stripMargin)),
+
+    // PARTITION SPEC EVOLUTION (Iceberg partition evolution): the build
+    // changed identity(event_type) → month(ts) metadata-only, appended
+    // under both specs, and migrateSpec() rewrote only the legacy
+    // files. The result row pins that the live spec is month(ts), that
+    // every file is current-spec, that an evolve-spec commit is in the
+    // history, and that a hidden-partition range read over the evolved
+    // table is value-exact
+    QueryDef("snap_spec_evolution",
+      (s, dir) => {
+        val tbl = specEvoSnapshot(s, dir)
+        val cur = tbl.currentSnapshot()
+        val ok = cur.spec.contains(graft.catalog.PartitionSpec("ts", "month")) &&
+          cur.files.forall(_.seq >= cur.specSince) &&
+          tbl.history().exists(_.operation.startsWith("evolve-spec"))
+        tbl.readTimestampRange(
+            java.time.Instant.parse("2024-01-10T00:00:00Z"),
+            java.time.Instant.parse("2024-01-20T00:00:00Z"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .withColumn("spec_migrated_ok", lit(ok))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             |  TRUE AS spec_migrated_ok
+             |FROM events
+             |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10'
+             |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20'
+             |GROUP BY 1""".stripMargin)),
 
     // Equality-delete MERGE-ON-READ (Iceberg v2 delete files): the
     // delete commits O(deleted keys) bytes — the result row's

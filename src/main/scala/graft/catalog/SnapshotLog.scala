@@ -101,7 +101,8 @@ final case class Snapshot(
     files: Seq[DataFileEntry],
     fieldIds: Seq[(String, Int)] = Seq.empty,
     nextFieldId: Int = 0,
-    deleteFiles: Seq[DeleteFileEntry] = Seq.empty) {
+    deleteFiles: Seq[DeleteFileEntry] = Seq.empty,
+    specSince: Long = 0L) {
 
   /** Distinct partition values present (None = null/unpartitioned). */
   def partitions: Seq[Option[String]] = files.map(_.partition).distinct
@@ -514,6 +515,12 @@ object SnapshotLog {
     else List("deleteFiles" ->
       (JArray(s.deleteFiles.toList.map(deleteFileToJValue)): JValue))
 
+  // omitted when 0 (the legacy value), so pre-evolution logs and
+  // fixtures stay byte-stable
+  private def specSinceJson(s: Snapshot): List[(String, JValue)] =
+    if (s.specSince == 0L) Nil
+    else List("specSince" -> (JLong(s.specSince): JValue))
+
   /** Manifest codec — json4s AST in/out (jackson backend from Spark's
     * own jars), schema embedded as Spark's canonical `StructType.json`.
     * Manual field extraction: no reflective `Extraction` (fragile
@@ -540,7 +547,7 @@ object SnapshotLog {
       "fieldIds" -> JArray(s.fieldIds.toList.map { case (n, id) =>
         JArray(List(JString(n), JInt(id))) }),
       "nextFieldId" -> JInt(s.nextFieldId),
-      "files" -> files) ++ deleteFilesJson(s))
+      "files" -> files) ++ deleteFilesJson(s) ++ specSinceJson(s))
     JsonMethods.compact(JsonMethods.render(obj))
   }
 
@@ -634,7 +641,8 @@ object SnapshotLog {
         case JNull | JNothing => 0
         case v => jLng(v).toInt
       },
-      deleteFiles = deleteFilesFromJValue(field("deleteFiles")))
+      deleteFiles = deleteFilesFromJValue(field("deleteFiles")),
+      specSince = jOptLong(field("specSince")).getOrElse(0L))
     (snap, manifests)
   }
 
@@ -667,7 +675,7 @@ object SnapshotLog {
       "manifests" -> JArray(manifests.toList.map(m => JObject(List(
         "path" -> (JString(m.path): JValue),
         "fileCount" -> (JInt(m.fileCount): JValue))))))
-      ++ deleteFilesJson(s))
+      ++ deleteFilesJson(s) ++ specSinceJson(s))
     JsonMethods.compact(JsonMethods.render(obj))
   }
 

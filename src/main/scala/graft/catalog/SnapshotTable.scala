@@ -163,7 +163,12 @@ final class SnapshotTable private (
     val hi = YearMonth.from(hiInstant.atZone(zone))
     val months = Iterator.iterate(lo)(_.plusMonths(1)).takeWhile(!_.isAfter(hi))
       .map(_.toString).toSet
-    val pruned = s.files.filter(f => f.partition.exists(months.contains))
+    // month-prune only CURRENT-SPEC files (seq ≥ specSince); files from
+    // a pre-evolution spec carry values from another namespace and are
+    // kept conservatively — the residual filter below restores exactness
+    val pruned = s.files.filter(f =>
+      if (f.seq >= s.specSince) f.partition.exists(months.contains)
+      else true)
     readWithDeletes(s.schema, s.ids, s, pruned)
       .filter(col(spec.source) >= lit(java.sql.Timestamp.from(from)) &&
         col(spec.source) < lit(java.sql.Timestamp.from(until)))
@@ -590,6 +595,7 @@ final class SnapshotTable private (
     */
   def overwritePartitions(df: DataFrame): Snapshot = {
     val base = currentSnapshot()
+    requireUniformSpec(base, "overwritePartitions")
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
     val staged = stage(SchemaOps.alignTo(df, evolved), base.spec, base.properties)
     val replaced = staged.map(_.partition).toSet
@@ -635,6 +641,7 @@ final class SnapshotTable private (
         commitStrict(base, nextWithIds(base, "upsert", schema2, ids2, nid,
           staged.map(_.copy(cols = pairs))))
       case Some(spec) =>
+        requireUniformSpec(base, "partition-scoped upsert")
         val pExpr = SnapshotTable.partitionExpr(spec)
         val touched = incoming.select(pExpr.as("p")).distinct()
           .unionByName(readWithDeletes(evolved, pairs, base, base.files)
@@ -777,6 +784,58 @@ final class SnapshotTable private (
     }
   }
 
+  /** PARTITION SPEC EVOLUTION (Iceberg `ALTER TABLE … WRITE ORDERED/
+    * PARTITIONED BY`): change how FUTURE writes partition, metadata-
+    * only — no data file moves at any scale. Existing files keep the
+    * partition values their contemporaneous spec computed; the
+    * snapshot records `specSince` (this commit's version), and a file
+    * is "current-spec" iff its commit seq ≥ specSince. Readers stay
+    * exact: [[readTimestampRange]] month-prunes only current-spec
+    * files and keeps older ones conservatively (its residual filter
+    * restores exactness); value-scoped operations that would be
+    * ambiguous across spec namespaces ([[upsert]] on a partitioned
+    * table, [[overwritePartitions]]) refuse while mixed-spec files
+    * exist — [[migrateSpec]] rewrites exactly those files under the
+    * new spec and lifts the restriction.
+    */
+  def evolveSpec(newSpec: Option[PartitionSpec]): Snapshot = {
+    newSpec.foreach { ps =>
+      require(schema.fieldNames.contains(ps.source),
+        s"partition source ${ps.source} not in ${schema.simpleString}")
+    }
+    val cur = currentSnapshot()
+    if (cur.spec == newSpec) return cur
+    commitRetry { latest =>
+      nextWithIds(latest,
+        s"evolve-spec[${newSpec.map(p => s"${p.transform}(${p.source})")
+          .getOrElse("unpartitioned")}]",
+        latest.schema, latest.ids, latest.nextIds, latest.files)
+        .copy(spec = newSpec, specSince = latest.version + 1)
+    }
+  }
+
+  /** Rewrite ONLY the files written under a pre-evolution partition
+    * spec into the current one (a [[compact]] scoped to their partition
+    * groups with `minFiles = 1`) — cost is O(legacy files), not
+    * O(table). Afterwards every file is current-spec and the
+    * partition-scoped operations work again.
+    */
+  def migrateSpec(targetRowsPerFile: Long = 1000000L): Seq[(Option[String], Int, Int)] = {
+    val s = currentSnapshot()
+    val legacy = s.files.filter(_.seq < s.specSince).map(_.partition).distinct
+    if (legacy.isEmpty) Nil
+    else compact(targetRowsPerFile, Some(legacy), minFiles = 1)
+  }
+
+  /** Partition-value-scoped operations need every file's recorded
+    * value to come from the SAME spec — an identity value and a month
+    * value share one namespace and could collide silently.
+    */
+  private def requireUniformSpec(s: Snapshot, op: String): Unit =
+    require(s.files.forall(_.seq >= s.specSince),
+      s"$op refused: data files written under an older partition spec " +
+        "exist — run migrateSpec() (or compact) first")
+
   /** Metadata-only column RENAME (Iceberg `ALTER TABLE … RENAME
     * COLUMN`): the column keeps its field id, so every existing data
     * file keeps serving its values through the old physical name — no
@@ -878,7 +937,7 @@ final class SnapshotTable private (
       nextWithIds(latest, s"rollback[$toVersion]", target.schema,
         target.ids, math.max(latest.nextIds, target.nextIds), target.files)
         .copy(spec = target.spec, properties = target.properties,
-          deleteFiles = target.deleteFiles)
+          deleteFiles = target.deleteFiles, specSince = target.specSince)
     }
   }
 
@@ -1066,7 +1125,7 @@ final class SnapshotTable private (
       stamped.exists(_.seq < d.seq))
     Snapshot(version, Some(parent.version), op, clock(),
       schema, parent.spec, parent.properties, stamped, ids, nextFieldId,
-      liveDels)
+      liveDels, parent.specSince)
   }
 
   /** Resolve field ids for a commit that may evolve the schema: every

@@ -490,7 +490,8 @@ class SnapshotTableSpec extends AnyFunSuite {
         files = files,
         fieldIds = (0 until r.nextInt(5)).map(_ => randString() -> r.nextInt(1000)),
         nextFieldId = r.nextInt(10000),
-        deleteFiles = deleteFiles)
+        deleteFiles = deleteFiles,
+        specSince = r.nextInt(1000).toLong)
       assert(SnapshotLog.fromJson(SnapshotLog.toJson(s)) == s,
         s"round-trip failed for $s")
     }
@@ -504,7 +505,8 @@ class SnapshotTableSpec extends AnyFunSuite {
         Map("id" -> graft.catalog.ColStats(Some("1"), Some("9"), 0L)), Seq.empty, 5L),
         graft.catalog.DataFileEntry("data/x/b.parquet", None, 0L)),
       deleteFiles = Seq(graft.catalog.DeleteFileEntry(
-        "data/y/k.parquet", 3L, Seq("id" -> 0), 7L)))
+        "data/y/k.parquet", 3L, Seq("id" -> 0), 7L)),
+      specSince = 4L)
     assert(SnapshotLog.fromJson(SnapshotLog.toJson(s)) == s)
   }
 
@@ -838,6 +840,47 @@ class SnapshotTableSpec extends AnyFunSuite {
       "no existing file is rewritten when nothing matches")
     assert(t.read().count() == 42L)
     assert(t.read().filter(col("id").isNull).count() == 1L)
+  }
+
+  test("partition spec evolution: metadata-only, conservative reads, migration rewrites only legacy files") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    t.append(rows((1, "2024-01-05", 1.0), (2, "2024-02-06", 2.0))) // month files
+    val before = t.currentSnapshot().files.map(_.path).toSet
+    t.evolveSpec(None) // unpartition FUTURE writes, metadata-only
+    val s1 = t.currentSnapshot()
+    assert(s1.files.map(_.path).toSet == before, "no data file moves")
+    assert(s1.spec.isEmpty && s1.specSince == s1.version)
+    t.append(rows((3, "2024-01-07", 3.0))) // unpartitioned file
+    // back to month partitioning: three spec generations now coexist
+    t.evolveSpec(monthSpec)
+    t.append(rows((4, "2024-02-08", 4.0))) // current-spec month file
+    // range read month-prunes ONLY current-spec files; legacy ones are
+    // kept conservatively and the residual filter restores exactness
+    val jan = t.readTimestampRange(
+      Instant.parse("2024-01-01T00:00:00Z"), Instant.parse("2024-02-01T00:00:00Z"))
+    assert(jan.select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // value-scoped ops refuse while specs are mixed (namespace collision)
+    intercept[IllegalArgumentException](
+      t.upsert(rows((2, "2024-02-06", 20.0)), Seq("id")))
+    intercept[IllegalArgumentException](
+      t.overwritePartitions(rows((5, "2024-02-09", 5.0))))
+    // migration rewrites exactly the legacy files under the new spec
+    val migrated = t.migrateSpec()
+    assert(migrated.nonEmpty)
+    val s2 = t.currentSnapshot()
+    assert(s2.files.forall(_.seq >= s2.specSince))
+    assert(s2.partitions.flatten.forall(_.matches("""\d{4}-\d{2}""")),
+      "every manifest partition value is a month string after migration")
+    assert(t.migrateSpec().isEmpty, "idempotent: nothing left to migrate")
+    // and the scoped ops work again, content intact
+    t.upsert(rows((2, "2024-02-06", 20.0)), Seq("id"))
+    assert(t.read().count() == 4L)
+    assert(t.read().filter(col("id") === 2L).select("v").as[Double]
+      .collect().toSeq == Seq(20.0))
+    // no-op evolve commits nothing
+    val v = t.currentVersion()
+    t.evolveSpec(monthSpec)
+    assert(t.currentVersion() == v)
   }
 
   test("tags: named refs read back, protect from expiry, and drop cleanly") {

@@ -1239,6 +1239,45 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val specEvoTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val streamUpsertTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once CDC-upsert stream result: an ACTUAL two-micro-batch
+    * file stream (insert evens, then keyed corrections) drained through
+    * [[graft.streaming.EventStream.upsertToSnapshotTable]] into a
+    * snapshot table. Batch order is pinned via file modification times
+    * (FileStreamSource processes oldest-first), so the corrections
+    * deterministically land second and replace.
+    */
+  private def streamUpsertSnapshot(s: SparkSession,
+      dir: String): graft.catalog.SnapshotTable = {
+    val root = streamUpsertTableCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-ups")
+      val tableRoot = base.resolve("t").toString
+      val srcDir = base.resolve("src").toString
+      val ckpt = base.resolve("ckpt").toString
+      val ev = t(s, dir, "events")
+      graft.catalog.SnapshotTable.create(s, tableRoot, ev.schema, None)
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$srcDir/b1")
+      ev.filter(col("event_id") % 100 === 0)
+        .withColumn("value", col("value") + lit(1000.0d)).coalesce(1)
+        .write.parquet(s"$srcDir/b2")
+      def touch(p: String, ms: Long): Unit =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p)).forEach(q =>
+          java.nio.file.Files.setLastModifiedTime(q,
+            java.nio.file.attribute.FileTime.fromMillis(ms)))
+      touch(s"$srcDir/b1", 1700000000000L)
+      touch(s"$srcDir/b2", 1700000060000L)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+      val q = graft.streaming.EventStream.upsertToSnapshotTable(
+        stream, tableRoot, Seq("event_id"), ckpt)
+      try q.processAllAvailable() finally q.stop()
+      tableRoot
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
 
   /** Build-once spec-evolution table: evens append under
     * identity(event_type) partitioning, the spec evolves to month(ts)
@@ -1829,6 +1868,22 @@ object Queries {
       // streaming path (EventStream.dedupEvents, watermark-bounded
       // state) is unit-tested; this registry entry checks the
       // deterministic batch parity: first-arrival ts + delivery count
+      // CDC upsert SINK, exercised as a REAL two-micro-batch stream
+      // (built once; see streamUpsertSnapshot): batch 1 inserts the
+      // even-id rows, batch 2 upserts +1000 corrections for ids %100 —
+      // the read proves keyed replacement without duplicates, each
+      // batch one atomic snapshot commit
+      QueryDef("stream_upsert_snapshot",
+        (s, dir) => streamUpsertSnapshot(s, dir).read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+        Some("""SELECT event_type, count(*) AS n,
+               |  CAST(SUM(CAST(CASE WHEN event_id % 100 = 0
+               |       THEN value + 1000.0 ELSE value END
+               |       AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+               |FROM events WHERE event_id % 2 = 0
+               |GROUP BY 1""".stripMargin)),
+
       QueryDef("stream_dedup_events",
         (s, dir) => {
           val ev = t(s, dir, "events")

@@ -251,6 +251,31 @@ object EventStream {
       }
       .start()
 
+  /** CDC-style continuous UPSERT into a [[graft.catalog.SnapshotTable]]:
+    * each micro-batch replaces rows matching `keyCols` in ONE atomic
+    * snapshot commit ([[graft.catalog.SnapshotTable.upsert]] — touched-
+    * partition-bounded rewrite, schema evolution carried over). A
+    * post-crash micro-batch replay re-applies the same keyed upsert,
+    * which is idempotent — the standard recipe that makes foreachBatch's
+    * at-least-once effectively exactly-once for keyed data, here with
+    * the added guarantee that readers never observe a half-applied
+    * batch (the swap is one commit). A concurrent EXTERNAL writer
+    * surfaces as [[graft.catalog.SnapshotConflictException]], failing
+    * the batch so the streaming runtime retries it against the new
+    * table state — keyed idempotence makes the retry safe.
+    */
+  def upsertToSnapshotTable(stream: DataFrame, tableRoot: String,
+      keyCols: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.catalog.SnapshotTable.load(batch.sparkSession, tableRoot)
+          .upsert(batch, keyCols)
+        ()
+      }
+      .start()
+
   /** Open the events table as a file stream (one-file-per-trigger so
     * tests exercise multi-batch behavior).
     */

@@ -354,6 +354,30 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.currentSnapshot().properties.contains(SnapshotTable.StreamBatchProp))
   }
 
+  test("upsertToSnapshotTable streams keyed CDC micro-batches atomically") {
+    import graft.streaming.EventStream
+    val srcDir = Files.createTempDirectory("snap-ups-src").toString
+    val ckpt = Files.createTempDirectory("snap-ups-ckpt").toString
+    val root = freshRoot()
+    val t0 = SnapshotTable.create(spark, root, eventsSchema, monthSpec)
+    t0.append(rows((1, "2024-01-05", 1.0), (2, "2024-02-06", 2.0)))
+    // batch 1 corrects key 1; batch 2 corrects key 2 and inserts key 3
+    rows((1, "2024-01-05", 10.0)).coalesce(1).write.parquet(s"$srcDir/f1")
+    rows((2, "2024-02-06", 20.0), (3, "2024-03-07", 3.0))
+      .coalesce(1).write.parquet(s"$srcDir/f2")
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+    val q = EventStream.upsertToSnapshotTable(stream, root, Seq("id"), ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val t = SnapshotTable.load(spark, root)
+    val got = t.read().select("id", "v").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 10.0, 2L -> 20.0, 3L -> 3.0),
+      "late corrections replace, new keys insert, no duplicates")
+    assert(t.read().count() == 3L)
+    // each micro-batch was one atomic upsert commit
+    assert(t.history().count(_.operation == "upsert") == 2)
+  }
+
   test("appending an empty batch commits a clean no-op snapshot") {
     val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
     t.append(rows((1, "2024-01-05", 1.0)))

@@ -1639,8 +1639,10 @@ object Queries {
              |    CASE WHEN event_id % 80 = 0 THEN value + 5000.0
              |         ELSE value END AS value
              |  FROM events
+             |  -- COALESCE mirrors the engine's NULL-condition rule: a
+             |  -- clause whose condition is NULL does not apply (row kept)
              |  WHERE NOT (event_id % 40 = 0 AND event_id % 80 <> 0
-             |             AND value < 50)
+             |             AND COALESCE(value < 50, FALSE))
              |)
              |SELECT event_type, count(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value

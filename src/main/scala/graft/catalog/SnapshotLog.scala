@@ -228,6 +228,19 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
   def manifestList(version: Long): Seq[ManifestRef] =
     SnapshotLog.fromJsonSharded(readBytes(snapPath(version)))._2
 
+  /** One parse serving both halves: the resolved snapshot AND its
+    * manifest list — maintenance passes ([[SnapshotTable
+    * .expireSnapshots]] / `removeOrphanFiles`) need both per version
+    * and should not read the snapshot file twice.
+    */
+  def readWithManifests(version: Long): (Snapshot, Seq[ManifestRef]) = {
+    val (snap, manifests) =
+      SnapshotLog.fromJsonSharded(readBytes(snapPath(version)))
+    if (manifests.isEmpty) (snap, manifests)
+    else (snap.copy(files = manifests.flatMap(m => loadManifest(m.path))),
+      manifests)
+  }
+
   /** Entries of one immutable manifest file (cached). */
   def loadManifest(rel: String): Seq[DataFileEntry] =
     manifestCache.getOrElseUpdate(rel,
@@ -404,8 +417,13 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
     new Path(new Path(logDir, SnapshotLog.RefDirName), s"$name.json")
   }
 
-  /** Create ref `name` → `version`. False when the name already exists
-    * (caller decides whether that is an error or a retag-after-drop).
+  /** Create ref `name` → `version`. False ONLY when the name already
+    * exists (caller decides whether that is an error or a retag-after-
+    * drop); real write failures PROPAGATE. The content is fully staged
+    * to a temp file and published atomically (hard-link on file://,
+    * rename on HDFS — the same discipline as [[tryCommit]]), so a
+    * crashed or failed tagger can never leave a truncated ref file
+    * squatting the name.
     */
   def trySetRef(name: String, version: Long, createdMs: Long): Boolean = {
     val p = refPath(name)
@@ -413,27 +431,53 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
     if (fs.exists(p)) return false
     val json = JsonMethods.compact(JsonMethods.render(JObject(List(
       "version" -> (JLong(version): JValue),
-      "createdMs" -> (JLong(createdMs): JValue)))))
-    try {
-      val os = fs.create(p, false)
-      try os.write(json.getBytes("UTF-8")) finally os.close()
-      true
-    } catch { case _: java.io.IOException => false } // lost the race
+      "createdMs" -> (JLong(createdMs): JValue))))).getBytes("UTF-8")
+    if (fs.getScheme == "file") {
+      val dirPath = Paths.get(fs.makeQualified(p.getParent).toUri.getPath)
+      val tmp = Files.createTempFile(dirPath, s".tmp-ref-$name-", ".json")
+      try {
+        Files.write(tmp, json)
+        try {
+          Files.createLink(Paths.get(fs.makeQualified(p).toUri.getPath), tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } finally { Files.deleteIfExists(tmp); () }
+    } else {
+      val tmp = new Path(p.getParent,
+        s".tmp-ref-${java.util.UUID.randomUUID().toString.take(8)}.json")
+      val os = fs.create(tmp, false)
+      try os.write(json) finally os.close()
+      try {
+        val published = fs.rename(tmp, p)
+        if (!published) fs.delete(tmp, false)
+        published
+      } catch {
+        case NonFatal(e) => fs.delete(tmp, false); throw e
+      }
+    }
   }
 
-  /** All refs: name → version. */
+  /** All refs: name → version. STRICT: an unreadable or unparseable ref
+    * file throws instead of being skipped — [[SnapshotTable
+    * .expireSnapshots]] derives its expiry-proof set from this map, and
+    * failing open there would delete a tagged snapshot's data. Atomic
+    * publication above means a truncated ref can only be a foreign
+    * artifact, which deserves the loud failure.
+    */
   def refs(): Map[String, Long] = {
     val dir = new Path(logDir, SnapshotLog.RefDirName)
     if (!fs.exists(dir)) return Map.empty
     fs.listStatus(dir).iterator.flatMap { st =>
       val n = st.getPath.getName
-      if (!n.endsWith(".json")) None
-      else scala.util.Try(n.stripSuffix(".json") ->
+      if (!n.endsWith(".json") || n.startsWith(".tmp-")) None
+      else Some(n.stripSuffix(".json") ->
         (JsonMethods.parse(readBytes(st.getPath)) \ "version" match {
           case JLong(l) => l
           case JInt(i) => i.toLong
-          case other => sys.error(s"bad ref version: $other")
-        })).toOption
+          case other => sys.error(s"bad ref file $n: version = $other")
+        }))
     }.toMap
   }
 

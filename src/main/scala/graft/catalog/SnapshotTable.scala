@@ -391,6 +391,22 @@ final class SnapshotTable private (
         staged.map(_.copy(cols = pairs))))
   }
 
+  /** Sub-path of a freshly staged file INSIDE its batch directory, from
+    * the URI `input_file_name()`/read-back reports: URI-decode first
+    * (percent-encoding rides ON TOP of Hive's own %XX dir-name
+    * escaping), then cut at the batch marker. Single home for the
+    * extraction [[stage]] and [[stageDeleteKeys]] share — the two must
+    * never diverge on path handling.
+    */
+  private def stagedSubPath(uri: String, rel: String, marker: String): String = {
+    val path =
+      try new java.net.URI(uri).getPath
+      catch { case _: java.net.URISyntaxException => uri }
+    val i = path.indexOf(marker)
+    require(i >= 0, s"staged file $path outside batch dir $rel")
+    path.substring(i + marker.length)
+  }
+
   /** Manifest path of an absolute data-file URI (the inverse of the
     * staging path layout; URI-decoded like [[stage]]'s read-back).
     */
@@ -499,14 +515,9 @@ final class SnapshotTable private (
       .select(input_file_name().as("__f"))
       .groupBy(col("__f")).agg(count(lit(1)).as("__rows"))
       .collect().toSeq.flatMap { r =>
-        val path =
-          try new java.net.URI(r.getString(0)).getPath
-          catch { case _: java.net.URISyntaxException => r.getString(0) }
-        val i = path.indexOf(marker)
-        require(i >= 0, s"staged delete file $path outside batch dir $rel")
+        val sub = stagedSubPath(r.getString(0), rel, marker)
         val rows = r.getLong(1)
-        if (rows == 0) None
-        else Some(s"$rel/${path.substring(i + marker.length)}" -> rows)
+        if (rows == 0) None else Some(s"$rel/$sub" -> rows)
       }
   }
 
@@ -565,6 +576,7 @@ final class SnapshotTable private (
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
     val staged = stage(SchemaOps.alignTo(df, evolved), base.spec, base.properties)
     commitRetry { latest =>
+      requireSpecUnchanged(base, latest)
       val (pairs, schema2, ids2, nid) = integrate(latest, evolved)
       nextWithIds(latest, "append", schema2, ids2, nid,
         latest.files ++ staged.map(_.copy(cols = pairs)))
@@ -581,6 +593,7 @@ final class SnapshotTable private (
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
     val staged = stage(SchemaOps.alignTo(df, evolved), base.spec, base.properties)
     commitRetry { latest =>
+      requireSpecUnchanged(base, latest)
       val (pairs, schema2, ids2, nid) = integrate(latest, evolved)
       nextWithIds(latest, "overwrite_table", schema2, ids2, nid,
         staged.map(_.copy(cols = pairs)))
@@ -600,6 +613,7 @@ final class SnapshotTable private (
     val staged = stage(SchemaOps.alignTo(df, evolved), base.spec, base.properties)
     val replaced = staged.map(_.partition).toSet
     commitRetry { latest =>
+      requireSpecUnchanged(base, latest)
       val (pairs, schema2, ids2, nid) = integrate(latest, evolved)
       nextWithIds(latest, "overwrite", schema2, ids2, nid,
         latest.files.filterNot(f => replaced.contains(f.partition)) ++
@@ -631,6 +645,10 @@ final class SnapshotTable private (
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
     val (pairs, schema2, ids2, nid) = integrate(base, evolved)
     val incoming = SchemaOps.alignTo(df, evolved).localCheckpoint(true)
+    // empty batch: nothing to replace — without this, the unpartitioned
+    // path below would rewrite the WHOLE table to change zero rows (a
+    // streaming sink can legitimately deliver empty micro-batches)
+    if (incoming.isEmpty) return base
     val keys = incoming.select(keyCols.map(col): _*).distinct()
     base.spec match {
       case None =>
@@ -689,6 +707,7 @@ final class SnapshotTable private (
     while (attempts < SnapshotTable.MaxCommitAttempts) {
       val latest = currentSnapshot()
       if (committed(latest)) return None
+      requireSpecUnchanged(base, latest)
       val (pairs, schema2, ids2, nid) = integrate(latest, evolved)
       val candidate = nextWithIds(latest, s"stream-append[$batchId]",
         schema2, ids2, nid, latest.files ++ staged.map(_.copy(cols = pairs)))
@@ -774,6 +793,7 @@ final class SnapshotTable private (
                 s"equality deletes changed during compaction of $p — " +
                   "skipped (the rewrite would carry a fresh seq and " +
                   "retire a delete it never applied, resurrecting rows)")
+            requireSpecUnchanged(latest, l) // staged under latest's spec
             next(l, "compact", l.schema,
               l.files.filterNot(f => before.contains(f.path)) ++
                 staged.map(_.copy(cols = latest.ids)))
@@ -799,13 +819,15 @@ final class SnapshotTable private (
     * new spec and lifts the restriction.
     */
   def evolveSpec(newSpec: Option[PartitionSpec]): Snapshot = {
-    newSpec.foreach { ps =>
-      require(schema.fieldNames.contains(ps.source),
-        s"partition source ${ps.source} not in ${schema.simpleString}")
-    }
     val cur = currentSnapshot()
     if (cur.spec == newSpec) return cur
     commitRetry { latest =>
+      // validated INSIDE the retry: a racing rename/drop must not let a
+      // rebase commit a spec pointing at a column the schema lost
+      newSpec.foreach { ps =>
+        require(latest.schema.fieldNames.contains(ps.source),
+          s"partition source ${ps.source} not in ${latest.schema.simpleString}")
+      }
       nextWithIds(latest,
         s"evolve-spec[${newSpec.map(p => s"${p.transform}(${p.source})")
           .getOrElse("unpartitioned")}]",
@@ -920,7 +942,13 @@ final class SnapshotTable private (
 
   /** History-preserving rollback: commits a NEW snapshot whose content
     * (files + schema) is that of `toVersion` — audit trail intact,
-    * Iceberg `rollback_to_snapshot` semantics.
+    * Iceberg `rollback_to_snapshot` semantics. Deliberate divergence
+    * from Iceberg on PROPERTIES: here they are versioned table state
+    * and restore WITH the content (Iceberg keeps them outside
+    * snapshots) — schema-coupled settings like `graft.bloom.columns`
+    * must follow the restored schema, at the cost that operational
+    * knobs changed after `toVersion` also revert; re-apply those after
+    * rolling back if they should survive.
     */
   def rollback(toVersion: Long): Snapshot = {
     val target = snapshotAt(toVersion)
@@ -994,8 +1022,11 @@ final class SnapshotTable private (
     val (old, recent) = vs.splitAt(math.max(0, vs.size - math.max(1, k)))
     val expire = old.filterNot(tagged.contains)
     val retain = old.filter(tagged.contains) ++ recent
+    // ONE snapshot-file parse per version feeds both the data-path and
+    // manifest-list accounting
+    val info = vs.map(v => v -> log.readWithManifests(v)).toMap
     def paths(v: Long): Seq[String] = {
-      val s = log.read(v)
+      val s = info(v)._1
       s.files.map(_.path) ++ s.deleteFiles.map(_.path)
     }
     val retained = retain.flatMap(paths).toSet
@@ -1004,8 +1035,8 @@ final class SnapshotTable private (
     // manifests (and the bloom sidecars only they reference) die with
     // the last snapshot referencing them — shared ones are untouched,
     // so this is O(expired metadata), never a table rewrite
-    val retainedMans = retain.flatMap(log.manifestList).map(_.path).toSet
-    val deadMans = expire.flatMap(log.manifestList).map(_.path)
+    val retainedMans = retain.flatMap(v => info(v)._2).map(_.path).toSet
+    val deadMans = expire.flatMap(v => info(v)._2).map(_.path)
       .distinct.filterNot(retainedMans.contains)
     val retainedSides = retainedMans.flatMap(log.sidecarsOf)
     val deadSides = deadMans.flatMap(log.sidecarsOf)
@@ -1025,11 +1056,12 @@ final class SnapshotTable private (
     * @return number of files deleted
     */
   def removeOrphanFiles(olderThanMs: Long = 24L * 3600 * 1000): Int = {
-    val referenced = log.versions()
-      .flatMap { v =>
-        val s = log.read(v)
-        s.files.map(_.path) ++ s.deleteFiles.map(_.path)
-      }.toSet
+    // ONE snapshot-file parse per version feeds the data-path set AND
+    // the live-manifest accounting further down
+    val info = log.versions().map(v => log.readWithManifests(v))
+    val referenced = info.flatMap { case (s, _) =>
+      s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+    }.toSet
     // wall clock, NOT the injected snapshot clock: the comparison is
     // against filesystem modification times
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -1049,10 +1081,12 @@ final class SnapshotTable private (
       }
     }
     // crashed commits can also leave aged .tmp-* manifests in the log
-    // directory (content staged but never published) — same age guard
+    // directory (content staged but never published) — same age guard;
+    // ditto crashed taggers' .tmp-ref-* files under refs/
     val logDir = new Path(root, SnapshotLog.LogDirName)
-    if (fs.exists(logDir)) {
-      for (st <- fs.listStatus(logDir)
+    for (dir <- Seq(logDir, new Path(logDir, SnapshotLog.RefDirName))
+         if fs.exists(dir)) {
+      for (st <- fs.listStatus(dir)
            if st.getPath.getName.startsWith(".tmp-")
            if st.getModificationTime <= cutoff) {
         fs.delete(st.getPath, false)
@@ -1062,7 +1096,7 @@ final class SnapshotTable private (
     // ...and aged manifest/sidecar files no live snapshot references
     // (written durably BEFORE the snapshot publish, stranded when the
     // publish lost its race or the writer crashed)
-    val liveMans = log.versions().flatMap(log.manifestList).map(_.path).toSet
+    val liveMans = info.flatMap(_._2).map(_.path).toSet
     val liveSides = liveMans.flatMap(log.sidecarsOf)
     for (sub <- Seq(SnapshotLog.ManifestDirName, SnapshotLog.BloomDirName)) {
       val dir = new Path(logDir, sub)
@@ -1153,6 +1187,20 @@ final class SnapshotTable private (
     (stagedPairs, schema2, ids2, nextId)
   }
 
+  /** Blind-commutative writers stage partition VALUES under the spec
+    * they observed; a rebase onto a snapshot whose spec evolved since
+    * staging would publish old-namespace values stamped as current-spec
+    * (seq ≥ specSince) — misclassified files that range reads would
+    * wrongly prune (silent row loss). Fail the commit instead: the
+    * caller re-runs and re-stages under the current spec (the staged
+    * orphans are swept age-guarded).
+    */
+  private def requireSpecUnchanged(base: Snapshot, latest: Snapshot): Unit =
+    if (latest.spec != base.spec || latest.specSince != base.specSince)
+      throw new SnapshotConflictException(
+        s"partition spec evolved during a staged write at $root — " +
+          "re-run to restage under the current spec")
+
   /** Optimistic commit loop for rebasable (blind) operations. */
   private def commitRetry(make: Snapshot => Snapshot): Snapshot = {
     var attempts = 0
@@ -1210,17 +1258,9 @@ final class SnapshotTable private (
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
-        // input_file_name() is a URI: percent-encoded ON TOP of Hive's
-        // own %XX dir-name escaping. URI-decode first to recover the
-        // on-disk name (what the manifest must store); the Hive layer
-        // is undone separately for the partition VALUE only.
-        val uri = r.getString(0)
-        val path =
-          try new java.net.URI(uri).getPath
-          catch { case _: java.net.URISyntaxException => uri }
-        val i = path.indexOf(marker)
-        require(i >= 0, s"staged file $path outside batch dir $rel")
-        val sub = path.substring(i + marker.length)
+        // the Hive %XX layer is undone separately for the partition
+        // VALUE only; the manifest stores the on-disk file name
+        val sub = stagedSubPath(r.getString(0), rel, marker)
         val partition = sub.split('/').collectFirst {
           case seg if seg.startsWith(s"$PartCol=") =>
             decodePartitionValue(seg.substring(PartCol.length + 1))

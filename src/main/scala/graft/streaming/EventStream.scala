@@ -260,9 +260,13 @@ object EventStream {
     * at-least-once effectively exactly-once for keyed data, here with
     * the added guarantee that readers never observe a half-applied
     * batch (the swap is one commit). A concurrent EXTERNAL writer
-    * surfaces as [[graft.catalog.SnapshotConflictException]], failing
-    * the batch so the streaming runtime retries it against the new
-    * table state — keyed idempotence makes the retry safe.
+    * surfaces as [[graft.catalog.SnapshotConflictException]], which
+    * TERMINATES the streaming query (foreachBatch semantics — there is
+    * no per-batch auto-retry); on restart from the checkpoint the batch
+    * replays against the new table state, and keyed idempotence makes
+    * that replay safe. Run a retrying supervisor if external writers
+    * are expected. Empty micro-batches are no-ops (upsert
+    * short-circuits before any rewrite).
     */
   def upsertToSnapshotTable(stream: DataFrame, tableRoot: String,
       keyCols: Seq[String],

@@ -866,6 +866,15 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().filter(col("id").isNull).count() == 1L)
   }
 
+  test("empty upsert batch is a clean no-op, not a full-table rewrite") {
+    val t = rangeTable()
+    val v = t.currentVersion()
+    val files = t.currentSnapshot().files.map(_.path).toSet
+    t.upsert(t.read().limit(0), Seq("id"))
+    assert(t.currentVersion() == v, "no commit for an empty batch")
+    assert(t.currentSnapshot().files.map(_.path).toSet == files)
+  }
+
   test("partition spec evolution: metadata-only, conservative reads, migration rewrites only legacy files") {
     val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
     t.append(rows((1, "2024-01-05", 1.0), (2, "2024-02-06", 2.0))) // month files

@@ -1655,6 +1655,28 @@ object Queries {
   // =====================================================================
 
   private val sqlSurfaceQueries: Seq[QueryDef] = Seq(
+    // Snapshot tables through the `graft` DATA SOURCE — the SQL-only
+    // surface (CREATE TEMPORARY VIEW … USING graft): Catalyst pushes
+    // the WHERE down as source filters, the relation prunes files at
+    // the manifest (same stats path snap_skip_files pins), and the
+    // values must match the raw-parquet oracle exactly
+    QueryDef("sql_snapshot_source",
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, skipTableCache, "skip")(_ => ())
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_events_ds " +
+          s"USING graft OPTIONS (path '${tbl.root}')")
+        s.sql("""SELECT event_type, count(*) AS n,
+                |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                |    AS sum_value
+                |FROM graft_events_ds
+                |WHERE event_id BETWEEN 1000 AND 1999
+                |GROUP BY 1""".stripMargin)
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events WHERE event_id BETWEEN 1000 AND 1999
+             |GROUP BY 1""".stripMargin)),
+
     QueryDef("sql_text_quality",
       (s, dir) => {
         // idempotent: GraftConfig sessions already carry the extensions;

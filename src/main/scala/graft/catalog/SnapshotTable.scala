@@ -214,6 +214,24 @@ final class SnapshotTable private (
   def pruneFiles(pred: Column): Seq[DataFileEntry] =
     pruneFiles(currentSnapshot(), pred)
 
+  /** Scan hook for the `graft` Spark data source
+    * ([[graft.sources.GraftDataSource]]): read `version` (None =
+    * current) with already-translated source filters pruning files at
+    * the manifest. SKIP-ONLY — the caller (Catalyst, via
+    * `unhandledFilters`) re-applies every filter exactly, so pruning
+    * can never change results.
+    */
+  private[graft] def scanFor(version: Option[Long],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
+    val s = version.map(snapshotAt).getOrElse(currentSnapshot())
+    val currentById = s.ids.map { case (n, id) => id -> n }.toMap
+    val kept =
+      if (filters.isEmpty) s.files
+      else s.files.filter(f => StatsPruner.mayMatchAll(
+        effectiveStats(currentById, f), s.schema, filters, log.resolveBloom))
+    readWithDeletes(s.schema, s.ids, s, kept)
+  }
+
   private def pruneFiles(s: Snapshot, pred: Column): Seq[DataFileEntry] = {
     val filters = StatsPruner.translate(spark, s.schema, pred)
     val currentById = s.ids.map { case (n, id) => id -> n }.toMap

@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.SnapshotTable
+
+/** Spark SQL data source for [[graft.catalog.SnapshotTable]] — the
+  * integration that makes the snapshot layer consumable WITHOUT the
+  * Scala API, exactly how a SQL-only user reaches an Iceberg table:
+  *
+  * {{{
+  *   spark.read.format("graft").load("/warehouse/events")
+  *   spark.read.format("graft")
+  *     .option("versionAsOf", 3).load("/warehouse/events")   // time travel
+  *   spark.read.format("graft")
+  *     .option("tag", "corpus-v1.0").load("/warehouse/events")
+  *
+  *   CREATE TEMPORARY VIEW events_snap
+  *   USING graft OPTIONS (path '/warehouse/events')
+  * }}}
+  *
+  * Implemented as a DSv1 `PrunedFilteredScan`: Catalyst pushes the
+  * query's source filters down, the relation prunes data FILES at the
+  * manifest (min/max stats + Bloom sidecars — [[graft.catalog
+  * .StatsPruner]], the same path `readWhere` uses), and every filter is
+  * declared unhandled so Catalyst re-applies them exactly — manifest
+  * pruning stays skip-only and can never change results. Merge-on-read
+  * equality deletes and field-id schema evolution apply as on every
+  * other read path.
+  */
+final class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      sys.error("the graft data source requires a path: " +
+        ".load(root) / .save(root) or OPTIONS (path '...')"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = pathOf(parameters)
+    val version = parameters.get("versionasof").map { v =>
+      try v.toLong
+      catch {
+        case _: NumberFormatException =>
+          sys.error(s"versionAsOf must be a version number, got '$v'")
+      }
+    }
+    val tag = parameters.get("tag")
+    require(version.isEmpty || tag.isEmpty,
+      "pass versionAsOf OR tag, not both")
+    new GraftRelation(sqlContext, path, version, tag)
+  }
+
+  /** Write side: `df.write.format("graft").mode(...).save(root)`.
+    * Append and Overwrite map to the table's atomic commits (schema
+    * evolution applies); a missing table is created first, with an
+    * optional hidden-partition spec from `partition` — `'month(ts)'`
+    * or `'identity(col)'` — honored only at creation.
+    * ErrorIfExists/Ignore follow their SaveMode contracts against
+    * table EXISTENCE.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val exists = SnapshotTable.exists(spark, path)
+    if (exists && mode == ErrorIfExists)
+      sys.error(s"graft table already exists at $path (SaveMode.ErrorIfExists)")
+    if (!exists || mode != Ignore) {
+      val table =
+        if (exists) SnapshotTable.load(spark, path)
+        else SnapshotTable.create(spark, path, data.schema,
+          spec = parameters.get("partition").map(parseSpec))
+      mode match {
+        case Overwrite => table.overwrite(data)
+        case _ if !exists => table.append(data) // fresh table: content
+        case Append => table.append(data)
+        case _ => () // Ignore / ErrorIfExists on existing: no write
+      }
+    }
+    new GraftRelation(sqlContext, path, None, None)
+  }
+
+  /** `month(col)` / `identity(col)` / bare `col` (= identity). */
+  private def parseSpec(s: String): graft.catalog.PartitionSpec = {
+    val Xform = raw"(\w+)\(([^)]+)\)".r
+    s.trim match {
+      case Xform(t, c) => graft.catalog.PartitionSpec(c.trim, t)
+      case bare if bare.nonEmpty =>
+        graft.catalog.PartitionSpec(bare, "identity")
+      case _ => sys.error(s"unparseable partition option: '$s'")
+    }
+  }
+}
+
+final class GraftRelation(
+    override val sqlContext: SQLContext,
+    root: String,
+    versionAsOf: Option[Long],
+    tag: Option[String]) extends BaseRelation
+    with PrunedFilteredScan with InsertableRelation {
+
+  private val table = SnapshotTable.load(sqlContext.sparkSession, root)
+
+  /** Resolved once at relation creation: the version this relation
+    * reads (a tag resolves through the ref; None = follow current).
+    */
+  private val pinned: Option[Long] = tag match {
+    case Some(t) => Some(table.tags().getOrElse(t,
+      sys.error(s"no tag '$t' at $root; tags: ${table.tags().keys.mkString(", ")}")))
+    case None => versionAsOf
+  }
+
+  override val schema: StructType = pinned match {
+    case Some(v) => table.readAt(v).schema
+    case None => table.schema
+  }
+
+  /** All filters stay Catalyst's responsibility — this relation uses
+    * them ONLY to skip files, so its row output may over-approximate
+    * and the exact semantics (incl. NULL handling) remain with the
+    * engine's own FilterExec.
+    */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val df = table.scanFor(pinned, filters.toIndexedSeq)
+    // empty projection (e.g. COUNT(*)) still needs the row multiset
+    val projected =
+      if (requiredColumns.isEmpty) df.select()
+      else df.select(requiredColumns.toIndexedSeq.map(c =>
+        org.apache.spark.sql.functions.col(quoted(c))): _*)
+    projected.rdd
+  }
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a graft temp view:
+    * atomic append or full-table overwrite (DSv1 overwrite contract).
+    */
+  override def insert(data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean): Unit = {
+    require(pinned.isEmpty,
+      "cannot INSERT into a time-travel (versionAsOf/tag) relation")
+    if (overwrite) table.overwrite(data) else table.append(data)
+    ()
+  }
+
+  private def quoted(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+}

@@ -866,6 +866,66 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().filter(col("id").isNull).count() == 1L)
   }
 
+  test("graft data source: format reads, time travel options, SQL view, filter parity") {
+    val t = rangeTable() // ids 1..40 in 4 decade files; v NULL at %10
+    val root = t.root.toString
+    val viaFormat = spark.read.format("graft").load(root)
+    assert(viaFormat.columns.toSeq == Seq("id", "ts", "v"))
+    assert(viaFormat.count() == 40L)
+    // filters prune files at the manifest but Catalyst re-applies them
+    // exactly (unhandledFilters = all): results incl. NULL semantics
+    assert(viaFormat.filter(col("id").between(15, 17)).select("id")
+      .as[Long].collect().sorted.toSeq == Seq(15L, 16L, 17L))
+    assert(viaFormat.filter(col("v").isNull).count() == 4L)
+    // merge-on-read deletes apply; versionAsOf and tag time-travel
+    t.deleteByKeys(Seq(15L).toDF("id"), Seq("id"))
+    val vNow = t.currentVersion()
+    assert(spark.read.format("graft").load(root).count() == 39L)
+    assert(spark.read.format("graft").option("versionAsOf", vNow - 1)
+      .load(root).count() == 40L)
+    t.tag("pre-change", vNow - 1)
+    assert(spark.read.format("graft").option("tag", "pre-change")
+      .load(root).count() == 40L)
+    // the SQL-only surface
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_ds_test " +
+      s"USING graft OPTIONS (path '$root')")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_ds_test WHERE id BETWEEN 11 AND 20")
+      .as[Long].head() == 9L)
+    intercept[RuntimeException](spark.read.format("graft")
+      .option("tag", "nope").load(root))
+  }
+
+  test("graft data source write path: save modes, partition option, SQL INSERT") {
+    val root = freshRoot()
+    // fresh save with a partition option creates + fills the table
+    rows((1, "2024-01-05", 1.0), (2, "2024-02-06", 2.0))
+      .write.format("graft").option("partition", "month(ts)").save(root)
+    val t = SnapshotTable.load(spark, root)
+    assert(t.currentSnapshot().spec.contains(PartitionSpec("ts", "month")))
+    assert(t.read().count() == 2L)
+    // append mode commits atomically; ErrorIfExists refuses; Ignore no-ops
+    rows((3, "2024-03-07", 3.0)).write.format("graft")
+      .mode("append").save(root)
+    assert(t.read().count() == 3L)
+    intercept[RuntimeException](
+      rows((4, "2024-04-01", 4.0)).write.format("graft").save(root))
+    rows((4, "2024-04-01", 4.0)).write.format("graft")
+      .mode("ignore").save(root)
+    assert(t.read().count() == 3L)
+    // SQL INSERT INTO through the temp view (InsertableRelation)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_ds_w " +
+      s"USING graft OPTIONS (path '$root')")
+    spark.sql("INSERT INTO graft_ds_w " +
+      "VALUES (5, TIMESTAMP '2024-05-01 00:00:00', 5.0)")
+    assert(t.read().count() == 4L)
+    assert(t.currentSnapshot().partitions.flatten.toSet.contains("2024-05"))
+    // overwrite mode replaces the whole content in one commit
+    rows((9, "2024-09-09", 9.0)).write.format("graft")
+      .mode("overwrite").save(root)
+    assert(t.read().select("id").as[Long].collect().toSeq == Seq(9L))
+  }
+
   test("empty upsert batch is a clean no-op, not a full-table rewrite") {
     val t = rangeTable()
     val v = t.currentVersion()

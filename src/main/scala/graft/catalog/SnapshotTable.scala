@@ -1255,8 +1255,19 @@ final class SnapshotTable private (
     val dir = new Path(root, rel)
     spec match {
       case Some(ps) =>
-        aligned.withColumn(PartCol, SnapshotTable.partitionExpr(ps))
-          .write.partitionBy(PartCol).parquet(dir.toString)
+        val withPart = aligned
+          .withColumn(PartCol, SnapshotTable.partitionExpr(ps))
+        // Iceberg write.distribution-mode=hash: cluster rows by their
+        // partition value before the write, so each partition gets ONE
+        // file per batch instead of one per (task × partition) — at
+        // 1000 executors an undistributed partitioned append is a
+        // small-file explosion. Opt-in ('none' default keeps the
+        // task-parallel layout, which compact() can always repair).
+        val distributed =
+          if (props.get(SnapshotTable.DistributionModeProp).contains("hash"))
+            withPart.repartition(col(PartCol))
+          else withPart
+        distributed.write.partitionBy(PartCol).parquet(dir.toString)
       case None =>
         aligned.write.parquet(dir.toString)
     }
@@ -1308,6 +1319,12 @@ object SnapshotTable {
     * (see [[SnapshotTable.appendStreamBatch]]).
     */
   private[graft] val StreamBatchProp = "graft.stream.last_batch_id"
+
+  /** Table property selecting the partitioned-write distribution:
+    * `none` (default — task-parallel files) or `hash` (cluster by
+    * partition value first; one file per partition per batch).
+    */
+  val DistributionModeProp = "graft.write.distribution-mode"
 
   /** Create a new snapshot table (commits version 1, empty). */
   def create(spark: SparkSession, root: String, schema: StructType,

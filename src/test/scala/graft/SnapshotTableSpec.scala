@@ -896,6 +896,26 @@ class SnapshotTableSpec extends AnyFunSuite {
       .option("tag", "nope").load(root))
   }
 
+  test("write.distribution-mode=hash yields one file per partition per batch") {
+    def wideBatch = (1L to 1000L).map(i =>
+      (i, Timestamp.valueOf(f"2024-${i % 4 + 1}%02d-01 00:00:00"), i * 1.0))
+      .toDF("id", "ts", "v").repartition(16)
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec,
+      properties = Map(SnapshotTable.DistributionModeProp -> "hash"))
+    t.append(wideBatch)
+    val byPart = t.currentSnapshot().files.groupBy(_.partition)
+    assert(byPart.keySet.flatten == Set("2024-01", "2024-02", "2024-03", "2024-04"))
+    assert(byPart.values.forall(_.size == 1),
+      s"hash mode must write ONE file per partition: ${byPart.view.mapValues(_.size).toMap}")
+    // default mode: task-parallel layout (files = tasks × partitions)
+    val t2 = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    t2.append(wideBatch)
+    assert(t2.currentSnapshot().files.size > 4,
+      "default keeps task-parallel files (compact() repairs layout)")
+    // identical content either way
+    assert(t.read().count() == 1000L && t2.read().count() == 1000L)
+  }
+
   test("graft data source write path: save modes, partition option, SQL INSERT") {
     val root = freshRoot()
     // fresh save with a partition option creates + fills the table

@@ -211,10 +211,32 @@ object Ivf {
         Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", -Pq.adc(col("code"), col("lut"), cb))
-    val short = Similarity.rankTopK(approx, shortlist)
+    // Re-rank vector fetch, chosen from MANIFEST row counts (a driver-
+    // side metadata read, no job): on a small probed set the lazy
+    // single-DAG join is cheapest (extra job barriers would dominate);
+    // past a few million probed rows the second full vector scan is the
+    // cost that matters, so the shortlist is materialized and its ids
+    // pushed into the parquet scan as an IN filter — row-group stats
+    // (and Bloom sidecars, when indexed) reduce the fetch to the
+    // shortlist's own files. This is the shape that stays cheap as the
+    // corpus grows; the threshold only guards micro-corpus overhead.
+    val probedRows = index.currentSnapshot().files
+      .filter(_.partition.exists(probed.contains)).map(_.rows).sum
+    val short0 = Similarity.rankTopK(approx, shortlist)
       .select(col("q_id"), col("n_id"))
+    val idCap = 65536
+    val (short, vecSource) =
+      if (probedRows < 4000000L) (short0, pruned)
+      else {
+        val s = short0.localCheckpoint(true)
+        val ids = s.select(col("n_id")).distinct()
+          .limit(idCap + 1).collect().map(_.get(0))
+        if (ids.length <= idCap)
+          (s, pruned.filter(col("n_id").isInCollection(ids.toIndexedSeq)))
+        else (s, pruned)
+      }
     val rescored = short
-      .join(pruned.select(col("n_id"), col("n_vec")), Seq("n_id"))
+      .join(vecSource.select(col("n_id"), col("n_vec")), Seq("n_id"))
       .join(broadcast(probes.select(col("q_id"), col("q_vec"))
         .dropDuplicates(Seq("q_id"))), Seq("q_id"))
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))

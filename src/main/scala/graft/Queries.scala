@@ -734,6 +734,76 @@ object Queries {
                |WHERE lang_pred = 'en' AND quality >= 0.5
                |GROUP BY 1""".stripMargin)),
 
+      // Salient-term extraction (TermWeights.topTerms): per-doc top-5
+      // terms by tf × the BM25 idf argument — deliberately LOG-FREE so
+      // every op is IEEE-exactly-specified and the DuckDB compare needs
+      // no tolerance; ranking ships ≤ k rows/group via the TopK UDAF
+      QueryDef("text_top_terms",
+        (s, dir) => graft.operators.TermWeights.topTerms(
+          t(s, dir, "documents"), k = 5),
+        Some("""WITH toks AS (
+               |  SELECT doc_id,
+               |    unnest(string_split(trim(regexp_replace(lower(text),
+               |      '\s+', ' ', 'g')), ' ')) AS term
+               |  FROM documents
+               |), tf AS (
+               |  SELECT doc_id, term, count(*) AS tf FROM toks
+               |  WHERE term <> '' GROUP BY 1, 2
+               |), dft AS (
+               |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+               |), n AS (
+               |  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+               |  FROM documents
+               |), scored AS (
+               |  SELECT tf.doc_id, tf.term,
+               |    tf.tf * (n.n - dft.df + 0.5) / (dft.df + 0.5) AS weight
+               |  FROM tf JOIN dft USING (term) CROSS JOIN n
+               |), ranked AS (
+               |  SELECT doc_id, term, weight,
+               |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+               |         ORDER BY weight DESC, term) AS BIGINT) AS rank
+               |  FROM scored
+               |)
+               |SELECT doc_id, term, weight, rank FROM ranked
+               |WHERE rank <= 5""".stripMargin)),
+
+      // BM25 relevance (query-based corpus subselection): ln is not
+      // IEEE-exactly-specified, so the compared score rounds to 1e-3 —
+      // far above any cross-engine ulp drift, far below score spacing
+      QueryDef("text_bm25",
+        (s, dir) => graft.operators.TermWeights.bm25(
+            t(s, dir, "documents"), Seq("hash", "join", "scan"))
+          .select(col("doc_id"), round(col("score"), 3).as("score")),
+        Some("""WITH toks AS (
+               |  SELECT doc_id,
+               |    unnest(string_split(trim(regexp_replace(lower(text),
+               |      '\s+', ' ', 'g')), ' ')) AS term
+               |  FROM documents
+               |), toks2 AS (
+               |  SELECT doc_id, term FROM toks WHERE term <> ''
+               |), dl AS (
+               |  SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY 1
+               |), c AS (
+               |  SELECT CAST(count(*) AS DOUBLE) AS n,
+               |         avg(dl) AS avgdl FROM dl
+               |), tf AS (
+               |  SELECT doc_id, term, count(*) AS tf FROM toks2
+               |  WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2
+               |), dft AS (
+               |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+               |)
+               |SELECT tf.doc_id,
+               |  round(SUM(
+               |    ln(1.0 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+               |    * (tf.tf * 2.2)
+               |    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl))
+               |  ), 3) AS score
+               |FROM tf
+               |JOIN dft USING (term)
+               |JOIN dl USING (doc_id)
+               |CROSS JOIN c
+               |GROUP BY 1""".stripMargin)),
+
       QueryDef("text_fingerprint",
         (s, dir) => t(s, dir, "documents").select(col("doc_id"),
           fingerprintExact(col("text")).as("fp_exact"),

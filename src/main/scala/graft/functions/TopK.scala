@@ -80,4 +80,52 @@ object TopK {
     */
   def topK(sim: Column, id: Column, k: Int): Column =
     udaf(new TopKAgg(k), Encoders.product[Scored]).apply(sim, id)
+
+  // ------------------------------------------------------------------
+  // String-keyed variant (top-k TERMS per document — TermWeights):
+  // same bounded-buffer shape, ordering (weight desc, term asc).
+  // ------------------------------------------------------------------
+
+  /** One scored term. */
+  final case class ScoredTerm(w: Double, term: String)
+
+  private def betterTerm(a: ScoredTerm, b: ScoredTerm): Boolean =
+    simGt(a.w, b.w) || (simEq(a.w, b.w) && a.term < b.term)
+
+  private def mergeSortedTerms(k: Int, a: Seq[ScoredTerm],
+      b: Seq[ScoredTerm]): Seq[ScoredTerm] = {
+    val out = new scala.collection.mutable.ArrayBuffer[ScoredTerm](k)
+    var i = 0
+    var j = 0
+    while (out.length < k && (i < a.length || j < b.length)) {
+      if (j >= b.length || (i < a.length && betterTerm(a(i), b(j)))) {
+        out += a(i); i += 1
+      } else {
+        out += b(j); j += 1
+      }
+    }
+    out.toSeq
+  }
+
+  final class TopKTermsAgg(k: Int)
+      extends Aggregator[ScoredTerm, Seq[ScoredTerm], Seq[ScoredTerm]] {
+    override def zero: Seq[ScoredTerm] = Seq.empty
+    override def reduce(buf: Seq[ScoredTerm], x: ScoredTerm): Seq[ScoredTerm] =
+      if (buf.length >= k && !betterTerm(x, buf.last)) buf
+      else mergeSortedTerms(k, buf, Seq(x))
+    override def merge(a: Seq[ScoredTerm], b: Seq[ScoredTerm]): Seq[ScoredTerm] =
+      mergeSortedTerms(k, a, b)
+    override def finish(buf: Seq[ScoredTerm]): Seq[ScoredTerm] = buf
+    override def bufferEncoder: Encoder[Seq[ScoredTerm]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredTerm]]()
+    override def outputEncoder: Encoder[Seq[ScoredTerm]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredTerm]]()
+  }
+
+  /** Column API: `topKTerms(w, term, k)` → `array<struct<w,term>>`,
+    * sorted (w desc, term asc), length ≤ k — ships ≤ k rows per group
+    * per task, never a per-key window sort.
+    */
+  def topKTerms(w: Column, term: Column, k: Int): Column =
+    udaf(new TopKTermsAgg(k), Encoders.product[ScoredTerm]).apply(w, term)
 }

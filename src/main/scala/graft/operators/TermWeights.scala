@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistical term weighting for training-data curation:
+  * salient-term extraction per document ([[topTerms]]) and BM25
+  * relevance scoring ([[bm25]]) — the classic retrieval primitives a
+  * data pipeline uses for topic labeling, near-topic filtering, and
+  * query-based corpus subselection.
+  *
+  * Scale shape: everything is hash aggregation on (doc, term) / (term)
+  * plus one equality join on term — partial-combined, no windows, no
+  * cross joins; per-doc top-k ships ≤ k rows per group per task
+  * ([[graft.functions.TopK.topKTerms]]). Corpus-level scalars (N,
+  * avgdl) are single driver doubles, the same model-sized contract as
+  * the ANN trainers.
+  */
+object TermWeights {
+
+  /** Whitespace tokenization after lowercasing — the exact pipeline the
+    * oracle-matched shingle queries use, so cross-engine parity is
+    * already proven on this corpus.
+    */
+  private def tokens(c: Column): Column =
+    split(lower(trim(regexp_replace(c, "\\s+", " "))), " ")
+
+  private def tokenRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Top-k salient terms per document by df-discounted weight
+    *
+    *   w(t, d) = tf(t, d) * (N - df(t) + 0.5) / (df(t) + 0.5)
+    *
+    * — term frequency times the BM25 idf ARGUMENT, deliberately
+    * log-free: `ln` is not exactly specified by IEEE 754 (engines may
+    * differ in the last ulp), while +, −, ×, ÷ are correctly-rounded
+    * everywhere, so these weights — and therefore the ranking — are
+    * bit-identical across engines (DuckDB-oracle-checkable with no
+    * tolerance). The log is monotone, so per-term the discount orders
+    * documents identically to textbook idf.
+    *
+    * Output: (doc_id, term, weight, rank), rank 1..k by
+    * (weight desc, term asc).
+    */
+  def topTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val n = docs.select(col(idCol)).distinct().count().toDouble
+    val tf = tokenRows(docs, idCol, textCol)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dft, "term")
+      .withColumn("weight",
+        col("tf") * (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.TopK.topKTerms(col("weight"), col("term"), k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("s.term").as("term"), col("s.w").as("weight"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** BM25 score of every document containing at least one query term:
+    *
+    *   score(d) = Σ_t ln(1 + (N − df + 0.5)/(df + 0.5))
+    *              · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * (Robertson/Sparck-Jones idf in the ln(1+x) form — never negative —
+    * with the standard k1/b length normalization.) Output:
+    * (doc_id, score), one row per matched document.
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = tokenRows(docs, idCol, textCol)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      .collect()(0)
+    val n = stats.getLong(0).toDouble
+    val avgdl = stats.getDouble(1)
+    val qt = queryTerms.map(_.toLowerCase).distinct
+    val tf = toks.filter(col("term").isInCollection(qt))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dft, "term").join(dl, "doc_id")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).as("score"))
+  }
+}

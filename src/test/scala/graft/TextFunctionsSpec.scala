@@ -97,4 +97,36 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one(a, fingerprintKey(col("t"))) == one(b, fingerprintKey(col("t"))))
     assert(one(a, fingerprintExact(col("t"))) != one(b, fingerprintExact(col("t"))))
   }
+
+  test("topTerms ranks by df-discounted weight, ties by term") {
+    import graft.operators.TermWeights
+    // N=3; tf: d1(a:2,b:1) d2(b:1,c:1) d3(c:1,d:2); df: a1 b2 c2 d1
+    val docs = Seq((1L, "A a b"), (2L, "b  c"), (3L, "c d D"))
+      .toDF("doc_id", "text")
+    val got = TermWeights.topTerms(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    // w = tf * (3 - df + 0.5) / (df + 0.5)
+    val wA = 2.0 * (3.0 - 1 + 0.5) / 1.5   // 10/3
+    val wB1 = 1.0 * (3.0 - 2 + 0.5) / 2.5  // 0.6
+    assert(got == Set(
+      (1L, "a", wA, 1L), (1L, "b", wB1, 2L),
+      (2L, "b", wB1, 1L), (2L, "c", wB1, 2L), // tie → term asc
+      (3L, "d", wA, 1L), (3L, "c", wB1, 2L)))
+  }
+
+  test("bm25 matches the direct formula") {
+    import graft.operators.TermWeights
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "c d d"))
+      .toDF("doc_id", "text")
+    val got = TermWeights.bm25(docs, Seq("c", "d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (n, avgdl, k1, b) = (3.0, 8.0 / 3.0, 1.2, 0.75)
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def term(tf: Double, df: Double, dl: Double) =
+      idf(df) * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert(got.keySet == Set(2L, 3L), "only docs containing c or d")
+    assert(math.abs(got(2L) - term(1, 2, 2)) < 1e-12)          // c in d2
+    assert(math.abs(got(3L) - (term(1, 2, 3) + term(2, 1, 3))) < 1e-12)
+  }
 }

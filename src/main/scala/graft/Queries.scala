@@ -639,6 +639,37 @@ object Queries {
                |    + CAST(floor((cum_tokens - n_tokens) / 512) AS BIGINT) AS pack_id
                |FROM c""".stripMargin)),
 
+      // Context-window chunking (Pack.chunkDocuments): 40-token windows
+      // advancing by 30 (10-token overlap) — the per-row, shuffle-free
+      // preprocessing step that turns long documents into trainable
+      // sequences; ids are (doc, ordinal) so re-chunking is reproducible
+      QueryDef("pipeline_chunk_windows",
+        (s, dir) => graft.operators.Pack.chunkDocuments(
+          t(s, dir, "documents"), window = 40, overlap = 10),
+        Some("""WITH toks AS (
+               |  SELECT doc_id,
+               |    string_split(trim(regexp_replace(lower(text),
+               |      '\s+', ' ', 'g')), ' ') AS t
+               |  FROM documents
+               |), sized AS (
+               |  SELECT doc_id, t,
+               |    CASE WHEN len(t) <= 40 THEN 1
+               |         ELSE 1 + CAST(ceil((len(t) - 40) / 30.0) AS INT)
+               |    END AS nc
+               |  FROM toks
+               |), ex AS (
+               |  SELECT doc_id, unnest(list_transform(range(0, nc),
+               |    i -> struct_pack(
+               |      cid := i,
+               |      ntk := len(t[i*30+1 : i*30+40]),
+               |      txt := array_to_string(t[i*30+1 : i*30+40], ' ')))) AS ch
+               |  FROM sized
+               |)
+               |SELECT doc_id, CAST(ch.cid AS BIGINT) AS chunk_id,
+               |  CAST(ch.ntk AS BIGINT) AS n_chunk_tokens,
+               |  ch.txt AS chunk_text
+               |FROM ex""".stripMargin)),
+
       QueryDef("text_repetition",
         (s, dir) => t(s, dir, "documents").select(col("doc_id"),
           dupLineFraction(col("text")).as("dup_line_frac"),

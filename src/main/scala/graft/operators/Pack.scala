@@ -30,6 +30,42 @@ import org.apache.spark.sql.functions._
   */
 object Pack {
 
+  /** Split each document into overlapping fixed-size TOKEN windows —
+    * the standard context-window chunking step before packing/training
+    * (long documents become `window`-token chunks whose starts advance
+    * by `window − overlap` tokens; the final chunk may be shorter;
+    * documents at most `window` tokens pass through as one chunk).
+    *
+    * Pure per-row computation — tokenize, slice, explode — so it
+    * partitions embarrassingly: no shuffle, no state, runs at scan
+    * parallelism at any corpus size. Chunk ids are (doc, ordinal), so
+    * output is deterministic and re-chunking is reproducible.
+    *
+    * Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+    */
+  def chunkDocuments(docs: DataFrame, window: Int, overlap: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window): $overlap vs $window")
+    val stride = window - overlap
+    val toks = split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), " ")
+    val n = size(col("__toks"))
+    // number of stride steps whose window still contains an unseen
+    // token: 1 + ceil((n - window) / stride) for n > window, else 1
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(lit(1) + ceil((n - lit(window)).cast("double") / lit(stride)).cast("int"))
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("__toks"), i * stride + 1, lit(window))))
+          .as(Seq("chunk_id", "__chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
   def packSequences(docs: DataFrame, capacity: Long, shards: Int,
       idCol: String = "doc_id", tokenCol: String = "n_tokens"): DataFrame = {
     require(capacity >= 1 && shards >= 1)

@@ -157,6 +157,36 @@ class ScaleJoinSpec extends AnyFunSuite {
     assert(out(0L)._2 != out(1L)._2)
   }
 
+  test("chunkDocuments: overlapping windows cover every token exactly") {
+    import graft.operators.Pack
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: 4 chunks
+      (2L, "a b c"),                                  // short: 1 chunk
+      (3L, (1 to 11).map(i => s"u$i").mkString(" "))) // 11 toks: 5 chunks
+      .toDF("doc_id", "text")
+    val out = Pack.chunkDocuments(docs, window = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(2L).toSeq == Seq((2L, 0L, 3L, "a b c")))
+    // starts advance by stride 2: [1..4],[3..6],[5..8],[7..10]
+    assert(byDoc(1L).sortBy(_._2).map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    // 11 tokens: final chunk is the short tail [9..11]
+    assert(byDoc(3L).sortBy(_._2).map(x => (x._3, x._4)).last ==
+      (3L, "u9 u10 u11"))
+    assert(byDoc(3L).length == 5)
+    // every original token appears in some chunk (coverage)
+    for ((id, n) <- Seq(1L -> 10, 3L -> 11)) {
+      val prefix = if (id == 1L) "t" else "u"
+      val covered = byDoc(id).flatMap(_._4.split(" ")).toSet
+      assert((1 to n).forall(i => covered.contains(s"$prefix$i")))
+    }
+    // invalid parameters are refused
+    intercept[IllegalArgumentException](
+      Pack.chunkDocuments(docs, window = 4, overlap = 4))
+  }
+
   test("writeSorted yields near-disjoint file ranges and file-pruned range scans") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString + "/ev"

@@ -648,8 +648,9 @@ object Queries {
           t(s, dir, "documents"), window = 40, overlap = 10),
         Some("""WITH toks AS (
                |  SELECT doc_id,
-               |    string_split(trim(regexp_replace(lower(text),
-               |      '\s+', ' ', 'g')), ' ') AS t
+               |    list_filter(string_split(trim(regexp_replace(
+               |      lower(COALESCE(text, '')), '\s+', ' ', 'g')), ' '),
+               |      x -> x <> '') AS t
                |  FROM documents
                |), sized AS (
                |  SELECT doc_id, t,

@@ -214,6 +214,12 @@ final class SnapshotTable private (
   def pruneFiles(pred: Column): Seq[DataFileEntry] =
     pruneFiles(currentSnapshot(), pred)
 
+  /** Schema hook for the `graft` data source: one manifest read, no
+    * file listing or scan plan.
+    */
+  private[graft] def schemaAt(version: Option[Long]): StructType =
+    version.map(snapshotAt(_).schema).getOrElse(schema)
+
   /** Scan hook for the `graft` Spark data source
     * ([[graft.sources.GraftDataSource]]): read `version` (None =
     * current) with already-translated source filters pruning files at

@@ -89,8 +89,27 @@ object TopK {
   /** One scored term. */
   final case class ScoredTerm(w: Double, term: String)
 
+  /** Binary UTF-8 order — what Spark's UTF8String sort and DuckDB's
+    * default collation both use. Java's String `<` compares UTF-16
+    * code units, which ranks supplementary-plane characters (surrogate
+    * pairs, 0xD800-) BELOW U+E000..U+FFFF — a tie at the k boundary
+    * would then disagree with the engines' own ORDER BY.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   private def betterTerm(a: ScoredTerm, b: ScoredTerm): Boolean =
-    simGt(a.w, b.w) || (simEq(a.w, b.w) && a.term < b.term)
+    simGt(a.w, b.w) || (simEq(a.w, b.w) && utf8Lt(a.term, b.term))
 
   private def mergeSortedTerms(k: Int, a: Seq[ScoredTerm],
       b: Seq[ScoredTerm]): Seq[ScoredTerm] = {

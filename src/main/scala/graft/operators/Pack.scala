@@ -41,6 +41,11 @@ object Pack {
     * parallelism at any corpus size. Chunk ids are (doc, ordinal), so
     * output is deterministic and re-chunking is reproducible.
     *
+    * Empty, whitespace-only, and NULL text all yield ONE zero-token
+    * chunk (`n_chunk_tokens = 0`, `chunk_text = ""`) — every input doc
+    * appears in the output exactly `nChunks ≥ 1` times and token
+    * budgets downstream never overcount phantom tokens.
+    *
     * Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text).
     */
   def chunkDocuments(docs: DataFrame, window: Int, overlap: Int,
@@ -49,7 +54,13 @@ object Pack {
     require(overlap >= 0 && overlap < window,
       s"overlap must be in [0, window): $overlap vs $window")
     val stride = window - overlap
-    val toks = split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), " ")
+    // canonical normalization (TextFunctions.normalText — one home for
+    // the cross-engine parity form); split("") yields [""], which would
+    // count one phantom token for an empty doc, so empties are filtered
+    val toks = filter(
+      split(graft.functions.TextFunctions.normalText(
+        coalesce(col(textCol), lit(""))), " "),
+      t => t =!= lit(""))
     val n = size(col("__toks"))
     // number of stride steps whose window still contains an unseen
     // token: 1 + ceil((n - window) / stride) for n > window, else 1

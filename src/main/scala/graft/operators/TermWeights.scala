@@ -18,12 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object TermWeights {
 
-  /** Whitespace tokenization after lowercasing — the exact pipeline the
+  /** Whitespace tokenization over the ONE canonical normal form
+    * ([[graft.functions.TextFunctions.normalText]]) — the pipeline the
     * oracle-matched shingle queries use, so cross-engine parity is
-    * already proven on this corpus.
+    * already proven on this corpus and a normalization change has a
+    * single home.
     */
   private def tokens(c: Column): Column =
-    split(lower(trim(regexp_replace(c, "\\s+", " "))), " ")
+    split(graft.functions.TextFunctions.normalText(c), " ")
 
   private def tokenRows(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
@@ -79,6 +81,10 @@ object TermWeights {
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
       .collect()(0)
+    // zero tokenized documents: avgdl is NULL — nothing can match
+    if (stats.getLong(0) == 0L)
+      return docs.select(col(idCol).as("doc_id"), lit(0.0).as("score"))
+        .limit(0)
     val n = stats.getLong(0).toDouble
     val avgdl = stats.getDouble(1)
     val qt = queryTerms.map(_.toLowerCase).distinct

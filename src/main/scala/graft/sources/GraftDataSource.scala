@@ -90,14 +90,19 @@ final class GraftDataSource extends RelationProvider
     new GraftRelation(sqlContext, path, None, None)
   }
 
-  /** `month(col)` / `identity(col)` / bare `col` (= identity). */
+  /** `month(col)` / `identity(col)` / bare `col` (= identity). The
+    * bare form refuses parentheses so a malformed transform (unclosed
+    * paren, stray text) fails HERE with the real problem rather than
+    * creating a table partitioned on a garbage column name.
+    */
   private def parseSpec(s: String): graft.catalog.PartitionSpec = {
     val Xform = raw"(\w+)\(([^)]+)\)".r
     s.trim match {
       case Xform(t, c) => graft.catalog.PartitionSpec(c.trim, t)
-      case bare if bare.nonEmpty =>
+      case bare if bare.nonEmpty && !bare.exists("()".contains(_)) =>
         graft.catalog.PartitionSpec(bare, "identity")
-      case _ => sys.error(s"unparseable partition option: '$s'")
+      case other => sys.error(s"unparseable partition option: '$other' " +
+        "(expected 'month(col)', 'identity(col)', or a bare column name)")
     }
   }
 }
@@ -120,10 +125,7 @@ final class GraftRelation(
     case None => versionAsOf
   }
 
-  override val schema: StructType = pinned match {
-    case Some(v) => table.readAt(v).schema
-    case None => table.schema
-  }
+  override val schema: StructType = table.schemaAt(pinned)
 
   /** All filters stay Catalyst's responsibility — this relation uses
     * them ONLY to skip files, so its row output may over-approximate
@@ -134,12 +136,23 @@ final class GraftRelation(
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
+    // a current-reading relation (no pin) follows the table, so new
+    // commits ARE visible — but a schema-evolving commit after the
+    // relation was analyzed would make rows disagree with the declared
+    // schema (silent corruption or a cast crash). Detect it and fail
+    // with the remedy instead.
+    def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+    require(pinned.nonEmpty || shape(table.schemaAt(None)) == shape(schema),
+      s"snapshot table at $root evolved its schema since this relation " +
+        "was created — re-create the view (or re-run spark.read) to " +
+        "pick up the new schema")
     val df = table.scanFor(pinned, filters.toIndexedSeq)
     // empty projection (e.g. COUNT(*)) still needs the row multiset
     val projected =
       if (requiredColumns.isEmpty) df.select()
       else df.select(requiredColumns.toIndexedSeq.map(c =>
-        org.apache.spark.sql.functions.col(quoted(c))): _*)
+        org.apache.spark.sql.functions.col(
+          graft.catalog.SnapshotTable.quoted(c))): _*)
     projected.rdd
   }
 
@@ -153,7 +166,4 @@ final class GraftRelation(
     if (overwrite) table.overwrite(data) else table.append(data)
     ()
   }
-
-  private def quoted(name: String): String =
-    "`" + name.replace("`", "``") + "`"
 }

@@ -185,6 +185,13 @@ class ScaleJoinSpec extends AnyFunSuite {
     // invalid parameters are refused
     intercept[IllegalArgumentException](
       Pack.chunkDocuments(docs, window = 4, overlap = 4))
+    // empty, whitespace-only, and NULL text: one zero-token chunk each
+    val edge = Seq((10L, ""), (11L, "   "), (12L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val edgeOut = Pack.chunkDocuments(edge, window = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(edgeOut.toSet == Set((10L, 0L, 0L, ""), (11L, 0L, 0L, ""),
+      (12L, 0L, 0L, "")))
   }
 
   test("writeSorted yields near-disjoint file ranges and file-pruned range scans") {

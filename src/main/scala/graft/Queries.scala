@@ -1552,7 +1552,8 @@ object Queries {
     // probe (pinned in SnapshotTableSpec); the oracle checks the values
     QueryDef("snap_bloom_lookup",
       (s, dir) => statsSnapshot(s, dir, bloomTableCache, "bloom",
-        Map("graft.bloom.columns" -> "user_id"))(_ => ())
+        Map("graft.bloom.columns" -> "user_id",
+          "graft.bloom.bits" -> (1 << 20).toString))(_ => ())
         .readWhere(col("user_id") === 77L)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
@@ -1600,7 +1601,8 @@ object Queries {
     QueryDef("snap_bloom_files",
       (s, dir) => {
         val tbl = statsSnapshot(s, dir, bloomTableCache, "bloom",
-          Map("graft.bloom.columns" -> "user_id"))(_ => ())
+          Map("graft.bloom.columns" -> "user_id",
+          "graft.bloom.bits" -> (1 << 20).toString))(_ => ())
         val absent = col("user_id") === lit(-1L)
         val planned = tbl.pruneFiles(absent).size
         val total = tbl.currentSnapshot().files.size

@@ -1157,6 +1157,11 @@ final class SnapshotTable private (
     val sortOrder = if (zOrder.size == 2) Nil else cols("graft.sort_order")
     compact(targetRowsPerFile, minFiles = math.max(2, threshold),
       sortBy = sortOrder, zOrderBy = if (zOrder.size == 2) zOrder else Nil)
+    // self-heal after a partition spec evolution: fold any remaining
+    // pre-evolution files (below the compaction threshold) into the
+    // current spec so value-scoped operations unblock without a manual
+    // migrateSpec() call
+    migrateSpec(targetRowsPerFile)
     expireSnapshots()
     ()
   }

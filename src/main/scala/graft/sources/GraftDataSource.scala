@@ -52,9 +52,22 @@ final class GraftDataSource extends RelationProvider
       }
     }
     val tag = parameters.get("tag")
-    require(version.isEmpty || tag.isEmpty,
-      "pass versionAsOf OR tag, not both")
-    new GraftRelation(sqlContext, path, version, tag)
+    // timestampAsOf: epoch millis or ISO-8601 instant, resolved to the
+    // latest snapshot committed at or before it (readAsOf semantics)
+    val ts = parameters.get("timestampasof").map { v =>
+      try v.toLong
+      catch {
+        case _: NumberFormatException =>
+          try java.time.Instant.parse(v).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException => sys.error(
+              s"timestampAsOf must be epoch millis or ISO-8601, got '$v'")
+          }
+      }
+    }
+    require(Seq(version, tag, ts).count(_.isDefined) <= 1,
+      "pass at most one of versionAsOf, tag, timestampAsOf")
+    new GraftRelation(sqlContext, path, version, tag, ts)
   }
 
   /** Write side: `df.write.format("graft").mode(...).save(root)`.
@@ -111,18 +124,25 @@ final class GraftRelation(
     override val sqlContext: SQLContext,
     root: String,
     versionAsOf: Option[Long],
-    tag: Option[String]) extends BaseRelation
+    tag: Option[String],
+    timestampAsOf: Option[Long] = None) extends BaseRelation
     with PrunedFilteredScan with InsertableRelation {
 
   private val table = SnapshotTable.load(sqlContext.sparkSession, root)
 
   /** Resolved once at relation creation: the version this relation
-    * reads (a tag resolves through the ref; None = follow current).
+    * reads (a tag resolves through the ref, a timestamp to the latest
+    * snapshot at or before it; None = follow current).
     */
-  private val pinned: Option[Long] = tag match {
-    case Some(t) => Some(table.tags().getOrElse(t,
+  private val pinned: Option[Long] = (tag, timestampAsOf) match {
+    case (Some(t), _) => Some(table.tags().getOrElse(t,
       sys.error(s"no tag '$t' at $root; tags: ${table.tags().keys.mkString(", ")}")))
-    case None => versionAsOf
+    case (None, Some(ms)) =>
+      val candidates = table.history().filter(_.timestampMs <= ms)
+      require(candidates.nonEmpty,
+        s"no snapshot at or before $ms at $root")
+      Some(candidates.last.version)
+    case _ => versionAsOf
   }
 
   override val schema: StructType = table.schemaAt(pinned)

@@ -916,6 +916,42 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 1000L && t2.read().count() == 1000L)
   }
 
+  test("data source timestampAsOf resolves to the latest snapshot at or before") {
+    val root = freshRoot()
+    val t = SnapshotTable.create(spark, root, eventsSchema, None,
+      clock = tickClock())
+    t.append(rows((1, "2024-01-01", 1.0))) // v2
+    t.append(rows((2, "2024-01-02", 2.0))) // v3
+    val h = t.history()
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", h(1).timestampMs).load(root).count() == 1L)
+    // ISO-8601 form accepted too
+    val iso = java.time.Instant.ofEpochMilli(h(1).timestampMs).toString
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", iso).load(root).count() == 1L)
+    intercept[RuntimeException](spark.read.format("graft")
+      .option("timestampAsOf", h.head.timestampMs - 1).load(root))
+    intercept[RuntimeException](spark.read.format("graft")
+      .option("timestampAsOf", h(1).timestampMs)
+      .option("versionAsOf", 2).load(root))
+  }
+
+  test("maintain() self-heals a partition spec evolution") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    t.append(rows((1, "2024-01-05", 1.0), (2, "2024-02-06", 2.0)))
+    t.evolveSpec(None)
+    val before = t.currentSnapshot()
+    assert(before.files.exists(_.seq < before.specSince), "legacy files present")
+    t.maintain() // compact threshold not met; migrateSpec must still fold
+    val s = t.currentSnapshot()
+    assert(s.files.forall(_.seq >= s.specSince))
+    assert(s.partitions == Seq(None), "all files unpartitioned now")
+    assert(t.read().count() == 2L)
+    // value-scoped ops unblocked without a manual migrateSpec()
+    t.overwritePartitions(rows((3, "2024-03-07", 3.0)))
+    assert(t.read().select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("graft data source write path: save modes, partition option, SQL INSERT") {
     val root = freshRoot()
     // fresh save with a partition option creates + fills the table

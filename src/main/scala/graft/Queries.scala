@@ -1562,6 +1562,22 @@ object Queries {
              |FROM events WHERE user_id = 77
              |GROUP BY 1""".stripMargin)),
 
+    // Commit-history introspection (DESCRIBE HISTORY): the skip table's
+    // deterministic build (create, then one 8-file range-clustered
+    // append) makes the metadata-only history rows oracle-pinnable —
+    // including the exact file and row accounting per version
+    QueryDef("snap_history",
+      (s, dir) => statsSnapshot(s, dir, skipTableCache, "skip")(_ => ())
+        .historyDf()
+        .select(col("version"), col("operation"), col("n_files"),
+          col("n_rows"), col("n_delete_files")),
+      Some("""SELECT CAST(1 AS BIGINT) AS version, 'create' AS operation,
+             |  CAST(0 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS n_rows,
+             |  CAST(0 AS BIGINT) AS n_delete_files
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), 'append', CAST(8 AS BIGINT),
+             |  (SELECT count(*) FROM events), CAST(0 AS BIGINT)""".stripMargin)),
+
     // Driver-visible FILE-SKIPPING proof for manifest stats: the result
     // row carries the exact pruneFiles() plan (the file set readWhere
     // opens) next to the row values, so the CORRECTNESS gate — not just

@@ -98,6 +98,20 @@ final class SnapshotTable private (
   /** Commit history, ascending by version (expired snapshots gone). */
   def history(): Seq[Snapshot] = log.versions().map(log.read)
 
+  /** Commit history as a DataFrame — the `DESCRIBE HISTORY`
+    * introspection surface: one row per live snapshot with its
+    * operation, commit time, and file/row accounting (metadata only;
+    * no data file is opened).
+    */
+  def historyDf(): DataFrame = {
+    val rows = history().map(s => (s.version, s.operation, s.timestampMs,
+      s.files.size.toLong, s.files.map(_.rows).sum,
+      s.deleteFiles.size.toLong))
+    import spark.implicits._
+    rows.toDF("version", "operation", "timestamp_ms",
+      "n_files", "n_rows", "n_delete_files")
+  }
+
   def schema: StructType = currentSnapshot().schema
 
   // ------------------------------------------------------------------

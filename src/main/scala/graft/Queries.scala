@@ -1335,6 +1335,16 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val bloomTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ONE definition for the bloom proof table's properties: the table
+    * is cache-built by whichever of snap_bloom_lookup /
+    * snap_bloom_files runs first, so the two MUST pass identical props
+    * (2^20 bits keeps the pinned absent-probe files_opened = 0 at
+    * negligible FP odds well past the driver's scale factors).
+    */
+  private val bloomProofProps = Map(
+    "graft.bloom.columns" -> "user_id",
+    "graft.bloom.bits" -> (1 << 20).toString)
   private val mergeCondTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val morTableCache =
@@ -1552,8 +1562,7 @@ object Queries {
     // probe (pinned in SnapshotTableSpec); the oracle checks the values
     QueryDef("snap_bloom_lookup",
       (s, dir) => statsSnapshot(s, dir, bloomTableCache, "bloom",
-        Map("graft.bloom.columns" -> "user_id",
-          "graft.bloom.bits" -> (1 << 20).toString))(_ => ())
+        bloomProofProps)(_ => ())
         .readWhere(col("user_id") === 77L)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
@@ -1617,8 +1626,7 @@ object Queries {
     QueryDef("snap_bloom_files",
       (s, dir) => {
         val tbl = statsSnapshot(s, dir, bloomTableCache, "bloom",
-          Map("graft.bloom.columns" -> "user_id",
-          "graft.bloom.bits" -> (1 << 20).toString))(_ => ())
+          bloomProofProps)(_ => ())
         val absent = col("user_id") === lit(-1L)
         val planned = tbl.pruneFiles(absent).size
         val total = tbl.currentSnapshot().files.size

@@ -134,15 +134,21 @@ final class SnapshotTable private (
     log.read(version)
   }
 
-  /** Time travel by commit time: the latest snapshot whose commit
-    * timestamp is ≤ `tsMs`.
+  /** The latest live version committed at or before `tsMs` — the ONE
+    * home for as-of resolution ([[readAsOf]] and the data source's
+    * `timestampAsOf` both resolve here, so their answers can't drift).
     */
-  def readAsOf(tsMs: Long): DataFrame = {
+  def versionAsOf(tsMs: Long): Long = {
     val candidates = history().filter(_.timestampMs <= tsMs)
     require(candidates.nonEmpty,
       s"no snapshot at or before $tsMs (earliest is ${history().head.timestampMs})")
-    readSnapshot(candidates.last)
+    candidates.last.version
   }
+
+  /** Time travel by commit time: the latest snapshot whose commit
+    * timestamp is ≤ `tsMs`.
+    */
+  def readAsOf(tsMs: Long): DataFrame = readAt(versionAsOf(tsMs))
 
   /** Manifest-level partition pruning: only files whose partition value
     * satisfies `pred` are opened (None = null partition /

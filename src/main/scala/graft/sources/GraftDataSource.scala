@@ -137,11 +137,7 @@ final class GraftRelation(
   private val pinned: Option[Long] = (tag, timestampAsOf) match {
     case (Some(t), _) => Some(table.tags().getOrElse(t,
       sys.error(s"no tag '$t' at $root; tags: ${table.tags().keys.mkString(", ")}")))
-    case (None, Some(ms)) =>
-      val candidates = table.history().filter(_.timestampMs <= ms)
-      require(candidates.nonEmpty,
-        s"no snapshot at or before $ms at $root")
-      Some(candidates.last.version)
+    case (None, Some(ms)) => Some(table.versionAsOf(ms))
     case _ => versionAsOf
   }
 
@@ -181,8 +177,8 @@ final class GraftRelation(
     */
   override def insert(data: org.apache.spark.sql.DataFrame,
       overwrite: Boolean): Unit = {
-    require(pinned.isEmpty,
-      "cannot INSERT into a time-travel (versionAsOf/tag) relation")
+    require(pinned.isEmpty, "cannot INSERT into a time-travel " +
+      "(versionAsOf / tag / timestampAsOf) relation")
     if (overwrite) table.overwrite(data) else table.append(data)
     ()
   }

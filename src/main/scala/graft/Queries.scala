@@ -785,7 +785,7 @@ object Queries {
                |  SELECT term, count(*) AS df FROM tf GROUP BY 1
                |), n AS (
                |  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
-               |  FROM documents
+               |  FROM tf
                |), scored AS (
                |  SELECT tf.doc_id, tf.term,
                |    tf.tf * (n.n - dft.df + 0.5) / (dft.df + 0.5) AS weight

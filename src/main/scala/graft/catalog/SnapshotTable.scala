@@ -157,6 +157,12 @@ final class SnapshotTable private (
     */
   def readPartitions(pred: Option[String] => Boolean): DataFrame = {
     val s = currentSnapshot()
+    // mixed-spec guard: after evolveSpec, legacy files carry values
+    // computed under the OLD spec — a predicate written for the current
+    // spec would silently drop their rows (no residual filter can
+    // restore them here, unlike readTimestampRange). Refuse, same as
+    // upsert/overwritePartitions, with the migrateSpec remedy.
+    requireUniformSpec(s, "readPartitions")
     readWithDeletes(s.schema, s.ids, s, s.files.filter(f => pred(f.partition)))
   }
 
@@ -1089,6 +1095,16 @@ final class SnapshotTable private (
     deadMans.foreach(log.deleteAux)
     deadSides.foreach(log.deleteAux)
     expire.foreach(log.delete)
+    // a tag() racing this expiry (it validates, then writes its ref)
+    // can land on a version deleted above — a dangling ref whose
+    // readTag fails and which would "protect" a nonexistent version in
+    // every future expiry. Re-read refs AFTER the deletes and drop any
+    // that no longer point at a live snapshot; the next racer's tag on
+    // a live version is untouched.
+    val live = log.versions().toSet
+    log.refs().foreach { case (name, v) =>
+      if (!live.contains(v)) log.deleteRef(name)
+    }
     (expire.size, dead.size)
   }
 

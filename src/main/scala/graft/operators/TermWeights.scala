@@ -45,18 +45,28 @@ object TermWeights {
     * tolerance). The log is monotone, so per-term the discount orders
     * documents identically to textbook idf.
     *
+    * N = number of documents with at least one token (the documents in
+    * the index — same collection-size definition [[bm25]] uses),
+    * computed from the SAME (doc, term) aggregate that feeds tf — one
+    * corpus scan, one lazy plan, no driver-side action: at 100 TB a
+    * separate `docs.distinct.count` pass would cost a full extra scan
+    * per call.
+    *
     * Output: (doc_id, term, weight, rank), rank 1..k by
     * (weight desc, term asc).
     */
   def topTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val n = docs.select(col(idCol)).distinct().count().toDouble
     val tf = tokenRows(docs, idCol, textCol)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // 1-row corpus scalar rides the tf subtree (exchange reuse) and is
+    // broadcast to every partition — never collected to the driver
+    val nDf = tf.agg(count_distinct(col("doc_id")).cast("double").as("n"))
     tf.join(dft, "term")
+      .crossJoin(broadcast(nDf))
       .withColumn("weight",
-        col("tf") * (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        col("tf") * (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
       .groupBy(col("doc_id"))
       .agg(graft.functions.TopK.topKTerms(col("weight"), col("term"), k).as("top"))
       .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "s")))
@@ -79,24 +89,31 @@ object TermWeights {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val toks = tokenRows(docs, idCol, textCol)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-      .collect()(0)
-    // zero tokenized documents: avgdl is NULL — nothing can match
-    if (stats.getLong(0) == 0L)
-      return docs.select(col(idCol).as("doc_id"), lit(0.0).as("score"))
-        .limit(0)
-    val n = stats.getLong(0).toDouble
-    val avgdl = stats.getDouble(1)
-    val qt = queryTerms.map(_.toLowerCase).distinct
+    // corpus scalars (N, avgdl) as a broadcast 1-row frame riding the
+    // dl subtree — fully lazy, no driver collect. Zero tokenized
+    // documents need no special case: tf below is empty, so the joins
+    // produce the empty result with the right schema.
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    // locale-independent lowercase (Locale.ROOT): corpus tokens go
+    // through normalText's locale-free `lower`, so a JVM-default-locale
+    // lowercase here (e.g. Turkish 'I'→'ı') would silently match
+    // nothing. Multi-word "terms" can never match single-word tokens —
+    // reject them loudly instead.
+    require(queryTerms.forall(t => !t.exists(_.isWhitespace)),
+      "bm25 query terms must be single words (split multi-word queries " +
+        s"into terms): ${queryTerms.filter(_.exists(_.isWhitespace)).mkString("'", "', '", "'")}")
+    val qt = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val tf = toks.filter(col("term").isInCollection(qt))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(dft, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
       .withColumn("idf",
-        log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("contrib",
         col("idf") * (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
       .agg(sum(col("contrib")).as("score"))
   }

@@ -111,7 +111,14 @@ final class GraftDataSource extends RelationProvider
   private def parseSpec(s: String): graft.catalog.PartitionSpec = {
     val Xform = raw"(\w+)\(([^)]+)\)".r
     s.trim match {
-      case Xform(t, c) => graft.catalog.PartitionSpec(c.trim, t)
+      case Xform(t, c) =>
+        // validate the transform BEFORE the table is created: an
+        // unknown transform would otherwise persist a spec that only
+        // fails (MatchError in partitionExpr) on the first append —
+        // after the bad table already exists on disk
+        require(t == "month" || t == "identity",
+          s"unsupported partition transform '$t' (supported: month, identity)")
+        graft.catalog.PartitionSpec(c.trim, t)
       case bare if bare.nonEmpty && !bare.exists("()".contains(_)) =>
         graft.catalog.PartitionSpec(bare, "identity")
       case other => sys.error(s"unparseable partition option: '$other' " +

@@ -954,6 +954,12 @@ class SnapshotTableSpec extends AnyFunSuite {
 
   test("graft data source write path: save modes, partition option, SQL INSERT") {
     val root = freshRoot()
+    // an unknown transform fails BEFORE any table is created — not as a
+    // MatchError on the first append after the bad spec persisted
+    val bad = intercept[Exception](rows((1, "2024-01-05", 1.0))
+      .write.format("graft").option("partition", "bucket(ts)").save(root))
+    assert(bad.getMessage.contains("unsupported partition transform"))
+    assert(!SnapshotTable.exists(spark, root), "no half-created table")
     // fresh save with a partition option creates + fills the table
     rows((1, "2024-01-05", 1.0), (2, "2024-02-06", 2.0))
       .write.format("graft").option("partition", "month(ts)").save(root)
@@ -1013,6 +1019,9 @@ class SnapshotTableSpec extends AnyFunSuite {
       t.upsert(rows((2, "2024-02-06", 20.0)), Seq("id")))
     intercept[IllegalArgumentException](
       t.overwritePartitions(rows((5, "2024-02-09", 5.0))))
+    // ... including partition-value READS: a current-spec predicate
+    // would silently drop legacy files' rows (no residual can restore)
+    intercept[IllegalArgumentException](t.readPartitions(_ => true))
     // migration rewrites exactly the legacy files under the new spec
     val migrated = t.migrateSpec()
     assert(migrated.nonEmpty)
@@ -1056,6 +1065,12 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(!t.log.versions().contains(2L))
     // tagging an expired version is refused with a clear error
     intercept[IllegalArgumentException](t.tag("too-late", 2))
+    // a ref that raced expiry onto a dead version (simulated by writing
+    // the ref file directly — tag() would refuse) is self-healed by the
+    // next expiry run instead of permanently "protecting" nothing
+    assert(t.log.trySetRef("dangler", 999L, 0L))
+    t.expireSnapshots(keep = 1)
+    assert(!t.tags().contains("dangler"), "dangling ref dropped")
   }
 
   test("deleteByKeys is merge-on-read: no data file rewritten, reads exclude, re-append revives") {

@@ -129,4 +129,51 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(math.abs(got(2L) - term(1, 2, 2)) < 1e-12)          // c in d2
     assert(math.abs(got(3L) - (term(1, 2, 3) + term(2, 1, 3))) < 1e-12)
   }
+
+  test("topTerms and bm25 are single-pipeline: zero jobs until an action") {
+    import graft.operators.TermWeights
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    docs.count() // materialize the local relation outside the window
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val tt = TermWeights.topTerms(docs, k = 2)
+      val bm = TermWeights.bm25(docs, Seq("b"))
+      Thread.sleep(500) // listener events are async; give any job time to surface
+      // building the frames runs NO corpus pass (the old code ran a
+      // distinct().count() / stats collect per call — a full extra
+      // scan per invocation at 100 TB)
+      assert(jobs == 0, s"expected fully lazy definition, saw $jobs jobs")
+      assert(tt.count() > 0 && bm.count() > 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("bm25 query-term hygiene: Locale.ROOT lowercase, no multi-word terms") {
+    import graft.operators.TermWeights
+    val docs = Seq((1L, "If it is")).toDF("doc_id", "text")
+    val dflt = java.util.Locale.getDefault
+    try {
+      // Turkish locale: default toLowerCase("I") is 'ı' (dotless), which
+      // would silently match nothing against the locale-free corpus tokens
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      assert(TermWeights.bm25(docs, Seq("If")).count() == 1L)
+    } finally java.util.Locale.setDefault(dflt)
+    val e = intercept[IllegalArgumentException] {
+      TermWeights.bm25(docs, Seq("two words"))
+    }
+    assert(e.getMessage.contains("single words"))
+  }
+
+  test("bm25 over an empty corpus returns empty with the right schema") {
+    import graft.operators.TermWeights
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = TermWeights.bm25(docs, Seq("a"))
+    assert(got.columns.toSeq == Seq("doc_id", "score"))
+    assert(got.count() == 0L)
+  }
 }

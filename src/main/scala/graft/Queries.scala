@@ -1863,12 +1863,41 @@ object Queries {
 
   // =====================================================================
   // Multimodal extension queries (binary payload plumbing over a media
-  // table derived from documents; decode is stubbed — Multimodal.scala)
+  // table derived from documents; the image path decodes for REAL via
+  // javax.imageio, audio/video decode stays stubbed — Multimodal.scala)
   // =====================================================================
 
   private val multimodalQueries: Seq[QueryDef] = {
     import graft.operators.Multimodal
     Seq(
+      // REAL image decode, oracle-pinned: Spark encodes a seeded RGB
+      // PNG per doc (FakeData.seededPng), decodes it back with
+      // javax.imageio, and emits per-channel INTEGER pixel sums; the
+      // oracle reproduces the same sums arithmetically from the pixel
+      // formula — no image library needed, and any decode defect
+      // (pixel order, dims, channel swap) breaks exact equality
+      QueryDef("mm_decode_image",
+        (s, dir) => Multimodal.decodeImageStats(
+          Multimodal.imagesFromDocuments(t(s, dir, "documents"))),
+        Some("""WITH d AS (
+               |  SELECT doc_id AS media_id,
+               |         doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+               |  FROM documents
+               |), xs AS (
+               |  SELECT media_id, w, h, unnest(range(0, w)) AS x FROM d
+               |), px AS (
+               |  SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs
+               |)
+               |SELECT media_id,
+               |  CAST(w AS INTEGER) AS width,
+               |  CAST(h AS INTEGER) AS height,
+               |  CAST(SUM((media_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sum_r,
+               |  CAST(SUM((media_id*17 + x*11 + y*3) % 256) AS BIGINT) AS sum_g,
+               |  CAST(SUM((media_id*5 + x*3 + y*29) % 256) AS BIGINT) AS sum_b,
+               |  CAST(w * h AS BIGINT) AS n_px
+               |FROM px
+               |GROUP BY media_id, w, h""".stripMargin)),
+
       QueryDef("mm_checksums",
         (s, dir) => Multimodal.checksums(
           Multimodal.mediaFromDocuments(t(s, dir, "documents"))),

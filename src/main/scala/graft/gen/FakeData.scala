@@ -153,6 +153,29 @@ object FakeData {
     */
   def normalizeText(s: String): String = s.replaceAll("\\s+", " ").trim
 
+  /** Deterministic seeded RGB-grid PNG (real, lossless image bytes):
+    * dimensions and every pixel are closed-form in (seed, x, y), so an
+    * external engine can reproduce the exact per-channel integer sums
+    * WITHOUT any image library — the property the `mm_decode_image`
+    * oracle exploits. Formula (seed ≥ 0; all values in 0..255):
+    *
+    *   w = seed % 16 + 4,  h = seed % 12 + 4
+    *   r(x,y) = (seed*31 + x*7  + y*13) % 256
+    *   g(x,y) = (seed*17 + x*11 + y*3 ) % 256
+    *   b(x,y) = (seed*5  + x*3  + y*29) % 256
+    */
+  def seededPng(seed: Long): Array[Byte] = {
+    require(seed >= 0, s"seededPng needs a non-negative seed, got $seed")
+    val w = (seed % 16 + 4).toInt
+    val h = (seed % 12 + 4).toInt
+    graft.operators.Multimodal.ImageCodec.encodePng(w, h, (x, y) => {
+      val r = ((seed * 31 + x * 7 + y * 13) % 256).toInt
+      val g = ((seed * 17 + x * 11 + y * 3) % 256).toInt
+      val b = ((seed * 5 + x * 3 + y * 29) % 256).toInt
+      (r << 16) | (g << 8) | b
+    })
+  }
+
   /** Minimal RFC-4180 quoting: quote when the value contains comma,
     * quote, or newline; double embedded quotes.
     */

@@ -9,14 +9,17 @@ import org.apache.spark.sql.types._
   * with a typed metadata struct; decode/feature-extraction runs
   * per-partition in batches.
   *
-  * The DECODE STEP IS A STUB: no image/audio codec ships in this
-  * environment, so [[FakeDecoder]] deterministically derives "pixels"
-  * from the bytes themselves. Everything around it — the schema, the
-  * binary column handling, partition-batched execution via
-  * `mapPartitions` (the Scala analog of `mapInPandas`: one iterator per
-  * partition, vectorizable batch shape, no per-row JVM boundary), frame
-  * sampling, resize — is real Spark plumbing and is what carries over
-  * unchanged when a real codec replaces the stub.
+  * The IMAGE path decodes for real: [[ImageCodec]] wraps
+  * `javax.imageio` (PNG/JPEG/BMP/GIF readers ship in the JDK — no
+  * native dependency), and [[extractFeatures]] uses it for `image`
+  * payloads, falling back to the deterministic byte histogram
+  * ([[FakeDecoder]]) for audio/video and for bytes no reader accepts —
+  * those codecs don't ship in the JVM, so their decode stays a stub.
+  * Everything around the codec — the schema, the binary column
+  * handling, partition-batched execution via `mapPartitions` (the
+  * Scala analog of `mapInPandas`: one iterator per partition,
+  * vectorizable batch shape, no per-row JVM boundary), frame sampling,
+  * resize — is the same plumbing either way.
   */
 object Multimodal {
 
@@ -89,10 +92,107 @@ object Multimodal {
     }
   }
 
+  /** Real JVM image codec: `javax.imageio` decode to per-channel pixel
+    * sums, and a PNG encoder for deterministic test fixtures. Sums are
+    * INTEGERS — exactly representable, so a decode defect (wrong pixel
+    * order, dropped alpha premultiply, off-by-one dims) breaks an
+    * exact-equality oracle instead of hiding inside a float tolerance.
+    */
+  object ImageCodec {
+    final case class Decoded(width: Int, height: Int,
+        sumR: Long, sumG: Long, sumB: Long) {
+      def nPixels: Long = width.toLong * height
+    }
+
+    /** None when the payload is not a decodable image (ImageIO probes
+      * registered readers by magic bytes — text/audio payloads are
+      * rejected deterministically, not by exception luck).
+      */
+    def decode(bytes: Array[Byte]): Option[Decoded] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) return None
+        val w = img.getWidth
+        val h = img.getHeight
+        // one bulk getRGB call per image (ARGB ints), not w×h JNI-ish
+        // per-pixel calls — the batch shape a real pipeline needs
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sr += (p >> 16) & 0xff
+          sg += (p >> 8) & 0xff
+          sb += p & 0xff
+          i += 1
+        }
+        Some(Decoded(w, h, sr, sg, sb))
+      } catch { case _: java.io.IOException => None }
+    }
+
+    /** Lossless PNG from a pixel function (x, y) → packed 0xRRGGBB. */
+    def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims: ${width}x$height")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+  }
+
+  /** Deterministic REAL-image media table: one seeded PNG per document
+    * ([[graft.gen.FakeData.seededPng]]) — the fixture that exercises
+    * the actual ImageIO decode path end-to-end.
+    */
+  def imagesFromDocuments(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, "image", graft.gen.FakeData.seededPng(id))))
+      .toDF("media_id", "kind", "content")
+  }
+
+  /** Decoded per-image channel statistics: (media_id, width, height,
+    * sum_r, sum_g, sum_b, n_px). Undecodable payloads are dropped (the
+    * caller wanting them joins back on media_id — same survivors-only
+    * shape as the dedup verifies). All outputs are integers, so the
+    * cross-engine compare is exact.
+    */
+  def decodeImageStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          ImageCodec.decode(r.getAs[Array[Byte]]("content")).map { d =>
+            (r.getLong(0), d.width, d.height, d.sumR, d.sumG, d.sumB, d.nPixels)
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b", "n_px")
+  }
+
   /** Partition-batched decode + feature extraction. `mapPartitions`
     * keeps one decoder per partition (a real codec's native context is
     * expensive to construct — this is why the batching matters), streams
     * rows through it, and never materializes a partition in memory.
+    *
+    * `image` payloads go through the REAL [[ImageCodec]]: on success,
+    * width/height are the decoded dimensions (not the caller's
+    * metadata) and features(0..2) are mean R/G/B scaled to [0,1] with
+    * features(3) = ln-free pixel count; bytes no reader accepts — and
+    * all audio/video — take the [[FakeDecoder]] byte-histogram
+    * fallback, so non-image corpora behave exactly as before.
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -103,13 +203,29 @@ object Multimodal {
         // per-partition decoder context would be initialized here
         rows.map { r =>
           val content = r.getAs[Array[Byte]]("content")
-          MediaFeatures(
-            media_id = r.getAs[Long]("media_id"),
-            kind = r.getAs[String]("kind"),
-            n_bytes = if (content == null) 0L else content.length.toLong,
-            width = r.getAs[Int]("width"),
-            height = r.getAs[Int]("height"),
-            features = FakeDecoder.decode(content))
+          val kind = r.getAs[String]("kind")
+          val nBytes = if (content == null) 0L else content.length.toLong
+          val decoded =
+            if (kind == "image") ImageCodec.decode(content) else None
+          decoded match {
+            case Some(d) =>
+              val f = new Array[Double](FakeDecoder.FeatureDim)
+              val n = d.nPixels.toDouble
+              f(0) = d.sumR / (255.0 * n)
+              f(1) = d.sumG / (255.0 * n)
+              f(2) = d.sumB / (255.0 * n)
+              f(3) = d.nPixels.toDouble
+              MediaFeatures(r.getAs[Long]("media_id"), kind, nBytes,
+                d.width, d.height, f)
+            case None =>
+              MediaFeatures(
+                media_id = r.getAs[Long]("media_id"),
+                kind = kind,
+                n_bytes = nBytes,
+                width = r.getAs[Int]("width"),
+                height = r.getAs[Int]("height"),
+                features = FakeDecoder.decode(content))
+          }
         }
       }
   }

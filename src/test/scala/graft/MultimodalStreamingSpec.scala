@@ -47,6 +47,74 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageCodec decodes a hand-built 2x2 PNG to exact pixel sums") {
+    import Multimodal.ImageCodec
+    // pixels: (255,0,0) (0,255,0) / (0,0,255) (10,20,30)
+    val px = Map((0, 0) -> 0xff0000, (1, 0) -> 0x00ff00,
+      (0, 1) -> 0x0000ff, (1, 1) -> ((10 << 16) | (20 << 8) | 30))
+    val bytes = ImageCodec.encodePng(2, 2, (x, y) => px((x, y)))
+    // real PNG magic bytes, not a passthrough
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte)
+    val d = ImageCodec.decode(bytes).get
+    assert((d.width, d.height) == (2, 2))
+    assert((d.sumR, d.sumG, d.sumB) == (265L, 275L, 285L))
+    assert(d.nPixels == 4L)
+  }
+
+  test("ImageCodec rejects non-image bytes; extractFeatures falls back") {
+    import Multimodal.ImageCodec
+    assert(ImageCodec.decode(null).isEmpty)
+    assert(ImageCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(ImageCodec.decode("not an image at all".getBytes("UTF-8")).isEmpty)
+    // media built from documents carries TEXT payloads under kind=image:
+    // no ImageIO reader accepts them, so the histogram fallback keeps
+    // the pre-codec behavior byte-for-byte
+    val img = Multimodal.extractFeatures(
+      media.filter(col("kind") === "image").limit(5)).collect()
+    assert(img.nonEmpty)
+    for (f <- img) assert(math.abs(f.features.sum - 1.0) < 1e-9)
+  }
+
+  test("seededPng roundtrip: decode recovers the closed-form sums and dims") {
+    import Multimodal.ImageCodec
+    for (seed <- Seq(0L, 1L, 7L, 123L, 99999L)) {
+      val w = (seed % 16 + 4).toInt
+      val h = (seed % 12 + 4).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (x <- 0 until w; y <- 0 until h) {
+        sr += (seed * 31 + x * 7 + y * 13) % 256
+        sg += (seed * 17 + x * 11 + y * 3) % 256
+        sb += (seed * 5 + x * 3 + y * 29) % 256
+      }
+      val d = ImageCodec.decode(graft.gen.FakeData.seededPng(seed)).get
+      assert((d.width, d.height) == (w, h), s"dims for seed=$seed")
+      assert((d.sumR, d.sumG, d.sumB) == (sr, sg, sb), s"sums for seed=$seed")
+    }
+  }
+
+  test("decodeImageStats over seeded PNGs: real decode through mapPartitions") {
+    val imgs = Multimodal.imagesFromDocuments(docs.limit(25))
+    val stats = Multimodal.decodeImageStats(imgs).collect()
+    assert(stats.length == 25, "every seeded PNG decodes")
+    for (r <- stats) {
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 16 + 4).toInt, s"width of $id")
+      assert(r.getInt(2) == (id % 12 + 4).toInt, s"height of $id")
+      assert(r.getLong(6) == r.getInt(1).toLong * r.getInt(2))
+    }
+    // a decoded image routed through extractFeatures reports DECODED
+    // dims (not caller metadata) and mean-channel features in [0,1]
+    val withMeta = imgs.withColumn("meta", struct(
+      lit(-1).as("width"), lit(-1).as("height"),
+      lit(0).as("sample_rate"), lit(0).as("duration_ms")))
+    val f = Multimodal.extractFeatures(withMeta.limit(5)).collect()
+    for (x <- f) {
+      assert(x.width > 0 && x.height > 0, "decoded dims override meta")
+      assert((0 to 2).forall(i => x.features(i) >= 0.0 && x.features(i) <= 1.0))
+      assert(x.features(3) == x.width.toLong * x.height)
+    }
+  }
+
   test("frame sampling slices video payloads at stride") {
     val frames = Multimodal.sampleFrames(media, frameLen = 32, stride = 16)
     val one = frames.filter(col("media_id") === 2).orderBy("frame_idx").collect()

@@ -87,17 +87,24 @@ object GraftExtensions {
         LangIdExpr(args.head)
       }))
 
-  def registerAll(ext: SparkSessionExtensions): Unit =
+  def registerAll(ext: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
+    // native physical planning for graft snapshot scans (kills the
+    // DSv1 RDD[Row] bridge; see GraftScanStrategy)
+    ext.injectPlannerStrategy(session => GraftScanStrategy(session))
+  }
 
   /** Register on a live session (tests / notebooks that didn't set
     * `spark.sql.extensions`).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, usage, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), info(name, usage), builder)
     }
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[GraftScanStrategy]))
+      spark.experimental.extraStrategies ++= Seq(GraftScanStrategy(spark))
+  }
 }

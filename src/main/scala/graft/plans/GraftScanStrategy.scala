@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, NamedExpression, PredicateHelper, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.{ProjectExec, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, FilterBridge}
+
+import graft.sources.GraftRelation
+
+/** Native physical planning for `graft` snapshot-table scans — the
+  * replacement for DSv1 `PrunedFilteredScan.buildScan`'s `RDD[Row]`
+  * bridge, which forced every scanned row through an
+  * InternalRow→Row→InternalRow round-trip and kept the scan outside
+  * WholeStageCodegen (a constant-factor tax on every SQL-path read at
+  * scale).
+  *
+  * At physical-planning time the optimizer has settled filters directly
+  * above the relation, so this strategy sees the FINAL predicate set:
+  * it translates the conjuncts to `sources.Filter`s ([[org.apache.spark
+  * .sql.graftbridge.FilterBridge]] — the same translation parquet
+  * pushdown uses), prunes data files at the MANIFEST (min/max stats +
+  * Bloom sidecars, zero data I/O), and then plans the pruned read as a
+  * regular DataFrame — so the physical plan is Spark's own vectorized
+  * `FileScan parquet` (+ the merge-on-read anti-join and
+  * schema-evolution projections when applicable), fully inside codegen,
+  * with NO row bridge. Filters are re-applied exactly on top (manifest
+  * pruning stays skip-only and can never change results) and parquet
+  * row-group/page pruning gets the same predicates a second time for
+  * free.
+  *
+  * Filters or projections containing subqueries fall back to the DSv1
+  * path (`Nil` from this strategy): re-analyzing an already-optimized
+  * subquery inside the nested plan would be fragile, and such shapes
+  * are not the hot scan path.
+  */
+final case class GraftScanStrategy(session: SparkSession)
+    extends SparkStrategy with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Project(projects, LFilter(cond, lr: LogicalRelation))
+        if isGraft(lr) && eligible(projects :+ cond) =>
+      Seq(build(lr, projects, splitConjunctivePredicates(cond)))
+    case LFilter(cond, lr: LogicalRelation)
+        if isGraft(lr) && eligible(Seq(cond)) =>
+      Seq(build(lr, lr.output, splitConjunctivePredicates(cond)))
+    case Project(projects, lr: LogicalRelation)
+        if isGraft(lr) && eligible(projects) =>
+      Seq(build(lr, projects, Nil))
+    case lr: LogicalRelation if isGraft(lr) =>
+      Seq(build(lr, lr.output, Nil))
+    case _ => Nil
+  }
+
+  private def isGraft(lr: LogicalRelation): Boolean =
+    lr.relation.isInstanceOf[GraftRelation]
+
+  private def eligible(exprs: Seq[Expression]): Boolean =
+    !exprs.exists(_.exists(_.isInstanceOf[SubqueryExpression]))
+
+  /** Plan `projects ∘ filters ∘ scan(pruned files)` as a nested
+    * DataFrame and re-key its output to the exprIds the outer plan
+    * expects.
+    */
+  private def build(lr: LogicalRelation, projects: Seq[NamedExpression],
+      conds: Seq[Expression]): SparkPlan = {
+    val gr = lr.relation.asInstanceOf[GraftRelation]
+    gr.guardSchemaDrift()
+    // deterministic conjuncts with a source-filter form drive manifest
+    // pruning; everything else simply doesn't prune (skip-only)
+    val srcFilters = conds.filter(_.deterministic).flatMap(FilterBridge.translate)
+    val pruned = gr.table.scanFor(gr.pinned, srcFilters)
+    val byName = pruned.queryExecution.analyzed.output.map(a => a.name -> a).toMap
+    def remap(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference =>
+        byName.getOrElse(a.name, sys.error(
+          s"graft scan: column '${a.name}' missing from snapshot read " +
+            s"(have: ${byName.keys.mkString(", ")})"))
+    }
+    val filtered = conds.foldLeft(pruned)((df, c) =>
+      df.filter(ColumnBridge.column(remap(c))))
+    val projected = filtered.select(projects.map { p =>
+      ColumnBridge.column(p match {
+        // preserve the OUTER exprIds so parent operators' references
+        // resolve against this subplan unchanged
+        case a: Alias => Alias(remap(a.child), a.name)(exprId = a.exprId)
+        case ne => Alias(remap(ne), ne.name)(exprId = ne.exprId)
+      })
+    }: _*)
+    val child = projected.queryExecution.sparkPlan
+    val expected = projects.map(_.toAttribute)
+    // nested analysis normally keeps pre-resolved alias ids; if it
+    // re-aliased anything, re-key explicitly (cheap, no-op otherwise)
+    if (child.output.map(_.exprId) == expected.map(_.exprId)) child
+    else ProjectExec(expected.zip(child.output).map { case (exp, got) =>
+      Alias(got, exp.name)(exprId = exp.exprId)
+    }, child)
+  }
+}

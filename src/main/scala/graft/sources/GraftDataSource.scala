@@ -135,13 +135,13 @@ final class GraftRelation(
     timestampAsOf: Option[Long] = None) extends BaseRelation
     with PrunedFilteredScan with InsertableRelation {
 
-  private val table = SnapshotTable.load(sqlContext.sparkSession, root)
+  private[graft] val table = SnapshotTable.load(sqlContext.sparkSession, root)
 
   /** Resolved once at relation creation: the version this relation
     * reads (a tag resolves through the ref, a timestamp to the latest
     * snapshot at or before it; None = follow current).
     */
-  private val pinned: Option[Long] = (tag, timestampAsOf) match {
+  private[graft] val pinned: Option[Long] = (tag, timestampAsOf) match {
     case (Some(t), _) => Some(table.tags().getOrElse(t,
       sys.error(s"no tag '$t' at $root; tags: ${table.tags().keys.mkString(", ")}")))
     case (None, Some(ms)) => Some(table.versionAsOf(ms))
@@ -157,18 +157,24 @@ final class GraftRelation(
     */
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
-  override def buildScan(requiredColumns: Array[String],
-      filters: Array[Filter]): RDD[Row] = {
-    // a current-reading relation (no pin) follows the table, so new
-    // commits ARE visible — but a schema-evolving commit after the
-    // relation was analyzed would make rows disagree with the declared
-    // schema (silent corruption or a cast crash). Detect it and fail
-    // with the remedy instead.
+  /** A current-reading relation (no pin) follows the table, so new
+    * commits ARE visible — but a schema-evolving commit after the
+    * relation was analyzed would make rows disagree with the declared
+    * schema (silent corruption or a cast crash). Detect it and fail
+    * with the remedy instead. Shared by [[buildScan]] (DSv1 fallback)
+    * and [[graft.plans.GraftScanStrategy]] (the native plan path).
+    */
+  private[graft] def guardSchemaDrift(): Unit = {
     def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
     require(pinned.nonEmpty || shape(table.schemaAt(None)) == shape(schema),
       s"snapshot table at $root evolved its schema since this relation " +
         "was created — re-create the view (or re-run spark.read) to " +
         "pick up the new schema")
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    guardSchemaDrift()
     val df = table.scanFor(pinned, filters.toIndexedSeq)
     // empty projection (e.g. COUNT(*)) still needs the row multiset
     val projected =

@@ -896,6 +896,35 @@ class SnapshotTableSpec extends AnyFunSuite {
       .option("tag", "nope").load(root))
   }
 
+  test("graft scans plan natively: vectorized parquet, no RDD bridge, manifest pruning in-plan") {
+    val t = rangeTable() // ids 1..40 in 4 decade files with min/max stats
+    val df = spark.read.format("graft").load(t.root.toString)
+      .filter(col("id") === 17L).select("id", "v")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(17L))
+    val plan = df.queryExecution.executedPlan.toString
+    // the DSv1 bridge rendered as RowDataSourceScan / Scan ExistingRDD;
+    // the strategy plans the pruned read as a native parquet scan
+    assert(!plan.contains("RowDataSourceScan") && !plan.contains("ExistingRDD"),
+      s"RDD bridge still in plan:\n$plan")
+    assert(plan.contains("FileScan parquet") || plan.contains("Scan parquet"),
+      s"expected a native parquet scan:\n$plan")
+    // manifest pruning runs at PLANNING: a predicate outside every
+    // file's bounds leaves no parquet scan at all (pure metadata skip —
+    // through SQL, not just the Scala readWhere path)
+    val none = spark.read.format("graft").load(t.root.toString)
+      .filter(col("id") === 999L)
+    assert(none.count() == 0L)
+    assert(!none.queryExecution.executedPlan.toString.contains("FileScan"),
+      "all-files manifest skip should plan an empty scan")
+    // aggregate over the SQL view stays on the native path too
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_plan_test " +
+      s"USING graft OPTIONS (path '${t.root}')")
+    val agg = spark.sql(
+      "SELECT count(*) AS n FROM graft_plan_test WHERE id BETWEEN 11 AND 20")
+    assert(agg.as[Long].head() == 10L)
+    assert(!agg.queryExecution.executedPlan.toString.contains("RowDataSourceScan"))
+  }
+
   test("write.distribution-mode=hash yields one file per partition per batch") {
     def wideBatch = (1L to 1000L).map(i =>
       (i, Timestamp.valueOf(f"2024-${i % 4 + 1}%02d-01 00:00:00"), i * 1.0))

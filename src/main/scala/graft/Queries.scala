@@ -1353,6 +1353,32 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val streamUpsertTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val changelogTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once changelog table: v2 append evens, v3 COW upsert
+    * (value+1000 where event_id % 100 == 0), v4 MoR equality delete of
+    * event_id % 1000 == 0 — so changes(2, 4) must emit BOTH update
+    * pairs (from the rewriting upsert, via the diff path) and pure
+    * delete retractions (from the equality delete), the case
+    * readIncremental is blind to.
+    */
+  private def changelogSnapshot(s: SparkSession,
+      dir: String): graft.catalog.SnapshotTable = {
+    val root = changelogTableCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-snap-chg")
+        .resolve("t").toString
+      val ev = t(s, dir, "events")
+      val tbl = graft.catalog.SnapshotTable.create(s, base, ev.schema, None)
+      tbl.append(ev.filter(col("event_id") % 2 === 0))               // v2
+      tbl.upsert(ev.filter(col("event_id") % 100 === 0)
+        .withColumn("value", col("value") + lit(1000.0d)), Seq("event_id")) // v3
+      tbl.deleteByKeys(ev.filter(col("event_id") % 1000 === 0)
+        .select("event_id"), Seq("event_id"))                        // v4
+      base
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
 
   /** Build-once CDC-upsert stream result: an ACTUAL two-micro-batch
     * file stream (insert evens, then keyed corrections) drained through
@@ -1515,6 +1541,33 @@ object Queries {
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
              |FROM events WHERE event_id % 2 = 1
              |GROUP BY 1""".stripMargin)),
+
+    // CDC changelog with DELETE retractions (the case snap_incremental
+    // is blind to): net row-level diff v2→v4 across a COW upsert and a
+    // MoR equality delete. Updates surface as delete+insert pairs with
+    // the exact old/new tuples; null-valued updates are identity (no
+    // event) — the oracle mirrors both. ts is excluded from the compare
+    // only because the raw parquet stores TIMESTAMP(NANOS) (long in
+    // Spark, timestamp in DuckDB — no common comparable type).
+    QueryDef("snap_changelog",
+      (s, dir) => changelogSnapshot(s, dir).changes(2, 4)
+        .select(col("_change_type"), col("event_id"), col("user_id"),
+          col("event_type"), col("value"), col("props")),
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, event_type, value, props
+             |  FROM events WHERE event_id % 2 = 0
+             |)
+             |SELECT 'delete' AS _change_type, event_id, user_id,
+             |       event_type, value, props
+             |FROM ev
+             |WHERE event_id % 1000 = 0
+             |   OR (event_id % 100 = 0 AND value IS NOT NULL)
+             |UNION ALL
+             |SELECT 'insert' AS _change_type, event_id, user_id,
+             |       event_type, value + CAST(1000.0 AS DOUBLE), props
+             |FROM ev
+             |WHERE event_id % 100 = 0 AND event_id % 1000 <> 0
+             |  AND value IS NOT NULL""".stripMargin)),
 
     QueryDef("snap_prune_partitions",
       (s, dir) => snapshotEventsTable(s, dir)

@@ -219,6 +219,99 @@ final class SnapshotTable private (
     readWithDeletes(to.schema, to.ids, to, to.files.filterNot(f => fromPaths.contains(f.path)))
   }
 
+  /** CDC CHANGELOG between two versions (Iceberg `changelog_view` with
+    * net changes / Delta CDF parity — the piece [[readIncremental]]
+    * deliberately lacks: DELETE retractions): the NET row-level
+    * difference between `fromVersion` (exclusive) and `toVersion`
+    * (inclusive), one row per changed physical row, with
+    * `_change_type ∈ {insert, delete}` prepended to the table columns
+    * (an update appears as its delete + insert pair; a row rewritten
+    * with identical content — e.g. by compaction — appears as NO
+    * change). Both sides render under the `toVersion` schema, so a
+    * consumer sees one stable shape across schema evolution.
+    *
+    * Scale shape, picked from the commit metadata:
+    *  - **metadata path** — every commit in the range is `append` or
+    *    `delete-eq`: inserts read ONLY the files added in the range
+    *    (with `to`-applicable delete files), deletes semi-join the
+    *    `from`-visible rows against ONLY the delete-key files added in
+    *    the range. Cost is O(changed data), not O(table) — the
+    *    incremental-consumer contract at 100 TB.
+    *  - **diff path** — any rewriting commit in the range (upsert /
+    *    overwrite / COW delete / merge / compact): one
+    *    union + group-by-all-columns multiset diff, a single shuffle
+    *    over both versions. Honest and exact, cost O(both versions);
+    *    schedule rewrites outside consumers' windows to stay on the
+    *    metadata path.
+    */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(toVersion >= fromVersion,
+      s"inverted range: $fromVersion .. $toVersion")
+    val sTo = log.read(toVersion)
+    if (fromVersion == toVersion)
+      return readWithDeletes(sTo.schema, sTo.ids, sTo, Nil)
+        .select(lit("").as("_change_type") +: changeCols(sTo): _*).limit(0)
+    val sFrom = log.read(fromVersion)
+    val toIds = sTo.ids.map(_.swap).toMap
+    val fastOps = ((fromVersion + 1) to toVersion)
+      .forall(v => Set("append", "delete-eq").contains(log.read(v).operation))
+    // one homogeneous key-column set (by field id, rename-proof) whose
+    // ids all live in the `to` schema keeps the delete side a single
+    // distinct semi-join; mixed key sets are legal but rare — diff path
+    val delKeyIdSets = sTo.deleteFiles.filter(_.seq > fromVersion)
+      .map(_.cols.map(_._2).toSet).distinct
+    val fastKeys = delKeyIdSets.size <= 1 &&
+      delKeyIdSets.forall(_.forall(toIds.contains)) &&
+      sFrom.deleteFiles.forall(_.cols.map(_._2).forall(toIds.contains))
+    if (fastOps && fastKeys) changesFast(sFrom, sTo)
+    else changesDiff(sFrom, sTo)
+  }
+
+  private def changeCols(s: Snapshot): Seq[Column] =
+    s.schema.fieldNames.toIndexedSeq.map(n => col(SnapshotTable.quoted(n)))
+
+  /** Metadata path: O(changed data). Private[graft] so the spec can
+    * pin fast/diff parity on a scenario both paths accept.
+    */
+  private[graft] def changesFast(sFrom: Snapshot, sTo: Snapshot): DataFrame = {
+    val toIds = sTo.ids.map(_.swap).toMap
+    val fromPaths = sFrom.files.map(_.path).toSet
+    val newFiles = sTo.files.filterNot(f => fromPaths.contains(f.path))
+    val inserts = readWithDeletes(sTo.schema, sTo.ids, sTo, newFiles)
+      .select(lit("insert").as("_change_type") +: changeCols(sTo): _*)
+    val newDels = sTo.deleteFiles.filter(_.seq > sFrom.version)
+    if (newDels.isEmpty) return inserts
+    val keyNames = newDels.head.cols.map { case (_, id) => toIds(id) }
+    val keys = newDels.map(d => readDeleteKeys(sTo.schema, d, keyNames))
+      .reduce(_ unionByName _).distinct()
+    // every from-visible file has seq ≤ from < delete seq, so the
+    // new delete files apply to ALL of them — plain semi-join
+    val deletes =
+      readWithDeletes(sTo.schema, sTo.ids, sFrom, sFrom.files)
+        .join(keys, keyNames, "left_semi")
+        .select(lit("delete").as("_change_type") +: changeCols(sTo): _*)
+    inserts.unionByName(deletes)
+  }
+
+  /** Diff path: multiset diff in ONE shuffle — +1 per to-row, −1 per
+    * from-row, group by every column, emit |Σ| copies signed by the
+    * total.
+    */
+  private[graft] def changesDiff(sFrom: Snapshot, sTo: Snapshot): DataFrame = {
+    val names = sTo.schema.fieldNames.toIndexedSeq
+    val toDf = readWithDeletes(sTo.schema, sTo.ids, sTo, sTo.files)
+      .withColumn("__w", lit(1L))
+    val fromDf = readWithDeletes(sTo.schema, sTo.ids, sFrom, sFrom.files)
+      .withColumn("__w", lit(-1L))
+    toDf.unionByName(fromDf)
+      .groupBy(names.map(n => col(SnapshotTable.quoted(n))): _*)
+      .agg(sum(col("__w")).as("__delta"))
+      .filter(col("__delta") =!= 0L)
+      .withColumn("__i", explode(sequence(lit(1L), abs(col("__delta")))))
+      .select(when(col("__delta") > 0, "insert").otherwise("delete")
+        .as("_change_type") +: changeCols(sTo): _*)
+  }
+
   /** Stats-pruned read: files whose manifest column bounds PROVE no
     * row can satisfy `pred` are skipped before any file opens — the
     * Iceberg lower/upper-bound file skipping, working on ANY

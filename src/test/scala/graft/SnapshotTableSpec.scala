@@ -896,6 +896,58 @@ class SnapshotTableSpec extends AnyFunSuite {
       .option("tag", "nope").load(root))
   }
 
+  test("changes: metadata path emits inserts and delete retractions, O(changed files)") {
+    val t = rangeTable() // v2: ids 1..40 in 4 files
+    val v0 = t.currentVersion()
+    t.append(rows((41, "2024-05-01", 41.0), (42, "2024-05-02", 42.0))) // insert
+    t.deleteByKeys(Seq(5L, 17L).toDF("id"), Seq("id"))                // MoR delete
+    val vN = t.currentVersion()
+    val got = t.changes(v0, vN)
+      .select(col("_change_type"), col("id")).as[(String, Long)]
+      .collect().toSet
+    assert(got == Set(("insert", 41L), ("insert", 42L),
+      ("delete", 5L), ("delete", 17L)))
+    // range ops are append/delete-eq only → the metadata path serves it:
+    // parity with the full multiset diff on the SAME version pair
+    val sFrom = t.log.read(v0)
+    val sTo = t.log.read(vN)
+    val fast = t.changesFast(sFrom, sTo)
+      .select(col("_change_type"), col("id")).as[(String, Long)].collect().toSet
+    val diff = t.changesDiff(sFrom, sTo)
+      .select(col("_change_type"), col("id")).as[(String, Long)].collect().toSet
+    assert(fast == got && diff == got, "fast and diff paths agree")
+  }
+
+  test("changes: rewriting commits take the diff path; updates are delete+insert pairs") {
+    val t = rangeTable()
+    val v0 = t.currentVersion()
+    // COW upsert rewrites files → diff path; net change is ONE row
+    t.upsert(rows((7, "2024-01-01", 700.0)), Seq("id"))
+    val vN = t.currentVersion()
+    val got = t.changes(v0, vN)
+      .select(col("_change_type"), col("id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("delete", 7L, 7.0), ("insert", 7L, 700.0)),
+      s"rewritten-but-identical rows must NOT appear: $got")
+    // compaction rewrites everything, changes nothing → empty changelog
+    val vC0 = t.currentVersion()
+    t.compact(targetRowsPerFile = 1000000L, minFiles = 1)
+    if (t.currentVersion() > vC0)
+      assert(t.changes(vC0, t.currentVersion()).count() == 0L,
+        "compaction is not a logical change")
+    // same-version window: empty, with the changelog schema
+    val same = t.changes(vN, vN)
+    assert(same.columns.head == "_change_type" && same.count() == 0L)
+    // delete + re-append inside the window: retraction and re-insert
+    val v1 = t.currentVersion()
+    t.deleteByKeys(Seq(9L).toDF("id"), Seq("id"))
+    t.append(rows((9, "2024-07-01", 900.0)))
+    val both = t.changes(v1, t.currentVersion())
+      .select(col("_change_type"), col("id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(both == Set(("delete", 9L, 9.0), ("insert", 9L, 900.0)))
+  }
+
   test("graft scans plan natively: vectorized parquet, no RDD bridge, manifest pruning in-plan") {
     val t = rangeTable() // ids 1..40 in 4 decade files with min/max stats
     val df = spark.read.format("graft").load(t.root.toString)

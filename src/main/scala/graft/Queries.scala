@@ -1835,7 +1835,42 @@ object Queries {
   // a SQL-only user gets the library without touching the Column API
   // =====================================================================
 
+  private val sqlMergeTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val sqlSurfaceQueries: Seq[QueryDef] = Seq(
+    // SQL MERGE INTO statement end-to-end (GraftSqlDmlRule): the SAME
+    // conditional-clause scenario snap_merge_conditional runs through
+    // the Scala API, here driven entirely by spark.sql against a graft
+    // temp view — first-match-wins clauses, NULL condition = keep —
+    // and checked against the identical DuckDB oracle
+    QueryDef("sql_merge_into",
+      (s, dir) => statsSnapshot(s, dir, sqlMergeTableCache, "sqlmrg") { tbl =>
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_merge_sql " +
+          s"USING graft OPTIONS (path '${tbl.root}')")
+        t(s, dir, "events").filter(col("event_id") % 40 === 0)
+          .withColumn("value", col("value") + lit(5000.0d))
+          .createOrReplaceTempView("graft_merge_sql_src")
+        s.sql("""MERGE INTO graft_merge_sql t USING graft_merge_sql_src s
+                |ON t.event_id = s.event_id
+                |WHEN MATCHED AND s.event_id % 80 = 0 THEN UPDATE SET *
+                |WHEN MATCHED AND t.value < 50.0 THEN DELETE""".stripMargin)
+        ()
+      }.read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+      Some("""WITH merged AS (
+             |  SELECT event_type,
+             |    CASE WHEN event_id % 80 = 0 THEN value + 5000.0
+             |         ELSE value END AS value
+             |  FROM events
+             |  WHERE NOT (event_id % 40 = 0 AND event_id % 80 <> 0
+             |             AND COALESCE(value < 50, FALSE))
+             |)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM merged GROUP BY 1""".stripMargin)),
+
     // Snapshot tables through the `graft` DATA SOURCE — the SQL-only
     // surface (CREATE TEMPORARY VIEW … USING graft): Catalyst pushes
     // the WHERE down as source filters, the relation prunes files at

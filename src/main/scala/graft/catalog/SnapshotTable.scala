@@ -414,6 +414,51 @@ final class SnapshotTable private (
         staged.map(_.copy(cols = base.ids))))
   }
 
+  /** Row-level UPDATE, copy-on-write at FILE granularity (SQL
+    * `UPDATE … SET … WHERE …`): same candidate discovery as [[delete]]
+    * — manifest stats prune, one scoped job finds files actually
+    * holding matches, only those rewrite. Rows where `pred` is TRUE get
+    * every assignment applied (evaluated against the ORIGINAL row, SQL
+    * semantics — assignments never see each other) and cast to the
+    * column's declared type; FALSE/NULL rows pass through byte-
+    * identical. Cost bounds as [[delete]]: O(files holding matches)
+    * with predicate-clustered data, never O(table).
+    */
+  def update(set: Seq[(String, Column)], pred: Column): Snapshot = {
+    require(set.nonEmpty, "update needs at least one assignment")
+    val base = currentSnapshot()
+    val dup = set.groupBy(_._1).collect { case (n, as) if as.size > 1 => n }
+    require(dup.isEmpty, s"duplicate assignment for column(s): ${dup.mkString(", ")}")
+    val missing = set.map(_._1).filterNot(base.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"update assigns unknown column(s): ${missing.mkString(", ")}")
+    val byName = set.toMap
+    val candidates = pruneFiles(base, pred)
+    val hit =
+      if (candidates.isEmpty) Nil
+      else {
+        val hitPaths = readResolved(base.schema, base.ids, base, candidates).filter(pred)
+          .select(input_file_name().as("__f")).distinct()
+          .collect().map(r => relPath(r.getString(0))).toSet
+        candidates.filter(f => hitPaths.contains(f.path))
+      }
+    if (hit.isEmpty) return base // nothing matches: no new snapshot
+    val hitSet = hit.map(_.path).toSet
+    val outCols = base.schema.fields.toIndexedSeq.map { f =>
+      byName.get(f.name) match {
+        case Some(e) => when(pred <=> lit(true), e.cast(f.dataType))
+          .otherwise(col(SnapshotTable.quoted(f.name))).as(f.name)
+        case None => col(SnapshotTable.quoted(f.name))
+      }
+    }
+    val rewritten = readWithDeletes(base.schema, base.ids, base, hit)
+      .select(outCols: _*)
+    val staged = stage(rewritten, base.spec, base.properties)
+    commitStrict(base, next(base, "update", base.schema,
+      base.files.filterNot(f => hitSet.contains(f.path)) ++
+        staged.map(_.copy(cols = base.ids))))
+  }
+
   /** MERGE INTO, copy-on-write at FILE granularity: source key bounds
     * prune candidate files via manifest stats, only files holding an
     * actually-matched key are rewritten, and not-matched source rows

@@ -94,6 +94,9 @@ object GraftExtensions {
     // native physical planning for graft snapshot scans (kills the
     // DSv1 RDD[Row] bridge; see GraftScanStrategy)
     ext.injectPlannerStrategy(session => GraftScanStrategy(session))
+    // SQL MERGE INTO / DELETE FROM / UPDATE on graft snapshot tables
+    // (post-hoc: after resolution, before the v2-only CheckAnalysis)
+    ext.injectPostHocResolutionRule(session => GraftSqlDmlRule(session))
   }
 
   /** Register on a live session (tests / notebooks that didn't set

@@ -1,0 +1,223 @@
+package graft.plans
+
+import scala.annotation.tailrec
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, View}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
+
+import graft.catalog.{MergeAction => GMergeAction, MergeClause}
+import graft.sources.GraftRelation
+
+/** SQL row-level DML on graft snapshot tables — `MERGE INTO`,
+  * `DELETE FROM`, `UPDATE` statements against a `graft` temp view route
+  * to the table's copy-on-write operations, closing the gap where
+  * SQL-only users had read + INSERT but row-level ops were
+  * Scala-API-only.
+  *
+  * Spark's parser produces `MergeIntoTable` / `DeleteFromTable` /
+  * `UpdateTable` and its analyzer resolves them against any relation,
+  * but only v2 tables have a built-in rewrite — a v1 relation fails in
+  * CheckAnalysis. This post-hoc resolution rule intercepts the resolved
+  * statements BEFORE that check and lowers them to runnable commands
+  * over [[graft.catalog.SnapshotTable]]:
+  *
+  *  - `DELETE FROM v WHERE p` → `delete(p)` (COW, manifest-pruned)
+  *  - `UPDATE v SET c = e WHERE p` → `update(Seq(c -> e), p)`
+  *  - `MERGE INTO v USING src ON t.k = s.k WHEN MATCHED [AND c] THEN
+  *    UPDATE SET * | DELETE [WHEN NOT MATCHED THEN INSERT *]` →
+  *    `mergeConditional(src, keys, clauses, insertNotMatched)`
+  *
+  * Supported surface mirrors the Scala API exactly (first-match-wins
+  * clauses, cardinality rule, NULL-condition = no-match); unsupported
+  * shapes (column-list UPDATE in MERGE, conditional INSERT, NOT MATCHED
+  * BY SOURCE, subqueries in predicates) fail with a message naming the
+  * limitation rather than a v2-table analysis error.
+  */
+final case class GraftSqlDmlRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  import GraftSqlDml._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case d: DeleteFromTable if targetOf(d.table).isDefined =>
+      val gr = writable(targetOf(d.table).get, "DELETE FROM")
+      noSubquery(Seq(d.condition), "DELETE")
+      GraftDeleteCommand(gr, selfColumn(d.condition))
+
+    case u: UpdateTable if targetOf(u.table).isDefined =>
+      val gr = writable(targetOf(u.table).get, "UPDATE")
+      noSubquery(u.assignments.map(_.value) ++ u.condition, "UPDATE")
+      val assigns = u.assignments.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => fail(s"UPDATE SET target must be a plain column, got $other")
+        }
+        name -> selfColumn(a.value)
+      }
+      GraftUpdateCommand(gr, assigns,
+        u.condition.map(selfColumn).getOrElse(lit(true)))
+
+    case m: MergeIntoTable if targetOf(m.targetTable).isDefined =>
+      val gr = writable(targetOf(m.targetTable).get, "MERGE INTO")
+      val tOut = m.targetTable.outputSet
+      val sOut = m.sourceTable.outputSet
+      if (m.notMatchedBySourceActions.nonEmpty)
+        fail("WHEN NOT MATCHED BY SOURCE is not supported for graft tables")
+      val on = equiKeys(m.mergeCondition, tOut, sOut).getOrElse(fail(
+        "graft MERGE requires ON to be a conjunction of " +
+          "target.k = source.k equalities on same-named columns; got: " +
+          m.mergeCondition.sql))
+      noSubquery(m.matchedActions.flatMap(_.condition), "MERGE")
+      val targetNames = m.targetTable.output.map(_.name)
+      val clauses = m.matchedActions.map {
+        case UpdateStarAction(c) =>
+          MergeClause(c.map(tsColumn(_, tOut, sOut)), GMergeAction.UpdateAll)
+        case UpdateAction(c, assigns, _) if isStar(assigns, targetNames, sOut) =>
+          MergeClause(c.map(tsColumn(_, tOut, sOut)), GMergeAction.UpdateAll)
+        case DeleteAction(c) =>
+          MergeClause(c.map(tsColumn(_, tOut, sOut)), GMergeAction.Delete)
+        case other => fail("graft MERGE supports WHEN MATCHED THEN " +
+          s"UPDATE SET * or DELETE; got: $other")
+      }
+      val insertNotMatched = m.notMatchedActions match {
+        case Nil => false
+        case Seq(InsertStarAction(None)) => true
+        case Seq(InsertAction(None, assigns))
+            if isStar(assigns, targetNames, sOut) => true
+        case other => fail("graft MERGE supports a single unconditional " +
+          s"WHEN NOT MATCHED THEN INSERT *; got: $other")
+      }
+      GraftMergeCommand(gr, m.sourceTable, on, clauses, insertNotMatched)
+  }
+}
+
+object GraftSqlDml {
+
+  private[plans] def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(msg)
+
+  /** The graft relation behind a (possibly aliased / view-wrapped)
+    * target plan; None = not a graft target, leave the statement alone.
+    */
+  @tailrec private[plans] def targetOf(p: LogicalPlan): Option[GraftRelation] =
+    p match {
+      case SubqueryAlias(_, child) => targetOf(child)
+      case v: View => targetOf(v.child)
+      case lr: LogicalRelation => lr.relation match {
+        case gr: GraftRelation => Some(gr)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private[plans] def writable(gr: GraftRelation, op: String): GraftRelation = {
+    if (gr.pinned.nonEmpty) fail(
+      s"cannot $op a time-travel (versionAsOf / tag / timestampAsOf) relation")
+    gr
+  }
+
+  private[plans] def noSubquery(es: Seq[Expression], op: String): Unit =
+    if (es.exists(_.exists(_.isInstanceOf[SubqueryExpression])))
+      fail(s"subqueries in graft $op predicates are not supported")
+
+  /** Re-key a resolved predicate to plain by-name references so the
+    * table's own read resolves it (DELETE / UPDATE: one relation in
+    * scope, names are unambiguous).
+    */
+  private[plans] def selfColumn(e: Expression): Column =
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    })
+
+  /** Re-key a merge-clause condition to the `t.` / `s.` aliases
+    * [[graft.catalog.SnapshotTable.mergeConditional]] evaluates
+    * against.
+    */
+  private[plans] def tsColumn(e: Expression, tOut: AttributeSet,
+      sOut: AttributeSet): Column =
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference if tOut.contains(a) =>
+        UnresolvedAttribute(Seq("t", a.name))
+      case a: AttributeReference if sOut.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
+    })
+
+  /** ON must be equi-joins target.k = source.k (either side order) on
+    * same-named columns — the key-list contract of the Scala merge API.
+    */
+  private[plans] def equiKeys(cond: Expression, tOut: AttributeSet,
+      sOut: AttributeSet): Option[Seq[String]] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keys = conjuncts(cond).map {
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if tOut.contains(l) && sOut.contains(r) && l.name == r.name =>
+        Some(l.name)
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if sOut.contains(l) && tOut.contains(r) && l.name == r.name =>
+        Some(l.name)
+      case _ => None
+    }
+    if (keys.forall(_.isDefined)) Some(keys.flatten.distinct) else None
+  }
+
+  /** An assignment list is `SET *` / `INSERT *` iff it covers every
+    * target column from the same-named source column.
+    */
+  private[plans] def isStar(assigns: Seq[Assignment],
+      targetNames: Seq[String], sOut: AttributeSet): Boolean = {
+    val pairs = assigns.map { a =>
+      (a.key, a.value) match {
+        case (k: AttributeReference, v: AttributeReference)
+            if sOut.contains(v) && k.name == v.name => Some(k.name)
+        case _ => None
+      }
+    }
+    pairs.forall(_.isDefined) &&
+      pairs.flatten.toSet == targetNames.toSet
+  }
+}
+
+/** `DELETE FROM <graft view> WHERE p` lowered to the COW delete. */
+final case class GraftDeleteCommand(gr: GraftRelation, cond: Column)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    gr.table.delete(cond)
+    Nil
+  }
+}
+
+/** `UPDATE <graft view> SET ... WHERE p` lowered to the COW update. */
+final case class GraftUpdateCommand(gr: GraftRelation,
+    assigns: Seq[(String, Column)], cond: Column)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    gr.table.update(assigns, cond)
+    Nil
+  }
+}
+
+/** `MERGE INTO <graft view> USING src ...` lowered to the conditional
+  * file-granularity COW merge. The analyzed source plan rides as a
+  * constructor value (this is a leaf command, so the analyzer is done
+  * with it) and becomes a DataFrame at execution.
+  */
+final case class GraftMergeCommand(gr: GraftRelation, source: LogicalPlan,
+    on: Seq[String], clauses: Seq[MergeClause], insertNotMatched: Boolean)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    gr.table.mergeConditional(
+      DatasetBridge.ofRows(session, source), on, clauses, insertNotMatched)
+    Nil
+  }
+}

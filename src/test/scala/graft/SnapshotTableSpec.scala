@@ -896,6 +896,69 @@ class SnapshotTableSpec extends AnyFunSuite {
       .option("tag", "nope").load(root))
   }
 
+  test("SQL DELETE / UPDATE / MERGE route to the snapshot row-level ops") {
+    val t = rangeTable() // ids 1..40, v at id except NULL at %10
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_dml " +
+      s"USING graft OPTIONS (path '${t.root}')")
+    // DELETE with predicate (NULL v rows are kept: pred NULL = keep)
+    spark.sql("DELETE FROM graft_dml WHERE v > 35")
+    assert(t.read().count() == 36L, "36..39 deleted; NULL-v rows kept")
+    // UPDATE evaluates assignments against the ORIGINAL row
+    spark.sql("UPDATE graft_dml SET v = v + 100 WHERE id <= 2")
+    assert(t.read().filter(col("id") <= 2).select("v").as[Double]
+      .collect().toSet == Set(101.0, 102.0))
+    assert(t.currentSnapshot().operation == "update")
+    // MERGE: conditional update + delete + insert through spark.sql
+    Seq((1L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), 1000.0),
+        (3L, java.sql.Timestamp.valueOf("2024-06-02 00:00:00"), 3000.0),
+        (99L, java.sql.Timestamp.valueOf("2024-06-03 00:00:00"), 9900.0))
+      .toDF("id", "ts", "v").createOrReplaceTempView("graft_dml_src")
+    spark.sql("""MERGE INTO graft_dml t USING graft_dml_src s
+                |ON t.id = s.id
+                |WHEN MATCHED AND s.v >= 2000 THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = t.read().filter(col("id").isin(1L, 3L, 99L))
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(after == Map(1L -> 1000.0, 99L -> 9900.0), s"got $after")
+    // unsupported shapes fail with the limitation, not a v2 error
+    val e1 = intercept[Exception](spark.sql(
+      """MERGE INTO graft_dml t USING graft_dml_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v + 1""".stripMargin))
+    assert(e1.getMessage.contains("UPDATE SET *"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      """MERGE INTO graft_dml t USING graft_dml_src s ON t.id < s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(e2.getMessage.contains("conjunction"), e2.getMessage)
+    // time-travel views refuse DML
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_dml_v2 " +
+      s"USING graft OPTIONS (path '${t.root}', versionAsOf '2')")
+    val e3 = intercept[Exception](
+      spark.sql("DELETE FROM graft_dml_v2 WHERE id = 1"))
+    assert(e3.getMessage.contains("time-travel"), e3.getMessage)
+  }
+
+  test("update(): COW file granularity, casts to column type, no-match no-op") {
+    val t = rangeTable()
+    val before = t.currentSnapshot().files.map(_.path).toSet
+    val v0 = t.currentVersion()
+    // no match: no commit at all
+    t.update(Seq("v" -> lit(0.0)), col("id") === 999L)
+    assert(t.currentVersion() == v0)
+    // match in ONE file: only that file rewrites; assignment casts
+    // int literal to the double column type
+    t.update(Seq("v" -> lit(7)), col("id") === 7L)
+    val s = t.currentSnapshot()
+    assert(before.diff(s.files.map(_.path).toSet).size == 1,
+      "exactly one file replaced")
+    assert(t.read().filter(col("id") === 7L).select("v").as[Double]
+      .collect().toSeq == Seq(7.0))
+    intercept[IllegalArgumentException](
+      t.update(Seq("nope" -> lit(1)), col("id") === 1L))
+    intercept[IllegalArgumentException](
+      t.update(Seq("v" -> lit(1), "v" -> lit(2)), col("id") === 1L))
+  }
+
   test("changes: metadata path emits inserts and delete retractions, O(changed files)") {
     val t = rangeTable() // v2: ids 1..40 in 4 files
     val v0 = t.currentVersion()

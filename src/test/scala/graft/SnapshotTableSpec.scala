@@ -896,6 +896,41 @@ class SnapshotTableSpec extends AnyFunSuite {
       .option("tag", "nope").load(root))
   }
 
+  test("a blind append racing evolveSpec restages under the new spec and succeeds") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    t.append(rows((1, "2024-01-05", 1.0)))
+    // a second handle plays the concurrent spec-evolver; the hook fires
+    // INSIDE append's stage→commit window — the exact race that
+    // previously surfaced SpecEvolvedException to the caller
+    val racer = SnapshotTable.load(spark, t.root.toString)
+    var fired = 0
+    t.onStagedHook = () => if (fired == 0) {
+      fired += 1
+      racer.evolveSpec(Some(PartitionSpec("id", "identity")))
+    }
+    try t.append(rows((5, "2024-03-01", 5.0)))
+    finally t.onStagedHook = () => ()
+    assert(fired == 1, "race injected exactly once")
+    val s = t.currentSnapshot()
+    // the append LANDED (no exception) and its file carries a partition
+    // value computed under the NEW identity spec, not the old month one
+    assert(s.spec.contains(PartitionSpec("id", "identity")))
+    val newest = s.files.maxBy(_.seq)
+    assert(newest.partition.contains("5"),
+      s"restaged file must carry identity('5'), got ${newest.partition}")
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 5L))
+    // the pathological case — a spec flip before EVERY attempt — still
+    // fails loudly rather than looping forever
+    var flip = true
+    t.onStagedHook = () => {
+      flip = !flip
+      racer.evolveSpec(if (flip) Some(PartitionSpec("id", "identity")) else None)
+    }
+    try intercept[graft.catalog.SpecEvolvedException] {
+      t.append(rows((6, "2024-04-01", 6.0)))
+    } finally t.onStagedHook = () => ()
+  }
+
   test("SQL DELETE / UPDATE / MERGE route to the snapshot row-level ops") {
     val t = rangeTable() // ids 1..40, v at id except NULL at %10
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_dml " +

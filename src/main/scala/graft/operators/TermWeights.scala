@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: everything is hash aggregation on (doc, term) / (term)
   * plus one equality join on term — partial-combined, no windows, no
-  * cross joins; per-doc top-k ships ≤ k rows per group per task
-  * ([[graft.functions.TopK.topKTerms]]). Corpus-level scalars (N,
-  * avgdl) are single driver doubles, the same model-sized contract as
-  * the ANN trainers.
+  * cross joins except the 1-row scalar attaches; per-doc top-k ships
+  * ≤ k rows per group per task ([[graft.functions.TopK.topKTerms]]).
+  * Corpus-level scalars (N, avgdl) ride the same lazy plan as
+  * broadcast 1-row frames — one corpus scan per call, no driver-side
+  * action.
   */
 object TermWeights {
 
@@ -61,7 +62,10 @@ object TermWeights {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // 1-row corpus scalar rides the tf subtree (exchange reuse) and is
-    // broadcast to every partition — never collected to the driver
+    // broadcast to every partition — never collected to the driver.
+    // This plans as a BroadcastNestedLoopJoin over a ONE-ROW build
+    // side (a zero-key aggregate), i.e. a scalar attach — PlanAudit
+    // recognizes the shape structurally and does not flag it.
     val nDf = tf.agg(count_distinct(col("doc_id")).cast("double").as("n"))
     tf.join(dft, "term")
       .crossJoin(broadcast(nDf))

@@ -16,11 +16,39 @@ object PlanAudit {
     val cfg = GraftConfig.fromEnv(appName = "graft-plan-audit")
     val spark = cfg.newSession()
     if (args.headOption.contains("--scan")) {
-      val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+      // A BroadcastNestedLoopJoin whose build side is a ZERO-KEY
+      // aggregate carries exactly one row — a scalar attach (corpus
+      // N / avgdl broadcast), per-row cost identical to a hash join.
+      // Flag only nested loops where the build side can fan out.
+      import org.apache.spark.sql.execution.SparkPlan
+      // collect() stops at AQE / query-stage wrapper leaves — expand
+      // them so the whole physical tree is visible to the audit
+      def flatten(p: SparkPlan): Seq[SparkPlan] = {
+        val next = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case other => other.children
+        }
+        p +: next.flatMap(flatten)
+      }
+      def scalarBuild(j: SparkPlan): Boolean =
+        j.children.exists(c => flatten(c).exists {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+            a.groupingExpressions.isEmpty
+          case _ => false
+        })
       for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
         try {
-          val plan = fn(spark, cfg.sfDir).queryExecution.executedPlan.toString
-          val hits = bad.filter(plan.contains)
+          val exec = fn(spark, cfg.sfDir).queryExecution.executedPlan
+          val hits =
+            flatten(exec).collect {
+              case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+                "CartesianProduct"
+              case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+                  if !scalarBuild(j) => "BroadcastNestedLoopJoin"
+            }.distinct
           if (hits.nonEmpty) println(s"[scan] $name: ${hits.mkString(",")}")
         } catch {
           case e: Throwable =>

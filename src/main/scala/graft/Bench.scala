@@ -52,12 +52,20 @@ object Bench {
       case None => SparkEntry.queries
     }
     val outcomes = selected.map { case (name, fn) =>
-      name -> (try Right(math.min(timeOnce(fn), timeOnce(fn)))
+      val r = try Right(math.min(timeOnce(fn), timeOnce(fn)))
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           Left(e.getClass.getSimpleName)
-      })
+      }
+      // query isolation: localCheckpoint blocks (ANN probe frames,
+      // merge sources) are only released when the ContextCleaner sees
+      // their RDDs unreachable — across ~100 queries in one JVM the
+      // dead blocks accumulate and later queries measure the earlier
+      // queries' memory pressure instead of their own plan. One GC per
+      // query keeps each measurement a fresh-JVM approximation.
+      System.gc()
+      name -> r
     }
     val results = outcomes.collect { case (k, Right(v)) => k -> v }
     val errors = outcomes.collect { case (k, Left(m)) => k -> m }

@@ -1264,10 +1264,11 @@ object Queries {
       // ===== WIDE-VECTOR CROSSOVER PAIR (512-dim) ======================
       // The 64-dim ANN ladder shows PQ paying its ADC constant without
       // the bandwidth payoff; these two queries pin the crossover the
-      // design claims: at 8× the vector width the float index path must
-      // read 8× the bytes per probed candidate while PQ codes stay m=8
-      // bytes — so sim_wide_ivfpq_index must BEAT sim_wide_ivf_index in
-      // the bench while both stay oracle-exact.
+      // design claims: on the 512-dim, 16-family corpus (~16N rows) the
+      // float index path pays dims×4 bytes + dims mult-adds per probed
+      // candidate while PQ pays m bytes + m lookups — so
+      // sim_wide_ivfpq_index must BEAT sim_wide_ivf_index in the bench
+      // while both stay oracle-exact.
       QueryDef("sim_wide_ivf_index",
         (s, dir) => {
           val corpus = wideVectors(s, dir)
@@ -1303,20 +1304,23 @@ object Queries {
     )
   }
 
-  /** 512-dim, 8×-expanded widening of the near-dup corpus, built so
+  /** 512-dim, 16×-expanded widening of the near-dup corpus, built so
     * the planted-mutant oracle answer is PROVABLY unchanged:
     *
-    * replica r of base vector v is the concatenation of 8 copies of v,
-    * copy j multiplied by the Hadamard sign h_r(j) = (−1)^popcount(r&j)
-    * — multiplying by ±1 is EXACT in IEEE float, and Hadamard rows are
-    * orthogonal, so dot(rep_r(a), rep_0(b)) = (Σ_j h_r(j)h_0(j)) ·
-    * dot(a,b) = 8·dot(a,b) for r = 0 and EXACTLY-cancelling ≈ 0 for
-    * r ≠ 0. Queries are the r = 0 mutants, so their nearest neighbor
-    * across all 8N wide vectors is still the planted original, with the
-    * same cosine as the 64-dim corpus (up to fold-order ulps — hence
-    * the 1e-3 rounding in the compared sim).
+    * replica r (0..15) of base vector v is the concatenation of 8
+    * copies of v, copy j multiplied by the Hadamard sign
+    * h_{r&7}(j) = (−1)^popcount(r&j), with families 8..15 negated —
+    * multiplying by ±1 is EXACT in IEEE float, and Hadamard rows are
+    * orthogonal, so dot(rep_r(a), rep_0(b)) = ±(Σ_j h(j)h_0(j)) ·
+    * dot(a,b) = 8·dot(a,b) for r = 0, ≈ 0 for the other positive
+    * families, and −8·dot(a,b) for the negated ones (never competitive
+    * at the 0.997 planted margin: no corpus pair is near-antipodal).
+    * Queries are the r = 0 mutants, so their nearest neighbor across
+    * all 16N wide vectors is still the planted original, with the same
+    * cosine as the 64-dim corpus (up to fold-order ulps — hence the
+    * 1e-3 rounding in the compared sim).
     *
-    * The point of the construction is scan ECONOMY at bench scale: 8×
+    * The point of the construction is scan ECONOMY at bench scale: 16×
     * the rows and 8× the bytes per row give the probed clusters real
     * volume, where the float path pays dims×4 bytes + dims mult-adds
     * per candidate while PQ pays m bytes + m lookups — the crossover

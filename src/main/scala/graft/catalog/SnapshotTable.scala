@@ -231,14 +231,18 @@ final class SnapshotTable private (
     * consumer sees one stable shape across schema evolution.
     *
     * Scale shape, picked from the commit metadata:
-    *  - **metadata path** — every commit in the range is `append` or
-    *    `delete-eq`: inserts read ONLY the files added in the range
-    *    (with `to`-applicable delete files), deletes semi-join the
-    *    `from`-visible rows against ONLY the delete-key files added in
-    *    the range. Cost is O(changed data), not O(table) — the
+    *  - **metadata path** — every commit in the range is blind
+    *    (`append`, `stream-append[n]`, or `delete-eq`): inserts read
+    *    ONLY the files added in the range (with `to`-applicable delete
+    *    files), deletes semi-join the `from`-visible rows against ONLY
+    *    the delete-key files added in the range, and the two sides are
+    *    multiset-netted (a delete + identical re-append emits
+    *    nothing). Cost is O(changed data), not O(table) — the
     *    incremental-consumer contract at 100 TB.
     *  - **diff path** — any rewriting commit in the range (upsert /
-    *    overwrite / COW delete / merge / compact): one
+    *    overwrite / COW delete-or-update / merge / compact), or a
+    *    range spanning EXPIRED intermediate snapshots (catch-up from
+    *    an old tag — only the endpoints are needed): one
     *    union + group-by-all-columns multiset diff, a single shuffle
     *    over both versions. Honest and exact, cost O(both versions);
     *    schedule rewrites outside consumers' windows to stay on the
@@ -253,8 +257,15 @@ final class SnapshotTable private (
         .select(lit("").as("_change_type") +: changeCols(sTo): _*).limit(0)
     val sFrom = log.read(fromVersion)
     val toIds = sTo.ids.map(_.swap).toMap
-    val fastOps = ((fromVersion + 1) to toVersion)
-      .forall(v => Set("append", "delete-eq").contains(log.read(v).operation))
+    // op classification needs the intermediate snapshots; a range
+    // spanning EXPIRED versions (catch-up from an old tag) cannot be
+    // classified, but the endpoint-only diff path still serves it —
+    // fall back rather than fail. Streaming appends are blind file
+    // additions, fast-path eligible like any append.
+    def blindOp(op: String): Boolean =
+      op == "append" || op == "delete-eq" || op.startsWith("stream-append")
+    val fastOps = ((fromVersion + 1) to toVersion).forall(v =>
+      scala.util.Try(log.read(v).operation).toOption.exists(blindOp))
     // one homogeneous key-column set (by field id, rename-proof) whose
     // ids all live in the `to` schema keeps the delete side a single
     // distinct semi-join; mixed key sets are legal but rare — diff path
@@ -290,7 +301,19 @@ final class SnapshotTable private (
       readWithDeletes(sTo.schema, sTo.ids, sFrom, sFrom.files)
         .join(keys, keyNames, "left_semi")
         .select(lit("delete").as("_change_type") +: changeCols(sTo): _*)
-    inserts.unionByName(deletes)
+    // NET the two sides (multiset): a key deleted and re-appended with
+    // IDENTICAL content inside the window must emit nothing, matching
+    // changesDiff and the documented contract. Both sides are already
+    // O(changed data), so the compensation join is too.
+    val names = sTo.schema.fieldNames.toIndexedSeq
+    val insData = inserts.drop("_change_type")
+    val delData = deletes.drop("_change_type")
+    insData.exceptAll(delData)
+      .select(lit("insert").as("_change_type") +: names.map(n =>
+        col(SnapshotTable.quoted(n))): _*)
+      .unionByName(delData.exceptAll(insData)
+        .select(lit("delete").as("_change_type") +: names.map(n =>
+          col(SnapshotTable.quoted(n))): _*))
   }
 
   /** Diff path: multiset diff in ONE shuffle — +1 per to-row, −1 per

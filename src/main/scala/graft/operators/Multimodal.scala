@@ -104,9 +104,10 @@ object Multimodal {
       def nPixels: Long = width.toLong * height
     }
 
-    /** None when the payload is not a decodable image (ImageIO probes
-      * registered readers by magic bytes — text/audio payloads are
-      * rejected deterministically, not by exception luck).
+    /** None when the payload is not a decodable image: ImageIO probes
+      * registered readers by magic bytes (text/audio payloads return
+      * null), and any reader failure on a corrupt body — JDK readers
+      * throw assorted RuntimeExceptions there — also degrades to None.
       */
     def decode(bytes: Array[Byte]): Option[Decoded] = {
       if (bytes == null || bytes.isEmpty) return None
@@ -129,7 +130,14 @@ object Multimodal {
           i += 1
         }
         Some(Decoded(w, h, sr, sg, sb))
-      } catch { case _: java.io.IOException => None }
+      } catch {
+        // NOT just IOException: JDK readers throw RuntimeExceptions
+        // (IllegalArgument, ArrayIndexOutOfBounds, CMMException, ...)
+        // on payloads whose magic bytes select a reader but whose body
+        // is corrupt — a hostile or truncated file must take the
+        // fallback, not kill the task
+        case scala.util.control.NonFatal(_) => None
+      }
     }
 
     /** Lossless PNG from a pixel function (x, y) → packed 0xRRGGBB. */

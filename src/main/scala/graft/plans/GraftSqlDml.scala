@@ -98,7 +98,8 @@ final case class GraftSqlDmlRule(session: SparkSession)
   }
 }
 
-object GraftSqlDml {
+object GraftSqlDml
+    extends org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   private[plans] def fail(msg: String): Nothing =
     throw new UnsupportedOperationException(msg)
@@ -154,12 +155,7 @@ object GraftSqlDml {
     */
   private[plans] def equiKeys(cond: Expression, tOut: AttributeSet,
       sOut: AttributeSet): Option[Seq[String]] = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    val keys = conjuncts(cond).map {
+    val keys = splitConjunctivePredicates(cond).map {
       case EqualTo(l: AttributeReference, r: AttributeReference)
           if tOut.contains(l) && sOut.contains(r) && l.name == r.name =>
         Some(l.name)

@@ -33,12 +33,35 @@ object PlanAudit {
         }
         p +: next.flatMap(flatten)
       }
-      def scalarBuild(j: SparkPlan): Boolean =
-        j.children.exists(c => flatten(c).exists {
-          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
-            a.groupingExpressions.isEmpty
-          case _ => false
-        })
+      // ≤1-row proof for the BUILD side only: descend through
+      // cardinality-non-increasing wrappers to a zero-key aggregate.
+      // Anything that can fan out (joins, generate/explode, unions)
+      // fails the proof — the audit stays sound.
+      def oneRow(p: SparkPlan): Boolean = p match {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          a.groupingExpressions.isEmpty
+        case _: org.apache.spark.sql.execution.ProjectExec |
+             _: org.apache.spark.sql.execution.FilterExec |
+             _: org.apache.spark.sql.execution.WholeStageCodegenExec |
+             _: org.apache.spark.sql.execution.InputAdapter |
+             _: org.apache.spark.sql.execution.exchange.Exchange =>
+          p.children.forall(oneRow)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          oneRow(r.child)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          oneRow(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          oneRow(q.plan)
+        case _ => false
+      }
+      def scalarBuild(
+          j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec): Boolean = {
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case _ => j.right
+        }
+        oneRow(build)
+      }
       for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
         try {
           val exec = fn(spark, cfg.sfDir).queryExecution.executedPlan

@@ -1044,6 +1044,44 @@ class SnapshotTableSpec extends AnyFunSuite {
       .select(col("_change_type"), col("id"), col("v"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(both == Set(("delete", 9L, 9.0), ("insert", 9L, 900.0)))
+    // delete + IDENTICAL re-append nets to NOTHING on the fast path
+    // too (the metadata path is multiset-netted to match the diff
+    // contract) — and both paths agree
+    val v2 = t.currentVersion()
+    val row11 = t.read().filter(col("id") === 11L)
+    t.deleteByKeys(Seq(11L).toDF("id"), Seq("id"))
+    t.append(row11)
+    val net = t.changes(v2, t.currentVersion())
+    assert(net.count() == 0L, "identical re-append must emit no events")
+    assert(t.changesDiff(t.log.read(v2), t.log.read(t.currentVersion()))
+      .count() == 0L)
+  }
+
+  test("changes over expired intermediates and stream appends") {
+    // stream-append commits are blind: eligible for the metadata path
+    val t = rangeTable()
+    val v0 = t.currentVersion()
+    t.appendStreamBatch(rows((50, "2024-06-01", 50.0)), batchId = 1L)
+    val got = t.changes(v0, t.currentVersion())
+      .select(col("_change_type"), col("id")).as[(String, Long)]
+      .collect().toSet
+    assert(got == Set(("insert", 50L)))
+    // a range spanning EXPIRED snapshots still answers via the
+    // endpoint-only diff path instead of failing on the missing logs
+    val t2 = SnapshotTable.create(spark, freshRoot(), eventsSchema, None,
+      properties = Map("vacuum_min_snapshots_to_keep" -> "1"))
+    t2.append(rows((1, "2024-01-01", 1.0)))  // v2
+    t2.tag("start")                           // protect v2
+    t2.append(rows((2, "2024-01-02", 2.0)))  // v3
+    t2.upsert(rows((1, "2024-01-01", 10.0)), Seq("id")) // v4 (rewrite)
+    t2.append(rows((3, "2024-01-03", 3.0)))  // v5
+    t2.expireSnapshots() // v3, v4 expire (v2 tagged, v5 current)
+    assert(!t2.log.versions().contains(3L))
+    val chg = t2.changes(2, t2.currentVersion())
+      .select(col("_change_type"), col("id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(chg == Set(("insert", 2L, 2.0), ("insert", 3L, 3.0),
+      ("delete", 1L, 1.0), ("insert", 1L, 10.0)))
   }
 
   test("graft scans plan natively: vectorized parquet, no RDD bridge, manifest pruning in-plan") {

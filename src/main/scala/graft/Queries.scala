@@ -1688,6 +1688,36 @@ object Queries {
              |WHERE event_id % 100 = 0 AND event_id % 1000 <> 0
              |  AND value IS NOT NULL""".stripMargin)),
 
+    // the SAME changelog window through the SQL surface (USING graft
+    // OPTIONS changesFrom/changesTo) — proves a SQL-only incremental
+    // consumer gets the retraction stream; oracle identical to
+    // snap_changelog
+    QueryDef("sql_changelog",
+      (s, dir) => {
+        val tbl = changelogSnapshot(s, dir)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_changes_sql " +
+          "USING graft OPTIONS " +
+          s"(path '${tbl.root}', changesFrom '2', changesTo '4')")
+        s.sql("""SELECT _change_type, event_id, user_id, event_type,
+                |       value, props
+                |FROM graft_changes_sql""".stripMargin)
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, event_type, value, props
+             |  FROM events WHERE event_id % 2 = 0
+             |)
+             |SELECT 'delete' AS _change_type, event_id, user_id,
+             |       event_type, value, props
+             |FROM ev
+             |WHERE event_id % 1000 = 0
+             |   OR (event_id % 100 = 0 AND value IS NOT NULL)
+             |UNION ALL
+             |SELECT 'insert' AS _change_type, event_id, user_id,
+             |       event_type, value + CAST(1000.0 AS DOUBLE), props
+             |FROM ev
+             |WHERE event_id % 100 = 0 AND event_id % 1000 <> 0
+             |  AND value IS NOT NULL""".stripMargin)),
+
     QueryDef("snap_prune_partitions",
       (s, dir) => snapshotEventsTable(s, dir)
         .readPartitions(p => p.exists(Set("click", "purchase")))

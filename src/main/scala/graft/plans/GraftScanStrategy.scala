@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.{ProjectExec, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.{ColumnBridge, FilterBridge}
 
-import graft.sources.GraftRelation
+import graft.sources.{GraftChangesRelation, GraftRelation}
 
 /** Native physical planning for `graft` snapshot-table scans — the
   * replacement for DSv1 `PrunedFilteredScan.buildScan`'s `RDD[Row]`
@@ -54,7 +54,8 @@ final case class GraftScanStrategy(session: SparkSession)
   }
 
   private def isGraft(lr: LogicalRelation): Boolean =
-    lr.relation.isInstanceOf[GraftRelation]
+    lr.relation.isInstanceOf[GraftRelation] ||
+      lr.relation.isInstanceOf[GraftChangesRelation]
 
   private def eligible(exprs: Seq[Expression]): Boolean =
     !exprs.exists(_.exists(_.isInstanceOf[SubqueryExpression]))
@@ -65,12 +66,20 @@ final case class GraftScanStrategy(session: SparkSession)
     */
   private def build(lr: LogicalRelation, projects: Seq[NamedExpression],
       conds: Seq[Expression]): SparkPlan = {
-    val gr = lr.relation.asInstanceOf[GraftRelation]
-    gr.guardSchemaDrift()
-    // deterministic conjuncts with a source-filter form drive manifest
-    // pruning; everything else simply doesn't prune (skip-only)
-    val srcFilters = conds.filter(_.deterministic).flatMap(FilterBridge.translate)
-    val pruned = gr.table.scanFor(gr.pinned, srcFilters)
+    val pruned = lr.relation match {
+      case gr: GraftRelation =>
+        gr.guardSchemaDrift()
+        // deterministic conjuncts with a source-filter form drive
+        // manifest pruning; everything else simply doesn't prune
+        // (skip-only)
+        val srcFilters =
+          conds.filter(_.deterministic).flatMap(FilterBridge.translate)
+        gr.table.scanFor(gr.pinned, srcFilters)
+      // the changelog's own pruning is version-window metadata; filters
+      // just re-apply on top like everything else
+      case cr: GraftChangesRelation => cr.changesDf
+      case other => sys.error(s"not a graft relation: $other")
+    }
     val byName = pruned.queryExecution.analyzed.output.map(a => a.name -> a).toMap
     def remap(e: Expression): Expression = e.transformUp {
       case a: AttributeReference =>

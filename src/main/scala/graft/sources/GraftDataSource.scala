@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.catalog.SnapshotTable
 
@@ -44,13 +44,26 @@ final class GraftDataSource extends RelationProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val path = pathOf(parameters)
-    val version = parameters.get("versionasof").map { v =>
-      try v.toLong
-      catch {
-        case _: NumberFormatException =>
-          sys.error(s"versionAsOf must be a version number, got '$v'")
+    def longOpt(key: String, label: String): Option[Long] =
+      parameters.get(key).map { v =>
+        try v.toLong
+        catch {
+          case _: NumberFormatException =>
+            sys.error(s"$label must be a version number, got '$v'")
+        }
       }
+    // CDC changelog surface: changesFrom/changesTo expose
+    // SnapshotTable.changes(from, to) to SQL-only consumers
+    (longOpt("changesfrom", "changesFrom"), longOpt("changesto", "changesTo")) match {
+      case (Some(f), Some(t)) =>
+        require(Seq("versionasof", "tag", "timestampasof")
+          .forall(k => !parameters.contains(k)),
+          "changesFrom/changesTo cannot combine with versionAsOf/tag/timestampAsOf")
+        return new GraftChangesRelation(sqlContext, path, f, t)
+      case (None, None) => ()
+      case _ => sys.error("pass BOTH changesFrom and changesTo (or neither)")
     }
+    val version = longOpt("versionasof", "versionAsOf")
     val tag = parameters.get("tag")
     // timestampAsOf: epoch millis or ISO-8601 instant, resolved to the
     // latest snapshot committed at or before it (readAsOf semantics)
@@ -195,4 +208,32 @@ final class GraftRelation(
     if (overwrite) table.overwrite(data) else table.append(data)
     ()
   }
+}
+
+/** CDC changelog as a SQL relation: `spark.read.format("graft")
+  * .option("changesFrom", 2).option("changesTo", 4).load(root)` (or
+  * the OPTIONS form of CREATE TEMPORARY VIEW) surfaces
+  * [[graft.catalog.SnapshotTable.changes]] — `_change_type ∈ {insert,
+  * delete}` plus the table columns at `changesTo`'s schema — to
+  * SQL-only incremental consumers. Versions are pinned at relation
+  * creation, so repeated queries over one view read one consistent
+  * window. [[graft.plans.GraftScanStrategy]] plans it natively; this
+  * DSv1 `buildScan` is the fallback for subquery shapes.
+  */
+final class GraftChangesRelation(
+    override val sqlContext: SQLContext,
+    root: String,
+    fromVersion: Long,
+    toVersion: Long) extends BaseRelation with TableScan {
+
+  private[graft] val table = SnapshotTable.load(sqlContext.sparkSession, root)
+
+  private[graft] def changesDf: org.apache.spark.sql.DataFrame =
+    table.changes(fromVersion, toVersion)
+
+  override val schema: StructType = StructType(
+    StructField("_change_type", org.apache.spark.sql.types.StringType,
+      nullable = false) +: table.schemaAt(Some(toVersion)).fields)
+
+  override def buildScan(): RDD[Row] = changesDf.rdd
 }

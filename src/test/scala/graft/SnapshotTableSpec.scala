@@ -1057,6 +1057,35 @@ class SnapshotTableSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("changelog through the data source: options, SQL view, native plan") {
+    val t = rangeTable()
+    val v0 = t.currentVersion()
+    t.append(rows((41, "2024-05-01", 41.0)))
+    t.deleteByKeys(Seq(7L).toDF("id"), Seq("id"))
+    val vN = t.currentVersion()
+    val direct = t.changes(v0, vN)
+      .select(col("_change_type"), col("id")).as[(String, Long)].collect().toSet
+    val viaDs = spark.read.format("graft")
+      .option("changesFrom", v0).option("changesTo", vN)
+      .load(t.root.toString)
+    assert(viaDs.columns.head == "_change_type")
+    assert(viaDs.select(col("_change_type"), col("id")).as[(String, Long)]
+      .collect().toSet == direct)
+    // through a SQL view, filtered, planned natively (no RDD bridge)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_chg USING graft " +
+      s"OPTIONS (path '${t.root}', changesFrom '$v0', changesTo '$vN')")
+    val del = spark.sql(
+      "SELECT id FROM graft_chg WHERE _change_type = 'delete'")
+    assert(del.as[Long].collect().toSeq == Seq(7L))
+    assert(!del.queryExecution.executedPlan.toString.contains("RowDataSourceScan"))
+    // option hygiene
+    intercept[RuntimeException](spark.read.format("graft")
+      .option("changesFrom", v0).load(t.root.toString))
+    intercept[RuntimeException](spark.read.format("graft")
+      .option("changesFrom", v0).option("changesTo", vN)
+      .option("versionAsOf", 2).load(t.root.toString))
+  }
+
   test("changes over expired intermediates and stream appends") {
     // stream-append commits are blind: eligible for the metadata path
     val t = rangeTable()

@@ -234,11 +234,14 @@ final class SnapshotTable private (
     *  - **metadata path** — every commit in the range is blind
     *    (`append`, `stream-append[n]`, or `delete-eq`): inserts read
     *    ONLY the files added in the range (with `to`-applicable delete
-    *    files), deletes semi-join the `from`-visible rows against ONLY
-    *    the delete-key files added in the range, and the two sides are
-    *    multiset-netted (a delete + identical re-append emits
-    *    nothing). Cost is O(changed data), not O(table) — the
-    *    incremental-consumer contract at 100 TB.
+    *    files) — O(new files). The delete side, present only when a
+    *    `delete-eq` commit is in the window, is one full scan of the
+    *    `from`-visible rows semi-joined (broadcast-sized key set)
+    *    against the delete-key files added in the range — O(table)
+    *    read with O(changed) output. The two sides are multiset-netted
+    *    (a delete + identical re-append emits nothing). Append-only
+    *    windows — the common incremental-consumer cadence at 100 TB —
+    *    never touch old files.
     *  - **diff path** — any rewriting commit in the range (upsert /
     *    overwrite / COW delete-or-update / merge / compact), or a
     *    range spanning EXPIRED intermediate snapshots (catch-up from
@@ -281,6 +284,36 @@ final class SnapshotTable private (
   private def changeCols(s: Snapshot): Seq[Column] =
     s.schema.fieldNames.toIndexedSeq.map(n => col(SnapshotTable.quoted(n)))
 
+  /** Map-bearing columns cannot ride the multiset arithmetic directly:
+    * Spark rejects MapType in grouping keys and set operations
+    * (EXCEPT ALL / GROUP BY), yet maps are first-class table types
+    * here (TypeMapping). Around the diff/netting only, such columns
+    * are encoded to their JSON rendering (`to_json`) and decoded back
+    * (`from_json`) after — null-safe in both directions. Equality is
+    * therefore structural on the stored entry order: identical
+    * physical rows (the delete + re-append case) always net, but two
+    * semantically-equal maps written with different entry order count
+    * as a change — the same position Spark itself takes by refusing
+    * map comparisons outright.
+    */
+  private def mapFields(schema: StructType): Seq[StructField] = {
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case ArrayType(et, _) => containsMap(et)
+      case st: StructType => st.fields.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
+    schema.fields.toIndexedSeq.filter(f => containsMap(f.dataType))
+  }
+
+  private def encodeMapCols(df: DataFrame, fields: Seq[StructField]): DataFrame =
+    fields.foldLeft(df)((d, f) =>
+      d.withColumn(f.name, to_json(col(SnapshotTable.quoted(f.name)))))
+
+  private def decodeMapCols(df: DataFrame, fields: Seq[StructField]): DataFrame =
+    fields.foldLeft(df)((d, f) =>
+      d.withColumn(f.name, from_json(col(SnapshotTable.quoted(f.name)), f.dataType)))
+
   /** Metadata path: O(changed data). Private[graft] so the spec can
     * pin fast/diff parity on a scenario both paths accept.
     */
@@ -306,14 +339,16 @@ final class SnapshotTable private (
     // changesDiff and the documented contract. Both sides are already
     // O(changed data), so the compensation join is too.
     val names = sTo.schema.fieldNames.toIndexedSeq
-    val insData = inserts.drop("_change_type")
-    val delData = deletes.drop("_change_type")
-    insData.exceptAll(delData)
+    val mf = mapFields(sTo.schema)
+    val insData = encodeMapCols(inserts.drop("_change_type"), mf)
+    val delData = encodeMapCols(deletes.drop("_change_type"), mf)
+    val netted = insData.exceptAll(delData)
       .select(lit("insert").as("_change_type") +: names.map(n =>
         col(SnapshotTable.quoted(n))): _*)
       .unionByName(delData.exceptAll(insData)
         .select(lit("delete").as("_change_type") +: names.map(n =>
           col(SnapshotTable.quoted(n))): _*))
+    decodeMapCols(netted, mf)
   }
 
   /** Diff path: multiset diff in ONE shuffle — +1 per to-row, −1 per
@@ -322,17 +357,21 @@ final class SnapshotTable private (
     */
   private[graft] def changesDiff(sFrom: Snapshot, sTo: Snapshot): DataFrame = {
     val names = sTo.schema.fieldNames.toIndexedSeq
-    val toDf = readWithDeletes(sTo.schema, sTo.ids, sTo, sTo.files)
+    val mf = mapFields(sTo.schema)
+    val toDf = encodeMapCols(
+      readWithDeletes(sTo.schema, sTo.ids, sTo, sTo.files), mf)
       .withColumn("__w", lit(1L))
-    val fromDf = readWithDeletes(sTo.schema, sTo.ids, sFrom, sFrom.files)
+    val fromDf = encodeMapCols(
+      readWithDeletes(sTo.schema, sTo.ids, sFrom, sFrom.files), mf)
       .withColumn("__w", lit(-1L))
-    toDf.unionByName(fromDf)
+    val diffed = toDf.unionByName(fromDf)
       .groupBy(names.map(n => col(SnapshotTable.quoted(n))): _*)
       .agg(sum(col("__w")).as("__delta"))
       .filter(col("__delta") =!= 0L)
       .withColumn("__i", explode(sequence(lit(1L), abs(col("__delta")))))
       .select(when(col("__delta") > 0, "insert").otherwise("delete")
         .as("_change_type") +: changeCols(sTo): _*)
+    decodeMapCols(diffed, mf)
   }
 
   /** Stats-pruned read: files whose manifest column bounds PROVE no
@@ -1274,7 +1313,13 @@ final class SnapshotTable private (
     // readTag fails and which would "protect" a nonexistent version in
     // every future expiry. Re-read refs AFTER the deletes and drop any
     // that no longer point at a live snapshot; the next racer's tag on
-    // a live version is untouched.
+    // a live version is untouched. The sweep is EVENTUALLY consistent,
+    // not atomic: a ref file that lands after this re-read dangles
+    // until the next expire run self-heals it. In the window, the
+    // dangling ref is inert — readTag fails loudly (never serves
+    // deleted data), and it cannot shield anything from expiry because
+    // its target is absent from versions(); the next run's sweep
+    // deletes the ref itself.
     val live = log.versions().toSet
     log.refs().foreach { case (name, v) =>
       if (!live.contains(v)) log.deleteRef(name)

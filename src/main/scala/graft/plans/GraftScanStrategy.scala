@@ -41,15 +41,15 @@ final case class GraftScanStrategy(session: SparkSession)
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case Project(projects, LFilter(cond, lr: LogicalRelation))
         if isGraft(lr) && eligible(projects :+ cond) =>
-      Seq(build(lr, projects, splitConjunctivePredicates(cond)))
+      build(lr, projects, splitConjunctivePredicates(cond)).toSeq
     case LFilter(cond, lr: LogicalRelation)
         if isGraft(lr) && eligible(Seq(cond)) =>
-      Seq(build(lr, lr.output, splitConjunctivePredicates(cond)))
+      build(lr, lr.output, splitConjunctivePredicates(cond)).toSeq
     case Project(projects, lr: LogicalRelation)
         if isGraft(lr) && eligible(projects) =>
-      Seq(build(lr, projects, Nil))
+      build(lr, projects, Nil).toSeq
     case lr: LogicalRelation if isGraft(lr) =>
-      Seq(build(lr, lr.output, Nil))
+      build(lr, lr.output, Nil).toSeq
     case _ => Nil
   }
 
@@ -62,10 +62,15 @@ final case class GraftScanStrategy(session: SparkSession)
 
   /** Plan `projects ∘ filters ∘ scan(pruned files)` as a nested
     * DataFrame and re-key its output to the exprIds the outer plan
-    * expects.
+    * expects. Returns None — falling back to the DSv1 `buildScan`
+    * bridge, which resolves by position rather than name — when the
+    * name-based remap would be unsafe: a referenced column missing
+    * from the snapshot read, or duplicate output names making the
+    * remap ambiguous (unreachable for writer-normalized schemas, but
+    * a fallback beats failing the whole query at planning time).
     */
   private def build(lr: LogicalRelation, projects: Seq[NamedExpression],
-      conds: Seq[Expression]): SparkPlan = {
+      conds: Seq[Expression]): Option[SparkPlan] = {
     val pruned = lr.relation match {
       case gr: GraftRelation =>
         gr.guardSchemaDrift()
@@ -80,12 +85,14 @@ final case class GraftScanStrategy(session: SparkSession)
       case cr: GraftChangesRelation => cr.changesDf
       case other => sys.error(s"not a graft relation: $other")
     }
-    val byName = pruned.queryExecution.analyzed.output.map(a => a.name -> a).toMap
+    val outAttrs = pruned.queryExecution.analyzed.output
+    val byName = outAttrs.map(a => a.name -> a).toMap
+    val hasDupNames = byName.size != outAttrs.size
+    val needed = (projects ++ conds)
+      .flatMap(_.collect { case a: AttributeReference => a.name }).toSet
+    if (hasDupNames || !needed.forall(byName.contains)) return None
     def remap(e: Expression): Expression = e.transformUp {
-      case a: AttributeReference =>
-        byName.getOrElse(a.name, sys.error(
-          s"graft scan: column '${a.name}' missing from snapshot read " +
-            s"(have: ${byName.keys.mkString(", ")})"))
+      case a: AttributeReference => byName(a.name)
     }
     val filtered = conds.foldLeft(pruned)((df, c) =>
       df.filter(ColumnBridge.column(remap(c))))
@@ -101,9 +108,9 @@ final case class GraftScanStrategy(session: SparkSession)
     val expected = projects.map(_.toAttribute)
     // nested analysis normally keeps pre-resolved alias ids; if it
     // re-aliased anything, re-key explicitly (cheap, no-op otherwise)
-    if (child.output.map(_.exprId) == expected.map(_.exprId)) child
-    else ProjectExec(expected.zip(child.output).map { case (exp, got) =>
+    if (child.output.map(_.exprId) == expected.map(_.exprId)) Some(child)
+    else Some(ProjectExec(expected.zip(child.output).map { case (exp, got) =>
       Alias(got, exp.name)(exprId = exp.exprId)
-    }, child)
+    }, child))
   }
 }

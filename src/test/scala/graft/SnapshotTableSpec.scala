@@ -1057,6 +1057,38 @@ class SnapshotTableSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("changes supports map columns on both paths (JSON-encoded multiset arithmetic)") {
+    // ADVICE r6: maps are first-class table types but Spark rejects
+    // MapType in GROUP BY / EXCEPT ALL — changes() must encode them
+    // around the diff/netting, not throw AnalysisException.
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("attrs", MapType(StringType, IntegerType))))
+    val t = SnapshotTable.create(spark, freshRoot(), schema, None)
+    def df(rs: (Long, Map[String, Int])*) = rs.toDF("id", "attrs")
+    t.append(df(1L -> Map("a" -> 1), 2L -> Map("b" -> 2),
+      3L -> Map.empty[String, Int]))
+    val v0 = t.currentVersion()
+    // fast path WITH netting (append + MoR delete in one window)
+    t.append(df(4L -> Map("d" -> 4)))
+    t.deleteByKeys(Seq(2L).toDF("id"), Seq("id"))
+    def events(from: Long, to: Long) = t.changes(from, to)
+      .select(col("_change_type"), col("id"), col("attrs"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[scala.collection.Map[String, Int]]("attrs").toMap)).toSet
+    assert(events(v0, t.currentVersion()) ==
+      Set(("insert", 4L, Map("d" -> 4)), ("delete", 2L, Map("b" -> 2))))
+    // diff path (COW upsert rewrite): map values decode back intact
+    val v1 = t.currentVersion()
+    t.upsert(df(1L -> Map("a" -> 10, "z" -> 0)), Seq("id"))
+    assert(events(v1, t.currentVersion()) ==
+      Set(("delete", 1L, Map("a" -> 1)), ("insert", 1L, Map("a" -> 10, "z" -> 0))))
+    // schema round-trip: the changelog still reports the MAP type,
+    // not the transient string encoding
+    assert(t.changes(v1, t.currentVersion()).schema("attrs").dataType ==
+      MapType(StringType, IntegerType))
+  }
+
   test("changelog through the data source: options, SQL view, native plan") {
     val t = rangeTable()
     val v0 = t.currentVersion()

@@ -115,6 +115,26 @@ class TextFunctionsSpec extends AnyFunSuite {
       (3L, "d", wA, 1L), (3L, "c", wB1, 2L)))
   }
 
+  test("topTerms N counts only docs with >=1 token (empty-text docs excluded)") {
+    import graft.operators.TermWeights
+    // Pins the N definition INDEPENDENTLY of the DuckDB oracle (ADVICE
+    // r6: impl and oracle were edited in lockstep, so an oracle-only
+    // check could not catch a regression here). Doc 3 tokenizes to
+    // zero tokens — punctuation only — and must not inflate N: the
+    // collection size is the docs in the index, the same definition
+    // bm25 uses. Tokenization is whitespace over normalText, so the
+    // zero-token doc is whitespace-only. With N=2 (not 3),
+    // w(a in d1) = 1*(2-1+0.5)/1.5 = 1.0.
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "   \t ")).toDF("doc_id", "text")
+    val got = TermWeights.topTerms(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(!got.exists(_._1 == 3L), "zero-token doc emits no terms")
+    val wUnique = 1.0 * (2.0 - 1 + 0.5) / 1.5 // N=2: empty doc excluded
+    val wShared = 1.0 * (2.0 - 2 + 0.5) / 2.5
+    assert(got == Set((1L, "a", wUnique), (1L, "b", wShared),
+      (2L, "c", wUnique), (2L, "b", wShared)))
+  }
+
   test("bm25 matches the direct formula") {
     import graft.operators.TermWeights
     val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "c d d"))

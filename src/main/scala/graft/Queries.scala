@@ -1536,6 +1536,36 @@ object Queries {
     graft.catalog.SnapshotTable.load(s, root)
   }
 
+  /** Build-once STREAMED changelog drain: a real
+    * `readStream.format("graft").option("changesFrom", 2)` query over
+    * [[changelogSnapshot]]'s table, drained through foreachBatch into
+    * parquet. The stream's offsets are table versions, so the drain
+    * covers (v2, v4] — the same netted window snap_changelog reads in
+    * batch, proving the STREAMING read path delivers the identical
+    * retraction stream (one coalesced micro-batch here; per-commit
+    * batches are pinned in StreamingChangelogSpec).
+    */
+  private val streamChangelogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamedChangelog(s: SparkSession, dir: String): String = {
+    streamChangelogCache.computeIfAbsent(dir, _ => {
+      val tbl = changelogSnapshot(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-chg")
+      val out = base.resolve("out").toString
+      val q = s.readStream.format("graft").option("changesFrom", "2")
+        .load(tbl.root.toString)
+        .writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      out
+    })
+  }
+
   /** Build-once spec-evolution table: evens append under
     * identity(event_type) partitioning, the spec evolves to month(ts)
     * (metadata-only), odds append under the month spec, and
@@ -2301,6 +2331,30 @@ object Queries {
                |       AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
                |FROM events WHERE event_id % 2 = 0
                |GROUP BY 1""".stripMargin)),
+
+      // CDC changelog consumed as a LIVE STREAM (readStream.format
+      // ("graft"), offsets = table versions) and drained to parquet —
+      // the rows must be exactly the batch changes(2, 4) window, so
+      // the oracle is snap_changelog's verbatim
+      QueryDef("stream_changelog",
+        (s, dir) => s.read.parquet(streamedChangelog(s, dir))
+          .select(col("_change_type"), col("event_id"), col("user_id"),
+            col("event_type"), col("value"), col("props")),
+        Some("""WITH ev AS (
+               |  SELECT event_id, user_id, event_type, value, props
+               |  FROM events WHERE event_id % 2 = 0
+               |)
+               |SELECT 'delete' AS _change_type, event_id, user_id,
+               |       event_type, value, props
+               |FROM ev
+               |WHERE event_id % 1000 = 0
+               |   OR (event_id % 100 = 0 AND value IS NOT NULL)
+               |UNION ALL
+               |SELECT 'insert' AS _change_type, event_id, user_id,
+               |       event_type, value + CAST(1000.0 AS DOUBLE), props
+               |FROM ev
+               |WHERE event_id % 100 = 0 AND event_id % 1000 <> 0
+               |  AND value IS NOT NULL""".stripMargin)),
 
       QueryDef("stream_dedup_events",
         (s, dir) => {

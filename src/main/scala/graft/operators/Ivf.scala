@@ -168,17 +168,24 @@ object Ivf {
   def topKWithIndex(index: graft.catalog.SnapshotTable, queries: DataFrame,
       model: Model, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // materialized once: the pruning collect and the join side must see
-    // the SAME probe rows (a nondeterministic query source could
-    // otherwise probe a cluster at join time that pruning dropped), and
-    // probeExpr's k cosines per query row should not run twice
-    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        explode(probeExpr(col(vecCol), model, nprobe)).as("cluster"))
+    // materialized once, UNEXPLODED (one row per query): the pruning
+    // collect and the join side must see the SAME probe choices (a
+    // nondeterministic query source could otherwise probe a cluster at
+    // join time that pruning dropped), probeExpr's k cosines per query
+    // row must not run twice, and — the r6 bench-drift lesson — the
+    // split-broadcast sides (pairs, vecs) must be NARROW projections of
+    // this checkpoint, not dropDuplicates re-aggregations of an
+    // exploded frame (each dedup was a shuffle job per broadcast)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        probeExpr(col(vecCol), model, nprobe).as("probe_clusters"))
       .localCheckpoint(true)
-    val probed = probes.select(col("cluster").cast("string")).distinct()
+    val pairs = q.select(col("q_id"),
+      explode(col("probe_clusters")).as("cluster"))
+    val probed = pairs.select(col("cluster").cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     scoreAndRank(index.readPartitions(p => p.exists(probed.contains))
-      .select(col("cluster"), col("n_id"), col("n_vec")), probes, k)
+      .select(col("cluster"), col("n_id"), col("n_vec")),
+      pairs, q.select(col("q_id"), col("q_vec")), k)
   }
 
   /** IVF-PQ over a persisted [[buildIndex]] table (built with a `pq`
@@ -199,11 +206,16 @@ object Ivf {
     import graft.functions.Pq
     require(index.schema.fieldNames.contains("code"),
       "index table has no PQ codes — buildIndex(pq = Some(codebook))")
-    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        explode(probeExpr(col(vecCol), model, nprobe)).as("cluster"),
+    // one row per query (see topKWithIndex for why unexploded): pairs,
+    // LUTs, and re-rank vectors are all narrow projections of this one
+    // checkpoint — no dedup shuffles, no probeExpr/lut recompute
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        probeExpr(col(vecCol), model, nprobe).as("probe_clusters"),
         Pq.lut(col(vecCol), cb).as("lut"))
       .localCheckpoint(true)
-    val probed = probes.select(col("cluster").cast("string")).distinct()
+    val pairs = q.select(col("q_id"),
+      explode(col("probe_clusters")).as("cluster"))
+    val probed = pairs.select(col("cluster").cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     val pruned = index.readPartitions(p => p.exists(probed.contains))
     // split broadcast, same reason as scoreAndRank but stronger: the
@@ -211,11 +223,9 @@ object Ivf {
     // into the (q_id, cluster) probe rows would replicate it nprobe×
     // in the broadcast build side
     val approx = pruned.select(col("cluster"), col("n_id"), col("code"))
-      .join(broadcast(probes.select(col("q_id"), col("cluster"))),
-        Seq("cluster"))
+      .join(broadcast(pairs), Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
-      .join(broadcast(probes.select(col("q_id"), col("lut"))
-        .dropDuplicates(Seq("q_id"))), Seq("q_id"))
+      .join(broadcast(q.select(col("q_id"), col("lut"))), Seq("q_id"))
       .withColumn("sim", -Pq.adc(col("code"), col("lut"), cb))
     // Re-rank vector fetch, chosen from MANIFEST row counts (a driver-
     // side metadata read, no job): on a small probed set the lazy
@@ -243,8 +253,7 @@ object Ivf {
       }
     val rescored = short
       .join(vecSource.select(col("n_id"), col("n_vec")), Seq("n_id"))
-      .join(broadcast(probes.select(col("q_id"), col("q_vec"))
-        .dropDuplicates(Seq("q_id"))), Seq("q_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_vec"))), Seq("q_id"))
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
     Similarity.rankTopK(rescored, k)
   }
@@ -257,9 +266,13 @@ object Ivf {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val indexed = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       assignExpr(col(vecCol), model).as("cluster"))
-    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        explode(probeExpr(col(vecCol), model, nprobe)).as("cluster"))
-    scoreAndRank(indexed, probes, k)
+    // pairs and vecs come from SEPARATE narrow reads of `queries` —
+    // probeExpr's k cosines run once (in pairs only), and the vector
+    // side needs no dedup because the source is one row per id
+    val pairs = queries.select(col(idCol).as("q_id"),
+      explode(probeExpr(col(vecCol), model, nprobe)).as("cluster"))
+    val vecs = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    scoreAndRank(indexed, pairs, vecs, k)
   }
 
   /** Shared candidate scoring for the model and persisted-index query
@@ -267,18 +280,18 @@ object Ivf {
     * in ONE cluster and probes are distinct, so no duplicate (q, n)
     * pairs; exact cosine + partial top-k aggregation rank them.
     *
-    * The broadcast is SPLIT: the (q_id, cluster) probe pairs are a few
-    * bytes per row, while the query VECTOR rides in a second broadcast
-    * deduplicated to one row per query — broadcasting them joined
-    * would replicate every q_vec nprobe× in the build side (at wide
-    * dims and thousands of queries, hundreds of MB of driver and
-    * hash-table weight for nothing).
+    * The broadcast is SPLIT: `pairs` is (q_id, cluster) — a few bytes
+    * per row — while the query VECTOR rides in a second broadcast
+    * (`vecs`, one row per query) — broadcasting them joined would
+    * replicate every q_vec nprobe× in the build side (at wide dims and
+    * thousands of queries, hundreds of MB of driver and hash-table
+    * weight for nothing). Callers supply both sides already narrow and
+    * deduplicated (a one-row-per-query source or checkpoint
+    * projection) — a `dropDuplicates` here would add a shuffle job per
+    * broadcast, the measured cause of the r6 IVF bench drift.
     */
-  private def scoreAndRank(indexed: DataFrame, probes: DataFrame,
-      k: Int): DataFrame = {
-    val pairs = probes.select(col("q_id"), col("cluster"))
-    val vecs = probes.select(col("q_id"), col("q_vec"))
-      .dropDuplicates(Seq("q_id"))
+  private def scoreAndRank(indexed: DataFrame, pairs: DataFrame,
+      vecs: DataFrame, k: Int): DataFrame = {
     val scored = indexed.join(broadcast(pairs), Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
       .join(broadcast(vecs), Seq("q_id"))
@@ -364,13 +377,18 @@ object Ivf {
     val coded = corpus.select(col(idCol).as("n_id"),
       assignExpr(col(vecCol), model).as("cluster"),
       Pq.encode(col(vecCol), cb).as("code"))
-    val probes = queries.select(col(idCol).as("q_id"),
-      explode(probeExpr(col(vecCol), model, nprobe)).as("cluster"),
+    // split broadcast as in scoreAndRank: the m×ksub-double LUT rides a
+    // one-row-per-query broadcast instead of replicating nprobe× in the
+    // (q_id, cluster) pairs
+    val pairs = queries.select(col(idCol).as("q_id"),
+      explode(probeExpr(col(vecCol), model, nprobe)).as("cluster"))
+    val luts = queries.select(col(idCol).as("q_id"),
       Pq.lut(col(vecCol), cb).as("lut"))
     // smaller ADC distance = closer: negate so rankTopK's (sim desc,
     // id asc) order yields nearest-first deterministically
-    val approx = coded.join(broadcast(probes), Seq("cluster"))
+    val approx = coded.join(broadcast(pairs), Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
+      .join(broadcast(luts), Seq("q_id"))
       .withColumn("sim", -Pq.adc(col("code"), col("lut"), cb))
     val short = Similarity.rankTopK(approx, shortlist)
       .select(col("q_id"), col("n_id"))

@@ -32,7 +32,8 @@ import graft.catalog.SnapshotTable
   * other read path.
   */
 final class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with StreamSourceProvider {
 
   override def shortName(): String = "graft"
 
@@ -114,6 +115,40 @@ final class GraftDataSource extends RelationProvider
       }
     }
     new GraftRelation(sqlContext, path, None, None)
+  }
+
+  /** Streaming read: `spark.readStream.format("graft")
+    * .option("changesFrom", v).load(root)` — the CDC changelog as a
+    * micro-batch stream, one offset per table version
+    * ([[graft.streaming.GraftChangesSource]]). `changesFrom` omitted =
+    * stream only commits after the query starts.
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "the graft streaming source derives its schema from the table — " +
+        "drop .schema(...)")
+    val table = SnapshotTable.load(sqlContext.sparkSession, pathOf(parameters))
+    (shortName(),
+      graft.streaming.GraftChangesSource.changeSchema(table.schemaAt(None)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val from = parameters.get("changesfrom").map { v =>
+      try v.toLong
+      catch {
+        case _: NumberFormatException =>
+          sys.error(s"changesFrom must be a version number, got '$v'")
+      }
+    }
+    require(!parameters.contains("changesto"),
+      "a streaming changelog read is unbounded — changesTo only applies " +
+        "to batch reads (spark.read)")
+    new graft.streaming.GraftChangesSource(sqlContext, pathOf(parameters),
+      from, metadataPath)
   }
 
   /** `month(col)` / `identity(col)` / bare `col` (= identity). The

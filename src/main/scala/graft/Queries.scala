@@ -2284,13 +2284,22 @@ object Queries {
       QueryDef("stream_sessionize",
         (s, dir) => {
           import s.implicits._
-          val ev = t(s, dir, "events")
-            .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+          val src = t(s, dir, "events")
+          // ts has shipped as both TIMESTAMP and TIMESTAMP_NTZ across
+          // testdata generations; unix_micros only takes the former, so
+          // cast in (a UTC-session no-op) and cast the session bounds
+          // back out to the source type so the result schema tracks it
+          val tsType = src.schema("ts").dataType
+          val ev = src
+            .select(col("user_id"),
+              unix_micros(col("ts").cast("timestamp")).as("ts_us"))
             .as[EventStream.MicroEvent]
           EventStream.sessionizeBatch(ev, gapUs = 30L * 60 * 1000000)
             .select(col("user_id"),
-              timestamp_micros(col("session_start_us")).as("session_start"),
-              timestamp_micros(col("session_end_us")).as("session_end"),
+              timestamp_micros(col("session_start_us")).cast(tsType)
+                .as("session_start"),
+              timestamp_micros(col("session_end_us")).cast(tsType)
+                .as("session_end"),
               col("n_events"))
         },
         Some("""WITH e AS (

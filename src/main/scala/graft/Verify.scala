@@ -9,7 +9,15 @@ object Verify {
     val spark = graft.config.GraftConfig.fromEnv(appName = "graft-verify")
       .copy(sfDir = sfDir).newSession()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Same local-iteration filter as Bench: SPARK_GRAFT_ONLY=a,b
+    // restricts the dump (the driver never sets it — full run there)
+    val selected = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(names) =>
+        val keep = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.filter { case (n, _) => keep(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

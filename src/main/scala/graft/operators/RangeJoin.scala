@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Point-in-interval range join — the second classic operator Spark
@@ -18,9 +18,16 @@ import org.apache.spark.sql.functions._
   * needed.
   *
   * Timestamps are compared at microsecond precision (`unix_micros`),
-  * matching the parquet events precision.
+  * matching the parquet events precision. Point/interval columns may be
+  * TIMESTAMP or TIMESTAMP_NTZ (the testdata has shipped as both): the
+  * bucket key casts to TIMESTAMP first — `unix_micros` rejects NTZ —
+  * which under the library's UTC sessions is value-preserving, and the
+  * exact containment filter compares the ORIGINAL columns, so the cast
+  * only ever routes candidate pairs, never decides membership.
   */
 object RangeJoin {
+
+  private def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
 
   /** Inner-join `points` to every interval containing them
     * (half-open: start <= t < end), sharing `keyCol`.
@@ -36,13 +43,13 @@ object RangeJoin {
       bucketUs: Long): DataFrame = {
     require(bucketUs >= 1, s"bucketUs=$bucketUs must be >= 1")
     val p = points
-      .withColumn("__bucket", floor(unix_micros(col(ptCol)) / bucketUs))
+      .withColumn("__bucket", floor(micros(col(ptCol)) / bucketUs))
     val i = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("__bucket", explode(sequence(
-        floor(unix_micros(col(startCol)) / bucketUs),
+        floor(micros(col(startCol)) / bucketUs),
         // half-open end: the bucket of the last contained microsecond
-        floor((unix_micros(col(endCol)) - 1) / bucketUs))))
+        floor((micros(col(endCol)) - 1) / bucketUs))))
     p.join(i, Seq(keyCol, "__bucket"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bucket")

@@ -1,0 +1,88 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression: the driver's testdata has shipped `events.ts` both as
+  * parquet TIMESTAMP (read as TimestampType) and as tz-less
+  * timestamp[us] (read as TIMESTAMP_NTZ in Spark 4). Round 7's bench
+  * failed `q_range_join` and `stream_sessionize` with
+  * DATATYPE_MISMATCH because `unix_micros` rejects NTZ. Every
+  * registry query that does timestamp arithmetic must accept BOTH
+  * encodings and keep its output ts columns in the INPUT's type (the
+  * oracle compare is against DuckDB reading the same parquet).
+  */
+class NtzRegressionSpec extends AnyFunSuite {
+  lazy val spark = TestSparkSession.spark
+  import spark.implicits._
+
+  /** A miniature events.parquet whose ts is TIMESTAMP_NTZ. */
+  private lazy val ntzDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ntz").toString
+    val t0 = LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    val rows = (0 until 200).map { i =>
+      // two users; a >30min gap every 50 events forces session breaks
+      (i.toLong, t0.plusMinutes(i / 2 * 7L + (i / 50) * 45L),
+        (i % 2).toLong, s"type${i % 3}", i * 1.5, s"""{"k":$i}""")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("testdata fixture really is TIMESTAMP_NTZ") {
+    val ts = spark.read.parquet(s"$ntzDir/events.parquet").schema("ts")
+    assert(ts.dataType == TimestampNTZType)
+  }
+
+  test("q_range_join runs on NTZ events and keeps the point ts NTZ") {
+    val out = SparkEntry.queries("q_range_join")(spark, ntzDir)
+    assert(out.schema("ts").dataType == TimestampNTZType)
+    // window_start comes out of date_trunc, which always returns
+    // TIMESTAMP — value-identical to the oracle under the UTC session
+    // (driver-verified), so only the passthrough column's type is pinned
+    assert(out.schema("window_start").dataType == TimestampType)
+    assert(out.count() > 0)
+  }
+
+  test("stream_sessionize runs on NTZ events and keeps NTZ outputs") {
+    val out = SparkEntry.queries("stream_sessionize")(spark, ntzDir)
+    assert(out.schema("session_start").dataType == TimestampNTZType)
+    assert(out.schema("session_end").dataType == TimestampNTZType)
+    val sessions = out.collect()
+    assert(sessions.nonEmpty)
+    // the 45-minute jump every 50 events must break sessions: with 200
+    // events / 2 users there are 4 runs per user
+    assert(sessions.length == 8, s"got ${sessions.length} sessions")
+  }
+
+  test("pointInInterval: NTZ and TIMESTAMP inputs produce identical pairs") {
+    import graft.operators.RangeJoin
+    val r = new scala.util.Random(41)
+    val base = LocalDateTime.of(2024, 3, 1, 0, 0, 0)
+    val pts = (1 to 300).map(i =>
+      (r.nextInt(4).toLong, i.toLong, base.plusSeconds(r.nextInt(7200).toLong)))
+    val ivs = (1 to 60).map { i =>
+      val s = r.nextInt(7200)
+      (r.nextInt(4).toLong, i.toLong, base.plusSeconds(s.toLong),
+        base.plusSeconds(s + 600L))
+    }
+    val pNtz = pts.toDF("k", "pid", "t")
+    val iNtz = ivs.toDF("k", "iid", "s", "e")
+    assert(pNtz.schema("t").dataType == TimestampNTZType)
+    def ltz(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+    def pairs(p: org.apache.spark.sql.DataFrame, iv: org.apache.spark.sql.DataFrame) =
+      RangeJoin.pointInInterval(p, iv, "k", "t", "s", "e",
+          bucketUs = 10L * 60 * 1000000)
+        .select("pid", "iid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val ntzPairs = pairs(pNtz, iNtz)
+    val ltzPairs = pairs(ltz(pNtz, "t"), ltz(iNtz, "s", "e"))
+    assert(ntzPairs == ltzPairs)
+    assert(ntzPairs.nonEmpty)
+  }
+}

@@ -69,26 +69,28 @@ object Bench {
     }
     val results: Map[String, Double] = outcomes.collect { case (k, Right(v)) => k -> v }.toMap
     val errors = outcomes.collect { case (k, Left(m)) => k -> m }
-    // The driver truncates long output lines from the tail, so ordering
-    // inside the JSON is load-bearing: headline queries (the wide-vector
-    // PQ crossover pair and the queries VERDICT r6 flagged as drifting)
-    // print first, then everything else slowest-first — the queries most
-    // worth reading survive any truncation window. Times rounded to ms.
+    // The driver keeps the LAST ~2000 chars of the output line
+    // (BENCH_r07's tail starts mid-"queries" and the leading headline
+    // block was cut), so ordering inside the JSON is load-bearing and
+    // the valuable fields ride at the END: per-query times ascending
+    // (slowest entries last, inside the surviving window), then the
+    // headline pairs (the wide-vector PQ crossover pair and the queries
+    // VERDICT r6 flagged as drifting), then errors and the total.
     val headlineNames = Seq(
       "sim_wide_ivf_index", "sim_wide_ivfpq_index",
       "sim_topk_ivf_index", "sim_topk_ivfpq_index", "sim_topk_ivf_model",
       "q_rollup", "q_salted_join", "dedup_keep_representatives")
     def fmt(v: Double): String = f"$v%.3f"
     val headline = headlineNames.flatMap(n => results.get(n).map(n -> _))
-    val rest = (results -- headlineNames).toSeq.sortBy(-_._2)
-    val qs = (headline ++ rest).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.toSeq.sortBy(_._2)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val hl = headline.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"headline":$hl,"queries":$qs,"errors":$errs,"sf":"${cfg.sfDir}"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"${cfg.sfDir}","queries":$qs,"headline":$hl,"errors":$errs,"total_sec":${fmt(total)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -66,10 +66,21 @@ object FileStats {
   def eligible(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
          DoubleType | StringType | BooleanType | DateType |
-         TimestampType => true
+         TimestampType | TimestampNTZType => true
     case _: DecimalType => true
     case _ => false
   }
+
+  /** Fixed-width wall-clock rendering for TIMESTAMP_NTZ bounds:
+    * zero-padded to microseconds so lexicographic order IS
+    * chronological order and equal instants render identically on the
+    * write (date_format) and prune (DateTimeFormatter) sides. NTZ has
+    * no instant, so epoch micros would smuggle a session time zone into
+    * the manifest; the wall clock itself is the TZ-free encoding.
+    */
+  private[catalog] val NtzPattern = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private[catalog] val NtzFormatter =
+    java.time.format.DateTimeFormatter.ofPattern(NtzPattern)
 
   /** The aggregate columns for one stats pass: for eligible field i,
     * aliases `__min_i`, `__max_i`, `__nulls_i` (positional aliases —
@@ -85,6 +96,8 @@ object FileStats {
         case TimestampType =>
           (unix_micros(min(c)).cast("string"),
             unix_micros(max(c)).cast("string"))
+        case TimestampNTZType =>
+          (date_format(min(c), NtzPattern), date_format(max(c), NtzPattern))
         case StringType =>
           // bound the manifest: never ship multi-KB document bodies
           // into the file list
@@ -308,6 +321,12 @@ object StatsPruner {
         case i: Instant => Some(micros(i))
         case _ => None
       }
+      case TimestampNTZType => v match {
+        // catalyst NTZ = micros of the wall clock pinned at UTC
+        case l: java.time.LocalDateTime =>
+          Some(micros(l.toInstant(java.time.ZoneOffset.UTC)))
+        case _ => None
+      }
       case DateType => v match {
         case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
         case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
@@ -393,6 +412,17 @@ object StatsPruner {
           case _ => None
         }
       } yield java.lang.Long.compare(b, m)
+    case TimestampNTZType =>
+      // bound is the fixed-width wall-clock rendering (NtzPattern);
+      // render the filter value identically and compare as strings.
+      // Years outside 4 digits would break the fixed width, so they
+      // fall back to conservative keep.
+      (v match {
+        case l: java.time.LocalDateTime => Some(l)
+        case t: java.sql.Timestamp => Some(t.toLocalDateTime)
+        case _ => None
+      }).filter(l => l.getYear >= 1000 && l.getYear <= 9999)
+        .map(l => bound.compareTo(l.format(FileStats.NtzFormatter)))
     case _ => None
   }
 

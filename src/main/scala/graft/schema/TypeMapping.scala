@@ -19,8 +19,9 @@ object TypeMapping {
   /** Types the reference supports (SURVEY §1.2). Nested types recurse. */
   def isSupported(dt: DataType): Boolean = dt match {
     case _: StringType | _: IntegerType | _: LongType | _: FloatType |
-        _: DoubleType | _: BooleanType | _: TimestampType | _: DateType |
-        _: DecimalType | _: BinaryType => true
+        _: DoubleType | _: BooleanType | _: TimestampType |
+        _: TimestampNTZType | _: DateType | _: DecimalType |
+        _: BinaryType => true
     case ArrayType(e, _)       => isSupported(e)
     case MapType(k, v, _)      => isSupported(k) && isSupported(v)
     case StructType(fields)    => fields.forall(f => isSupported(f.dataType))

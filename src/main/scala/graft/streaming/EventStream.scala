@@ -31,19 +31,35 @@ object EventStream {
   case class SessionState(startMs: Long, lastMs: Long,
       nEvents: Long, sumValue: Double)
 
+  /** Streaming watermarks REQUIRE TimestampType event time — Spark
+    * fails analysis with [EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE] on a
+    * TIMESTAMP_NTZ column, and the events testdata has shipped as both
+    * encodings. Each watermark-using operator normalizes its event-time
+    * column in and casts derived event-time outputs back to the input's
+    * type, so callers keep their encoding (the library's UTC sessions
+    * make both directions value-preserving).
+    */
+  private def asEventTime(df: DataFrame, c: String): DataFrame =
+    if (df.schema(c).dataType ==
+        org.apache.spark.sql.types.TimestampType) df
+    else df.withColumn(c, col(c).cast("timestamp"))
+
   /** Watermarked tumbling-window aggregation: events per
     * (event_type, window), late data beyond `watermark` dropped.
     * Works identically on a batch frame (watermark is a no-op there).
     */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
-      watermark: String = "10 minutes"): DataFrame =
-    events
+      watermark: String = "10 minutes"): DataFrame = {
+    val outT = events.schema("ts").dataType
+    asEventTime(events, "ts")
       .withWatermark("ts", watermark)
       .groupBy(col("event_type"), window(col("ts"), windowLen))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(10,2)")).cast("double").as("sum_value"))
-      .select(col("event_type"), col("window.start").as("window_start"),
+      .select(col("event_type"),
+        col("window.start").cast(outT).as("window_start"),
         col("n"), col("sum_value"))
+  }
 
   /** Stateful sessionization with `flatMapGroupsWithState`: per user,
     * events within `gapMs` of each other belong to one session; a
@@ -162,9 +178,13 @@ object EventStream {
     * formulation the registry oracle checks is the deterministic
     * groupBy in `Queries.stream_dedup_events`.
     */
-  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermark)
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val outT = events.schema("ts").dataType
+    asEventTime(events, "ts")
+      .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+      .withColumn("ts", col("ts").cast(outT))
+  }
 
   /** Stream-stream interval join (click attribution): each click pairs
     * with the same user's views from the preceding `horizonMin`
@@ -176,16 +196,20 @@ object EventStream {
     */
   def clickAttribution(views: DataFrame, clicks: DataFrame,
       watermark: String = "10 minutes", horizonMin: Int = 10): DataFrame = {
-    val v = views.select(col("user_id"), col("ts").as("view_ts"),
+    val outT = views.schema("ts").dataType
+    val v = views.select(col("user_id"),
+      col("ts").cast("timestamp").as("view_ts"),
       col("event_id").as("view_id")).withWatermark("view_ts", watermark)
     val c = clicks.select(col("user_id").as("c_user_id"),
-      col("ts").as("click_ts"), col("event_id").as("click_id"))
+      col("ts").cast("timestamp").as("click_ts"),
+      col("event_id").as("click_id"))
       .withWatermark("click_ts", watermark)
     v.join(c, col("user_id") === col("c_user_id") &&
         col("click_ts") > col("view_ts") &&
         col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMin MINUTES"))
       .select(col("user_id"), col("view_id"), col("click_id"),
-        col("view_ts"), col("click_ts"))
+        col("view_ts").cast(outT).as("view_ts"),
+        col("click_ts").cast(outT).as("click_ts"))
   }
 
   /** Continuous ingest into the evolving catalog table: the reference's

@@ -142,8 +142,11 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     // re-write as multiple files so maxFilesPerTrigger yields >1 microbatch
     val dir = Files.createTempDirectory("graft-stream").toString
     ev.repartition(4).write.mode("overwrite").parquet(dir)
+    // r.get (not getTimestamp): events.ts has shipped as both TIMESTAMP
+    // (java.sql.Timestamp rows) and TIMESTAMP_NTZ (LocalDateTime rows);
+    // both sides of the parity check produce the same type either way
     val batch = EventStream.windowedCounts(spark.read.parquet(dir))
-      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+      .collect().map(r => (r.getString(0), r.get(1), r.getLong(2),
         r.getDouble(3))).toSet
 
     val stream = EventStream.readEventStream(spark, dir, ev.schema)
@@ -153,7 +156,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       val streamed = spark.table("win_counts")
-        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        .collect().map(r => (r.getString(0), r.get(1), r.getLong(2),
           r.getDouble(3))).toSet
       assert(streamed == batch)
     } finally q.stop()

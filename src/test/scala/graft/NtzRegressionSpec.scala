@@ -59,6 +59,39 @@ class NtzRegressionSpec extends AnyFunSuite {
     assert(sessions.length == 8, s"got ${sessions.length} sessions")
   }
 
+  test("snapshot manifest records NTZ bounds and prunes range scans on them") {
+    import graft.catalog.SnapshotTable
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("ntzsnap")
+      .resolve("t").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampNTZType)))
+    val t = SnapshotTable.create(spark, root, schema, None)
+    // 4 files, each one contiguous day — bounds must localize them
+    val df = (0L until 96L).map(i =>
+      (i, LocalDateTime.of(2024, 1, 1 + (i / 24).toInt, (i % 24).toInt, 30, 0)))
+      .toDF("id", "ts")
+      .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+    t.append(df)
+    val files = t.currentSnapshot().files
+    assert(files.size == 4)
+    val bounds = files.flatMap(_.stats("ts").min)
+    // fixed-width wall-clock rendering, lexicographically ordered
+    assert(bounds.forall(_.matches(
+      """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{6}""")), bounds.mkString(";"))
+    val jan3 = LocalDateTime.of(2024, 1, 3, 0, 0, 0)
+    assert(t.pruneFiles(col("ts") >= lit(jan3) &&
+      col("ts") < lit(jan3.plusDays(1))).size == 1)
+    // equality exactly ON a file's max bound must keep that file
+    // (fixed-width rendering makes equal instants render identically)
+    val lastOfDay2 = LocalDateTime.of(2024, 1, 2, 23, 30, 0)
+    assert(t.pruneFiles(col("ts") === lit(lastOfDay2)).size == 1)
+    assert(t.readWhere(col("ts") === lit(lastOfDay2)).count() == 1L)
+    // full-scan parity: pruning never changes results
+    val pred = col("ts") >= lit(jan3)
+    assert(t.readWhere(pred).count() == t.read().filter(pred).count())
+  }
+
   test("pointInInterval: NTZ and TIMESTAMP inputs produce identical pairs") {
     import graft.operators.RangeJoin
     val r = new scala.util.Random(41)

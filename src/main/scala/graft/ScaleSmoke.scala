@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Perf-only scale probe (VERDICT r6 item 8): replays the heaviest
+  * dedup/ANN shapes on an N×-replicated corpus derived from the driver
+  * testdata, timing each at 1× and at N× in the same JVM and printing
+  * one JSON line with the per-query scaling factor. A family whose
+  * cost grows faster than ~N× here has a super-linear edge the sf0.1
+  * bench can't see (candidate-pair blowup, propagation-round growth).
+  *
+  * NOT an oracle gate — replicas are deterministic mutations, built so
+  * each replica keeps the ORIGINAL's statistical shape:
+  *  - documents: per-replica letter rotation (`translate`) keeps every
+  *    replica's shingle-frequency profile while making cross-replica
+  *    shingles distinct. Ten exact copies would instead multiply every
+  *    shingle's document frequency by N and the maxDocFreq guard would
+  *    prune the whole index — a 10× corpus of NEW content is the
+  *    honest scale-up.
+  *  - embeddings: per-replica deterministic jitter (±0.01-ish per
+  *    coordinate) keeps near-dup geometry per replica without creating
+  *    cross-replica exact ties.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE=10
+  *      sbt "runMain graft.ScaleSmoke"
+  */
+object ScaleSmoke {
+
+  private val Letters = "abcdefghijklmnopqrstuvwxyz"
+
+  /** N replicas of the near-dup document corpus: replica r rotates the
+    * alphabet by r (identity for r = 0) and offsets ids by r·10⁷
+    * (corpus ids stay < 2·10⁵ per replica).
+    */
+  def scaleDocs(corpus: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      val to = Letters.drop(r % 26) + Letters.take(r % 26)
+      corpus.select(
+        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        (if (r == 0) col("text") else translate(col("text"), Letters, to))
+          .as("text"))
+    }.reduce(_ unionByName _)
+
+  /** N replicas of a vector corpus: replica r jitters each coordinate
+    * by a deterministic (index, replica)-keyed offset in ±0.01 and
+    * offsets ids by r·10⁸ (wide-corpus ids reach 16·10⁶).
+    */
+  def scaleVectors(corpus: DataFrame, idCol: String, factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      val emb =
+        if (r == 0) col("embedding")
+        else transform(col("embedding"), (x, i) =>
+          (x + (pmod(i * 131 + lit(r * 17), lit(11)) - lit(5)).cast("float")
+            * lit(0.002f)).cast("float"))
+      corpus.select((col(idCol) + lit(r * 100000000L)).as(idCol),
+        emb.as("embedding"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val cfg = graft.config.GraftConfig.fromEnv(appName = "graft-scale-smoke")
+    val spark = cfg.newSession()
+    val dir = cfg.sfDir
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+
+    // count() executes the full join/aggregation pipelines these shapes
+    // are made of, and the row count is itself the blowup signal this
+    // probe exists to read (candidate pairs, cluster rows)
+    def time(f: => DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f.count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    import graft.operators.{Dedup, Ivf}
+
+    val docs1 = Queries.nearDupCorpus(spark, dir)
+    val vecs1 = Queries.nearDupVectors(spark, dir)
+    val wide1 = Queries.wideVectors(spark, dir)
+
+    // models train ONCE on the 1× corpus (the registry memoizes them the
+    // same way): k-means centroids / PQ codebooks don't change shape
+    // with corpus replication, and the scaling signals this probe reads
+    // are the index BUILD (should grow ~N×) and the probed QUERY
+    // (should stay sublinear via manifest pruning)
+    lazy val narrowModel = Ivf.train(vecs1, k = 16, iters = 2)
+    lazy val narrowCb = Ivf.trainPq(vecs1, m = 8, ksub = 16, iters = 5)
+    lazy val wideModel = Ivf.train(wide1, k = 16, iters = 2)
+    lazy val wideCb = Ivf.trainPq(wide1, m = 64, ksub = 16, iters = 5)
+
+    def ivfStages(corpus: DataFrame, queries: DataFrame, wide: Boolean,
+        scale: Int): Seq[(String, Int, () => DataFrame)] = {
+      val tag = if (wide) "sim_wide_ivfpq_index" else "sim_topk_ivf_index"
+      var root: String = null
+      Seq(
+        (s"${tag}_build", scale, () => {
+          root = java.nio.file.Files.createTempDirectory("graft-smoke-ivf")
+            .resolve("index").toString
+          Ivf.buildIndex(spark, corpus,
+            if (wide) wideModel else narrowModel, root,
+            pq = Some(if (wide) wideCb else narrowCb))
+          spark.range(1).toDF("built") // build is the timed work
+        }),
+        (s"${tag}_query", scale, () => {
+          val idx = graft.catalog.SnapshotTable.load(spark, root)
+          if (wide)
+            Ivf.topKPqWithIndex(idx, queries, wideModel, wideCb, k = 1,
+              nprobe = 8, shortlist = 8)
+          else
+            Ivf.topKWithIndex(idx, queries, narrowModel, k = 1, nprobe = 4)
+        }))
+    }
+
+    val narrowQueries = vecs1.filter(col("vec_id") >= 100000L &&
+      col("vec_id") < 100000000L)
+
+    // each family: 1× then N×, same code path
+    val runs: Seq[(String, Int, () => DataFrame)] = Seq(
+      ("dedup_ngram", 1, () =>
+        Dedup.ngramJaccardPairs(docs1, shingleLen = 3, threshold = 0.5,
+          maxDocFreq = 50)),
+      ("dedup_ngram", factor, () =>
+        Dedup.ngramJaccardPairs(scaleDocs(docs1, factor), shingleLen = 3,
+          threshold = 0.5, maxDocFreq = 50)),
+      ("dedup_clusters", 1, () => {
+        val pairs = Dedup.minhashPairs(docs1, shingleLen = 3, k = 64,
+          bands = 16, threshold = 0.6)
+        Dedup.clusters(pairs, docs1.select(col("doc_id")), idCol = "doc_id")
+      }),
+      ("dedup_clusters", factor, () => {
+        val d = scaleDocs(docs1, factor)
+        val pairs = Dedup.minhashPairs(d, shingleLen = 3, k = 64,
+          bands = 16, threshold = 0.6)
+        Dedup.clusters(pairs, d.select(col("doc_id")), idCol = "doc_id")
+      })) ++
+      ivfStages(vecs1, narrowQueries, wide = false, 1) ++
+      ivfStages(scaleVectors(vecs1, "vec_id", factor), narrowQueries,
+        wide = false, factor) ++
+      ivfStages(wide1, Queries.wideQueries(wide1), wide = true, 1) ++
+      ivfStages(scaleVectors(wide1, "vec_id", factor),
+        Queries.wideQueries(wide1), wide = true, factor)
+
+    val timed = runs.map { case (name, f, mk) =>
+      val (secs, rows) = time(mk())
+      System.err.println(f"[scale-smoke] $name%s x$f%d: $secs%.2f s, $rows rows")
+      (name, f, secs, rows)
+    }
+    def fmt(v: Double): String = f"$v%.2f"
+    val byName = timed.groupBy(_._1)
+    val entries = byName.toSeq.sortBy(_._1).map { case (name, rs) =>
+      val t1 = rs.find(_._2 == 1).get._3
+      val tn = rs.find(_._2 == factor).get._3
+      s""""$name":{"t1":${fmt(t1)},"t$factor":${fmt(tn)},""" +
+        s""""ratio":${fmt(tn / t1)}}"""
+    }
+    println(s"""{"metric":"scale_smoke","factor":$factor,""" +
+      entries.mkString("", ",", s""","sf":"$dir"}"""))
+    spark.stop()
+  }
+}

@@ -97,6 +97,11 @@ object GraftExtensions {
     // SQL MERGE INTO / DELETE FROM / UPDATE on graft snapshot tables
     // (post-hoc: after resolution, before the v2-only CheckAnalysis)
     ext.injectPostHocResolutionRule(session => GraftSqlDmlRule(session))
+    // FOR VERSION/TIMESTAMP AS OF on graft temp views (parser seam —
+    // ResolveRelations rejects temp-view time travel before any
+    // injected resolution rule could run; see GraftTimeTravelParser)
+    ext.injectParser((session, delegate) =>
+      new GraftTimeTravelParser(session, delegate))
   }
 
   /** Register on a live session (tests / notebooks that didn't set

@@ -12,7 +12,7 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
 
-import graft.catalog.{MergeAction => GMergeAction, MergeClause}
+import graft.catalog.{InsertClause, MergeAction => GMergeAction, MergeClause}
 import graft.sources.GraftRelation
 
 /** SQL row-level DML on graft snapshot tables — `MERGE INTO`,
@@ -30,15 +30,17 @@ import graft.sources.GraftRelation
   *
   *  - `DELETE FROM v WHERE p` → `delete(p)` (COW, manifest-pruned)
   *  - `UPDATE v SET c = e WHERE p` → `update(Seq(c -> e), p)`
-  *  - `MERGE INTO v USING src ON t.k = s.k WHEN MATCHED [AND c] THEN
-  *    UPDATE SET * | DELETE [WHEN NOT MATCHED THEN INSERT *]` →
-  *    `mergeConditional(src, keys, clauses, insertNotMatched)`
+  *  - `MERGE INTO v USING src ON t.k = s.k
+  *       WHEN MATCHED [AND c] THEN UPDATE SET * | SET c = e, … | DELETE
+  *       [WHEN NOT MATCHED [AND c] THEN INSERT * | (cols) VALUES (…)]
+  *       [WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … | DELETE]`
+  *    → `mergeConditional(src, keys, matched, inserts, nmbs)`
   *
   * Supported surface mirrors the Scala API exactly (first-match-wins
-  * clauses, cardinality rule, NULL-condition = no-match); unsupported
-  * shapes (column-list UPDATE in MERGE, conditional INSERT, NOT MATCHED
-  * BY SOURCE, subqueries in predicates) fail with a message naming the
-  * limitation rather than a v2-table analysis error.
+  * clauses in each group, cardinality rule, NULL-condition = no-match);
+  * the remaining unsupported shape (subqueries in predicates or
+  * assignment values) fails with a message naming the limitation rather
+  * than a v2-table analysis error.
   */
 final case class GraftSqlDmlRule(session: SparkSession)
     extends Rule[LogicalPlan] {
@@ -68,33 +70,68 @@ final case class GraftSqlDmlRule(session: SparkSession)
       val gr = writable(targetOf(m.targetTable).get, "MERGE INTO")
       val tOut = m.targetTable.outputSet
       val sOut = m.sourceTable.outputSet
-      if (m.notMatchedBySourceActions.nonEmpty)
-        fail("WHEN NOT MATCHED BY SOURCE is not supported for graft tables")
       val on = equiKeys(m.mergeCondition, tOut, sOut).getOrElse(fail(
         "graft MERGE requires ON to be a conjunction of " +
           "target.k = source.k equalities on same-named columns; got: " +
           m.mergeCondition.sql))
-      noSubquery(m.matchedActions.flatMap(_.condition), "MERGE")
+      noSubquery(m.matchedActions.flatMap(_.condition) ++
+        m.notMatchedActions.flatMap(_.condition) ++
+        m.notMatchedBySourceActions.flatMap(_.condition), "MERGE")
       val targetNames = m.targetTable.output.map(_.name)
+      def updateSet(assigns: Seq[Assignment]): GMergeAction.UpdateSet =
+        GMergeAction.UpdateSet(assigns.map { a =>
+          val name = a.key match {
+            case ar: AttributeReference => ar.name
+            case other =>
+              fail(s"MERGE UPDATE SET target must be a plain column, got $other")
+          }
+          name -> tsColumn(a.value, tOut, sOut)
+        })
       val clauses = m.matchedActions.map {
         case UpdateStarAction(c) =>
           MergeClause(c.map(tsColumn(_, tOut, sOut)), GMergeAction.UpdateAll)
         case UpdateAction(c, assigns, _) if isStar(assigns, targetNames, sOut) =>
           MergeClause(c.map(tsColumn(_, tOut, sOut)), GMergeAction.UpdateAll)
+        case UpdateAction(c, assigns, _) =>
+          noSubquery(assigns.map(_.value), "MERGE")
+          MergeClause(c.map(tsColumn(_, tOut, sOut)), updateSet(assigns))
         case DeleteAction(c) =>
           MergeClause(c.map(tsColumn(_, tOut, sOut)), GMergeAction.Delete)
         case other => fail("graft MERGE supports WHEN MATCHED THEN " +
-          s"UPDATE SET * or DELETE; got: $other")
+          s"UPDATE SET * / UPDATE SET c = e, … / DELETE; got: $other")
       }
-      val insertNotMatched = m.notMatchedActions match {
-        case Nil => false
-        case Seq(InsertStarAction(None)) => true
-        case Seq(InsertAction(None, assigns))
-            if isStar(assigns, targetNames, sOut) => true
-        case other => fail("graft MERGE supports a single unconditional " +
-          s"WHEN NOT MATCHED THEN INSERT *; got: $other")
+      // WHEN NOT MATCHED: conditional star or column-list INSERTs,
+      // first-match-wins (values and conditions see the source row)
+      val inserts = m.notMatchedActions.map {
+        case InsertStarAction(c) =>
+          InsertClause(c.map(tsColumn(_, tOut, sOut)), None)
+        case InsertAction(c, assigns) if isStar(assigns, targetNames, sOut) =>
+          InsertClause(c.map(tsColumn(_, tOut, sOut)), None)
+        case InsertAction(c, assigns) =>
+          noSubquery(assigns.map(_.value), "MERGE")
+          for (a <- assigns; ref <- a.value.references)
+            if (!sOut.contains(ref)) fail(
+              s"MERGE INSERT values may only reference the source; got ${ref.name}")
+          InsertClause(c.map(tsColumn(_, tOut, sOut)),
+            Some(updateSet(assigns).assigns))
+        case other => fail(
+          s"graft MERGE supports WHEN NOT MATCHED [AND c] THEN INSERT; got: $other")
       }
-      GraftMergeCommand(gr, m.sourceTable, on, clauses, insertNotMatched)
+      // WHEN NOT MATCHED BY SOURCE: target-only UPDATE SET / DELETE
+      val nmbs = m.notMatchedBySourceActions.map {
+        case DeleteAction(c) =>
+          MergeClause(c.map(tsColumn(_, tOut, sOut)), GMergeAction.Delete)
+        case UpdateAction(c, assigns, _) =>
+          noSubquery(assigns.map(_.value), "MERGE")
+          for (a <- assigns; ref <- a.value.references)
+            if (!tOut.contains(ref)) fail(
+              "MERGE NOT MATCHED BY SOURCE expressions may only reference " +
+                s"the target; got ${ref.name}")
+          MergeClause(c.map(tsColumn(_, tOut, sOut)), updateSet(assigns))
+        case other => fail("graft MERGE supports WHEN NOT MATCHED BY SOURCE " +
+          s"THEN UPDATE SET c = e, … / DELETE; got: $other")
+      }
+      GraftMergeCommand(gr, m.sourceTable, on, clauses, inserts, nmbs)
   }
 }
 
@@ -209,11 +246,13 @@ final case class GraftUpdateCommand(gr: GraftRelation,
   * with it) and becomes a DataFrame at execution.
   */
 final case class GraftMergeCommand(gr: GraftRelation, source: LogicalPlan,
-    on: Seq[String], clauses: Seq[MergeClause], insertNotMatched: Boolean)
+    on: Seq[String], clauses: Seq[MergeClause], inserts: Seq[InsertClause],
+    notMatchedBySource: Seq[MergeClause])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     gr.table.mergeConditional(
-      DatasetBridge.ofRows(session, source), on, clauses, insertNotMatched)
+      DatasetBridge.ofRows(session, source), on, clauses, inserts,
+      notMatchedBySource)
     Nil
   }
 }

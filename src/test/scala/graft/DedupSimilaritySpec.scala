@@ -141,6 +141,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ngramJaccardPairsPrefix is result-identical to the plain inverted index") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val plain = Dedup.ngramJaccardPairs(corpus, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val prefix = Dedup.ngramJaccardPairsPrefix(corpus, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(prefix == plain, s"threshold=$t")
+    }
+  }
+
   test("wordShingles expression matches the HOF formulation on real docs") {
     import graft.functions.TextFunctions.normalText
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -956,11 +956,15 @@ class SnapshotTableSpec extends AnyFunSuite {
     val after = t.read().filter(col("id").isin(1L, 3L, 99L))
       .select("id", "v").as[(Long, Double)].collect().toMap
     assert(after == Map(1L -> 1000.0, 99L -> 9900.0), s"got $after")
-    // unsupported shapes fail with the limitation, not a v2 error
-    val e1 = intercept[Exception](spark.sql(
-      """MERGE INTO graft_dml t USING graft_dml_src s ON t.id = s.id
-        |WHEN MATCHED THEN UPDATE SET v = s.v + 1""".stripMargin))
-    assert(e1.getMessage.contains("UPDATE SET *"), e1.getMessage)
+    // column-list UPDATE SET with expressions over BOTH sides: matched
+    // ids 1 and 99 double (v was replaced by the merge above); ts keeps
+    // the target's value (unassigned)
+    spark.sql("""MERGE INTO graft_dml t USING graft_dml_src s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET v = s.v + t.v""".stripMargin)
+    val after2 = t.read().filter(col("id").isin(1L, 99L))
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(after2 == Map(1L -> 2000.0, 99L -> 19800.0), s"got $after2")
+    // unsupported shapes still fail with the limitation, not a v2 error
     val e2 = intercept[Exception](spark.sql(
       """MERGE INTO graft_dml t USING graft_dml_src s ON t.id < s.id
         |WHEN MATCHED THEN DELETE""".stripMargin))
@@ -971,6 +975,31 @@ class SnapshotTableSpec extends AnyFunSuite {
     val e3 = intercept[Exception](
       spark.sql("DELETE FROM graft_dml_v2 WHERE id = 1"))
     assert(e3.getMessage.contains("time-travel"), e3.getMessage)
+  }
+
+  test("SQL FOR VERSION AS OF pins a version, a tag, and a timestamp on graft views") {
+    val t = rangeTable() // v1 create, v2 append ids 1..40
+    t.tag("forty-rows")
+    t.append(rows((41, "2024-05-01", 41.0))) // v3: 41 rows
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_tt " +
+      s"USING graft OPTIONS (path '${t.root}')")
+    def one(sql: String): Long =
+      spark.sql(sql).as[Long].collect().head
+    assert(one("SELECT count(*) FROM graft_tt") == 41L)
+    assert(one("SELECT count(*) FROM graft_tt FOR VERSION AS OF 2") == 40L)
+    // a non-numeric VERSION resolves as a TAG (SQL's only ref syntax)
+    assert(one(
+      "SELECT count(*) FROM graft_tt FOR VERSION AS OF 'forty-rows'") == 40L)
+    // FOR TIMESTAMP AS OF: pin to v2's commit wall clock
+    val v2At = java.time.Instant
+      .ofEpochMilli(t.history().find(_.version == 2L).get.timestampMs)
+    assert(one("SELECT count(*) FROM graft_tt FOR TIMESTAMP AS OF " +
+      s"'$v2At'") == 40L)
+    // a non-graft relation with the clause keeps Spark's own error
+    spark.range(3).createOrReplaceTempView("plain_view")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM plain_view FOR VERSION AS OF 1").collect())
+    assert(!e.getMessage.contains("graft"), e.getMessage)
   }
 
   test("update(): COW file granularity, casts to column type, no-match no-op") {
@@ -1454,6 +1483,115 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(!out2.contains(20L) && !out2.contains(40L))
     assert(out2(4L).contains(400.0) && out2(36L).contains(3600.0))
     assert(t2.read().count() == 38L)
+  }
+
+  test("mergeConditional UpdateSet: assigned columns rewrite from both sides, rest keep") {
+    import graft.catalog.{InsertClause, MergeAction, MergeClause}
+    val t = rangeTable() // ids 1..40, v = id.toDouble (NULL at multiples of 10)
+    val source = (1L to 40L).filter(_ % 4 == 0).map(i =>
+      (i, Timestamp.valueOf("2024-06-01 00:00:00"), i * 100.0))
+      .toDF("id", "ts", "v")
+    t.mergeConditional(source, Seq("id"), Seq(
+      MergeClause(Some(col("s.id") <= 16L),
+        MergeAction.UpdateSet(Seq("v" -> (col("t.v") + col("s.v")))))),
+      notMatched = Nil, notMatchedBySource = Nil)
+    val out = t.read().select("id", "v", "ts").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), r.getTimestamp(2))).toMap
+    // v = t.v + s.v for matched ids ≤ 16; ts (unassigned) keeps the
+    // ORIGINAL target value, not the source's 2024-06-01
+    assert(out(4L)._1.contains(404.0) && out(16L)._1.contains(1616.0))
+    assert(out(4L)._2.toString.startsWith("2024-01"))
+    // matched id > 16: no clause fired, row unchanged
+    assert(out(24L)._1.contains(24.0))
+    // NULL + number = NULL propagates through the assignment
+    assert(out(20L)._1.isEmpty)
+    assert(t.read().count() == 40L)
+  }
+
+  test("mergeConditional insert clauses: first-match-wins, column-list NULLs rest") {
+    import graft.catalog.{InsertClause, MergeAction, MergeClause}
+    val t = rangeTable()
+    // ids 41..44 are all NEW keys (pure inserts); 4 matches nothing
+    val source = Seq(
+      (41L, Timestamp.valueOf("2024-06-01 00:00:00"), 4100.0),
+      (42L, Timestamp.valueOf("2024-06-02 00:00:00"), 4200.0),
+      (43L, Timestamp.valueOf("2024-06-03 00:00:00"), 4300.0),
+      (44L, Timestamp.valueOf("2024-06-04 00:00:00"), 4400.0))
+      .toDF("id", "ts", "v")
+    t.mergeConditional(source, Seq("id"),
+      Seq(MergeClause(None, MergeAction.UpdateAll)),
+      notMatched = Seq(
+        // 42 hits the column-list clause first (id + v only, ts NULL)
+        InsertClause(Some(col("s.id") % 2 === 0),
+          Some(Seq("id" -> col("s.id"), "v" -> (col("s.v") + 0.5)))),
+        // odd ids fall to the star clause; 41 only (43 filtered out)
+        InsertClause(Some(col("s.id") =!= 43L), None)),
+      notMatchedBySource = Nil)
+    val out = t.read().filter(col("id") > 40L)
+      .select("id", "ts", "v").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out.keySet == Set(41L, 42L, 44L), "43 satisfied no insert clause")
+    assert(out(42L)._1.isEmpty && out(42L)._2.contains(4200.5),
+      "column-list insert NULLs unassigned ts and evaluates expressions")
+    assert(out(41L)._1.nonEmpty && out(41L)._2.contains(4100.0),
+      "star insert keeps the whole source row")
+    assert(out(44L)._1.isEmpty && out(44L)._2.contains(4400.5))
+  }
+
+  test("mergeConditional NOT MATCHED BY SOURCE: delete and update unmatched target rows") {
+    import graft.catalog.{InsertClause, MergeAction, MergeClause}
+    val t = rangeTable() // ids 1..40
+    val source = (1L to 40L).filter(_ % 4 == 0).map(i =>
+      (i, Timestamp.valueOf("2024-06-01 00:00:00"), i * 100.0))
+      .toDF("id", "ts", "v")
+    t.mergeConditional(source, Seq("id"),
+      Seq(MergeClause(None, MergeAction.UpdateAll)),
+      notMatched = Nil,
+      notMatchedBySource = Seq(
+        // first-match-wins: %10 deletes BEFORE %2's update can see it
+        MergeClause(Some(col("t.id") % 10 === 0), MergeAction.Delete),
+        MergeClause(Some(col("t.id") % 2 === 0),
+          MergeAction.UpdateSet(Seq("v" -> (col("t.v") * 10.0))))))
+    val out = t.read().select("id", "v").as[(Long, Option[Double])]
+      .collect().toMap
+    // matched (%4) rows updated to source
+    assert(out(4L).contains(400.0) && out(40L).contains(4000.0))
+    // unmatched %10 (10, 30) deleted — but 20, 40 are matched (%4) and kept
+    assert(!out.contains(10L) && !out.contains(30L))
+    // unmatched even non-%10 (2, 6, …) updated ×10
+    assert(out(2L).contains(20.0) && out(6L).contains(60.0))
+    // unmatched odd rows untouched
+    assert(out(1L).contains(1.0) && out(39L).contains(39.0))
+    assert(t.read().count() == 38L)
+    // UpdateAll in a NOT MATCHED BY SOURCE clause is rejected loudly
+    val ex = intercept[IllegalArgumentException] {
+      t.mergeConditional(source, Seq("id"),
+        Seq(MergeClause(None, MergeAction.UpdateAll)), Nil,
+        Seq(MergeClause(None, MergeAction.UpdateAll)))
+    }
+    assert(ex.getMessage.contains("NOT MATCHED BY SOURCE"))
+  }
+
+  test("case-colliding column names fail fast at create, evolving append and rename") {
+    val bad = StructType(Seq(StructField("id", LongType),
+      StructField("Value", DoubleType), StructField("value", DoubleType)))
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.create(spark, freshRoot(), bad, None)
+    }
+    assert(ex.getMessage.contains("collide"))
+    val t = SnapshotTable.create(spark, freshRoot(), StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType))), None)
+    t.append(Seq((1L, 1.0)).toDF("id", "v"))
+    // an evolving batch whose NEW column collides case-insensitively
+    // with an existing one must fail at the write, not misresolve in
+    // the scan strategy's by-name attribute remap
+    val ex2 = intercept[IllegalArgumentException] {
+      t.append(Seq((2L, 2.0, 3.0)).toDF("id", "v", "V"))
+    }
+    assert(ex2.getMessage.contains("collide"))
+    val ex3 = intercept[IllegalArgumentException] { t.renameColumn("v", "ID") }
+    assert(ex3.getMessage.contains("collide"))
+    assert(t.read().count() == 1L, "failed writes left no partial state")
   }
 
   test("bloom and stats agree on hostile long-string values (prune never drops a match)") {

@@ -857,6 +857,29 @@ object Queries {
   // and brute-force cosine carry full oracles.
   // =====================================================================
 
+  private val minhashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once persisted MinHash signature index of the documents
+    * corpus ([[graft.operators.Dedup.minhashSignatures]]), files
+    * band_hash-range-clustered so the manifest carries tight band_hash
+    * bounds — the probe side of `dedup_incremental`.
+    */
+  private def minhashIndexTable(s: SparkSession,
+      dir: String): graft.catalog.SnapshotTable = {
+    val root = minhashIndexCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-mh-index")
+        .resolve("index").toString
+      val sigs = graft.operators.Dedup.minhashSignatures(
+        t(s, dir, "documents"), shingleLen = 3, k = 64, bands = 16)
+      val tbl = graft.catalog.SnapshotTable.create(s, base, sigs.schema, None)
+      tbl.append(sigs.repartitionByRange(8, col("band_hash"))
+        .sortWithinPartitions("band_hash"))
+      base
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
+
   /** documents ∪ exact copies of every 7th doc (id+100000). */
   private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1010,6 +1033,27 @@ object Queries {
         (s, dir) => Dedup.minhashPairs(nearDupCorpus(s, dir),
           shingleLen = 3, k = 64, bands = 16, threshold = 0.6),
         Some(jaccardOracle(0.6, None))),
+
+      // INCREMENTAL ingest dedup: the corpus' banded-MinHash signatures
+      // live in a build-once snapshot table (band_hash-clustered files)
+      // and the arriving batch (the planted mutants) fingerprints only
+      // itself, probing the index by (band_id, band_hash) — the corpus
+      // is never re-shingled. Oracle = the cross (corpus × batch) slice
+      // of the same exact-Jaccard pair set dedup_minhash proves.
+      QueryDef("dedup_incremental",
+        (s, dir) => {
+          val idx = minhashIndexTable(s, dir)
+          val batch = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              concat(col("text"), lit(" graft dup marker")).as("text"))
+          Dedup.minhashAgainstIndex(idx.read(), batch,
+            t(s, dir, "documents"),
+            shingleLen = 3, k = 64, bands = 16, threshold = 0.6)
+        },
+        Some(s"""$shingleCtes${pairsCtes(0.6)}
+                |SELECT id_a AS corpus_id, id_b AS new_id, jaccard
+                |FROM prs
+                |WHERE id_a < 100000 AND id_b >= 100000""".stripMargin)),
 
       // edit-distance verification of the near-dup pairs (the fuzzy
       // second check pipelines run after shingle candidates): exact

@@ -114,6 +114,11 @@ object ScaleSmoke {
     val narrowQueries = vecs1.filter(col("vec_id") >= 100000L &&
       col("vec_id") < 100000000L)
 
+    // force training BEFORE the timed loop — otherwise the first build
+    // entry absorbs the (expensive, scale-independent) model fit and
+    // the 1×-vs-N× build ratio reads nonsense (r8 first run did)
+    locally { narrowModel; narrowCb; wideModel; wideCb }
+
     // each family: 1× then N×, same code path
     val runs: Seq[(String, Int, () => DataFrame)] = Seq(
       ("dedup_ngram", 1, () =>

@@ -104,6 +104,67 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** The persistable banded-MinHash signature rows of a corpus:
+    * `(id, band_id, band_hash)` — one row per (document, band). Write
+    * them once into a snapshot table and each incoming batch
+    * fingerprints ONLY ITSELF ([[minhashAgainstIndex]]); the corpus is
+    * never re-shingled. This is the index side of incremental ingest
+    * dedup: at 100 TB, re-minhashing the whole corpus per arriving
+    * batch is the dominant cost the index amortizes away.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleLen: Int = 3, k: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    docs.select(col(idCol).as("id"),
+      posexplode(graft.functions.MinHash.minhashBands(
+        wordShingles(col(textCol), shingleLen), k, bands))
+        .as(Seq("band_id", "band_hash")))
+  }
+
+  /** Near-duplicates of a NEW batch against an already-indexed corpus —
+    * the incremental form of [[minhashPairs]]: candidates come from the
+    * `(band_id, band_hash)` equi-join of the batch's (freshly computed)
+    * signatures against the PERSISTED index rows, then exact-Jaccard
+    * verification re-joins text for the surviving ids only. Band
+    * parameters must match the ones the index was built with.
+    *
+    * Scale shape: the batch side is batch-sized everywhere; the index
+    * side is a column-pruned scan of 3-long rows (at 100 TB, store the
+    * index band_hash-clustered with a bloom on band_hash so a small
+    * batch's probe prunes files before I/O); verification touches only
+    * candidate corpus documents (`corpusDocs` can be
+    * `table.readWhere(col(idCol).isin(candidateIds))` when the corpus
+    * lives in a snapshot table — stats/bloom point fetch, not a scan).
+    *
+    * @return (corpus_id, new_id, jaccard), jaccard ≥ threshold
+    */
+  def minhashAgainstIndex(index: DataFrame, newDocs: DataFrame,
+      corpusDocs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleLen: Int = 3, k: Int = 64,
+      bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, shingleLen,
+      k, bands)
+    val candidates = index.select(col("id").as("corpus_id"),
+        col("band_id"), col("band_hash"))
+      .join(newSigs.select(col("id").as("new_id"), col("band_id"),
+        col("band_hash")), Seq("band_id", "band_hash"))
+      .select(col("corpus_id"), col("new_id"))
+      .dropDuplicates("corpus_id", "new_id")
+    val shNew = newDocs.select(col(idCol).as("new_id"),
+      wordShingles(col(textCol), shingleLen).as("sh_new"))
+    val shOld = corpusDocs.select(col(idCol).as("corpus_id"),
+      wordShingles(col(textCol), shingleLen).as("sh_old"))
+    candidates
+      .join(shNew, "new_id")
+      .join(shOld, "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_old"), col("sh_new"))).cast("double") /
+          size(array_union(col("sh_old"), col("sh_new"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("new_id"), col("jaccard"))
+  }
+
   // -------------------------------------------------------------------
   // Pair graph → clusters
   // -------------------------------------------------------------------

@@ -141,6 +141,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!rows.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhashAgainstIndex equals the cross slice of the one-shot pair run") {
+    import org.apache.spark.sql.functions._
+    // corpus = ids < 100; batch = mutants shifted +1000
+    val corpusDocs = corpus.filter(col("doc_id") < 100)
+    val batch = corpusDocs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val index = Dedup.minhashSignatures(corpusDocs)
+    val got = Dedup.minhashAgainstIndex(index, batch, corpusDocs,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // one-shot run over corpus ∪ batch, sliced to cross pairs
+    val expected = Dedup.minhashPairs(corpusDocs.unionByName(batch),
+        threshold = 0.5)
+      .filter(col("id_a") < 1000 && col("id_b") >= 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "planted mutants must match their originals")
+  }
+
   test("ngramJaccardPairsPrefix is result-identical to the plain inverted index") {
     for (t <- Seq(0.3, 0.5, 0.8)) {
       val plain = Dedup.ngramJaccardPairs(corpus, threshold = t)

@@ -2651,6 +2651,29 @@ object Queries {
                |       WHEN lang = 'es' THEN '4000'
                |       ELSE 'g' END""".stripMargin)),
 
+      // temperature-flattened mixture sampling (XLM-R/mT5-style): the
+      // target mixture q_l ∝ p_l^0.5 flattens dominant languages toward
+      // rare ones; keep-rates derive IN-PLAN from the per-lang counts
+      // (broadcast scalar frame, no driver pass) and sampling is the
+      // same engine-portable salted-md5 slot test the other governance
+      // ops use. alpha = 0.5 routes through IEEE-correctly-rounded
+      // sqrt, so the oracle's arithmetic is bit-identical.
+      QueryDef("pipeline_temperature_mix",
+        (s, dir) => graft.operators.Governance.temperatureMix(
+          t(s, dir, "documents"), strataCol = "lang",
+          alpha = 0.5, fraction = 0.25)
+          .select(col("doc_id"), col("lang")),
+        Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+               |s AS (SELECT sum(n) AS big_n, sum(sqrt(n)) AS z FROM c),
+               |b AS (SELECT lang,
+               |  LEAST(65536, CAST(FLOOR(16384.0 * big_n * (sqrt(n) / z) / n)
+               |    AS BIGINT)) AS slots
+               |  FROM c, s)
+               |SELECT d.doc_id, d.lang FROM documents d JOIN b USING (lang)
+               |WHERE substr(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+               |  CASE WHEN slots >= 65536 THEN 'g'
+               |       ELSE printf('%04x', slots) END""".stripMargin)),
+
       // rare-vocabulary quality signal: fraction of each doc's token
       // occurrences whose corpus-wide count <= 2 (two-pass corpus
       // statistic: global counts joined back per doc; all-integer

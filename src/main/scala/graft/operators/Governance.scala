@@ -82,6 +82,61 @@ object Governance {
     docs.filter(prefix < bound)
   }
 
+  /** Temperature-flattened mixture sampling — the multilingual/
+    * multi-source rebalancing step (XLM-R / mT5 style): the target
+    * mixture gives stratum l probability q_l ∝ p_l^alpha (p_l its
+    * corpus share), so alpha < 1 flattens dominant strata toward the
+    * rare ones. The output is the deterministic subsample whose
+    * expected size is `fraction`·N and whose composition follows q:
+    * per-stratum keep-rate r_l = min(1, fraction·N·q_l / n_l), applied
+    * with the same salted-md5 slot test as [[sampleStratified]] — no
+    * RNG, reproducible in any engine with md5, and a doc's fate never
+    * changes as other strata grow. Rates clamp at 1 (pure subsampling;
+    * true upsampling duplicates rows at batch time — a trainer-side
+    * explode, not a corpus rewrite).
+    *
+    * Scale shape: one partial-aggregating count per stratum (model-
+    * sized), scalars ride the lazy plan as a broadcast 1-row frame
+    * (the bm25 pattern — zero driver passes), then a pure map-side
+    * filter on the corpus. alpha = 0.5 routes through `sqrt`, which is
+    * IEEE-correctly-rounded everywhere (exact cross-engine parity);
+    * other alphas use `pow`.
+    */
+  def temperatureMix(docs: DataFrame, strataCol: String,
+      alpha: Double = 0.5, fraction: Double = 0.25,
+      idCol: String = "doc_id", salt: String = "graft-mix"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha must be in (0, 1]")
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction=$fraction must be in (0, 1]")
+    def w(c: Column): Column =
+      if (alpha == 0.5) sqrt(c) else pow(c, lit(alpha))
+    val counts = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", w(col("__n")))
+    // corpus scalars via a one-partition window over the (model-sized,
+    // one row per stratum) counts frame — no self-join, no driver pass
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    // NOTE "__tot"/"__z", not "__N"/"__Z": Spark resolves column names
+    // case-insensitively, so withColumn("__N") would silently REPLACE
+    // "__n" instead of adding a scalar
+    val slotted = counts
+      .withColumn("__tot", sum(col("__n")).over(all))
+      .withColumn("__z", sum(col("__w")).over(all))
+      // slots out of 65536, floored: r_l·65536 = 65536·fraction·N·q_l/n_l
+      // with q_l = w_l/Z
+      .withColumn("__slots", least(lit(65536L),
+        floor(lit(65536.0 * fraction) * col("__tot") *
+          (col("__w") / col("__z")) / col("__n")).cast("long")))
+      .withColumn("__bound",
+        when(col("__slots") >= 65536L, lit("g"))
+          .otherwise(format_string("%04x", col("__slots"))))
+      .select(col(strataCol), col("__bound"))
+    val prefix = substring(
+      md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 4)
+    docs.join(slotted, strataCol).filter(prefix < col("__bound"))
+      .drop("__bound")
+  }
+
   /** Per-eval-document n-gram contamination against the training split:
     * for each eval doc, the fraction of its distinct word n-grams that
     * also appear anywhere in the train split. This is the standard

@@ -58,6 +58,40 @@ class GovernanceSpec extends AnyFunSuite {
     assert(a != b)
   }
 
+  test("temperatureMix flattens dominant strata and keeps rare ones whole") {
+    // 900 'en' docs vs 60 'fr' vs 40 'de': with alpha=0.5 and a 30%
+    // target, en's keep-rate drops well below the rare strata's
+    val docs = spark.range(0, 1000).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") < 900, "en")
+        .when(col("doc_id") < 960, "fr").otherwise("de"))
+    val kept = Governance.temperatureMix(docs, "lang", alpha = 0.5,
+        fraction = 0.3)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rateEn = kept("en") / 900.0
+    val rateFr = kept.getOrElse("fr", 0L) / 60.0
+    val rateDe = kept.getOrElse("de", 0L) / 40.0
+    assert(rateEn < rateFr && rateEn < rateDe,
+      s"dominant stratum must flatten hardest: $kept")
+    // expected keep-rates: q ∝ sqrt(n), Z = 30 + 7.746 + 6.325 = 44.07;
+    // r_l = min(1, 0.3·1000·q_l/n_l) → en ≈ 0.227, fr ≈ 0.879,
+    // de ≈ 1.076 → clamped to 1.0 (the rarest stratum keeps everything)
+    assert(rateDe == 1.0, s"rarest stratum clamps at keep-all: $kept")
+    assert(math.abs(rateEn - 0.227) < 0.05, s"en rate $rateEn")
+    assert(math.abs(rateFr - 0.879) < 0.08, s"fr rate $rateFr")
+    // determinism
+    val again = Governance.temperatureMix(docs, "lang", alpha = 0.5,
+        fraction = 0.3)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+    // stability: a doc's fate is independent of the other strata
+    val enOnly = Governance.temperatureMix(docs, "lang", alpha = 0.5,
+        fraction = 0.3)
+      .filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    assert(enOnly.size == kept("en"))
+  }
+
   test("contamination finds the fully-contaminated eval twin and the clean doc") {
     val out = Governance.contamination(corpus,
       isEval = col("doc_id") >= 10, n = 3)

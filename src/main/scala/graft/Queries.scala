@@ -857,6 +857,27 @@ object Queries {
   // and brute-force cosine carry full oracles.
   // =====================================================================
 
+  private val bucketTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once bucket[8]-on-event_id events snapshot: each bucket gets
+    * its own files (the write stage partitions by the hidden transform),
+    * so a point lookup opens ~1/8 of the data — `snap_bucket_lookup`.
+    */
+  private def bucketSnapshot(s: SparkSession,
+      dir: String): graft.catalog.SnapshotTable = {
+    val root = bucketTableCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-snap-bucket")
+        .resolve("t").toString
+      val ev = t(s, dir, "events")
+      val tbl = graft.catalog.SnapshotTable.create(s, base, ev.schema,
+        Some(graft.catalog.PartitionSpec("event_id", "bucket[8]")))
+      tbl.append(ev)
+      base
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
+
   private val minhashIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1791,6 +1812,36 @@ object Queries {
              |FROM ev
              |WHERE event_id % 100 = 0 AND event_id % 1000 <> 0
              |  AND value IS NOT NULL""".stripMargin)),
+
+    // Hidden BUCKET partitioning (Iceberg's bucket(N, col)): the table
+    // hashes event_id into 8 buckets at write; the point lookup hashes
+    // its keys DRIVER-side, opens only those buckets' files (pruned
+    // fraction pinned in the result row from manifest counts — at 100 TB
+    // this is the O(keys) point-read shape), and the values must equal
+    // the raw-parquet IN-filter oracle exactly
+    QueryDef("snap_bucket_lookup",
+      (s, dir) => {
+        val tbl = bucketSnapshot(s, dir)
+        val keys = (0 until 10).map(i => (1000L + i * 97): Any)
+        val snap = tbl.currentSnapshot()
+        val wanted = keys.map(k =>
+          graft.catalog.StatsPruner.hashOf(
+            org.apache.spark.sql.types.LongType, k).get)
+          .map(h => (((h % 8) + 8) % 8).toString).toSet
+        val opened = snap.files.count(_.partition.exists(wanted.contains))
+        val prunedOk = opened < snap.files.size && opened > 0
+        tbl.readKeyIn(keys)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .withColumn("bucket_pruned", lit(prunedOk))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             |  TRUE AS bucket_pruned
+             |FROM events
+             |WHERE event_id IN (1000, 1097, 1194, 1291, 1388, 1485, 1582,
+             |                   1679, 1776, 1873)
+             |GROUP BY 1""".stripMargin)),
 
     QueryDef("snap_prune_partitions",
       (s, dir) => snapshotEventsTable(s, dir)

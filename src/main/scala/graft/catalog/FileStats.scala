@@ -309,7 +309,7 @@ object StatsPruner {
     case _ => None
   }
 
-  private def hashOf(dt: DataType, v: Any): Option[Long] = {
+  private[graft] def hashOf(dt: DataType, v: Any): Option[Long] = {
     val catalystV: Option[Any] = dt match {
       case StringType => v match {
         case s: String =>

@@ -76,10 +76,13 @@ final case class ManifestRef(path: String, fileCount: Int)
   * reference's Iceberg table exactly (closing SURVEY §7.0's visible
   * derived-column substitution for tables managed through this layer).
   *
-  * Transforms: `month` (yyyy-MM of a timestamp column) and `identity`.
+  * Transforms: `month` (yyyy-MM of a timestamp column), `identity`,
+  * and `bucket[N]` (seed-42 xxhash64 of the typed value mod N —
+  * Iceberg's bucket transform; see [[SnapshotTable.readKeyIn]]).
   */
 final case class PartitionSpec(source: String, transform: String) {
-  require(transform == "month" || transform == "identity",
+  require(transform == "month" || transform == "identity" ||
+    transform.matches(raw"bucket\[[0-9]+\]"),
     s"unsupported partition transform: $transform")
 }
 

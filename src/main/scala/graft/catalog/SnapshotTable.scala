@@ -185,6 +185,41 @@ final class SnapshotTable private (
     readWithDeletes(s.schema, s.ids, s, s.files.filter(f => pred(f.partition)))
   }
 
+  /** Point-lookup read on a `bucket[N]`-partitioned table: each key
+    * hashes driver-side to its ONE bucket (the same seed-42 xxhash64
+    * the write-side transform used), the manifest prunes every other
+    * bucket's files before any I/O, and the exact IN filter applies as
+    * the residual — the O(|keys| buckets) point-read shape hidden
+    * bucket partitioning exists for (Iceberg's `bucket(N, col)`).
+    * NULL keys match nothing (SQL equality) and are ignored; an
+    * unhashable key type falls back to reading every bucket (residual
+    * filter still exact).
+    */
+  def readKeyIn(values: Seq[Any]): DataFrame = {
+    val s = currentSnapshot()
+    val spec = s.spec.getOrElse(
+      sys.error("readKeyIn needs a bucket partition spec"))
+    val n = spec.transform match {
+      case SnapshotTable.BucketXform(d) => d.toLong
+      case other =>
+        sys.error(s"readKeyIn needs the bucket transform, got '$other'")
+    }
+    requireUniformSpec(s, "readKeyIn")
+    val dt = s.schema(spec.source).dataType
+    val keys = values.filter(_ != null)
+    val hashed = keys.map(v => StatsPruner.hashOf(dt, v))
+    val buckets: Option[Set[String]] =
+      if (hashed.forall(_.isDefined))
+        Some(hashed.flatten.map(h => (((h % n) + n) % n).toString).toSet)
+      else None // an unhashable key: conservative full read
+    val pruned = buckets match {
+      case Some(b) => s.files.filter(_.partition.exists(b.contains))
+      case None => s.files
+    }
+    readWithDeletes(s.schema, s.ids, s, pruned)
+      .filter(col(SnapshotTable.quoted(spec.source)).isin(keys: _*))
+  }
+
   /** Hidden-partition predicate pushdown for the `month` transform: a
     * half-open timestamp range [from, until) prunes to the covering
     * months at the MANIFEST (null-partition files excluded — a NULL
@@ -1763,11 +1798,25 @@ object SnapshotTable {
     new SnapshotLog(new Path(root), spark.sessionState.newHadoopConf())
       .currentVersion().isDefined
 
-  /** The write-side hidden-partition transform expression. */
+  /** `bucket[N]` transform name pattern (Iceberg's bucket transform). */
+  private[graft] val BucketXform = raw"bucket\[(\d+)\]".r
+
+  /** The write-side hidden-partition transform expression. Bucket
+    * hashing is seed-42 xxhash64 of the TYPED column value — the same
+    * hash [[StatsPruner]] uses driver-side, so a point lookup can
+    * compute its target bucket without touching data
+    * ([[SnapshotTable.readKeyIn]]). NULL sources route to the null
+    * partition (xxhash64 would otherwise silently fold them into the
+    * seed's bucket).
+    */
   private[graft] def partitionExpr(spec: PartitionSpec): Column =
     spec.transform match {
       case "month" => date_format(col(spec.source), "yyyy-MM")
       case "identity" => col(spec.source).cast("string")
+      case BucketXform(n) =>
+        when(col(spec.source).isNull, lit(null))
+          .otherwise(pmod(xxhash64(col(spec.source)), lit(n.toLong))
+            .cast("string"))
     }
 
   /** Hive path-segment decode: `__HIVE_DEFAULT_PARTITION__` is the null

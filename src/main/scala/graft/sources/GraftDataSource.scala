@@ -151,26 +151,37 @@ final class GraftDataSource extends RelationProvider
       from, metadataPath)
   }
 
-  /** `month(col)` / `identity(col)` / bare `col` (= identity). The
-    * bare form refuses parentheses so a malformed transform (unclosed
-    * paren, stray text) fails HERE with the real problem rather than
-    * creating a table partitioned on a garbage column name.
+  /** `month(col)` / `identity(col)` / `bucket(N, col)` / bare `col`
+    * (= identity). The bare form refuses parentheses so a malformed
+    * transform (unclosed paren, stray text) fails HERE with the real
+    * problem rather than creating a table partitioned on a garbage
+    * column name.
     */
   private def parseSpec(s: String): graft.catalog.PartitionSpec = {
     val Xform = raw"(\w+)\(([^)]+)\)".r
+    val BucketArgs = raw"\s*(\d+)\s*,\s*([^,\s]+)\s*".r
     s.trim match {
+      case Xform("bucket", args) => args match {
+        case BucketArgs(n, c) =>
+          require(n.toLong >= 1, s"bucket count must be >= 1, got $n")
+          graft.catalog.PartitionSpec(c, s"bucket[$n]")
+        case other => sys.error(s"unparseable bucket transform args " +
+          s"'$other' (expected 'bucket(N, col)')")
+      }
       case Xform(t, c) =>
         // validate the transform BEFORE the table is created: an
         // unknown transform would otherwise persist a spec that only
         // fails (MatchError in partitionExpr) on the first append —
         // after the bad table already exists on disk
         require(t == "month" || t == "identity",
-          s"unsupported partition transform '$t' (supported: month, identity)")
+          s"unsupported partition transform '$t' " +
+            "(supported: month, identity, bucket)")
         graft.catalog.PartitionSpec(c.trim, t)
       case bare if bare.nonEmpty && !bare.exists("()".contains(_)) =>
         graft.catalog.PartitionSpec(bare, "identity")
       case other => sys.error(s"unparseable partition option: '$other' " +
-        "(expected 'month(col)', 'identity(col)', or a bare column name)")
+        "(expected 'month(col)', 'identity(col)', 'bucket(N, col)', " +
+        "or a bare column name)")
     }
   }
 }

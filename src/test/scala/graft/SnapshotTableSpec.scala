@@ -1264,8 +1264,13 @@ class SnapshotTableSpec extends AnyFunSuite {
     // an unknown transform fails BEFORE any table is created — not as a
     // MatchError on the first append after the bad spec persisted
     val bad = intercept[Exception](rows((1, "2024-01-05", 1.0))
-      .write.format("graft").option("partition", "bucket(ts)").save(root))
+      .write.format("graft").option("partition", "hour(ts)").save(root))
     assert(bad.getMessage.contains("unsupported partition transform"))
+    assert(!SnapshotTable.exists(spark, root), "no half-created table")
+    // a malformed bucket transform (missing N) also fails pre-create
+    val badBucket = intercept[Exception](rows((1, "2024-01-05", 1.0))
+      .write.format("graft").option("partition", "bucket(ts)").save(root))
+    assert(badBucket.getMessage.contains("bucket(N, col)"))
     assert(!SnapshotTable.exists(spark, root), "no half-created table")
     // fresh save with a partition option creates + fills the table
     rows((1, "2024-01-05", 1.0), (2, "2024-02-06", 2.0))
@@ -1570,6 +1575,45 @@ class SnapshotTableSpec extends AnyFunSuite {
         Seq(MergeClause(None, MergeAction.UpdateAll)))
     }
     assert(ex.getMessage.contains("NOT MATCHED BY SOURCE"))
+  }
+
+  test("bucket[N] hidden partitioning: point lookups open only the keys' buckets") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema,
+      Some(PartitionSpec("id", "bucket[4]")))
+    t.append((1L to 80L).map(i =>
+      (i, Timestamp.valueOf("2024-01-01 00:00:00"),
+        if (i % 10 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(i.toDouble)))
+      .toDF("id", "ts", "v"))
+    val snap = t.currentSnapshot()
+    // every file carries a bucket partition value in 0..3
+    assert(snap.partitions.flatten.toSet.subsetOf(Set("0", "1", "2", "3")))
+    assert(snap.partitions.flatten.toSet.size == 4, "80 ids hit all buckets")
+    // the lookup reads exactly the right rows…
+    val keys = Seq(7L, 23L, 54L)
+    val got = t.readKeyIn(keys).select("id").as[Long].collect().sorted.toSeq
+    assert(got == keys.sorted)
+    // …and the write-side hash agrees with the driver-side mirror:
+    // re-derive each key's bucket and check only those partitions could
+    // have been read (the pruned set is a strict subset of all files)
+    val wanted = keys.flatMap(k =>
+      graft.catalog.StatsPruner.hashOf(LongType, k))
+      .map(h => (((h % 4) + 4) % 4).toString).toSet
+    val opened = snap.files.filter(_.partition.exists(wanted.contains))
+    assert(opened.nonEmpty && opened.size < snap.files.size)
+    // NULL keys are ignored (SQL equality semantics)
+    assert(t.readKeyIn(Seq(7L, null)).count() == 1L)
+    // a null-id row routes to the null partition and full reads keep it
+    t.append(Seq((null.asInstanceOf[java.lang.Long], Timestamp.valueOf(
+      "2024-01-01 00:00:00"), java.lang.Double.valueOf(0.0)))
+      .toDF("id", "ts", "v"))
+    assert(t.currentSnapshot().partitions.contains(None))
+    assert(t.read().count() == 81L)
+    // non-bucket tables refuse the point-lookup API loudly
+    val ident = SnapshotTable.create(spark, freshRoot(), eventsSchema,
+      Some(PartitionSpec("id", "identity")))
+    val e = intercept[RuntimeException](ident.readKeyIn(Seq(1L)))
+    assert(e.getMessage.contains("bucket"))
   }
 
   test("case-colliding column names fail fast at create, evolving append and rename") {

@@ -113,15 +113,15 @@ object Governance {
     val counts = docs.groupBy(col(strataCol))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__w", w(col("__n")))
-    // corpus scalars via a one-partition window over the (model-sized,
-    // one row per stratum) counts frame — no self-join, no driver pass
-    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    // NOTE "__tot"/"__z", not "__N"/"__Z": Spark resolves column names
-    // case-insensitively, so withColumn("__N") would silently REPLACE
-    // "__n" instead of adding a scalar
-    val slotted = counts
-      .withColumn("__tot", sum(col("__n")).over(all))
-      .withColumn("__z", sum(col("__w")).over(all))
+    // corpus scalars ride as a 1-row cross join against the model-sized
+    // counts frame (the bm25 scalar pattern) — no driver pass, and no
+    // single-partition window (whose WindowExec warning reads like an
+    // anti-pattern even on a 5-row frame). NOTE "__tot"/"__z", not
+    // "__N"/"__Z": Spark resolves column names case-insensitively, so
+    // a scalar named "__N" would collide with "__n".
+    val scalars = counts.agg(sum(col("__n")).as("__tot"),
+      sum(col("__w")).as("__z"))
+    val slotted = counts.crossJoin(scalars)
       // slots out of 65536, floored: r_l·65536 = 65536·fraction·N·q_l/n_l
       // with q_l = w_l/Z
       .withColumn("__slots", least(lit(65536L),

@@ -469,7 +469,8 @@ final class SnapshotTable private (
     val kept =
       if (filters.isEmpty) s.files
       else s.files.filter(f => StatsPruner.mayMatchAll(
-        effectiveStats(currentById, f), s.schema, filters, log.resolveBloom))
+        effectiveStats(currentById, f), s.schema, filters, log.resolveBloom) &&
+        bucketMayMatch(s, f, filters))
     readWithDeletes(s.schema, s.ids, s, kept)
   }
 
@@ -478,7 +479,48 @@ final class SnapshotTable private (
     val currentById = s.ids.map { case (n, id) => id -> n }.toMap
     s.files.filter(f =>
       StatsPruner.mayMatchAll(effectiveStats(currentById, f), s.schema,
-        filters, log.resolveBloom))
+        filters, log.resolveBloom) && bucketMayMatch(s, f, filters))
+  }
+
+  /** Conservative PARTITION-VALUE pruning for the bucket transform on
+    * the filter-pushdown path — the case column stats cannot help with:
+    * every bucket's files span the source column's full range, but an
+    * equality/IN filter on the bucket SOURCE column can only match
+    * files whose partition value is one of the keys' buckets (and a
+    * null-partition file holds only NULL sources, which no equality
+    * matches). This is what makes `WHERE k IN (…)` through SQL or the
+    * DataFrame reader open O(keys) buckets, same as [[readKeyIn]].
+    * Everything else keeps the file: non-bucket specs, other filter
+    * shapes, unhashable values, and files written under an OLDER spec
+    * (their partition values mean something else — `seq` predates
+    * `specSince`).
+    */
+  private def bucketMayMatch(s: Snapshot, f: DataFileEntry,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val spec = s.spec.orNull
+    if (spec == null) return true
+    val n = spec.transform match {
+      case SnapshotTable.BucketXform(d) => d.toLong
+      case _ => return true
+    }
+    if (f.seq < s.specSince) return true // old-spec partition values
+    val dt = s.schema.fields.find(_.name == spec.source)
+      .map(_.dataType).getOrElse(return true)
+    def buckets(vs: Seq[Any]): Option[Set[String]] = {
+      val nonNull = vs.filter(_ != null)
+      val hashed = nonNull.map(v => StatsPruner.hashOf(dt, v))
+      if (hashed.forall(_.isDefined))
+        Some(hashed.flatten.map(h => (((h % n) + n) % n).toString).toSet)
+      else None // an unhashable value: cannot prune on this filter
+    }
+    filters.forall {
+      case EqualTo(a, v) if a == spec.source =>
+        buckets(Seq(v)).forall(b => f.partition.exists(b.contains))
+      case In(a, vs) if a == spec.source =>
+        buckets(vs.toIndexedSeq).forall(b => f.partition.exists(b.contains))
+      case _ => true
+    }
   }
 
   /** Re-key a file's write-name stats to CURRENT column names through

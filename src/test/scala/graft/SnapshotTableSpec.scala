@@ -1614,6 +1614,16 @@ class SnapshotTableSpec extends AnyFunSuite {
       Some(PartitionSpec("id", "identity")))
     val e = intercept[RuntimeException](ident.readKeyIn(Seq(1L)))
     assert(e.getMessage.contains("bucket"))
+    // the filter-pushdown path bucket-prunes too: stats can't skip here
+    // (every bucket spans the full id range after this many rows), but
+    // partition values can — IN/equality on the source column opens a
+    // strict subset of files, and results stay exact
+    val inPruned = t.pruneFiles(col("id").isin(7L, 23L))
+    assert(inPruned.size < t.currentSnapshot().files.size)
+    assert(inPruned.map(_.partition).forall(_.exists(wanted.contains)))
+    assert(t.readWhere(col("id").isin(7L, 23L)).count() == 2L)
+    // equality with NULL matches nothing and prunes everything
+    assert(t.pruneFiles(col("id") === lit(null).cast("long")).isEmpty)
   }
 
   test("case-colliding column names fail fast at create, evolving append and rename") {

@@ -740,15 +740,15 @@ final class SnapshotTable private (
         // below is delete-applied, so content stays exact. __f is
         // captured BEFORE any join so it always binds to the scan.
         val raw = readResolved(evolved, pairs, base, candidates)
-          .withColumn("__f", input_file_name())
+          .withColumn("__graft_f", input_file_name())
         val hitDf = nmbsFires match {
           case None => raw.join(srcKeys, on, "left_semi")
           case Some(fires) =>
             raw.alias("t")
-              .join(srcKeys.withColumn("__m", lit(1)), on, "left")
-              .filter(col("__m").isNotNull || fires)
+              .join(srcKeys.withColumn("__graft_m", lit(1)), on, "left")
+              .filter(col("__graft_m").isNotNull || fires)
         }
-        val hitPaths = hitDf.select(col("__f")).distinct()
+        val hitPaths = hitDf.select(col("__graft_f")).distinct()
           .collect().map(r => relPath(r.getString(0))).toSet
         candidates.filter(f => hitPaths.contains(f.path))
       }

@@ -297,6 +297,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Near-duplicates of a NEW batch against an already-fingerprinted
+    * corpus — the incremental form of [[simhashPairs]], completing the
+    * index story next to [[minhashAgainstIndex]]: the index is just the
+    * persisted `(id, simhash)` rows ([[simhashes]] — 8 bytes per doc),
+    * the batch fingerprints only itself, candidates come from the
+    * banded equality join (same pigeonhole guarantee: a pair within
+    * `maxHamming` must agree on one of the `maxHamming+1` bands), and
+    * verification is the exact `bit_count(xor)` on the fingerprints
+    * alone — unlike MinHash, NO text re-join is needed, so the corpus
+    * data files are never touched at all.
+    *
+    * @return (corpus_id, new_id, hamming), hamming ≤ maxHamming
+    */
+  def simhashAgainstIndex(index: DataFrame, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming=$maxHamming out of range [0, 31]")
+    val bands = maxHamming + 1
+    def banded(fp: DataFrame, side: String) = fp
+      .select(col("id").as(s"${side}_id"), col("simhash").as(s"${side}_sh"),
+        explode(simhashBands(col("simhash"), bands)).as("band"))
+      .select(col(s"${side}_id"), col(s"${side}_sh"),
+        col("band.band_id").as("band_id"), col("band.band_val").as("band_val"))
+    banded(index.select(col("id"), col("simhash")), "corpus")
+      .join(banded(simhashes(newDocs, idCol, textCol), "new"),
+        Seq("band_id", "band_val"))
+      .select(col("corpus_id"), col("new_id"), col("corpus_sh"), col("new_sh"))
+      .dropDuplicates("corpus_id", "new_id")
+      .withColumn("hamming",
+        bit_count(col("corpus_sh").bitwiseXOR(col("new_sh"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("corpus_id"), col("new_id"), col("hamming"))
+  }
+
   // -------------------------------------------------------------------
   // n-gram Jaccard (inverted index)
   // -------------------------------------------------------------------

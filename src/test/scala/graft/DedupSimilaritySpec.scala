@@ -161,6 +161,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty, "planted mutants must match their originals")
   }
 
+  test("simhashAgainstIndex equals the cross slice of the one-shot pair run") {
+    import org.apache.spark.sql.functions._
+    val corpusDocs = corpus.filter(col("doc_id") < 100)
+    val batch = corpusDocs
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+    val index = Dedup.simhashes(corpusDocs)
+    val got = Dedup.simhashAgainstIndex(index, batch, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val expected = Dedup.simhashPairs(corpusDocs.unionByName(batch),
+        maxHamming = 5)
+      .filter(col("id_a") < 1000 && col("id_b") >= 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == expected)
+    // exact copies have hamming 0 against their originals
+    assert(got.exists(_._2 == 0), s"planted copies must surface: $got")
+  }
+
   test("ngramJaccardPairsPrefix is result-identical to the plain inverted index") {
     for (t <- Seq(0.3, 0.5, 0.8)) {
       val plain = Dedup.ngramJaccardPairs(corpus, threshold = t)

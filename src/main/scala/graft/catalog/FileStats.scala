@@ -297,7 +297,7 @@ object StatsPruner {
     * is not a widening target or the value cannot be a narrow-typed
     * file's content.
     */
-  private def narrowHashOf(dt: DataType, v: Any): Option[Long] = dt match {
+  private[graft] def narrowHashOf(dt: DataType, v: Any): Option[Long] = dt match {
     case LongType =>
       Try(v.asInstanceOf[Number].longValue()).toOption
         .filter(l => l >= Int.MinValue && l <= Int.MaxValue)

@@ -207,11 +207,7 @@ final class SnapshotTable private (
     requireUniformSpec(s, "readKeyIn")
     val dt = s.schema(spec.source).dataType
     val keys = values.filter(_ != null)
-    val hashed = keys.map(v => StatsPruner.hashOf(dt, v))
-    val buckets: Option[Set[String]] =
-      if (hashed.forall(_.isDefined))
-        Some(hashed.flatten.map(h => (((h % n) + n) % n).toString).toSet)
-      else None // an unhashable key: conservative full read
+    val buckets = SnapshotTable.bucketsOf(dt, keys, n)
     val pruned = buckets match {
       case Some(b) => s.files.filter(_.partition.exists(b.contains))
       case None => s.files
@@ -507,13 +503,8 @@ final class SnapshotTable private (
     if (f.seq < s.specSince) return true // old-spec partition values
     val dt = s.schema.fields.find(_.name == spec.source)
       .map(_.dataType).getOrElse(return true)
-    def buckets(vs: Seq[Any]): Option[Set[String]] = {
-      val nonNull = vs.filter(_ != null)
-      val hashed = nonNull.map(v => StatsPruner.hashOf(dt, v))
-      if (hashed.forall(_.isDefined))
-        Some(hashed.flatten.map(h => (((h % n) + n) % n).toString).toSet)
-      else None // an unhashable value: cannot prune on this filter
-    }
+    def buckets(vs: Seq[Any]): Option[Set[String]] =
+      SnapshotTable.bucketsOf(dt, vs.filter(_ != null), n)
     filters.forall {
       case EqualTo(a, v) if a == spec.source =>
         buckets(Seq(v)).forall(b => f.partition.exists(b.contains))
@@ -1842,6 +1833,32 @@ object SnapshotTable {
 
   /** `bucket[N]` transform name pattern (Iceberg's bucket transform). */
   private[graft] val BucketXform = raw"bucket\[(\d+)\]".r
+
+  /** The candidate bucket set for a set of point-lookup keys, or None
+    * when any key is unhashable (conservative: read every bucket).
+    *
+    * Type widening (int→long / float→double, [[SnapshotTable.evolve]]):
+    * evolve() widens the bucket SOURCE column metadata-only, without a
+    * spec bump, so files written BEFORE the widening carry partition
+    * values computed from xxhash64 of the NARROW type — which differs
+    * from the widened type's hash for the same value. The manifest does
+    * not record write-time types, so each key contributes BOTH its
+    * wide-type bucket and (when the value is representable in the
+    * pre-widening type) its narrow-type bucket — same both-probes rule
+    * as the bloom path ([[StatsPruner.narrowHashOf]]). A value not
+    * representable in the narrow type cannot occur in a pre-widening
+    * file, so its wide bucket alone is decisive.
+    */
+  private[graft] def bucketsOf(dt: org.apache.spark.sql.types.DataType,
+      keys: Seq[Any], n: Long): Option[Set[String]] = {
+    val hashed = keys.map { v =>
+      StatsPruner.hashOf(dt, v).map(h =>
+        Set(h) ++ StatsPruner.narrowHashOf(dt, v))
+    }
+    if (hashed.forall(_.isDefined))
+      Some(hashed.flatten.flatten.map(h => (((h % n) + n) % n).toString).toSet)
+    else None // an unhashable key: conservative full read
+  }
 
   /** The write-side hidden-partition transform expression. Bucket
     * hashing is seed-42 xxhash64 of the TYPED column value — the same

@@ -1596,9 +1596,10 @@ class SnapshotTableSpec extends AnyFunSuite {
     // …and the write-side hash agrees with the driver-side mirror:
     // re-derive each key's bucket and check only those partitions could
     // have been read (the pruned set is a strict subset of all files)
-    val wanted = keys.flatMap(k =>
-      graft.catalog.StatsPruner.hashOf(LongType, k))
-      .map(h => (((h % 4) + 4) % 4).toString).toSet
+    // wide ∪ narrow buckets: a long key also probes its pre-widening
+    // int-hash bucket (the manifest can't tell which files predate a
+    // widening), so ≤2 buckets per key may open
+    val wanted = SnapshotTable.bucketsOf(LongType, keys, 4L).get
     val opened = snap.files.filter(_.partition.exists(wanted.contains))
     assert(opened.nonEmpty && opened.size < snap.files.size)
     // NULL keys are ignored (SQL equality semantics)
@@ -1624,6 +1625,47 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.readWhere(col("id").isin(7L, 23L)).count() == 2L)
     // equality with NULL matches nothing and prunes everything
     assert(t.pruneFiles(col("id") === lit(null).cast("long")).isEmpty)
+  }
+
+  test("bucket pruning survives implicit int→long widening of the bucket source") {
+    // files written while id was INT carry partition values from
+    // xxhash64-of-int; after an append widens id to LONG, point lookups
+    // hash with the CURRENT type — the narrow-hash probe must keep the
+    // pre-widening files reachable (regression: silently-missing rows)
+    val intSchema = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", DoubleType)))
+    val t = SnapshotTable.create(spark, freshRoot(), intSchema,
+      Some(PartitionSpec("id", "bucket[4]")))
+    t.append((1 to 40).map(i => (i, i.toDouble)).toDF("id", "v"))
+    val preFiles = t.currentSnapshot().files.map(_.path).toSet
+    // widening append: long ids, including values outside int range
+    t.append(Seq((41L, 41.0), (5000000000L, 50.0)).toDF("id", "v"))
+    assert(t.currentSnapshot().schema("id").dataType == LongType)
+    assert(t.currentSnapshot().spec.exists(_.source == "id"))
+    // self-check: the scenario is non-vacuous — at least one key's
+    // int-hash bucket differs from its long-hash bucket
+    def b(h: Long) = ((h % 4) + 4) % 4
+    assert(Seq(7, 23, 34).exists(k =>
+      b(graft.catalog.StatsPruner.hashOf(IntegerType, k).get) !=
+        b(graft.catalog.StatsPruner.hashOf(LongType, k.toLong).get)))
+    // point lookup for PRE-widening keys must find them all
+    val got = t.readKeyIn(Seq(7L, 23L, 34L)).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(got == Seq(7L, 23L, 34L),
+      s"pre-widening keys lost to bucket pruning: $got")
+    // …and the filter-pushdown path agrees
+    assert(t.readWhere(col("id").isin(7L, 23L, 34L)).count() == 3L)
+    // post-widening keys (not int-representable) still resolve
+    assert(t.readKeyIn(Seq(5000000000L)).select("v").as[Double]
+      .collect().toSeq == Seq(50.0))
+    // pruning still prunes: a lookup opens a strict subset of files
+    // (≤2 buckets per key: wide ∪ narrow)
+    val pruned = t.pruneFiles(col("id") === 7L)
+    assert(pruned.nonEmpty && pruned.size < t.currentSnapshot().files.size)
+    // the pre-widening file holding id=7 is in the pruned set
+    val wanted = SnapshotTable.bucketsOf(LongType, Seq(7L), 4L).get
+    assert(pruned.exists(f => preFiles.contains(f.path) &&
+      f.partition.exists(wanted.contains)))
   }
 
   test("case-colliding column names fail fast at create, evolving append and rename") {

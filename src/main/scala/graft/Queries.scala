@@ -2720,7 +2720,8 @@ object Queries {
                |  LEAST(65536, CAST(FLOOR(16384.0 * big_n * (sqrt(n) / z) / n)
                |    AS BIGINT)) AS slots
                |  FROM c, s)
-               |SELECT d.doc_id, d.lang FROM documents d JOIN b USING (lang)
+               |SELECT d.doc_id, d.lang FROM documents d
+               |JOIN b ON d.lang IS NOT DISTINCT FROM b.lang
                |WHERE substr(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 4) <
                |  CASE WHEN slots >= 65536 THEN 'g'
                |       ELSE printf('%04x', slots) END""".stripMargin)),

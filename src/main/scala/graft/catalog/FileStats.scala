@@ -415,9 +415,12 @@ object StatsPruner {
     case TimestampNTZType =>
       // bound is the fixed-width wall-clock rendering (NtzPattern);
       // render the filter value identically and compare as strings.
-      // Years outside 4 digits would break the fixed width, so they
-      // fall back to conservative keep.
-      (v match {
+      // Years outside 4 digits break the fixed width ON EITHER SIDE:
+      // guard the filter value's year AND the stored bound's shape
+      // (a year-10000 row yields a 27-char bound that sorts below
+      // 4-digit years lexicographically) — both fall back to keep.
+      if (bound.length != FileStats.NtzPattern.length || bound(4) != '-') None
+      else (v match {
         case l: java.time.LocalDateTime => Some(l)
         case t: java.sql.Timestamp => Some(t.toLocalDateTime)
         case _ => None

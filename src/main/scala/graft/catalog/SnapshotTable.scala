@@ -1430,8 +1430,16 @@ final class SnapshotTable private (
   /** Tag `version` (default: current) with `name`. Tags are immutable:
     * re-tagging an existing name throws — drop it first (so a tag seen
     * once can never silently point elsewhere).
+    *
+    * All-digit names are refused: SQL `FOR VERSION AS OF x` cannot
+    * distinguish the tag `"2024"` from version 2024 at the parser seam
+    * (quoting is erased before [[graft.plans.GraftTimeTravelParser]]
+    * sees the value), so such a tag would be unreachable from SQL.
     */
   def tag(name: String, version: Long = -1L): Unit = {
+    require(!name.forall(_.isDigit), s"all-digit tag name '$name' would " +
+      "be unreachable from SQL time travel (FOR VERSION AS OF routes " +
+      "digits to a version number) — include a letter, e.g. 'v" + name + "'")
     val v = if (version < 0) currentVersion() else version
     snapshotAt(v) // validates liveness, clear error otherwise
     if (!log.trySetRef(name, v, clock()))

@@ -130,11 +130,15 @@ object Governance {
       .withColumn("__bound",
         when(col("__slots") >= 65536L, lit("g"))
           .otherwise(format_string("%04x", col("__slots"))))
-      .select(col(strataCol), col("__bound"))
+      .select(col(strataCol).as("__stratum"), col("__bound"))
     val prefix = substring(
       md5(concat_ws(":", lit(salt), col(idCol).cast("string"))), 1, 4)
-    docs.join(slotted, strataCol).filter(prefix < col("__bound"))
-      .drop("__bound")
+    // null-safe equality: a NULL stratum is a real group in `counts`
+    // and must participate in the mixture, not silently vanish (an
+    // equi-join on the stratum column would never match it)
+    docs.join(slotted, docs(strataCol) <=> col("__stratum"))
+      .filter(prefix < col("__bound"))
+      .drop("__stratum", "__bound")
   }
 
   /** Per-eval-document n-gram contamination against the training split:

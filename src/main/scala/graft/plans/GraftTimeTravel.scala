@@ -54,8 +54,16 @@ final class GraftTimeTravelParser(session: SparkSession,
       if (gr.pinned.nonEmpty) throw new UnsupportedOperationException(
         s"temp view $name is already pinned (versionAsOf/tag/timestampAsOf " +
           "in its OPTIONS) — FOR VERSION/TIMESTAMP AS OF cannot re-pin it")
+      // digits → version, else tag; a digit string too long for Long
+      // (20+ digits) cannot be a version, and all-digit tag names are
+      // refused at tag() — fall through to tag resolution for its
+      // clear "no tag" error rather than NumberFormatException here
       val (verOpt, tagOpt) = version match {
-        case Some(v) if v.forall(_.isDigit) => (Some(v.toLong), None)
+        case Some(v) if v.nonEmpty && v.forall(_.isDigit) =>
+          scala.util.Try(v.toLong).toOption match {
+            case Some(l) => (Some(l), None)
+            case None => (None, Some(v))
+          }
         case Some(v) => (None, Some(v))
         case None => (None, None)
       }

@@ -92,6 +92,24 @@ class GovernanceSpec extends AnyFunSuite {
     assert(enOnly.size == kept("en"))
   }
 
+  test("temperatureMix keeps a NULL stratum in the mixture") {
+    // 400 'en' docs + 100 NULL-lang docs: the NULL stratum is a real
+    // group and must be sampled, not silently dropped by the join
+    val docs = spark.range(0, 500).toDF("doc_id")
+      .withColumn("lang",
+        when(col("doc_id") < 400, "en").otherwise(lit(null).cast("string")))
+    val kept = Governance.temperatureMix(docs, "lang", alpha = 0.5,
+        fraction = 0.5)
+      .groupBy("lang").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(kept.contains(None), s"NULL stratum vanished: $kept")
+    // and its keep-rate exceeds the dominant stratum's (rarer → flatter)
+    assert(kept(None) / 100.0 > kept(Some("en")) / 400.0, s"$kept")
+    // the output schema carries no helper columns
+    val out = Governance.temperatureMix(docs, "lang")
+    assert(out.columns.toSeq == Seq("doc_id", "lang"), out.columns.toSeq)
+  }
+
   test("contamination finds the fully-contaminated eval twin and the clean doc") {
     val out = Governance.contamination(corpus,
       isEval = col("doc_id") >= 10, n = 3)

@@ -92,6 +92,34 @@ class NtzRegressionSpec extends AnyFunSuite {
     assert(t.readWhere(pred).count() == t.read().filter(pred).count())
   }
 
+  test("malformed NTZ bound (5-digit year) keeps the file conservatively") {
+    // a year-10000 row renders a 27-char bound that sorts BELOW 4-digit
+    // years lexicographically ("10000-…" < "2024-…") — the pruner must
+    // treat any bound not matching the fixed-width shape as unusable,
+    // never as a skip signal
+    import graft.catalog.{ColStats, DataFileEntry, StatsPruner}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("ts", TimestampNTZType)))
+    val f = DataFileEntry("f.parquet", None, 2L, Map("ts" -> ColStats(
+      min = Some("10000-01-01 00:00:00.000000"),
+      max = Some("10000-01-02 00:00:00.000000"), nullCount = 0L)))
+    val probe = LocalDateTime.of(2024, 6, 1, 0, 0, 0)
+    // pre-guard, max("10000-…") < "2024-…" pruned this file although a
+    // year-10000 table could also hold matching rows appended later
+    assert(StatsPruner.mayMatch(f, schema,
+      org.apache.spark.sql.sources.GreaterThan("ts", probe)))
+    assert(StatsPruner.mayMatch(f, schema,
+      org.apache.spark.sql.sources.LessThan("ts", probe)))
+    assert(StatsPruner.mayMatch(f, schema,
+      org.apache.spark.sql.sources.EqualTo("ts", probe)))
+    // …while a well-formed bound still prunes
+    val ok = f.copy(stats = Map("ts" -> ColStats(
+      min = Some("2023-01-01 00:00:00.000000"),
+      max = Some("2023-12-31 00:00:00.000000"), nullCount = 0L)))
+    assert(!StatsPruner.mayMatch(ok, schema,
+      org.apache.spark.sql.sources.GreaterThan("ts", probe)))
+  }
+
   test("pointInInterval: NTZ and TIMESTAMP inputs produce identical pairs") {
     import graft.operators.RangeJoin
     val r = new scala.util.Random(41)

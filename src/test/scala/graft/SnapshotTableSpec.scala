@@ -1000,6 +1000,15 @@ class SnapshotTableSpec extends AnyFunSuite {
     val e = intercept[Exception](
       spark.sql("SELECT * FROM plain_view FOR VERSION AS OF 1").collect())
     assert(!e.getMessage.contains("graft"), e.getMessage)
+    // all-digit tag names are refused at creation (SQL can't reach
+    // them: FOR VERSION AS OF routes digits to a version number)
+    val numeric = intercept[IllegalArgumentException](t.tag("2024"))
+    assert(numeric.getMessage.contains("all-digit"), numeric.getMessage)
+    // a digit string too long for Long falls through to tag resolution
+    // and fails with the tag-lookup error, not NumberFormatException
+    val over = intercept[Exception](one(
+      "SELECT count(*) FROM graft_tt FOR VERSION AS OF '99999999999999999999'"))
+    assert(over.getMessage.contains("tag"), over.getMessage)
   }
 
   test("update(): COW file granularity, casts to column type, no-match no-op") {

@@ -2524,9 +2524,16 @@ object Queries {
                |GROUP BY 1""".stripMargin)),
 
       // CDC changelog consumed as a LIVE STREAM (readStream.format
-      // ("graft"), offsets = table versions) and drained to parquet —
-      // the rows must be exactly the batch changes(2, 4) window, so
-      // the oracle is snap_changelog's verbatim
+      // ("graft"), offsets = table versions) and drained to parquet.
+      // Batch planning splits the window at commit-CLASS boundaries
+      // (the v3 upsert is a rewriting commit, the v4 equality delete
+      // is blind — a mixed batch would drag the blind commit onto the
+      // diff path), so the drain is changes(2,3) ∪ changes(3,4):
+      // netting applies WITHIN each window, and the %1000 rows the
+      // one-shot batch window nets away (upserted then deleted)
+      // surface here as their full delete+insert+delete history —
+      // applied state identical, per-window rows exact. The one-shot
+      // netted window stays pinned by snap_changelog/sql_changelog.
       QueryDef("stream_changelog",
         (s, dir) => s.read.parquet(streamedChangelog(s, dir))
           .select(col("_change_type"), col("event_id"), col("user_id"),
@@ -2538,14 +2545,20 @@ object Queries {
                |SELECT 'delete' AS _change_type, event_id, user_id,
                |       event_type, value, props
                |FROM ev
-               |WHERE event_id % 1000 = 0
-               |   OR (event_id % 100 = 0 AND value IS NOT NULL)
+               |WHERE event_id % 100 = 0 AND value IS NOT NULL
                |UNION ALL
                |SELECT 'insert' AS _change_type, event_id, user_id,
                |       event_type, value + CAST(1000.0 AS DOUBLE), props
                |FROM ev
-               |WHERE event_id % 100 = 0 AND event_id % 1000 <> 0
-               |  AND value IS NOT NULL""".stripMargin)),
+               |WHERE event_id % 100 = 0 AND value IS NOT NULL
+               |UNION ALL
+               |SELECT 'delete' AS _change_type, event_id, user_id,
+               |       event_type,
+               |       CASE WHEN value IS NOT NULL
+               |            THEN value + CAST(1000.0 AS DOUBLE) END AS value,
+               |       props
+               |FROM ev
+               |WHERE event_id % 1000 = 0""".stripMargin)),
 
       QueryDef("stream_dedup_events",
         (s, dir) => {

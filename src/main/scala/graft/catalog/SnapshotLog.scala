@@ -241,6 +241,16 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
   def manifestList(version: Long): Seq[ManifestRef] =
     SnapshotLog.fromJsonSharded(readBytes(snapPath(version)))._2
 
+  /** Operation string of `version` WITHOUT loading its manifests — the
+    * cheap classification read batch-planning wants (changelog range
+    * splitting, [[SnapshotTable.changes]] fast-path election). None =
+    * expired or unreadable, which callers treat as unclassifiable.
+    */
+  def operationOf(version: Long): Option[String] =
+    scala.util.Try(
+      SnapshotLog.fromJsonSharded(readBytes(snapPath(version)))._1.operation
+    ).toOption
+
   /** One parse serving both halves: the resolved snapshot AND its
     * manifest list — maintenance passes ([[SnapshotTable
     * .expireSnapshots]] / `removeOrphanFiles`) need both per version

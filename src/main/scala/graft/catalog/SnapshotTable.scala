@@ -304,21 +304,31 @@ final class SnapshotTable private (
   def changes(fromVersion: Long, toVersion: Long): DataFrame = {
     require(toVersion >= fromVersion,
       s"inverted range: $fromVersion .. $toVersion")
-    val sTo = log.read(toVersion)
+    // ENDPOINT versions must be live: intermediates may expire freely
+    // (the diff path only reads the endpoints), but a diff against a
+    // vanished endpoint has no sound semantics — fail with guidance,
+    // not a raw file-not-found
+    def endpoint(v: Long): Snapshot =
+      try log.read(v) catch {
+        case e: Exception if log.operationOf(v).isEmpty =>
+          throw new IllegalStateException(
+            s"changelog endpoint version $v has been EXPIRED at $root — " +
+              "re-seed the consumer from a live version, and protect " +
+              "consumer ranges from expiry with a tag or a larger " +
+              "vacuum_min_snapshots_to_keep", e)
+      }
+    val sTo = endpoint(toVersion)
     if (fromVersion == toVersion)
       return readWithDeletes(sTo.schema, sTo.ids, sTo, Nil)
         .select(lit("").as("_change_type") +: changeCols(sTo): _*).limit(0)
-    val sFrom = log.read(fromVersion)
+    val sFrom = endpoint(fromVersion)
     val toIds = sTo.ids.map(_.swap).toMap
-    // op classification needs the intermediate snapshots; a range
-    // spanning EXPIRED versions (catch-up from an old tag) cannot be
-    // classified, but the endpoint-only diff path still serves it —
-    // fall back rather than fail. Streaming appends are blind file
-    // additions, fast-path eligible like any append.
-    def blindOp(op: String): Boolean =
-      op == "append" || op == "delete-eq" || op.startsWith("stream-append")
+    // op classification needs the intermediate snapshots (manifest-free
+    // reads); a range spanning EXPIRED versions (catch-up from an old
+    // tag) cannot be classified, but the endpoint-only diff path still
+    // serves it — fall back rather than fail.
     val fastOps = ((fromVersion + 1) to toVersion).forall(v =>
-      scala.util.Try(log.read(v).operation).toOption.exists(blindOp))
+      log.operationOf(v).exists(SnapshotTable.isBlindOp))
     // one homogeneous key-column set (by field id, rename-proof) whose
     // ids all live in the `to` schema keeps the delete side a single
     // distinct semi-join; mixed key sets are legal but rare — diff path
@@ -1838,6 +1848,13 @@ object SnapshotTable {
   def exists(spark: SparkSession, root: String): Boolean =
     new SnapshotLog(new Path(root), spark.sessionState.newHadoopConf())
       .currentVersion().isDefined
+
+  /** Blind commits add files without rewriting any — the changelog's
+    * metadata fast path covers a range iff every commit in it is blind.
+    * Streaming appends are blind file additions like any append.
+    */
+  private[graft] def isBlindOp(op: String): Boolean =
+    op == "append" || op == "delete-eq" || op.startsWith("stream-append")
 
   /** `bucket[N]` transform name pattern (Iceberg's bucket transform). */
   private[graft] val BucketXform = raw"bucket\[(\d+)\]".r

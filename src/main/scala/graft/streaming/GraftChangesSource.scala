@@ -28,10 +28,36 @@ import graft.catalog.SnapshotTable
   * for a committed range, and expired intermediates degrade to the
   * catch-up diff path, never wrong results).
   *
-  * Batches-per-commit: one trigger drains TO THE LATEST version, so
-  * commits that land between triggers coalesce into one netted batch —
-  * the multiset netting (delete + identical re-append cancels) keeps
-  * that coalescing semantically transparent to an upsert consumer.
+  * Batches-per-commit and admission control: by default one trigger
+  * drains to the latest version, so commits that land between triggers
+  * coalesce into one netted batch — the multiset netting (delete +
+  * identical re-append cancels) keeps that coalescing semantically
+  * transparent to an upsert consumer. Two bounds keep a CATCH-UP batch
+  * (consumer restarting after downtime on a busy table) from being
+  * planned unboundedly large — the Delta CDF `maxFilesPerTrigger`
+  * analog:
+  *
+  *  - `maxVersionsPerTrigger` (option, off by default): at most N
+  *    commits per micro-batch; a backlog drains in ceil(backlog/N)
+  *    batches, each a deterministic committed range.
+  *  - **rewriting commits split the range** (always on): a batch never
+  *    mixes rewriting commits (upsert/overwrite/compact — the
+  *    full-table multiset-diff path) with the blind commits around
+  *    them. A blind run drains on the cheap metadata path; a
+  *    CONSECUTIVE run of rewrites coalesces into one endpoint-diff
+  *    batch (the diff reads only the run's endpoints, so one diff over
+  *    k rewrites beats k diffs); then planning resumes. Without the
+  *    split, one mid-backlog compaction would drag the whole catch-up
+  *    range onto the diff path. Versions expired mid-backlog are gaps
+  *    that isolate their sub-range onto the endpoint diff — never an
+  *    error while the batch endpoints live.
+  *
+  * Splitting is net-equivalent to the coalesced batch: concatenating
+  * `changes(a,b)` and `changes(b,c)` yields the same applied state as
+  * `changes(a,c)` for the keyed-upsert consumer shape this source
+  * feeds (a row deleted then re-added appears as a delete batch then an
+  * insert batch instead of cancelling, which an idempotent upsert
+  * applies identically).
   *
   * The column set is PINNED at stream start (the declared source
   * schema): if the table evolves mid-stream, later batches conform to
@@ -50,7 +76,11 @@ final class GraftChangesSource(
     sqlContext: SQLContext,
     root: String,
     startFrom: Option[Long],
-    metadataPath: String) extends Source {
+    metadataPath: String,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+
+  require(maxVersionsPerTrigger.forall(_ >= 1L),
+    s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
 
   private val spark = sqlContext.sparkSession
 
@@ -87,9 +117,50 @@ final class GraftChangesSource(
   override val schema: StructType =
     GraftChangesSource.changeSchema(table.schemaAt(None))
 
+  /** High-water mark of batch ends this source has planned or served —
+    * the anchor admission control caps against. getBatch raises it on
+    * restart recovery (the engine replays checkpointed ranges before
+    * ever calling getOffset), so a capped getOffset can never plan an
+    * end below what the checkpoint already committed.
+    */
+  @volatile private var lastPlanned: Long = base
+
   override def getOffset: Option[Offset] = {
-    val v = table.currentVersion()
-    if (v <= base) None else Some(LongOffset(v))
+    val t = table
+    val latest = t.currentVersion()
+    if (latest <= lastPlanned) return None
+    // live versions in the backlog window — expired ones are gone from
+    // the log and show up as GAPS in this ascending sequence
+    val live = t.log.versions().filter(v => v > lastPlanned && v <= latest)
+    if (live.isEmpty) return None
+    val capped = maxVersionsPerTrigger match {
+      case Some(m) => live.take(math.min(m, Int.MaxValue.toLong).toInt)
+      case None => live
+    }
+    def isBlind(v: Long): Boolean =
+      t.log.operationOf(v).exists(graft.catalog.SnapshotTable.isBlindOp)
+    // the batch always admits its first candidate; it EXTENDS only over
+    // a contiguous run of SAME-CLASS commits starting right after
+    // lastPlanned. Blind runs coalesce (metadata path, O(new files));
+    // rewriting runs also coalesce — the diff path reads only the run's
+    // ENDPOINTS, so one diff over k rewrites is cheaper than k diffs,
+    // and the netting stays maximal. What never happens is a MIXED
+    // batch: a rewriting commit must not drag blind neighbors onto the
+    // diff path, and vice versa. Expired versions are gaps in `capped`
+    // and break contiguity, isolating their sub-range onto the
+    // endpoint diff.
+    var end = capped.head
+    var prev = capped.head
+    val headClass = isBlind(capped.head)
+    var extending = capped.head == lastPlanned + 1
+    val it = capped.iterator.drop(1)
+    while (extending && it.hasNext) {
+      val v = it.next()
+      if (v == prev + 1 && isBlind(v) == headClass) { end = v; prev = v }
+      else extending = false
+    }
+    lastPlanned = end
+    Some(LongOffset(end))
   }
 
   private def version(o: Offset): Long = o match {
@@ -101,6 +172,9 @@ final class GraftChangesSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(version).getOrElse(base)
     val toV = version(end)
+    // restart recovery replays checkpointed ranges through here before
+    // any getOffset call — advance the admission anchor past them
+    if (toV > lastPlanned) lastPlanned = toV
     val changes = table.changes(fromV, toV)
     // conform to the pinned stream schema (see scaladoc): project the
     // declared columns, null-filling any the evolved table lost

@@ -977,6 +977,37 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("time-travel"), e3.getMessage)
   }
 
+  test("SQL MERGE from a staging QUERY source, with mismatched column order") {
+    // real pipelines merge from a staging SELECT, not a bare table —
+    // the source plan is arbitrary and its column ORDER differs from
+    // the target's; alignment is by NAME throughout
+    val t = rangeTable() // ids 1..40
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_merge_q " +
+      s"USING graft OPTIONS (path '${t.root}')")
+    Seq((5L, 500.0, "u"), (6L, 600.0, "u"), (77L, 7700.0, "i"),
+        (88L, 8800.0, "skip"))
+      .toDF("sid", "sv", "op").createOrReplaceTempView("staging_raw")
+    // the subquery filters, renames, reorders, and COMPUTES columns:
+    // (v, ts, id) vs the target's (id, ts, v)
+    spark.sql(
+      """MERGE INTO graft_merge_q t USING (
+        |  SELECT sv * 2 AS v, TIMESTAMP '2024-07-01 00:00:00' AS ts, sid AS id
+        |  FROM staging_raw WHERE op <> 'skip'
+        |) s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = t.read().filter(col("id").isin(5L, 6L, 77L, 88L))
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(after == Map(5L -> 1000.0, 6L -> 1200.0, 77L -> 15400.0),
+      s"got $after")
+    // the 'skip' staging row must not have merged
+    assert(t.read().filter(col("id") === 88L).count() == 0L)
+    // the reordered INSERT * landed whole rows, not positional garbage
+    assert(t.read().filter(col("id") === 77L).select("ts")
+      .as[java.sql.Timestamp].collect().toSeq ==
+      Seq(java.sql.Timestamp.valueOf("2024-07-01 00:00:00")))
+  }
+
   test("SQL FOR VERSION AS OF pins a version, a tag, and a timestamp on graft views") {
     val t = rangeTable() // v1 create, v2 append ids 1..40
     t.tag("forty-rows")

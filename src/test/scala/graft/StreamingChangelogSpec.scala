@@ -123,6 +123,173 @@ class StreamingChangelogSpec extends AnyFunSuite with Matchers {
     sink.synchronized(sink.sorted.toList) shouldBe List(("insert", 3L, 3.0))
   }
 
+  test("maxVersionsPerTrigger drains a backlog in bounded batches, isolating a compaction") {
+    val base = Files.createTempDirectory("graft-stream-chg-bounded")
+    val root = base.resolve("t").toString
+    val tbl = SnapshotTable.create(spark, root, schema, None)   // v1
+    tbl.append(rows(1L -> 1.0, 2L -> 2.0))                      // v2
+    tbl.append(rows(3L -> 3.0, 4L -> 4.0))                      // v3
+    tbl.deleteByKeys(rows(1L -> 0.0).select("id"), Seq("id"))   // v4 (blind)
+    tbl.compact(targetRowsPerFile = 10L)                        // v5 (rewrite)
+    tbl.append(rows(5L -> 5.0, 6L -> 6.0))                      // v6
+    assert(tbl.currentVersion() == 6L)
+
+    // per-batch capture: the backlog must arrive in SEVERAL batches,
+    // each spanning at most 2 commits, with the compaction alone
+    val batches = ArrayBuffer.empty[List[(String, Long, Double)]]
+    val q = spark.readStream.format("graft")
+      .option("changesFrom", "1")
+      .option("maxVersionsPerTrigger", "2")
+      .load(root)
+      .writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = df.select(col("_change_type"), col("id"), col("v"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        batches.synchronized { batches += got.toList.sorted }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val seen = batches.synchronized(batches.toList)
+    // (1,3] blind prefix | (3,4] blind capped at 2-but-rewrite-next |
+    // (4,5] the compaction alone (no net change) | (5,6]
+    assert(seen.size == 4, s"expected 4 bounded batches, got: $seen")
+    assert(seen(0) == List(("insert", 1L, 1.0), ("insert", 2L, 2.0),
+      ("insert", 3L, 3.0), ("insert", 4L, 4.0)))
+    assert(seen(1) == List(("delete", 1L, 1.0)))
+    assert(seen(2) == Nil, s"a compaction batch must net to zero: ${seen(2)}")
+    assert(seen(3) == List(("insert", 5L, 5.0), ("insert", 6L, 6.0)))
+    // net-equivalence with the coalesced one-shot changelog
+    val applied = scala.collection.mutable.Map.empty[Long, Double]
+    seen.flatten.foreach {
+      case ("insert", id, v) => applied(id) = v
+      case ("delete", id, _) => applied.remove(id)
+      case other => fail(s"unexpected change row $other")
+    }
+    val oneShot = tbl.changes(1L, 6L)
+      .select(col("_change_type"), col("id"), col("v")).collect()
+    val appliedOneShot = scala.collection.mutable.Map.empty[Long, Double]
+    oneShot.foreach { r =>
+      if (r.getString(0) == "insert") appliedOneShot(r.getLong(1)) = r.getDouble(2)
+      else appliedOneShot.remove(r.getLong(1))
+    }
+    assert(applied.toMap == appliedOneShot.toMap)
+    assert(applied.keySet == Set(2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("an unbounded stream still splits a rewriting commit from blind neighbors") {
+    val base = Files.createTempDirectory("graft-stream-chg-split")
+    val root = base.resolve("t").toString
+    val tbl = SnapshotTable.create(spark, root, schema, None)   // v1
+    tbl.append(rows(1L -> 1.0))                                 // v2
+    tbl.append(rows(3L -> 3.0))                                 // v3
+    tbl.compact(targetRowsPerFile = 10L)                        // v4 (rewrite)
+    tbl.append(rows(2L -> 2.0))                                 // v5
+    assert(tbl.currentVersion() == 5L,
+      s"compaction must have committed, at v${tbl.currentVersion()}")
+
+    val batches = ArrayBuffer.empty[Int]
+    val q = spark.readStream.format("graft")
+      .option("changesFrom", "1")
+      .load(root)
+      .writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.count().toInt }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // (1,3] blind prefix | (3,4] compaction alone | (4,5] blind — NOT
+    // one giant diff batch over the whole range
+    assert(batches.synchronized(batches.toList) == List(2, 0, 1),
+      s"got ${batches.synchronized(batches.toList)}")
+  }
+
+  test("expiry between offset planning and batch materialization degrades to the endpoint diff") {
+    import graft.streaming.GraftChangesSource
+    val base = Files.createTempDirectory("graft-stream-chg-expire")
+    val root = base.resolve("t").toString
+    val tbl = SnapshotTable.create(spark, root, schema, None)   // v1
+    tbl.append(rows(1L -> 1.0, 2L -> 2.0))                      // v2
+    tbl.tag("consumer-base")        // protect the stream's base version
+    tbl.append(rows(3L -> 3.0))                                 // v3
+    tbl.deleteByKeys(rows(1L -> 0.0).select("id"), Seq("id"))   // v4
+    tbl.append(rows(4L -> 4.0))                                 // v5
+    tbl.append(rows(5L -> 5.0))                                 // v6
+
+    // drive the Source API directly to force the race deterministically
+    val src = new GraftChangesSource(spark.sqlContext, root, Some(2L),
+      base.resolve("meta").toString)
+    val end = src.getOffset.get
+    // expiry lands BETWEEN getOffset and getBatch: keep=2 retains
+    // v5,v6 + the tagged v2; intermediates v3,v4 vanish
+    tbl.expireSnapshots(keep = 2)
+    assert(tbl.log.versions() == Seq(2L, 5L, 6L))
+    // batch planning (classification + endpoint reads — the failure
+    // point) must succeed; the streaming-flagged result can't collect
+    // outside a query, so values assert through the same changes() call
+    val batch = src.getBatch(None, end)
+    assert(batch.schema.fieldNames.head == "_change_type")
+    val endV = end.json.trim.toLong
+    val got = tbl.changes(2L, endV)
+      .select(col("_change_type"), col("id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toList
+    // classification of the expired intermediates is impossible → the
+    // endpoint diff serves the range, net-exact: (v2 → v6)
+    assert(got == List(("delete", 1L, 1.0), ("insert", 3L, 3.0),
+      ("insert", 4L, 4.0), ("insert", 5L, 5.0)), got)
+
+    // an expired ENDPOINT has no sound diff semantics: clear guidance,
+    // not a raw FileNotFoundException
+    val e = intercept[IllegalStateException](tbl.changes(3L, 6L).collect())
+    assert(e.getMessage.contains("EXPIRED"), e.getMessage)
+    assert(e.getMessage.contains("tag"), e.getMessage)
+  }
+
+  test("mid-downtime schema evolution: restart picks up the new column, old rows null-fill") {
+    val base = Files.createTempDirectory("graft-stream-chg-evolve")
+    val root = base.resolve("t").toString
+    val ckpt = base.resolve("ckpt").toString
+    val tbl = SnapshotTable.create(spark, root, schema, None)   // v1
+    tbl.append(rows(1L -> 1.0))                                 // v2
+
+    // run 1: pinned schema is (id, v)
+    val run1 = ArrayBuffer.empty[(String, Long, Double)]
+    val q1 = startDrain(root, ckpt, run1, changesFrom = Some(1L))
+    try q1.processAllAvailable() finally q1.stop()
+    run1.synchronized(run1.toList) shouldBe List(("insert", 1L, 1.0))
+
+    // while DOWN: an evolving append adds column w…
+    val evolved = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, 2.0, "x")), 1),
+      StructType(schema.fields :+ StructField("w", org.apache.spark.sql.types.StringType)))
+    tbl.append(evolved)                                          // v3
+    // …and a later old-shape append leaves w null
+    tbl.append(rows(3L -> 3.0))                                  // v4
+
+    // run 2 re-derives the pinned schema at start: w is now visible,
+    // old-shape rows null-filled
+    val run2 = ArrayBuffer.empty[(String, Long, Double, Option[String])]
+    val q2 = spark.readStream.format("graft").load(root)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = df.select(col("_change_type"), col("id"), col("v"), col("w"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+            Option(r.getString(3))))
+        run2.synchronized { run2 ++= got }
+        ()
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    run2.synchronized(run2.sorted.toList) shouldBe List(
+      ("insert", 2L, 2.0, Some("x")), ("insert", 3L, 3.0, None))
+  }
+
   test("rejects user schema, changesTo, and unknown changesFrom versions") {
     val base = Files.createTempDirectory("graft-stream-chg-err")
     val root = base.resolve("t").toString

@@ -1287,6 +1287,26 @@ object Queries {
         },
         Some(nnOracle)),
 
+      // INCREMENTAL index maintenance: the index is built from a corpus
+      // PREFIX and the remainder arrives as an ingest batch assigned to
+      // the FROZEN centroids and atomically appended into the cluster-
+      // partitioned table (Ivf.appendToIndex — O(batch) commit, never a
+      // re-assignment of the existing rows, staleness-checked against
+      // the build-time baseline). Same model ⇒ same assignment ⇒ the
+      // probe answers IDENTICALLY to the full-rebuild index, pinned by
+      // the same exact-NN oracle.
+      QueryDef("sim_topk_ivf_append",
+        (s, dir) => {
+          val corpus = nearDupVectors(s, dir)
+          val model = ivfModelCache.computeIfAbsent(dir, _ =>
+            graft.operators.Ivf.train(corpus, k = 16, iters = 2))
+          graft.operators.Ivf.topKWithIndex(
+            ivfAppendIndexTable(s, dir, corpus, model),
+            corpus.filter(col("vec_id") >= 100000), model,
+            k = 1, nprobe = 4)
+        },
+        Some(nnOracle)),
+
       // IVF-PQ over the SAME persisted cluster-partitioned index table
       // (built once with PQ codes alongside the vectors): manifest
       // pruning opens only the probed clusters' files AND the ADC scan
@@ -1474,6 +1494,33 @@ object Queries {
 
   private val pqCodebookCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.functions.Pq.Codebook]()
+
+  private val ivfAppendIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once INCREMENTALLY-maintained IVF index: built from the 80%
+    * prefix, the remaining 20% appended via [[graft.operators.Ivf
+    * .appendToIndex]] — an O(batch) append against frozen centroids.
+    * The build asserts the same-distribution batch does NOT trip the
+    * staleness trigger, so the registry run also exercises the drift
+    * check's negative path.
+    */
+  private def ivfAppendIndexTable(s: SparkSession, dir: String,
+      corpus: DataFrame,
+      model: graft.operators.Ivf.Model): graft.catalog.SnapshotTable = {
+    val root = ivfAppendIndexCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-ivf-appendidx")
+        .resolve("index").toString
+      val prefix = corpus.filter(col("vec_id") % 5 =!= 0)
+      val batch = corpus.filter(col("vec_id") % 5 === 0)
+      graft.operators.Ivf.buildIndex(s, prefix, model, p)
+      val rep = graft.operators.Ivf.appendToIndex(s, batch, model, p)
+      require(!rep.stale,
+        s"same-distribution ingest batch tripped the staleness check: $rep")
+      p
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
 
   // =====================================================================
   // Snapshot-table queries: the atomic-commit layer's READ side, oracle-

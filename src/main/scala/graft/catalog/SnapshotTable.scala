@@ -1295,6 +1295,17 @@ final class SnapshotTable private (
     }
   }
 
+  /** Metadata-only TBLPROPERTIES merge (Iceberg `ALTER TABLE … SET
+    * TBLPROPERTIES`): sets/overwrites the given keys, touches no data
+    * file at any scale. Blind (rebases over concurrent commits).
+    */
+  def setProperties(props: Map[String, String]): Snapshot =
+    commitRetry { latest =>
+      nextWithIds(latest, "set-properties", latest.schema, latest.ids,
+        latest.nextIds, latest.files)
+        .copy(properties = latest.properties ++ props)
+    }
+
   /** Rewrite ONLY the files written under a pre-evolution partition
     * spec into the current one (a [[compact]] scoped to their partition
     * groups with `minFiles = 1`) — cost is O(legacy files), not
@@ -1851,10 +1862,12 @@ object SnapshotTable {
 
   /** Blind commits add files without rewriting any — the changelog's
     * metadata fast path covers a range iff every commit in it is blind.
-    * Streaming appends are blind file additions like any append.
+    * Streaming appends are blind file additions like any append;
+    * set-properties touches no files at all.
     */
   private[graft] def isBlindOp(op: String): Boolean =
-    op == "append" || op == "delete-eq" || op.startsWith("stream-append")
+    op == "append" || op == "delete-eq" || op == "set-properties" ||
+      op.startsWith("stream-append")
 
   /** `bucket[N]` transform name pattern (Iceberg's bucket transform). */
   private[graft] val BucketXform = raw"bucket\[(\d+)\]".r

@@ -127,12 +127,13 @@ object Ivf {
     * files ([[topKWithIndex]]) — file-level pruning decided from
     * metadata, zero data files touched for unprobed clusters.
     *
-    * REBUILDS (root already holds an index) are ONE atomic
+    * REBUILDS (root already holds an index) land the data in ONE atomic
     * `overwrite` commit: readers see the old index or the new one,
     * never a mixture, and old versions stay time-travel-readable until
-    * expired. A FIRST-time build is create + overwrite (two commits,
-    * the middle state being a valid empty index) — publish a brand-new
-    * root to readers only after buildIndex returns.
+    * expired (a metadata-only property commit recording the staleness
+    * baseline for [[appendToIndex]] follows). A FIRST-time build is
+    * create + overwrite (the middle state being a valid empty index) —
+    * publish a brand-new root to readers only after buildIndex returns.
     */
   def buildIndex(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
       model: Model, root: String,
@@ -155,7 +156,91 @@ object Ivf {
       else graft.catalog.SnapshotTable.create(spark, root, assigned.schema,
         Some(graft.catalog.PartitionSpec("cluster", "identity")))
     t.overwrite(assigned)
+    // staleness baseline for incremental maintenance: the BUILD-time
+    // assignment quality (mean nearest-centroid cosine over a bounded
+    // deterministic sample) — [[appendToIndex]] compares each batch
+    // against it. A metadata-only property commit; data untouched.
+    t.setProperties(Map(
+      BaseSimProp -> f"${assignQuality(corpus, model, idCol, vecCol)}%.6f"))
     t
+  }
+
+  /** Snapshot property: build-time mean assignment similarity. */
+  val BaseSimProp = "graft.ivf.base_mean_sim"
+
+  /** Mean nearest-centroid cosine over a bounded hash-ordered sample —
+    * the drift statistic the incremental-maintenance staleness trigger
+    * compares. Model-sized result; cost bounded by `sampleMax` rows
+    * regardless of corpus size (the [[train]] sampling contract).
+    */
+  def assignQuality(df: DataFrame, model: Model,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleMax: Int = 10000): Double =
+    df.orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
+      .limit(sampleMax)
+      .select(avg(array_max(simsExpr(col(vecCol), model))).as("q"))
+      .collect()(0).getDouble(0)
+
+  /** Outcome of one [[appendToIndex]] batch: `batchMeanSim` is the
+    * batch's assignment quality under the index's frozen centroids,
+    * `baseMeanSim` the build-time baseline, and `stale` fires when the
+    * batch assigns at least `1 - tolerance` WORSE than the baseline —
+    * the signal to retrain + [[buildIndex]] (one atomic overwrite).
+    */
+  final case class IndexAppend(table: graft.catalog.SnapshotTable,
+      appendedRows: Long, batchMeanSim: Double,
+      baseMeanSim: Option[Double], stale: Boolean)
+
+  /** Incrementally maintain a persisted [[buildIndex]] table: assign
+    * the NEW batch to the index's EXISTING centroids and atomically
+    * append its rows into the cluster-partitioned inverted file — the
+    * per-batch ingest shape a live 100 TB corpus needs. The existing
+    * index is never re-assigned, re-encoded, or rewritten; the commit
+    * is O(batch), and a reader sees the old index or old+batch, never
+    * a mixture ([[graft.catalog.SnapshotTable.append]] atomicity).
+    *
+    * Staleness contract: the centroids are FROZEN at build time, so
+    * recall decays if the data distribution drifts. Each append
+    * measures the batch's mean nearest-centroid cosine against the
+    * build-time baseline stored on the index ([[BaseSimProp]]); when
+    * the batch assigns more than `tolerance` relatively worse
+    * (`batchMeanSim < (1 - tolerance) × baseline`), the returned
+    * [[IndexAppend]] flags `stale = true` — the caller's trigger to
+    * retrain and rebuild (the append still commits: a slightly stale
+    * index that CONTAINS the new vectors beats one that silently
+    * dropped them).
+    *
+    * The batch must carry the same id/vector columns the index was
+    * built from; a PQ-coded index requires the SAME codebook (codes
+    * from a different codebook would corrupt ADC scans — refused).
+    */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, model: Model, root: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pq: Option[graft.functions.Pq.Codebook] = None,
+      tolerance: Double = 0.05): IndexAppend = {
+    require(graft.catalog.SnapshotTable.exists(spark, root),
+      s"no index table at $root — buildIndex first")
+    val t = graft.catalog.SnapshotTable.load(spark, root)
+    val hasCodes = t.schema.fieldNames.contains("code")
+    require(hasCodes == pq.isDefined,
+      if (hasCodes) "index stores PQ codes — pass the SAME codebook"
+      else "index has no PQ codes — drop the codebook")
+    val base = batch.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      assignExpr(col(vecCol), model).as("cluster"))
+    val assigned = pq match {
+      case Some(cb) => base.withColumn("code",
+        graft.functions.Pq.encode(col("n_vec"), cb))
+      case None => base
+    }
+    val before = t.currentSnapshot().files.map(_.rows).sum
+    val snap = t.append(assigned)
+    val appended = snap.files.map(_.rows).sum - before
+    val batchSim = assignQuality(batch, model, idCol, vecCol)
+    val baseline = t.currentSnapshot().properties.get(BaseSimProp)
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+    val stale = baseline.exists(b => batchSim < (1.0 - tolerance) * b)
+    IndexAppend(t, appended, batchSim, baseline, stale)
   }
 
   /** Query a persisted [[buildIndex]] table: probe clusters are chosen

@@ -331,14 +331,62 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val total = index.currentSnapshot().files.size.toLong
     assert(opened < total,
       s"expected manifest pruning: opened $opened of $total files")
-    // REBUILD on the same root: one atomic overwrite commit, same results
+    // REBUILD on the same root: the data lands in one atomic overwrite
+    // commit (followed by the metadata-only staleness-baseline
+    // property), same results
     val vBefore = index.currentVersion()
     val rebuilt = Ivf.buildIndex(spark, corpus, model, root)
-    assert(rebuilt.currentVersion() == vBefore + 1)
-    assert(rebuilt.currentSnapshot().operation == "overwrite_table")
+    assert(rebuilt.log.read(vBefore + 1).operation == "overwrite_table")
+    assert(rebuilt.currentSnapshot().operation == "set-properties")
+    assert(rebuilt.currentSnapshot().properties.contains(Ivf.BaseSimProp))
     val viaRebuilt = Ivf.topKWithIndex(rebuilt, queries, model, k = 1, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaRebuilt == viaModel)
+  }
+
+  test("appendToIndex: incremental batch equals full rebuild; drifted batch flags stale") {
+    import graft.operators.Ivf
+    val corpus = plantedMutantCorpus()
+    val queries = corpus.filter(col("vec_id") >= 100000)
+    val model = Ivf.train(corpus, k = 8, iters = 2)
+    // build from a PREFIX, append the remainder as an ingest batch
+    val prefix = corpus.filter(col("vec_id") % 5 =!= 0)
+    val batch = corpus.filter(col("vec_id") % 5 === 0)
+    val root = java.nio.file.Files.createTempDirectory("ivf-appendidx")
+      .resolve("t").toString
+    Ivf.buildIndex(spark, prefix, model, root)
+    val rep = Ivf.appendToIndex(spark, batch, model, root)
+    // O(batch) commit: an append, never a rewrite
+    assert(rep.table.currentSnapshot().operation == "append")
+    assert(rep.appendedRows == batch.count())
+    // same distribution → no staleness flag, and the baseline is recorded
+    assert(rep.baseMeanSim.isDefined)
+    assert(!rep.stale, s"same-distribution batch flagged stale: $rep")
+    // the incrementally-maintained index answers EXACTLY like a full
+    // rebuild over the whole corpus (same frozen model ⇒ same clusters)
+    val viaAppend = Ivf.topKWithIndex(rep.table, queries, model,
+        k = 1, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullRoot = java.nio.file.Files.createTempDirectory("ivf-fullidx")
+      .resolve("t").toString
+    val full = Ivf.buildIndex(spark, corpus, model, fullRoot)
+    val viaFull = Ivf.topKWithIndex(full, queries, model, k = 1, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaAppend == viaFull, "incremental index must match full rebuild")
+    // a distribution-shifted batch (orthogonalized vectors: even dims
+    // zeroed, odd dims negated) assigns much worse → stale fires
+    val drifted = batch.select(col("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(CASE WHEN i % 2 = 0 " +
+        "THEN 0.0 ELSE -x END AS FLOAT))").as("embedding"))
+    val rep2 = Ivf.appendToIndex(spark, drifted
+      .withColumn("vec_id", col("vec_id") + 900000L), model, root)
+    assert(rep2.stale, s"drifted batch must flag stale: $rep2")
+    // a PQ-coded index refuses a codebook-less append (and vice versa)
+    val e = intercept[IllegalArgumentException] {
+      Ivf.appendToIndex(spark, batch, model, root,
+        pq = Some(Ivf.trainPq(corpus, m = 8, ksub = 16, iters = 2)))
+    }
+    assert(e.getMessage.contains("codebook"), e.getMessage)
   }
 
   test("PQ encode/LUT/ADC agree with direct subspace arithmetic") {

@@ -2394,6 +2394,36 @@ object Queries {
                |FROM px
                |GROUP BY media_id, w, h""".stripMargin)),
 
+      // REAL audio decode, oracle-pinned: Spark encodes a seeded WAV
+      // per doc (FakeData.seededWav, RIFF/PCM16), decodes it back with
+      // javax.sound.sampled, and emits per-channel INTEGER sample sums;
+      // the oracle reproduces the same sums arithmetically from the
+      // sample formula — no audio library needed, and any decode defect
+      // (byte order, channel interleave, header offset) breaks exact
+      // equality. The image-proof pattern applied to audio.
+      QueryDef("mm_decode_audio",
+        (s, dir) => Multimodal.decodeAudioStats(
+          Multimodal.audioFromDocuments(t(s, dir, "documents"))),
+        Some("""WITH d AS (
+               |  SELECT doc_id AS media_id,
+               |         CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+               |         CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+               |         doc_id % 50 + 20 AS n
+               |  FROM documents
+               |), fr AS (
+               |  SELECT media_id, channels, sample_rate, n,
+               |         unnest(range(0, n)) AS i
+               |  FROM d
+               |)
+               |SELECT media_id, channels, sample_rate,
+               |  CAST(n AS BIGINT) AS n_frames,
+               |  CAST(SUM((media_id*31 + i*7) % 4096 - 2048) AS BIGINT) AS sum_ch0,
+               |  CAST(SUM(CASE WHEN channels > 1
+               |    THEN (media_id*31 + i*7 + 13) % 4096 - 2048
+               |    ELSE 0 END) AS BIGINT) AS sum_ch1
+               |FROM fr
+               |GROUP BY media_id, channels, sample_rate, n""".stripMargin)),
+
       QueryDef("mm_checksums",
         (s, dir) => Multimodal.checksums(
           Multimodal.mediaFromDocuments(t(s, dir, "documents"))),

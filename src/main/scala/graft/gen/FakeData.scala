@@ -176,6 +176,26 @@ object FakeData {
     })
   }
 
+  /** Deterministic seeded WAV (real, lossless RIFF/PCM16 bytes): shape
+    * and every sample are closed-form in (seed, frame, channel), so an
+    * external engine can reproduce the exact per-channel integer sums
+    * WITHOUT any audio library — the property the `mm_decode_audio`
+    * oracle exploits. Formula (seed ≥ 0; samples signed, in
+    * -2048..2047):
+    *
+    *   channels = seed % 2 + 1,  frames = seed % 50 + 20
+    *   rate     = 8000 + (seed % 4) * 4000
+    *   s(i,c)   = (seed*31 + i*7 + c*13) % 4096 - 2048
+    */
+  def seededWav(seed: Long): Array[Byte] = {
+    require(seed >= 0, s"seededWav needs a non-negative seed, got $seed")
+    val channels = (seed % 2 + 1).toInt
+    val frames = (seed % 50 + 20).toInt
+    val rate = (8000 + (seed % 4) * 4000).toInt
+    graft.operators.Multimodal.AudioCodec.encodeWavPcm16(rate, channels,
+      frames, (i, c) => ((seed * 31 + i * 7 + c * 13) % 4096 - 2048).toShort)
+  }
+
   /** Minimal RFC-4180 quoting: quote when the value contains comma,
     * quote, or newline; double embedded quotes.
     */

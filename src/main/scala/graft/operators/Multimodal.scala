@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   *
   * The IMAGE path decodes for real: [[ImageCodec]] wraps
   * `javax.imageio` (PNG/JPEG/BMP/GIF readers ship in the JDK — no
-  * native dependency), and [[extractFeatures]] uses it for `image`
+  * native dependency). The AUDIO path decodes for real too:
+  * [[AudioCodec]] wraps `javax.sound.sampled` (WAV/PCM reader+writer
+  * ship in the JDK). [[extractFeatures]] uses them for `image`/`audio`
   * payloads, falling back to the deterministic byte histogram
-  * ([[FakeDecoder]]) for audio/video and for bytes no reader accepts —
-  * those codecs don't ship in the JVM, so their decode stays a stub.
+  * ([[FakeDecoder]]) for video and for bytes no reader accepts —
+  * no video codec ships in the JVM, so that decode stays a stub.
   * Everything around the codec — the schema, the binary column
   * handling, partition-batched execution via `mapPartitions` (the
   * Scala analog of `mapInPandas`: one iterator per partition,
@@ -157,6 +159,148 @@ object Multimodal {
     }
   }
 
+  /** Real JVM audio codec: `javax.sound.sampled` WAV/PCM decode to
+    * per-channel sample sums, and a WAV/PCM16 encoder for deterministic
+    * test fixtures — JDK-only (the WAVE reader/writer providers ship
+    * with the JDK; no audio device is touched, parsing is pure). Sums
+    * are INTEGERS over the exact signed 16-bit samples, so a decode
+    * defect (byte order, channel interleave, header offset) breaks an
+    * exact-equality oracle instead of hiding inside a float tolerance —
+    * the same proof shape as [[ImageCodec]].
+    */
+  object AudioCodec {
+    final case class Decoded(channels: Int, sampleRate: Int,
+        nFrames: Long, channelSums: Array[Long], sumAbs: Long)
+
+    /** None when the payload is not decodable audio: `AudioSystem`
+      * probes registered readers by header (text/image payloads throw
+      * `UnsupportedAudioFileException`), and any reader failure on a
+      * corrupt body degrades to None — the fallback contract
+      * [[extractFeatures]] depends on. Non-16-bit/compressed encodings
+      * are converted to PCM16 when the JDK has a converter, else None.
+      */
+    def decode(bytes: Array[Byte]): Option[Decoded] = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          val pcm =
+            if (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16) ais
+            else AudioSystem.getAudioInputStream(
+              new AudioFormat(fmt.getSampleRate, 16, fmt.getChannels,
+                true, false), ais)
+          val f = pcm.getFormat
+          val ch = f.getChannels
+          if (ch <= 0) return None
+          val raw = readAll(pcm)
+          val be = f.isBigEndian
+          val frames = raw.length / (2 * ch)
+          val sums = new Array[Long](ch)
+          var sumAbs = 0L
+          var i = 0
+          var frame = 0
+          while (frame < frames) {
+            var c = 0
+            while (c < ch) {
+              val s =
+                if (be) ((raw(i) << 8) | (raw(i + 1) & 0xff)).toShort
+                else ((raw(i + 1) << 8) | (raw(i) & 0xff)).toShort
+              sums(c) += s
+              sumAbs += math.abs(s.toLong)
+              i += 2
+              c += 1
+            }
+            frame += 1
+          }
+          Some(Decoded(ch, f.getSampleRate.toInt, frames, sums, sumAbs))
+        } finally ais.close()
+      } catch {
+        // UnsupportedAudioFileException on non-audio, IOException and
+        // assorted RuntimeExceptions on corrupt bodies — all take the
+        // fallback, none kill the task (the ImageCodec rule)
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+
+    private def readAll(in: java.io.InputStream): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    }
+
+    /** Lossless WAV (RIFF/PCM16 little-endian) from a sample function
+      * (frame, channel) → signed 16-bit value.
+      */
+    def encodeWavPcm16(sampleRate: Int, channels: Int, nFrames: Int,
+        sample: (Int, Int) => Short): Array[Byte] = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      require(sampleRate > 0 && channels > 0 && nFrames >= 0,
+        s"bad wav shape: rate=$sampleRate ch=$channels frames=$nFrames")
+      val raw = new Array[Byte](nFrames * channels * 2)
+      var i = 0
+      var frame = 0
+      while (frame < nFrames) {
+        var c = 0
+        while (c < channels) {
+          val s = sample(frame, c)
+          raw(i) = (s & 0xff).toByte
+          raw(i + 1) = ((s >> 8) & 0xff).toByte
+          i += 2
+          c += 1
+        }
+        frame += 1
+      }
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, nFrames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+  }
+
+  /** Deterministic REAL-audio media table: one seeded WAV per document
+    * ([[graft.gen.FakeData.seededWav]]) — the fixture that exercises
+    * the actual javax.sound decode path end-to-end.
+    */
+  def audioFromDocuments(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, "audio", graft.gen.FakeData.seededWav(id))))
+      .toDF("media_id", "kind", "content")
+  }
+
+  /** Decoded per-clip PCM statistics: (media_id, channels, sample_rate,
+    * n_frames, sum_ch0, sum_ch1) — per-channel signed-sample sums
+    * (sum_ch1 = 0 for mono). Undecodable payloads are dropped, same
+    * survivors-only shape as [[decodeImageStats]]. All outputs are
+    * integers: the cross-engine compare is exact.
+    */
+  def decodeAudioStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          AudioCodec.decode(r.getAs[Array[Byte]]("content")).map { d =>
+            (r.getLong(0), d.channels, d.sampleRate, d.nFrames,
+              d.channelSums(0),
+              if (d.channels > 1) d.channelSums(1) else 0L)
+          }
+        }
+      }
+      .toDF("media_id", "channels", "sample_rate", "n_frames",
+        "sum_ch0", "sum_ch1")
+  }
+
   /** Deterministic REAL-image media table: one seeded PNG per document
     * ([[graft.gen.FakeData.seededPng]]) — the fixture that exercises
     * the actual ImageIO decode path end-to-end.
@@ -198,9 +342,13 @@ object Multimodal {
     * `image` payloads go through the REAL [[ImageCodec]]: on success,
     * width/height are the decoded dimensions (not the caller's
     * metadata) and features(0..2) are mean R/G/B scaled to [0,1] with
-    * features(3) = ln-free pixel count; bytes no reader accepts — and
-    * all audio/video — take the [[FakeDecoder]] byte-histogram
-    * fallback, so non-image corpora behave exactly as before.
+    * features(3) = pixel count. `audio` payloads go through the REAL
+    * [[AudioCodec]] (WAV/PCM via javax.sound.sampled): features(0) is
+    * the mean absolute amplitude scaled to [0,1], features(1..3) are
+    * channels / sample rate / frame count. Bytes neither codec accepts
+    * — and all video (no JVM codec exists offline) — take the
+    * [[FakeDecoder]] byte-histogram fallback, so mixed corpora behave
+    * exactly as before.
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -213,26 +361,39 @@ object Multimodal {
           val content = r.getAs[Array[Byte]]("content")
           val kind = r.getAs[String]("kind")
           val nBytes = if (content == null) 0L else content.length.toLong
-          val decoded =
-            if (kind == "image") ImageCodec.decode(content) else None
-          decoded match {
-            case Some(d) =>
-              val f = new Array[Double](FakeDecoder.FeatureDim)
-              val n = d.nPixels.toDouble
-              f(0) = d.sumR / (255.0 * n)
-              f(1) = d.sumG / (255.0 * n)
-              f(2) = d.sumB / (255.0 * n)
-              f(3) = d.nPixels.toDouble
-              MediaFeatures(r.getAs[Long]("media_id"), kind, nBytes,
-                d.width, d.height, f)
-            case None =>
-              MediaFeatures(
-                media_id = r.getAs[Long]("media_id"),
-                kind = kind,
-                n_bytes = nBytes,
-                width = r.getAs[Int]("width"),
-                height = r.getAs[Int]("height"),
-                features = FakeDecoder.decode(content))
+          def fallback = MediaFeatures(
+            media_id = r.getAs[Long]("media_id"),
+            kind = kind,
+            n_bytes = nBytes,
+            width = r.getAs[Int]("width"),
+            height = r.getAs[Int]("height"),
+            features = FakeDecoder.decode(content))
+          kind match {
+            case "image" => ImageCodec.decode(content) match {
+              case Some(d) =>
+                val f = new Array[Double](FakeDecoder.FeatureDim)
+                val n = d.nPixels.toDouble
+                f(0) = d.sumR / (255.0 * n)
+                f(1) = d.sumG / (255.0 * n)
+                f(2) = d.sumB / (255.0 * n)
+                f(3) = d.nPixels.toDouble
+                MediaFeatures(r.getAs[Long]("media_id"), kind, nBytes,
+                  d.width, d.height, f)
+              case None => fallback
+            }
+            case "audio" => AudioCodec.decode(content) match {
+              case Some(d) =>
+                val f = new Array[Double](FakeDecoder.FeatureDim)
+                val n = d.nFrames.toDouble * d.channels
+                f(0) = if (n > 0) d.sumAbs / (32768.0 * n) else 0.0
+                f(1) = d.channels.toDouble
+                f(2) = d.sampleRate.toDouble
+                f(3) = d.nFrames.toDouble
+                MediaFeatures(r.getAs[Long]("media_id"), kind, nBytes,
+                  r.getAs[Int]("width"), r.getAs[Int]("height"), f)
+              case None => fallback
+            }
+            case _ => fallback
           }
         }
       }

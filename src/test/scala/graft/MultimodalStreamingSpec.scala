@@ -115,6 +115,76 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("AudioCodec decodes a hand-built stereo WAV to exact sample sums") {
+    import Multimodal.AudioCodec
+    // 3 frames × 2 channels with known signed samples
+    val samples = Map((0, 0) -> 100, (0, 1) -> -200, (1, 0) -> 32767,
+      (1, 1) -> -32768, (2, 0) -> 0, (2, 1) -> 5)
+    val bytes = AudioCodec.encodeWavPcm16(16000, 2, 3,
+      (f, c) => samples((f, c)).toShort)
+    // real RIFF magic bytes, not a passthrough
+    assert(bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
+      bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte)
+    val d = AudioCodec.decode(bytes).get
+    assert(d.channels == 2 && d.sampleRate == 16000 && d.nFrames == 3L)
+    assert(d.channelSums.toSeq == Seq(100L + 32767L, -200L - 32768L + 5L))
+    assert(d.sumAbs == 100L + 200L + 32767L + 32768L + 5L)
+  }
+
+  test("AudioCodec rejects non-audio bytes; extractFeatures falls back") {
+    import Multimodal.AudioCodec
+    assert(AudioCodec.decode(null).isEmpty)
+    assert(AudioCodec.decode(Array.emptyByteArray).isEmpty)
+    assert(AudioCodec.decode("definitely not a wav".getBytes("UTF-8")).isEmpty)
+    // a PNG is not audio either (cross-codec confusion must not decode)
+    assert(AudioCodec.decode(graft.gen.FakeData.seededPng(3L)).isEmpty)
+    // media built from documents carries TEXT payloads under kind=audio:
+    // the histogram fallback keeps the pre-codec behavior byte-for-byte
+    val au = Multimodal.extractFeatures(
+      media.filter(col("kind") === "audio").limit(5)).collect()
+    assert(au.nonEmpty)
+    for (f <- au) assert(math.abs(f.features.sum - 1.0) < 1e-9)
+  }
+
+  test("seededWav roundtrip: decode recovers the closed-form shape and sums") {
+    import Multimodal.AudioCodec
+    for (seed <- Seq(0L, 1L, 2L, 3L, 7L, 123L, 99999L)) {
+      val channels = (seed % 2 + 1).toInt
+      val frames = (seed % 50 + 20).toInt
+      val sums = new Array[Long](channels)
+      for (i <- 0 until frames; c <- 0 until channels)
+        sums(c) += (seed * 31 + i * 7 + c * 13) % 4096 - 2048
+      val d = AudioCodec.decode(graft.gen.FakeData.seededWav(seed)).get
+      assert(d.channels == channels && d.nFrames == frames.toLong,
+        s"shape for seed=$seed")
+      assert(d.sampleRate == (8000 + (seed % 4) * 4000).toInt, s"rate $seed")
+      assert(d.channelSums.toSeq == sums.toSeq, s"sums for seed=$seed")
+    }
+  }
+
+  test("decodeAudioStats over seeded WAVs; extractFeatures uses the real decode") {
+    val wavs = Multimodal.audioFromDocuments(docs.limit(25))
+    val stats = Multimodal.decodeAudioStats(wavs).collect()
+    assert(stats.length == 25, "every seeded WAV decodes")
+    for (r <- stats) {
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 2 + 1).toInt, s"channels of $id")
+      assert(r.getLong(3) == id % 50 + 20, s"frames of $id")
+      if (r.getInt(1) == 1) assert(r.getLong(5) == 0L, "mono sum_ch1 = 0")
+    }
+    // routed through extractFeatures: real decode facts in the features
+    val withMeta = wavs.withColumn("meta", struct(
+      lit(-1).as("width"), lit(-1).as("height"),
+      lit(0).as("sample_rate"), lit(0).as("duration_ms")))
+    val f = Multimodal.extractFeatures(withMeta.limit(5)).collect()
+    for (x <- f) {
+      assert(x.kind == "audio")
+      assert(x.features(0) >= 0.0 && x.features(0) <= 1.0, "mean |amp|")
+      assert(x.features(1) == 1.0 || x.features(1) == 2.0, "channels")
+      assert(x.features(3) >= 20.0, "frame count")
+    }
+  }
+
   test("frame sampling slices video payloads at stride") {
     val frames = Multimodal.sampleFrames(media, frameLen = 32, stride = 16)
     val one = frames.filter(col("media_id") === 2).orderBy("frame_idx").collect()

@@ -1560,6 +1560,32 @@ object Queries {
 
   private val skipTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val zorderTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once Z-ORDER proof table for `snap_zorder_scan`: events land
+    * as 8 hash-scattered files (every file spans the full event_id AND
+    * user_id domains — nothing prunable), then ONE
+    * `compact(zOrderBy = event_id, user_id)` rewrite Morton-clusters
+    * them into ~16 files each covering a small rectangle of BOTH key
+    * domains. A plain sort would make only the leading column prunable;
+    * the query pins pruning on each dimension separately.
+    */
+  private def zorderSnapshot(s: SparkSession,
+      dir: String): graft.catalog.SnapshotTable = {
+    val root = zorderTableCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-snap-zorder")
+        .resolve("t").toString
+      val ev = t(s, dir, "events")
+      val tbl = graft.catalog.SnapshotTable.create(s, base, ev.schema, None,
+        properties = graft.catalog.EvolvingWriter.DefaultTableProps)
+      tbl.append(ev.repartition(8))
+      tbl.compact(targetRowsPerFile = math.max(1L, ev.count() / 16),
+        zOrderBy = Seq("event_id", "user_id"))
+      base
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
   private val deleteTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val mergeTableCache =
@@ -1913,6 +1939,45 @@ object Queries {
       Some("""SELECT event_type, count(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
              |FROM events WHERE event_id BETWEEN 1000 AND 1999
+             |GROUP BY 1""".stripMargin)),
+
+    // Z-ORDER rewrite (Delta OPTIMIZE ZORDER / Iceberg sort-order
+    // rewrite): after ONE compact(zOrderBy = event_id, user_id) the
+    // manifest min/max stats prune a 2-D box on EITHER dimension —
+    // pinned per-dimension at runtime from the manifest (a linear sort
+    // would pass only the leading column) — and the box query's values
+    // must equal the raw-parquet filter oracle exactly. At 100 TB this
+    // is the layout that serves range scans on TWO uncorrelated
+    // columns without a second copy of the data.
+    QueryDef("snap_zorder_scan",
+      (s, dir) => {
+        val tbl = zorderSnapshot(s, dir)
+        val snap = tbl.currentSnapshot()
+        // the box spans the bottom 1/8 of BOTH key domains at every SF
+        // — bounds read from the manifest's global max (driver-side
+        // metadata, the same move snap_bucket_lookup makes hashing its
+        // keys), so the query's selectivity and result SCALE with the
+        // corpus instead of pinning constants tuned to one SF
+        def hi(c: String): Long = snap.files
+          .flatMap(_.stats.get(c).flatMap(_.max).flatMap(_.toLongOption))
+          .max / 8L
+        val (evHi, usHi) = (hi("event_id"), hi("user_id"))
+        val evPred = col("event_id").between(0L, evHi)
+        val usPred = col("user_id").between(0L, usHi)
+        val zPruned =
+          tbl.pruneFiles(evPred).size < snap.files.size &&
+          tbl.pruneFiles(usPred).size < snap.files.size
+        tbl.readWhere(evPred && usPred)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .withColumn("z_pruned", lit(zPruned))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             |  TRUE AS z_pruned
+             |FROM events
+             |WHERE event_id BETWEEN 0 AND (SELECT max(event_id) // 8 FROM events)
+             |  AND user_id BETWEEN 0 AND (SELECT max(user_id) // 8 FROM events)
              |GROUP BY 1""".stripMargin)),
 
     // Copy-on-write row-level DELETE: stats prune to the id-range's

@@ -1217,16 +1217,39 @@ final class SnapshotTable private (
         val nOut = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
         val raw = readWithDeletes(latest.schema, latest.ids, latest, pFiles)
         val data =
-          if (zOrderBy.nonEmpty)
+          if (zOrderBy.nonEmpty) {
             // 2-D Morton clustering (Iceberg/Delta Z-ORDER rewrite):
             // each output file covers a small rectangle of both key
-            // domains, so min/max stats prune on EITHER column
-            raw.withColumn("__z", graft.sources.Layout.mortonZ(
-                col(zOrderBy(0)), col(zOrderBy(1))))
+            // domains, so min/max stats prune on EITHER column. The
+            // key interleaves NORMALIZED 16-bit ranks (Layout
+            // .mortonZNorm) — normalization bounds come from the
+            // manifest stats already in hand (zero extra data pass;
+            // falls back to one 4-scalar aggregate when a bound is
+            // missing or non-numeric, e.g. an NTZ-rendered timestamp)
+            def statBounds(c: String): Option[(Double, Double)] = {
+              val per = pFiles.map { f =>
+                for {
+                  st <- f.stats.get(c)
+                  mn <- st.min.flatMap(s => s.toDoubleOption)
+                  mx <- st.max.flatMap(s => s.toDoubleOption)
+                } yield (mn, mx)
+              }
+              if (per.forall(_.isDefined) && per.nonEmpty)
+                Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
+              else None
+            }
+            val bounds = (statBounds(zOrderBy(0)), statBounds(zOrderBy(1))) match {
+              case (Some((a0, a1)), Some((b0, b1))) => Array(a0, a1, b0, b1)
+              case _ =>
+                graft.sources.Layout.boundsOf(raw, zOrderBy(0), zOrderBy(1))
+            }
+            raw.withColumn("__z", graft.sources.Layout.mortonZNorm(
+                col(zOrderBy(0)), bounds(0), bounds(1),
+                col(zOrderBy(1)), bounds(2), bounds(3)))
               .repartitionByRange(nOut, col("__z"))
               .sortWithinPartitions(col("__z"))
               .drop("__z")
-          else if (sortBy.nonEmpty)
+          } else if (sortBy.nonEmpty)
             raw.repartitionByRange(nOut, sortBy.map(col): _*)
               .sortWithinPartitions(sortBy.map(col): _*)
           else raw.repartition(nOut)

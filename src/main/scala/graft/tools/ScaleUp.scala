@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materializes an N×-scaled replica of the driver testdata (VERDICT r8
+  * item 5: "one full-suite bench at sf1") so `graft.Bench` can run the
+  * ENTIRE query registry at 10× sf0.1 — the whole-suite complement to
+  * [[graft.ScaleSmoke]], which replays only the four heaviest families
+  * in-memory.
+  *
+  * Replication is PERF-ONLY (no oracle at this scale) but honest:
+  * every replica keeps the original's statistical shape and the
+  * registry's derivation invariants, so each query does ~N× the work
+  * of its sf0.1 run on the same code path:
+  *
+  *  - dimension tables (`region`, `nation`) copy unscaled — they are
+  *    schema constants, exactly as TPC-H holds nations fixed across SF;
+  *  - fact keys offset per replica WITHOUT breaking referential
+  *    integrity: `o_custkey` and `c_custkey` shift together, lineitem's
+  *    `(l_orderkey, l_partkey, l_suppkey)` shift with their parents,
+  *    so join fan-outs match the original's;
+  *  - `documents.doc_id` offsets by r·10⁴ and `embeddings.vec_id` by
+  *    r·3·10³ — both keep ALL base ids < 10⁵, the invariant the
+  *    registry's derived corpora rely on (`nearDupCorpus` plants
+  *    mutants at id+10⁵; probe sets filter `id >= 10⁵`). A larger
+  *    offset would misclassify whole replicas as probe rows and turn
+  *    the ×N corpus into a ×N² query set — not a scale-up, a different
+  *    workload;
+  *  - `documents.text` letter-rotates per replica and `embeddings`
+  *    jitter per replica (the [[graft.ScaleSmoke]] mutations): replicas
+  *    contribute NEW content with the same shingle/geometry profile
+  *    rather than multiplying every shingle's document frequency by N;
+  *  - `events` keeps its timestamps (a ×N-denser stream over the same
+  *    wall-clock range — windows gain rows, not count) and offsets
+  *    `user_id` so sessions never straddle replicas.
+  *
+  * Run:
+  * {{{
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE=10 \
+  *     SPARK_GRAFT_SCALE_OUT=/tmp/graft-sf1 sbt "runMain graft.tools.ScaleUp"
+  *   SPARK_GRAFT_SF_DIR=/tmp/graft-sf1 sbt "runMain graft.Bench"
+  * }}}
+  */
+object ScaleUp {
+
+  private val Letters = "abcdefghijklmnopqrstuvwxyz"
+
+  /** N replicas of `df`, replica r transformed by `remap(r, df)`;
+    * r = 0 is always the identity so every original row (and every
+    * value a query filters on) survives verbatim.
+    */
+  private def replicate(df: DataFrame, factor: Int)(
+      remap: (Int, DataFrame) => DataFrame): DataFrame =
+    (0 until factor).map {
+      case 0 => df
+      case r => remap(r, df)
+    }.reduce(_ unionByName _)
+
+  private def shiftKeys(r: Int, df: DataFrame,
+      offsets: (String, Long)*): DataFrame =
+    offsets.foldLeft(df) { case (d, (c, per)) =>
+      d.withColumn(c, col(c) + lit(r * per))
+    }
+
+  def scaledTables(spark: SparkSession, dir: String,
+      factor: Int): Seq[(String, DataFrame)] = {
+    def t(name: String) = graft.sources.Tables.load(spark, dir, name)
+    val rot = (r: Int) =>
+      Letters.drop(r % 26) + Letters.take(r % 26)
+    Seq(
+      "region" -> t("region"),
+      "nation" -> t("nation"),
+      "customer" -> replicate(t("customer"), factor)(
+        shiftKeys(_, _, "c_custkey" -> 1000000L)),
+      "supplier" -> replicate(t("supplier"), factor)(
+        shiftKeys(_, _, "s_suppkey" -> 1000000L)),
+      "part" -> replicate(t("part"), factor)(
+        shiftKeys(_, _, "p_partkey" -> 1000000L)),
+      "orders" -> replicate(t("orders"), factor)(
+        shiftKeys(_, _, "o_orderkey" -> 10000000L, "o_custkey" -> 1000000L)),
+      "lineitem" -> replicate(t("lineitem"), factor)(
+        shiftKeys(_, _, "l_orderkey" -> 10000000L, "l_partkey" -> 1000000L,
+          "l_suppkey" -> 1000000L)),
+      "events" -> replicate(t("events"), factor)(
+        shiftKeys(_, _, "event_id" -> 10000000L, "user_id" -> 1000000L)),
+      "documents" -> replicate(t("documents"), factor) { (r, d) =>
+        shiftKeys(r, d, "doc_id" -> 10000L)
+          .withColumn("text", translate(col("text"), Letters, rot(r)))
+      },
+      "embeddings" -> replicate(t("embeddings"), factor) { (r, d) =>
+        shiftKeys(r, d, "vec_id" -> 3000L)
+          .withColumn("embedding", transform(col("embedding"), (x, i) =>
+            (x + (pmod(i * 131 + lit(r * 17), lit(11)) - lit(5)).cast("float")
+              * lit(0.002f)).cast("float")))
+      })
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = graft.config.GraftConfig.fromEnv(appName = "graft-scale-up")
+    val spark = cfg.newSession()
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/tmp/graft-sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    for ((name, df) <- scaledTables(spark, cfg.sfDir, factor)) {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      System.err.println(f"[scale-up] $name%s: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    println(s"""{"metric":"scale_up","factor":$factor,"out":"$out"}""")
+    spark.stop()
+  }
+}

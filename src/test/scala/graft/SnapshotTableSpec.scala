@@ -421,6 +421,31 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
   }
 
+  test("zOrder rank normalization: both dimensions prune despite unequal bit widths") {
+    // id spans 14 bits, grp 3 bits — RAW Morton interleave would put
+    // every range-partition boundary on id bits and leave grp files
+    // unclustered (grp pruning impossible); normalized 16-bit ranks
+    // give both columns equal split levels
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("grp", LongType)))
+    val t = SnapshotTable.create(spark, freshRoot(), schema, None)
+    val df = spark.range(10000).select(col("id"),
+      (col("id") * 2654435761L % 8L).as("grp")) // decorrelated 0..7
+    t.append(df.repartition(4))
+    t.compact(targetRowsPerFile = 625L, zOrderBy = Seq("id", "grp"))
+    val total = t.currentSnapshot().files.size
+    assert(total >= 8, s"expected a multi-file rewrite, got $total")
+    val idOpened = t.pruneFiles(col("id") <= 1249L).size
+    val grpOpened = t.pruneFiles(col("grp") === 0L).size
+    assert(idOpened < total, s"id dim must prune: $idOpened/$total")
+    assert(grpOpened < total,
+      s"narrow dim must prune too (raw interleave fails this): " +
+        s"$grpOpened/$total")
+    // pruning stays exact: the pruned read returns the full answer
+    assert(t.readWhere(col("grp") === 0L).count() ==
+      df.filter(col("grp") === 0L).count())
+  }
+
   test("identity-partition values with path-hostile characters round-trip") {
     val schema = StructType(Seq(
       StructField("k", StringType), StructField("v", LongType)))

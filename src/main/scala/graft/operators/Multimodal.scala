@@ -111,8 +111,27 @@ object Multimodal {
       * null), and any reader failure on a corrupt body — JDK readers
       * throw assorted RuntimeExceptions there — also degrades to None.
       */
+    /** Magic-byte sniff for every format the JDK ships a reader for
+      * (JPEG, PNG, GIF, BMP, TIFF, WBMP). At corpus scale the decode
+      * column is mostly NOT images, and rejecting those rows must cost
+      * a few byte compares — not an ImageIO reader-SPI probe with
+      * stream setup per row (exception-driven control flow is the slow
+      * path that showed up 20× in the sf1 bench). Decodable payloads
+      * always carry their magic, so this is a pure fast-path: anything
+      * sniffed IN still goes through the full reader and its fallback.
+      */
+    private def looksLikeImage(b: Array[Byte]): Boolean =
+      b.length >= 4 && (
+        (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||        // JPEG
+        (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N') || // PNG
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||         // GIF
+        (b(0) == 'B' && b(1) == 'M') ||                        // BMP
+        (b(0) == 'I' && b(1) == 'I' && b(2) == 42) ||          // TIFF LE
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42) || // TIFF BE
+        (b(0) == 0 && b(1) == 0))                              // WBMP
+
     def decode(bytes: Array[Byte]): Option[Decoded] = {
-      if (bytes == null || bytes.isEmpty) return None
+      if (bytes == null || bytes.isEmpty || !looksLikeImage(bytes)) return None
       try {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
@@ -179,9 +198,24 @@ object Multimodal {
       * [[extractFeatures]] depends on. Non-16-bit/compressed encodings
       * are converted to PCM16 when the JDK has a converter, else None.
       */
+    /** Magic-byte sniff for the JDK's audio readers (WAV `RIFF…WAVE`,
+      * AIFF `FORM…AIFF`, AU `.snd`) — the [[ImageCodec]] rule: reject
+      * the non-audio majority with byte compares, never a per-row
+      * `UnsupportedAudioFileException`.
+      */
+    private def looksLikeAudio(b: Array[Byte]): Boolean =
+      (b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
+      (b.length >= 12 &&
+        b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+        b(8) == 'A' && b(9) == 'I' && b(10) == 'F') ||
+      (b.length >= 4 &&
+        b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')
+
     def decode(bytes: Array[Byte]): Option[Decoded] = {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
-      if (bytes == null || bytes.isEmpty) return None
+      if (bytes == null || bytes.isEmpty || !looksLikeAudio(bytes)) return None
       try {
         val ais = AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))

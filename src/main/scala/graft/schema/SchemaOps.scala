@@ -85,7 +85,9 @@ object SchemaOps {
   def alignTo(df: DataFrame, target: StructType): DataFrame = {
     val present = df.columns.toSet
     val targetCols: Seq[Column] = target.fields.toIndexedSeq.map { f =>
-      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      if (present.contains(f.name))
+        castIfNeeded(col(f.name), df.schema(f.name).dataType, f.dataType)
+          .as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }
     val targetNames = target.fieldNames.toSet
@@ -104,11 +106,23 @@ object SchemaOps {
     val tgtByName = target.fields.map(f => f.name -> f.dataType).toMap
     df.select(df.columns.toIndexedSeq.map { c =>
       tgtByName.get(c) match {
-        case Some(t) => col(c).cast(t).as(c)
+        case Some(t) => castIfNeeded(col(c), df.schema(c).dataType, t).as(c)
         case None    => col(c)
       }
     }: _*)
   }
+
+  /** Cast only on a REAL type change: Spark refuses a Cast between
+    * types that differ solely in nested nullability (an array column
+    * whose `containsNull` flipped fails analysis with "cannot cast
+    * ARRAY<FLOAT> to ARRAY<FLOAT>"), and a nullability-only difference
+    * needs no value conversion — comparing the rendered SQL type (which
+    * omits nullability at every nesting level) catches exactly that
+    * case.
+    */
+  private def castIfNeeded(c: Column, from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Column =
+    if (from.sql == to.sql) c else c.cast(to)
 
   /** E4 — add target columns missing from df as typed nulls, reorder to
     * target order, append df-only extras after. Does NOT cast existing

@@ -177,11 +177,17 @@ final class GraftChangesSource(
     if (toV > lastPlanned) lastPlanned = toV
     val changes = table.changes(fromV, toV)
     // conform to the pinned stream schema (see scaladoc): project the
-    // declared columns, null-filling any the evolved table lost
+    // declared columns, null-filling any the evolved table lost. Cast
+    // only on a REAL type change — Spark refuses a Cast between types
+    // that differ solely in nested nullability (array<float> where
+    // containsNull flipped: "cannot cast ARRAY<FLOAT> to ARRAY<FLOAT>"),
+    // and a nullability-only difference needs no value conversion
     val conformed = changes.select(schema.fields.toIndexedSeq.map { f =>
-      if (changes.columns.contains(f.name))
-        col(SnapshotTable.quoted(f.name)).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      if (changes.columns.contains(f.name)) {
+        val c = col(SnapshotTable.quoted(f.name))
+        if (changes.schema(f.name).dataType.sql == f.dataType.sql) c.as(f.name)
+        else c.cast(f.dataType).as(f.name)
+      } else lit(null).cast(f.dataType).as(f.name)
     }: _*)
     StreamingBridge.asStreaming(sqlContext, conformed)
   }

@@ -82,8 +82,11 @@ object ScaleUp {
       "lineitem" -> replicate(t("lineitem"), factor)(
         shiftKeys(_, _, "l_orderkey" -> 10000000L, "l_partkey" -> 1000000L,
           "l_suppkey" -> 1000000L)),
+      // event_id steps by 10⁹, NOT 10⁷: two merge fixtures synthesize
+      // not-matched populations at event_id + 10⁷, which must stay
+      // disjoint from every replica's real ids
       "events" -> replicate(t("events"), factor)(
-        shiftKeys(_, _, "event_id" -> 10000000L, "user_id" -> 1000000L)),
+        shiftKeys(_, _, "event_id" -> 1000000000L, "user_id" -> 1000000L)),
       "documents" -> replicate(t("documents"), factor) { (r, d) =>
         shiftKeys(r, d, "doc_id" -> 10000L)
           .withColumn("text", translate(col("text"), Letters, rot(r)))

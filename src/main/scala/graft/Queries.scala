@@ -1184,7 +1184,41 @@ object Queries {
                |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))) AS sim
                |  FROM planted
                |)
-               |SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.995""".stripMargin))
+               |SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.995""".stripMargin)),
+
+      // Cross-corpus duplicated n-gram fraction (Lee et al. 2022 exact
+      // substring dedup / Gopher dup-ngram rule): per doc, how many of
+      // its distinct 5-grams occur in >= 2 docs corpus-wide. The exact
+      // duplicates planted by dupCorpus guarantee dup_grams == n_grams
+      // for every %7 doc AND its mutant; counts stay BIGINT so the
+      // compare is engine-exact (no double division).
+      QueryDef("dedup_cross_doc_ngrams",
+        (s, dir) => Dedup.crossDocNgrams(dupCorpus(s, dir),
+          shingleLen = 5, minDocs = 2),
+        Some("""WITH corpus AS (
+               |  SELECT doc_id, text FROM documents
+               |  UNION ALL
+               |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+               |), toks AS (
+               |  SELECT doc_id,
+               |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+               |  FROM corpus
+               |), shsets AS (
+               |  SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+               |    ELSE list_distinct(list_transform(range(0, len(t) - 4),
+               |           i -> array_to_string(t[i+1:i+5], ' ')))
+               |    END AS shingles FROM toks
+               |), postings AS (
+               |  SELECT doc_id, unnest(shingles) AS sh FROM shsets
+               |), shared AS (
+               |  SELECT sh FROM postings GROUP BY sh HAVING count(*) >= 2
+               |), dup AS (
+               |  SELECT doc_id, count(*) AS dup_grams
+               |  FROM postings JOIN shared USING (sh) GROUP BY doc_id
+               |)
+               |SELECT s.doc_id, CAST(len(s.shingles) AS BIGINT) AS n_grams,
+               |       COALESCE(d.dup_grams, CAST(0 AS BIGINT)) AS dup_grams
+               |FROM shsets s LEFT JOIN dup d USING (doc_id)""".stripMargin))
     )
   }
 

@@ -480,4 +480,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh.subsetOf(bf + 1L))
     assert(lsh.contains(1L)) // near-identical vector must share a band
   }
+
+  test("crossDocNgrams: exact dups fully duplicated, unique docs at zero, short docs whole-text") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),          // 4 distinct 5-grams, all shared with 2
+      (2L, "a b c d e f g h"),          // exact dup of 1
+      (3L, "p q r s t u v w x"),        // 5 distinct 5-grams, none shared
+      (4L, "c d e f g z z z z"),        // shares exactly "c d e f g" with 1/2
+      (5L, "tiny doc")                  // < 5 tokens -> one whole-text shingle
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossDocNgrams(docs, shingleLen = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (4L, 4L)) // every 5-gram occurs in doc 2 as well
+    assert(out(2L) == (4L, 4L))
+    assert(out(3L) == (5L, 0L)) // nothing shared
+    assert(out(4L) == (5L, 1L)) // only "c d e f g" is cross-document
+    assert(out(5L) == (1L, 0L)) // whole-text shingle, unique
+  }
 }

@@ -1975,6 +1975,41 @@ object Queries {
              |FROM events WHERE event_id BETWEEN 1000 AND 1999
              |GROUP BY 1""".stripMargin)),
 
+    // Metadata-only aggregates (Iceberg aggregate pushdown into
+    // manifest metrics): COUNT/MIN/MAX answered from the file list with
+    // ZERO data-file I/O — the .getOrElse(sys.error(...)) is the
+    // runtime pin that the metadata path, not the scan fallback,
+    // produced the row the oracle then checks value-exactly.
+    QueryDef("snap_stats_agg",
+      (s, dir) => {
+        import graft.catalog.SnapshotTable.MetaAgg
+        statsSnapshot(s, dir, skipTableCache, "skip")(_ => ())
+          .metadataAggregate(Seq(
+            MetaAgg("count_star", "", "n_rows"),
+            MetaAgg("count", "value", "n_value"),
+            MetaAgg("null_count", "props", "null_props"),
+            MetaAgg("min", "event_id", "min_event_id"),
+            MetaAgg("max", "event_id", "max_event_id"),
+            MetaAgg("min", "ts", "min_ts"),
+            MetaAgg("max", "ts", "max_ts"),
+            MetaAgg("min", "event_type", "min_event_type"),
+            MetaAgg("max", "event_type", "max_event_type"),
+            MetaAgg("min", "value", "min_value"),
+            MetaAgg("max", "value", "max_value")))
+          .getOrElse(sys.error(
+            "snap_stats_agg: manifest stats must answer this profile"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  count(value) AS n_value,
+             |  count(*) - count(props) AS null_props,
+             |  min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+             |  min(CAST(ts AS TIMESTAMP)) AS min_ts,
+             |  max(CAST(ts AS TIMESTAMP)) AS max_ts,
+             |  min(event_type) AS min_event_type,
+             |  max(event_type) AS max_event_type,
+             |  min(value) AS min_value, max(value) AS max_value
+             |FROM events""".stripMargin)),
+
     // Z-ORDER rewrite (Delta OPTIMIZE ZORDER / Iceberg sort-order
     // rewrite): after ONE compact(zOrderBy = event_id, user_id) the
     // manifest min/max stats prune a 2-D box on EITHER dimension —

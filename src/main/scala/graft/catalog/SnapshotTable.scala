@@ -455,6 +455,91 @@ final class SnapshotTable private (
   def pruneFiles(pred: Column): Seq[DataFileEntry] =
     pruneFiles(currentSnapshot(), pred)
 
+  /** Global aggregates answered PURELY from manifest metadata — zero
+    * data-file I/O (Iceberg/Spark aggregate pushdown into metrics:
+    * `COUNT(*)` from per-file row counts, `COUNT(c)`/null counts from
+    * `null_value_counts`, `MIN`/`MAX` from the file bounds). At 100 TB
+    * this turns a full-table profile scan into O(files) driver-side
+    * arithmetic over the manifest entries already in memory.
+    *
+    * Returns None — caller falls back to a real scan via [[aggregate]]
+    * — whenever metadata cannot give the EXACT answer:
+    *   - merge-on-read delete files are pending (row counts lie until
+    *     [[compact]] applies them);
+    *   - a file lacks stats for a requested column (legacy manifest,
+    *     ineligible type);
+    *   - a bound is not exactly recoverable: string `min` at the
+    *     64-char cap (possible truncation — still a valid BOUND but
+    *     not the true minimum), dropped string `max`, non-finite
+    *     float/double renderings, malformed NTZ shapes (5-digit
+    *     years);
+    * EXCEPT that a file whose column is entirely NULL contributes no
+    * value and is skipped — missing bounds there are exact, matching
+    * SQL MIN/MAX null semantics.
+    *
+    * The result is ONE row built from literals (`spark.range(1)` —
+    * no source relation), column types identical to what the scan
+    * fallback would produce, so callers and oracles cannot tell the
+    * paths apart except by speed.
+    */
+  def metadataAggregate(specs: Seq[SnapshotTable.MetaAgg]): Option[DataFrame] = {
+    val s = currentSnapshot()
+    if (s.deleteFiles.nonEmpty) return None
+    val currentById = s.ids.map { case (n, id) => id -> n }.toMap
+    val files = s.files.map(effectiveStats(currentById, _))
+    val cols = specs.map { a =>
+      a.op match {
+        case "count_star" => Some(lit(files.map(_.rows).sum).as(a.alias))
+        case op =>
+          val dt = s.schema.fields.find(_.name == a.column).map(_.dataType)
+            .getOrElse(throw new IllegalArgumentException(
+              s"metadataAggregate: no such column ${a.column}"))
+          val perFile = files.map(f => f.stats.get(a.column).map(f -> _))
+          if (perFile.exists(_.isEmpty)) None
+          else {
+            val fs = perFile.flatten
+            op match {
+              case "null_count" =>
+                Some(lit(fs.map(_._2.nullCount).sum).as(a.alias))
+              case "count" =>
+                Some(lit(fs.map { case (f, st) => f.rows - st.nullCount }.sum)
+                  .as(a.alias))
+              case "min" | "max" =>
+                SnapshotTable.foldBounds(dt, fs, isMin = op == "min")
+                  .map(_.cast(dt).as(a.alias))
+              case other => throw new IllegalArgumentException(
+                s"metadataAggregate: unknown op $other")
+            }
+          }
+      }
+    }
+    if (cols.exists(_.isEmpty)) None
+    else Some(spark.range(1).select(cols.map(_.get): _*))
+  }
+
+  /** [[metadataAggregate]] when the manifest suffices, otherwise the
+    * equivalent one-pass scan aggregate — always exact, metadata-fast
+    * when possible.
+    */
+  def aggregate(specs: Seq[SnapshotTable.MetaAgg]): DataFrame =
+    metadataAggregate(specs).getOrElse {
+      val df = read()
+      val cols = specs.map { a =>
+        a.op match {
+          case "count_star" => count(lit(1)).as(a.alias)
+          case "count" => count(col(a.column)).as(a.alias)
+          case "null_count" =>
+            coalesce(sum(col(a.column).isNull.cast("long")), lit(0L))
+              .as(a.alias)
+          case "min" => min(col(a.column)).as(a.alias)
+          case "max" => max(col(a.column)).as(a.alias)
+          case other => throw new IllegalArgumentException(
+            s"aggregate: unknown op $other")
+        }
+      }
+      df.agg(cols.head, cols.tail: _*)
+    }
+
   /** Schema hook for the `graft` data source: one manifest read, no
     * file listing or scan plan.
     */
@@ -1825,6 +1910,98 @@ final class SnapshotTable private (
 }
 
 object SnapshotTable {
+
+  /** One aggregate for [[SnapshotTable.metadataAggregate]] /
+    * [[SnapshotTable.aggregate]]: `op` ∈ `count_star` | `count` |
+    * `null_count` | `min` | `max`; `column` is ignored for
+    * `count_star` (pass "").
+    */
+  final case class MetaAgg(op: String, column: String, alias: String)
+
+  /** Fold per-file manifest bounds into the table-wide MIN/MAX as a
+    * typed literal Column. None = not exactly recoverable from
+    * metadata (dropped/truncated/unparseable bound); `Some(lit(null))`
+    * = no non-NULL values exist (SQL MIN/MAX of an empty or all-NULL
+    * column). A file whose column is entirely NULL (nullCount == rows)
+    * legitimately has no bounds and is skipped.
+    */
+  private[catalog] def foldBounds(dt: DataType,
+      fs: Seq[(DataFileEntry, ColStats)], isMin: Boolean): Option[Column] = {
+    // per file: None = unrecoverable; Some(None) = no values;
+    // Some(Some(b)) = exact rendered bound
+    val perFile: Seq[Option[Option[String]]] = fs.map { case (f, st) =>
+      (if (isMin) st.min else st.max) match {
+        case Some(v) if isMin && dt == StringType &&
+            v.length >= FileStats.MaxStringBound =>
+          None // stored min is a prefix at the cap: maybe truncated
+        case Some(v) => Some(Some(v))
+        case None if st.nullCount == f.rows => Some(None)
+        case None => None // bound was dropped at write time
+      }
+    }
+    if (perFile.contains(None)) return None
+    val bounds = perFile.flatten.flatten
+    if (bounds.isEmpty) return Some(lit(null))
+    val parsed = bounds.map(parseBound(dt, _))
+    if (parsed.exists(_.isEmpty)) return None
+    val vs = parsed.flatten
+    val best = vs.reduceLeft((a, b) =>
+      if (boundLess(dt, a, b) == isMin) a else b)
+    Some(boundLiteral(dt, best))
+  }
+
+  /** Parse a manifest-rendered bound (see [[FileStats.aggColumns]] for
+    * the per-type renderings) back to an exactly-equal JVM value; None
+    * when the rendering is not exactly invertible (non-finite floats,
+    * malformed fixed-width NTZ shapes).
+    */
+  private def parseBound(dt: DataType, b: String): Option[Any] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      scala.util.Try(BigDecimal(b).toLongExact).toOption
+    case FloatType => scala.util.Try(b.toFloat).toOption
+      .filterNot(f => f.isNaN || f.isInfinite)
+    case DoubleType => scala.util.Try(b.toDouble).toOption
+      .filterNot(d => d.isNaN || d.isInfinite)
+    case _: DecimalType => scala.util.Try(BigDecimal(b)).toOption
+    case StringType => Some(b)
+    case BooleanType => scala.util.Try(b.toBoolean).toOption
+    case DateType => scala.util.Try(java.time.LocalDate.parse(b)).toOption
+    case TimestampType => scala.util.Try(b.toLong).toOption // epoch µs
+    case TimestampNTZType =>
+      if (b.length != FileStats.NtzPattern.length || b(4) != '-') None
+      else scala.util.Try(
+        java.time.LocalDateTime.parse(b, FileStats.NtzFormatter)).toOption
+    case _ => None
+  }
+
+  /** a < b in the column's own order — strings compare as UTF-8 BYTES
+    * (UTF8String), matching Spark, parquet stats and DuckDB; never
+    * Java's UTF-16 code-unit order.
+    */
+  private def boundLess(dt: DataType, a: Any, b: Any): Boolean = (dt, a, b) match {
+    case (ByteType | ShortType | IntegerType | LongType | TimestampType,
+        x: Long, y: Long) => x < y
+    case (FloatType, x: Float, y: Float) => java.lang.Float.compare(x, y) < 0
+    case (DoubleType, x: Double, y: Double) => java.lang.Double.compare(x, y) < 0
+    case (_: DecimalType, x: BigDecimal, y: BigDecimal) => x < y
+    case (StringType, x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+    case (BooleanType, x: Boolean, y: Boolean) => !x && y
+    case (DateType, x: java.time.LocalDate, y: java.time.LocalDate) =>
+      x.isBefore(y)
+    case (TimestampNTZType, x: java.time.LocalDateTime,
+        y: java.time.LocalDateTime) => x.isBefore(y)
+    case _ => throw new IllegalStateException(s"unorderable bound type $dt")
+  }
+
+  private def boundLiteral(dt: DataType, v: Any): Column = (dt, v) match {
+    case (TimestampType, m: Long) => lit(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(m, 1000000L), Math.floorMod(m, 1000000L) * 1000L))
+    case (_: DecimalType, d: BigDecimal) => lit(d.bigDecimal)
+    case (ByteType | ShortType | IntegerType | LongType, x: Long) => lit(x)
+    case _ => lit(v)
+  }
 
   /** Staging-dir partition column name — exists only in staging PATHS,
     * never in data files or the logical schema.

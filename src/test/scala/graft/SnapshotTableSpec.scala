@@ -1792,4 +1792,54 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.pruneFiles(col("s") === ("a" * 66)).size <
       t.currentSnapshot().files.size)
   }
+
+  test("metadataAggregate answers from manifests, falls back exactly when it cannot") {
+    import SnapshotTable.MetaAgg
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("v", DoubleType),
+      StructField("allnull", StringType)))
+    val t = SnapshotTable.create(spark, freshRoot(), schema, None)
+    t.append(Seq((3L, "beta", 1.5, null: String),
+      (1L, "alpha", -2.25, null: String)).toDF("id", "s", "v", "allnull"))
+    t.append(Seq((7L, "gamma", null: String)).toDF("id", "s", "allnull")
+      .withColumn("v", lit(null).cast("double"))
+      .select("id", "s", "v", "allnull"))
+    val specs = Seq(MetaAgg("count_star", "", "n"),
+      MetaAgg("count", "v", "n_v"), MetaAgg("null_count", "v", "nulls_v"),
+      MetaAgg("min", "id", "min_id"), MetaAgg("max", "id", "max_id"),
+      MetaAgg("min", "s", "min_s"), MetaAgg("max", "s", "max_s"),
+      MetaAgg("min", "v", "min_v"), MetaAgg("max", "v", "max_v"),
+      MetaAgg("min", "allnull", "min_a"))
+    val meta = t.metadataAggregate(specs)
+    assert(meta.isDefined, "clean table must answer from metadata")
+    val viaMeta = meta.get.collect().head
+    // the scan fallback computes the identical row (force it by asking
+    // through aggregate on a table state metadata CANNOT answer, then
+    // compare against a direct scan aggregate here)
+    val viaScan = t.read().agg(count(lit(1)).as("n"),
+      count(col("v")).as("n_v"),
+      sum(col("v").isNull.cast("long")).as("nulls_v"),
+      min("id").as("min_id"), max("id").as("max_id"),
+      min("s").as("min_s"), max("s").as("max_s"),
+      min("v").as("min_v"), max("v").as("max_v"),
+      min("allnull").as("min_a")).collect().head
+    assert(viaMeta == viaScan, s"meta=$viaMeta scan=$viaScan")
+    assert(viaMeta.getAs[Long]("n") == 3L)
+    assert(viaMeta.getAs[Double]("min_v") == -2.25)
+    assert(viaMeta.isNullAt(viaMeta.fieldIndex("min_a")))
+    // a >=64-char string makes min possibly-truncated and max dropped
+    t.append(Seq((9L, "x" * 80, 0.0, null: String)).toDF("id", "s", "v", "allnull"))
+    assert(t.metadataAggregate(Seq(MetaAgg("min", "s", "m"))).isEmpty)
+    assert(t.metadataAggregate(Seq(MetaAgg("max", "s", "m"))).isEmpty)
+    // but counts and other columns still answer
+    assert(t.metadataAggregate(Seq(MetaAgg("count_star", "", "n"),
+      MetaAgg("max", "id", "m"))).isDefined)
+    // pending MoR deletes poison ALL metadata answers; aggregate()
+    // falls back to the scan and stays exact
+    t.deleteByKeys(Seq(Tuple1(3L)).toDF("id"), Seq("id"))
+    assert(t.metadataAggregate(Seq(MetaAgg("count_star", "", "n"))).isEmpty)
+    val fb = t.aggregate(Seq(MetaAgg("count_star", "", "n"),
+      MetaAgg("min", "id", "min_id"))).collect().head
+    assert(fb.getAs[Long]("n") == 3L && fb.getAs[Long]("min_id") == 1L)
+  }
 }

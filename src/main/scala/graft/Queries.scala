@@ -2010,6 +2010,18 @@ object Queries {
              |  min(value) AS min_value, max(value) AS max_value
              |FROM events""".stripMargin)),
 
+    // Partitions metadata table (Iceberg `table.partitions`): per
+    // hidden-partition row counts straight from the manifest — the
+    // events snapshot is identity-partitioned on event_type, so the
+    // oracle is a plain GROUP BY over the raw table. file_count is
+    // manifest-only (not oracle-derivable) and covered by unit test.
+    QueryDef("snap_partitions",
+      (s, dir) => snapshotEventsTable(s, dir).partitionsDf()
+        .select(col("partition"), col("row_count")),
+      Some("""SELECT event_type AS partition,
+             |  CAST(count(*) AS BIGINT) AS row_count
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // Z-ORDER rewrite (Delta OPTIMIZE ZORDER / Iceberg sort-order
     // rewrite): after ONE compact(zOrderBy = event_id, user_id) the
     // manifest min/max stats prune a 2-D box on EITHER dimension —

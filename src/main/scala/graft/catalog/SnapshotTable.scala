@@ -131,6 +131,26 @@ final class SnapshotTable private (
       "n_files", "n_rows", "n_delete_files")
   }
 
+  /** Per-partition accounting as a DataFrame — the Iceberg
+    * `partitions` metadata-table surface: one row per live hidden
+    * partition value with its file and record counts, computed from
+    * the manifest alone (no data file opened — at 100 TB this is the
+    * partition-size profile that drives compaction targeting and skew
+    * diagnosis, for free). `partition` is NULL for unpartitioned
+    * tables and for the null partition. `row_count` is the data-file
+    * record count; pending merge-on-read delete files are NOT
+    * subtracted (same as Iceberg's partitions table — [[compact]]
+    * applies them physically and re-exactifies the counts).
+    */
+  def partitionsDf(): DataFrame = {
+    val rows = currentSnapshot().files.groupBy(_.partition).toSeq
+      .map { case (p, fs) =>
+        (p.orNull: String, fs.size.toLong, fs.map(_.rows).sum)
+      }
+    import spark.implicits._
+    rows.toDF("partition", "file_count", "row_count")
+  }
+
   def schema: StructType = currentSnapshot().schema
 
   // ------------------------------------------------------------------

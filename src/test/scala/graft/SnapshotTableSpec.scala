@@ -1793,6 +1793,20 @@ class SnapshotTableSpec extends AnyFunSuite {
       t.currentSnapshot().files.size)
   }
 
+  test("partitionsDf reports per-partition file and row counts, null partition included") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    t.append(rows((1L, "2024-01-05", 1.0), (2L, "2024-02-05", 2.0)))
+    t.append(rows((3L, "2024-01-06", 3.0)))
+    // a NULL partition-source row lands in the null partition
+    t.append(Seq((4L, null: Timestamp, 4.0)).toDF("id", "ts", "v"))
+    val parts = t.partitionsDf().collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(parts(Some("2024-01")) == (2L, 2L)) // two batches => two files
+    assert(parts(Some("2024-02")) == (1L, 1L))
+    assert(parts(None) == (1L, 1L))
+  }
+
   test("metadataAggregate answers from manifests, falls back exactly when it cannot") {
     import SnapshotTable.MetaAgg
     val schema = StructType(Seq(StructField("id", LongType),

@@ -35,10 +35,14 @@ final class GraftTimeTravelParser(session: SparkSession,
     delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(sqlText).transformUp {
-      case tt @ RelationTimeTravel(ur: UnresolvedRelation, ts, version) =>
-        rewrite(ur, ts, version).getOrElse(tt)
-    }
+    // maintenance procedures first: `CALL graft.…` is not Spark SQL
+    // (Spark reserves CALL for DSv2 catalog procedures); everything
+    // else reaches Spark's parser byte-identical
+    GraftProcedures.parse(session, sqlText).getOrElse(
+      delegate.parsePlan(sqlText).transformUp {
+        case tt @ RelationTimeTravel(ur: UnresolvedRelation, ts, version) =>
+          rewrite(ur, ts, version).getOrElse(tt)
+      })
 
   /** The pinned relation, or None = not ours (leave the node alone). */
   private def rewrite(ur: UnresolvedRelation, ts: Option[Expression],

@@ -1793,6 +1793,49 @@ class SnapshotTableSpec extends AnyFunSuite {
       t.currentSnapshot().files.size)
   }
 
+  test("CALL graft.* maintenance procedures run from SQL and report outcomes") {
+    val t = rangeTable() // v1 create, v2 append ids 1..40 (4 files)
+    t.append(rows((41L, "2024-05-01", 41.0))) // v3
+    t.append(rows((42L, "2024-05-02", 42.0))) // v4
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_call " +
+      s"USING graft OPTIONS (path '${t.root}')")
+    // tag: pins v2 by name, returns (name, version)
+    val tagged = spark.sql(
+      "CALL graft.tag('graft_call', name => 'keep_v2', version => 2)")
+      .collect().head
+    assert(tagged.getString(0) == "keep_v2" && tagged.getLong(1) == 2L)
+    // compact: 6 files (4+1+1) bin-pack into fewer, sorted by id
+    val c = spark.sql("CALL graft.compact('graft_call', sort_by => 'id')")
+      .collect().head
+    assert(c.getInt(1) == 6 && c.getInt(2) < 6, c.toString)
+    assert(t.read().count() == 42L)
+    // rollback: content returns to v2, as a NEW version
+    val r = spark.sql("CALL graft.rollback('graft_call', version => 2)")
+      .collect().head
+    assert(r.getLong(0) > 4L)
+    assert(t.read().count() == 40L)
+    // expire: keep => 1, but the tagged v2 is expiry-proof
+    val e = spark.sql(
+      "CALL graft.expire_snapshots('graft_call', keep => 1)").collect().head
+    assert(e.getInt(0) > 0)
+    assert(t.readAt(2).count() == 40L)
+    // orphan cleanup runs (fresh table: nothing unreferenced)
+    val o = spark.sql(
+      "CALL graft.remove_orphan_files('graft_call', older_than_ms => 0)")
+      .collect().head
+    assert(o.getInt(0) >= 0)
+    // misuse fails with named errors, not Spark parse noise
+    val unknown = intercept[Exception](spark.sql("CALL graft.nope('graft_call')"))
+    assert(unknown.getMessage.contains("available"), unknown.getMessage)
+    val badArg = intercept[Exception](
+      spark.sql("CALL graft.compact('graft_call', bogus => 1)"))
+    assert(badArg.getMessage.contains("unknown argument"), badArg.getMessage)
+    spark.range(2).createOrReplaceTempView("plain_call_v")
+    val notOurs = intercept[Exception](
+      spark.sql("CALL graft.compact('plain_call_v')"))
+    assert(notOurs.getMessage.contains("graft"), notOurs.getMessage)
+  }
+
   test("partitionsDf reports per-partition file and row counts, null partition included") {
     val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
     t.append(rows((1L, "2024-01-05", 1.0), (2L, "2024-02-05", 2.0)))

@@ -2450,6 +2450,20 @@ object Queries {
              |FROM evens CROSS JOIN vias
              |GROUP BY 1, 2""".stripMargin)),
 
+    // Metadata table through pure SQL: OPTIONS (metadata 'partitions')
+    // exposes the manifest-derived partitions view to SQL-only users;
+    // same oracle as snap_partitions, different (data-source) route.
+    QueryDef("sql_partitions_meta",
+      (s, dir) => {
+        val tbl = snapshotEventsTable(s, dir)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_parts_meta " +
+          s"USING graft OPTIONS (path '${tbl.root}', metadata 'partitions')")
+        s.sql("SELECT partition, row_count FROM graft_parts_meta")
+      },
+      Some("""SELECT event_type AS partition,
+             |  CAST(count(*) AS BIGINT) AS row_count
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // SQL maintenance procedures (Iceberg CALL surface): the fixture
     // builder runs CALL graft.compact + expire_snapshots through SQL,
     // then the read must still equal the raw table — maintenance

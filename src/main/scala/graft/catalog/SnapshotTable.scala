@@ -151,6 +151,28 @@ final class SnapshotTable private (
     rows.toDF("partition", "file_count", "row_count")
   }
 
+  /** Live data files as a DataFrame (Iceberg `files` metadata table,
+    * manifest-only): relative path, hidden-partition value, row count,
+    * the commit sequence that added the file, and how many columns
+    * carry skip stats. The ops view behind "why is this read slow" —
+    * small-file debris and stats coverage show up here without
+    * touching data.
+    */
+  def filesDf(): DataFrame = {
+    val rows = currentSnapshot().files.map(f =>
+      (f.path, f.partition.orNull: String, f.rows, f.seq, f.stats.size))
+    import spark.implicits._
+    rows.toDF("path", "partition", "rows", "commit_seq", "n_stat_cols")
+  }
+
+  /** Named refs as a DataFrame (Iceberg `refs`): tag name → pinned
+    * version.
+    */
+  def tagsDf(): DataFrame = {
+    import spark.implicits._
+    tags().toSeq.toDF("tag", "version")
+  }
+
   def schema: StructType = currentSnapshot().schema
 
   // ------------------------------------------------------------------

@@ -53,6 +53,20 @@ final class GraftDataSource extends RelationProvider
             sys.error(s"$label must be a version number, got '$v'")
         }
       }
+    // metadata tables (Iceberg `table.files` / `partitions` / `history`
+    // / `refs`): OPTIONS (path '…', metadata 'partitions') reads the
+    // manifest-derived introspection DataFrames — SQL-only users get
+    // the same ops views the Scala API exposes, zero data-file I/O
+    parameters.get("metadata") match {
+      case Some(kind) =>
+        require(parameters.size <= 2 ||
+          parameters.keys.forall(k => k == "path" || k == "metadata" ||
+            k == "paths"),
+          "metadata tables take no other options (they describe the " +
+            "CURRENT snapshot; time travel does not apply)")
+        return new GraftMetadataRelation(sqlContext, path, kind.toLowerCase)
+      case None => ()
+    }
     // CDC changelog surface: changesFrom/changesTo expose
     // SnapshotTable.changes(from, to) to SQL-only consumers
     (longOpt("changesfrom", "changesFrom"), longOpt("changesto", "changesTo")) match {
@@ -290,4 +304,31 @@ final class GraftChangesRelation(
       nullable = false) +: table.schemaAt(Some(toVersion)).fields)
 
   override def buildScan(): RDD[Row] = changesDf.rdd
+}
+
+/** One metadata table (`history` / `partitions` / `files` / `tags`)
+  * of a graft snapshot table as a relation — resolved fresh on every
+  * scan so a long-lived temp view always describes the CURRENT
+  * snapshot. Metadata-sized by construction (rows ≈ commits, files, or
+  * partitions — never data rows).
+  */
+final class GraftMetadataRelation(
+    override val sqlContext: SQLContext,
+    root: String,
+    kind: String) extends BaseRelation with TableScan {
+
+  private def df: org.apache.spark.sql.DataFrame = {
+    val t = SnapshotTable.load(sqlContext.sparkSession, root)
+    kind match {
+      case "history" => t.historyDf()
+      case "partitions" => t.partitionsDf()
+      case "files" => t.filesDf()
+      case "tags" => t.tagsDf()
+      case other => sys.error(s"unknown graft metadata table '$other' — " +
+        "one of: history, partitions, files, tags")
+    }
+  }
+
+  override def schema: StructType = df.schema
+  override def buildScan(): RDD[Row] = df.rdd
 }

@@ -1793,6 +1793,32 @@ class SnapshotTableSpec extends AnyFunSuite {
       t.currentSnapshot().files.size)
   }
 
+  test("metadata tables: filesDf/tagsDf and the SQL metadata option stay current") {
+    val t = rangeTable()
+    t.tag("ref-a", 2L)
+    val files = t.filesDf().collect()
+    assert(files.length == t.currentSnapshot().files.size)
+    assert(files.map(_.getAs[Long]("rows")).sum == 40L)
+    assert(files.forall(_.getAs[Int]("n_stat_cols") > 0))
+    assert(t.tagsDf().collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap == Map("ref-a" -> 2L))
+    // SQL route, and the view must track LATER commits (fresh resolve)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW meta_hist USING graft " +
+      s"OPTIONS (path '${t.root}', metadata 'history')")
+    val before = spark.sql("SELECT count(*) FROM meta_hist").as[Long]
+      .collect().head
+    t.append(rows((41L, "2024-05-01", 1.0)))
+    val after = spark.sql("SELECT count(*) FROM meta_hist").as[Long]
+      .collect().head
+    assert(after == before + 1)
+    val bad = intercept[Exception] {
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW meta_bad USING graft " +
+        s"OPTIONS (path '${t.root}', metadata 'nope')")
+      spark.sql("SELECT * FROM meta_bad").collect()
+    }
+    assert(bad.getMessage.contains("metadata table"), bad.getMessage)
+  }
+
   test("CALL graft.* maintenance procedures run from SQL and report outcomes") {
     val t = rangeTable() // v1 create, v2 append ids 1..40 (4 files)
     t.append(rows((41L, "2024-05-01", 41.0))) // v3

@@ -1595,6 +1595,9 @@ object Queries {
   private val sqlCallTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val wapTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val skipTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val zorderTableCache =
@@ -2012,6 +2015,27 @@ object Queries {
              |  max(event_type) AS max_event_type,
              |  min(value) AS min_value, max(value) AS max_value
              |FROM events""".stripMargin)),
+
+    // Write-audit-publish (Iceberg WAP): the fixture opens an audit
+    // window and stages a junk batch (ids offset by 10^9) that NEVER
+    // publishes — the read below must still equal the raw table, the
+    // runtime pin that staged commits are invisible to every reader
+    // until an audit signs off.
+    QueryDef("snap_wap_audit",
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, wapTableCache, "wap") { tb =>
+          tb.beginAudit()
+          tb.append(t(s, dir, "events")
+            .withColumn("event_id", col("event_id") + lit(1000000000L)))
+          require(tb.readAudit().count() > tb.read().count(),
+            "audit head must hold the staged batch")
+        }
+        tbl.read().groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1""".stripMargin)),
 
     // Partitions metadata table (Iceberg `table.partitions`): per
     // hidden-partition row counts straight from the manifest — the

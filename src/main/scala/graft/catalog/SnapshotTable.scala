@@ -143,7 +143,7 @@ final class SnapshotTable private (
     * applies them physically and re-exactifies the counts).
     */
   def partitionsDf(): DataFrame = {
-    val rows = currentSnapshot().files.groupBy(_.partition).toSeq
+    val rows = publishedSnapshot().files.groupBy(_.partition).toSeq
       .map { case (p, fs) =>
         (p.orNull: String, fs.size.toLong, fs.map(_.rows).sum)
       }
@@ -159,7 +159,7 @@ final class SnapshotTable private (
     * touching data.
     */
   def filesDf(): DataFrame = {
-    val rows = currentSnapshot().files.map(f =>
+    val rows = publishedSnapshot().files.map(f =>
       (f.path, f.partition.orNull: String, f.rows, f.seq, f.stats.size))
     import spark.implicits._
     rows.toDF("path", "partition", "rows", "commit_seq", "n_stat_cols")
@@ -179,7 +179,19 @@ final class SnapshotTable private (
   // Reads
   // ------------------------------------------------------------------
 
-  def read(): DataFrame = readSnapshot(currentSnapshot())
+  /** The snapshot READERS resolve to: the current version — unless an
+    * audit window is open ([[beginAudit]]), in which case the pinned
+    * pre-audit base. Mutations always build on [[currentSnapshot]];
+    * explicit-version reads ([[readAt]], [[changes]], time travel) are
+    * never redirected.
+    */
+  def publishedSnapshot(): Snapshot = {
+    val cur = currentSnapshot()
+    cur.properties.get(SnapshotTable.WapBaseProp)
+      .map(v => snapshotAt(v.toLong)).getOrElse(cur)
+  }
+
+  def read(): DataFrame = readSnapshot(publishedSnapshot())
 
   /** Time travel by version. */
   def readAt(version: Long): DataFrame = readSnapshot(snapshotAt(version))
@@ -217,7 +229,7 @@ final class SnapshotTable private (
     * Iceberg manifests — no data file is touched to decide.
     */
   def readPartitions(pred: Option[String] => Boolean): DataFrame = {
-    val s = currentSnapshot()
+    val s = publishedSnapshot()
     // mixed-spec guard: after evolveSpec, legacy files carry values
     // computed under the OLD spec — a predicate written for the current
     // spec would silently drop their rows (no residual filter can
@@ -238,7 +250,7 @@ final class SnapshotTable private (
     * filter still exact).
     */
   def readKeyIn(values: Seq[Any]): DataFrame = {
-    val s = currentSnapshot()
+    val s = publishedSnapshot()
     val spec = s.spec.getOrElse(
       sys.error("readKeyIn needs a bucket partition spec"))
     val n = spec.transform match {
@@ -265,7 +277,7 @@ final class SnapshotTable private (
     * filter applies on the source column.
     */
   def readTimestampRange(from: Instant, until: Instant): DataFrame = {
-    val s = currentSnapshot()
+    val s = publishedSnapshot()
     val spec = s.spec.getOrElse(sys.error("readTimestampRange needs a partition spec"))
     require(spec.transform == "month", "readTimestampRange needs the month transform")
     require(!until.isBefore(from), s"inverted range: $from .. $until")
@@ -487,7 +499,7 @@ final class SnapshotTable private (
     * so pruning can only skip work, never change results.
     */
   def readWhere(pred: Column): DataFrame = {
-    val s = currentSnapshot()
+    val s = publishedSnapshot()
     readWithDeletes(s.schema, s.ids, s, pruneFiles(s, pred)).filter(pred)
   }
 
@@ -495,7 +507,7 @@ final class SnapshotTable private (
     * callers (and tests) can observe skipping without reading data.
     */
   def pruneFiles(pred: Column): Seq[DataFileEntry] =
-    pruneFiles(currentSnapshot(), pred)
+    pruneFiles(publishedSnapshot(), pred)
 
   /** Global aggregates answered PURELY from manifest metadata — zero
     * data-file I/O (Iceberg/Spark aggregate pushdown into metrics:
@@ -525,7 +537,7 @@ final class SnapshotTable private (
     * paths apart except by speed.
     */
   def metadataAggregate(specs: Seq[SnapshotTable.MetaAgg]): Option[DataFrame] = {
-    val s = currentSnapshot()
+    val s = publishedSnapshot()
     if (s.deleteFiles.nonEmpty) return None
     val currentById = s.ids.map { case (n, id) => id -> n }.toMap
     val files = s.files.map(effectiveStats(currentById, _))
@@ -597,7 +609,7 @@ final class SnapshotTable private (
     */
   private[graft] def scanFor(version: Option[Long],
       filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
-    val s = version.map(snapshotAt).getOrElse(currentSnapshot())
+    val s = version.map(snapshotAt).getOrElse(publishedSnapshot())
     val currentById = s.ids.map { case (n, id) => id -> n }.toMap
     val kept =
       if (filters.isEmpty) s.files
@@ -1591,6 +1603,68 @@ final class SnapshotTable private (
   }
 
   // ------------------------------------------------------------------
+  // Write–audit–publish (Iceberg WAP / Databricks staged commits): an
+  // ingest job stages commits that REMAIN INVISIBLE to every reader
+  // until an audit (row counts, dedup rates, contamination checks)
+  // signs off — then one publish makes them all visible atomically.
+  // For a training corpus this is the "no batch reaches training
+  // unvalidated" gate.
+  // ------------------------------------------------------------------
+
+  /** Open an audit window: pins every reader entry point (read,
+    * readWhere/KeyIn/Partitions/TimestampRange, SQL scans, metadata
+    * aggregates and tables) at the CURRENT version, while subsequent
+    * commits — any number of appends/upserts/deletes — stage on the
+    * log as ordinary versions. [[readAudit]] sees the staged head for
+    * validation; [[publish]] lifts the pin; [[abortAudit]] rolls back
+    * to the base. The pin is a table property, so it is crash-safe,
+    * visible to every session, and carried forward by each staged
+    * commit; the pinned base is expiry-proof while the window is open.
+    */
+  def beginAudit(): Snapshot = {
+    require(!inAudit,
+      "already in an audit window — publish() or abortAudit() first")
+    setProperties(
+      Map(SnapshotTable.WapBaseProp -> currentVersion().toString))
+  }
+
+  /** True while an audit window is open. */
+  def inAudit: Boolean =
+    currentSnapshot().properties.contains(SnapshotTable.WapBaseProp)
+
+  /** The staged head — what the audit validates before [[publish]].
+    * Plain readers keep seeing the pinned base.
+    */
+  def readAudit(): DataFrame = {
+    require(inAudit, "readAudit outside an audit window — use read()")
+    readSnapshot(currentSnapshot())
+  }
+
+  /** Atomically make every staged commit visible: one commit dropping
+    * the pin. Readers switch from the base to the full staged history
+    * in a single step — no intermediate state is ever observable.
+    */
+  def publish(): Snapshot = {
+    require(inAudit, "publish without beginAudit")
+    commitRetry { latest =>
+      nextWithIds(latest, "publish", latest.schema, latest.ids,
+        latest.nextIds, latest.files)
+        .copy(properties = latest.properties - SnapshotTable.WapBaseProp)
+    }
+  }
+
+  /** Reject the staged commits: [[rollback]] to the audit base (which
+    * restores the base's properties, clearing the pin). Staged
+    * versions stay in history for post-mortem until expiry.
+    */
+  def abortAudit(): Snapshot = {
+    val base = currentSnapshot().properties
+      .getOrElse(SnapshotTable.WapBaseProp,
+        sys.error("abortAudit without beginAudit")).toLong
+    rollback(base)
+  }
+
+  // ------------------------------------------------------------------
   // Tags (named refs) — Iceberg tag semantics. For a training-data
   // pipeline this is dataset versioning: tag the exact snapshot a
   // model trained on ("corpus-v1.0") and it stays readable and
@@ -1646,8 +1720,11 @@ final class SnapshotTable private (
       else props.getOrElse("vacuum_min_snapshots_to_keep", "5").toInt
     val vs = log.versions()
     // tagged versions are expiry-proof (Iceberg ref retention): a
-    // training run's pinned dataset survives until its tag is dropped
-    val tagged = log.refs().values.toSet
+    // training run's pinned dataset survives until its tag is dropped;
+    // so is an open audit window's reader base — expiring it would
+    // break every in-flight read
+    val tagged = log.refs().values.toSet ++
+      props.get(SnapshotTable.WapBaseProp).map(_.toLong)
     val (old, recent) = vs.splitAt(math.max(0, vs.size - math.max(1, k)))
     val expire = old.filterNot(tagged.contains)
     val retain = old.filter(tagged.contains) ++ recent
@@ -2062,6 +2139,12 @@ object SnapshotTable {
     * (see [[SnapshotTable.appendStreamBatch]]).
     */
   private[graft] val StreamBatchProp = "graft.stream.last_batch_id"
+
+  /** While present, readers resolve to this version — the open
+    * write-audit-publish window's pinned base
+    * (see [[SnapshotTable.beginAudit]]).
+    */
+  private[graft] val WapBaseProp = "graft.wap.base"
 
   /** Table property selecting the partitioned-write distribution:
     * `none` (default — task-parallel files) or `hash` (cluster by

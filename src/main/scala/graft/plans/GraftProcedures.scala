@@ -48,14 +48,18 @@ object GraftProcedures {
     """(?is)\s*CALL\s+graft\s*\.\s*([A-Za-z_]+)\s*\((.*)\)\s*;?\s*""".r
 
   val Known: Seq[String] = Seq("expire_snapshots", "compact",
-    "remove_orphan_files", "rollback", "tag")
+    "remove_orphan_files", "rollback", "tag", "begin_audit", "publish",
+    "abort_audit")
 
   private val AllowedArgs: Map[String, Set[String]] = Map(
     "expire_snapshots" -> Set("keep"),
     "compact" -> Set("target_rows", "min_files", "sort_by", "zorder_by"),
     "remove_orphan_files" -> Set("older_than_ms"),
     "rollback" -> Set("version"),
-    "tag" -> Set("name", "version"))
+    "tag" -> Set("name", "version"),
+    "begin_audit" -> Set.empty[String],
+    "publish" -> Set.empty[String],
+    "abort_audit" -> Set.empty[String])
 
   /** Some(command) when `sqlText` is `CALL graft.<proc>(…)`; None =
     * not ours, let Spark parse it (including other catalogs' CALLs).
@@ -141,6 +145,8 @@ final case class GraftCallCommand(proc: String, view: String,
         attr("files_before", IntegerType), attr("files_after", IntegerType))
     case "rollback" => Seq(attr("current_version", LongType))
     case "tag" => Seq(attr("tag_name", StringType), attr("version", LongType))
+    case "begin_audit" => Seq(attr("audit_base", LongType))
+    case "publish" | "abort_audit" => Seq(attr("current_version", LongType))
     case other => fail(s"unknown graft procedure '$other'")
   }
 
@@ -175,6 +181,12 @@ final case class GraftCallCommand(proc: String, view: String,
           fail("CALL graft.tag requires name => 'tag_name'"))
         t.tag(name, long("version", -1L))
         Seq(Row(name, t.tags()(name)))
+      case "begin_audit" =>
+        val s = t.beginAudit()
+        Seq(Row(s.properties(
+          graft.catalog.SnapshotTable.WapBaseProp).toLong))
+      case "publish" => Seq(Row(t.publish().version))
+      case "abort_audit" => Seq(Row(t.abortAudit().version))
       case other => fail(s"unknown graft procedure '$other'")
     }
   }

@@ -1793,6 +1793,45 @@ class SnapshotTableSpec extends AnyFunSuite {
       t.currentSnapshot().files.size)
   }
 
+  test("write-audit-publish: staged commits invisible until publish; abort rolls back") {
+    val t = rangeTable() // v1 create, v2 append: 40 rows
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_wap USING graft " +
+      s"OPTIONS (path '${t.root}')")
+    val base = spark.sql("CALL graft.begin_audit('graft_wap')")
+      .collect().head.getLong(0)
+    assert(base == 2L)
+    t.append(rows((100L, "2024-06-01", 1.0)))
+    t.append(rows((101L, "2024-06-02", 2.0)))
+    // every reader entry point stays pinned at the base…
+    assert(t.read().count() == 40L)
+    assert(spark.sql("SELECT count(*) FROM graft_wap").as[Long]
+      .collect().head == 40L)
+    assert(t.readWhere(col("id") >= 100L).count() == 0L)
+    assert(t.metadataAggregate(Seq(SnapshotTable.MetaAgg("count_star", "", "n")))
+      .get.collect().head.getLong(0) == 40L)
+    assert(t.filesDf().collect().map(_.getAs[Long]("rows")).sum == 40L)
+    // …while the audit sees the staged head
+    assert(t.readAudit().count() == 42L)
+    intercept[IllegalArgumentException](t.beginAudit())
+    // aggressive expiry never takes the pinned base from open readers
+    t.expireSnapshots(keep = 1)
+    assert(t.read().count() == 40L)
+    // publish: staged history becomes visible atomically, everywhere
+    spark.sql("CALL graft.publish('graft_wap')").collect()
+    assert(!t.inAudit)
+    assert(t.read().count() == 42L)
+    assert(spark.sql("SELECT count(*) FROM graft_wap").as[Long]
+      .collect().head == 42L)
+    // abort path: staged junk never becomes visible
+    t.beginAudit()
+    t.append(rows((200L, "2024-07-01", 9.0)))
+    assert(t.read().count() == 42L)
+    t.abortAudit()
+    assert(!t.inAudit)
+    assert(t.read().count() == 42L)
+    intercept[IllegalArgumentException](t.publish())
+  }
+
   test("metadata tables: filesDf/tagsDf and the SQL metadata option stay current") {
     val t = rangeTable()
     t.tag("ref-a", 2L)

@@ -173,7 +173,12 @@ final class SnapshotTable private (
     tags().toSeq.toDF("tag", "version")
   }
 
-  def schema: StructType = currentSnapshot().schema
+  /** The READER-visible schema — follows [[publishedSnapshot]] so a
+    * schema-evolving commit staged inside an audit window does not
+    * leak into relations whose rows stay pinned at the base (mutation
+    * paths validate against their own `currentSnapshot()` base).
+    */
+  def schema: StructType = publishedSnapshot().schema
 
   // ------------------------------------------------------------------
   // Reads

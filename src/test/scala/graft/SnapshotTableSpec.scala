@@ -1826,6 +1826,13 @@ class SnapshotTableSpec extends AnyFunSuite {
     t.beginAudit()
     t.append(rows((200L, "2024-07-01", 9.0)))
     assert(t.read().count() == 42L)
+    // a schema-evolving staged commit stays invisible too: readers
+    // (and the declared schema) keep the base shape until publish
+    t.append(rows((201L, "2024-07-02", 3.0))
+      .withColumn("extra", lit(7L)))
+    assert(t.schema.fieldNames.toSeq == Seq("id", "ts", "v"))
+    assert(spark.sql("SELECT * FROM graft_wap").columns.toSeq ==
+      Seq("id", "ts", "v"))
     t.abortAudit()
     assert(!t.inAudit)
     assert(t.read().count() == 42L)

@@ -2933,6 +2933,42 @@ object Queries {
                |       ELSE 'train' END AS split
                |FROM documents""".stripMargin)),
 
+      // LEAKAGE-SAFE split: assign by dedup-cluster representative so
+      // near-duplicates never straddle train/test (the contamination
+      // failure mode dedup exists to prevent). Composes the certified
+      // cluster pipeline with the hash split; the oracle recomputes
+      // clusters via the recursive-CTE reachability and hashes the same
+      // representative. Every planted mutant provably shares its
+      // original's split.
+      QueryDef("pipeline_split_leakage_safe",
+        (s, dir) => {
+          import graft.operators.Dedup
+          val corpus = nearDupCorpus(s, dir)
+          val pairs = Dedup.minhashPairs(corpus,
+            shingleLen = 3, k = 64, bands = 16, threshold = 0.6)
+          val cl = Dedup.clusters(pairs, corpus.select(col("doc_id")),
+            idCol = "doc_id")
+          Governance.splitAssignByGroup(cl, "cluster_rep")
+            .select(col("id").as("doc_id"), col("split"))
+        },
+        Some(shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+          pairsCtes(0.6) +
+          """, edges AS (
+            |  SELECT id_a AS src, id_b AS dst FROM prs
+            |  UNION ALL SELECT id_b, id_a FROM prs
+            |), reach(id, r) AS (
+            |  SELECT id, id FROM corpus
+            |  UNION
+            |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            |), reps AS (
+            |  SELECT id, MIN(r) AS rep FROM reach GROUP BY id
+            |)
+            |SELECT id AS doc_id,
+            |  CASE WHEN substr(md5('graft:' || CAST(rep AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+            |       WHEN substr(md5('graft:' || CAST(rep AS VARCHAR)), 1, 2) < '1a' THEN 'valid'
+            |       ELSE 'train' END AS split
+            |FROM reps""".stripMargin)),
+
       // eval-set n-gram contamination audit (GPT-3/PaLM-style overlap
       // check; n=5 here because testdata docs are 10–99 tokens — real
       // pipelines use 8–13)

@@ -56,6 +56,30 @@ object Governance {
         .otherwise(lit("train")))
   }
 
+  /** Leakage-safe split assignment: hash a GROUP key (dedup-cluster
+    * representative, source domain, URL host) instead of the document
+    * id, so every correlated document lands in the SAME split — the
+    * guard against near-duplicates straddling train/test and inflating
+    * eval scores (the train-test contamination failure mode document
+    * dedup exists to prevent). Same deterministic md5-slot projection
+    * as [[splitAssign]]: no shuffle, no RNG state, and a group's fate
+    * never changes as the corpus grows. NULL groups are refused —
+    * silently hashing NULL would funnel every ungrouped doc into one
+    * split bucket; pick an explicit fallback key first (e.g.
+    * `coalesce(group, id)`).
+    */
+  def splitAssignByGroup(docs: DataFrame, groupCol: String,
+      salt: String = "graft", testSlots: Int = 13,
+      validSlots: Int = 13): DataFrame = {
+    val checked = docs.withColumn(groupCol,
+      when(col(groupCol).isNull, raise_error(lit(
+        s"splitAssignByGroup: NULL in group column '$groupCol' — " +
+          "coalesce to an explicit fallback key first")))
+        .otherwise(col(groupCol)))
+    splitAssign(checked, idCol = groupCol, salt = salt,
+      testSlots = testSlots, validSlots = validSlots)
+  }
+
   /** Deterministic per-stratum downsampling — the mixture-reweighting
     * step that rebalances over-represented languages/sources before
     * training. Each stratum gets a keep-rate in [0, 1]; a doc is kept

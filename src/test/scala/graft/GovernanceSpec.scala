@@ -194,4 +194,22 @@ class GovernanceSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("alpha beta", 3L), ("beta gamma", 3L),
       ("gamma delta", 3L)))
   }
+
+  test("splitAssignByGroup keeps every group member in one split; NULL groups refused") {
+    val docs = Seq((1L, "cluster_a"), (2L, "cluster_a"), (3L, "cluster_b"),
+      (4L, "cluster_b"), (5L, "cluster_c")).toDF("doc_id", "grp")
+    val out = Governance.splitAssignByGroup(docs, "grp")
+      .select("grp", "split").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    // same group => same split, and it equals splitAssign on the key
+    assert(out.groupBy(_._1).forall(_._2.map(_._2).distinct.length == 1))
+    val direct = Governance.splitAssign(
+      Seq("cluster_a").toDF("grp"), idCol = "grp")
+      .select("split").as[String].collect().head
+    assert(out.toMap.apply("cluster_a") == direct)
+    val withNull = Seq((1L, "g"), (2L, null: String)).toDF("doc_id", "grp")
+    val e = intercept[Exception](
+      Governance.splitAssignByGroup(withNull, "grp").collect())
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+  }
 }

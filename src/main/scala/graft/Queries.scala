@@ -836,6 +836,70 @@ object Queries {
                |CROSS JOIN c
                |GROUP BY 1""".stripMargin)),
 
+      // INCREMENTAL BM25: the corpus term statistics (df, N, avgdl)
+      // live in a build-once term-sorted snapshot index; the arriving
+      // batch (the planted mutants) tokenizes only itself and scores
+      // against the FROZEN stats — the corpus is never re-read. The
+      // query term 'marker' exists only in the batch, pinning the
+      // unseen-term contract (no df row => contributes nothing).
+      QueryDef("text_bm25_index",
+        (s, dir) => {
+          val root = termStatsIndexCache.computeIfAbsent(dir, _ => {
+            val p = java.nio.file.Files
+              .createTempDirectory("graft-termstats").resolve("idx").toString
+            graft.operators.TermWeights.buildTermStatsIndex(
+              s, t(s, dir, "documents"), p)
+            p
+          })
+          val idx = graft.catalog.SnapshotTable.load(s, root)
+          val batch = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"),
+              concat(col("text"), lit(" graft dup marker")).as("text"))
+          graft.operators.TermWeights.bm25AgainstIndex(idx, batch,
+            Seq("hash", "join", "scan", "marker"))
+            .select(col("doc_id"), round(col("score"), 3).as("score"))
+        },
+        Some("""WITH ct AS (
+               |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text),
+               |    '\s+', ' ', 'g')), ' ')) AS term
+               |  FROM documents
+               |), ct2 AS (
+               |  SELECT doc_id, term FROM ct WHERE term <> ''
+               |), dlc AS (
+               |  SELECT doc_id, count(*) AS dl FROM ct2 GROUP BY 1
+               |), c AS (
+               |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dlc
+               |), dft AS (
+               |  SELECT term, count(DISTINCT doc_id) AS df FROM ct2
+               |  WHERE term IN ('hash', 'join', 'scan', 'marker') GROUP BY 1
+               |), batch AS (
+               |  SELECT doc_id + 100000 AS doc_id,
+               |         text || ' graft dup marker' AS text
+               |  FROM documents WHERE doc_id % 10 = 0
+               |), bt AS (
+               |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text),
+               |    '\s+', ' ', 'g')), ' ')) AS term
+               |  FROM batch
+               |), bt2 AS (
+               |  SELECT doc_id, term FROM bt WHERE term <> ''
+               |), bdl AS (
+               |  SELECT doc_id, count(*) AS dl FROM bt2 GROUP BY 1
+               |), btf AS (
+               |  SELECT doc_id, term, count(*) AS tf FROM bt2
+               |  WHERE term IN ('hash', 'join', 'scan', 'marker') GROUP BY 1, 2
+               |)
+               |SELECT btf.doc_id,
+               |  round(SUM(
+               |    ln(1.0 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+               |    * (btf.tf * 2.2)
+               |    / (btf.tf + 1.2 * (0.25 + 0.75 * bdl.dl / c.avgdl))
+               |  ), 3) AS score
+               |FROM btf
+               |JOIN dft USING (term)
+               |JOIN bdl USING (doc_id)
+               |CROSS JOIN c
+               |GROUP BY 1""".stripMargin)),
+
       QueryDef("text_fingerprint",
         (s, dir) => t(s, dir, "documents").select(col("doc_id"),
           fingerprintExact(col("text")).as("fp_exact"),
@@ -1596,6 +1660,9 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val wapTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val termStatsIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val skipTableCache =

@@ -121,4 +121,86 @@ object TermWeights {
       .groupBy("doc_id")
       .agg(sum(col("contrib")).as("score"))
   }
+
+  /** Table properties carrying the corpus scalars on a term-stats
+    * index (exact round-trips: N is a long; avgdl's
+    * `Double.toString` parses back bit-identical).
+    */
+  private[graft] val NDocsProp = "graft.termstats.n_docs"
+  private[graft] val AvgdlProp = "graft.termstats.avgdl"
+
+  /** Build-once corpus term-statistics index for INCREMENTAL BM25
+    * ([[bm25AgainstIndex]]): one row per vocabulary term with its
+    * document frequency, committed as a snapshot table with
+    * term-range-sorted files (so a query's terms prune at the
+    * manifest) and the corpus scalars (N, avgdl) as table properties.
+    * The per-batch ingest shape the incremental MinHash/SimHash/IVF
+    * indexes already certify, applied to retrieval scoring: the
+    * reference corpus is tokenized ONCE; every arriving batch scores
+    * against the frozen statistics without re-reading a single corpus
+    * document.
+    */
+  def buildTermStatsIndex(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, root: String, idCol: String = "doc_id",
+      textCol: String = "text"): graft.catalog.SnapshotTable = {
+    val toks = tokenRows(docs, idCol, textCol)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // two corpus scalars — model-sized driver collect, same budget as
+    // the IVF centroids
+    val st = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      .collect()(0)
+    val dft = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tbl = graft.catalog.SnapshotTable.create(spark, root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("df",
+          org.apache.spark.sql.types.LongType, nullable = false))),
+      None,
+      properties = graft.catalog.EvolvingWriter.DefaultTableProps ++ Map(
+        NDocsProp -> st.getAs[Long]("n").toString,
+        AvgdlProp -> st.getAs[Double]("avgdl").toString))
+    tbl.append(dft.repartitionByRange(8, col("term"))
+      .sortWithinPartitions("term"))
+    tbl
+  }
+
+  /** BM25-score an incoming batch against a FROZEN term-stats index:
+    * df/N/avgdl come from the index (the batch does not shift the
+    * reference statistics); document lengths come from the batch
+    * itself. Only the query terms' index rows are read —
+    * `readWhere(term IN …)` opens O(query terms) term-sorted files at
+    * the manifest, never the vocabulary. Terms unseen in the reference
+    * corpus contribute nothing (no df row — same inner-join semantics
+    * as [[bm25]], where df ≥ 1 by construction).
+    */
+  def bm25AgainstIndex(index: graft.catalog.SnapshotTable,
+      batch: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(queryTerms.forall(t => !t.exists(_.isWhitespace)),
+      "bm25 query terms must be single words: " +
+        queryTerms.filter(_.exists(_.isWhitespace)).mkString("'", "', '", "'"))
+    val props = index.currentSnapshot().properties
+    val n = props.getOrElse(NDocsProp, sys.error(
+      s"not a term-stats index (missing $NDocsProp): ${index.root}")).toLong
+    val avgdl = props(AvgdlProp).toDouble
+    val qt = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val dft = index.readWhere(col("term").isInCollection(qt))
+    val toks = tokenRows(batch, idCol, textCol)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("term").isInCollection(qt))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.join(dft, "term").join(dl, "doc_id")
+      .withColumn("idf",
+        log(lit(1.0) +
+          (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).as("score"))
+  }
 }

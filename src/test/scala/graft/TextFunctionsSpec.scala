@@ -196,4 +196,41 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got.columns.toSeq == Seq("doc_id", "score"))
     assert(got.count() == 0L)
   }
+
+  test("bm25AgainstIndex: frozen stats, unseen terms drop, index prunes by term") {
+    import graft.operators.TermWeights
+    val corpus = Seq((1L, "a a b"), (2L, "b c"), (3L, "c d d"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("termstats")
+      .resolve("idx").toString
+    val idx = TermWeights.buildTermStatsIndex(spark, corpus, root)
+    // batch doc lengths come from the batch; df/N/avgdl stay frozen
+    val batch = Seq((100L, "c d zz")).toDF("doc_id", "text")
+    val got = TermWeights.bm25AgainstIndex(idx, batch, Seq("c", "d", "zz"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (n, avgdl, k1, b) = (3.0, 8.0 / 3.0, 1.2, 0.75)
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def term(tf: Double, df: Double, dl: Double) =
+      idf(df) * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    // 'zz' is unseen in the reference corpus: contributes nothing
+    assert(math.abs(got(100L) - (term(1, 2, 3) + term(1, 1, 3))) < 1e-12)
+    // the same batch through the non-incremental scorer over the same
+    // corpus agrees where the batch doc's own length matches
+    val full = TermWeights.bm25(corpus, Seq("c", "d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(full(3L) - (term(1, 2, 3) + term(2, 1, 3))) < 1e-12)
+    // term-sorted files: a one-term probe opens a strict file subset
+    val all = idx.currentSnapshot().files.size
+    assert(all > 1)
+    assert(idx.pruneFiles(col("term") === "a").size < all)
+    // a non-index table refuses up front
+    val plain = graft.catalog.SnapshotTable.create(spark,
+      java.nio.file.Files.createTempDirectory("plain").resolve("t").toString,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType))), None)
+    val e = intercept[Exception](
+      TermWeights.bm25AgainstIndex(plain, batch, Seq("c")))
+    assert(e.getMessage.contains("term-stats"), e.getMessage)
+  }
 }

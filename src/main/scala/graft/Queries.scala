@@ -2541,6 +2541,28 @@ object Queries {
              |FROM evens CROSS JOIN vias
              |GROUP BY 1, 2""".stripMargin)),
 
+    // Aggregate pushdown through pure SQL: a filterless profile query
+    // over a graft view collapses to the manifest answer (LocalRelation
+    // — plan shape pinned by unit test; here the oracle pins the
+    // VALUES, which must be identical whichever path answered).
+    QueryDef("sql_stats_agg",
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, skipTableCache, "skip")(_ => ())
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_stats_sql " +
+          s"USING graft OPTIONS (path '${tbl.root}')")
+        s.sql("""SELECT count(*) AS n_rows, count(value) AS n_value,
+                |  min(event_id) AS min_event_id,
+                |  max(event_id) AS max_event_id,
+                |  min(ts) AS min_ts, max(ts) AS max_ts
+                |FROM graft_stats_sql""".stripMargin)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  count(value) AS n_value,
+             |  min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+             |  min(CAST(ts AS TIMESTAMP)) AS min_ts,
+             |  max(CAST(ts AS TIMESTAMP)) AS max_ts
+             |FROM events""".stripMargin)),
+
     // Metadata table through pure SQL: OPTIONS (metadata 'partitions')
     // exposes the manifest-derived partitions view to SQL-only users;
     // same oracle as snap_partitions, different (data-source) route.

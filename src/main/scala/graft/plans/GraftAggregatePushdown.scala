@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+import graft.catalog.SnapshotTable.MetaAgg
+import graft.sources.GraftRelation
+
+/** Aggregate pushdown into manifest metrics for SQL: a filterless,
+  * ungrouped `COUNT(*)` / `COUNT(c)` / `MIN` / `MAX` over a graft
+  * relation collapses to a [[LocalRelation]] holding the answer
+  * computed from the manifest ([[graft.catalog.SnapshotTable
+  * .metadataAggregate]]) — `SELECT count(*), min(ts), max(ts) FROM t`
+  * runs ZERO Spark jobs over data files, the same capability Iceberg
+  * gives Spark via its aggregate pushdown and Spark gives parquet
+  * row-group metadata.
+  *
+  * Strictly conservative: fires only when every output expression is a
+  * plain non-distinct, non-filtered COUNT/MIN/MAX over a literal or a
+  * bare column, the child is the bare relation (or an
+  * attribute-only projection of it), the relation is not time-travel
+  * pinned, and the manifest can answer EXACTLY
+  * (`metadataAggregate` returns None on pending MoR deletes, missing
+  * stats, truncated/non-finite bounds — the plan is left untouched and
+  * the ordinary scan runs). The substituted values are computed from
+  * the same snapshot the scan would read (the published one), so the
+  * rewrite is never observable except in plan shape and speed.
+  */
+final case class GraftAggregatePushdown(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg @ Aggregate(Nil, aggExprs, child, _) =>
+      val rewritten = for {
+        gr <- relationOf(child)
+        if gr.pinned.isEmpty
+        specs <- toSpecs(aggExprs)
+        df <- try gr.table.metadataAggregate(specs)
+        catch { case scala.util.control.NonFatal(_) => None }
+      } yield {
+        val row = df.collect().head
+        val values = agg.output.zipWithIndex.map { case (a, i) =>
+          CatalystTypeConverters.createToCatalystConverter(a.dataType)(
+            row.get(i))
+        }
+        LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
+      }
+      rewritten.getOrElse(agg)
+  }
+
+  /** The unpinned graft relation under `p`, provided nothing between
+    * the aggregate and the scan can change row multiplicity or values
+    * (only an attribute-reference projection is allowed).
+    */
+  private def relationOf(p: LogicalPlan): Option[GraftRelation] = p match {
+    case lr: LogicalRelation => lr.relation match {
+      case gr: GraftRelation => Some(gr)
+      case _ => None
+    }
+    case Project(projList, child)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      relationOf(child)
+    case _ => None
+  }
+
+  /** All-or-nothing translation of the aggregate list; any expression
+    * outside the supported shapes vetoes the rewrite.
+    */
+  private def toSpecs(es: Seq[NamedExpression]): Option[Seq[MetaAgg]] = {
+    val specs = es.map {
+      case Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
+        fn match {
+          case Count(Seq(Literal(v, _))) if v != null =>
+            Some(MetaAgg("count_star", "", name))
+          case Count(Seq(a: AttributeReference)) =>
+            Some(MetaAgg("count", a.name, name))
+          case Min(a: AttributeReference) => Some(MetaAgg("min", a.name, name))
+          case Max(a: AttributeReference) => Some(MetaAgg("max", a.name, name))
+          case _ => None
+        }
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) None else Some(specs.flatten)
+  }
+}

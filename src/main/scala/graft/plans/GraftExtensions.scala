@@ -97,6 +97,8 @@ object GraftExtensions {
     // SQL MERGE INTO / DELETE FROM / UPDATE on graft snapshot tables
     // (post-hoc: after resolution, before the v2-only CheckAnalysis)
     ext.injectPostHocResolutionRule(session => GraftSqlDmlRule(session))
+    // filterless COUNT/MIN/MAX over a graft relation → manifest answer
+    ext.injectOptimizerRule(session => GraftAggregatePushdown(session))
     // FOR VERSION/TIMESTAMP AS OF on graft temp views (parser seam —
     // ResolveRelations rejects temp-view time travel before any
     // injected resolution rule could run; see GraftTimeTravelParser)

@@ -1793,6 +1793,36 @@ class SnapshotTableSpec extends AnyFunSuite {
       t.currentSnapshot().files.size)
   }
 
+  test("SQL aggregate pushdown: filterless COUNT/MIN/MAX collapse to the manifest answer") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val t = rangeTable() // ids 1..40, v null every 10th
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_aggpd USING graft " +
+      s"OPTIONS (path '${t.root}')")
+    val q = spark.sql(
+      "SELECT count(*) AS n, min(id) AS mn, max(id) AS mx, count(v) AS nv " +
+        "FROM graft_aggpd")
+    assert(q.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      s"expected manifest-answered LocalRelation:\n${q.queryExecution.optimizedPlan}")
+    val r = q.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((40L, 1L, 40L, 36L)))
+    // a WHERE clause keeps the ordinary scan and stays correct
+    val filtered = spark.sql(
+      "SELECT count(*) AS n FROM graft_aggpd WHERE id > 20")
+    assert(!filtered.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(filtered.collect().head.getLong(0) == 20L)
+    // pending MoR deletes veto the rewrite; the scan fallback is exact
+    t.deleteByKeys(Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    val afterDelete = spark.sql("SELECT count(*) AS n FROM graft_aggpd")
+    assert(!afterDelete.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(afterDelete.collect().head.getLong(0) == 39L)
+    // a time-travel pinned relation is never rewritten
+    val pinned = spark.sql(
+      "SELECT count(*) AS n FROM graft_aggpd FOR VERSION AS OF 2")
+    assert(!pinned.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(pinned.collect().head.getLong(0) == 40L)
+  }
+
   test("write-audit-publish: staged commits invisible until publish; abort rolls back") {
     val t = rangeTable() // v1 create, v2 append: 40 rows
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_wap USING graft " +

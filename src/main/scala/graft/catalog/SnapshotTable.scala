@@ -1626,11 +1626,17 @@ final class SnapshotTable private (
     * visible to every session, and carried forward by each staged
     * commit; the pinned base is expiry-proof while the window is open.
     */
-  def beginAudit(): Snapshot = {
-    require(!inAudit,
+  def beginAudit(): Snapshot = commitRetry { latest =>
+    // pin INSIDE the commit against its own base: a concurrent
+    // non-staged append between a pre-read and the pin commit would
+    // otherwise end up silently hidden behind the audit window; and
+    // two racing beginAudit calls cannot both win
+    require(!latest.properties.contains(SnapshotTable.WapBaseProp),
       "already in an audit window — publish() or abortAudit() first")
-    setProperties(
-      Map(SnapshotTable.WapBaseProp -> currentVersion().toString))
+    nextWithIds(latest, "begin-audit", latest.schema, latest.ids,
+      latest.nextIds, latest.files)
+      .copy(properties = latest.properties +
+        (SnapshotTable.WapBaseProp -> latest.version.toString))
   }
 
   /** True while an audit window is open. */

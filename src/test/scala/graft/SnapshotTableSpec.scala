@@ -1799,13 +1799,14 @@ class SnapshotTableSpec extends AnyFunSuite {
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_aggpd USING graft " +
       s"OPTIONS (path '${t.root}')")
     val q = spark.sql(
-      "SELECT count(*) AS n, min(id) AS mn, max(id) AS mx, count(v) AS nv " +
-        "FROM graft_aggpd")
+      "SELECT count(*) AS n, min(id) AS mn, max(id) AS mx, count(v) AS nv, " +
+        "min(ts) AS mts FROM graft_aggpd")
     assert(q.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
       s"expected manifest-answered LocalRelation:\n${q.queryExecution.optimizedPlan}")
     val r = q.collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       ((40L, 1L, 40L, 36L)))
+    assert(r.getTimestamp(4) == Timestamp.valueOf("2024-01-01 00:00:00"))
     // a WHERE clause keeps the ordinary scan and stays correct
     val filtered = spark.sql(
       "SELECT count(*) AS n FROM graft_aggpd WHERE id > 20")

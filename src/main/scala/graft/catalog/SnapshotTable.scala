@@ -1737,11 +1737,35 @@ final class SnapshotTable private (
     val tagged = log.refs().values.toSet ++
       props.get(SnapshotTable.WapBaseProp).map(_.toLong)
     val (old, recent) = vs.splitAt(math.max(0, vs.size - math.max(1, k)))
-    val expire = old.filterNot(tagged.contains)
-    val retain = old.filter(tagged.contains) ++ recent
+    expireVersions(old.filterNot(tagged.contains),
+      old.filter(tagged.contains) ++ recent)
+  }
+
+  /** Age-based expiry (Iceberg `expire_snapshots(older_than)`): expire
+    * every snapshot committed strictly BEFORE `cutoffMs` — except the
+    * current version, tagged versions, and an open audit window's
+    * base, which are always retained. Count- and age-based policies
+    * compose: run both.
+    */
+  def expireOlderThan(cutoffMs: Long): (Int, Int) = {
+    val props = currentSnapshot().properties
+    val vs = log.versions()
+    val keep = log.refs().values.toSet ++
+      props.get(SnapshotTable.WapBaseProp).map(_.toLong) + vs.last
+    val (expire, retain) = vs.partition(v =>
+      !keep.contains(v) && log.read(v).timestampMs < cutoffMs)
+    expireVersions(expire, retain)
+  }
+
+  /** Shared expiry machinery: delete `expire`'s snapshots plus every
+    * data file, manifest and Bloom sidecar no retained snapshot
+    * references, then sweep refs dangling from a racing tag().
+    */
+  private def expireVersions(expire: Seq[Long],
+      retain: Seq[Long]): (Int, Int) = {
     // ONE snapshot-file parse per version feeds both the data-path and
     // manifest-list accounting
-    val info = vs.map(v => v -> log.readWithManifests(v)).toMap
+    val info = (expire ++ retain).map(v => v -> log.readWithManifests(v)).toMap
     def paths(v: Long): Seq[String] = {
       val s = info(v)._1
       s.files.map(_.path) ++ s.deleteFiles.map(_.path)

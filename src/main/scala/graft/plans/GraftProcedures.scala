@@ -52,7 +52,7 @@ object GraftProcedures {
     "abort_audit")
 
   private val AllowedArgs: Map[String, Set[String]] = Map(
-    "expire_snapshots" -> Set("keep"),
+    "expire_snapshots" -> Set("keep", "older_than_ms"),
     "compact" -> Set("target_rows", "min_files", "sort_by", "zorder_by"),
     "remove_orphan_files" -> Set("older_than_ms"),
     "rollback" -> Set("version"),
@@ -162,7 +162,13 @@ final case class GraftCallCommand(proc: String, view: String,
     val t = gr.table
     proc match {
       case "expire_snapshots" =>
-        val (snaps, files) = t.expireSnapshots(long("keep", -1L).toInt)
+        val (snaps, files) = args.get("older_than_ms") match {
+          case Some(_) =>
+            if (args.contains("keep")) fail(
+              "CALL graft.expire_snapshots: pass keep OR older_than_ms")
+            t.expireOlderThan(long("older_than_ms", 0L))
+          case None => t.expireSnapshots(long("keep", -1L).toInt)
+        }
         Seq(Row(snaps, files))
       case "remove_orphan_files" =>
         Seq(Row(t.removeOrphanFiles(long("older_than_ms",

@@ -68,8 +68,19 @@ final class GraftDataSource extends RelationProvider
       case None => ()
     }
     // CDC changelog surface: changesFrom/changesTo expose
-    // SnapshotTable.changes(from, to) to SQL-only consumers
-    (longOpt("changesfrom", "changesFrom"), longOpt("changesto", "changesTo")) match {
+    // SnapshotTable.changes(from, to) to SQL-only consumers. Bounds
+    // are version numbers or TAG NAMES ("changes since the corpus the
+    // model trained on") — digits always mean a version; all-digit tag
+    // names are refused at tag() creation, so the routing is total.
+    def boundOpt(key: String): Option[Long] = parameters.get(key).map { v =>
+      scala.util.Try(v.toLong).getOrElse {
+        val tbl = SnapshotTable.load(sqlContext.sparkSession, path)
+        tbl.tags().getOrElse(v, sys.error(
+          s"$key: '$v' is neither a version number nor a tag at $path; " +
+            s"tags: ${tbl.tags().keys.mkString(", ")}"))
+      }
+    }
+    (boundOpt("changesfrom"), boundOpt("changesto")) match {
       case (Some(f), Some(t)) =>
         require(Seq("versionasof", "tag", "timestampasof")
           .forall(k => !parameters.contains(k)),
@@ -151,11 +162,15 @@ final class GraftDataSource extends RelationProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    // version number or tag name — a stream resuming "since the tagged
+    // corpus vintage" is the natural consumer shape
     val from = parameters.get("changesfrom").map { v =>
-      try v.toLong
-      catch {
-        case _: NumberFormatException =>
-          sys.error(s"changesFrom must be a version number, got '$v'")
+      scala.util.Try(v.toLong).getOrElse {
+        val tbl = SnapshotTable.load(sqlContext.sparkSession,
+          pathOf(parameters))
+        tbl.tags().getOrElse(v, sys.error(
+          s"changesFrom: '$v' is neither a version number nor a tag; " +
+            s"tags: ${tbl.tags().keys.mkString(", ")}"))
       }
     }
     require(!parameters.contains("changesto"),

@@ -1210,6 +1210,19 @@ class SnapshotTableSpec extends AnyFunSuite {
     intercept[RuntimeException](spark.read.format("graft")
       .option("changesFrom", v0).option("changesTo", vN)
       .option("versionAsOf", 2).load(t.root.toString))
+    // bounds by TAG NAME: "changes since the tagged corpus vintage"
+    t.tag("vintage", v0)
+    t.tag("latest-audit", vN)
+    val viaTags = spark.read.format("graft")
+      .option("changesFrom", "vintage").option("changesTo", "latest-audit")
+      .load(t.root.toString)
+      .select(col("_change_type"), col("id")).as[(String, Long)]
+      .collect().toSet
+    assert(viaTags == direct)
+    val badTag = intercept[RuntimeException](spark.read.format("graft")
+      .option("changesFrom", "nope").option("changesTo", vN)
+      .load(t.root.toString))
+    assert(badTag.getMessage.contains("neither"), badTag.getMessage)
   }
 
   test("changes over expired intermediates and stream appends") {
@@ -1791,6 +1804,35 @@ class SnapshotTableSpec extends AnyFunSuite {
     // the stats-only decision would (prefix-truncated bounds keep them)
     assert(t.pruneFiles(col("s") === ("a" * 66)).size <
       t.currentSnapshot().files.size)
+  }
+
+  test("expireOlderThan: age-based expiry keeps current, tagged and audit-base versions") {
+    // injected clock: v1 at t0+1s, each commit +1s
+    val clock = tickClock(1000000L)
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, None,
+      clock = clock)
+    t.append(rows((1L, "2024-01-01", 1.0)))  // v2
+    t.append(rows((2L, "2024-01-02", 2.0)))  // v3
+    t.tag("old-but-pinned", 2L)
+    t.append(rows((3L, "2024-01-03", 3.0)))  // v4 (current)
+    val cutoff = t.history().find(_.version == 4L).get.timestampMs
+    val (snaps, _) = t.expireOlderThan(cutoff)
+    // v1 and v3 expire; v2 (tagged) and v4 (current) survive
+    assert(snaps == 2, s"expired $snaps")
+    assert(t.history().map(_.version) == Seq(2L, 4L))
+    assert(t.readAt(2).count() == 1L)
+    assert(t.read().count() == 3L)
+    // cutoff in the past expires nothing
+    assert(t.expireOlderThan(0L)._1 == 0)
+    // SQL route, and keep/older_than_ms are mutually exclusive
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_age USING graft " +
+      s"OPTIONS (path '${t.root}')")
+    val r = spark.sql("CALL graft.expire_snapshots('graft_age', " +
+      s"older_than_ms => ${Long.MaxValue})").collect().head
+    assert(r.getInt(0) == 0) // only protected versions remain
+    val both = intercept[Exception](spark.sql(
+      "CALL graft.expire_snapshots('graft_age', keep => 1, older_than_ms => 5)"))
+    assert(both.getMessage.contains("OR"), both.getMessage)
   }
 
   test("SQL aggregate pushdown: filterless COUNT/MIN/MAX collapse to the manifest answer") {

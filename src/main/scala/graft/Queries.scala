@@ -1665,6 +1665,9 @@ object Queries {
   private val termStatsIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val sortedTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val skipTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val zorderTableCache =
@@ -2046,6 +2049,29 @@ object Queries {
       Some("""SELECT event_type, count(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
              |FROM events WHERE event_id BETWEEN 1000 AND 1999
+             |GROUP BY 1""".stripMargin)),
+
+    // Declared write SORT ORDER (Iceberg sort order + range
+    // distribution): a table created with graft.write.sort-by lands
+    // every append range-clustered, so a selective range read prunes
+    // at the manifest WITHOUT any compact() — pinned at runtime by
+    // requiring the probe to open a strict subset of files.
+    QueryDef("snap_sorted_append",
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, sortedTableCache, "sorted",
+          extraProps = Map(
+            graft.catalog.SnapshotTable.SortByProp -> "event_id",
+            graft.catalog.SnapshotTable.DistributionModeProp -> "range",
+            graft.catalog.SnapshotTable.RangePartitionsProp -> "8"))(_ => ())
+        val pred = col("event_id").between(2000L, 2999L)
+        require(tbl.pruneFiles(pred).size < tbl.currentSnapshot().files.size,
+          "sorted append must let the manifest prune a range probe")
+        tbl.readWhere(pred).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events WHERE event_id BETWEEN 2000 AND 2999
              |GROUP BY 1""".stripMargin)),
 
     // Metadata-only aggregates (Iceberg aggregate pushdown into

@@ -2016,6 +2016,31 @@ final class SnapshotTable private (
     val batch = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val rel = s"${SnapshotLog.DataDirName}/$batch"
     val dir = new Path(root, rel)
+    // Iceberg write sort order (`graft.write.sort-by`): every append
+    // lands stats-clustered on the listed columns, so manifest min/max
+    // pruning works from the FIRST commit instead of waiting for a
+    // compact(sortBy). Columns absent from this batch's schema (a
+    // pre-evolution writer) are skipped — sorting is a layout hint,
+    // never a correctness gate.
+    val sortCols = props.get(SnapshotTable.SortByProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .filter(aligned.columns.contains)
+    val mode = props.get(SnapshotTable.DistributionModeProp)
+    if (mode.contains("range") && sortCols.isEmpty) sys.error(
+      s"${SnapshotTable.DistributionModeProp}=range needs " +
+        s"${SnapshotTable.SortByProp} to define the range keys")
+    // explicit range-split count, or let AQE size the shuffle (the
+    // right default at scale; small batches coalesce to few files)
+    val rangeParts = props.get(SnapshotTable.RangePartitionsProp)
+      .map(_.toInt).filter(_ >= 1)
+    def byRange(df: DataFrame, keys: Seq[Column]): DataFrame =
+      rangeParts match {
+        case Some(n) => df.repartitionByRange(n, keys: _*)
+        case None => df.repartitionByRange(keys: _*)
+      }
+    def locallySorted(df: DataFrame, lead: Seq[Column]): DataFrame =
+      if (sortCols.isEmpty && lead.isEmpty) df
+      else df.sortWithinPartitions(lead ++ sortCols.map(col): _*)
     spec match {
       case Some(ps) =>
         val withPart = aligned
@@ -2024,15 +2049,24 @@ final class SnapshotTable private (
         // partition value before the write, so each partition gets ONE
         // file per batch instead of one per (task × partition) — at
         // 1000 executors an undistributed partitioned append is a
-        // small-file explosion. Opt-in ('none' default keeps the
+        // small-file explosion. 'range' additionally range-clusters by
+        // (partition, sort keys): each partition's files carry DISJOINT
+        // sort-key bounds, the layout a selective range read prunes to
+        // O(matching files). Opt-in ('none' default keeps the
         // task-parallel layout, which compact() can always repair).
-        val distributed =
-          if (props.get(SnapshotTable.DistributionModeProp).contains("hash"))
-            withPart.repartition(col(PartCol))
-          else withPart
-        distributed.write.partitionBy(PartCol).parquet(dir.toString)
+        val distributed = mode match {
+          case Some("hash") => withPart.repartition(col(PartCol))
+          case Some("range") =>
+            byRange(withPart, col(PartCol) +: sortCols.map(col))
+          case _ => withPart
+        }
+        locallySorted(distributed, Nil)
+          .write.partitionBy(PartCol).parquet(dir.toString)
       case None =>
-        aligned.write.parquet(dir.toString)
+        val distributed =
+          if (mode.contains("range")) byRange(aligned, sortCols.map(col))
+          else aligned
+        locallySorted(distributed, Nil).write.parquet(dir.toString)
     }
     val marker = s"/$batch/"
     // explicit read-back schema: an EMPTY batch writes no parquet files
@@ -2182,10 +2216,25 @@ object SnapshotTable {
   private[graft] val WapBaseProp = "graft.wap.base"
 
   /** Table property selecting the partitioned-write distribution:
-    * `none` (default — task-parallel files) or `hash` (cluster by
-    * partition value first; one file per partition per batch).
+    * `none` (default — task-parallel files), `hash` (cluster by
+    * partition value first; one file per partition per batch), or
+    * `range` (range-cluster by partition value + sort keys; files
+    * carry disjoint sort-key bounds — requires [[SortByProp]]).
     */
   val DistributionModeProp = "graft.write.distribution-mode"
+
+  /** Table property: comma-separated write sort order (Iceberg
+    * `SORT ORDER`). Appends land locally sorted on these columns so
+    * manifest stats prune from the first commit; combine with
+    * `distribution-mode=range` for globally disjoint file bounds.
+    */
+  val SortByProp = "graft.write.sort-by"
+
+  /** Table property: explicit range-split count for
+    * `distribution-mode=range` appends. Unset = AQE sizes the shuffle
+    * (right at scale; small batches coalesce to few files).
+    */
+  val RangePartitionsProp = "graft.write.range-partitions"
 
   /** Create a new snapshot table (commits version 1, empty). */
   def create(spark: SparkSession, root: String, schema: StructType,

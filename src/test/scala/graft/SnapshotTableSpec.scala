@@ -1806,6 +1806,45 @@ class SnapshotTableSpec extends AnyFunSuite {
       t.currentSnapshot().files.size)
   }
 
+  test("write sort order + range distribution: appends land prunable, no compact needed") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    val sorted = SnapshotTable.create(spark, freshRoot(), schema, None,
+      properties = Map(SnapshotTable.SortByProp -> "id",
+        SnapshotTable.DistributionModeProp -> "range",
+        SnapshotTable.RangePartitionsProp -> "8"))
+    val shuffled = new scala.util.Random(7).shuffle((1L to 4000L).toVector)
+      .map(i => (i, i.toDouble)).toDF("id", "v").repartition(8)
+    sorted.append(shuffled)
+    val files = sorted.currentSnapshot().files
+    assert(files.size > 1)
+    // range distribution => DISJOINT id bounds across files
+    val bounds = files.map(f => (f.stats("id").min.get.toLong,
+      f.stats("id").max.get.toLong)).sortBy(_._1)
+    bounds.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 < b._1, s"overlapping file bounds: $a vs $b")
+    case _ => ()
+    }
+    // a point probe opens exactly one file, straight from the append
+    assert(sorted.pruneFiles(col("id") === 1234L).size == 1)
+    assert(sorted.readWhere(col("id") === 1234L).count() == 1L)
+    // the same data appended WITHOUT the properties overlaps
+    val plain = SnapshotTable.create(spark, freshRoot(), schema, None)
+    plain.append(shuffled)
+    assert(plain.pruneFiles(col("id") === 1234L).size ==
+      plain.currentSnapshot().files.size)
+    // range mode without a sort order is a named error
+    val bad = SnapshotTable.create(spark, freshRoot(), schema, None,
+      properties = Map(SnapshotTable.DistributionModeProp -> "range"))
+    val e = intercept[Exception](bad.append(shuffled))
+    assert(e.getMessage.contains("sort-by"), e.getMessage)
+    // a sort column missing from the batch is skipped, not fatal
+    val evolves = SnapshotTable.create(spark, freshRoot(), schema, None,
+      properties = Map(SnapshotTable.SortByProp -> "id,later_col"))
+    evolves.append(shuffled)
+    assert(evolves.read().count() == 4000L)
+  }
+
   test("expireOlderThan: age-based expiry keeps current, tagged and audit-base versions") {
     // injected clock: v1 at t0+1s, each commit +1s
     val clock = tickClock(1000000L)

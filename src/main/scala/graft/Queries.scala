@@ -1668,6 +1668,9 @@ object Queries {
   private val sortedTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val cloneTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val skipTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val zorderTableCache =
@@ -2050,6 +2053,27 @@ object Queries {
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
              |FROM events WHERE event_id BETWEEN 1000 AND 1999
              |GROUP BY 1""".stripMargin)),
+
+    // DEEP CLONE (Delta CLONE / dataset-vintage export): the fixture
+    // clones the stats snapshot into a fresh standalone table; reading
+    // the CLONE must equal the raw source table — byte-identical data
+    // files, carried manifest stats, independent log.
+    QueryDef("snap_clone_read",
+      (s, dir) => {
+        val root = cloneTableCache.computeIfAbsent(dir, _ => {
+          val src = statsSnapshot(s, dir, skipTableCache, "skip")(_ => ())
+          val p = java.nio.file.Files.createTempDirectory("graft-clone")
+            .resolve("t").toString
+          src.cloneTo(p)
+          p
+        })
+        graft.catalog.SnapshotTable.load(s, root).read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1""".stripMargin)),
 
     // Declared write SORT ORDER (Iceberg sort order + range
     // distribution): a table created with graft.write.sort-by lands

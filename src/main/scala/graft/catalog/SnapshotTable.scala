@@ -1607,6 +1607,53 @@ final class SnapshotTable private (
     }
   }
 
+  /** Deep clone (Delta `DEEP CLONE` / dataset-vintage export): copy
+    * one snapshot's data files byte-identical into a NEW standalone
+    * table — ship "the corpus the model trained on" as a
+    * self-contained directory with full schema/spec/field-id history,
+    * independent future evolution, and working stats pruning. The
+    * copy is a distributed job over the file list (O(files) tasks,
+    * zero driver I/O); manifest entries carry over with their min/max
+    * stats. Bloom sidecars live in the SOURCE log and are not copied —
+    * their refs are stripped (pruning stays conservative-correct;
+    * future appends/compacts rebuild them). Tags and history do not
+    * transfer: the clone starts its own log at the exported content.
+    * Pending merge-on-read deletes are refused — `compact()` first, so
+    * row-level state is folded into the bytes being shipped.
+    */
+  def cloneTo(targetRoot: String, version: Long = -1L): SnapshotTable = {
+    val src = if (version < 0) publishedSnapshot() else snapshotAt(version)
+    require(src.deleteFiles.isEmpty,
+      "clone source has pending merge-on-read deletes — compact() first")
+    val target = SnapshotTable.create(spark, targetRoot, src.schema,
+      src.spec, properties = src.properties - SnapshotTable.WapBaseProp,
+      clock = clock)
+    val srcRoot = root.toString
+    val tgtRoot = target.root.toString
+    val paths = src.files.map(_.path)
+    if (paths.nonEmpty) {
+      spark.sparkContext
+        .parallelize(paths, math.min(paths.size, 32))
+        .foreachPartition { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val sfs = new Path(srcRoot).getFileSystem(conf)
+          val tfs = new Path(tgtRoot).getFileSystem(conf)
+          it.foreach { rel =>
+            org.apache.hadoop.fs.FileUtil.copy(
+              sfs, new Path(srcRoot, rel), tfs, new Path(tgtRoot, rel),
+              false, false, conf)
+          }
+        }
+    }
+    val entries = src.files.map(f => f.copy(seq = -1L,
+      stats = f.stats.map { case (k, st) => k -> st.copy(bloom = None) }))
+    target.commitRetry { latest =>
+      target.nextWithIds(latest, s"clone[${src.version}]", src.schema,
+        src.ids, src.nextFieldId, entries)
+    }
+    target
+  }
+
   // ------------------------------------------------------------------
   // Write–audit–publish (Iceberg WAP / Databricks staged commits): an
   // ingest job stages commits that REMAIN INVISIBLE to every reader

@@ -49,7 +49,7 @@ object GraftProcedures {
 
   val Known: Seq[String] = Seq("expire_snapshots", "compact",
     "remove_orphan_files", "rollback", "tag", "begin_audit", "publish",
-    "abort_audit")
+    "abort_audit", "clone")
 
   private val AllowedArgs: Map[String, Set[String]] = Map(
     "expire_snapshots" -> Set("keep", "older_than_ms"),
@@ -57,6 +57,7 @@ object GraftProcedures {
     "remove_orphan_files" -> Set("older_than_ms"),
     "rollback" -> Set("version"),
     "tag" -> Set("name", "version"),
+    "clone" -> Set("target", "version"),
     "begin_audit" -> Set.empty[String],
     "publish" -> Set.empty[String],
     "abort_audit" -> Set.empty[String])
@@ -145,6 +146,8 @@ final case class GraftCallCommand(proc: String, view: String,
         attr("files_before", IntegerType), attr("files_after", IntegerType))
     case "rollback" => Seq(attr("current_version", LongType))
     case "tag" => Seq(attr("tag_name", StringType), attr("version", LongType))
+    case "clone" =>
+      Seq(attr("target", StringType), attr("rows", LongType))
     case "begin_audit" => Seq(attr("audit_base", LongType))
     case "publish" | "abort_audit" => Seq(attr("current_version", LongType))
     case other => fail(s"unknown graft procedure '$other'")
@@ -187,6 +190,11 @@ final case class GraftCallCommand(proc: String, view: String,
           fail("CALL graft.tag requires name => 'tag_name'"))
         t.tag(name, long("version", -1L))
         Seq(Row(name, t.tags()(name)))
+      case "clone" =>
+        val tgt = args.getOrElse("target",
+          fail("CALL graft.clone requires target => '/path'"))
+        val cloned = t.cloneTo(tgt, long("version", -1L))
+        Seq(Row(tgt, cloned.currentSnapshot().files.map(_.rows).sum))
       case "begin_audit" =>
         val s = t.beginAudit()
         Seq(Row(s.properties(

@@ -1806,6 +1806,37 @@ class SnapshotTableSpec extends AnyFunSuite {
       t.currentSnapshot().files.size)
   }
 
+  test("cloneTo: deep clone ships a vintage as a standalone, independent table") {
+    val t = rangeTable() // v2: ids 1..40 in 4 range-sorted files
+    t.append(rows((41L, "2024-05-01", 41.0))) // v3
+    val tgt = freshRoot()
+    // clone v2 through SQL
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_clone_src USING graft " +
+      s"OPTIONS (path '${t.root}')")
+    val r = spark.sql(
+      s"CALL graft.clone('graft_clone_src', target => '$tgt', version => 2)")
+      .collect().head
+    assert(r.getString(0) == tgt && r.getLong(1) == 40L)
+    val c = SnapshotTable.load(spark, tgt)
+    // content identical to the source AT THAT VERSION
+    assert(c.read().collect().toSet == t.readAt(2).collect().toSet)
+    // stats pruning survives the clone (bounds carried in the manifest)
+    assert(c.pruneFiles(col("id") === 5L).size <
+      c.currentSnapshot().files.size)
+    // independent evolution: the clone advances, the source does not
+    c.append(rows((99L, "2024-06-01", 9.0)))
+    assert(c.read().count() == 41L)
+    assert(t.read().count() == 41L) // 40 + the v3 row, not the clone's
+    assert(t.read().filter(col("id") === 99L).count() == 0L)
+    // field-id history carries: rename on the clone is metadata-only
+    c.renameColumn("v", "score")
+    assert(c.read().filter(col("score") === 5.0).count() == 1L)
+    // pending MoR deletes refuse with the compact remedy
+    t.deleteByKeys(Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    val e = intercept[Exception](t.cloneTo(freshRoot()))
+    assert(e.getMessage.contains("compact"), e.getMessage)
+  }
+
   test("write sort order + range distribution: appends land prunable, no compact needed") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("v", DoubleType)))

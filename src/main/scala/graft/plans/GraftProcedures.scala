@@ -49,7 +49,7 @@ object GraftProcedures {
 
   val Known: Seq[String] = Seq("expire_snapshots", "compact",
     "remove_orphan_files", "rollback", "tag", "begin_audit", "publish",
-    "abort_audit", "clone")
+    "abort_audit", "clone", "maintain")
 
   private val AllowedArgs: Map[String, Set[String]] = Map(
     "expire_snapshots" -> Set("keep", "older_than_ms"),
@@ -58,6 +58,7 @@ object GraftProcedures {
     "rollback" -> Set("version"),
     "tag" -> Set("name", "version"),
     "clone" -> Set("target", "version"),
+    "maintain" -> Set("target_rows"),
     "begin_audit" -> Set.empty[String],
     "publish" -> Set.empty[String],
     "abort_audit" -> Set.empty[String])
@@ -148,6 +149,8 @@ final case class GraftCallCommand(proc: String, view: String,
     case "tag" => Seq(attr("tag_name", StringType), attr("version", LongType))
     case "clone" =>
       Seq(attr("target", StringType), attr("rows", LongType))
+    case "maintain" =>
+      Seq(attr("files", LongType), attr("snapshots", LongType))
     case "begin_audit" => Seq(attr("audit_base", LongType))
     case "publish" | "abort_audit" => Seq(attr("current_version", LongType))
     case other => fail(s"unknown graft procedure '$other'")
@@ -195,6 +198,11 @@ final case class GraftCallCommand(proc: String, view: String,
           fail("CALL graft.clone requires target => '/path'"))
         val cloned = t.cloneTo(tgt, long("version", -1L))
         Seq(Row(tgt, cloned.currentSnapshot().files.map(_.rows).sum))
+      case "maintain" =>
+        // compact + spec self-heal + expiry, driven by table properties
+        t.maintain(long("target_rows", 1000000L))
+        val cur = t.currentSnapshot()
+        Seq(Row(cur.files.size.toLong, t.history().size.toLong))
       case "begin_audit" =>
         val s = t.beginAudit()
         Seq(Row(s.properties(

@@ -2039,6 +2039,9 @@ class SnapshotTableSpec extends AnyFunSuite {
       "CALL graft.remove_orphan_files('graft_call', older_than_ms => 0)")
       .collect().head
     assert(o.getInt(0) >= 0)
+    // maintain: property-driven compact + expiry in one call
+    val m = spark.sql("CALL graft.maintain('graft_call')").collect().head
+    assert(m.getLong(0) >= 1L && m.getLong(1) >= 1L)
     // misuse fails with named errors, not Spark parse noise
     val unknown = intercept[Exception](spark.sql("CALL graft.nope('graft_call')"))
     assert(unknown.getMessage.contains("available"), unknown.getMessage)

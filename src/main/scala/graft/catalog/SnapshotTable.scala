@@ -1625,6 +1625,11 @@ final class SnapshotTable private (
     val src = if (version < 0) publishedSnapshot() else snapshotAt(version)
     require(src.deleteFiles.isEmpty,
       "clone source has pending merge-on-read deletes — compact() first")
+    // a spec-evolved source may hold files whose partition values were
+    // computed under the OLD spec (f.seq < specSince); the clone's
+    // fresh log cannot represent that split, so stamping them
+    // current-spec would corrupt partition pruning — migrate first
+    requireUniformSpec(src, "cloneTo")
     val target = SnapshotTable.create(spark, targetRoot, src.schema,
       src.spec, properties = src.properties - SnapshotTable.WapBaseProp,
       clock = clock)

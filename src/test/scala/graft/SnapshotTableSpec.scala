@@ -1835,6 +1835,20 @@ class SnapshotTableSpec extends AnyFunSuite {
     t.deleteByKeys(Seq(Tuple1(2L)).toDF("id"), Seq("id"))
     val e = intercept[Exception](t.cloneTo(freshRoot()))
     assert(e.getMessage.contains("compact"), e.getMessage)
+    // a spec-evolved source with pre-evolution files refuses: their
+    // partition values mean the OLD spec and would corrupt pruning in
+    // the clone's fresh (uniform-spec) log
+    val evo = SnapshotTable.create(spark, freshRoot(), eventsSchema,
+      monthSpec)
+    evo.append(rows((1L, "2024-01-05", 1.0)))
+    evo.evolveSpec(Some(PartitionSpec("id", "identity")))
+    val specErr = intercept[Exception](evo.cloneTo(freshRoot()))
+    assert(specErr.getMessage.contains("migrateSpec"), specErr.getMessage)
+    // after migration the clone proceeds and prunes under the new spec
+    evo.migrateSpec()
+    val evoClone = evo.cloneTo(freshRoot())
+    assert(evoClone.read().count() == 1L)
+    assert(evoClone.readPartitions(_ == Some("1")).count() == 1L)
   }
 
   test("write sort order + range distribution: appends land prunable, no compact needed") {

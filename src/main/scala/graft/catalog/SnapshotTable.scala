@@ -1171,7 +1171,8 @@ final class SnapshotTable private (
   def append(df: DataFrame): Snapshot = restageOnSpecRace(3) {
     val base = currentSnapshot()
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
-    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec, base.properties)
+    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec,
+      base.properties, applyLayout = true)
     onStagedHook()
     commitRetry { latest =>
       requireSpecUnchanged(base, latest)
@@ -1189,7 +1190,8 @@ final class SnapshotTable private (
   def overwrite(df: DataFrame): Snapshot = restageOnSpecRace(3) {
     val base = currentSnapshot()
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
-    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec, base.properties)
+    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec,
+      base.properties, applyLayout = true)
     commitRetry { latest =>
       requireSpecUnchanged(base, latest)
       val (pairs, schema2, ids2, nid) = integrate(latest, evolved)
@@ -1208,7 +1210,8 @@ final class SnapshotTable private (
     val base = currentSnapshot()
     requireUniformSpec(base, "overwritePartitions")
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
-    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec, base.properties)
+    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec,
+      base.properties, applyLayout = true)
     val replaced = staged.map(_.partition).toSet
     commitRetry { latest =>
       requireSpecUnchanged(base, latest)
@@ -1295,7 +1298,8 @@ final class SnapshotTable private (
     val base = currentSnapshot()
     if (committed(base)) return None
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
-    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec, base.properties)
+    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec,
+      base.properties, applyLayout = true)
     // own commit loop rather than commitRetry + catch: "already
     // committed" (clean no-op, checkpoint may advance) must NOT be
     // conflated with contention exhaustion (batch NOT committed —
@@ -2064,7 +2068,8 @@ final class SnapshotTable private (
     * stored in the files themselves (hidden partitioning).
     */
   private def stage(aligned: DataFrame, spec: Option[PartitionSpec],
-      props: Map[String, String]): Seq[DataFileEntry] = {
+      props: Map[String, String],
+      applyLayout: Boolean = false): Seq[DataFileEntry] = {
     val batch = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val rel = s"${SnapshotLog.DataDirName}/$batch"
     val dir = new Path(root, rel)
@@ -2074,10 +2079,17 @@ final class SnapshotTable private (
     // compact(sortBy). Columns absent from this batch's schema (a
     // pre-evolution writer) are skipped — sorting is a layout hint,
     // never a correctness gate.
-    val sortCols = props.get(SnapshotTable.SortByProp).toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      .filter(aligned.columns.contains)
-    val mode = props.get(SnapshotTable.DistributionModeProp)
+    // `applyLayout` marks USER-FACING ingest (append/overwrite/stream
+    // appends); internal rewrites — compact (which owns its sort/
+    // z-order/size layout), row-level COW, upsert — must not be
+    // re-shuffled or re-sorted by the write-layout properties
+    val sortCols =
+      if (!applyLayout) Nil
+      else props.get(SnapshotTable.SortByProp).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        .filter(aligned.columns.contains)
+    val mode0 = props.get(SnapshotTable.DistributionModeProp)
+    val mode = if (applyLayout) mode0 else mode0.filter(_ == "hash")
     if (mode.contains("range") && sortCols.isEmpty) sys.error(
       s"${SnapshotTable.DistributionModeProp}=range needs " +
         s"${SnapshotTable.SortByProp} to define the range keys")

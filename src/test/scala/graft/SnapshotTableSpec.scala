@@ -1888,6 +1888,16 @@ class SnapshotTableSpec extends AnyFunSuite {
       properties = Map(SnapshotTable.SortByProp -> "id,later_col"))
     evolves.append(shuffled)
     assert(evolves.read().count() == 4000L)
+    // an explicit compact(sortBy) OWNS its layout: the write-layout
+    // properties must not re-sort/re-shuffle the compaction output
+    sorted.compact(targetRowsPerFile = 1000L, sortBy = Seq("v"))
+    val vb = sorted.currentSnapshot().files
+      .map(f => (f.stats("v").min.get.toDouble,
+        f.stats("v").max.get.toDouble)).sortBy(_._1)
+    vb.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 <= b._1, s"compact(sortBy=v) bounds overlap: $a $b")
+    case _ => ()
+    }
   }
 
   test("expireOlderThan: age-based expiry keeps current, tagged and audit-base versions") {

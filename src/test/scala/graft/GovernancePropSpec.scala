@@ -96,4 +96,36 @@ class GovernancePropSpec extends AnyFunSuite {
       assert(got(id) == ((sh.size.toLong, hits.toLong)), s"doc $id")
     }
   }
+
+  test("crossDocNgrams equals the naive inverted-index computation on random corpora") {
+    import graft.operators.Dedup
+    def canon(text: String): Vector[String] =
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+    def shingles(text: String, n: Int): Set[String] = {
+      val t = canon(text)
+      if (t.isEmpty) Set("")
+      else if (t.length < n) Set(t.mkString(" "))
+      else t.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val r = new Random(23)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (trial <- 1 to 3) {
+      val n = 2 + trial % 2 // shingle lengths 3, 2, 3
+      val docs = (1L to 60L).map(i =>
+        i -> Vector.fill(2 + r.nextInt(8))(vocab(r.nextInt(vocab.size)))
+          .mkString(" "))
+      // naive df over distinct-per-doc shingles
+      val df = docs.flatMap { case (_, t) => shingles(t, n) }
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val expected = docs.map { case (id, t) =>
+        val sh = shingles(t, n)
+        id -> ((sh.size.toLong, sh.count(g => df(g) >= 2).toLong))
+      }.toMap
+      val got = Dedup.crossDocNgrams(docs.toDF("doc_id", "text"),
+        shingleLen = n, minDocs = 2)
+        .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2)))
+        .toMap
+      assert(got == expected, s"trial $trial n=$n")
+    }
+  }
 }

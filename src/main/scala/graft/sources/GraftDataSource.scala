@@ -80,7 +80,25 @@ final class GraftDataSource extends RelationProvider
             s"tags: ${tbl.tags().keys.mkString(", ")}"))
       }
     }
-    (boundOpt("changesfrom"), boundOpt("changesto")) match {
+    // Delta startingTimestamp analog: <bound>Timestamp resolves to the
+    // latest version committed at or before it (readAsOf semantics —
+    // "changes SINCE the corpus as of T"). Epoch millis or ISO-8601.
+    def tsBoundOpt(key: String, versionKey: String): Option[Long] = {
+      require(!(parameters.contains(key) && parameters.contains(versionKey)),
+        s"pass $versionKey OR $key, not both")
+      parameters.get(key).map { v =>
+        val ms = scala.util.Try(v.toLong).getOrElse(
+          scala.util.Try(java.time.Instant.parse(v).toEpochMilli).getOrElse(
+            sys.error(s"$key must be epoch millis or ISO-8601, got '$v'")))
+        SnapshotTable.load(sqlContext.sparkSession, path).versionAsOf(ms)
+      }
+    }
+    // evaluate both variants eagerly: the conflict check must fire
+    // even when the version-keyed option would win an orElse
+    val fromTs = tsBoundOpt("changesfromtimestamp", "changesfrom")
+    val toTs = tsBoundOpt("changestotimestamp", "changesto")
+    (boundOpt("changesfrom").orElse(fromTs),
+      boundOpt("changesto").orElse(toTs)) match {
       case (Some(f), Some(t)) =>
         require(Seq("versionasof", "tag", "timestampasof")
           .forall(k => !parameters.contains(k)),
@@ -163,7 +181,11 @@ final class GraftDataSource extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     // version number or tag name — a stream resuming "since the tagged
-    // corpus vintage" is the natural consumer shape
+    // corpus vintage" is the natural consumer shape; the timestamp
+    // variant resolves via readAsOf semantics
+    require(!(parameters.contains("changesfrom") &&
+        parameters.contains("changesfromtimestamp")),
+      "pass changesFrom OR changesFromTimestamp, not both")
     val from = parameters.get("changesfrom").map { v =>
       scala.util.Try(v.toLong).getOrElse {
         val tbl = SnapshotTable.load(sqlContext.sparkSession,
@@ -172,7 +194,14 @@ final class GraftDataSource extends RelationProvider
           s"changesFrom: '$v' is neither a version number nor a tag; " +
             s"tags: ${tbl.tags().keys.mkString(", ")}"))
       }
-    }
+    }.orElse(parameters.get("changesfromtimestamp").map { v =>
+      val ms = scala.util.Try(v.toLong).getOrElse(
+        scala.util.Try(java.time.Instant.parse(v).toEpochMilli).getOrElse(
+          sys.error("changesFromTimestamp must be epoch millis or " +
+            s"ISO-8601, got '$v'")))
+      SnapshotTable.load(sqlContext.sparkSession, pathOf(parameters))
+        .versionAsOf(ms)
+    })
     require(!parameters.contains("changesto"),
       "a streaming changelog read is unbounded — changesTo only applies " +
         "to batch reads (spark.read)")

@@ -1223,6 +1223,21 @@ class SnapshotTableSpec extends AnyFunSuite {
       .option("changesFrom", "nope").option("changesTo", vN)
       .load(t.root.toString))
     assert(badTag.getMessage.contains("neither"), badTag.getMessage)
+    // bounds by TIMESTAMP: resolve to the version as of the instant
+    val t0Ms = t.history().find(_.version == v0).get.timestampMs
+    val tNMs = t.history().find(_.version == vN).get.timestampMs
+    val viaTs = spark.read.format("graft")
+      .option("changesFromTimestamp", t0Ms)
+      .option("changesToTimestamp",
+        java.time.Instant.ofEpochMilli(tNMs).toString)
+      .load(t.root.toString)
+      .select(col("_change_type"), col("id")).as[(String, Long)]
+      .collect().toSet
+    assert(viaTs == direct)
+    val both = intercept[Exception](spark.read.format("graft")
+      .option("changesFrom", v0).option("changesFromTimestamp", t0Ms)
+      .option("changesTo", vN).load(t.root.toString))
+    assert(both.getMessage.contains("not both"), both.getMessage)
   }
 
   test("changes over expired intermediates and stream appends") {

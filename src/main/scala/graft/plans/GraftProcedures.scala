@@ -49,16 +49,18 @@ object GraftProcedures {
 
   val Known: Seq[String] = Seq("expire_snapshots", "compact",
     "remove_orphan_files", "rollback", "tag", "begin_audit", "publish",
-    "abort_audit", "clone", "maintain")
+    "abort_audit", "clone", "maintain", "drop_tag")
 
   private val AllowedArgs: Map[String, Set[String]] = Map(
     "expire_snapshots" -> Set("keep", "older_than_ms"),
-    "compact" -> Set("target_rows", "min_files", "sort_by", "zorder_by"),
+    "compact" -> Set("target_rows", "min_files", "sort_by", "zorder_by",
+      "partition"),
     "remove_orphan_files" -> Set("older_than_ms"),
     "rollback" -> Set("version"),
     "tag" -> Set("name", "version"),
     "clone" -> Set("target", "version"),
     "maintain" -> Set("target_rows"),
+    "drop_tag" -> Set("name"),
     "begin_audit" -> Set.empty[String],
     "publish" -> Set.empty[String],
     "abort_audit" -> Set.empty[String])
@@ -151,6 +153,7 @@ final case class GraftCallCommand(proc: String, view: String,
       Seq(attr("target", StringType), attr("rows", LongType))
     case "maintain" =>
       Seq(attr("files", LongType), attr("snapshots", LongType))
+    case "drop_tag" => Seq(attr("tag_name", StringType))
     case "begin_audit" => Seq(attr("audit_base", LongType))
     case "publish" | "abort_audit" => Seq(attr("current_version", LongType))
     case other => fail(s"unknown graft procedure '$other'")
@@ -180,8 +183,16 @@ final case class GraftCallCommand(proc: String, view: String,
         Seq(Row(t.removeOrphanFiles(long("older_than_ms",
           24L * 3600 * 1000))))
       case "compact" =>
+        // partition => 'value' scopes the rewrite to one hidden
+        // partition ('null' = the null partition) — at scale you
+        // compact the hot partition, not the table
+        val scope = args.get("partition").map {
+          case "null" => Seq(None)
+          case v => Seq(Some(v))
+        }
         val res = t.compact(
           targetRowsPerFile = long("target_rows", 1000000L),
+          partitions = scope,
           minFiles = long("min_files", 2L).toInt,
           sortBy = cols("sort_by"), zOrderBy = cols("zorder_by"))
         Seq(Row(res.size, res.map(_._2).sum, res.map(_._3).sum))
@@ -203,6 +214,11 @@ final case class GraftCallCommand(proc: String, view: String,
         t.maintain(long("target_rows", 1000000L))
         val cur = t.currentSnapshot()
         Seq(Row(cur.files.size.toLong, t.history().size.toLong))
+      case "drop_tag" =>
+        val name = args.getOrElse("name",
+          fail("CALL graft.drop_tag requires name => 'tag_name'"))
+        t.dropTag(name)
+        Seq(Row(name))
       case "begin_audit" =>
         val s = t.beginAudit()
         Seq(Row(s.properties(

@@ -2081,6 +2081,23 @@ class SnapshotTableSpec extends AnyFunSuite {
     // maintain: property-driven compact + expiry in one call
     val m = spark.sql("CALL graft.maintain('graft_call')").collect().head
     assert(m.getLong(0) >= 1L && m.getLong(1) >= 1L)
+    // drop_tag releases the ref (expiry-proofing ends with it)
+    assert(spark.sql("CALL graft.drop_tag('graft_call', name => 'keep_v2')")
+      .collect().head.getString(0) == "keep_v2")
+    assert(t.tags().isEmpty)
+    // partition-scoped compact: only the named hidden partition rewrites
+    val pt = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    pt.append(rows((1L, "2024-01-05", 1.0), (2L, "2024-02-05", 2.0)))
+    pt.append(rows((3L, "2024-01-06", 3.0)))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_pcall USING graft " +
+      s"OPTIONS (path '${pt.root}')")
+    val pc = spark.sql(
+      "CALL graft.compact('graft_pcall', partition => '2024-01')")
+      .collect().head
+    assert((pc.getInt(0), pc.getInt(1), pc.getInt(2)) == ((1, 2, 1)), pc)
+    assert(pt.read().count() == 3L)
+    assert(pt.partitionsDf().where(col("partition") === "2024-02")
+      .collect().head.getAs[Long]("file_count") == 1L) // untouched
     // misuse fails with named errors, not Spark parse noise
     val unknown = intercept[Exception](spark.sql("CALL graft.nope('graft_call')"))
     assert(unknown.getMessage.contains("available"), unknown.getMessage)

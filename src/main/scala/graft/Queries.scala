@@ -1282,7 +1282,42 @@ object Queries {
                |)
                |SELECT s.doc_id, CAST(len(s.shingles) AS BIGINT) AS n_grams,
                |       COALESCE(d.dup_grams, CAST(0 AS BIGINT)) AS dup_grams
-               |FROM shsets s LEFT JOIN dup d USING (doc_id)""".stripMargin))
+               |FROM shsets s LEFT JOIN dup d USING (doc_id)""".stripMargin)),
+
+      // The FILTER the signal exists for (Gopher's dup-ngram rule):
+      // keep documents whose cross-corpus duplicated 5-gram fraction
+      // is ≤ 1/2 — exact duplicates (ratio 1) drop on both sides of
+      // the planted pair, boilerplate-free docs survive. The ratio
+      // compares as 2*dup <= n in exact integer arithmetic.
+      QueryDef("dedup_drop_boilerplate",
+        (s, dir) => Dedup.crossDocNgrams(dupCorpus(s, dir),
+            shingleLen = 5, minDocs = 2)
+          .filter(col("dup_grams") * 2 <= col("n_grams"))
+          .select(col("doc_id")),
+        Some("""WITH corpus AS (
+               |  SELECT doc_id, text FROM documents
+               |  UNION ALL
+               |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+               |), toks AS (
+               |  SELECT doc_id,
+               |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+               |  FROM corpus
+               |), shsets AS (
+               |  SELECT doc_id, CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+               |    ELSE list_distinct(list_transform(range(0, len(t) - 4),
+               |           i -> array_to_string(t[i+1:i+5], ' ')))
+               |    END AS shingles FROM toks
+               |), postings AS (
+               |  SELECT doc_id, unnest(shingles) AS sh FROM shsets
+               |), shared AS (
+               |  SELECT sh FROM postings GROUP BY sh HAVING count(*) >= 2
+               |), dup AS (
+               |  SELECT doc_id, count(*) AS dup_grams
+               |  FROM postings JOIN shared USING (sh) GROUP BY doc_id
+               |)
+               |SELECT s.doc_id
+               |FROM shsets s LEFT JOIN dup d USING (doc_id)
+               |WHERE COALESCE(d.dup_grams, 0) * 2 <= len(s.shingles)""".stripMargin))
     )
   }
 

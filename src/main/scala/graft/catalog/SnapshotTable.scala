@@ -141,14 +141,23 @@ final class SnapshotTable private (
     * record count; pending merge-on-read delete files are NOT
     * subtracted (same as Iceberg's partitions table — [[compact]]
     * applies them physically and re-exactifies the counts).
+    * `current_spec` marks whether the row's files were written under
+    * the CURRENT partition spec: after [[evolveSpec]], legacy files'
+    * values were computed under the OLD spec and are NOT comparable
+    * with current-spec values — the listing keeps them (this is the
+    * ops view that shows migrateSpec's remaining work) but in their
+    * own rows instead of silently mixing incomparable keys, the
+    * hazard [[readPartitions]] refuses outright.
     */
   def partitionsDf(): DataFrame = {
-    val rows = publishedSnapshot().files.groupBy(_.partition).toSeq
-      .map { case (p, fs) =>
-        (p.orNull: String, fs.size.toLong, fs.map(_.rows).sum)
+    val s = publishedSnapshot()
+    val rows = s.files.groupBy(f => (f.partition, f.seq >= s.specSince))
+      .toSeq.map { case ((p, cur), fs) =>
+        (p.orNull: String, cur, fs.size.toLong, fs.map(_.rows).sum)
       }
     import spark.implicits._
-    rows.toDF("partition", "file_count", "row_count")
+    rows.toDF("partition", "current_spec", "file_count", "row_count")
+      .select("partition", "file_count", "row_count", "current_spec")
   }
 
   /** Live data files as a DataFrame (Iceberg `files` metadata table,
@@ -2082,14 +2091,19 @@ final class SnapshotTable private (
     // `applyLayout` marks USER-FACING ingest (append/overwrite/stream
     // appends); internal rewrites — compact (which owns its sort/
     // z-order/size layout), row-level COW, upsert — must not be
-    // re-shuffled or re-sorted by the write-layout properties
+    // re-shuffled or re-sorted by the write-layout properties at ALL:
+    // retaining even hash mode here would collapse compact's
+    // nOut-range-split output to one file per partition (defeating
+    // targetRowsPerFile and the intra-partition sorted layout), and
+    // COW/upsert inputs are already partition-clustered because they
+    // re-read per-partition files.
     val sortCols =
       if (!applyLayout) Nil
       else props.get(SnapshotTable.SortByProp).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         .filter(aligned.columns.contains)
     val mode0 = props.get(SnapshotTable.DistributionModeProp)
-    val mode = if (applyLayout) mode0 else mode0.filter(_ == "hash")
+    val mode = if (applyLayout) mode0 else None
     if (mode.contains("range") && sortCols.isEmpty) sys.error(
       s"${SnapshotTable.DistributionModeProp}=range needs " +
         s"${SnapshotTable.SortByProp} to define the range keys")

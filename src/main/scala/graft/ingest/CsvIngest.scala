@@ -34,9 +34,11 @@ object CsvIngest {
     val p = Paths.get(dir)
     val found =
       if (!Files.isDirectory(p)) Seq.empty
-      else Files.list(p).iterator().asScala
-        .filter(f => f.toString.endsWith(".csv"))
-        .map(_.toString).toSeq.sorted
+      else scala.util.Using.resource(Files.list(p)) { stream =>
+        stream.iterator().asScala
+          .filter(f => f.toString.endsWith(".csv"))
+          .map(_.toString).toSeq.sorted
+      }
     if (found.isEmpty)
       throw new IllegalArgumentException(s"No CSV files found in $dir")
     found

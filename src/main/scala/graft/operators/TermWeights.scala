@@ -183,7 +183,11 @@ object TermWeights {
     require(queryTerms.forall(t => !t.exists(_.isWhitespace)),
       "bm25 query terms must be single words: " +
         queryTerms.filter(_.exists(_.isWhitespace)).mkString("'", "', '", "'"))
-    val props = index.currentSnapshot().properties
+    // published, not current: with an audit (WAP) window open on the
+    // index, readWhere resolves the published snapshot — the corpus
+    // scalars must come from the SAME snapshot or scores would mix
+    // staged-head N/avgdl with base-snapshot df rows
+    val props = index.publishedSnapshot().properties
     val n = props.getOrElse(NDocsProp, sys.error(
       s"not a term-stats index (missing $NDocsProp): ${index.root}")).toLong
     val avgdl = props(AvgdlProp).toDouble

@@ -37,20 +37,27 @@ final case class GraftAggregatePushdown(session: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg @ Aggregate(Nil, aggExprs, child, _) =>
-      val rewritten = for {
-        gr <- relationOf(child)
-        if gr.pinned.isEmpty
-        specs <- toSpecs(aggExprs)
-        df <- try gr.table.metadataAggregate(specs)
-        catch { case scala.util.control.NonFatal(_) => None }
-      } yield {
-        val row = df.collect().head
-        val values = agg.output.zipWithIndex.map { case (a, i) =>
-          CatalystTypeConverters.createToCatalystConverter(a.dataType)(
-            row.get(i))
+      // the WHOLE rewrite (metadataAggregate + collect + Catalyst
+      // conversion) falls back to the untouched plan on any failure:
+      // a stale temp view analyzed before an int→long widening would
+      // otherwise surface a raw ClassCastException from the conversion
+      // here, where the scan path gives guardSchemaDrift's
+      // "re-create the view" remedy — let that path produce the error
+      val rewritten = try {
+        for {
+          gr <- relationOf(child)
+          if gr.pinned.isEmpty
+          specs <- toSpecs(aggExprs)
+          df <- gr.table.metadataAggregate(specs)
+        } yield {
+          val row = df.collect().head
+          val values = agg.output.zipWithIndex.map { case (a, i) =>
+            CatalystTypeConverters.createToCatalystConverter(a.dataType)(
+              row.get(i))
+          }
+          LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
         }
-        LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
-      }
+      } catch { case scala.util.control.NonFatal(_) => None }
       rewritten.getOrElse(agg)
   }
 

@@ -95,12 +95,23 @@ object GraftProcedures {
   /** Split `'events', keep => 3, sort_by => 'a,b'` into positionals and
     * named args. Commas inside single-quoted strings do not split;
     * `''` inside a quoted string is an escaped quote (SQL style).
+    * Named-vs-positional is decided WHILE scanning: only a `=>` seen
+    * OUTSIDE quotes makes an argument named, so a quoted value that
+    * itself contains `=>` (`name => 'a=>b'`, a clone target with an
+    * arrow in its path) neither splits at the wrong arrow nor turns a
+    * quoted positional into a bogus named arg.
     */
   private def parseArgs(s: String): (Seq[String], Map[String, String]) = {
-    val parts = mutable.ArrayBuffer.empty[String]
+    // (dequoted text, index in that text where the first unquoted "=>"
+    // ended — None = positional)
+    val parts = mutable.ArrayBuffer.empty[(String, Option[Int])]
     val cur = new StringBuilder
+    var arrowAt: Option[Int] = None
     var inQ = false
     var i = 0
+    def flush(): Unit = {
+      parts += ((cur.result(), arrowAt)); cur.clear(); arrowAt = None
+    }
     while (i < s.length) {
       val c = s.charAt(i)
       if (inQ) {
@@ -110,18 +121,22 @@ object GraftProcedures {
         else cur += c
       } else c match {
         case '\'' => inQ = true
-        case ',' => parts += cur.result(); cur.clear()
+        case ',' => flush()
+        case '=' if arrowAt.isEmpty && i + 1 < s.length &&
+            s.charAt(i + 1) == '>' =>
+          arrowAt = Some(cur.length); i += 1
         case _ => cur += c
       }
       i += 1
     }
     if (inQ) fail(s"unterminated string literal in CALL arguments: $s")
-    if (cur.nonEmpty || parts.nonEmpty) parts += cur.result()
-    val trimmed = parts.map(_.trim).filter(_.nonEmpty)
-    val (named, pos) = trimmed.partition(_.contains("=>"))
-    val namedMap = named.map { a =>
-      val Array(k, v) = a.split("=>", 2)
-      k.trim.toLowerCase -> v.trim
+    if (cur.nonEmpty || parts.nonEmpty) flush()
+    val trimmed = parts.collect {
+      case (t, a) if t.trim.nonEmpty || a.isDefined => (t, a)
+    }
+    val pos = trimmed.collect { case (t, None) => t.trim }
+    val namedMap = trimmed.collect { case (t, Some(idx)) =>
+      t.take(idx).trim.toLowerCase -> t.drop(idx).trim
     }.toMap
     (pos.toSeq, namedMap)
   }

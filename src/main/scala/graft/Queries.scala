@@ -43,6 +43,21 @@ object Queries {
   private def dsum(c: Column, dt: String = "decimal(12,2)"): Column =
     sum(c.cast(dt)).cast("double")
 
+  /** Root + catalog name for a build-once snapshot fixture placed
+    * INSIDE the graft DSv2 catalog warehouse (`graft.db.<name>_h…`),
+    * so SQL entries address it through native catalog identifiers.
+    * The sf-dir hash suffix keeps different test dirs in one JVM from
+    * colliding on a shared warehouse.
+    */
+  private def warehouseDbRoot(s: SparkSession, name: String,
+      dir: String): (String, String) = {
+    val wh = s.conf.get("spark.sql.catalog.graft.warehouse")
+    val tbl = s"${name}_h${math.abs(dir.hashCode)}"
+    val db = java.nio.file.Paths.get(wh, "db")
+    java.nio.file.Files.createDirectories(db)
+    (db.resolve(tbl).toString, s"graft.db.$tbl")
+  }
+
   // =====================================================================
   // Schema-op parity queries (SURVEY §2 C/D/E/I operators over testdata)
   // =====================================================================
@@ -1676,8 +1691,7 @@ object Queries {
   private def snapshotEventsTable(s: SparkSession,
       dir: String): graft.catalog.SnapshotTable = {
     val root = snapTableCache.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-snaptbl")
-        .resolve("events").toString
+      val base = warehouseDbRoot(s, "events", dir)._1
       val ev = t(s, dir, "events")
       val tbl = graft.catalog.SnapshotTable.create(s, base, ev.schema,
         Some(graft.catalog.PartitionSpec("event_type", "identity")))
@@ -1889,8 +1903,7 @@ object Queries {
       extraProps: Map[String, String] = Map.empty)(
       mutate: graft.catalog.SnapshotTable => Unit): graft.catalog.SnapshotTable = {
     val root = cache.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files.createTempDirectory(s"graft-snap-$tag")
-        .resolve("t").toString
+      val base = warehouseDbRoot(s, s"snap_$tag", dir)._1
       val ev = t(s, dir, "events")
       val tbl = graft.catalog.SnapshotTable.create(s, base, ev.schema, None,
         properties =
@@ -1898,6 +1911,34 @@ object Queries {
       tbl.append(ev.repartitionByRange(8, col("event_id"))
         .sortWithinPartitions("event_id"))
       mutate(tbl)
+      base
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
+
+  private val branchTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once branch-lifecycle fixture for `snap_branch_publish`:
+    * evens on main, odds written on branch 'staging' (invisible to
+    * main — asserted), branch published via the native CALL
+    * fast_forward. End state must equal the full raw events table.
+    */
+  private def branchSnapshot(s: SparkSession,
+      dir: String): graft.catalog.SnapshotTable = {
+    val root = branchTableCache.computeIfAbsent(dir, _ => {
+      val (base, _) = warehouseDbRoot(s, "snap_branch", dir)
+      val ev = t(s, dir, "events")
+      val tbl = graft.catalog.SnapshotTable.create(s, base, ev.schema, None,
+        properties = graft.catalog.EvolvingWriter.DefaultTableProps)
+      tbl.append(ev.filter(col("event_id") % 2 === 0))
+      val mainRows = tbl.read().count()
+      val arg = s"table => 'db.snap_branch_h${math.abs(dir.hashCode)}'"
+      s.sql(s"CALL graft.system.create_branch($arg, name => 'staging')")
+      tbl.branch("staging").append(ev.filter(col("event_id") % 2 =!= 0))
+      require(tbl.read().count() == mainRows,
+        "branch write must be invisible to main before fast_forward")
+      s.sql(s"CALL graft.system.fast_forward($arg, name => 'staging')")
       base
     })
     graft.catalog.SnapshotTable.load(s, root)
@@ -2185,6 +2226,21 @@ object Queries {
         tbl.read().groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // Named branches (Iceberg branch refs — the GENERAL form of WAP's
+    // single implicit staging line): odds land on branch 'staging'
+    // while main serves only evens (asserted in the fixture), then ONE
+    // fastForward publishes the branch history onto main — after which
+    // the table must equal the full raw corpus. The CALL surface
+    // (graft.system.create_branch / fast_forward) drives it, so the
+    // branch lifecycle is SQL-operable end to end.
+    QueryDef("snap_branch_publish",
+      (s, dir) => branchSnapshot(s, dir).read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
       Some("""SELECT event_type, count(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1""".stripMargin)),
@@ -2597,26 +2653,26 @@ object Queries {
              |FROM events WHERE event_id BETWEEN 1000 AND 1999
              |GROUP BY 1""".stripMargin)),
 
-    // SQL time-travel syntax end-to-end (GraftTimeTravelParser): the
-    // SAME pinned reads snap_time_travel / snap_read_tag do through the
-    // Scala API, here via FOR VERSION AS OF — integer pins a version,
-    // a string resolves as a TAG (SQL's only ref syntax) — against one
-    // combined oracle
+    // SQL time-travel syntax end-to-end, NATIVE through the DSv2
+    // catalog (TableCatalog.loadTable(ident, version) — no parser
+    // seam): the SAME pinned reads snap_time_travel / snap_read_tag do
+    // through the Scala API, here via VERSION AS OF on a graft.db.*
+    // name — integer pins a version, a string resolves as a TAG —
+    // against one combined oracle
     QueryDef("sql_time_travel",
       (s, dir) => {
-        val tbl = snapshotEventsTable(s, dir)
-        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_events_tt " +
-          s"USING graft OPTIONS (path '${tbl.root}')")
-        s.sql("""SELECT 'version' AS via, event_type, count(*) AS n,
-                |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
-                |    AS sum_value
-                |FROM graft_events_tt FOR VERSION AS OF 2
-                |GROUP BY 1, 2
-                |UNION ALL
-                |SELECT 'tag', event_type, count(*),
-                |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
-                |FROM graft_events_tt FOR VERSION AS OF 'evens-baseline'
-                |GROUP BY 1, 2""".stripMargin)
+        snapshotEventsTable(s, dir) // build the fixture in the warehouse
+        val name = warehouseDbRoot(s, "events", dir)._2
+        s.sql(s"""SELECT 'version' AS via, event_type, count(*) AS n,
+                 |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                 |    AS sum_value
+                 |FROM $name VERSION AS OF 2
+                 |GROUP BY 1, 2
+                 |UNION ALL
+                 |SELECT 'tag', event_type, count(*),
+                 |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                 |FROM $name VERSION AS OF 'evens-baseline'
+                 |GROUP BY 1, 2""".stripMargin)
       },
       Some("""WITH evens AS (
              |  SELECT event_type, value FROM events WHERE event_id % 2 = 0
@@ -2662,25 +2718,25 @@ object Queries {
              |  CAST(count(*) AS BIGINT) AS row_count
              |FROM events GROUP BY 1""".stripMargin)),
 
-    // SQL maintenance procedures (Iceberg CALL surface): the fixture
-    // builder runs CALL graft.compact + expire_snapshots through SQL,
-    // then the read must still equal the raw table — maintenance
+    // SQL maintenance procedures, NATIVE DSv2 CALL (ProcedureCatalog —
+    // Spark parses/binds/coerces the arguments itself): the fixture
+    // builder runs CALL graft.system.compact + expire_snapshots, then
+    // the read must still equal the raw table — maintenance
     // reorganizes files and history, never data. Runs once per JVM
     // (build-once fixture), so bench re-runs read a stable table.
     QueryDef("sql_call_maintenance",
       (s, dir) => {
         val tbl = statsSnapshot(s, dir, sqlCallTableCache, "sqlcall") { tb =>
-          s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_sql_call " +
-            s"USING graft OPTIONS (path '${tb.root}')")
+          val arg = s"table => 'db.snap_sqlcall_h${math.abs(dir.hashCode)}'"
           val c = s.sql(
-            "CALL graft.compact('graft_sql_call', sort_by => 'event_id')")
+            s"CALL graft.system.compact($arg, sort_by => 'event_id')")
             .collect().head
-          require(c.getInt(2) < c.getInt(1),
+          require(c.getLong(2) < c.getLong(1),
             s"CALL compact must shrink the file count: $c")
           val e = s.sql(
-            "CALL graft.expire_snapshots('graft_sql_call', keep => 1)")
+            s"CALL graft.system.expire_snapshots($arg, keep => 1)")
             .collect().head
-          require(e.getInt(0) > 0, s"CALL expire must expire history: $e")
+          require(e.getLong(0) > 0, s"CALL expire must expire history: $e")
         }
         tbl.read().groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -2688,6 +2744,34 @@ object Queries {
       Some("""SELECT event_type, count(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1""".stripMargin)),
+
+    // Full DDL lifecycle through the native DSv2 catalog — CREATE
+    // NAMESPACE / CREATE TABLE (hidden identity partitioning +
+    // TBLPROPERTIES) / INSERT INTO / ALTER TABLE ADD COLUMNS
+    // (metadata-only, fresh field id) / native v2 DELETE FROM
+    // (SupportsDelete, manifest-pruned COW) / SELECT — every statement
+    // addressed as graft.db.*, no temp view, no interception anywhere.
+    // Rebuilt per call: the DDL itself is the operator under test.
+    QueryDef("sql_catalog_ddl",
+      (s, dir) => {
+        val fq = s"graft.db.ddl_h${math.abs(dir.hashCode)}"
+        t(s, dir, "events").createOrReplaceTempView("graft_ddl_src")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+        s.sql(s"DROP TABLE IF EXISTS $fq")
+        s.sql(s"CREATE TABLE $fq " +
+          "(event_id BIGINT, event_type STRING, value DOUBLE) " +
+          "PARTITIONED BY (event_type) " +
+          "TBLPROPERTIES ('graft.write.sort-by'='event_id', " +
+          "'graft.write.distribution-mode'='hash')")
+        s.sql(s"INSERT INTO $fq " +
+          "SELECT event_id, event_type, value FROM graft_ddl_src")
+        s.sql(s"ALTER TABLE $fq ADD COLUMNS (score DOUBLE)")
+        s.sql(s"DELETE FROM $fq WHERE event_id > 5000")
+        s.sql(s"SELECT event_id, event_type, value, score FROM $fq")
+      },
+      Some("""SELECT event_id, event_type, value,
+             |  CAST(NULL AS DOUBLE) AS score
+             |FROM events WHERE event_id <= 5000""".stripMargin)),
 
     QueryDef("sql_text_quality",
       (s, dir) => {

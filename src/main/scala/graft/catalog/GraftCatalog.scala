@@ -1,0 +1,354 @@
+package graft.catalog
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 catalog plugin for graft snapshot tables — the shape Iceberg
+  * ships as (`spark.sql.catalog.<name>=…`), making every catalog path
+  * NATIVE Spark SQL with no parser or resolution seam:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse /warehouse
+  *
+  *   CREATE NAMESPACE graft.db
+  *   CREATE TABLE graft.db.events (ts TIMESTAMP, v BIGINT)
+  *     PARTITIONED BY (month(ts)) TBLPROPERTIES (...)
+  *   INSERT INTO graft.db.events SELECT ...
+  *   SELECT * FROM graft.db.events VERSION AS OF 3          -- or a tag
+  *   SELECT * FROM graft.db.events TIMESTAMP AS OF '...'
+  *   DELETE FROM graft.db.events WHERE ts < '...'
+  *   ALTER TABLE graft.db.events ADD COLUMNS (score DOUBLE)
+  *   CALL graft.system.compact(table => 'db.events', sort_by => 'v')
+  *   SELECT * FROM graft.db.`events#history`                -- metadata
+  * }}}
+  *
+  * Layout: `<warehouse>/<namespace…>/<table>` — a table is any
+  * directory with a snapshot log; a namespace is any directory
+  * without one. A table name of the form `t#meta` (history /
+  * partitions / files / tags) loads the manifest-derived metadata
+  * table, mirroring Iceberg's `db.table.history` addressing in the
+  * one-identifier form Spark's grammar gives a custom catalog.
+  *
+  * Time travel: `VERSION AS OF n` resolves digits to a version and
+  * anything else to a TAG (the same routing as the reader options);
+  * `TIMESTAMP AS OF` arrives in microseconds and resolves through
+  * [[SnapshotTable.versionAsOf]] — both land on a pinned
+  * [[GraftV2Table]], which refuses writes.
+  *
+  * MERGE and UPDATE (and non-filter-convertible DELETEs) lower via the
+  * injected resolution rule ([[graft.plans.GraftSqlDmlRule]]) onto the
+  * same conditional-COW operations the Scala API exposes — the v2
+  * row-level-operation plumbing (group-based ReplaceData) is the one
+  * seam deliberately not implemented, because the rule reaches
+  * identical semantics through one registered extension point.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
+
+  private var catalogName: String = "graft"
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def warehousePath: Path = new Path(warehouse)
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.trim)
+      .filter(_.nonEmpty)
+      .getOrElse(sys.error(
+        s"the graft catalog needs a warehouse root: set " +
+          s"spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  // ------------------------------------------------------------ helpers
+
+  private def fs =
+    warehousePath.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** `graft.db.t` → `<warehouse>/db/t`; a single backquoted absolute
+    * identifier (`graft.`/warehouse/events``) addresses a path-based
+    * table directly — the same catalog-name / path duality Iceberg's
+    * Hadoop tables expose.
+    */
+  private def tablePath(ident: Identifier): Path = {
+    val (base, _) = splitMeta(ident.name)
+    if (ident.namespace.isEmpty && base.startsWith("/")) new Path(base)
+    else (ident.namespace :+ base)
+      .foldLeft(warehousePath)((p, s) => new Path(p, s))
+  }
+
+  private def isTable(p: Path): Boolean =
+    SnapshotTable.exists(spark, p.toString)
+
+  /** `events#history` → (events, Some(history)). */
+  private def splitMeta(name: String): (String, Option[String]) =
+    name.split("#", 2) match {
+      case Array(t, m) => (t, Some(m.toLowerCase))
+      case _ => (name, None)
+    }
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(warehousePath)((p, s) => new Path(p, s))
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).iterator.filter(_.isDirectory)
+      .map(_.getPath).filter(isTable)
+      .map(p => Identifier.of(namespace, p.getName)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = loadWith(ident, None)
+
+  /** `VERSION AS OF` — digits mean a version, anything else a tag. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = tableAt(ident)
+    val v = version.toLongOption.getOrElse(
+      t.tags().getOrElse(version, sys.error(
+        s"${ident.name}: '$version' is neither a version number nor a " +
+          s"tag; tags: ${t.tags().keys.mkString(", ")}")))
+    new GraftV2Table(t, fullName(ident), Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark passes MICROseconds. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val t = tableAt(ident)
+    new GraftV2Table(t, fullName(ident),
+      Some(t.versionAsOf(timestampMicros / 1000L)))
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: (ident.namespace :+ ident.name)).mkString(".")
+
+  private def tableAt(ident: Identifier): SnapshotTable = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    SnapshotTable.load(spark, p.toString)
+  }
+
+  private def loadWith(ident: Identifier, pinned: Option[Long]): Table = {
+    val (base, meta) = splitMeta(ident.name)
+    meta match {
+      case Some(kind) =>
+        val t = tableAt(Identifier.of(ident.namespace, base))
+        new GraftMetadataV2Table(t, fullName(ident), kind)
+      case None => new GraftV2Table(tableAt(ident), fullName(ident), pinned)
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tablePath(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(
+      fullName(ident) + " already exists")
+    require(!ident.name.contains("#"),
+      s"'#' is reserved for metadata-table addressing: ${ident.name}")
+    val ns = ident.namespace
+    if (ns.nonEmpty && !namespaceExists(ns))
+      throw new NoSuchNamespaceException(ns)
+    // Spark adds bookkeeping properties (provider/location/owner…) that
+    // are not table state; everything the user wrote in TBLPROPERTIES
+    // passes through to the snapshot properties
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_IS_MANAGED_LOCATION,
+      TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COLLATION)
+    val props = properties.asScala.toMap.view
+      .filterKeys(k => !reserved.contains(k) &&
+        !k.startsWith(TableCatalog.OPTION_PREFIX)).toMap
+    val t = SnapshotTable.create(spark, tablePath(ident).toString, schema,
+      spec = GraftCatalog.toSpec(partitions),
+      properties = EvolvingWriter.DefaultTableProps ++ props)
+    new GraftV2Table(t, fullName(ident), None)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val t = tableAt(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft tables have flat schemas — nested ADD COLUMN is not " +
+            s"supported: ${add.fieldNames.mkString(".")}")
+        require(add.position == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported (columns append; " +
+            "projection order is a query concern)")
+        t.addColumns(Seq(org.apache.spark.sql.types.StructField(
+          add.fieldNames.head, add.dataType, add.isNullable)))
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1, "nested columns not supported")
+        t.renameColumn(rn.fieldNames.head, rn.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1, "nested columns not supported")
+        if (!del.ifExists ||
+            t.schemaAt(None).fieldNames.contains(del.fieldNames.head))
+          t.dropColumn(del.fieldNames.head)
+      case up: TableChange.UpdateColumnType =>
+        require(up.fieldNames.length == 1, "nested columns not supported")
+        t.widenColumn(up.fieldNames.head, up.newDataType)
+      case set: TableChange.SetProperty =>
+        t.setProperties(Map(set.property -> set.value))
+      case rm: TableChange.RemoveProperty =>
+        t.removeProperties(Seq(rm.property))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change not supported by the graft catalog: $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTable(p)) false
+    else fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val from = tablePath(oldIdent)
+    val to = tablePath(newIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (fs.exists(to)) throw new TableAlreadyExistsException(
+      fullName(newIdent) + " already exists")
+    if (newIdent.namespace.nonEmpty && !namespaceExists(newIdent.namespace))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    require(fs.rename(from, to),
+      s"rename $from -> $to failed (filesystem refused)")
+  }
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!fs.exists(warehousePath)) return Array.empty
+    fs.listStatus(warehousePath).iterator.filter(_.isDirectory)
+      .map(_.getPath).filterNot(isTable)
+      .map(p => Array(p.getName)).toArray
+  }
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = namespace.foldLeft(warehousePath)((p, s) => new Path(p, s))
+    if (!fs.exists(dir) || isTable(dir))
+      throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).iterator.filter(_.isDirectory)
+      .map(_.getPath).filterNot(isTable)
+      .map(p => namespace :+ p.getName).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = namespace.foldLeft(warehousePath)((p, s) => new Path(p, s))
+    fs.exists(dir) && !isTable(dir)
+  }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION ->
+      namespace.foldLeft(warehousePath)((p, s) => new Path(p, s)).toString)
+      .asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(namespace.foldLeft(warehousePath)((p, s) => new Path(p, s)))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces are plain directories and carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    val dir = namespace.foldLeft(warehousePath)((p, s) => new Path(p, s))
+    if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new NonEmptyNamespaceException(namespace,
+        "drop the tables first or use CASCADE", None)
+    fs.delete(dir, true)
+  }
+
+  // --------------------------------------------------------- procedures
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.isEmpty ||
+      ident.namespace.sameElements(Array("system")),
+      s"graft procedures live under the 'system' namespace: " +
+        s"CALL $catalogName.system.${ident.name}(...)")
+    GraftCatalogProcedures.load(this, ident.name).getOrElse(
+      sys.error(s"unknown graft procedure '${ident.name}' — available: " +
+        GraftCatalogProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    GraftCatalogProcedures.names
+      .map(n => Identifier.of(Array("system"), n)).toArray
+
+  /** Resolve a procedure's `table` argument: `db.t` catalog-relative,
+    * or an absolute `/path` for path-based tables.
+    */
+  private[catalog] def resolveTableArg(ref: String): SnapshotTable = {
+    val p =
+      if (ref.startsWith("/")) new Path(ref)
+      else ref.split("\\.").foldLeft(warehousePath)((p, s) => new Path(p, s))
+    require(SnapshotTable.exists(spark, p.toString),
+      s"no graft table at $p (from table => '$ref')")
+    SnapshotTable.load(spark, p.toString)
+  }
+}
+
+object GraftCatalog {
+
+  /** DSv2 `Transform`s → the snapshot layer's single-transform spec. */
+  private[catalog] def toSpec(
+      transforms: Array[Transform]): Option[PartitionSpec] = {
+    if (transforms.isEmpty) return None
+    require(transforms.length == 1,
+      "graft tables take ONE partition transform (hidden partitioning " +
+        s"has a single spec); got ${transforms.mkString(", ")}")
+    val t = transforms.head
+    def ref: String = {
+      val refs = t.references
+      require(refs.length == 1 && refs.head.fieldNames.length == 1,
+        s"partition transform must reference one top-level column: $t")
+      refs.head.fieldNames.head
+    }
+    t.name.toLowerCase match {
+      case "identity" => Some(PartitionSpec(ref, "identity"))
+      case "month" | "months" => Some(PartitionSpec(ref, "month"))
+      case "bucket" =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.toString.toInt
+        }.getOrElse(sys.error(s"bucket transform needs a count: $t"))
+        require(n >= 1, s"bucket count must be >= 1, got $n")
+        Some(PartitionSpec(ref, s"bucket[$n]"))
+      case other => sys.error(
+        s"unsupported partition transform '$other' " +
+          "(supported: identity, month(s), bucket)")
+    }
+  }
+}

@@ -1,0 +1,285 @@
+package graft.catalog
+
+import java.util.{Set => JSet}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The DSv2 `Table` for one graft snapshot table — what
+  * [[GraftCatalog.loadTable]] hands Spark, making `graft.db.t` a
+  * native catalog table: scans plan through Spark's own v2 pushdown
+  * (manifest pruning via the same skip-only translation as every
+  * other read path), `INSERT INTO` / `INSERT OVERWRITE` /
+  * `df.writeTo(...)` route to the table's atomic commits, `DELETE
+  * FROM` with pushable predicates runs as a native v2 metadata/COW
+  * delete, and `TRUNCATE TABLE` is an atomic overwrite-to-empty.
+  * Time travel (`VERSION AS OF` / `TIMESTAMP AS OF`) arrives as a
+  * `pinned` version resolved by the catalog — a pinned table refuses
+  * writes, mirroring [[graft.sources.GraftRelation]].
+  *
+  * The scan and write surfaces bridge through `V1Scan` / `V1Write` to
+  * the battle-tested [[SnapshotTable]] read/commit machinery: the
+  * physical plan below the bridge is Spark's own vectorized parquet
+  * scan over manifest-pruned files (the DataFrame returned by
+  * `scanFor`), so the v2 seam adds catalog-native addressing without
+  * forking the execution path the DSv1 relation already certifies.
+  */
+final class GraftV2Table(
+    val table: SnapshotTable,
+    ident: String,
+    val pinned: Option[Long]) extends Table
+    with SupportsRead with SupportsWrite with SupportsDelete {
+
+  override def name(): String = ident
+
+  override val schema: StructType = table.schemaAt(pinned)
+
+  override def partitioning(): Array[Transform] =
+    table.publishedSnapshot().spec.toArray.map { ps =>
+      ps.transform match {
+        case "identity" => Expressions.identity(ps.source)
+        case "month" => Expressions.months(ps.source)
+        case SnapshotTable.BucketXform(n) =>
+          Expressions.bucket(n.toInt, ps.source)
+        case other => sys.error(s"unknown partition transform $other")
+      }
+    }
+
+  override def properties(): java.util.Map[String, String] =
+    table.publishedSnapshot().properties.asJava
+
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.TRUNCATE).asJava
+
+  /** Same drift guard as the DSv1 relation: an unpinned table loaded
+    * before a schema-evolving commit must not serve rows disagreeing
+    * with the analyzed schema.
+    */
+  private[catalog] def guardSchemaDrift(): Unit = {
+    def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+    require(pinned.nonEmpty || shape(table.schemaAt(None)) == shape(schema),
+      s"snapshot table ${table.root} evolved its schema since this " +
+        "statement was analyzed — re-run the statement to pick up the " +
+        "new schema")
+  }
+
+  private def requireWritable(op: String): Unit =
+    require(pinned.isEmpty,
+      s"cannot $op a time-travel (VERSION/TIMESTAMP AS OF) table")
+
+  // ---------------------------------------------------------------- read
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters
+        with SupportsPushDownRequiredColumns {
+      private var filters: Array[Filter] = Array.empty
+      private var required: StructType = schema
+
+      /** Skip-only pruning: every filter is also returned as residual
+        * so Catalyst re-applies it exactly — manifest pruning can never
+        * change results, only skip files.
+        */
+      override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+        filters = fs; fs
+      }
+      override def pushedFilters(): Array[Filter] = filters
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new GraftV2ScanRelation(context, GraftV2Table.this, filters,
+            required).asInstanceOf[T]
+      }
+    }
+
+  // --------------------------------------------------------------- write
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate with SupportsOverwrite
+        with SupportsDynamicOverwrite {
+      requireWritable("write to")
+      // append | overwrite | dynamic
+      private var mode: String = "append"
+
+      override def truncate(): WriteBuilder = { mode = "overwrite"; this }
+
+      override def overwrite(fs: Array[Filter]): WriteBuilder = {
+        // hidden partitioning has no schema-level partition columns, so
+        // the only filter overwrite Spark can produce here is the full
+        // truncate; anything else is a user error worth naming
+        require(fs.isEmpty || fs.forall(_.isInstanceOf[AlwaysTrue]),
+          "graft tables support INSERT OVERWRITE of the whole table " +
+            "(or dynamic partition overwrite) — filter overwrite of " +
+            s"${fs.mkString(", ")} is not supported")
+        mode = "overwrite"; this
+      }
+
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        mode = "dynamic"; this
+      }
+
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation(): InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              mode match {
+                case "overwrite" => table.overwrite(data)
+                case "dynamic" => table.overwritePartitions(data)
+                case _ => table.append(data)
+              }
+              ()
+            }
+          }
+      }
+    }
+
+  // -------------------------------------------------------------- delete
+
+  /** Native v2 `DELETE FROM`: any predicate whose v1-filter form
+    * round-trips to a Column runs as the manifest-pruned COW delete.
+    * `canDeleteWhere` is generous because [[SnapshotTable.delete]]
+    * handles ARBITRARY predicates by rewriting matched files — the only
+    * shapes refused are those with no `sources.Filter` column form at
+    * all (those fall to the DML resolution rule instead).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftV2Table.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireWritable("DELETE FROM")
+    val cond = filters.toIndexedSeq
+      .flatMap(f => GraftV2Table.filterToColumn(f))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    table.delete(cond)
+    ()
+  }
+
+  override def truncateTable(): Boolean = {
+    requireWritable("TRUNCATE")
+    table.overwrite(table.session.createDataFrame(
+      new java.util.ArrayList[Row](), table.schemaAt(None)))
+    true
+  }
+}
+
+/** One metadata table (`graft.db.\`t#history\`` / `#partitions` /
+  * `#files` / `#tags`) as a read-only v2 table — resolved fresh per
+  * scan so it always describes the CURRENT snapshot; metadata-sized by
+  * construction.
+  */
+final class GraftMetadataV2Table(
+    table: SnapshotTable,
+    ident: String,
+    kind: String) extends Table with SupportsRead {
+
+  private def df: DataFrame = kind match {
+    case "history" => table.historyDf()
+    case "partitions" => table.partitionsDf()
+    case "files" => table.filesDf()
+    case "tags" | "refs" => table.tagsDf()
+    case other => sys.error(s"unknown graft metadata table '$other' — " +
+      "one of: history, partitions, files, tags")
+  }
+
+  override def name(): String = ident
+  override def schema: StructType = df.schema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override val sqlContext: SQLContext = context
+            override def schema: StructType = df.schema
+            override def buildScan(): RDD[Row] = df.rdd
+          }.asInstanceOf[T]
+      }
+    }
+}
+
+object GraftV2Table {
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  /** `sources.Filter` → `Column`, the inverse of the pushdown
+    * translation, for lowering v2 `deleteWhere` filters onto the
+    * snapshot layer's predicate API. None = no column form (caller
+    * reports the delete unsupported and Spark falls back).
+    */
+  private[graft] def filterToColumn(f: Filter): Option[Column] = {
+    def c(n: String) = col(SnapshotTable.quoted(n))
+    f match {
+      case EqualTo(a, v) => Some(c(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(c(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case LessThan(a, v) => Some(c(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+      case In(a, vs) => Some(c(a).isInCollection(vs.toIndexedSeq))
+      case IsNull(a) => Some(c(a).isNull)
+      case IsNotNull(a) => Some(c(a).isNotNull)
+      case StringStartsWith(a, v) => Some(c(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(c(a).endsWith(v))
+      case StringContains(a, v) => Some(c(a).contains(v))
+      case And(l, r) =>
+        for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc && rc
+      case Or(l, r) =>
+        for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
+      case Not(x) => filterToColumn(x).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+}
+
+/** The `V1Scan` landing relation: Spark's v2 pushdown has already
+  * settled the final filter and projection set, so `buildScan` is one
+  * manifest-pruned snapshot read projected to the required columns.
+  * Filters re-apply above (skip-only contract), merge-on-read deletes
+  * and field-id evolution apply inside `scanFor` as on every path.
+  */
+private final class GraftV2ScanRelation(
+    override val sqlContext: SQLContext,
+    v2: GraftV2Table,
+    filters: Array[Filter],
+    required: StructType) extends BaseRelation with TableScan {
+
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    v2.guardSchemaDrift()
+    val df = v2.table.scanFor(v2.pinned, filters.toIndexedSeq)
+    val projected =
+      if (required.isEmpty) df.select()
+      else df.select(required.fieldNames.toIndexedSeq.map(c =>
+        org.apache.spark.sql.functions.col(SnapshotTable.quoted(c))): _*)
+    projected.rdd
+  }
+}

@@ -519,6 +519,19 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
     sidecarCache.remove(rel)
     ()
   }
+
+  /** Copy one immutable aux (manifest / Bloom sidecar) file from
+    * another log of the SAME table into this one, if absent — how
+    * [[SnapshotTable.fastForward]] ships a branch's sidecars so Bloom
+    * pruning keeps working after the branch history lands on main.
+    * Uuid-named and immutable, so an existing copy is already correct.
+    */
+  def copyAuxFrom(other: SnapshotLog, rel: String): Unit = {
+    val dst = new Path(logDir, rel)
+    val src = new Path(other.logDir, rel)
+    if (!fs.exists(dst) && other.fs.exists(src))
+      writeAux(rel, other.readBytes(src))
+  }
 }
 
 object SnapshotLog {

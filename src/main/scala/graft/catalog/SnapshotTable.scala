@@ -97,11 +97,21 @@ final case class InsertClause(condition: Option[Column],
 final class SnapshotTable private (
     spark: SparkSession,
     val root: Path,
-    clock: () => Long) {
+    clock: () => Long,
+    logRoot: Option[Path] = None) {
 
+  /** Version log this handle commits to: the table's main log, or —
+    * for a handle from [[branch]] — the branch's own log under
+    * `_graft_branches/<name>/`. Data files always live under the
+    * TABLE root either way (branch commits reference them root-
+    * relative, like every commit).
+    */
   private[graft] val log =
-    new SnapshotLog(root, spark.sessionState.newHadoopConf())
+    new SnapshotLog(logRoot.getOrElse(root), spark.sessionState.newHadoopConf())
   private val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The session this handle was opened with (catalog integration). */
+  private[graft] def session: SparkSession = spark
 
   import SnapshotTable.{PartCol, decodePartitionValue}
 
@@ -1486,6 +1496,70 @@ final class SnapshotTable private (
         .copy(properties = latest.properties ++ props)
     }
 
+  /** Metadata-only TBLPROPERTIES removal (`ALTER TABLE … UNSET
+    * TBLPROPERTIES`). Missing keys are ignored (UNSET IF EXISTS
+    * semantics — the end state is identical either way).
+    */
+  def removeProperties(keys: Seq[String]): Snapshot =
+    commitRetry { latest =>
+      nextWithIds(latest, "set-properties", latest.schema, latest.ids,
+        latest.nextIds, latest.files)
+        .copy(properties = latest.properties -- keys)
+    }
+
+  /** Metadata-only column ADD (Iceberg `ALTER TABLE … ADD COLUMNS`):
+    * the schema grows, every new column gets a FRESH field id (a
+    * re-added previously-dropped name can never resurrect old bytes),
+    * no data file is touched — existing files surface NULL for the new
+    * columns through the id mapping, exactly like an evolving append's
+    * added columns. Explicit DDL twin of the write-side evolution.
+    */
+  def addColumns(cols: Seq[StructField]): Snapshot = commitRetry { latest =>
+    cols.foreach { c =>
+      require(!latest.schema.fieldNames.contains(c.name),
+        s"column ${c.name} already exists in ${latest.schema.simpleString}")
+      graft.schema.TypeMapping.render(c.dataType) // closed type universe, fails early
+    }
+    val schema2 = StructType(latest.schema.fields ++ cols)
+    SnapshotTable.requireDistinctNames(schema2)
+    var nextId = latest.nextIds
+    val ids2 = latest.ids ++ cols.map { c =>
+      val id = nextId; nextId += 1; c.name -> id
+    }
+    nextWithIds(latest, s"add-columns[${cols.map(_.name).mkString(",")}]",
+      schema2, ids2, nextId, latest.files)
+  }
+
+  /** Metadata-only type WIDENING (`ALTER TABLE … ALTER COLUMN c TYPE
+    * bigint`): only the promotions the parquet reader applies losslessly
+    * at scan (int→long, float→double — the same pairs write-side
+    * [[SnapshotTable.evolve]] allows). The field id is unchanged; old
+    * files keep their narrow physical pages and read under the widened
+    * type.
+    */
+  def widenColumn(name: String, to: DataType): Snapshot = {
+    val pre = currentSnapshot()
+    if (pre.schema.fields.exists(f => f.name == name && f.dataType == to))
+      return pre // already at the target type — no empty commit
+    commitRetry { latest =>
+      val f = latest.schema.fields.find(_.name == name).getOrElse(
+        sys.error(s"no column $name in ${latest.schema.simpleString}"))
+      val widens = (f.dataType, to) match {
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
+      require(widens,
+        s"cannot change $name from ${f.dataType.simpleString} to " +
+          s"${to.simpleString} — only int->bigint and float->double " +
+          "widen losslessly without a data rewrite")
+      val schema2 = StructType(latest.schema.fields.map(x =>
+        if (x.name == name) x.copy(dataType = to) else x))
+      nextWithIds(latest, s"widen[$name]", schema2, latest.ids,
+        latest.nextIds, latest.files)
+    }
+  }
+
   /** Rewrite ONLY the files written under a pre-evolution partition
     * spec into the current one (a [[compact]] scoped to their partition
     * groups with `minFiles = 1`) — cost is O(legacy files), not
@@ -1782,6 +1856,147 @@ final class SnapshotTable private (
     require(log.deleteRef(name), s"no tag '$name' at $root")
   }
 
+  // ------------------------------------------------------------------
+  // Named branches — Iceberg branch refs, generalizing the single
+  // implicit WAP line: any number of CONCURRENT staging lines, each a
+  // self-contained version log under `_graft_branches/<name>/` sharing
+  // the table's data directory. Writes on a branch are invisible to
+  // main (and to the other branches); [[fastForward]] publishes a
+  // branch by replaying its commits onto main — atomic per commit,
+  // oldest-first, so an interruption leaves main at a consistent
+  // prefix of the branch history and the fast-forward simply re-runs.
+  // ------------------------------------------------------------------
+
+  /** Create branch `name` from the published snapshot (or an explicit
+    * `version`) and return its writable handle. The branch log starts
+    * with a verbatim copy of the source snapshot (re-sharded under its
+    * own log, so expiry on main can never strand it); branch commits
+    * continue the version numbering from there.
+    */
+  def createBranch(name: String, version: Long = -1L): SnapshotTable = {
+    require(logRoot.isEmpty,
+      "cannot create a branch from a branch handle — branch from main")
+    val v = if (version < 0) publishedSnapshot().version else version
+    val src = snapshotAt(v)
+    val bLog = new SnapshotLog(logRootOfBranch(name),
+      spark.sessionState.newHadoopConf())
+    require(bLog.currentVersion().isEmpty,
+      s"branch '$name' already exists at $root")
+    val seed = src.copy(operation = s"branch[$name]",
+      properties = src.properties - SnapshotTable.WapBaseProp)
+    if (!bLog.tryCommit(seed))
+      throw new SnapshotConflictException(
+        s"concurrent createBranch('$name') at $root")
+    branch(name)
+  }
+
+  /** Writable handle on an existing branch: every table operation
+    * (append / upsert / merge / compact / time travel within the
+    * branch) works against the branch's own log.
+    */
+  def branch(name: String): SnapshotTable = {
+    val bRoot = logRootOfBranch(name)
+    val t = new SnapshotTable(spark, root, clock, Some(bRoot))
+    require(t.log.currentVersion().isDefined,
+      s"no branch '$name' at $root; branches: ${branches().keys.mkString(", ")}")
+    t
+  }
+
+  /** All branches: name → head version. */
+  def branches(): Map[String, Long] = {
+    val dir = new Path(root, SnapshotTable.BranchDirName)
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).iterator.filter(_.isDirectory).flatMap { st =>
+      new SnapshotLog(st.getPath, spark.sessionState.newHadoopConf())
+        .currentVersion().map(st.getPath.getName -> _)
+    }.toMap
+  }
+
+  /** Publish a branch: replay its commits beyond main's head onto the
+    * main log, verbatim (same version numbers, same file entries, same
+    * commit metadata — the linear history main would have had if the
+    * commits had landed there directly). Requires main to still be an
+    * ancestor of the branch — i.e. main has NOT advanced past the
+    * branch point — otherwise the histories diverged and the honest
+    * remedies are re-branching or cherry-picking, both named in the
+    * error. Branch Bloom sidecars are copied over first so manifest
+    * pruning keeps working on main.
+    */
+  def fastForward(name: String): Snapshot = {
+    val b = branch(name)
+    val bVersions = b.log.versions()
+    val mainCur = currentVersion()
+    val mainHead = currentSnapshot()
+    require(bVersions.contains(mainCur), s"cannot fast-forward '$name': " +
+      s"main is at v$mainCur which is not in the branch lineage " +
+      s"(${bVersions.head}..${bVersions.last}) — main advanced past the " +
+      "branch point; re-create the branch from the current head and " +
+      "re-apply its changes")
+    val bAtMain = b.log.read(mainCur)
+    require(bAtMain.files.map(_.path).toSet ==
+        mainHead.files.map(_.path).toSet &&
+        bAtMain.schema == mainHead.schema,
+      s"cannot fast-forward '$name': branch and main diverged at " +
+        s"v$mainCur (same version number, different content)")
+    val toApply = bVersions.filter(_ > mainCur)
+    var last = mainHead
+    toApply.foreach { v =>
+      val s = b.log.read(v)
+      // ship the branch's Bloom sidecars (uuid-named, immutable) so the
+      // replayed entries' ref: tokens resolve under the main log too
+      s.files.flatMap(_.stats.valuesIterator.flatMap(_.bloom))
+        .filter(_.startsWith(SnapshotLog.RefPrefix))
+        .map(t => t.stripPrefix(SnapshotLog.RefPrefix).takeWhile(_ != '#'))
+        .distinct.foreach(rel => log.copyAuxFrom(b.log, rel))
+      if (!log.tryCommit(s))
+        throw new SnapshotConflictException(
+          s"main advanced during fastForward('$name') at version $v — " +
+            "the applied prefix is consistent; re-run fastForward " +
+            "against the current head")
+      last = s
+    }
+    last
+  }
+
+  /** Delete a branch (its log only — staged data files it alone
+    * referenced become unreferenced and are swept age-guarded by
+    * [[removeOrphanFiles]], exactly like any abandoned write).
+    */
+  def dropBranch(name: String): Unit = {
+    val dir = logRootOfBranch(name)
+    require(fs.exists(dir), s"no branch '$name' at $root")
+    fs.delete(dir, true)
+    ()
+  }
+
+  private def logRootOfBranch(name: String): Path = {
+    require(SnapshotLog.RefName.matches(name),
+      s"branch name must match ${SnapshotLog.RefName}: '$name'")
+    new Path(root, s"${SnapshotTable.BranchDirName}/$name")
+  }
+
+  /** Data/delete file paths referenced by OTHER logs of this table
+    * (main + every branch, minus this handle's own log) — the set
+    * expiry and orphan cleanup must treat as live regardless of what
+    * this log references. Metadata-sized: O(sibling snapshots'
+    * manifests), and branches are few.
+    */
+  private def externallyReferencedPaths(): Set[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val branchDir = new Path(root, SnapshotTable.BranchDirName)
+    val branchLogs =
+      if (!fs.exists(branchDir)) Seq.empty
+      else fs.listStatus(branchDir).iterator.filter(_.isDirectory)
+        .map(st => new SnapshotLog(st.getPath, conf)).toSeq
+    val mainLog = new SnapshotLog(root, conf)
+    (mainLog +: branchLogs)
+      .filter(_.root.toString != log.root.toString)
+      .flatMap(l => l.versions().flatMap { v =>
+        val s = l.read(v)
+        s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+      }).toSet
+  }
+
   /** Expire all but the newest `keep` snapshots (default: the table's
     * `vacuum_min_snapshots_to_keep` property — the reference's
     * `spark_utils.py:171` knob, executed here rather than left to
@@ -1835,7 +2050,10 @@ final class SnapshotTable private (
       val s = info(v)._1
       s.files.map(_.path) ++ s.deleteFiles.map(_.path)
     }
-    val retained = retain.flatMap(paths).toSet
+    // sibling logs (main when expiring a branch; every branch when
+    // expiring main) keep their referenced files live — a branch must
+    // never lose its base files to main's retention policy
+    val retained = retain.flatMap(paths).toSet ++ externallyReferencedPaths()
     val dead = expire.flatMap(paths)
       .distinct.filterNot(retained.contains)
     // manifests (and the bloom sidecars only they reference) die with
@@ -1883,7 +2101,7 @@ final class SnapshotTable private (
     val info = log.versions().map(v => log.readWithManifests(v))
     val referenced = info.flatMap { case (s, _) =>
       s.files.map(_.path) ++ s.deleteFiles.map(_.path)
-    }.toSet
+    }.toSet ++ externallyReferencedPaths() // branch heads are live too
     // wall clock, NOT the injected snapshot clock: the comparison is
     // against filesystem modification times
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -2292,6 +2510,11 @@ object SnapshotTable {
     * (see [[SnapshotTable.beginAudit]]).
     */
   private[graft] val WapBaseProp = "graft.wap.base"
+
+  /** Directory under the table root holding one self-contained version
+    * log per named branch.
+    */
+  private[graft] val BranchDirName = "_graft_branches"
 
   /** Table property selecting the partitioned-write distribution:
     * `none` (default — task-parallel files), `hash` (cluster by

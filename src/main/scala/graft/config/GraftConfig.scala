@@ -27,6 +27,9 @@ final case class GraftConfig(
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse",
+        GraftConfig.catalogWarehouse)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -38,6 +41,14 @@ final case class GraftConfig(
 }
 
 object GraftConfig {
+
+  /** Per-JVM warehouse root for the `graft` DSv2 catalog — a fresh
+    * temp dir so concurrent Verify/Bench JVMs never collide; a real
+    * deployment points `spark.sql.catalog.graft.warehouse` at durable
+    * storage instead.
+    */
+  lazy val catalogWarehouse: String = java.nio.file.Files
+    .createTempDirectory("graft-catalog-wh").toString
 
   val SfDirVar = "SPARK_GRAFT_SF_DIR"
   val CpusVar = "SPARK_GRAFT_CPUS"

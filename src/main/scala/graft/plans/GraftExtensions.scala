@@ -99,11 +99,9 @@ object GraftExtensions {
     ext.injectPostHocResolutionRule(session => GraftSqlDmlRule(session))
     // filterless COUNT/MIN/MAX over a graft relation → manifest answer
     ext.injectOptimizerRule(session => GraftAggregatePushdown(session))
-    // FOR VERSION/TIMESTAMP AS OF on graft temp views (parser seam —
-    // ResolveRelations rejects temp-view time travel before any
-    // injected resolution rule could run; see GraftTimeTravelParser)
-    ext.injectParser((session, delegate) =>
-      new GraftTimeTravelParser(session, delegate))
+    // NO parser seam: time travel (VERSION/TIMESTAMP AS OF) and CALL
+    // procedures are native DSv2 catalog paths — see
+    // graft.catalog.GraftCatalog / GraftCatalogProcedures
   }
 
   /** Register on a live session (tests / notebooks that didn't set

@@ -12,7 +12,7 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
 
-import graft.catalog.{InsertClause, MergeAction => GMergeAction, MergeClause}
+import graft.catalog.{InsertClause, MergeAction => GMergeAction, MergeClause, SnapshotTable}
 import graft.sources.GraftRelation
 
 /** SQL row-level DML on graft snapshot tables — `MERGE INTO`,
@@ -48,7 +48,8 @@ final case class GraftSqlDmlRule(session: SparkSession)
   import GraftSqlDml._
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case d: DeleteFromTable if targetOf(d.table).isDefined =>
+    case d: DeleteFromTable if targetOf(d.table).isDefined &&
+        !nativeDeleteHandles(d) =>
       val gr = writable(targetOf(d.table).get, "DELETE FROM")
       noSubquery(Seq(d.condition), "DELETE")
       GraftDeleteCommand(gr, selfColumn(d.condition))
@@ -141,24 +142,56 @@ object GraftSqlDml
   private[plans] def fail(msg: String): Nothing =
     throw new UnsupportedOperationException(msg)
 
-  /** The graft relation behind a (possibly aliased / view-wrapped)
-    * target plan; None = not a graft target, leave the statement alone.
+  /** One graft DML target, whichever seam it arrived through: a DSv1
+    * temp view over [[GraftRelation]] or a DSv2 catalog table
+    * ([[graft.catalog.GraftV2Table]]).
     */
-  @tailrec private[plans] def targetOf(p: LogicalPlan): Option[GraftRelation] =
+  final case class GraftTarget(table: SnapshotTable, pinned: Option[Long])
+
+  /** The graft table behind a (possibly aliased / view-wrapped) target
+    * plan; None = not a graft target, leave the statement alone.
+    */
+  @tailrec private[plans] def targetOf(p: LogicalPlan): Option[GraftTarget] =
     p match {
       case SubqueryAlias(_, child) => targetOf(child)
       case v: View => targetOf(v.child)
       case lr: LogicalRelation => lr.relation match {
-        case gr: GraftRelation => Some(gr)
+        case gr: GraftRelation => Some(GraftTarget(gr.table, gr.pinned))
         case _ => None
       }
+      case dsv2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        dsv2.table match {
+          case g: graft.catalog.GraftV2Table =>
+            Some(GraftTarget(g.table, g.pinned))
+          case _ => None
+        }
       case _ => None
     }
 
-  private[plans] def writable(gr: GraftRelation, op: String): GraftRelation = {
-    if (gr.pinned.nonEmpty) fail(
+  private[plans] def writable(t: GraftTarget, op: String): SnapshotTable = {
+    if (t.pinned.nonEmpty) fail(
       s"cannot $op a time-travel (versionAsOf / tag / timestampAsOf) relation")
-    gr
+    t.table
+  }
+
+  /** A `DELETE FROM` over a DSv2 graft table whose every conjunct has a
+    * `sources.Filter` form runs NATIVELY (planner → `SupportsDelete
+    * .deleteWhere` — the manifest-pruned COW delete); this rule only
+    * lowers the shapes the native path cannot express. DSv1 temp views
+    * have no native v2 delete, so those always lower here.
+    */
+  private[plans] def nativeDeleteHandles(d: DeleteFromTable): Boolean = {
+    def isV2(p: LogicalPlan): Boolean = p match {
+      case SubqueryAlias(_, child) => isV2(child)
+      case v: View => isV2(v.child)
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case _ => false
+    }
+    isV2(d.table) &&
+      !d.condition.exists(_.isInstanceOf[SubqueryExpression]) &&
+      splitConjunctivePredicates(d.condition)
+        .forall(c => org.apache.spark.sql.graftbridge.FilterBridge
+          .translate(c).isDefined)
   }
 
   private[plans] def noSubquery(es: Seq[Expression], op: String): Unit =
@@ -221,36 +254,36 @@ object GraftSqlDml
   }
 }
 
-/** `DELETE FROM <graft view> WHERE p` lowered to the COW delete. */
-final case class GraftDeleteCommand(gr: GraftRelation, cond: Column)
+/** `DELETE FROM <graft target> WHERE p` lowered to the COW delete. */
+final case class GraftDeleteCommand(table: SnapshotTable, cond: Column)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    gr.table.delete(cond)
+    table.delete(cond)
     Nil
   }
 }
 
-/** `UPDATE <graft view> SET ... WHERE p` lowered to the COW update. */
-final case class GraftUpdateCommand(gr: GraftRelation,
+/** `UPDATE <graft target> SET ... WHERE p` lowered to the COW update. */
+final case class GraftUpdateCommand(table: SnapshotTable,
     assigns: Seq[(String, Column)], cond: Column)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    gr.table.update(assigns, cond)
+    table.update(assigns, cond)
     Nil
   }
 }
 
-/** `MERGE INTO <graft view> USING src ...` lowered to the conditional
+/** `MERGE INTO <graft target> USING src ...` lowered to the conditional
   * file-granularity COW merge. The analyzed source plan rides as a
   * constructor value (this is a leaf command, so the analyzer is done
   * with it) and becomes a DataFrame at execution.
   */
-final case class GraftMergeCommand(gr: GraftRelation, source: LogicalPlan,
+final case class GraftMergeCommand(table: SnapshotTable, source: LogicalPlan,
     on: Seq[String], clauses: Seq[MergeClause], inserts: Seq[InsertClause],
     notMatchedBySource: Seq[MergeClause])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    gr.table.mergeConditional(
+    table.mergeConditional(
       DatasetBridge.ofRows(session, source), on, clauses, inserts,
       notMatchedBySource)
     Nil

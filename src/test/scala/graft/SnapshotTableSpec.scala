@@ -1033,23 +1033,24 @@ class SnapshotTableSpec extends AnyFunSuite {
       Seq(java.sql.Timestamp.valueOf("2024-07-01 00:00:00")))
   }
 
-  test("SQL FOR VERSION AS OF pins a version, a tag, and a timestamp on graft views") {
+  test("SQL VERSION AS OF pins a version, a tag, and a timestamp natively via the catalog") {
     val t = rangeTable() // v1 create, v2 append ids 1..40
     t.tag("forty-rows")
     t.append(rows((41, "2024-05-01", 41.0))) // v3: 41 rows
-    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_tt " +
-      s"USING graft OPTIONS (path '${t.root}')")
+    // native DSv2 time travel: TableCatalog.loadTable(ident, version) —
+    // the catalog's path-identifier form addresses the fixture directly
+    val fq = s"graft.`${t.root}`"
     def one(sql: String): Long =
       spark.sql(sql).as[Long].collect().head
-    assert(one("SELECT count(*) FROM graft_tt") == 41L)
-    assert(one("SELECT count(*) FROM graft_tt FOR VERSION AS OF 2") == 40L)
+    assert(one(s"SELECT count(*) FROM $fq") == 41L)
+    assert(one(s"SELECT count(*) FROM $fq VERSION AS OF 2") == 40L)
     // a non-numeric VERSION resolves as a TAG (SQL's only ref syntax)
     assert(one(
-      "SELECT count(*) FROM graft_tt FOR VERSION AS OF 'forty-rows'") == 40L)
-    // FOR TIMESTAMP AS OF: pin to v2's commit wall clock
+      s"SELECT count(*) FROM $fq VERSION AS OF 'forty-rows'") == 40L)
+    // TIMESTAMP AS OF: pin to v2's commit wall clock
     val v2At = java.time.Instant
       .ofEpochMilli(t.history().find(_.version == 2L).get.timestampMs)
-    assert(one("SELECT count(*) FROM graft_tt FOR TIMESTAMP AS OF " +
+    assert(one(s"SELECT count(*) FROM $fq TIMESTAMP AS OF " +
       s"'$v2At'") == 40L)
     // a non-graft relation with the clause keeps Spark's own error
     spark.range(3).createOrReplaceTempView("plain_view")
@@ -1057,13 +1058,13 @@ class SnapshotTableSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM plain_view FOR VERSION AS OF 1").collect())
     assert(!e.getMessage.contains("graft"), e.getMessage)
     // all-digit tag names are refused at creation (SQL can't reach
-    // them: FOR VERSION AS OF routes digits to a version number)
+    // them: VERSION AS OF routes digits to a version number)
     val numeric = intercept[IllegalArgumentException](t.tag("2024"))
     assert(numeric.getMessage.contains("all-digit"), numeric.getMessage)
     // a digit string too long for Long falls through to tag resolution
     // and fails with the tag-lookup error, not NumberFormatException
     val over = intercept[Exception](one(
-      "SELECT count(*) FROM graft_tt FOR VERSION AS OF '99999999999999999999'"))
+      s"SELECT count(*) FROM $fq VERSION AS OF '99999999999999999999'"))
     assert(over.getMessage.contains("tag"), over.getMessage)
   }
 
@@ -1825,11 +1826,10 @@ class SnapshotTableSpec extends AnyFunSuite {
     val t = rangeTable() // v2: ids 1..40 in 4 range-sorted files
     t.append(rows((41L, "2024-05-01", 41.0))) // v3
     val tgt = freshRoot()
-    // clone v2 through SQL
-    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_clone_src USING graft " +
-      s"OPTIONS (path '${t.root}')")
+    // clone v2 through SQL (native DSv2 CALL, path-addressed table)
     val r = spark.sql(
-      s"CALL graft.clone('graft_clone_src', target => '$tgt', version => 2)")
+      s"CALL graft.system.clone(table => '${t.root}', target => '$tgt', " +
+        "version => 2)")
       .collect().head
     assert(r.getString(0) == tgt && r.getLong(1) == 40L)
     val c = SnapshotTable.load(spark, tgt)
@@ -1933,14 +1933,15 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 3L)
     // cutoff in the past expires nothing
     assert(t.expireOlderThan(0L)._1 == 0)
-    // SQL route, and keep/older_than_ms are mutually exclusive
-    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_age USING graft " +
-      s"OPTIONS (path '${t.root}')")
-    val r = spark.sql("CALL graft.expire_snapshots('graft_age', " +
-      s"older_than_ms => ${Long.MaxValue})").collect().head
-    assert(r.getInt(0) == 0) // only protected versions remain
+    // SQL route (native DSv2 CALL), and keep/older_than_ms are
+    // mutually exclusive
+    val r = spark.sql(s"CALL graft.system.expire_snapshots(" +
+      s"table => '${t.root}', older_than_ms => ${Long.MaxValue})")
+      .collect().head
+    assert(r.getLong(0) == 0L) // only protected versions remain
     val both = intercept[Exception](spark.sql(
-      "CALL graft.expire_snapshots('graft_age', keep => 1, older_than_ms => 5)"))
+      s"CALL graft.system.expire_snapshots(table => '${t.root}', " +
+        "keep => 1, older_than_ms => 5)").collect())
     assert(both.getMessage.contains("OR"), both.getMessage)
   }
 
@@ -1968,9 +1969,10 @@ class SnapshotTableSpec extends AnyFunSuite {
     val afterDelete = spark.sql("SELECT count(*) AS n FROM graft_aggpd")
     assert(!afterDelete.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
     assert(afterDelete.collect().head.getLong(0) == 39L)
-    // a time-travel pinned relation is never rewritten
+    // a time-travel pinned read is never rewritten (native catalog
+    // time travel plans a v2 scan, not the graft v1 relation)
     val pinned = spark.sql(
-      "SELECT count(*) AS n FROM graft_aggpd FOR VERSION AS OF 2")
+      s"SELECT count(*) AS n FROM graft.`${t.root}` VERSION AS OF 2")
     assert(!pinned.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
     assert(pinned.collect().head.getLong(0) == 40L)
   }
@@ -1979,7 +1981,8 @@ class SnapshotTableSpec extends AnyFunSuite {
     val t = rangeTable() // v1 create, v2 append: 40 rows
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_wap USING graft " +
       s"OPTIONS (path '${t.root}')")
-    val base = spark.sql("CALL graft.begin_audit('graft_wap')")
+    val base = spark.sql(
+      s"CALL graft.system.begin_audit(table => '${t.root}')")
       .collect().head.getLong(0)
     assert(base == 2L)
     t.append(rows((100L, "2024-06-01", 1.0)))
@@ -1999,7 +2002,7 @@ class SnapshotTableSpec extends AnyFunSuite {
     t.expireSnapshots(keep = 1)
     assert(t.read().count() == 40L)
     // publish: staged history becomes visible atomically, everywhere
-    spark.sql("CALL graft.publish('graft_wap')").collect()
+    spark.sql(s"CALL graft.system.publish(table => '${t.root}')").collect()
     assert(!t.inAudit)
     assert(t.read().count() == 42L)
     assert(spark.sql("SELECT count(*) FROM graft_wap").as[Long]
@@ -2047,67 +2050,123 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("metadata table"), bad.getMessage)
   }
 
-  test("CALL graft.* maintenance procedures run from SQL and report outcomes") {
+  test("CALL graft.system.* maintenance procedures run natively and report outcomes") {
     val t = rangeTable() // v1 create, v2 append ids 1..40 (4 files)
     t.append(rows((41L, "2024-05-01", 41.0))) // v3
     t.append(rows((42L, "2024-05-02", 42.0))) // v4
-    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_call " +
-      s"USING graft OPTIONS (path '${t.root}')")
+    val arg = s"table => '${t.root}'"
     // tag: pins v2 by name, returns (name, version)
     val tagged = spark.sql(
-      "CALL graft.tag('graft_call', name => 'keep_v2', version => 2)")
+      s"CALL graft.system.tag($arg, name => 'keep_v2', version => 2)")
       .collect().head
     assert(tagged.getString(0) == "keep_v2" && tagged.getLong(1) == 2L)
     // compact: 6 files (4+1+1) bin-pack into fewer, sorted by id
-    val c = spark.sql("CALL graft.compact('graft_call', sort_by => 'id')")
+    val c = spark.sql(s"CALL graft.system.compact($arg, sort_by => 'id')")
       .collect().head
-    assert(c.getInt(1) == 6 && c.getInt(2) < 6, c.toString)
+    assert(c.getLong(1) == 6L && c.getLong(2) < 6L, c.toString)
     assert(t.read().count() == 42L)
     // rollback: content returns to v2, as a NEW version
-    val r = spark.sql("CALL graft.rollback('graft_call', version => 2)")
+    val r = spark.sql(s"CALL graft.system.rollback($arg, version => 2)")
       .collect().head
     assert(r.getLong(0) > 4L)
     assert(t.read().count() == 40L)
     // expire: keep => 1, but the tagged v2 is expiry-proof
     val e = spark.sql(
-      "CALL graft.expire_snapshots('graft_call', keep => 1)").collect().head
-    assert(e.getInt(0) > 0)
+      s"CALL graft.system.expire_snapshots($arg, keep => 1)").collect().head
+    assert(e.getLong(0) > 0L)
     assert(t.readAt(2).count() == 40L)
     // orphan cleanup runs (fresh table: nothing unreferenced)
     val o = spark.sql(
-      "CALL graft.remove_orphan_files('graft_call', older_than_ms => 0)")
+      s"CALL graft.system.remove_orphan_files($arg, older_than_ms => 0)")
       .collect().head
-    assert(o.getInt(0) >= 0)
+    assert(o.getLong(0) >= 0L)
     // maintain: property-driven compact + expiry in one call
-    val m = spark.sql("CALL graft.maintain('graft_call')").collect().head
+    val m = spark.sql(s"CALL graft.system.maintain($arg)").collect().head
     assert(m.getLong(0) >= 1L && m.getLong(1) >= 1L)
     // drop_tag releases the ref (expiry-proofing ends with it)
-    assert(spark.sql("CALL graft.drop_tag('graft_call', name => 'keep_v2')")
+    assert(spark.sql(s"CALL graft.system.drop_tag($arg, name => 'keep_v2')")
       .collect().head.getString(0) == "keep_v2")
     assert(t.tags().isEmpty)
+    // positional args bind too (Spark's own binder, same as named)
+    val t2 = spark.sql(s"CALL graft.system.tag('${t.root}', 'pos_v2', 2)")
+      .collect().head
+    assert(t2.getString(0) == "pos_v2" && t2.getLong(1) == 2L)
+    t.dropTag("pos_v2")
     // partition-scoped compact: only the named hidden partition rewrites
     val pt = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
     pt.append(rows((1L, "2024-01-05", 1.0), (2L, "2024-02-05", 2.0)))
     pt.append(rows((3L, "2024-01-06", 3.0)))
-    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_pcall USING graft " +
-      s"OPTIONS (path '${pt.root}')")
     val pc = spark.sql(
-      "CALL graft.compact('graft_pcall', partition => '2024-01')")
+      s"CALL graft.system.compact(table => '${pt.root}', " +
+        "partition => '2024-01')")
       .collect().head
-    assert((pc.getInt(0), pc.getInt(1), pc.getInt(2)) == ((1, 2, 1)), pc)
+    assert((pc.getLong(0), pc.getLong(1), pc.getLong(2)) == ((1L, 2L, 1L)), pc)
     assert(pt.read().count() == 3L)
     assert(pt.partitionsDf().where(col("partition") === "2024-02")
       .collect().head.getAs[Long]("file_count") == 1L) // untouched
     // misuse fails with named errors, not Spark parse noise
-    val unknown = intercept[Exception](spark.sql("CALL graft.nope('graft_call')"))
-    assert(unknown.getMessage.contains("available"), unknown.getMessage)
+    val unknown = intercept[Exception](
+      spark.sql(s"CALL graft.system.nope($arg)"))
+    // Spark wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE with
+    // the routine name; the catalog's "available: …" detail rides as
+    // the cause
+    assert(unknown.getMessage.contains("nope"), unknown.getMessage)
     val badArg = intercept[Exception](
-      spark.sql("CALL graft.compact('graft_call', bogus => 1)"))
-    assert(badArg.getMessage.contains("unknown argument"), badArg.getMessage)
-    spark.range(2).createOrReplaceTempView("plain_call_v")
-    val notOurs = intercept[Exception](
-      spark.sql("CALL graft.compact('plain_call_v')"))
-    assert(notOurs.getMessage.contains("graft"), notOurs.getMessage)
+      spark.sql(s"CALL graft.system.compact($arg, bogus => 1)").collect())
+    assert(badArg.getMessage.toLowerCase.contains("bogus"),
+      badArg.getMessage)
+    val notATable = intercept[Exception](
+      spark.sql("CALL graft.system.compact(table => '/tmp/not-a-graft-table')")
+        .collect())
+    assert(notATable.getMessage.contains("graft"), notATable.getMessage)
+  }
+
+  test("named branches: isolated writes, fast-forward publish, divergence refused") {
+    val t = rangeTable() // v1 create, v2 append ids 1..40
+    // two CONCURRENT staging lines from the same base
+    val exp = t.createBranch("experiment")
+    val fix = t.createBranch("hotfix")
+    assert(t.branches().keySet == Set("experiment", "hotfix"))
+    exp.append(rows((101L, "2024-06-01", 1.0)))
+    exp.append(rows((102L, "2024-06-02", 2.0)))
+    fix.append(rows((201L, "2024-07-01", 9.0)))
+    // branch writes are invisible to main AND to each other
+    assert(t.read().count() == 40L)
+    assert(exp.read().count() == 42L)
+    assert(fix.read().count() == 41L)
+    assert(exp.read().filter(col("id") === 201L).count() == 0L)
+    // time travel WITHIN a branch sees its own lineage
+    assert(exp.readAt(2).count() == 40L)
+    // fast-forward: main absorbs the branch history verbatim
+    val head = t.fastForward("experiment")
+    assert(head.version == exp.currentVersion())
+    assert(t.read().count() == 42L)
+    assert(t.read().filter(col("id").isin(101L, 102L)).count() == 2L)
+    // replayed commits keep their operations in main's history
+    assert(t.history().count(_.operation == "append") >= 3)
+    // the OTHER branch diverged (main advanced past its base): refused
+    // with the re-branch remedy
+    val div = intercept[Exception](t.fastForward("hotfix"))
+    assert(div.getMessage.contains("advanced past"), div.getMessage)
+    // fast-forward is idempotent once main == branch head
+    assert(t.fastForward("experiment").version == head.version)
+    // expiry on main keeps files the un-merged branch still references
+    t.append(rows((300L, "2024-08-01", 3.0)))
+    t.expireSnapshots(keep = 1)
+    assert(fix.read().count() == 41L) // base files survived
+    assert(fix.read().filter(col("id") === 201L).count() == 1L)
+    // aggressive orphan sweep never takes a live branch's staged files
+    t.removeOrphanFiles(olderThanMs = 0L)
+    assert(fix.read().count() == 41L)
+    // drop: the branch disappears; its exclusive files become orphans
+    // and the age-guarded sweep reclaims them
+    t.dropBranch("hotfix")
+    assert(t.branches().keySet == Set("experiment"))
+    intercept[Exception](t.branch("hotfix"))
+    assert(t.removeOrphanFiles(olderThanMs = 0L) >= 1)
+    assert(t.read().count() == 43L) // main untouched by the sweep
+    // a branch handle cannot branch again
+    intercept[IllegalArgumentException](exp.createBranch("nested"))
   }
 
   test("partitionsDf reports per-partition file and row counts, null partition included") {

@@ -10,10 +10,13 @@ import org.apache.spark.sql.SparkSession
 object TestSparkSession {
   lazy val spark: SparkSession = {
     val wh = Files.createTempDirectory("graft-warehouse").toString
+    val gw = Files.createTempDirectory("graft-catalog-wh").toString
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", gw)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", wh)

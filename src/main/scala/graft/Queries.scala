@@ -2209,6 +2209,35 @@ object Queries {
              |  min(value) AS min_value, max(value) AS max_value
              |FROM events""".stripMargin)),
 
+    // GROUPED manifest aggregate through pure SQL: GROUP BY the
+    // identity-partition source column collapses to one manifest fold
+    // per hidden partition (metadataAggregateGrouped via the optimizer
+    // rule) — plan-shape PINNED to LocalRelation in-query, so zero data
+    // jobs answered this profile; the oracle pins the values. At 100 TB
+    // this is `SELECT month, count(*) GROUP BY month` for free.
+    QueryDef("sql_stats_agg_grouped",
+      (s, dir) => {
+        val tbl = snapshotEventsTable(s, dir)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_stats_grp " +
+          s"USING graft OPTIONS (path '${tbl.root}')")
+        val q = s.sql("""SELECT event_type, count(*) AS n_rows,
+                        |  count(value) AS n_value,
+                        |  min(event_id) AS min_event_id,
+                        |  max(event_id) AS max_event_id
+                        |FROM graft_stats_grp
+                        |GROUP BY event_type""".stripMargin)
+        require(q.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+          "sql_stats_agg_grouped: the manifest must answer this " +
+            s"grouped profile, got:\n${q.queryExecution.optimizedPlan}")
+        q
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             |  count(value) AS n_value,
+             |  min(event_id) AS min_event_id,
+             |  max(event_id) AS max_event_id
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // Write-audit-publish (Iceberg WAP): the fixture opens an audit
     // window and stages a junk batch (ids offset by 10^9) that NEVER
     // publishes — the read below must still equal the raw table, the

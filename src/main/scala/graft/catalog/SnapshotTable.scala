@@ -595,6 +595,81 @@ final class SnapshotTable private (
     else Some(spark.range(1).select(cols.map(_.get): _*))
   }
 
+  /** GROUPED manifest aggregate: answers `SELECT <partition source>,
+    * agg… GROUP BY <partition source>` with zero data I/O on an
+    * identity-partitioned table — per-file rows / null counts / bounds
+    * are already recorded PER HIDDEN PARTITION, so grouping by the
+    * partition source is a driver-side fold over the manifest (the
+    * grouped twin of [[metadataAggregate]], same capability Iceberg's
+    * partitions metadata gives profile queries).
+    *
+    * `specs` orders the OUTPUT columns; op `"group"` emits the group
+    * value itself (decoded from the partition string back to the
+    * column type). None — fall back to the scan — when: the table is
+    * not identity-partitioned on `groupCol`; files from an older spec
+    * exist (their values mean a different key space); pending MoR
+    * deletes; the group column's type does not round-trip through the
+    * partition-string rendering exactly (kept to string / integral /
+    * boolean / date keys — float, decimal and timestamp renderings
+    * are not bit-faithful); or any per-group agg the stats cannot
+    * answer exactly (same rules as the ungrouped path).
+    */
+  def metadataAggregateGrouped(groupCol: String,
+      specs: Seq[SnapshotTable.MetaAgg]): Option[DataFrame] = {
+    val s = publishedSnapshot()
+    if (s.deleteFiles.nonEmpty) return None
+    val spec = s.spec.getOrElse(return None)
+    if (spec.transform != "identity" || spec.source != groupCol) return None
+    if (s.files.exists(_.seq < s.specSince)) return None
+    val dt = s.schema.fields.find(_.name == groupCol)
+      .map(_.dataType).getOrElse(return None)
+    val roundTrips = dt match {
+      case StringType | IntegerType | LongType | ShortType | ByteType
+           | BooleanType | DateType => true
+      case _ => false
+    }
+    if (!roundTrips) return None
+    val currentById = s.ids.map { case (n, id) => id -> n }.toMap
+    val groups = s.files.map(effectiveStats(currentById, _))
+      .groupBy(_.partition).toSeq.sortBy(_._1)
+    val perGroup = groups.map { case (pval, files) =>
+      val cols = specs.map { a =>
+        a.op match {
+          case "group" =>
+            Some(pval.map(v => lit(v).cast(dt))
+              .getOrElse(lit(null).cast(dt)).as(a.alias))
+          case "count_star" => Some(lit(files.map(_.rows).sum).as(a.alias))
+          case op =>
+            val cdt = s.schema.fields.find(_.name == a.column)
+              .map(_.dataType).getOrElse(
+                throw new IllegalArgumentException(
+                  s"metadataAggregateGrouped: no such column ${a.column}"))
+            val perFile = files.map(f => f.stats.get(a.column).map(f -> _))
+            if (perFile.exists(_.isEmpty)) None
+            else {
+              val fs = perFile.flatten
+              op match {
+                case "null_count" =>
+                  Some(lit(fs.map(_._2.nullCount).sum).as(a.alias))
+                case "count" =>
+                  Some(lit(fs.map { case (f, st) => f.rows - st.nullCount }
+                    .sum).as(a.alias))
+                case "min" | "max" =>
+                  SnapshotTable.foldBounds(cdt, fs, isMin = op == "min")
+                    .map(_.cast(cdt).as(a.alias))
+                case other => throw new IllegalArgumentException(
+                  s"metadataAggregateGrouped: unknown op $other")
+              }
+            }
+        }
+      }
+      if (cols.exists(_.isEmpty)) None
+      else Some(spark.range(1).select(cols.map(_.get): _*))
+    }
+    if (perGroup.exists(_.isEmpty)) None
+    else perGroup.flatten.reduceOption(_ unionAll _)
+  }
+
   /** [[metadataAggregate]] when the manifest suffices, otherwise the
     * equivalent one-pass scan aggregate — always exact, metadata-fast
     * when possible.

@@ -36,6 +36,30 @@ final case class GraftAggregatePushdown(session: SparkSession)
     extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // GROUPED twin: GROUP BY the table's identity-partition source
+    // column collapses to one manifest fold per hidden partition —
+    // `SELECT month, count(*) … GROUP BY month` runs zero data jobs.
+    // metadataAggregateGrouped vetoes every inexact case (non-partition
+    // grouping key, mixed specs, MoR deletes, lossy key rendering).
+    case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
+      val rewritten = try {
+        for {
+          gr <- relationOf(child)
+          if gr.pinned.isEmpty
+          specs <- toGroupedSpecs(g, aggExprs)
+          df <- gr.table.metadataAggregateGrouped(g.name, specs)
+        } yield {
+          val rows = df.collect().toIndexedSeq.map { row =>
+            InternalRow.fromSeq(agg.output.zipWithIndex.map { case (a, i) =>
+              CatalystTypeConverters.createToCatalystConverter(a.dataType)(
+                row.get(i))
+            })
+          }
+          LocalRelation(agg.output, rows)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      rewritten.getOrElse(agg)
+
     case agg @ Aggregate(Nil, aggExprs, child, _) =>
       // the WHOLE rewrite (metadataAggregate + collect + Catalyst
       // conversion) falls back to the untouched plan on any failure:
@@ -74,6 +98,32 @@ final case class GraftAggregatePushdown(session: SparkSession)
         if projList.forall(_.isInstanceOf[AttributeReference]) =>
       relationOf(child)
     case _ => None
+  }
+
+  /** Grouped output list: each expression is either the grouping
+    * attribute itself (op "group") or a supported aggregate alias —
+    * anything else vetoes. Output order is preserved in the specs.
+    */
+  private def toGroupedSpecs(g: AttributeReference,
+      es: Seq[NamedExpression]): Option[Seq[MetaAgg]] = {
+    val specs = es.map {
+      case a: AttributeReference if a.exprId == g.exprId =>
+        Some(MetaAgg("group", g.name, a.name))
+      case Alias(a: AttributeReference, name) if a.exprId == g.exprId =>
+        Some(MetaAgg("group", g.name, name))
+      case Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
+        fn match {
+          case Count(Seq(Literal(v, _))) if v != null =>
+            Some(MetaAgg("count_star", "", name))
+          case Count(Seq(a: AttributeReference)) =>
+            Some(MetaAgg("count", a.name, name))
+          case Min(a: AttributeReference) => Some(MetaAgg("min", a.name, name))
+          case Max(a: AttributeReference) => Some(MetaAgg("max", a.name, name))
+          case _ => None
+        }
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) None else Some(specs.flatten)
   }
 
   /** All-or-nothing translation of the aggregate list; any expression

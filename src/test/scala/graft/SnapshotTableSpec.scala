@@ -1977,6 +1977,43 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(pinned.collect().head.getLong(0) == 40L)
   }
 
+  test("grouped aggregate pushdown: GROUP BY the identity-partition key answers from the manifest") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("k", StringType), StructField("v", DoubleType)))
+    val t = SnapshotTable.create(spark, freshRoot(), schema,
+      Some(PartitionSpec("k", "identity")))
+    t.append(Seq((1L, "a", Option(1.0)), (2L, "b", Option(2.0)),
+      (3L, "a", None: Option[Double]), (4L, null: String, Option(4.0)))
+      .toDF("id", "k", "v"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW grp_pd USING graft " +
+      s"OPTIONS (path '${t.root}')")
+    val q = spark.sql("SELECT k, count(*) AS n, count(v) AS nv, " +
+      "min(id) AS mn, max(id) AS mx FROM grp_pd GROUP BY k")
+    assert(q.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      s"expected manifest answer:\n${q.queryExecution.optimizedPlan}")
+    val rowsByK = q.collect().map(r => Option(r.getString(0)) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rowsByK(Some("a")) == ((2L, 1L, 1L, 3L)))
+    assert(rowsByK(Some("b")) == ((1L, 1L, 2L, 2L)))
+    assert(rowsByK(None) == ((1L, 1L, 4L, 4L))) // null partition row
+    // grouping by a NON-partition column: ordinary scan, still correct
+    val q2 = spark.sql(
+      "SELECT id, count(*) AS n FROM grp_pd GROUP BY id")
+    assert(!q2.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(q2.count() == 4L)
+    // group value order of SELECT list is free: alias + reorder works
+    val q3 = spark.sql(
+      "SELECT count(*) AS n, k AS grp FROM grp_pd GROUP BY k")
+    assert(q3.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(q3.collect().map(_.getLong(0)).sum == 4L)
+    // pending MoR deletes veto the rewrite; the scan fallback is exact
+    t.deleteByKeys(Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    val q4 = spark.sql("SELECT k, count(*) AS n FROM grp_pd GROUP BY k")
+    assert(!q4.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(q4.collect().map(_.getLong(1)).sum == 3L)
+  }
+
   test("write-audit-publish: staged commits invisible until publish; abort rolls back") {
     val t = rangeTable() // v1 create, v2 append: 40 rows
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_wap USING graft " +

@@ -1866,6 +1866,47 @@ object Queries {
     })
   }
 
+  private val applyChangesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once CDC-apply fixture for `stream_apply_changes`: the
+    * changelog table's FULL history (insert batch, rewriting upsert,
+    * equality delete) streamed per-commit (`maxVersionsPerTrigger=1`,
+    * so the delete-apply path genuinely runs as its own batch) through
+    * [[graft.streaming.EventStream.applyChangesToSnapshotTable]] into
+    * a fresh table — which must converge to the source's exact current
+    * state. The last batch is then re-applied once (foreachBatch
+    * at-least-once replay) and the state must not move.
+    */
+  private def appliedChangesSnapshot(s: SparkSession,
+      dir: String): graft.catalog.SnapshotTable = {
+    val root = applyChangesCache.computeIfAbsent(dir, _ => {
+      val src = changelogSnapshot(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-apply-chg")
+      val tgtRoot = base.resolve("t").toString
+      val ev = t(s, dir, "events")
+      graft.catalog.SnapshotTable.create(s, tgtRoot, ev.schema, None)
+      val changes = s.readStream.format("graft")
+        .option("changesFrom", "1").option("maxVersionsPerTrigger", "1")
+        .load(src.root.toString)
+      val q = graft.streaming.EventStream.applyChangesToSnapshotTable(
+        changes, tgtRoot, Seq("event_id"), base.resolve("ckpt").toString)
+      try q.processAllAvailable() finally q.stop()
+      val tgt = graft.catalog.SnapshotTable.load(s, tgtRoot)
+      val before = tgt.currentVersion()
+      // idempotence pin: replay the final (delete) batch by hand
+      val lastDels = src.changes(3, 4)
+        .filter(col("_change_type") === "delete").select("event_id")
+      tgt.deleteByKeys(lastDels, Seq("event_id"))
+      require(tgt.read().count() ==
+        graft.catalog.SnapshotTable.load(s, src.root.toString).read().count(),
+        "replaying an applied delete batch must be a no-op on state")
+      require(before >= 4, s"expected per-commit batches, got v$before")
+      tgtRoot
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
+
   /** Build-once spec-evolution table: evens append under
     * identity(event_type) partitioning, the spec evolves to month(ts)
     * (metadata-only), odds append under the month spec, and
@@ -3137,6 +3178,26 @@ object Queries {
                |       props
                |FROM ev
                |WHERE event_id % 1000 = 0""".stripMargin)),
+
+      // CDC APPLY — the consumer half of the changelog: the source's
+      // mixed insert/update/delete history replayed per-commit into a
+      // second snapshot table via foreachBatch (deleteByKeys for
+      // retractions, keyed upsert for inserts), which must CONVERGE to
+      // the source's exact current state; idempotence under batch
+      // replay is pinned in the fixture. The standard replication-
+      // consumer shape: per-batch cost O(changed rows), never O(table).
+      QueryDef("stream_apply_changes",
+        (s, dir) => appliedChangesSnapshot(s, dir).read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+        Some("""SELECT event_type, count(*) AS n,
+               |  CAST(SUM(CAST(
+               |    CASE WHEN event_id % 100 = 0 THEN value + 1000.0
+               |         ELSE value END AS DECIMAL(12,2))) AS DOUBLE)
+               |    AS sum_value
+               |FROM events
+               |WHERE event_id % 2 = 0 AND event_id % 1000 <> 0
+               |GROUP BY 1""".stripMargin)),
 
       QueryDef("stream_dedup_events",
         (s, dir) => {

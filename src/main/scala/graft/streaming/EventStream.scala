@@ -304,6 +304,45 @@ object EventStream {
       }
       .start()
 
+  /** CDC replication consumer — the downstream half of the changelog:
+    * apply a graft change stream (`_change_type` ∈ insert/delete plus
+    * the table columns, i.e. `readStream.format("graft")
+    * .option("changesFrom", …)`) onto a SECOND snapshot table so it
+    * CONVERGES to the source's state. Per micro-batch: delete
+    * retractions remove their keys first (merge-on-read equality
+    * delete — O(batch) metadata, files rewritten only at compaction),
+    * then inserts upsert by key — within one netted batch window a key
+    * carrying both a retraction (old value) and an insert (new value)
+    * lands on the new value, and a pure delete stays deleted. Replay
+    * idempotence (foreachBatch is at-least-once): re-deleting absent
+    * keys and re-upserting identical rows both leave the table state
+    * unchanged, so a post-crash batch replay converges to the same
+    * place. At 100 TB this is the standard replication-consumer shape:
+    * per-batch work is O(changed rows), never O(table).
+    */
+  def applyChangesToSnapshotTable(changes: DataFrame, tableRoot: String,
+      keyCols: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val tbl = graft.catalog.SnapshotTable
+          .load(batch.sparkSession, tableRoot)
+        val cached = batch.cache()
+        try {
+          val dels = cached
+            .filter(org.apache.spark.sql.functions.col("_change_type") === "delete")
+            .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+          if (!dels.isEmpty) tbl.deleteByKeys(dels, keyCols)
+          val ins = cached
+            .filter(org.apache.spark.sql.functions.col("_change_type") === "insert")
+            .drop("_change_type")
+          if (!ins.isEmpty) tbl.upsert(ins, keyCols)
+        } finally { cached.unpersist(); () }
+        ()
+      }
+      .start()
+
   /** Open the events table as a file stream (one-file-per-trigger so
     * tests exercise multi-batch behavior).
     */

@@ -321,4 +321,41 @@ class StreamingChangelogSpec extends AnyFunSuite with Matchers {
     drainErr(Map("changesFrom" -> "99")) should
       include("does not exist")
   }
+
+  test("applyChangesToSnapshotTable converges a replica through inserts, updates and deletes") {
+    val base = Files.createTempDirectory("graft-apply-chg-unit")
+    val srcRoot = base.resolve("src").toString
+    val tgtRoot = base.resolve("tgt").toString
+    val src = SnapshotTable.create(spark, srcRoot, schema, None)
+    src.append(rows(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))          // v2
+    src.upsert(rows(2L -> 20.0, 4L -> 4.0), Seq("id"))          // v3
+    src.deleteByKeys(rows(3L -> 3.0).select("id"), Seq("id"))   // v4
+    SnapshotTable.create(spark, tgtRoot, schema, None)
+    val changes = spark.readStream.format("graft")
+      .option("changesFrom", "1").option("maxVersionsPerTrigger", "1")
+      .load(srcRoot)
+    val q = graft.streaming.EventStream.applyChangesToSnapshotTable(
+      changes, tgtRoot, Seq("id"), base.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    val tgt = SnapshotTable.load(spark, tgtRoot)
+    def state(t: SnapshotTable) = t.read().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    state(tgt) shouldBe Map(1L -> 1.0, 2L -> 20.0, 4L -> 4.0)
+    state(tgt) shouldBe state(src)
+    // at-least-once replay: re-applying the final delete batch and the
+    // final upsert batch moves nothing
+    tgt.deleteByKeys(rows(3L -> 3.0).select("id"), Seq("id"))
+    tgt.upsert(rows(2L -> 20.0, 4L -> 4.0), Seq("id"))
+    state(tgt) shouldBe Map(1L -> 1.0, 2L -> 20.0, 4L -> 4.0)
+    // the source keeps moving: a second drain from the SAME checkpoint
+    // picks up only the new commits
+    src.append(rows(9L -> 9.0))                                  // v5
+    val q2 = graft.streaming.EventStream.applyChangesToSnapshotTable(
+      spark.readStream.format("graft").option("changesFrom", "1")
+        .option("maxVersionsPerTrigger", "1").load(srcRoot),
+      tgtRoot, Seq("id"), base.resolve("ckpt").toString)
+    try q2.processAllAvailable() finally q2.stop()
+    state(SnapshotTable.load(spark, tgtRoot)) shouldBe
+      Map(1L -> 1.0, 2L -> 20.0, 4L -> 4.0, 9L -> 9.0)
+  }
 }

@@ -1960,6 +1960,9 @@ object Queries {
   private val branchTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val ngramIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Build-once branch-lifecycle fixture for `snap_branch_publish`:
     * evens on main, odds written on branch 'staging' (invisible to
     * main — asserted), branch published via the native CALL
@@ -3323,6 +3326,42 @@ object Queries {
       QueryDef("pipeline_contamination",
         (s, dir) => Governance.contamination(t(s, dir, "documents"),
           isEval = col("doc_id") % 10 === 0, n = 5),
+        Some(s"""${docShingleCtes(5)}, ev AS (
+               |  SELECT doc_id, unnest(shingles) AS sh FROM shsets WHERE doc_id % 10 = 0
+               |), tr AS (
+               |  SELECT DISTINCT unnest(shingles) AS sh FROM shsets WHERE doc_id % 10 != 0
+               |), totals AS (
+               |  SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY doc_id
+               |), hits AS (
+               |  SELECT ev.doc_id, count(*) AS n_contaminated
+               |  FROM ev JOIN tr USING (sh) GROUP BY ev.doc_id
+               |)
+               |SELECT t.doc_id, t.n_shingles,
+               |  CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               |  CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+               |    / CAST(t.n_shingles AS DOUBLE) AS contamination
+               |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin)),
+
+      // The same contamination audit probed against a PERSISTED
+      // bloom-indexed train n-gram snapshot table (built once; the
+      // 100 TB shape — the train corpus is the whole dataset and must
+      // not be re-tokenized per eval probe; small probes prune index
+      // FILES via range bounds + Bloom sidecars at the manifest).
+      // Oracle identical to pipeline_contamination: the index path may
+      // not change a single value.
+      QueryDef("pipeline_contamination_indexed",
+        (s, dir) => {
+          val docs = t(s, dir, "documents")
+          val root = ngramIndexCache.computeIfAbsent(dir, _ => {
+            val (base, _) = warehouseDbRoot(s, "ngram_idx", dir)
+            Governance.buildNgramIndex(s,
+              docs.filter(col("doc_id") % 10 =!= 0), base, n = 5)
+            base
+          })
+          Governance.contaminationAgainstIndex(
+            graft.catalog.SnapshotTable.load(s, root),
+            docs.filter(col("doc_id") % 10 === 0), n = 5)
+        },
         Some(s"""${docShingleCtes(5)}, ev AS (
                |  SELECT doc_id, unnest(shingles) AS sh FROM shsets WHERE doc_id % 10 = 0
                |), tr AS (

@@ -195,6 +195,63 @@ object Governance {
         col("n_contaminated").cast("double") / col("n_shingles"))
   }
 
+  /** Build-once TRAIN n-gram index for [[contaminationAgainstIndex]]:
+    * the train split's DISTINCT word n-grams committed as a snapshot
+    * table range-sorted on `sh` (disjoint per-file [min,max] bounds in
+    * the manifest) with Bloom sidecars on `sh` — at 100 TB the train
+    * corpus is tokenized ONCE here, and every later eval probe opens
+    * only the files whose range or Bloom may hold its grams.
+    */
+  def buildNgramIndex(spark: org.apache.spark.sql.SparkSession,
+      train: DataFrame, root: String, n: Int = 8,
+      textCol: String = "text", files: Int = 16): graft.catalog.SnapshotTable = {
+    val grams = train
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val tbl = graft.catalog.SnapshotTable.create(spark, root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sh",
+          org.apache.spark.sql.types.StringType, nullable = false))),
+      None,
+      properties = graft.catalog.EvolvingWriter.DefaultTableProps +
+        ("graft.bloom.columns" -> "sh"))
+    tbl.append(grams.repartitionByRange(files, col("sh"))
+      .sortWithinPartitions("sh"))
+    tbl
+  }
+
+  /** [[contamination]] probed against a PERSISTED train n-gram index —
+    * identical output, different cost model: the train side is never
+    * re-tokenized, and when the eval probe set is small enough to ship
+    * to the driver (`maxProbe`, the realistic shape: eval benchmarks
+    * are tiny next to a 100 TB train corpus) the index read is
+    * FILE-PRUNED — `sh IN (…)` consults each file's range bounds and
+    * Bloom sidecar at the manifest, so only possibly-matching files
+    * are opened. A larger eval side falls back to a distributed
+    * semi-join against the full index (still amortizing the train
+    * tokenization). Clean docs are emitted with contamination 0.0,
+    * same as the direct operator.
+    */
+  def contaminationAgainstIndex(index: graft.catalog.SnapshotTable,
+      eval: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 8, maxProbe: Int = 200000): DataFrame = {
+    val evalSh = eval.select(col(idCol),
+      explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
+    val totals = evalSh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    val probe = evalSh.select("sh").distinct().limit(maxProbe + 1)
+      .collect().map(_.getString(0))
+    val trainSh =
+      if (probe.length <= maxProbe)
+        index.readWhere(col("sh").isInCollection(probe.toIndexedSeq))
+      else index.read()
+    val hits = evalSh.join(trainSh, Seq("sh"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_shingles"))
+  }
+
   /** Best-k rows per group by (score desc, id asc) via the
     * partial-aggregating [[graft.functions.TopK]] UDAF — the curation
     * step that keeps the k highest-quality documents per source/domain.

@@ -212,4 +212,33 @@ class GovernanceSpec extends AnyFunSuite {
       Governance.splitAssignByGroup(withNull, "grp").collect())
     assert(e.getMessage.contains("NULL"), e.getMessage)
   }
+
+  test("contaminationAgainstIndex matches the direct operator and prunes index files") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ngram-idx").resolve("idx").toString
+    val isEval = col("doc_id") >= 10L
+    val idx = Governance.buildNgramIndex(spark,
+      corpus.filter(!isEval), root, n = 4, files = 4)
+    val direct = Governance.contamination(corpus, isEval, n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val indexed = Governance.contaminationAgainstIndex(idx,
+      corpus.filter(isEval), n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(indexed == direct, s"indexed=$indexed direct=$direct")
+    // the fully-contaminated eval twin and the clean doc both appear
+    val byId = Governance.contaminationAgainstIndex(idx,
+      corpus.filter(isEval), n = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byId(10L) == 1.0 && byId(20L) == 0.0)
+    // file pruning: a probe whose grams all hash/range outside most
+    // files opens fewer than all of them (range-sorted + Bloom)
+    val probeOne = idx.read().limit(1).collect().head.getString(0)
+    assert(idx.pruneFiles(col("sh") === probeOne).size <
+      idx.currentSnapshot().files.size)
+    // the large-probe fallback (maxProbe = 0 forces it) stays exact
+    val fallback = Governance.contaminationAgainstIndex(idx,
+      corpus.filter(isEval), n = 4, maxProbe = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fallback == direct)
+  }
 }

@@ -1444,8 +1444,8 @@ final class SnapshotTable private (
       minFiles: Int = 2,
       sortBy: Seq[String] = Nil,
       zOrderBy: Seq[String] = Nil): Seq[(Option[String], Int, Int)] = {
-    require(zOrderBy.isEmpty || zOrderBy.size == 2,
-      "zOrderBy takes exactly two columns (2-D Morton clustering)")
+    require(zOrderBy.isEmpty || (zOrderBy.size >= 2 && zOrderBy.size <= 8),
+      "zOrderBy takes 2 to 8 columns (N-D Morton clustering)")
     require(zOrderBy.isEmpty || sortBy.isEmpty,
       "pass sortBy OR zOrderBy, not both")
     val start = currentSnapshot()
@@ -1460,14 +1460,15 @@ final class SnapshotTable private (
         val raw = readWithDeletes(latest.schema, latest.ids, latest, pFiles)
         val data =
           if (zOrderBy.nonEmpty) {
-            // 2-D Morton clustering (Iceberg/Delta Z-ORDER rewrite):
-            // each output file covers a small rectangle of both key
-            // domains, so min/max stats prune on EITHER column. The
-            // key interleaves NORMALIZED 16-bit ranks (Layout
-            // .mortonZNorm) — normalization bounds come from the
-            // manifest stats already in hand (zero extra data pass;
-            // falls back to one 4-scalar aggregate when a bound is
-            // missing or non-numeric, e.g. an NTZ-rendered timestamp)
+            // N-D Morton clustering (Iceberg/Delta Z-ORDER rewrite):
+            // each output file covers a small hyper-rectangle of every
+            // key domain, so min/max stats prune on ANY of the
+            // columns. The key interleaves NORMALIZED equal-width
+            // ranks (Layout.mortonZNormN) — normalization bounds come
+            // from the manifest stats already in hand (zero extra data
+            // pass; falls back to one 2·N-scalar aggregate when a
+            // bound is missing or non-numeric, e.g. an NTZ-rendered
+            // timestamp)
             def statBounds(c: String): Option[(Double, Double)] = {
               val per = pFiles.map { f =>
                 for {
@@ -1480,14 +1481,13 @@ final class SnapshotTable private (
                 Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
               else None
             }
-            val bounds = (statBounds(zOrderBy(0)), statBounds(zOrderBy(1))) match {
-              case (Some((a0, a1)), Some((b0, b1))) => Array(a0, a1, b0, b1)
-              case _ =>
-                graft.sources.Layout.boundsOf(raw, zOrderBy(0), zOrderBy(1))
-            }
-            raw.withColumn("__z", graft.sources.Layout.mortonZNorm(
-                col(zOrderBy(0)), bounds(0), bounds(1),
-                col(zOrderBy(1)), bounds(2), bounds(3)))
+            val fromStats = zOrderBy.map(statBounds)
+            val bounds: Seq[(Double, Double)] =
+              if (fromStats.forall(_.isDefined)) fromStats.map(_.get)
+              else graft.sources.Layout.boundsOfN(raw, zOrderBy)
+            raw.withColumn("__z", graft.sources.Layout.mortonZNormN(
+                zOrderBy.zip(bounds).map { case (c, (mn, mx)) =>
+                  (col(c), mn, mx) }))
               .repartitionByRange(nOut, col("__z"))
               .sortWithinPartitions(col("__z"))
               .drop("__z")

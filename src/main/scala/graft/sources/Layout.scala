@@ -84,6 +84,57 @@ object Layout {
     spread(a.cast("long")).bitwiseOR(shiftleft(spread(b.cast("long")), 1))
   }
 
+  /** N-dimensional Morton key over NORMALIZED coordinates (2 ≤ N ≤ 8)
+    * — the general form of [[mortonZNorm]] for real layout tuning,
+    * where 3–4 uncorrelated scan dimensions are common. Each column
+    * min-max-scales to a b-bit rank with b = min(16, 63/N) (every
+    * dimension gets the SAME number of split levels — the property
+    * that makes the interleave fair; a 63-bit budget keeps the key a
+    * positive long), then rank bits interleave round-robin: bit j of
+    * dimension i lands at position j·N + i. N = 2 delegates to the
+    * magic-number spread; larger N uses an explicit per-bit
+    * shift/mask/or tree — bigger codegen, still pure built-in bitwise
+    * ops inside WholeStageCodegen.
+    */
+  def mortonZNormN(dims: Seq[(org.apache.spark.sql.Column, Double, Double)])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{greatest, least, shiftright}
+    val n = dims.size
+    require(n >= 2 && n <= 8, s"z-order takes 2..8 columns, got $n")
+    if (n == 2)
+      return mortonZNorm(dims(0)._1, dims(0)._2, dims(0)._3,
+        dims(1)._1, dims(1)._2, dims(1)._3)
+    val bits = math.min(16, 63 / n)
+    val maxRank = (1L << bits) - 1
+    def rank(x: org.apache.spark.sql.Column, mn: Double, mx: Double) = {
+      val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+      least(lit(maxRank), greatest(lit(0L),
+        ((x.cast("double") - lit(mn)) / lit(span) * lit(maxRank.toDouble))
+          .cast("long")))
+    }
+    val terms = for {
+      (d, i) <- dims.zipWithIndex
+      r = rank(d._1, d._2, d._3)
+      j <- 0 until bits
+    } yield shiftleft(shiftright(r, j).bitwiseAND(lit(1L)), j * n + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Per-column (min, max) normalization bounds for [[mortonZNormN]]
+    * when no metadata source already has them — ONE 2·N-scalar
+    * aggregate.
+    */
+  def boundsOfN(df: DataFrame, cols: Seq[String]): Seq[(Double, Double)] = {
+    import org.apache.spark.sql.functions.{max, min}
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map { i =>
+      (if (r.isNullAt(2 * i)) 0.0 else r.getDouble(2 * i),
+        if (r.isNullAt(2 * i + 1)) 0.0 else r.getDouble(2 * i + 1))
+    }
+  }
+
   /** Write `df` Z-order-clustered on two columns: range-partition and
     * sort by the Morton key, then drop it — the 2-D analog of
     * [[writeSorted]] (Iceberg/Delta's Z-ORDER for the two-column case).

@@ -446,6 +446,36 @@ class SnapshotTableSpec extends AnyFunSuite {
       df.filter(col("grp") === 0L).count())
   }
 
+  test("3-D zOrder: every dimension prunes; 1 and 9 columns refused") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("grp", LongType), StructField("w", LongType)))
+    val t = SnapshotTable.create(spark, freshRoot(), schema, None)
+    // three mutually-decorrelated dimensions with very different
+    // widths (14 / 3 / 5 bits) — the rank normalization must still
+    // give each its share of split levels
+    val df = spark.range(10000).select(col("id"),
+      (col("id") * 2654435761L % 8L).as("grp"),
+      (col("id") * 40503L % 32L).as("w"))
+    t.append(df.repartition(4))
+    t.compact(targetRowsPerFile = 400L, zOrderBy = Seq("id", "grp", "w"))
+    val total = t.currentSnapshot().files.size
+    assert(total >= 16, s"expected a multi-file rewrite, got $total")
+    val idOpened = t.pruneFiles(col("id") <= 1249L).size
+    val grpOpened = t.pruneFiles(col("grp") === 0L).size
+    val wOpened = t.pruneFiles(col("w") < 4L).size
+    assert(idOpened < total, s"id dim must prune: $idOpened/$total")
+    assert(grpOpened < total, s"grp dim must prune: $grpOpened/$total")
+    assert(wOpened < total, s"w dim must prune: $wOpened/$total")
+    // pruning stays exact on every dimension
+    assert(t.readWhere(col("w") < 4L).count() ==
+      df.filter(col("w") < 4L).count())
+    assert(t.readWhere(col("grp") === 0L).count() ==
+      df.filter(col("grp") === 0L).count())
+    intercept[IllegalArgumentException](t.compact(zOrderBy = Seq("id")))
+    intercept[IllegalArgumentException](
+      t.compact(zOrderBy = (1 to 9).map(i => s"c$i")))
+  }
+
   test("identity-partition values with path-hostile characters round-trip") {
     val schema = StructType(Seq(
       StructField("k", StringType), StructField("v", LongType)))

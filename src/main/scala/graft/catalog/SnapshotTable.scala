@@ -1901,10 +1901,11 @@ final class SnapshotTable private (
     * re-tagging an existing name throws — drop it first (so a tag seen
     * once can never silently point elsewhere).
     *
-    * All-digit names are refused: SQL `FOR VERSION AS OF x` cannot
-    * distinguish the tag `"2024"` from version 2024 at the parser seam
-    * (quoting is erased before [[graft.plans.GraftTimeTravelParser]]
-    * sees the value), so such a tag would be unreachable from SQL.
+    * All-digit names are refused: SQL `VERSION AS OF x` cannot
+    * distinguish the tag `"2024"` from version 2024 — the catalog's
+    * `loadTable(ident, version: String)` receives the value unquoted
+    * and routes digits to a version number — so such a tag would be
+    * unreachable from SQL.
     */
   def tag(name: String, version: Long = -1L): Unit = {
     require(!name.forall(_.isDigit), s"all-digit tag name '$name' would " +

@@ -89,16 +89,27 @@ final case class GraftAggregatePushdown(session: SparkSession)
     * the aggregate and the scan can change row multiplicity or values
     * (only an attribute-reference projection is allowed).
     */
-  private def relationOf(p: LogicalPlan): Option[GraftRelation] = p match {
-    case lr: LogicalRelation => lr.relation match {
-      case gr: GraftRelation => Some(gr)
+  private def relationOf(p: LogicalPlan): Option[GraftSqlDml.GraftTarget] =
+    p match {
+      case lr: LogicalRelation => lr.relation match {
+        case gr: GraftRelation =>
+          Some(GraftSqlDml.GraftTarget(gr.table, gr.pinned))
+        case _ => None
+      }
+      // catalog tables get the same manifest collapse (this rule runs
+      // in the operator-optimization batch, before the v2 scan
+      // pushdown replaces the relation node)
+      case dsv2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        dsv2.table match {
+          case g: graft.catalog.GraftV2Table =>
+            Some(GraftSqlDml.GraftTarget(g.table, g.pinned))
+          case _ => None
+        }
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        relationOf(child)
       case _ => None
     }
-    case Project(projList, child)
-        if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      relationOf(child)
-    case _ => None
-  }
 
   /** Grouped output list: each expression is either the grouping
     * attribute itself (op "group") or a supported aggregate alias —

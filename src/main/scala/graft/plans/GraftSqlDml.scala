@@ -5,7 +5,7 @@ import scala.annotation.tailrec
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, OverwritePartitionsDynamic, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -53,6 +53,15 @@ final case class GraftSqlDmlRule(session: SparkSession)
       val gr = writable(targetOf(d.table).get, "DELETE FROM")
       noSubquery(Seq(d.condition), "DELETE")
       GraftDeleteCommand(gr, selfColumn(d.condition))
+
+    // dynamic partition overwrite (INSERT OVERWRITE under
+    // partitionOverwriteMode=dynamic, or writeTo(...).overwritePartitions)
+    // — the V1 write bridge has no dynamic-overwrite exec, so lower the
+    // node onto the table's atomic overwritePartitions commit
+    case o: OverwritePartitionsDynamic if o.query.resolved &&
+        targetOf(o.table).isDefined =>
+      val tbl = writable(targetOf(o.table).get, "INSERT OVERWRITE (dynamic)")
+      GraftDynamicOverwriteCommand(tbl, o.query)
 
     case u: UpdateTable if targetOf(u.table).isDefined =>
       val gr = writable(targetOf(u.table).get, "UPDATE")
@@ -251,6 +260,19 @@ object GraftSqlDml
     }
     pairs.forall(_.isDefined) &&
       pairs.flatten.toSet == targetNames.toSet
+  }
+}
+
+/** Dynamic partition overwrite lowered to the atomic
+  * partition-granularity swap ([[graft.catalog.SnapshotTable
+  * .overwritePartitions]]): only hidden partitions present in the
+  * incoming rows are replaced, in ONE commit.
+  */
+final case class GraftDynamicOverwriteCommand(table: SnapshotTable,
+    query: LogicalPlan) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    table.overwritePartitions(DatasetBridge.ofRows(session, query))
+    Nil
   }
 }
 

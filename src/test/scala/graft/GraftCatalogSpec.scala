@@ -36,10 +36,21 @@ class GraftCatalogSpec extends AnyFunSuite {
     val t = SnapshotTable.load(spark, s"$warehouse/ddl1/ev")
     assert(t.currentSnapshot().spec.map(_.source) == Some("kind"))
     assert(t.currentSnapshot().properties("graft.write.sort-by") == "id")
-    // INSERT OVERWRITE replaces table content atomically
-    sql("INSERT OVERWRITE graft.ddl1.ev VALUES (9, 'z', 9.0)")
-    assert(sql("SELECT count(*) FROM graft.ddl1.ev").as[Long]
-      .collect().head == 1L)
+    // dynamic partition overwrite: only the hidden partitions present
+    // in the incoming rows swap ('a' replaced, 'b' untouched)
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      sql("INSERT OVERWRITE graft.ddl1.ev VALUES (9, 'a', 9.0)")
+      assert(sql("SELECT sum(id), count(*) FROM graft.ddl1.ev")
+        .collect().head.toSeq == Seq(11L, 2L))
+      // static mode: INSERT OVERWRITE replaces the WHOLE table atomically
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      sql("INSERT OVERWRITE graft.ddl1.ev VALUES (9, 'z', 9.0)")
+      assert(sql("SELECT count(*) FROM graft.ddl1.ev").as[Long]
+        .collect().head == 1L)
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", prevMode)
     // TRUNCATE empties, keeps schema
     sql("TRUNCATE TABLE graft.ddl1.ev")
     assert(sql("SELECT count(*) FROM graft.ddl1.ev").as[Long]
@@ -100,6 +111,14 @@ class GraftCatalogSpec extends AnyFunSuite {
       t.history().find(_.version == 2L).get.timestampMs)
     assert(sql(s"SELECT count(*) FROM graft.tt.ev TIMESTAMP AS OF '$v2At'")
       .as[Long].collect().head == 2L)
+    // filterless profile aggregates over the CATALOG name collapse to
+    // the manifest answer (same optimizer rule as the v1 relation)
+    val pd = sql("SELECT count(*) AS n, min(id) AS mn, max(id) AS mx " +
+      "FROM graft.tt.ev")
+    assert(pd.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      s"expected manifest answer:\n${pd.queryExecution.optimizedPlan}")
+    assert(pd.collect().head.toSeq == Seq(3L, 1L, 3L))
     // metadata tables via the #suffix addressing
     assert(sql("SELECT count(*) FROM graft.tt.`ev#history`").as[Long]
       .collect().head == 3L) // create + 2 appends

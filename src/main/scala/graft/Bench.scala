@@ -52,6 +52,10 @@ object Bench {
       case None => SparkEntry.queries
     }
     val outcomes = selected.map { case (name, fn) =>
+      // progress marker BEFORE the run (stderr — the driver reads only
+      // the stdout metric line): a wedged query is identifiable from
+      // the log tail instead of requiring a thread-dump hunt
+      System.err.println(s"[bench] running $name")
       val r = try Right(math.min(timeOnce(fn), timeOnce(fn)))
       catch {
         case e: Throwable =>

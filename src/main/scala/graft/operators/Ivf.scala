@@ -76,10 +76,17 @@ object Ivf {
       idCol: String = "vec_id", vecCol: String = "embedding",
       sampleMax: Int = 100000): Model = {
     require(sampleMax >= k, s"sampleMax=$sampleMax must be >= k=$k")
+    // repartition AFTER the bounded TakeOrdered: limit() materializes
+    // as ONE partition, and without the re-split every Lloyd round —
+    // the expensive assign + means stages below — would run as a
+    // single task regardless of cluster size (measured: the 512-dim
+    // wide corpus at sf1 went from >18 min to seconds with the
+    // parallelism restored)
     val sample = corpus
       .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
       .limit(sampleMax)
       .select(col(idCol), col(vecCol))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     var model: Model = sample
       .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
@@ -91,9 +98,13 @@ object Ivf {
         case d: java.lang.Double => d.doubleValue()
       }.toSeq).toSeq
     for (_ <- 1 to iters) {
+      // assign in a SEPARATE projection BELOW the explode: with both in
+      // one select, the generate-stage codegen re-evaluates the k×dims
+      // assignment subexpression per EXPLODED dim row — a dims× blowup
+      // of the most expensive expression in the loop
       val means = sample
-        .select(assignExpr(col(vecCol), model).as("cluster"),
-          posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .select(assignExpr(col(vecCol), model).as("cluster"), col(vecCol))
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
         .agg(avg(col("x")).as("m"))
         .groupBy(col("cluster"))

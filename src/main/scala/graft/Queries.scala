@@ -1559,23 +1559,34 @@ object Queries {
     * per candidate while PQ pays m bytes + m lookups — the crossover
     * the 64-dim ladder can't show.
     */
-  private[graft] def wideVectors(s: SparkSession, dir: String): DataFrame = {
-    val reps = nearDupVectors(s, dir)
-      .withColumn("r", explode(sequence(lit(0L), lit(15L))))
-    val copies = (0 until 8).map { j =>
-      val parity = pmod(bit_count(col("r").bitwiseAND(lit(j.toLong))), lit(2))
-      // families 8..15 are the NEGATIONS of families 0..7: still
-      // exactly ±1 signs, still never competitive with the planted
-      // pair (cos(q, −rep₀(b)) = −cos(m,b), and no corpus pair is
-      // near-antipodal at 0.997)
-      val neg = when(col("r") >= 8L, lit(-1.0f)).otherwise(lit(1.0f))
-      val sign = (lit(1.0f) - lit(2.0f) * parity.cast("float")) * neg
-      transform(col("embedding"), x => (x * sign).cast("float"))
-    }
-    reps.select(
-      (col("vec_id") + col("r") * lit(1000000L)).as("vec_id"),
-      flatten(array(copies: _*)).as("embedding"))
-  }
+  private val wideVectorsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def wideVectors(s: SparkSession, dir: String): DataFrame =
+    // checkpointed build-once: the 16-family construction runs through
+    // INTERPRETED array HOFs (transform/flatten — SURVEY §8.2's known
+    // cost), and without materialization every consumer (k-means
+    // train, index build, PQ train, probes) re-paid it — distorting
+    // what the sim_wide pair is meant to measure (float-scan vs PQ
+    // probe cost, not corpus synthesis)
+    wideVectorsCache.computeIfAbsent(dir, _ => {
+      val reps = nearDupVectors(s, dir)
+        .withColumn("r", explode(sequence(lit(0L), lit(15L))))
+      val copies = (0 until 8).map { j =>
+        val parity = pmod(bit_count(col("r").bitwiseAND(lit(j.toLong))), lit(2))
+        // families 8..15 are the NEGATIONS of families 0..7: still
+        // exactly ±1 signs, still never competitive with the planted
+        // pair (cos(q, −rep₀(b)) = −cos(m,b), and no corpus pair is
+        // near-antipodal at 0.997)
+        val neg = when(col("r") >= 8L, lit(-1.0f)).otherwise(lit(1.0f))
+        val sign = (lit(1.0f) - lit(2.0f) * parity.cast("float")) * neg
+        transform(col("embedding"), x => (x * sign).cast("float"))
+      }
+      reps.select(
+        (col("vec_id") + col("r") * lit(1000000L)).as("vec_id"),
+        flatten(array(copies: _*)).as("embedding"))
+        .localCheckpoint(true)
+    })
 
   /** The r = 0 mutant replicas as queries (base mutant ids are
     * 100000 + base id; replica r adds r·10⁶): each query's nearest
@@ -3416,6 +3427,41 @@ object Queries {
                |)
                |SELECT lang, qs[1] AS q25, qs[2] AS q50, qs[3] AS q75, qs[4] AS q95
                |FROM q""".stripMargin)),
+
+      // GLOBAL deterministic corpus shuffle into training shards (the
+      // pre-training order-decorrelation step): shard + seeded sort
+      // key are a pure stateless projection (no window, no global
+      // sort); the result is pinned per shard by an ORDER-SENSITIVE
+      // digest (md5 of the ids concatenated in shard order), so the
+      // oracle verifies the exact permutation, not just membership.
+      QueryDef("pipeline_shuffle_shards",
+        (s, dir) => {
+          val sh = Governance.shuffleShards(t(s, dir, "documents"),
+            nShards = 8)
+          sh.groupBy(col("shard"))
+            .agg(count(lit(1)).as("n_docs"),
+              md5(concat_ws(",",
+                transform(
+                  array_sort(collect_list(
+                    struct(col("sort_key"), col("doc_id")))),
+                  x => x.getField("doc_id").cast("string"))))
+                .as("order_digest"))
+        },
+        Some("""WITH k AS (
+               |  SELECT doc_id,
+               |    md5('graft-shuffle:' || CAST(doc_id AS VARCHAR)) AS h
+               |  FROM documents
+               |), sh AS (
+               |  SELECT doc_id, h,
+               |    CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+               |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 8
+               |      AS INT) AS shard
+               |  FROM k
+               |)
+               |SELECT shard, count(*) AS n_docs,
+               |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+               |      ORDER BY h, doc_id)) AS order_digest
+               |FROM sh GROUP BY shard""".stripMargin)),
 
       // mixture reweighting: deterministic per-language downsampling
       // (en to 50%, es to 25%) — pure hash projection, no RNG/shuffle

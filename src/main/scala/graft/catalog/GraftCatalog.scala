@@ -114,9 +114,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = loadWith(ident, None)
 
-  /** `VERSION AS OF` — digits mean a version, anything else a tag. */
+  /** `VERSION AS OF` — digits mean a version, `'branch:<name>'` pins
+    * the branch's current head (a consistent read of the staging
+    * line), anything else a tag.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = tableAt(ident)
+    if (version.startsWith("branch:")) {
+      val b = t.branch(version.stripPrefix("branch:"))
+      return new GraftV2Table(b, fullName(ident), Some(b.currentVersion()))
+    }
     val v = version.toLongOption.getOrElse(
       t.tags().getOrElse(version, sys.error(
         s"${ident.name}: '$version' is neither a version number nor a " +

@@ -195,6 +195,49 @@ object Governance {
         col("n_contaminated").cast("double") / col("n_shingles"))
   }
 
+  /** Deterministic GLOBAL corpus shuffle into training shards — the
+    * canonical pre-training step that decorrelates document order from
+    * crawl/source order (training-order bias). Every doc gets a seeded
+    * content-independent sort key (md5 of the salted id — the same
+    * deterministic primitive as [[splitAssign]], reproducible in any
+    * engine) and a shard from the key's leading byte: a PURE STATELESS
+    * PROJECTION — no window, no global sort, no driver state. The
+    * physical shuffle happens once, at write time
+    * ([[writeShuffledShards]]): repartition by shard + sort within by
+    * the key, so each shard file holds its documents in the seeded
+    * pseudo-random order. At 100 TB that is ONE exchange; the
+    * `ntile`-over-global-`orderBy` formulation this replaces would
+    * funnel the corpus through a single window partition.
+    *
+    * Same salt → same shuffle, different salt → an independent
+    * permutation (new epoch orderings without touching the data).
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int,
+      salt: String = "graft-shuffle", idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1 && nShards <= 256,
+      s"nShards must be 1..256 (the key's leading byte): $nShards")
+    val key = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    docs.withColumn("sort_key", key)
+      .withColumn("shard",
+        (conv(substring(col("sort_key"), 1, 2), 16, 10).cast("int")
+          % lit(nShards)).cast("int"))
+  }
+
+  /** Materialize the shuffle: one exchange clustering rows by shard,
+    * each written internally ordered by the seeded key — shard files
+    * ARE the training order.
+    */
+  def writeShuffledShards(docs: DataFrame, path: String, nShards: Int,
+      salt: String = "graft-shuffle", idCol: String = "doc_id"): Unit =
+    shuffleShards(docs, nShards, salt, idCol)
+      .repartition(nShards, col("shard"))
+      // shard LEADS the sort: partitionBy requires partition-column
+      // ordering and would otherwise inject its own NON-STABLE sort by
+      // (shard) alone, destroying the seeded order the shards exist
+      // for; with the prefix satisfied the writer keeps our order
+      .sortWithinPartitions(col("shard"), col("sort_key"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Build-once TRAIN n-gram index for [[contaminationAgainstIndex]]:
     * the train split's DISTINCT word n-grams committed as a snapshot
     * table range-sorted on `sh` (disjoint per-file [min,max] bounds in

@@ -109,6 +109,9 @@ final class GraftDataSource extends RelationProvider
     }
     val version = longOpt("versionasof", "versionAsOf")
     val tag = parameters.get("tag")
+    // branch 'name': the view IS the branch — reads see the branch
+    // head, INSERT/DML through the view land on the branch line
+    val branch = parameters.get("branch")
     // timestampAsOf: epoch millis or ISO-8601 instant, resolved to the
     // latest snapshot committed at or before it (readAsOf semantics)
     val ts = parameters.get("timestampasof").map { v =>
@@ -124,7 +127,10 @@ final class GraftDataSource extends RelationProvider
     }
     require(Seq(version, tag, ts).count(_.isDefined) <= 1,
       "pass at most one of versionAsOf, tag, timestampAsOf")
-    new GraftRelation(sqlContext, path, version, tag, ts)
+    require(branch.isEmpty || Seq(version, tag, ts).forall(_.isEmpty),
+      "branch cannot combine with versionAsOf/tag/timestampAsOf " +
+        "(time travel WITHIN a branch: read the branch handle's history)")
+    new GraftRelation(sqlContext, path, version, tag, ts, branch)
   }
 
   /** Write side: `df.write.format("graft").mode(...).save(root)`.
@@ -257,10 +263,17 @@ final class GraftRelation(
     root: String,
     versionAsOf: Option[Long],
     tag: Option[String],
-    timestampAsOf: Option[Long] = None) extends BaseRelation
+    timestampAsOf: Option[Long] = None,
+    branch: Option[String] = None) extends BaseRelation
     with PrunedFilteredScan with InsertableRelation {
 
-  private[graft] val table = SnapshotTable.load(sqlContext.sparkSession, root)
+  /** The addressed line: the table's main log, or a named branch's —
+    * every read AND write through this relation follows it.
+    */
+  private[graft] val table = {
+    val base = SnapshotTable.load(sqlContext.sparkSession, root)
+    branch.map(base.branch).getOrElse(base)
+  }
 
   /** Resolved once at relation creation: the version this relation
     * reads (a tag resolves through the ref, a timestamp to the latest

@@ -213,6 +213,37 @@ class GovernanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL"), e.getMessage)
   }
 
+  test("shuffleShards: deterministic seeded permutation; written shards hold the order") {
+    val docs = spark.range(0, 2000).toDF("doc_id")
+    val a = Governance.shuffleShards(docs, nShards = 8).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    // total, deterministic, balanced-ish
+    assert(a.size == 2000)
+    val sizes = a.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.keySet == (0 until 8).toSet)
+    assert(sizes.values.min > 2000 / 8 / 2, s"skewed: $sizes")
+    val b = Governance.shuffleShards(docs, nShards = 8).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(a == b)
+    // a different salt is an independent permutation (epoch re-order)
+    val c = Governance.shuffleShards(docs, nShards = 8, salt = "epoch2")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(c.count { case (id, sh) => a(id)._2 == sh } < 1000,
+      "salt change must reassign a substantial fraction")
+    // the written layout: one dir per shard, rows internally in
+    // seeded-key order (the training order IS the file order)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-shuffle").resolve("shards").toString
+    Governance.writeShuffledShards(docs, out, nShards = 8)
+    val shard0 = spark.read.parquet(s"$out/shard=0")
+    val keys = shard0.select("sort_key").collect().map(_.getString(0))
+    assert(keys.nonEmpty && keys.sameElements(keys.sorted),
+      "shard file must be internally ordered by the seeded key")
+    val expected0 = a.collect { case (id, (_, 0)) => id }.toSet
+    assert(shard0.select("doc_id").collect().map(_.getLong(0)).toSet
+      == expected0)
+  }
+
   test("contaminationAgainstIndex matches the direct operator and prunes index files") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-ngram-idx").resolve("idx").toString

@@ -173,6 +173,39 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().head == 4L)
   }
 
+  test("branch addressing: the branch view writes the branch; VERSION AS OF 'branch:...' reads it") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.br")
+    sql("DROP TABLE IF EXISTS graft.br.t")
+    sql("CREATE TABLE graft.br.t (id BIGINT, v DOUBLE)")
+    sql("INSERT INTO graft.br.t VALUES (1, 1.0), (2, 2.0)")
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = SnapshotTable.load(spark, s"$warehouse/br/t")
+    t.createBranch("staging")
+    // the branch VIEW is the branch: inserts and DML land there only
+    sql("CREATE OR REPLACE TEMPORARY VIEW br_v USING graft " +
+      s"OPTIONS (path '${t.root}', branch 'staging')")
+    sql("INSERT INTO br_v VALUES (3, 3.0)")
+    sql("UPDATE br_v SET v = v + 10 WHERE id = 1")
+    assert(sql("SELECT count(*) FROM graft.br.t").as[Long]
+      .collect().head == 2L) // main untouched
+    assert(sql("SELECT sum(v) FROM br_v").as[Double]
+      .collect().head == 11.0 + 2.0 + 3.0)
+    // catalog time-travel syntax reads the branch head
+    assert(sql("SELECT count(*) FROM graft.br.t VERSION AS OF 'branch:staging'")
+      .as[Long].collect().head == 3L)
+    // publish; main now equals the branch
+    t.fastForward("staging")
+    assert(sql("SELECT sum(v) FROM graft.br.t").as[Double]
+      .collect().head == 16.0)
+    // branch + time travel options are mutually exclusive
+    val e = intercept[Exception] {
+      sql("CREATE OR REPLACE TEMPORARY VIEW br_bad USING graft " +
+        s"OPTIONS (path '${t.root}', branch 'staging', versionAsOf '1')")
+      sql("SELECT * FROM br_bad").collect()
+    }
+    assert(e.getMessage.contains("branch"), e.getMessage)
+  }
+
   test("RENAME TABLE moves the directory; DROP NAMESPACE respects emptiness") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
     sql("DROP TABLE IF EXISTS graft.mv.a")

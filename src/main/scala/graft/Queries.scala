@@ -3523,6 +3523,25 @@ object Queries {
                |  CAST(COALESCE(h.n_rare, 0) AS DOUBLE) / p.n_tokens AS rare_ratio
                |FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id""".stripMargin)),
 
+      // corpus-unigram-LM log-probability per document: the
+      // deterministic perplexity proxy (exact integer counts, one ln at
+      // the end, rounded for cross-engine libm parity)
+      QueryDef("text_unigram_logprob",
+        (s, dir) => graft.operators.Governance.unigramLogProb(
+          t(s, dir, "documents")),
+        Some("""WITH toks AS (
+               |  SELECT doc_id,
+               |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+               |  FROM documents
+               |), counts AS (
+               |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+               |), total AS (SELECT sum(c) AS t FROM counts)
+               |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               |  round(avg(ln(c)) - (SELECT ln(CAST(t AS DOUBLE)) FROM total), 6)
+               |    AS logprob
+               |FROM toks JOIN counts USING (tok)
+               |GROUP BY doc_id""".stripMargin)),
+
       // per-source quality curation: keep the 3 best docs per source by
       // (quality desc, doc_id asc) through the partial-aggregating TopK
       // UDAF (map tasks ship <= k rows per group, not the group)

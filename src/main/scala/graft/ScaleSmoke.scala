@@ -72,7 +72,7 @@ object ScaleSmoke {
       ((System.nanoTime() - t0) / 1e9, rows)
     }
 
-    import graft.operators.{Dedup, Ivf}
+    import graft.operators.{Dedup, Governance, Ivf}
 
     val docs1 = Queries.nearDupCorpus(spark, dir)
     val vecs1 = Queries.nearDupVectors(spark, dir)
@@ -114,6 +114,29 @@ object ScaleSmoke {
     val narrowQueries = vecs1.filter(col("vec_id") >= 100000L &&
       col("vec_id") < 100000000L)
 
+    // contamination index: BUILD scales with the train corpus; the
+    // PROBE uses the FIXED 1x eval set (the realistic asymmetry — eval
+    // benchmarks don't grow with the train corpus), so probe time
+    // should stay near-flat as the index scales (file pruning + the
+    // driver-sized probe set)
+    def contamStages(corpus: DataFrame,
+        scale: Int): Seq[(String, Int, () => DataFrame)] = {
+      var root: String = null
+      Seq(
+        ("contamination_index_build", scale, () => {
+          root = java.nio.file.Files
+            .createTempDirectory("graft-smoke-contam")
+            .resolve("idx").toString
+          Governance.buildNgramIndex(spark,
+            corpus.filter(col("doc_id") % 10 =!= 0), root, n = 3)
+          spark.range(1).toDF("built")
+        }),
+        ("contamination_index_probe", scale, () =>
+          Governance.contaminationAgainstIndex(
+            graft.catalog.SnapshotTable.load(spark, root),
+            docs1.filter(col("doc_id") % 10 === 0), n = 3)))
+    }
+
     // force training BEFORE the timed loop — otherwise the first build
     // entry absorbs the (expensive, scale-independent) model fit and
     // the 1×-vs-N× build ratio reads nonsense (r8 first run did)
@@ -138,6 +161,17 @@ object ScaleSmoke {
           bands = 16, threshold = 0.6)
         Dedup.clusters(pairs, d.select(col("doc_id")), idCol = "doc_id")
       })) ++
+      Seq(
+      // seeded global shuffle: a pure projection + one exchange — must
+      // scale ~linearly with the corpus, no caveats
+      ("pipeline_shuffle_shards", 1, () =>
+        Governance.shuffleShards(docs1, nShards = 16)
+          .groupBy(col("shard")).count()),
+      ("pipeline_shuffle_shards", factor, () =>
+        Governance.shuffleShards(scaleDocs(docs1, factor), nShards = 16)
+          .groupBy(col("shard")).count())) ++
+      contamStages(docs1, 1) ++
+      contamStages(scaleDocs(docs1, factor), factor) ++
       ivfStages(vecs1, narrowQueries, wide = false, 1) ++
       ivfStages(scaleVectors(vecs1, "vec_id", factor), narrowQueries,
         wide = false, factor) ++

@@ -295,6 +295,34 @@ object Governance {
         col("n_contaminated").cast("double") / col("n_shingles"))
   }
 
+  /** Per-document mean unigram log-probability under the CORPUS
+    * unigram LM — the deterministic perplexity proxy (CCNet-style
+    * pipelines gate on LM perplexity; a unigram model over exact
+    * corpus counts gives the same "how typical is this document's
+    * vocabulary" signal with bit-reproducible arithmetic and no model
+    * binary): score = mean over token OCCURRENCES of
+    * `ln(count(token) / total_tokens)`. Low scores flag gibberish /
+    * OOV-heavy documents; high scores flag boilerplate-typical text.
+    * Same two-pass shape as [[rareTokenRatio]]: global counts
+    * (partial-aggregating groupBy) joined back per doc by token; ONE
+    * corpus scalar collects to the driver. Rounded to 1e-6 — the
+    * engine-parity discipline for transcendental math (ulp-level libm
+    * differences; everything before the ln is integer-exact).
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.normalText
+    val toks = docs.select(col(idCol),
+      explode(split(normalText(col(textCol)), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c"))).collect()(0).getLong(0)
+    toks.join(counts, Seq("tok"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c").cast("double"))) -
+          log(lit(total.toDouble)), 6).as("logprob"))
+  }
+
   /** Best-k rows per group by (score desc, id asc) via the
     * partial-aggregating [[graft.functions.TopK]] UDAF — the curation
     * step that keeps the k highest-quality documents per source/domain.

@@ -213,6 +213,24 @@ class GovernanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL"), e.getMessage)
   }
 
+  test("unigramLogProb: typical vocabulary scores higher than rare; exact token accounting") {
+    val docs = Seq(
+      (1L, "common common common common"),   // only frequent tokens
+      (2L, "common rareword"),               // mixed
+      (3L, "onlyonceever")                    // all-rare
+    ).toDF("doc_id", "text")
+    val r = Governance.unigramLogProb(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L)._1 == 4L && r(2L)._1 == 2L && r(3L)._1 == 1L)
+    // corpus: common x5, rareword x1, onlyonceever x1; total 7
+    val ln = (x: Double) => math.log(x)
+    def approx(a: Double, b: Double) = math.abs(a - b) < 1e-5
+    assert(approx(r(1L)._2, ln(5.0 / 7)), r(1L).toString)
+    assert(approx(r(2L)._2, (ln(5) + ln(1)) / 2 - ln(7)), r(2L).toString)
+    assert(approx(r(3L)._2, ln(1.0 / 7)), r(3L).toString)
+    assert(r(1L)._2 > r(2L)._2 && r(2L)._2 > r(3L)._2)
+  }
+
   test("shuffleShards: deterministic seeded permutation; written shards hold the order") {
     val docs = spark.range(0, 2000).toDF("doc_id")
     val a = Governance.shuffleShards(docs, nShards = 8).collect()

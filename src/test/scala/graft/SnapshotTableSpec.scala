@@ -2234,6 +2234,17 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 43L) // main untouched by the sweep
     // a branch handle cannot branch again
     intercept[IllegalArgumentException](exp.createBranch("nested"))
+    // per-branch retention: expiry ON the branch handle trims ITS
+    // history only and never deletes files main still references
+    val exp2 = t.branch("experiment")
+    exp2.append(rows((401L, "2024-09-01", 1.0)))
+    exp2.append(rows((402L, "2024-09-02", 2.0)))
+    val (expired, _) = exp2.expireSnapshots(keep = 1)
+    assert(expired > 0)
+    assert(t.read().count() == 43L) // main rows all intact
+    // branch holds its ff'd base (42) + its two new rows; main's later
+    // append (id 300) is not on the branch
+    assert(exp2.read().count() == 44L)
   }
 
   test("partitionsDf reports per-partition file and row counts, null partition included") {

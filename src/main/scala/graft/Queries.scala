@@ -1343,6 +1343,24 @@ object Queries {
   private val simQueries: Seq[QueryDef] = {
     import graft.operators.Similarity
     Seq(
+      // SemDeDup-family prototypicality signal: cosine to the corpus
+      // centroid (per-dim mean — ONE partial-agg pass, model-sized
+      // driver state), flagging embedding outliers / dense-cluster
+      // near-dups. Rounded to 1e-6: the centroid's last ulp depends on
+      // each engine's summation order; everything else is the same
+      // double arithmetic.
+      QueryDef("embedding_centroid_sim",
+        (s, dir) => Similarity.centroidSimilarity(t(s, dir, "embeddings"))
+          .select(col("vec_id"),
+            round(col("centroid_sim"), 6).as("centroid_sim")),
+        Some(s"""WITH c AS (SELECT [${(1 to 64)
+                 .map(i => s"avg(embedding[$i])").mkString(", ")}] AS m
+               |  FROM embeddings)
+               |SELECT vec_id,
+               |  round(list_cosine_similarity(
+               |    CAST(embedding AS DOUBLE[]), m), 6) AS centroid_sim
+               |FROM embeddings, c""".stripMargin)),
+
       QueryDef("sim_topk_bruteforce",
         (s, dir) => {
           val emb = t(s, dir, "embeddings")

@@ -194,8 +194,9 @@ final class GraftMetadataV2Table(
     case "partitions" => table.partitionsDf()
     case "files" => table.filesDf()
     case "tags" | "refs" => table.tagsDf()
+    case "branches" => table.branchesDf()
     case other => sys.error(s"unknown graft metadata table '$other' — " +
-      "one of: history, partitions, files, tags")
+      "one of: history, partitions, files, tags, branches")
   }
 
   override def name(): String = ident

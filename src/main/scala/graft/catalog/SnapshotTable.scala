@@ -192,6 +192,12 @@ final class SnapshotTable private (
     tags().toSeq.toDF("tag", "version")
   }
 
+  /** Branches as a DataFrame: branch name → head version. */
+  def branchesDf(): DataFrame = {
+    import spark.implicits._
+    branches().toSeq.toDF("branch", "head_version")
+  }
+
   /** The READER-visible schema — follows [[publishedSnapshot]] so a
     * schema-evolving commit staged inside an audit window does not
     * leak into relations whose rows stay pinned at the base (mutation

@@ -41,6 +41,28 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Per-vector cosine similarity to the CORPUS CENTROID — the
+    * SemDeDup-family prototypicality signal: vectors far from the
+    * centroid are outliers (noise, corrupted embeddings, off-domain
+    * content); vectors extremely close to it in a dense cluster are
+    * semantic near-duplicates worth downsampling. One partial-
+    * aggregating pass computes the per-dimension mean (the centroid is
+    * MODEL-sized — dims doubles on the driver, the same budget as the
+    * k-means centroids), then a single codegen cosine per vector — no
+    * joins, no shuffle of the corpus beyond the dim aggregation.
+    */
+  def centroidSimilarity(vectors: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroid = vectors
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("dim").agg(avg(col("x")).as("m"))
+      .orderBy("dim").collect().map(_.getDouble(1))
+    require(centroid.nonEmpty, "centroidSimilarity needs a non-empty corpus")
+    val cLit = array(centroid.map(v => lit(v)): _*)
+    vectors.select(col(idCol),
+      cosine(col(vecCol), cLit).as("centroid_sim"))
+  }
+
   /** Exact top-k ranking of scored (q_id, n_id, sim) candidates via the
     * partial-aggregating [[graft.functions.TopK]] UDAF: each map task
     * ships at most k candidates per query instead of sort-shuffling the

@@ -381,8 +381,9 @@ final class GraftMetadataRelation(
       case "partitions" => t.partitionsDf()
       case "files" => t.filesDf()
       case "tags" => t.tagsDf()
+      case "branches" => t.branchesDf()
       case other => sys.error(s"unknown graft metadata table '$other' — " +
-        "one of: history, partitions, files, tags")
+        "one of: history, partitions, files, tags, branches")
     }
   }
 

@@ -1989,6 +1989,9 @@ object Queries {
   private val branchTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val importTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val ngramIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2346,6 +2349,47 @@ object Queries {
       Some("""SELECT event_type, count(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1""".stripMargin)),
+
+    // Parquet ADOPTION without rewrite (Iceberg add_files/snapshot —
+    // the 100 TB migration path): an existing parquet directory is
+    // registered into a snapshot table via the native CALL, files
+    // referenced by absolute path, ZERO bytes copied (pinned: every
+    // manifest path points outside the table root) — and the read must
+    // equal the raw source exactly. Stats are computed at import, so
+    // manifest pruning works on adopted files immediately.
+    QueryDef("snap_import_parquet",
+      (s, dir) => {
+        val root = importTableCache.computeIfAbsent(dir, _ => {
+          val base = java.nio.file.Files
+            .createTempDirectory("graft-import")
+          val srcDir = base.resolve("src")
+          java.nio.file.Files.createDirectories(srcDir)
+          // adopt a COPY: import transfers file ownership to the table,
+          // and the driver testdata is read-only by contract
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$dir/documents.parquet"),
+            srcDir.resolve("documents.parquet"))
+          val tableRoot = base.resolve("t").toString
+          val tbl = graft.catalog.SnapshotTable.create(s, tableRoot,
+            s.read.parquet(srcDir.toString).schema)
+          val r = s.sql(s"CALL graft.system.import_files(" +
+            s"table => '$tableRoot', source => '$srcDir')").collect().head
+          require(r.getLong(0) >= 1L, s"import must add files: $r")
+          val snap = tbl.currentSnapshot()
+          require(snap.files.nonEmpty &&
+            snap.files.forall(_.path.startsWith(srcDir.toString)),
+            "zero-copy pin: imported entries must reference the SOURCE " +
+              s"files, got ${snap.files.map(_.path)}")
+          tableRoot
+        })
+        graft.catalog.SnapshotTable.load(s, root).read()
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).as("sum_ids"))
+      },
+      Some("""SELECT lang, count(*) AS n,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+             |FROM documents GROUP BY 1""".stripMargin)),
 
     // Partitions metadata table (Iceberg `table.partitions`): per
     // hidden-partition row counts straight from the manifest — the

@@ -134,6 +134,15 @@ object GraftCatalogProcedures {
         t.maintain(lng(a, "target_rows"))
         Seq(t.currentSnapshot().files.size.toLong, t.history().size.toLong)
       }),
+    "import_files" -> Proc(
+      Seq(in("source", S)),
+      outS("imported_files" -> L, "imported_rows" -> L),
+      (t, a) => {
+        val before = t.currentSnapshot().files.map(_.path).toSet
+        val s2 = t.importParquet(str(a, "source"))
+        val added = s2.files.filterNot(f => before.contains(f.path))
+        Seq(added.size.toLong, added.map(_.rows).sum)
+      }),
     "create_branch" -> Proc(
       Seq(in("name", S), opt("version", L, "-1")),
       outS("branch" -> S, "base_version" -> L),

@@ -1282,6 +1282,76 @@ final class SnapshotTable private (
     }
   }
 
+  /** Adopt an EXISTING parquet directory's files into this table as
+    * one atomic commit WITHOUT copying or rewriting a byte — the
+    * migration path (Iceberg's `add_files`/`snapshot` procedures): at
+    * 100 TB a format adoption that rewrites data is not a migration,
+    * it is a second copy of the corpus. The files are read ONCE for
+    * per-file accounting (row counts, min/max/null bounds, opt-in
+    * Blooms — the same one-pass [[FileStats]] aggregate every staged
+    * write runs, so manifest pruning works on imported files
+    * immediately), then referenced by ABSOLUTE path in the manifest.
+    *
+    * Semantics:
+    *  - OWNERSHIP TRANSFERS: once imported, the files are table data —
+    *    snapshot expiry after a compaction/COW rewrite deletes them
+    *    like any staged file. Import a copy if the source must outlive
+    *    the table.
+    *  - schema evolution on import matches the write path (new columns
+    *    append, int→long / float→double widen) — but since no rewrite
+    *    happens, a source column whose PHYSICAL type cannot be read
+    *    under the table's type (anything beyond those promotions) is
+    *    refused up front instead of failing at first read.
+    *  - unpartitioned tables only: the source layout's directories
+    *    carry no graft hidden-partition semantics, and silently filing
+    *    everything under the null partition would corrupt
+    *    partition-scoped operations.
+    *  - re-importing an already-referenced path is refused (it would
+    *    double-count rows).
+    */
+  def importParquet(dir: String): Snapshot = {
+    val df = spark.read.parquet(dir)
+    val srcSchema = df.schema
+    SnapshotTable.requireDistinctNames(srcSchema)
+    val bloom = BloomSpec.fromProperties(currentSnapshot().properties)
+    val aggs = count(lit(1)).as("__rows") +:
+      FileStats.aggColumns(srcSchema, bloom)
+    val entries = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.map { r =>
+        val p = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+        DataFileEntry(p, None, r.getLong(1),
+          FileStats.fromRow(srcSchema, r, 2, bloom), seq = -1L)
+      }
+    require(entries.nonEmpty, s"importParquet: no parquet files under $dir")
+    commitRetry { latest =>
+      require(latest.spec.isEmpty,
+        "importParquet requires an unpartitioned table — the source " +
+          "layout carries no hidden-partition values (append() instead " +
+          "to take the rewrite)")
+      val evolved = SnapshotTable.evolve(latest.schema, srcSchema)
+      srcSchema.fields.foreach { f =>
+        val tf = evolved.fields.find(_.name == f.name).get.dataType
+        val readable = f.dataType == tf || ((f.dataType, tf) match {
+          case (IntegerType, LongType) | (FloatType, DoubleType) => true
+          case _ => false
+        })
+        require(readable, s"importParquet: column ${f.name} is " +
+          s"${f.dataType.simpleString} on disk but ${tf.simpleString} " +
+          "in the table — no promotion reads that without a rewrite; " +
+          "append() the data instead")
+      }
+      val existing = latest.files.map(_.path).toSet
+      val dup = entries.map(_.path).filter(existing.contains)
+      require(dup.isEmpty,
+        s"importParquet: already referenced by this table: " +
+          dup.take(3).mkString(", "))
+      val (pairs, schema2, ids2, nid) = integrate(latest, srcSchema)
+      nextWithIds(latest, "import", schema2, ids2, nid,
+        latest.files ++ entries.map(_.copy(cols = pairs)))
+    }
+  }
+
   /** Atomic FULL-TABLE replace: one commit swaps the entire content for
     * `df` (schema evolution applies). Blind last-writer-wins at table
     * granularity, so a lost commit race rebases and retries — the

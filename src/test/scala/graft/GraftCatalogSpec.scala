@@ -173,6 +173,19 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().head == 4L)
   }
 
+  test("CREATE TABLE AS SELECT through the catalog") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
+    sql("DROP TABLE IF EXISTS graft.ctas.t")
+    sql("CREATE TABLE graft.ctas.t AS " +
+      "SELECT id, CAST(id * 1.5 AS DOUBLE) AS v FROM range(1, 6)")
+    assert(sql("SELECT count(*), sum(v) FROM graft.ctas.t")
+      .collect().head.toSeq == Seq(5L, 22.5))
+    // the result is a real snapshot table (atomic history, readable API)
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = SnapshotTable.load(spark, s"$warehouse/ctas/t")
+    assert(t.read().count() == 5L)
+  }
+
   test("branch addressing: the branch view writes the branch; VERSION AS OF 'branch:...' reads it") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.br")
     sql("DROP TABLE IF EXISTS graft.br.t")

@@ -2007,6 +2007,55 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(pinned.collect().head.getLong(0) == 40L)
   }
 
+  test("importParquet adopts files in place: zero copy, stats pruning, evolution, refusals") {
+    val base = java.nio.file.Files.createTempDirectory("graft-import-unit")
+    // two source files with DISJOINT id ranges (so stats pruning is
+    // provable on the adopted files)
+    val srcA = base.resolve("srcA").toString
+    val srcB = base.resolve("srcB").toString
+    (1L to 10L).map(i => (i, s"a$i")).toDF("id", "s")
+      .coalesce(1).write.parquet(srcA)
+    (100L to 110L).map(i => (i, s"b$i")).toDF("id", "s")
+      .coalesce(1).write.parquet(srcB)
+    val t = SnapshotTable.create(spark, freshRoot(),
+      spark.read.parquet(srcA).schema)
+    t.importParquet(srcA)
+    t.importParquet(srcB)
+    // zero copy: entries reference the source files by absolute path
+    assert(t.currentSnapshot().files.forall(f =>
+      f.path.startsWith(srcA) || f.path.startsWith(srcB)))
+    assert(t.read().count() == 21L)
+    // manifest stats computed at import prune the disjoint file
+    assert(t.pruneFiles(col("id") <= 10L).size == 1)
+    assert(t.readWhere(col("id") <= 10L).count() == 10L)
+    // re-import of an already-referenced path is refused
+    val dup = intercept[IllegalArgumentException](t.importParquet(srcA))
+    assert(dup.getMessage.contains("already referenced"), dup.getMessage)
+    // schema evolution on import: a source with an EXTRA column evolves
+    // the table; old imported files surface NULL for it
+    val srcC = base.resolve("srcC").toString
+    Seq((200L, "c", 1.5)).toDF("id", "s", "v").coalesce(1).write.parquet(srcC)
+    t.importParquet(srcC)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "s", "v"))
+    assert(t.read().filter(col("v").isNotNull).count() == 1L)
+    // int source under a long table column reads via the promotion…
+    val srcD = base.resolve("srcD").toString
+    Seq((300, "d")).toDF("id", "s")
+      .select(col("id").cast("int").as("id"), col("s"))
+      .coalesce(1).write.parquet(srcD)
+    t.importParquet(srcD)
+    assert(t.readWhere(col("id") === 300L).count() == 1L)
+    // …but a physically-unreadable mismatch is refused up front
+    val srcE = base.resolve("srcE").toString
+    Seq(("x", "e")).toDF("id", "s").coalesce(1).write.parquet(srcE)
+    val bad = intercept[IllegalArgumentException](t.importParquet(srcE))
+    assert(bad.getMessage.contains("no promotion"), bad.getMessage)
+    // partitioned tables refuse adoption (no hidden-partition values)
+    val pt = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
+    val part = intercept[IllegalArgumentException](pt.importParquet(srcA))
+    assert(part.getMessage.contains("unpartitioned"), part.getMessage)
+  }
+
   test("grouped aggregate pushdown: GROUP BY the identity-partition key answers from the manifest") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     val schema = StructType(Seq(StructField("id", LongType),

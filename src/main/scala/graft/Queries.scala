@@ -2365,10 +2365,23 @@ object Queries {
           val srcDir = base.resolve("src")
           java.nio.file.Files.createDirectories(srcDir)
           // adopt a COPY: import transfers file ownership to the table,
-          // and the driver testdata is read-only by contract
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(s"$dir/documents.parquet"),
-            srcDir.resolve("documents.parquet"))
+          // and the driver testdata is read-only by contract. The
+          // source is a single file (driver testdata) or a
+          // Spark-written directory of parts (the sf1 replica) —
+          // copy the parquet payload either way
+          val src0 = java.nio.file.Paths.get(s"$dir/documents.parquet")
+          val parts =
+            if (java.nio.file.Files.isDirectory(src0)) {
+              import scala.jdk.CollectionConverters._
+              scala.util.Using.resource(java.nio.file.Files.list(src0))(
+                _.iterator().asScala
+                  .filter(_.toString.endsWith(".parquet")).toList)
+            } else List(src0)
+          require(parts.nonEmpty, s"no parquet under $src0")
+          parts.zipWithIndex.foreach { case (p, i) =>
+            java.nio.file.Files.copy(p,
+              srcDir.resolve(f"part-$i%05d.parquet"))
+          }
           val tableRoot = base.resolve("t").toString
           val tbl = graft.catalog.SnapshotTable.create(s, tableRoot,
             s.read.parquet(srcDir.toString).schema)

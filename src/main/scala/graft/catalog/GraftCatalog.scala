@@ -114,11 +114,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = loadWith(ident, None)
 
+  /** Metadata-suffixed names are valid ONLY for plain reads — a
+    * time-travel, drop or rename that silently resolved `t#history`
+    * to the base table would at best confuse and at worst DESTROY it.
+    */
+  private def refuseMeta(ident: Identifier, op: String): Unit =
+    require(!ident.name.contains("#"),
+      s"$op does not apply to metadata tables: ${fullName(ident)} " +
+        "(address the base table instead)")
+
   /** `VERSION AS OF` — digits mean a version, `'branch:<name>'` pins
     * the branch's current head (a consistent read of the staging
     * line), anything else a tag.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
+    refuseMeta(ident, "time travel")
     val t = tableAt(ident)
     if (version.startsWith("branch:")) {
       val b = t.branch(version.stripPrefix("branch:"))
@@ -133,6 +143,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `TIMESTAMP AS OF` — Spark passes MICROseconds. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    refuseMeta(ident, "time travel")
     val t = tableAt(ident)
     new GraftV2Table(t, fullName(ident),
       Some(t.versionAsOf(timestampMicros / 1000L)))
@@ -189,6 +200,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val t = tableAt(ident)
+    // pre-validate EVERY change against a simulated schema before
+    // applying ANY: each change is its own snapshot commit, so a
+    // failure on change N would otherwise leave changes 1..N-1
+    // permanently applied from one half-failed ALTER statement. (A
+    // concurrent-writer conflict mid-sequence can still interleave —
+    // same as running the changes as separate statements — but the
+    // self-inflicted partial-DDL case is caught here.)
+    changes.foldLeft(t.schemaAt(None)) { (sch, c) =>
+      import org.apache.spark.sql.types.{StructField, StructType}
+      def has(n: String) = sch.fieldNames.contains(n)
+      c match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1 && !has(add.fieldNames.head),
+            s"ALTER pre-check: cannot add ${add.fieldNames.mkString(".")}")
+          StructType(sch.fields :+ StructField(add.fieldNames.head,
+            add.dataType, add.isNullable))
+        case rn: TableChange.RenameColumn =>
+          require(rn.fieldNames.length == 1 && has(rn.fieldNames.head) &&
+            !has(rn.newName),
+            s"ALTER pre-check: cannot rename ${rn.fieldNames.mkString(".")}" +
+              s" to ${rn.newName}")
+          StructType(sch.fields.map(f =>
+            if (f.name == rn.fieldNames.head) f.copy(name = rn.newName)
+            else f))
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames.length == 1 &&
+            (del.ifExists || has(del.fieldNames.head)),
+            s"ALTER pre-check: no column ${del.fieldNames.mkString(".")}")
+          StructType(sch.fields.filterNot(_.name == del.fieldNames.head))
+        case up: TableChange.UpdateColumnType =>
+          require(up.fieldNames.length == 1 && has(up.fieldNames.head),
+            s"ALTER pre-check: no column ${up.fieldNames.mkString(".")}")
+          StructType(sch.fields.map(f =>
+            if (f.name == up.fieldNames.head) f.copy(dataType = up.newDataType)
+            else f))
+        case _ => sch // property changes don't touch the schema
+      }
+    }
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -221,6 +270,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    refuseMeta(ident, "DROP TABLE")
     val p = tablePath(ident)
     if (!isTable(p)) false
     else fs.delete(p, true)
@@ -228,6 +278,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = {
+    refuseMeta(oldIdent, "RENAME TABLE")
+    refuseMeta(newIdent, "RENAME TABLE")
     val from = tablePath(oldIdent)
     val to = tablePath(newIdent)
     if (!isTable(from)) throw new NoSuchTableException(oldIdent)

@@ -192,9 +192,14 @@ object GraftCatalogProcedures {
             s"$procName: expected ${all.length} arguments, got " +
               input.numFields)
           val args = all.zipWithIndex.map { case (param, i) =>
+            // an explicit NULL must error, not silently read as 0/""
+            // (getLong on a null slot returns 0 — keep => NULL would
+            // otherwise expire everything instead of using the default)
+            require(!input.isNullAt(i),
+              s"$procName: argument ${param.name} must not be NULL — " +
+                "omit it to take the default")
             param.name -> (param.dataType match {
-              case StringType =>
-                if (input.isNullAt(i)) null else input.getUTF8String(i)
+              case StringType => input.getUTF8String(i)
               case LongType => input.getLong(i)
               case IntegerType => input.getInt(i).toLong
               case other => sys.error(s"unsupported param type $other")

@@ -159,7 +159,12 @@ final class GraftV2Table(
     * all (those fall to the DML resolution rule instead).
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => GraftV2Table.filterToColumn(f).isDefined)
+    filters.forall(f => GraftV2Table.filterToColumn(f).isDefined &&
+      // v1 filters render nested struct fields as DOTTED names, which
+      // filterToColumn would backtick into a (nonexistent) flat column
+      // — refuse those here; the DML resolution rule lowers them with
+      // real nested references instead
+      f.references.forall(schema.fieldNames.contains))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireWritable("DELETE FROM")
@@ -189,7 +194,11 @@ final class GraftMetadataV2Table(
     ident: String,
     kind: String) extends Table with SupportsRead {
 
-  private def df: DataFrame = kind match {
+  // resolved ONCE per loadTable (i.e. per statement): schema() is
+  // called repeatedly during analysis and each df build re-reads the
+  // version log — freshness is per-statement either way, since the
+  // catalog loads a new instance for every statement
+  private lazy val frame: DataFrame = kind match {
     case "history" => table.historyDf()
     case "partitions" => table.partitionsDf()
     case "files" => table.filesDf()
@@ -200,7 +209,7 @@ final class GraftMetadataV2Table(
   }
 
   override def name(): String = ident
-  override def schema: StructType = df.schema
+  override def schema: StructType = frame.schema
   override def partitioning(): Array[Transform] = Array.empty
   override def properties(): java.util.Map[String, String] =
     java.util.Collections.emptyMap()
@@ -215,8 +224,8 @@ final class GraftMetadataV2Table(
             context: SQLContext): T =
           new BaseRelation with TableScan {
             override val sqlContext: SQLContext = context
-            override def schema: StructType = df.schema
-            override def buildScan(): RDD[Row] = df.rdd
+            override def schema: StructType = frame.schema
+            override def buildScan(): RDD[Row] = frame.rdd
           }.asInstanceOf[T]
       }
     }

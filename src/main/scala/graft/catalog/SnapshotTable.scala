@@ -2085,9 +2085,18 @@ final class SnapshotTable private (
       "branch point; re-create the branch from the current head and " +
       "re-apply its changes")
     val bAtMain = b.log.read(mainCur)
+    // FULL content identity at the merge base: data files, pending
+    // equality-delete files, schema, and spec — a main-side delete-eq
+    // commit changes deleteFiles WITHOUT changing the data-file set,
+    // and replaying a branch lineage that lacks it would silently
+    // resurrect the deleted rows
     require(bAtMain.files.map(_.path).toSet ==
         mainHead.files.map(_.path).toSet &&
-        bAtMain.schema == mainHead.schema,
+        bAtMain.deleteFiles.map(_.path).toSet ==
+          mainHead.deleteFiles.map(_.path).toSet &&
+        bAtMain.schema == mainHead.schema &&
+        bAtMain.spec == mainHead.spec &&
+        bAtMain.specSince == mainHead.specSince,
       s"cannot fast-forward '$name': branch and main diverged at " +
         s"v$mainCur (same version number, different content)")
     val toApply = bVersions.filter(_ > mainCur)

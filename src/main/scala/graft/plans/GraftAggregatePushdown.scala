@@ -91,24 +91,16 @@ final case class GraftAggregatePushdown(session: SparkSession)
     */
   private def relationOf(p: LogicalPlan): Option[GraftSqlDml.GraftTarget] =
     p match {
-      case lr: LogicalRelation => lr.relation match {
-        case gr: GraftRelation =>
-          Some(GraftSqlDml.GraftTarget(gr.table, gr.pinned))
-        case _ => None
-      }
-      // catalog tables get the same manifest collapse (this rule runs
-      // in the operator-optimization batch, before the v2 scan
-      // pushdown replaces the relation node)
-      case dsv2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-        dsv2.table match {
-          case g: graft.catalog.GraftV2Table =>
-            Some(GraftSqlDml.GraftTarget(g.table, g.pinned))
-          case _ => None
-        }
+      // ONE definition of "which plans are graft targets" (temp-view
+      // relation or DSv2 catalog table): GraftSqlDml.targetOf — this
+      // rule adds only the pushdown-specific attribute-projection hop.
+      // Catalog relations are still visible here because this rule runs
+      // in the operator-optimization batch, before the v2 scan pushdown
+      // replaces the relation node.
       case Project(projList, child)
           if projList.forall(_.isInstanceOf[AttributeReference]) =>
         relationOf(child)
-      case _ => None
+      case leaf => GraftSqlDml.targetOf(leaf)
     }
 
   /** Grouped output list: each expression is either the grouping

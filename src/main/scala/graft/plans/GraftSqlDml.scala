@@ -198,6 +198,11 @@ object GraftSqlDml
     }
     isV2(d.table) &&
       !d.condition.exists(_.isInstanceOf[SubqueryExpression]) &&
+      // nested struct-field predicates translate to DOTTED v1 filter
+      // names the native deleteWhere cannot resolve — keep those here,
+      // where the lowered Column preserves the real nested reference
+      !d.condition.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.GetStructField]) &&
       splitConjunctivePredicates(d.condition)
         .forall(c => org.apache.spark.sql.graftbridge.FilterBridge
           .translate(c).isDefined)

@@ -148,14 +148,23 @@ final class GraftDataSource extends RelationProvider
     import org.apache.spark.sql.SaveMode._
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
+    // branch 'name' on the WRITE side too: the commit lands on the
+    // branch line (a silently-ignored option here would publish
+    // staged-for-review data straight to main readers)
+    val branch = parameters.get("branch")
     val exists = SnapshotTable.exists(spark, path)
+    require(branch.isEmpty || exists,
+      s"cannot write to branch '${branch.getOrElse("")}' of a table " +
+        s"that does not exist yet at $path — create the table and the " +
+        "branch first")
     if (exists && mode == ErrorIfExists)
       sys.error(s"graft table already exists at $path (SaveMode.ErrorIfExists)")
     if (!exists || mode != Ignore) {
-      val table =
+      val base =
         if (exists) SnapshotTable.load(spark, path)
         else SnapshotTable.create(spark, path, data.schema,
           spec = parameters.get("partition").map(parseSpec))
+      val table = branch.map(base.branch).getOrElse(base)
       mode match {
         case Overwrite => table.overwrite(data)
         case _ if !exists => table.append(data) // fresh table: content
@@ -163,7 +172,7 @@ final class GraftDataSource extends RelationProvider
         case _ => () // Ignore / ErrorIfExists on existing: no write
       }
     }
-    new GraftRelation(sqlContext, path, None, None)
+    new GraftRelation(sqlContext, path, None, None, None, branch)
   }
 
   /** Streaming read: `spark.readStream.format("graft")

@@ -217,6 +217,42 @@ class GraftCatalogSpec extends AnyFunSuite {
       sql("SELECT * FROM br_bad").collect()
     }
     assert(e.getMessage.contains("branch"), e.getMessage)
+    // the WRITE-side branch option routes df.write to the branch line
+    t.createBranch("wside")
+    Seq((50L, 5.0)).toDF("id", "v").write.format("graft")
+      .option("branch", "wside").mode("append").save(t.root.toString)
+    assert(t.read().filter(col("id") === 50L).count() == 0L)
+    assert(t.branch("wside").read().filter(col("id") === 50L).count() == 1L)
+  }
+
+  test("destructive DDL and time travel refuse metadata-suffixed names") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
+    sql("DROP TABLE IF EXISTS graft.meta.t")
+    sql("CREATE TABLE graft.meta.t (id BIGINT)")
+    sql("INSERT INTO graft.meta.t VALUES (1)")
+    // DROP TABLE t#history must NOT delete the base table
+    val drop = intercept[Exception](sql("DROP TABLE graft.meta.`t#history`"))
+    assert(drop.getMessage.contains("metadata"), drop.getMessage)
+    assert(sql("SELECT count(*) FROM graft.meta.t").as[Long]
+      .collect().head == 1L)
+    val tt = intercept[Exception](sql(
+      "SELECT * FROM graft.meta.`t#history` VERSION AS OF 1").collect())
+    assert(tt.getMessage.contains("metadata"), tt.getMessage)
+    val rn = intercept[Exception](sql(
+      "ALTER TABLE graft.meta.`t#history` RENAME TO meta.x"))
+    assert(rn.getMessage.contains("metadata"), rn.getMessage)
+    // a NULL procedure argument errors instead of silently reading as 0
+    val nul = intercept[Exception](sql(
+      s"CALL graft.system.expire_snapshots(table => 'meta.t', " +
+        "keep => NULL)").collect())
+    assert(nul.getMessage.contains("NULL"), nul.getMessage)
+    // half-failing multi-change ALTER applies NOTHING (pre-validated)
+    val alter = intercept[Exception](sql(
+      "ALTER TABLE graft.meta.t ADD COLUMNS (a INT, id DOUBLE)"))
+    assert(alter.getMessage.toLowerCase.contains("pre-check")
+      || alter.getMessage.contains("id"), alter.getMessage)
+    assert(sql("SELECT * FROM graft.meta.t").columns.toSeq == Seq("id"),
+      "no partial ALTER may survive")
   }
 
   test("RENAME TABLE moves the directory; DROP NAMESPACE respects emptiness") {

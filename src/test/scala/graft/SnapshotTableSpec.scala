@@ -2283,6 +2283,18 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 43L) // main untouched by the sweep
     // a branch handle cannot branch again
     intercept[IllegalArgumentException](exp.createBranch("nested"))
+    // a files-unchanged divergence (equality delete on main, any
+    // commit on the branch at the same version number) is REFUSED —
+    // replaying the branch would silently resurrect deleted rows
+    val dv = SnapshotTable.create(spark, freshRoot(), eventsSchema, None)
+    dv.append(rows((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0)))
+    val dvb = dv.createBranch("risky")
+    dv.deleteByKeys(rows((1L, "2024-01-01", 1.0)).select("id"), Seq("id"))
+    dvb.setProperties(Map("k" -> "v")) // branch's own v3, files unchanged
+    dvb.append(rows((9L, "2024-01-09", 9.0)))
+    val res = intercept[IllegalArgumentException](dv.fastForward("risky"))
+    assert(res.getMessage.contains("diverged"), res.getMessage)
+    assert(dv.read().count() == 1L) // the delete survived
     // per-branch retention: expiry ON the branch handle trims ITS
     // history only and never deletes files main still references
     val exp2 = t.branch("experiment")

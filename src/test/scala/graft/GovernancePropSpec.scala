@@ -35,6 +35,31 @@ class GovernancePropSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffleShards equals the direct md5-derived shard/key computation") {
+    val r = new Random(17)
+    for (_ <- 1 to 5) {
+      val salt = "sh" + r.nextInt(1000)
+      val n = 1 + r.nextInt(255)
+      val ids = Vector.fill(300)(r.nextLong().abs)
+      val got = Governance.shuffleShards(ids.toDF("doc_id"),
+        nShards = n, salt = salt)
+        .collect().map(x => x.getLong(0) -> (x.getString(1), x.getInt(2)))
+        .toMap
+      ids.foreach { id =>
+        val h = md5hex(s"$salt:$id")
+        val shard = Integer.parseInt(h.substring(0, 2), 16) % n
+        assert(got(id) == ((h, shard)), s"id=$id n=$n")
+      }
+      // stability under growth: a subset keeps its shard and key
+      val sub = ids.take(50)
+      val gotSub = Governance.shuffleShards(sub.toDF("doc_id"),
+        nShards = n, salt = salt)
+        .collect().map(x => x.getLong(0) -> (x.getString(1), x.getInt(2)))
+        .toMap
+      sub.foreach(id => assert(gotSub(id) == got(id)))
+    }
+  }
+
   test("sampleStratified equals the direct hex-threshold computation") {
     val r = new Random(13)
     val rates = Map("a" -> 0.3, "b" -> 1.0, "c" -> 0.0)

@@ -199,6 +199,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
+    // same metadata-name hazard as DROP/RENAME: ALTER graft.db.`t#history`
+    // would resolve through tablePath/splitMeta to the BASE table and
+    // silently apply (possibly destructive) changes to it
+    refuseMeta(ident, "ALTER TABLE")
     val t = tableAt(ident)
     // pre-validate EVERY change against a simulated schema before
     // applying ANY: each change is its own snapshot commit, so a
@@ -214,6 +218,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case add: TableChange.AddColumn =>
           require(add.fieldNames.length == 1 && !has(add.fieldNames.head),
             s"ALTER pre-check: cannot add ${add.fieldNames.mkString(".")}")
+          // the apply phase refuses FIRST/AFTER — simulate the SAME
+          // refusal here, or a multi-change ALTER whose later AddColumn
+          // carries a position would commit its earlier changes first
+          require(add.position == null,
+            "ALTER pre-check: ADD COLUMN ... FIRST/AFTER is not supported")
           StructType(sch.fields :+ StructField(add.fieldNames.head,
             add.dataType, add.isNullable))
         case rn: TableChange.RenameColumn =>
@@ -232,6 +241,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case up: TableChange.UpdateColumnType =>
           require(up.fieldNames.length == 1 && has(up.fieldNames.head),
             s"ALTER pre-check: no column ${up.fieldNames.mkString(".")}")
+          // mirror widenColumn's int->long / float->double rule: an
+          // unconditional type replacement here would let a narrowing
+          // change pass pre-check and fail mid-sequence at apply time
+          val cur = sch.fields.find(_.name == up.fieldNames.head).get.dataType
+          import org.apache.spark.sql.types.{IntegerType, LongType, FloatType, DoubleType}
+          val widens = cur == up.newDataType || ((cur, up.newDataType) match {
+            case (IntegerType, LongType) | (FloatType, DoubleType) => true
+            case _ => false
+          })
+          require(widens, s"ALTER pre-check: cannot change " +
+            s"${up.fieldNames.head} from ${cur.simpleString} to " +
+            s"${up.newDataType.simpleString} — only int->bigint and " +
+            "float->double widen losslessly without a data rewrite")
           StructType(sch.fields.map(f =>
             if (f.name == up.fieldNames.head) f.copy(dataType = up.newDataType)
             else f))

@@ -82,17 +82,30 @@ object GraftCatalogProcedures {
         Seq(snaps.toLong, files.toLong)
       }),
     "compact" -> Proc(
+      // partition scoping carries NO in-band sentinels: `partition` is
+      // always a literal partition VALUE (so values that happen to be
+      // the string 'null' or '__all__' are addressable), the null
+      // partition is its own boolean flag, and omitting both means all
+      // partitions — the three cases cannot collide.
       Seq(opt("target_rows", L, "1000000"), opt("min_files", L, "2"),
         opt("sort_by", S, "''"), opt("zorder_by", S, "''"),
-        opt("partition", S, "'__all__'")),
+        opt("partition", S, "''"),
+        opt("null_partition", BooleanType, "false")),
       outS("partitions_rewritten" -> L, "files_before" -> L,
         "files_after" -> L),
       (t, a) => {
-        val scope = str(a, "partition") match {
-          case "__all__" => None
-          case "null" => Some(Seq(None))
-          case v => Some(Seq(Some(v)))
+        val p = str(a, "partition")
+        val nullPart = a("null_partition") match {
+          case b: Boolean => b
+          case other => sys.error(
+            s"null_partition must be a boolean, got $other")
         }
+        require(!(nullPart && p.nonEmpty),
+          "pass partition => '<value>' OR null_partition => true, not both")
+        val scope =
+          if (nullPart) Some(Seq(None))
+          else if (p.nonEmpty) Some(Seq(Some(p)))
+          else None
         val res = t.compact(targetRowsPerFile = lng(a, "target_rows"),
           partitions = scope, minFiles = lng(a, "min_files").toInt,
           sortBy = cols(a, "sort_by"), zOrderBy = cols(a, "zorder_by"))
@@ -202,6 +215,7 @@ object GraftCatalogProcedures {
               case StringType => input.getUTF8String(i)
               case LongType => input.getLong(i)
               case IntegerType => input.getInt(i).toLong
+              case BooleanType => input.getBoolean(i)
               case other => sys.error(s"unsupported param type $other")
             })
           }.toMap

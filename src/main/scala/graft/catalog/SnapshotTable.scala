@@ -1310,7 +1310,35 @@ final class SnapshotTable private (
     *    double-count rows).
     */
   def importParquet(dir: String): Snapshot = {
-    val df = spark.read.parquet(dir)
+    // read through the explicit LEAF-FILE list, never the directory:
+    // spark.read.parquet(dir) infers Hive-style partition columns from
+    // directory names — those columns would enter the schema and the
+    // per-file stats (min=max=value, nullCount=0), but readResolved
+    // later addresses leaf files directly with an explicit schema, so
+    // they'd come back all-NULL: manifest stats contradicting scans,
+    // and an adopted partitioned dataset silently losing its partition
+    // values. Refuse that shape up front with the remedy named.
+    val srcDir = new Path(dir)
+    val srcFs = srcDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = srcFs.listFiles(srcDir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") &&
+          !name.startsWith("."))
+        leaves += st.getPath.toString
+    }
+    require(leaves.nonEmpty, s"importParquet: no parquet files under $dir")
+    val df = spark.read.parquet(leaves.toSeq: _*)
+    val inferred = spark.read.parquet(dir).schema.fieldNames.toSet
+    val dirDerived = inferred -- df.schema.fieldNames.toSet
+    require(dirDerived.isEmpty,
+      s"importParquet: column(s) ${dirDerived.mkString(", ")} are " +
+        "directory-derived (Hive-style partition columns) and do not " +
+        "exist in the data files — a zero-copy import would silently " +
+        "read them as NULL; append() the source instead (the rewrite " +
+        "materializes the partition values into the files)")
     val srcSchema = df.schema
     SnapshotTable.requireDistinctNames(srcSchema)
     val bloom = BloomSpec.fromProperties(currentSnapshot().properties)
@@ -2326,14 +2354,19 @@ final class SnapshotTable private (
     val threshold =
       props.getOrElse("optimize_rewrite_data_file_threshold", "5").toInt
     // optional layout properties applied on every maintenance rewrite:
-    // graft.zorder (exactly two columns) wins over graft.sort_order —
-    // the Iceberg sort-order / Z-ORDER table properties
+    // graft.zorder (2..8 columns — the same N-D Morton range compact()
+    // accepts) wins over graft.sort_order — the Iceberg sort-order /
+    // Z-ORDER table properties. An out-of-range zorder value fails
+    // loudly instead of silently falling back to sort_order/none.
     def cols(key: String): Seq[String] = props.get(key).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val zOrder = cols("graft.zorder")
-    val sortOrder = if (zOrder.size == 2) Nil else cols("graft.sort_order")
+    require(zOrder.isEmpty || (zOrder.size >= 2 && zOrder.size <= 8),
+      s"graft.zorder lists ${zOrder.size} column(s) — N-D Morton " +
+        "clustering takes 2 to 8; fix the table property")
+    val sortOrder = if (zOrder.nonEmpty) Nil else cols("graft.sort_order")
     compact(targetRowsPerFile, minFiles = math.max(2, threshold),
-      sortBy = sortOrder, zOrderBy = if (zOrder.size == 2) zOrder else Nil)
+      sortBy = sortOrder, zOrderBy = zOrder)
     // self-heal after a partition spec evolution: fold any remaining
     // pre-evolution files (below the compaction threshold) into the
     // current spec so value-scoped operations unblock without a manual

@@ -253,6 +253,24 @@ class GraftCatalogSpec extends AnyFunSuite {
       || alter.getMessage.contains("id"), alter.getMessage)
     assert(sql("SELECT * FROM graft.meta.t").columns.toSeq == Seq("id"),
       "no partial ALTER may survive")
+    // ALTER TABLE on a metadata-suffixed name must refuse (it would
+    // otherwise resolve to and silently mutate the BASE table)
+    val am = intercept[Exception](sql(
+      "ALTER TABLE graft.meta.`t#history` ADD COLUMNS (z INT)"))
+    assert(am.getMessage.contains("metadata"), am.getMessage)
+    assert(sql("SELECT * FROM graft.meta.t").columns.toSeq == Seq("id"))
+    // a type change outside the int->bigint / float->double widen rule
+    // fails the PRE-check (Spark's own analyzer already rejects true
+    // narrowing; bigint->string is a Spark-legal upcast graft cannot
+    // serve without a rewrite — it must fail BEFORE any change applies)
+    val nar = intercept[Exception](sql(
+      "ALTER TABLE graft.meta.t ALTER COLUMN id TYPE STRING"))
+    assert(nar.getMessage.contains("pre-check"), nar.getMessage)
+    // ADD COLUMN with a position fails the PRE-check too
+    val pos = intercept[Exception](sql(
+      "ALTER TABLE graft.meta.t ADD COLUMNS (w INT FIRST)"))
+    assert(pos.getMessage.contains("pre-check"), pos.getMessage)
+    assert(sql("SELECT * FROM graft.meta.t").columns.toSeq == Seq("id"))
   }
 
   test("RENAME TABLE moves the directory; DROP NAMESPACE respects emptiness") {

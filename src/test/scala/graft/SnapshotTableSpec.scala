@@ -291,6 +291,24 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 5L)
   }
 
+  test("maintain() honors N-D graft.zorder and rejects out-of-range values") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, None,
+      properties = Map(
+        "optimize_rewrite_data_file_threshold" -> "2",
+        "graft.zorder" -> "id,v,ts"))
+    (1 to 3).foreach(i =>
+      t.append(rows((i.toLong, s"2024-01-0$i", i.toDouble))))
+    // 3-column z-order must be APPLIED during maintenance (it used to
+    // be silently ignored when not exactly 2 columns)
+    t.maintain(targetRowsPerFile = 1000L)
+    assert(t.currentSnapshot().files.size == 1)
+    assert(t.read().count() == 3L)
+    // an out-of-range value fails loudly instead of falling back
+    t.setProperties(Map("graft.zorder" -> "id"))
+    val bad = intercept[IllegalArgumentException](t.maintain())
+    assert(bad.getMessage.contains("graft.zorder"), bad.getMessage)
+  }
+
   test("readIncremental returns only rows from files added in the version range") {
     val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
     t.append(rows((1, "2024-01-05", 1.0)))                 // v2
@@ -2054,6 +2072,14 @@ class SnapshotTableSpec extends AnyFunSuite {
     val pt = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
     val part = intercept[IllegalArgumentException](pt.importParquet(srcA))
     assert(part.getMessage.contains("unpartitioned"), part.getMessage)
+    // a Hive-partitioned SOURCE directory is refused: its partition
+    // columns exist only in directory names — leaf-file reads would
+    // surface them as all-NULL, silently losing the partition values
+    val srcP = base.resolve("srcP").toString
+    Seq((400L, "p", "k1"), (401L, "q", "k2")).toDF("id", "s", "k")
+      .write.partitionBy("k").parquet(srcP)
+    val hive = intercept[IllegalArgumentException](t.importParquet(srcP))
+    assert(hive.getMessage.contains("directory-derived"), hive.getMessage)
   }
 
   test("grouped aggregate pushdown: GROUP BY the identity-partition key answers from the manifest") {
@@ -2220,6 +2246,19 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(pt.read().count() == 3L)
     assert(pt.partitionsDf().where(col("partition") === "2024-02")
       .collect().head.getAs[Long]("file_count") == 1L) // untouched
+    // partition scoping has NO in-band sentinels: 'null' is a LITERAL
+    // value (absent here → 0 rewritten), the null partition is its own
+    // flag, and passing both is refused
+    val litNull = spark.sql(s"CALL graft.system.compact(" +
+      s"table => '${pt.root}', partition => 'null')").collect().head
+    assert(litNull.getLong(0) == 0L, litNull)
+    val nullPart = spark.sql(s"CALL graft.system.compact(" +
+      s"table => '${pt.root}', null_partition => true)").collect().head
+    assert(nullPart.getLong(0) == 0L, nullPart)
+    val bothScopes = intercept[Exception](spark.sql(
+      s"CALL graft.system.compact(table => '${pt.root}', " +
+        "partition => '2024-01', null_partition => true)").collect())
+    assert(bothScopes.getMessage.contains("not both"), bothScopes.getMessage)
     // misuse fails with named errors, not Spark parse noise
     val unknown = intercept[Exception](
       spark.sql(s"CALL graft.system.nope($arg)"))

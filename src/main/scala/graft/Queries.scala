@@ -1797,6 +1797,8 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val morTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dvTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val specEvoTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val streamUpsertTableCache =
@@ -2656,6 +2658,38 @@ object Queries {
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
              |  TRUE AS mor_no_rewrite
              |FROM events WHERE event_id % 37 <> 0
+             |GROUP BY 1""".stripMargin)),
+
+    // POSITIONAL DELETE VECTORS (Iceberg v3 DVs / Delta deletion
+    // vectors): the DELETE commits a KB-sized roaring bitmap of row
+    // ordinals per touched file — dv_no_rewrite pins, driver-visibly,
+    // that the data-file set is byte-identical before and after AND
+    // that the commit carried vectors, not a rewrite. Reads anti-join
+    // positions decoded executor-side (never on the driver); compaction
+    // folds vectors in and retires them (pinned in SnapshotTableSpec).
+    // The 100 TB shape for UPDATE/MERGE-heavy tables: a point delete
+    // against a 1 GB file costs the vector, not the file.
+    QueryDef("snap_delete_dv",
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, dvTableCache, "dv") { tbl =>
+          tbl.deleteWithVectors(col("event_id") % 41 === 0)
+          ()
+        }
+        val h = tbl.history()
+        val preDelete = h.find(_.operation == "append").get
+          .files.map(_.path).toSet
+        val cur = tbl.currentSnapshot()
+        val noRewrite = cur.files.map(_.path).toSet == preDelete &&
+          cur.dvFiles.nonEmpty && cur.deleteFiles.isEmpty
+        tbl.read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .withColumn("dv_no_rewrite", lit(noRewrite))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             |  TRUE AS dv_no_rewrite
+             |FROM events WHERE event_id % 41 <> 0
              |GROUP BY 1""".stripMargin)),
 
     // Conditional MERGE (WHEN MATCHED AND <cond>, first-match-wins —

@@ -166,13 +166,17 @@ final class GraftV2Table(
       // real nested references instead
       f.references.forall(schema.fieldNames.contains))
 
+  /** The Iceberg `write.delete.mode` knob: `copy-on-write` (default —
+    * rewrite hit files) or `merge-on-read` (commit positional delete
+    * vectors; KB-sized commits, reads anti-join until compaction).
+    */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireWritable("DELETE FROM")
     val cond = filters.toIndexedSeq
       .flatMap(f => GraftV2Table.filterToColumn(f))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    table.delete(cond)
+    table.deleteRouted(cond)
     ()
   }
 

@@ -62,6 +62,26 @@ final case class DataFileEntry(path: String, partition: Option[String],
 final case class DeleteFileEntry(path: String, rows: Long,
     cols: Seq[(String, Int)], seq: Long)
 
+/** One positional-delete-vector file (Iceberg v3 deletion vectors /
+  * Delta DVs): a parquet file holding, per covered data file, a
+  * serialized roaring bitmap of DELETED ROW ORDINALS within that file.
+  * Deleting one row from a 1 GB data file commits a KB-sized vector
+  * instead of rewriting the file — the 100 TB lever for UPDATE/MERGE-
+  * heavy tables. `path` is the staged vector parquet (schema
+  * `path string, dv binary, rows bigint` — one row per covered data
+  * file); `rows` is the total deleted-position count; `dataPaths`
+  * lists the covered data files' manifest paths so retirement never
+  * opens the vector (an entry dies when NONE of its covered paths is
+  * live — a rewrite gives survivors fresh paths, folding the vector
+  * in); `seq` is the committing version (a data file re-staged later
+  * carries a new path, so path-exact coverage already gives
+  * sequence-number semantics; `seq` guards pathological path reuse).
+  * Unlike equality deletes, vectors are position-based and therefore
+  * column-independent: schema evolution never strands them.
+  */
+final case class DvFileEntry(path: String, rows: Long,
+    dataPaths: Seq[String], seq: Long)
+
 /** One manifest file in a snapshot's manifest list: log-relative path
   * plus its entry count (recorded so list-bounding decisions never
   * need to open the manifest).
@@ -105,7 +125,8 @@ final case class Snapshot(
     fieldIds: Seq[(String, Int)] = Seq.empty,
     nextFieldId: Int = 0,
     deleteFiles: Seq[DeleteFileEntry] = Seq.empty,
-    specSince: Long = 0L) {
+    specSince: Long = 0L,
+    dvFiles: Seq[DvFileEntry] = Seq.empty) {
 
   /** Distinct partition values present (None = null/unpartitioned). */
   def partitions: Seq[Option[String]] = files.map(_.partition).distinct
@@ -595,6 +616,25 @@ object SnapshotLog {
     else List("deleteFiles" ->
       (JArray(s.deleteFiles.toList.map(deleteFileToJValue)): JValue))
 
+  // omitted when empty, so pre-DV logs and fixtures stay byte-stable
+  private def dvFilesJson(s: Snapshot): List[(String, JValue)] =
+    if (s.dvFiles.isEmpty) Nil
+    else List("dvFiles" -> (JArray(s.dvFiles.toList.map(d => JObject(List(
+      "path" -> (JString(d.path): JValue),
+      "rows" -> (JLong(d.rows): JValue),
+      "dataPaths" -> (JArray(d.dataPaths.toList.map(JString(_))): JValue),
+      "seq" -> (JLong(d.seq): JValue))))): JValue))
+
+  private def dvFilesFromJValue(v: JValue): Seq[DvFileEntry] = v match {
+    case JArray(items) => items.map(d => DvFileEntry(
+      jStr(d \ "path"), jLng(d \ "rows"),
+      (d \ "dataPaths") match {
+        case JArray(ps) => ps.map(jStr)
+        case _ => Seq.empty
+      }, jLng(d \ "seq")))
+    case _ => Seq.empty
+  }
+
   // omitted when 0 (the legacy value), so pre-evolution logs and
   // fixtures stay byte-stable
   private def specSinceJson(s: Snapshot): List[(String, JValue)] =
@@ -627,7 +667,8 @@ object SnapshotLog {
       "fieldIds" -> JArray(s.fieldIds.toList.map { case (n, id) =>
         JArray(List(JString(n), JInt(id))) }),
       "nextFieldId" -> JInt(s.nextFieldId),
-      "files" -> files) ++ deleteFilesJson(s) ++ specSinceJson(s))
+      "files" -> files) ++ deleteFilesJson(s) ++ specSinceJson(s) ++
+      dvFilesJson(s))
     JsonMethods.compact(JsonMethods.render(obj))
   }
 
@@ -722,7 +763,8 @@ object SnapshotLog {
         case v => jLng(v).toInt
       },
       deleteFiles = deleteFilesFromJValue(field("deleteFiles")),
-      specSince = jOptLong(field("specSince")).getOrElse(0L))
+      specSince = jOptLong(field("specSince")).getOrElse(0L),
+      dvFiles = dvFilesFromJValue(field("dvFiles")))
     (snap, manifests)
   }
 
@@ -755,7 +797,7 @@ object SnapshotLog {
       "manifests" -> JArray(manifests.toList.map(m => JObject(List(
         "path" -> (JString(m.path): JValue),
         "fileCount" -> (JInt(m.fileCount): JValue))))))
-      ++ deleteFilesJson(s) ++ specSinceJson(s))
+      ++ deleteFilesJson(s) ++ specSinceJson(s) ++ dvFilesJson(s))
     JsonMethods.compact(JsonMethods.render(obj))
   }
 

@@ -135,7 +135,7 @@ final class SnapshotTable private (
   def historyDf(): DataFrame = {
     val rows = history().map(s => (s.version, s.operation, s.timestampMs,
       s.files.size.toLong, s.files.map(_.rows).sum,
-      s.deleteFiles.size.toLong))
+      (s.deleteFiles.size + s.dvFiles.size).toLong))
     import spark.implicits._
     rows.toDF("version", "operation", "timestamp_ms",
       "n_files", "n_rows", "n_delete_files")
@@ -568,7 +568,7 @@ final class SnapshotTable private (
     */
   def metadataAggregate(specs: Seq[SnapshotTable.MetaAgg]): Option[DataFrame] = {
     val s = publishedSnapshot()
-    if (s.deleteFiles.nonEmpty) return None
+    if (s.deleteFiles.nonEmpty || s.dvFiles.nonEmpty) return None
     val currentById = s.ids.map { case (n, id) => id -> n }.toMap
     val files = s.files.map(effectiveStats(currentById, _))
     val cols = specs.map { a =>
@@ -623,7 +623,7 @@ final class SnapshotTable private (
   def metadataAggregateGrouped(groupCol: String,
       specs: Seq[SnapshotTable.MetaAgg]): Option[DataFrame] = {
     val s = publishedSnapshot()
-    if (s.deleteFiles.nonEmpty) return None
+    if (s.deleteFiles.nonEmpty || s.dvFiles.nonEmpty) return None
     val spec = s.spec.getOrElse(return None)
     if (spec.transform != "identity" || spec.source != groupCol) return None
     if (s.files.exists(_.seq < s.specSince)) return None
@@ -1099,34 +1099,41 @@ final class SnapshotTable private (
 
   /** Manifest path of an absolute data-file URI (the inverse of the
     * staging path layout; URI-decoded like [[stage]]'s read-back).
+    * Paths OUTSIDE the table root (importParquet adoptions are
+    * referenced by absolute path) come back unchanged — stripping the
+    * leading slash there would produce a path matching NO manifest
+    * entry, making COW hit-detection silently skip imported files.
     */
   private def relPath(uri: String): String = {
     val p =
       try new java.net.URI(uri).getPath
       catch { case _: java.net.URISyntaxException => uri }
     val rootPath = fs.makeQualified(root).toUri.getPath
-    p.stripPrefix(rootPath).stripPrefix("/")
+    if (p.startsWith(rootPath + "/")) p.stripPrefix(rootPath + "/")
+    else p
   }
 
   private def readSnapshot(s: Snapshot): DataFrame =
     readWithDeletes(s.schema, s.ids, s, s.files)
 
-  /** [[readResolved]] plus merge-on-read equality-delete application:
+  /** [[readWithDvs]] plus merge-on-read equality-delete application:
     * rows from data files that PREDATE a delete file (data seq <
     * delete seq) and match its keys are anti-joined away. Files are
     * grouped by their applicable-delete set (bounded by the live
     * delete-file count, which compaction keeps small), so each group is
-    * one scan plus one anti-join per applicable delete.
+    * one scan plus one anti-join per applicable delete. Positional
+    * delete vectors apply UNDERNEATH ([[readWithDvs]]), so both
+    * row-level MoR mechanisms compose.
     */
   private def readWithDeletes(target: StructType, targetIds: Seq[(String, Int)],
       owner: Snapshot, files: Seq[DataFileEntry]): DataFrame = {
     val dels = owner.deleteFiles
     if (dels.isEmpty || files.isEmpty)
-      return readResolved(target, targetIds, owner, files)
+      return readWithDvs(target, targetIds, owner, files)
     val currentById = targetIds.map { case (n, id) => id -> n }.toMap
     files.groupBy(f => dels.filter(_.seq > f.seq).map(_.path).toSet)
       .toSeq.map { case (applicable, fs) =>
-        val base = readResolved(target, targetIds, owner, fs)
+        val base = readWithDvs(target, targetIds, owner, fs)
         dels.filter(d => applicable.contains(d.path)).foldLeft(base) {
           (df, d) =>
             val keyNames = d.cols.map { case (_, id) =>
@@ -1137,6 +1144,67 @@ final class SnapshotTable private (
             df.join(readDeleteKeys(target, d, keyNames), keyNames, "left_anti")
         }
       }.reduce(_ unionByName _)
+  }
+
+  /** The positional-delete-vector coverage of `f` in `owner`: vectors
+    * that list the file's manifest path (path-exact coverage; `seq`
+    * guards pathological path reuse).
+    */
+  private def dvsOf(owner: Snapshot, f: DataFileEntry): Seq[DvFileEntry] =
+    owner.dvFiles.filter(d => d.seq > f.seq && d.dataPaths.contains(f.path))
+
+  /** [[readResolved]] plus positional-delete-vector application: rows
+    * of covered files whose (file, row ordinal) is set in a live
+    * vector are anti-joined away. The vectors are read DISTRIBUTED
+    * (one tiny parquet scan, bitmaps decoded executor-side into
+    * (file, position) pairs), so no deleted-position list ever sits on
+    * the driver; uncovered files skip the machinery entirely and the
+    * join is position-exact regardless of column content — positional
+    * deletes survive any schema evolution.
+    */
+  private def readWithDvs(target: StructType, targetIds: Seq[(String, Int)],
+      owner: Snapshot, files: Seq[DataFileEntry]): DataFrame = {
+    if (owner.dvFiles.isEmpty || files.isEmpty)
+      return readResolved(target, targetIds, owner, files)
+    val (hit, clean) = files.partition(f => dvsOf(owner, f).nonEmpty)
+    if (hit.isEmpty) return readResolved(target, targetIds, owner, files)
+    val dvEntries = hit.flatMap(f => dvsOf(owner, f)).distinct
+    // rel-path → the NORMALIZED absolute path _metadata.file_path
+    // renders (scheme stripped) — tiny, broadcast with the decode
+    val rootStr = root.toString
+    val relToAbs = spark.sparkContext.broadcast(hit.map(f =>
+      f.path -> fs.makeQualified(new Path(root, f.path)).toUri.getPath).toMap)
+    import spark.implicits._
+    val deadPos = spark.read.schema(SnapshotTable.DvSchema)
+      .parquet(dvEntries.map(d => new Path(root, d.path).toString): _*)
+      .select(col("path"), col("dv"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (rel, bytes) =>
+        relToAbs.value.get(rel) match {
+          case None => Iterator.empty // covers a file outside this read
+          case Some(abs) =>
+            val bm = new org.roaringbitmap.RoaringBitmap()
+            bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+            val it = bm.iterator()
+            new Iterator[(String, Long)] {
+              def hasNext: Boolean = it.hasNext
+              def next(): (String, Long) =
+                (abs, java.lang.Integer.toUnsignedLong(it.next()))
+            }
+        }
+      }.toDF("__graft_dvf", "__graft_dvp")
+    val scanned = readResolved(target, targetIds, owner, hit, withPos = true)
+      // _metadata.file_path is a URI ("file:/…"); normalize to the
+      // bare path so the join key matches relToAbs' rendering
+      .withColumn(SnapshotTable.DvFileCol, regexp_replace(
+        col(SnapshotTable.DvFileCol), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+    val survivors = scanned.join(deadPos,
+        scanned(SnapshotTable.DvFileCol) === deadPos("__graft_dvf") &&
+          scanned(SnapshotTable.DvPosCol) === deadPos("__graft_dvp"),
+        "left_anti")
+      .drop(SnapshotTable.DvFileCol, SnapshotTable.DvPosCol)
+    if (clean.isEmpty) survivors
+    else readResolved(target, targetIds, owner, clean).unionByName(survivors)
   }
 
   /** Read one equality-delete file's key tuples under CURRENT names and
@@ -1211,6 +1279,115 @@ final class SnapshotTable private (
       }
   }
 
+  /** Row-level DELETE via POSITIONAL DELETE VECTORS (Iceberg v3
+    * deletion vectors / Delta DVs), merge-on-read: manifest stats
+    * prune to candidate files, one scoped job finds the matching rows'
+    * (file, row ordinal) positions, and the commit publishes a
+    * KB-sized roaring bitmap per touched file — ZERO data files
+    * rewritten. The scale story the reference's own
+    * `optimize_rewrite_delete_file_threshold` knob exists to manage:
+    * deleting one row from a 1 GB file costs the vector, not the
+    * rewrite; reads anti-join positions until [[compact]]/[[maintain]]
+    * folds vectors into a rewrite and retires them.
+    *
+    * vs [[delete]] (copy-on-write): same SQL semantics (TRUE deletes;
+    * FALSE/NULL keep), read-modify-write commit (concurrent commits
+    * raise [[SnapshotConflictException]] — positions are only valid
+    * against the base file set), but writes O(deleted positions)
+    * bytes instead of rewriting every hit file. vs [[deleteByKeys]]
+    * (equality MoR): takes an arbitrary predicate instead of key
+    * tuples, and being position-based it is column-independent — no
+    * key column to strand on dropColumn.
+    */
+  /** SQL `DELETE FROM` routing — the Iceberg `write.delete.mode`
+    * table property: `copy-on-write` (default — [[delete]] rewrites
+    * hit files) or `merge-on-read` ([[deleteWithVectors]] commits
+    * positional vectors). Both SQL lowering paths (native v2
+    * `deleteWhere` and the DML resolution rule) call this, so the
+    * property cannot be bypassed by predicate shape.
+    */
+  def deleteRouted(pred: Column): Snapshot =
+    currentSnapshot().properties.get("graft.delete.mode") match {
+      case Some("merge-on-read") => deleteWithVectors(pred)
+      case Some(other) if other != "copy-on-write" => sys.error(
+        s"graft.delete.mode='$other' — use copy-on-write or merge-on-read")
+      case _ => delete(pred)
+    }
+
+  def deleteWithVectors(pred: Column): Snapshot = {
+    val base = currentSnapshot()
+    val candidates = pruneFiles(base, pred)
+    if (candidates.isEmpty) return base
+    val rootPathStr = fs.makeQualified(root).toUri.getPath
+    // RAW per-file positions (vectors compose by union, so re-marking a
+    // row an older vector or equality delete already hides is a no-op)
+    val marked = readResolved(base.schema, base.ids, base, candidates,
+        withPos = true)
+      .filter(pred <=> lit(true))
+      .select(col(SnapshotTable.DvFileCol), col(SnapshotTable.DvPosCol))
+    import spark.implicits._
+    val perFile = marked.as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (uri, it) =>
+        val p = try new java.net.URI(uri).getPath
+          catch { case _: java.net.URISyntaxException => uri }
+        val rel =
+          if (p.startsWith(rootPathStr + "/"))
+            p.stripPrefix(rootPathStr + "/")
+          else p
+        val bm = new org.roaringbitmap.RoaringBitmap()
+        it.foreach { case (_, pos) =>
+          require(pos <= 0xFFFFFFFFL,
+            s"row ordinal $pos exceeds the 32-bit vector domain in $rel " +
+              "— split the file (compact with a smaller targetRowsPerFile)")
+          bm.add(pos.toInt)
+        }
+        bm.runOptimize()
+        val buf = new Array[Byte](bm.serializedSizeInBytes())
+        bm.serialize(java.nio.ByteBuffer.wrap(buf))
+        (rel, buf, bm.getLongCardinality)
+      }.toDF("path", "dv", "rows")
+    val staged = stageDvs(perFile)
+    if (staged.isEmpty) return base // nothing matched: no new snapshot
+    val c = next(base, "delete-pos", base.schema, base.files)
+    commitStrict(base, c.copy(dvFiles = c.dvFiles ++
+      staged.map { case (p, rows, dataPaths) =>
+        DvFileEntry(p, rows, dataPaths, c.version) }))
+  }
+
+  /** Stage per-data-file delete vectors as parquet under
+    * `data/<batch>/`; returns (staged path, deleted positions, covered
+    * data paths) per written vector file — empty when no row matched.
+    */
+  private def stageDvs(perFile: DataFrame): Seq[(String, Long, Seq[String])] = {
+    val batch = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val rel = s"${SnapshotLog.DataDirName}/$batch"
+    perFile.write.parquet(new Path(root, rel).toString)
+    val marker = s"/$batch/"
+    spark.read.schema(SnapshotTable.DvSchema)
+      .parquet(new Path(root, rel).toString)
+      .groupBy(input_file_name().as("__f"))
+      .agg(sum(col("rows")).as("__rows"),
+        collect_list(col("path")).as("__paths"))
+      .collect().toSeq.flatMap { r =>
+        val sub = stagedSubPath(r.getString(0), rel, marker)
+        val dataPaths = r.getSeq[String](2)
+        if (dataPaths.isEmpty) None
+        else Some((s"$rel/$sub", r.getLong(1), dataPaths))
+      }
+  }
+
+  /** Vectors still applicable given the post-commit data-file list: an
+    * entry retires when NONE of its covered paths is live (every
+    * covered file was rewritten — the rewrite read through
+    * [[readWithDvs]], folding the vector in).
+    */
+  private def dvLive(files: Seq[DataFileEntry],
+      dvs: Seq[DvFileEntry]): Seq[DvFileEntry] = {
+    val live = files.map(_.path).toSet
+    dvs.filter(_.dataPaths.exists(live.contains))
+  }
+
   /** Read `files` under the `target` schema, matching file columns to
     * target columns by FIELD ID (`targetIds`): a file written before a
     * rename reads through its old physical name, a file written before
@@ -1223,7 +1400,8 @@ final class SnapshotTable private (
     * owning snapshot's ids.
     */
   private def readResolved(target: StructType, targetIds: Seq[(String, Int)],
-      owner: Snapshot, files: Seq[DataFileEntry]): DataFrame = {
+      owner: Snapshot, files: Seq[DataFileEntry],
+      withPos: Boolean = false): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), target)
     val idByName = targetIds.toMap
@@ -1243,12 +1421,20 @@ final class SnapshotTable private (
       val df = spark.read.schema(physical)
         .parquet(fs.map(f => new Path(root, f.path).toString): _*)
       val writeNameById = live.map { case (wn, id) => id -> wn }.toMap
-      df.select(target.fields.toIndexedSeq.map { tf =>
+      val cols = target.fields.toIndexedSeq.map { tf =>
         idByName.get(tf.name).flatMap(writeNameById.get) match {
           case Some(wn) => col(SnapshotTable.quoted(wn)).as(tf.name)
           case None => lit(null).cast(tf.dataType).as(tf.name)
         }
-      }: _*)
+      }
+      // the hidden parquet metadata columns ride through the projection
+      // when positional-delete application (or position discovery)
+      // needs them — file path + row ordinal within the file
+      val extra =
+        if (!withPos) Nil
+        else Seq(col("_metadata.file_path").as(SnapshotTable.DvFileCol),
+          col("_metadata.row_index").as(SnapshotTable.DvPosCol))
+      df.select(cols ++ extra: _*)
     }
     parts.reduce(_ unionByName _)
   }
@@ -1611,11 +1797,12 @@ final class SnapshotTable private (
               throw new SnapshotConflictException(
                 s"schema evolved during compaction of $p — skipped " +
                   "(staged files carry the pre-evolution write schema)")
-            if (l.deleteFiles != latest.deleteFiles)
+            if (l.deleteFiles != latest.deleteFiles ||
+                l.dvFiles != latest.dvFiles)
               throw new SnapshotConflictException(
-                s"equality deletes changed during compaction of $p — " +
-                  "skipped (the rewrite would carry a fresh seq and " +
-                  "retire a delete it never applied, resurrecting rows)")
+                s"row-level deletes changed during compaction of $p — " +
+                  "skipped (the rewrite would retire a delete or vector " +
+                  "it never applied, resurrecting rows)")
             requireSpecUnchanged(latest, l) // staged under latest's spec
             next(l, "compact", l.schema,
               l.files.filterNot(f => before.contains(f.path)) ++
@@ -1869,7 +2056,8 @@ final class SnapshotTable private (
       nextWithIds(latest, s"rollback[$toVersion]", target.schema,
         target.ids, math.max(latest.nextIds, target.nextIds), target.files)
         .copy(spec = target.spec, properties = target.properties,
-          deleteFiles = target.deleteFiles, specSince = target.specSince)
+          deleteFiles = target.deleteFiles, specSince = target.specSince,
+          dvFiles = target.dvFiles)
     }
   }
 
@@ -1889,8 +2077,9 @@ final class SnapshotTable private (
     */
   def cloneTo(targetRoot: String, version: Long = -1L): SnapshotTable = {
     val src = if (version < 0) publishedSnapshot() else snapshotAt(version)
-    require(src.deleteFiles.isEmpty,
-      "clone source has pending merge-on-read deletes — compact() first")
+    require(src.deleteFiles.isEmpty && src.dvFiles.isEmpty,
+      "clone source has pending merge-on-read deletes or delete " +
+        "vectors — compact() first")
     // a spec-evolved source may hold files whose partition values were
     // computed under the OLD spec (f.seq < specSince); the clone's
     // fresh log cannot represent that split, so stamping them
@@ -2122,6 +2311,8 @@ final class SnapshotTable private (
         mainHead.files.map(_.path).toSet &&
         bAtMain.deleteFiles.map(_.path).toSet ==
           mainHead.deleteFiles.map(_.path).toSet &&
+        bAtMain.dvFiles.map(_.path).toSet ==
+          mainHead.dvFiles.map(_.path).toSet &&
         bAtMain.schema == mainHead.schema &&
         bAtMain.spec == mainHead.spec &&
         bAtMain.specSince == mainHead.specSince,
@@ -2182,7 +2373,8 @@ final class SnapshotTable private (
       .filter(_.root.toString != log.root.toString)
       .flatMap(l => l.versions().flatMap { v =>
         val s = l.read(v)
-        s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+        s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+        s.dvFiles.map(_.path)
       }).toSet
   }
 
@@ -2237,7 +2429,8 @@ final class SnapshotTable private (
     val info = (expire ++ retain).map(v => v -> log.readWithManifests(v)).toMap
     def paths(v: Long): Seq[String] = {
       val s = info(v)._1
-      s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+      s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+        s.dvFiles.map(_.path)
     }
     // sibling logs (main when expiring a branch; every branch when
     // expiring main) keep their referenced files live — a branch must
@@ -2289,7 +2482,8 @@ final class SnapshotTable private (
     // the live-manifest accounting further down
     val info = log.versions().map(v => log.readWithManifests(v))
     val referenced = info.flatMap { case (s, _) =>
-      s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+      s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+        s.dvFiles.map(_.path)
     }.toSet ++ externallyReferencedPaths() // branch heads are live too
     // wall clock, NOT the injected snapshot clock: the comparison is
     // against filesystem modification times
@@ -2398,7 +2592,10 @@ final class SnapshotTable private (
       stamped.exists(_.seq < d.seq))
     Snapshot(version, Some(parent.version), op, clock(),
       schema, parent.spec, parent.properties, stamped, ids, nextFieldId,
-      liveDels, parent.specSince)
+      liveDels, parent.specSince,
+      // same for positional vectors: retired once every covered data
+      // file was rewritten away (the rewrite applied them)
+      dvFiles = dvLive(stamped, parent.dvFiles))
   }
 
   /** Resolve field ids for a commit that may evolve the schema: every
@@ -2685,6 +2882,22 @@ object SnapshotTable {
     * never in data files or the logical schema.
     */
   private[graft] val PartCol = "__graft_p"
+
+  /** Projection aliases for the hidden parquet metadata columns the
+    * positional-delete machinery rides on (file path URI + row ordinal
+    * within the file) — never part of a table schema.
+    */
+  private[graft] val DvFileCol = "__graft_dvf"
+  private[graft] val DvPosCol = "__graft_dvp"
+
+  /** On-disk schema of a staged delete-vector parquet file: one row
+    * per covered data file — its manifest path, the serialized roaring
+    * bitmap of deleted row ordinals, and the bitmap cardinality.
+    */
+  private[graft] val DvSchema = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("dv", BinaryType, nullable = false),
+    StructField("rows", LongType, nullable = false)))
 
   /** Backtick-escape a column name for `functions.col`. */
   private[graft] def quoted(name: String): String =

@@ -281,11 +281,16 @@ final case class GraftDynamicOverwriteCommand(table: SnapshotTable,
   }
 }
 
-/** `DELETE FROM <graft target> WHERE p` lowered to the COW delete. */
+/** `DELETE FROM <graft target> WHERE p` lowered to the row-level
+  * delete — COW by default, positional delete vectors when the table
+  * sets `graft.delete.mode=merge-on-read` (same routing as the native
+  * v2 `deleteWhere` path, so the property holds for every predicate
+  * shape).
+  */
 final case class GraftDeleteCommand(table: SnapshotTable, cond: Column)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    table.delete(cond)
+    table.deleteRouted(cond)
     Nil
   }
 }

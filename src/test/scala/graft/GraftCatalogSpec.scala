@@ -155,6 +155,19 @@ class GraftCatalogSpec extends AnyFunSuite {
     val byId = sql("SELECT id, v FROM graft.dml.t").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(byId(1L) == 50.0 && byId(99L) == 99.0 && byId(2L) == 102.0)
+    // graft.delete.mode=merge-on-read routes SQL DELETE to positional
+    // delete vectors: zero data files rewritten, rows gone
+    sql("ALTER TABLE graft.dml.t SET TBLPROPERTIES " +
+      "('graft.delete.mode'='merge-on-read')")
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val st = SnapshotTable.load(spark, s"$warehouse/dml/t")
+    val preFiles = st.currentSnapshot().files.map(_.path).toSet
+    sql("DELETE FROM graft.dml.t WHERE id = 99")
+    val post = st.currentSnapshot()
+    assert(post.files.map(_.path).toSet == preFiles, "MoR: no rewrite")
+    assert(post.dvFiles.nonEmpty)
+    assert(!sql("SELECT id FROM graft.dml.t").as[Long].collect()
+      .contains(99L))
   }
 
   test("writes to a path-addressed catalog identifier and writeTo API") {

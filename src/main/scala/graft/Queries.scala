@@ -2047,6 +2047,38 @@ object Queries {
     graft.catalog.SnapshotTable.load(s, root)
   }
 
+  private val nestedEvoTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once NESTED-evolution fixture for `snap_nested_evolution`:
+    * evens appended with `meta = struct(user_id, kind)`; odds appended
+    * with an extra nested field `src_val` (write-side struct growth —
+    * even files must read NULL for it); then `user_id` renamed to
+    * `uid` INSIDE the struct (metadata-only — every existing file
+    * keeps serving values through its write-time name via the nested
+    * field id).
+    */
+  private def nestedEvoSnapshot(s: SparkSession,
+      dir: String): graft.catalog.SnapshotTable = {
+    val root = nestedEvoTableCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-snap-nest")
+        .resolve("t").toString
+      val ev = t(s, dir, "events")
+      val evens = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"),
+          struct(col("user_id"), col("event_type").as("kind")).as("meta"))
+      val tbl = graft.catalog.SnapshotTable.create(s, base, evens.schema)
+      tbl.append(evens)
+      tbl.append(ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"),
+          struct(col("user_id"), col("event_type").as("kind"),
+            col("value").as("src_val")).as("meta")))
+      tbl.renameStructField("meta", "user_id", "uid")
+      base
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
+
   /** The post-upsert value expression, shared by the oracles below. */
   private val snapValueSql =
     "CASE WHEN event_id % 100 = 0 THEN value + 1000.0 ELSE value END"
@@ -2659,6 +2691,31 @@ object Queries {
              |  TRUE AS mor_no_rewrite
              |FROM events WHERE event_id % 37 <> 0
              |GROUP BY 1""".stripMargin)),
+
+    // NESTED schema evolution (Iceberg struct-field evolution): the
+    // build grew a struct on write (new nested field — old files read
+    // NULL for it) and renamed a field INSIDE the struct metadata-only
+    // (old files keep serving values through their write-time name via
+    // the nested field id). nested_ok pins the post-evolution struct
+    // shape and that the rename commit is in the history; the flattened
+    // row values are oracle-exact — the reference DECLARED nested types
+    // (type_utils.py:62-74) but could never evolve them.
+    QueryDef("snap_nested_evolution",
+      (s, dir) => {
+        val tbl = nestedEvoSnapshot(s, dir)
+        val meta = tbl.schema("meta").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val ok = meta.fieldNames.toSeq == Seq("uid", "kind", "src_val") &&
+          tbl.history().exists(_.operation.startsWith("rename-struct-field"))
+        tbl.read()
+          .select(col("event_id"), col("meta.uid").as("uid"),
+            col("meta.kind").as("kind"), col("meta.src_val").as("src_val"))
+          .withColumn("nested_ok", lit(ok))
+      },
+      Some("""SELECT event_id, user_id AS uid, event_type AS kind,
+             |  CASE WHEN event_id % 2 = 1 THEN value END AS src_val,
+             |  TRUE AS nested_ok
+             |FROM events""".stripMargin)),
 
     // POSITIONAL DELETE VECTORS (Iceberg v3 DVs / Delta deletion
     // vectors): the DELETE commits a KB-sized roaring bitmap of row

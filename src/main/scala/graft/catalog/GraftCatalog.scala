@@ -214,7 +214,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     changes.foldLeft(t.schemaAt(None)) { (sch, c) =>
       import org.apache.spark.sql.types.{StructField, StructType}
       def has(n: String) = sch.fieldNames.contains(n)
+      def structOf(n: String): StructType = sch.fields.find(_.name == n)
+        .map(_.dataType).collect { case t: StructType => t }
+        .getOrElse(throw new IllegalArgumentException(
+          s"ALTER pre-check: $n is not a struct column"))
+      def withStruct(n: String, t: StructType): StructType =
+        StructType(sch.fields.map(f =>
+          if (f.name == n) f.copy(dataType = t) else f))
       c match {
+        // nested (struct-field) changes: one level deep, same shape as
+        // the Scala addStructField/renameStructField/dropStructField
+        case add: TableChange.AddColumn if add.fieldNames.length == 2 =>
+          val Array(parent, nf) = add.fieldNames
+          val st = structOf(parent)
+          require(!st.fieldNames.contains(nf) && add.position == null,
+            s"ALTER pre-check: cannot add $parent.$nf")
+          withStruct(parent, StructType(st.fields :+
+            StructField(nf, add.dataType, add.isNullable)))
+        case rn: TableChange.RenameColumn if rn.fieldNames.length == 2 =>
+          val Array(parent, from) = rn.fieldNames
+          val st = structOf(parent)
+          require(st.fieldNames.contains(from) &&
+            !st.fieldNames.contains(rn.newName),
+            s"ALTER pre-check: cannot rename $parent.$from to ${rn.newName}")
+          withStruct(parent, StructType(st.fields.map(f =>
+            if (f.name == from) f.copy(name = rn.newName) else f)))
+        case del: TableChange.DeleteColumn if del.fieldNames.length == 2 =>
+          val Array(parent, nf) = del.fieldNames
+          val st = structOf(parent)
+          require(del.ifExists || st.fieldNames.contains(nf),
+            s"ALTER pre-check: no field $parent.$nf")
+          withStruct(parent,
+            StructType(st.fields.filterNot(_.name == nf)))
         case add: TableChange.AddColumn =>
           require(add.fieldNames.length == 1 && !has(add.fieldNames.head),
             s"ALTER pre-check: cannot add ${add.fieldNames.mkString(".")}")
@@ -261,20 +292,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames.length == 2 =>
+        t.addStructField(add.fieldNames.head,
+          org.apache.spark.sql.types.StructField(
+            add.fieldNames()(1), add.dataType, add.isNullable))
+      case rn: TableChange.RenameColumn if rn.fieldNames.length == 2 =>
+        t.renameStructField(rn.fieldNames.head, rn.fieldNames()(1), rn.newName)
+      case del: TableChange.DeleteColumn if del.fieldNames.length == 2 =>
+        val parent = del.fieldNames.head
+        val exists = t.schemaAt(None).fields.find(_.name == parent)
+          .map(_.dataType).collect {
+            case st: org.apache.spark.sql.types.StructType =>
+              st.fieldNames.contains(del.fieldNames()(1))
+          }.getOrElse(false)
+        if (!del.ifExists || exists)
+          t.dropStructField(parent, del.fieldNames()(1))
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
-          "graft tables have flat schemas — nested ADD COLUMN is not " +
-            s"supported: ${add.fieldNames.mkString(".")}")
+          "ADD COLUMN supports top-level columns and parent.field " +
+            s"(one struct level): ${add.fieldNames.mkString(".")}")
         require(add.position == null,
           "ADD COLUMN ... FIRST/AFTER is not supported (columns append; " +
             "projection order is a query concern)")
         t.addColumns(Seq(org.apache.spark.sql.types.StructField(
           add.fieldNames.head, add.dataType, add.isNullable)))
       case rn: TableChange.RenameColumn =>
-        require(rn.fieldNames.length == 1, "nested columns not supported")
+        require(rn.fieldNames.length == 1,
+          "RENAME supports top-level columns and parent.field " +
+            s"(one struct level): ${rn.fieldNames.mkString(".")}")
         t.renameColumn(rn.fieldNames.head, rn.newName)
       case del: TableChange.DeleteColumn =>
-        require(del.fieldNames.length == 1, "nested columns not supported")
+        require(del.fieldNames.length == 1,
+          "DROP COLUMN supports top-level columns and parent.field " +
+            s"(one struct level): ${del.fieldNames.mkString(".")}")
         if (!del.ifExists ||
             t.schemaAt(None).fieldNames.contains(del.fieldNames.head))
           t.dropColumn(del.fieldNames.head)

@@ -290,10 +290,17 @@ private final class GraftV2ScanRelation(
   override def buildScan(): RDD[Row] = {
     v2.guardSchemaDrift()
     val df = v2.table.scanFor(v2.pinned, filters.toIndexedSeq)
+    // Catalyst may prune NESTED fields too (SELECT meta.boost arrives
+    // as meta: struct<boost>): the declared schema must match the rows
+    // byte-for-byte, so conform each struct column to the pruned shape
+    // by NAME — a bare top-level select would return the full struct
+    // under a narrower declared type and fail row encoding
     val projected =
       if (required.isEmpty) df.select()
-      else df.select(required.fieldNames.toIndexedSeq.map(c =>
-        org.apache.spark.sql.functions.col(SnapshotTable.quoted(c))): _*)
+      else graft.schema.SchemaOps.alignTo(
+        df.select(required.fieldNames.toIndexedSeq.map(c =>
+          org.apache.spark.sql.functions.col(SnapshotTable.quoted(c))): _*),
+        required)
     projected.rdd
   }
 }

@@ -45,7 +45,8 @@ final case class ColStats(min: Option[String], max: Option[String],
   */
 final case class DataFileEntry(path: String, partition: Option[String],
     rows: Long, stats: Map[String, ColStats] = Map.empty,
-    cols: Seq[(String, Int)] = Seq.empty, seq: Long = 0L)
+    cols: Seq[(String, Int)] = Seq.empty, seq: Long = 0L,
+    nested: Seq[(String, Int)] = Seq.empty)
 
 /** One equality-delete file (merge-on-read — Iceberg v2 delete files):
   * a parquet file of DISTINCT key tuples whose matching data rows are
@@ -126,7 +127,8 @@ final case class Snapshot(
     nextFieldId: Int = 0,
     deleteFiles: Seq[DeleteFileEntry] = Seq.empty,
     specSince: Long = 0L,
-    dvFiles: Seq[DvFileEntry] = Seq.empty) {
+    dvFiles: Seq[DvFileEntry] = Seq.empty,
+    nestedIds: Seq[(String, Int)] = Seq.empty) {
 
   /** Distinct partition values present (None = null/unpartitioned). */
   def partitions: Seq[Option[String]] = files.map(_.partition).distinct
@@ -600,7 +602,13 @@ object SnapshotLog {
     val seq =
       if (f.seq == 0L) Nil // legacy-compatible: 0 is the default
       else List("seq" -> (JLong(f.seq): JValue))
-    JObject(base ++ stats ++ cols ++ seq)
+    // nested struct-field write ids ("<parentFieldId>.<writeName>" ->
+    // id), omitted when the file has no tracked struct fields
+    val nested =
+      if (f.nested.isEmpty) Nil
+      else List("nested" -> (JArray(f.nested.toList.map { case (n, id) =>
+        JArray(List(JString(n), JInt(id))) }): JValue))
+    JObject(base ++ stats ++ cols ++ seq ++ nested)
   }
 
   private def deleteFileToJValue(d: DeleteFileEntry): JValue =
@@ -624,6 +632,12 @@ object SnapshotLog {
       "rows" -> (JLong(d.rows): JValue),
       "dataPaths" -> (JArray(d.dataPaths.toList.map(JString(_))): JValue),
       "seq" -> (JLong(d.seq): JValue))))): JValue))
+
+  // omitted when empty, so pre-nested logs and fixtures stay byte-stable
+  private def nestedIdsJson(s: Snapshot): List[(String, JValue)] =
+    if (s.nestedIds.isEmpty) Nil
+    else List("nestedIds" -> (JArray(s.nestedIds.toList.map {
+      case (n, id) => JArray(List(JString(n), JInt(id))) }): JValue))
 
   private def dvFilesFromJValue(v: JValue): Seq[DvFileEntry] = v match {
     case JArray(items) => items.map(d => DvFileEntry(
@@ -668,7 +682,7 @@ object SnapshotLog {
         JArray(List(JString(n), JInt(id))) }),
       "nextFieldId" -> JInt(s.nextFieldId),
       "files" -> files) ++ deleteFilesJson(s) ++ specSinceJson(s) ++
-      dvFilesJson(s))
+      dvFilesJson(s) ++ nestedIdsJson(s))
     JsonMethods.compact(JsonMethods.render(obj))
   }
 
@@ -711,7 +725,7 @@ object SnapshotLog {
     }
     DataFileEntry(jStr(f \ "path"), jOptStr(f \ "partition"),
       jLng(f \ "rows"), stats, jPairs(f \ "cols"),
-      jOptLong(f \ "seq").getOrElse(0L))
+      jOptLong(f \ "seq").getOrElse(0L), jPairs(f \ "nested"))
   }
 
   private def deleteFilesFromJValue(v: JValue): Seq[DeleteFileEntry] =
@@ -764,7 +778,8 @@ object SnapshotLog {
       },
       deleteFiles = deleteFilesFromJValue(field("deleteFiles")),
       specSince = jOptLong(field("specSince")).getOrElse(0L),
-      dvFiles = dvFilesFromJValue(field("dvFiles")))
+      dvFiles = dvFilesFromJValue(field("dvFiles")),
+      nestedIds = jPairs(field("nestedIds")))
     (snap, manifests)
   }
 
@@ -797,7 +812,8 @@ object SnapshotLog {
       "manifests" -> JArray(manifests.toList.map(m => JObject(List(
         "path" -> (JString(m.path): JValue),
         "fileCount" -> (JInt(m.fileCount): JValue))))))
-      ++ deleteFilesJson(s) ++ specSinceJson(s) ++ dvFilesJson(s))
+      ++ deleteFilesJson(s) ++ specSinceJson(s) ++ dvFilesJson(s)
+      ++ nestedIdsJson(s))
     JsonMethods.compact(JsonMethods.render(obj))
   }
 

@@ -475,7 +475,8 @@ final class SnapshotTable private (
     // every from-visible file has seq ≤ from < delete seq, so the
     // new delete files apply to ALL of them — plain semi-join
     val deletes =
-      readWithDeletes(sTo.schema, sTo.ids, sFrom, sFrom.files)
+      readWithDeletes(sTo.schema, sTo.ids, sFrom, sFrom.files,
+          targetNested = sTo.nestedIds)
         .join(keys, keyNames, "left_semi")
         .select(lit("delete").as("_change_type") +: changeCols(sTo): _*)
     // NET the two sides (multiset): a key deleted and re-appended with
@@ -506,7 +507,8 @@ final class SnapshotTable private (
       readWithDeletes(sTo.schema, sTo.ids, sTo, sTo.files), mf)
       .withColumn("__w", lit(1L))
     val fromDf = encodeMapCols(
-      readWithDeletes(sTo.schema, sTo.ids, sFrom, sFrom.files), mf)
+      readWithDeletes(sTo.schema, sTo.ids, sFrom, sFrom.files,
+        targetNested = sTo.nestedIds), mf)
       .withColumn("__w", lit(-1L))
     val diffed = toDf.unionByName(fromDf)
       .groupBy(names.map(n => col(SnapshotTable.quoted(n))): _*)
@@ -814,7 +816,7 @@ final class SnapshotTable private (
     val staged = stage(survivors, base.spec, base.properties)
     commitStrict(base, next(base, "delete", base.schema,
       base.files.filterNot(f => hitSet.contains(f.path)) ++
-        staged.map(_.copy(cols = base.ids))))
+        staged.map(_.copy(cols = base.ids, nested = nestedPairsOf(base)))))
   }
 
   /** Row-level UPDATE, copy-on-write at FILE granularity (SQL
@@ -859,7 +861,7 @@ final class SnapshotTable private (
     val staged = stage(rewritten, base.spec, base.properties)
     commitStrict(base, next(base, "update", base.schema,
       base.files.filterNot(f => hitSet.contains(f.path)) ++
-        staged.map(_.copy(cols = base.ids))))
+        staged.map(_.copy(cols = base.ids, nested = nestedPairsOf(base)))))
   }
 
   /** MERGE INTO, copy-on-write at FILE granularity: source key bounds
@@ -941,7 +943,8 @@ final class SnapshotTable private (
     for (InsertClause(_, Some(assigns)) <- notMatched; (n, _) <- assigns)
       require(evolved.fieldNames.contains(n),
         s"INSERT target column $n is not in the table schema")
-    val (pairs, schema2, ids2, nid) = integrate(base, evolved)
+    val ig = integrate(base, evolved)
+    val (pairs, nestedPairs) = (ig.pairs, ig.nested)
     val src = SchemaOps.alignTo(source, evolved).localCheckpoint(true)
     val srcKeys = src.select(on.map(col): _*).distinct()
     // cardinality rule applies to MATCHABLE keys only: a NULL key never
@@ -984,7 +987,8 @@ final class SnapshotTable private (
         // over-approximates hits by MoR-deleted keys only — hitRows
         // below is delete-applied, so content stays exact. __f is
         // captured BEFORE any join so it always binds to the scan.
-        val raw = readResolved(evolved, pairs, base, candidates)
+        val raw = readResolved(evolved, pairs, base, candidates,
+            targetNested = ig.nestedIds2)
           .withColumn("__graft_f", input_file_name())
         val hitDf = nmbsFires match {
           case None => raw.join(srcKeys, on, "left_semi")
@@ -998,7 +1002,8 @@ final class SnapshotTable private (
         candidates.filter(f => hitPaths.contains(f.path))
       }
     val hitSet = hit.map(_.path).toSet
-    val hitRows = readWithDeletes(evolved, pairs, base, hit)
+    val hitRows = readWithDeletes(evolved, pairs, base, hit,
+      targetNested = ig.nestedIds2)
     // expression-list projection under the t/s aliases: assigned
     // columns evaluate and cast to the declared type, the rest take
     // `restFrom` (t.* for UPDATE SET, NULL for column-list INSERT)
@@ -1076,9 +1081,11 @@ final class SnapshotTable private (
     val staged = stage(
       (survivors +: additions).reduce(_ unionByName _),
       base.spec, base.properties)
-    commitStrict(base, nextWithIds(base, "merge", schema2, ids2, nid,
+    commitStrict(base, nextWithIds(base, "merge", ig.schema2, ig.ids2,
+      ig.nextId,
       base.files.filterNot(f => hitSet.contains(f.path)) ++
-        staged.map(_.copy(cols = pairs))))
+        staged.map(_.copy(cols = pairs, nested = nestedPairs)))
+      .copy(nestedIds = ig.nestedIds2))
   }
 
   /** Sub-path of a freshly staged file INSIDE its batch directory, from
@@ -1126,14 +1133,15 @@ final class SnapshotTable private (
     * row-level MoR mechanisms compose.
     */
   private def readWithDeletes(target: StructType, targetIds: Seq[(String, Int)],
-      owner: Snapshot, files: Seq[DataFileEntry]): DataFrame = {
+      owner: Snapshot, files: Seq[DataFileEntry],
+      targetNested: Seq[(String, Int)] = null): DataFrame = {
     val dels = owner.deleteFiles
     if (dels.isEmpty || files.isEmpty)
-      return readWithDvs(target, targetIds, owner, files)
+      return readWithDvs(target, targetIds, owner, files, targetNested)
     val currentById = targetIds.map { case (n, id) => id -> n }.toMap
     files.groupBy(f => dels.filter(_.seq > f.seq).map(_.path).toSet)
       .toSeq.map { case (applicable, fs) =>
-        val base = readWithDvs(target, targetIds, owner, fs)
+        val base = readWithDvs(target, targetIds, owner, fs, targetNested)
         dels.filter(d => applicable.contains(d.path)).foldLeft(base) {
           (df, d) =>
             val keyNames = d.cols.map { case (_, id) =>
@@ -1163,11 +1171,14 @@ final class SnapshotTable private (
     * deletes survive any schema evolution.
     */
   private def readWithDvs(target: StructType, targetIds: Seq[(String, Int)],
-      owner: Snapshot, files: Seq[DataFileEntry]): DataFrame = {
+      owner: Snapshot, files: Seq[DataFileEntry],
+      targetNested: Seq[(String, Int)] = null): DataFrame = {
     if (owner.dvFiles.isEmpty || files.isEmpty)
-      return readResolved(target, targetIds, owner, files)
+      return readResolved(target, targetIds, owner, files,
+        targetNested = targetNested)
     val (hit, clean) = files.partition(f => dvsOf(owner, f).nonEmpty)
-    if (hit.isEmpty) return readResolved(target, targetIds, owner, files)
+    if (hit.isEmpty) return readResolved(target, targetIds, owner, files,
+      targetNested = targetNested)
     val dvEntries = hit.flatMap(f => dvsOf(owner, f)).distinct
     // rel-path → the NORMALIZED absolute path _metadata.file_path
     // renders (scheme stripped) — tiny, broadcast with the decode
@@ -1193,7 +1204,8 @@ final class SnapshotTable private (
             }
         }
       }.toDF("__graft_dvf", "__graft_dvp")
-    val scanned = readResolved(target, targetIds, owner, hit, withPos = true)
+    val scanned = readResolved(target, targetIds, owner, hit, withPos = true,
+      targetNested = targetNested)
       // _metadata.file_path is a URI ("file:/…"); normalize to the
       // bare path so the join key matches relToAbs' rendering
       .withColumn(SnapshotTable.DvFileCol, regexp_replace(
@@ -1204,7 +1216,8 @@ final class SnapshotTable private (
         "left_anti")
       .drop(SnapshotTable.DvFileCol, SnapshotTable.DvPosCol)
     if (clean.isEmpty) survivors
-    else readResolved(target, targetIds, owner, clean).unionByName(survivors)
+    else readResolved(target, targetIds, owner, clean,
+      targetNested = targetNested).unionByName(survivors)
   }
 
   /** Read one equality-delete file's key tuples under CURRENT names and
@@ -1388,6 +1401,28 @@ final class SnapshotTable private (
     dvs.filter(_.dataPaths.exists(live.contains))
   }
 
+  /** The (key, id) pairs a file staged under snapshot `s`\'s CURRENT
+    * schema records for its struct fields — keys are
+    * "<parentFieldId>.<fieldName>". Partial nestedIds (legacy structs)
+    * yield partial pairs; readers fall back to by-name there.
+    */
+  private def nestedPairsOf(s: Snapshot): Seq[(String, Int)] =
+    nestedPairsFor(s.schema, s.ids, s.nestedIds)
+
+  private def nestedPairsFor(schema: StructType, ids: Seq[(String, Int)],
+      nestedIds: Seq[(String, Int)]): Seq[(String, Int)] = {
+    val idByName = ids.toMap
+    val nm = nestedIds.toMap
+    schema.fields.toIndexedSeq.flatMap { f =>
+      (f.dataType, idByName.get(f.name)) match {
+        case (st: StructType, Some(pid)) =>
+          st.fields.toIndexedSeq.flatMap(nf =>
+            nm.get(s"$pid.${nf.name}").map(id => s"$pid.${nf.name}" -> id))
+        case _ => Nil
+      }
+    }
+  }
+
   /** Read `files` under the `target` schema, matching file columns to
     * target columns by FIELD ID (`targetIds`): a file written before a
     * rename reads through its old physical name, a file written before
@@ -1401,29 +1436,84 @@ final class SnapshotTable private (
     */
   private def readResolved(target: StructType, targetIds: Seq[(String, Int)],
       owner: Snapshot, files: Seq[DataFileEntry],
-      withPos: Boolean = false): DataFrame = {
+      withPos: Boolean = false,
+      targetNested: Seq[(String, Int)] = null): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), target)
+    // nested struct-field ids of the TARGET schema ("<pid>.<name>" →
+    // id); null means "the owner snapshot's" (the common case — an
+    // evolving write passes its own so new nested fields resolve)
+    val tnMap = Option(targetNested).getOrElse(owner.nestedIds).toMap
     val idByName = targetIds.toMap
     val fieldById: Map[Int, StructField] =
       target.fields.toIndexedSeq
         .flatMap(f => idByName.get(f.name).map(_ -> f)).toMap
-    val groups = files.groupBy(f => if (f.cols.nonEmpty) f.cols else owner.ids)
-    val parts = groups.toSeq.map { case (pairs, fs) =>
+    val groups = files.groupBy(f =>
+      (if (f.cols.nonEmpty) f.cols else owner.ids, f.nested))
+    val parts = groups.toSeq.map { case ((pairs, fileNested), fs) =>
       val live = pairs.filter { case (_, id) => fieldById.contains(id) }
+      // this file group's write-time (parentId, writeName) per nested id
+      val fileNestedById: Map[Int, (Int, String)] =
+        fileNested.flatMap { case (k, id) =>
+          val dot = k.indexOf('.')
+          if (dot <= 0) None
+          else k.substring(0, dot).toIntOption
+            .map(pid => id -> (pid, k.substring(dot + 1)))
+        }.toMap
       // explicit leaf-file list: Spark takes each file's parent as its
       // base path, so the staging dirs' __graft_p=... segments do NOT
       // surface as a partition column (pinned in SnapshotTableSpec);
       // requesting the CURRENT (possibly widened) type per id lets the
-      // parquet reader widen older int32/float pages at scan
-      val physical = StructType(live.map { case (wn, id) =>
-        StructField(wn, fieldById(id).dataType, nullable = true) })
+      // parquet reader widen older int32/float pages at scan.
+      // STRUCT columns resolve one level deep by NESTED field id: the
+      // physical request uses the file's write-time nested names, and
+      // `rebuild` reconstructs the target struct (renames re-aliased,
+      // added/dropped-and-readded fields null-filled, struct NULLness
+      // preserved). A field without a tracked id — or a file from
+      // before nested tracking — maps by name, the legacy behavior.
+      val rebuild = scala.collection.mutable.Map.empty[String, Column]
+      val physFields = live.map { case (wn, id) =>
+        fieldById(id).dataType match {
+          case st: StructType =>
+            val resolved = st.fields.toIndexedSeq.map { nf =>
+              tnMap.get(s"$id.${nf.name}") match {
+                case Some(nid) => fileNestedById.get(nid) match {
+                  case Some((p, fwn)) if p == id => (nf, Some(fwn))
+                  case Some(_) => (nf, None) // retired parent: never read
+                  case None =>
+                    if (fileNested.isEmpty) (nf, Some(nf.name)) // legacy
+                    else (nf, None) // file predates the field (or re-add)
+                }
+                case None => (nf, Some(nf.name)) // untracked: by name
+              }
+            }
+            val physNested = resolved.collect { case (nf, Some(fwn)) =>
+              StructField(fwn, nf.dataType, nullable = true) }
+            val passthrough =
+              resolved.forall { case (nf, r) => r.contains(nf.name) }
+            if (!passthrough) {
+              val parent = col(SnapshotTable.quoted(wn))
+              rebuild(wn) = when(parent.isNull,
+                  lit(null).cast(StructType(st.fields.map(_.copy(nullable = true)))))
+                .otherwise(struct(resolved.map {
+                  case (nf, Some(fwn)) => parent.getField(fwn).as(nf.name)
+                  case (nf, None) => lit(null).cast(nf.dataType).as(nf.name)
+                }: _*))
+            }
+            StructField(wn, StructType(physNested), nullable = true)
+          case dt => StructField(wn, dt, nullable = true)
+        }
+      }
+      val physical = StructType(physFields)
       val df = spark.read.schema(physical)
         .parquet(fs.map(f => new Path(root, f.path).toString): _*)
       val writeNameById = live.map { case (wn, id) => id -> wn }.toMap
       val cols = target.fields.toIndexedSeq.map { tf =>
         idByName.get(tf.name).flatMap(writeNameById.get) match {
-          case Some(wn) => col(SnapshotTable.quoted(wn)).as(tf.name)
+          case Some(wn) => rebuild.get(wn) match {
+            case Some(rebuilt) => rebuilt.as(tf.name)
+            case None => col(SnapshotTable.quoted(wn)).as(tf.name)
+          }
           case None => lit(null).cast(tf.dataType).as(tf.name)
         }
       }
@@ -1462,9 +1552,11 @@ final class SnapshotTable private (
     onStagedHook()
     commitRetry { latest =>
       requireSpecUnchanged(base, latest)
-      val (pairs, schema2, ids2, nid) = integrate(latest, evolved)
-      nextWithIds(latest, "append", schema2, ids2, nid,
-        latest.files ++ staged.map(_.copy(cols = pairs)))
+      val ig = integrate(latest, evolved)
+      nextWithIds(latest, "append", ig.schema2, ig.ids2, ig.nextId,
+        latest.files ++
+          staged.map(_.copy(cols = ig.pairs, nested = ig.nested)))
+        .copy(nestedIds = ig.nestedIds2)
     }
   }
 
@@ -1560,9 +1652,11 @@ final class SnapshotTable private (
       require(dup.isEmpty,
         s"importParquet: already referenced by this table: " +
           dup.take(3).mkString(", "))
-      val (pairs, schema2, ids2, nid) = integrate(latest, srcSchema)
-      nextWithIds(latest, "import", schema2, ids2, nid,
-        latest.files ++ entries.map(_.copy(cols = pairs)))
+      val ig = integrate(latest, srcSchema)
+      nextWithIds(latest, "import", ig.schema2, ig.ids2, ig.nextId,
+        latest.files ++
+          entries.map(_.copy(cols = ig.pairs, nested = ig.nested)))
+        .copy(nestedIds = ig.nestedIds2)
     }
   }
 
@@ -1578,9 +1672,10 @@ final class SnapshotTable private (
       base.properties, applyLayout = true)
     commitRetry { latest =>
       requireSpecUnchanged(base, latest)
-      val (pairs, schema2, ids2, nid) = integrate(latest, evolved)
-      nextWithIds(latest, "overwrite_table", schema2, ids2, nid,
-        staged.map(_.copy(cols = pairs)))
+      val ig = integrate(latest, evolved)
+      nextWithIds(latest, "overwrite_table", ig.schema2, ig.ids2, ig.nextId,
+        staged.map(_.copy(cols = ig.pairs, nested = ig.nested)))
+        .copy(nestedIds = ig.nestedIds2)
     }
   }
 
@@ -1599,10 +1694,11 @@ final class SnapshotTable private (
     val replaced = staged.map(_.partition).toSet
     commitRetry { latest =>
       requireSpecUnchanged(base, latest)
-      val (pairs, schema2, ids2, nid) = integrate(latest, evolved)
-      nextWithIds(latest, "overwrite", schema2, ids2, nid,
+      val ig = integrate(latest, evolved)
+      nextWithIds(latest, "overwrite", ig.schema2, ig.ids2, ig.nextId,
         latest.files.filterNot(f => replaced.contains(f.partition)) ++
-          staged.map(_.copy(cols = pairs)))
+          staged.map(_.copy(cols = ig.pairs, nested = ig.nested)))
+        .copy(nestedIds = ig.nestedIds2)
     }
   }
 
@@ -1628,7 +1724,8 @@ final class SnapshotTable private (
       baseVersion: Long): Snapshot = {
     val base = log.read(baseVersion)
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
-    val (pairs, schema2, ids2, nid) = integrate(base, evolved)
+    val ig = integrate(base, evolved)
+    val pairs = ig.pairs
     val incoming = SchemaOps.alignTo(df, evolved).localCheckpoint(true)
     // empty batch: nothing to replace — without this, the unpartitioned
     // path below would rewrite the WHOLE table to change zero rows (a
@@ -1638,25 +1735,30 @@ final class SnapshotTable private (
     base.spec match {
       case None =>
         // unpartitioned: whole-table rewrite, still one atomic commit
-        val survivors = readWithDeletes(evolved, pairs, base, base.files)
+        val survivors = readWithDeletes(evolved, pairs, base, base.files,
+            targetNested = ig.nestedIds2)
           .join(keys, keyCols, "left_anti")
         val staged = stage(survivors.unionByName(incoming), None, base.properties)
-        commitStrict(base, nextWithIds(base, "upsert", schema2, ids2, nid,
-          staged.map(_.copy(cols = pairs))))
+        commitStrict(base, nextWithIds(base, "upsert", ig.schema2, ig.ids2,
+          ig.nextId, staged.map(_.copy(cols = pairs, nested = ig.nested)))
+          .copy(nestedIds = ig.nestedIds2))
       case Some(spec) =>
         requireUniformSpec(base, "partition-scoped upsert")
         val pExpr = SnapshotTable.partitionExpr(spec)
         val touched = incoming.select(pExpr.as("p")).distinct()
-          .unionByName(readWithDeletes(evolved, pairs, base, base.files)
+          .unionByName(readWithDeletes(evolved, pairs, base, base.files,
+              targetNested = ig.nestedIds2)
             .join(keys, keyCols, "left_semi").select(pExpr.as("p")).distinct())
           .distinct().collect().map(r => Option(r.getString(0))).toSet
         val touchedFiles = base.files.filter(f => touched.contains(f.partition))
-        val survivors = readWithDeletes(evolved, pairs, base, touchedFiles)
+        val survivors = readWithDeletes(evolved, pairs, base, touchedFiles,
+            targetNested = ig.nestedIds2)
           .join(keys, keyCols, "left_anti")
         val staged = stage(survivors.unionByName(incoming), Some(spec), base.properties)
         val files = base.files.filterNot(f => touched.contains(f.partition)) ++
-          staged.map(_.copy(cols = pairs))
-        commitStrict(base, nextWithIds(base, "upsert", schema2, ids2, nid, files))
+          staged.map(_.copy(cols = pairs, nested = ig.nested))
+        commitStrict(base, nextWithIds(base, "upsert", ig.schema2, ig.ids2,
+          ig.nextId, files).copy(nestedIds = ig.nestedIds2))
     }
   }
 
@@ -1694,10 +1796,13 @@ final class SnapshotTable private (
       val latest = currentSnapshot()
       if (committed(latest)) return None
       requireSpecUnchanged(base, latest)
-      val (pairs, schema2, ids2, nid) = integrate(latest, evolved)
+      val ig = integrate(latest, evolved)
       val candidate = nextWithIds(latest, s"stream-append[$batchId]",
-        schema2, ids2, nid, latest.files ++ staged.map(_.copy(cols = pairs)))
-        .copy(properties = latest.properties + (key -> batchId.toString))
+        ig.schema2, ig.ids2, ig.nextId,
+        latest.files ++
+          staged.map(_.copy(cols = ig.pairs, nested = ig.nested)))
+        .copy(properties = latest.properties + (key -> batchId.toString),
+          nestedIds = ig.nestedIds2)
       if (log.tryCommit(candidate)) return Some(candidate)
       attempts += 1
     }
@@ -1806,7 +1911,8 @@ final class SnapshotTable private (
             requireSpecUnchanged(latest, l) // staged under latest's spec
             next(l, "compact", l.schema,
               l.files.filterNot(f => before.contains(f.path)) ++
-                staged.map(_.copy(cols = latest.ids)))
+                staged.map(_.copy(cols = latest.ids,
+                  nested = nestedPairsOf(latest))))
           }
           Some((p, before.size, staged.size))
         } catch {
@@ -1926,6 +2032,115 @@ final class SnapshotTable private (
     }
   }
 
+  // ------------------------------------------------------------------
+  // Nested (struct-field) schema evolution — Iceberg evolves fields
+  // INSIDE structs with the same field-id discipline as top-level
+  // columns; the reference DECLARED nested types (type_utils.py:62-74,
+  // with a latent rendering crash) but could never evolve them. All
+  // three are metadata-only: no data file is touched at any scale.
+  // ------------------------------------------------------------------
+
+  /** Metadata-only ADD of a field inside a top-level struct column
+    * (`ALTER TABLE t ADD COLUMNS (parent.name type)`): the field gets
+    * a fresh nested id; existing files surface NULL for it through the
+    * nested id mapping. Write-side evolution does the same implicitly
+    * when an appended batch's struct carries new fields.
+    */
+  def addStructField(parent: String, field: StructField): Snapshot =
+    commitRetry { latest =>
+      val (pid, st) = structParent(latest, parent, "addStructField")
+      require(!st.fieldNames.contains(field.name),
+        s"field $parent.${field.name} already exists")
+      graft.schema.TypeMapping.render(field.dataType) // closed universe
+      val schema2 = replaceParent(latest.schema, parent,
+        StructType(st.fields :+ field))
+      val nid = latest.nextIds
+      nextWithIds(latest, s"add-struct-field[$parent.${field.name}]",
+        schema2, latest.ids, nid + 1, latest.files)
+        .copy(nestedIds = latest.nestedIds :+
+          (s"$pid.${field.name}" -> nid))
+    }
+
+  /** Metadata-only RENAME of a field inside a top-level struct column:
+    * the nested id is unchanged, so every existing file keeps serving
+    * its values through the old write-time name. Requires every live
+    * file holding the struct to record nested write ids (files from
+    * before nested tracking map by name and would silently go NULL) —
+    * compact() first, same remedy as top-level rename's legacy guard.
+    */
+  def renameStructField(parent: String, from: String, to: String): Snapshot =
+    commitRetry { latest =>
+      val (pid, st) = structParent(latest, parent, "renameStructField")
+      require(st.fieldNames.contains(from), s"no field $parent.$from")
+      require(!st.fieldNames.contains(to),
+        s"field $parent.$to already exists")
+      require(latest.nestedIds.toMap.contains(s"$pid.$from"),
+        s"renameStructField: $parent.$from has no tracked nested id " +
+          "(struct predates nested tracking) — append or compact() " +
+          "once to backfill ids, then retry")
+      requireNestedRecorded(latest, pid, parent, "renameStructField")
+      val schema2 = replaceParent(latest.schema, parent,
+        StructType(st.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)))
+      nextWithIds(latest, s"rename-struct-field[$parent.$from->$to]",
+        schema2, latest.ids, latest.nextIds, latest.files)
+        .copy(nestedIds = latest.nestedIds.map { case (k, id) =>
+          (if (k == s"$pid.$from") s"$pid.$to" else k) -> id })
+    }
+
+  /** Metadata-only DROP of a field inside a top-level struct column:
+    * the nested id is retired — files keep their bytes but readers
+    * never surface them, and a later re-ADD of the same name draws a
+    * FRESH id (old values can never resurrect). Same recorded-ids
+    * guard as rename, for the same no-resurrection reason.
+    */
+  def dropStructField(parent: String, name: String): Snapshot =
+    commitRetry { latest =>
+      val (pid, st) = structParent(latest, parent, "dropStructField")
+      require(st.fieldNames.contains(name), s"no field $parent.$name")
+      require(st.fields.length > 1,
+        s"cannot drop the last field of $parent — drop the column")
+      requireNestedRecorded(latest, pid, parent, "dropStructField")
+      val schema2 = replaceParent(latest.schema, parent,
+        StructType(st.fields.filterNot(_.name == name)))
+      nextWithIds(latest, s"drop-struct-field[$parent.$name]",
+        schema2, latest.ids, latest.nextIds, latest.files)
+        .copy(nestedIds = latest.nestedIds
+          .filterNot(_._1 == s"$pid.$name"))
+    }
+
+  private def structParent(s: Snapshot, parent: String,
+      op: String): (Int, StructType) = {
+    val f = s.schema.fields.find(_.name == parent).getOrElse(
+      sys.error(s"$op: no column $parent in ${s.schema.simpleString}"))
+    val st = f.dataType match {
+      case t: StructType => t
+      case other => sys.error(
+        s"$op: $parent is ${other.simpleString}, not a struct")
+    }
+    (s.ids.toMap.apply(parent), st)
+  }
+
+  private def replaceParent(schema: StructType, parent: String,
+      to: StructType): StructType =
+    StructType(schema.fields.map(f =>
+      if (f.name == parent) f.copy(dataType = to) else f))
+
+  /** Struct-field rename/drop need every live file holding the parent
+    * to record nested write ids; a file written before nested tracking
+    * maps its fields BY NAME, so a rename would silently read the old
+    * physical field as NULL (and a drop+re-add would resurrect it).
+    */
+  private def requireNestedRecorded(s: Snapshot, pid: Int, parent: String,
+      op: String): Unit = {
+    val legacy = s.files.count(f =>
+      (if (f.cols.nonEmpty) f.cols else s.ids).exists(_._2 == pid) &&
+        !f.nested.exists(_._1.startsWith(s"$pid.")))
+    require(legacy == 0,
+      s"$op refused: $legacy data file(s) holding $parent predate " +
+        "recorded struct field ids — run compact() first")
+  }
+
   /** Rewrite ONLY the files written under a pre-evolution partition
     * spec into the current one (a [[compact]] scoped to their partition
     * groups with `minFiles = 1`) — cost is O(legacy files), not
@@ -1999,7 +2214,10 @@ final class SnapshotTable private (
     val ids2 = latest.ids.filterNot(_._1 == name)
     nextWithIds(latest, s"drop[$name]", schema2, ids2,
       latest.nextIds, latest.files)
-      .copy(properties = renameInBloomProps(latest.properties, name, None))
+      .copy(properties = renameInBloomProps(latest.properties, name, None),
+        // a dropped struct parent retires its children's ids with it
+        nestedIds = dropId.map(pid => latest.nestedIds
+          .filterNot(_._1.startsWith(s"$pid."))).getOrElse(latest.nestedIds))
   }
 
   /** Rename/drop rely on per-file write schemas: a legacy entry (no
@@ -2595,7 +2813,8 @@ final class SnapshotTable private (
       liveDels, parent.specSince,
       // same for positional vectors: retired once every covered data
       // file was rewritten away (the rewrite applied them)
-      dvFiles = dvLive(stamped, parent.dvFiles))
+      dvFiles = dvLive(stamped, parent.dvFiles),
+      nestedIds = parent.nestedIds)
   }
 
   /** Resolve field ids for a commit that may evolve the schema: every
@@ -2608,19 +2827,48 @@ final class SnapshotTable private (
     * blind append racing a concurrent RENAME re-adds the old name as a
     * new column instead of landing under the renamed id.
     */
-  private def integrate(latest: Snapshot, stagedSchema: StructType):
-      (Seq[(String, Int)], StructType, Seq[(String, Int)], Int) = {
+  private final case class Integration(
+      pairs: Seq[(String, Int)], nested: Seq[(String, Int)],
+      schema2: StructType, ids2: Seq[(String, Int)],
+      nestedIds2: Seq[(String, Int)], nextId: Int)
+
+  private def integrate(latest: Snapshot, stagedSchema: StructType): Integration = {
     val latestIds = latest.ids.toMap
+    val latestNested = latest.nestedIds.toMap
     var nextId = latest.nextIds
     val fresh = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def resolve(n: String): Int =
       latestIds.getOrElse(n, fresh.getOrElseUpdate(n, {
         val id = nextId; nextId += 1; id
       }))
+    // nested struct-field ids, keyed "<parentFieldId>.<fieldName>" —
+    // the parent rides by ID so a top-level rename never invalidates
+    // its children; a DROPPED nested name re-added later misses
+    // latestNested and draws a fresh id (no resurrection). Tables from
+    // before nested tracking have PARTIAL nestedIds — missing keys are
+    // backfilled here (ids allocated; old files fall back to by-name
+    // resolution until a rewrite records their write ids).
+    val freshN = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def resolveN(k: String): Int =
+      latestNested.getOrElse(k, freshN.getOrElseUpdate(k, {
+        val id = nextId; nextId += 1; id
+      }))
+    def nestedOf(schema: StructType): Seq[(String, Int)] =
+      schema.fields.toIndexedSeq.flatMap { f =>
+        f.dataType match {
+          case st: StructType =>
+            val pid = resolve(f.name)
+            st.fields.toIndexedSeq.map(nf =>
+              s"$pid.${nf.name}" -> resolveN(s"$pid.${nf.name}"))
+          case _ => Nil
+        }
+      }
     val stagedPairs = stagedSchema.fieldNames.toIndexedSeq.map(n => n -> resolve(n))
+    val stagedNested = nestedOf(stagedSchema)
     val schema2 = SnapshotTable.evolve(latest.schema, stagedSchema)
     val ids2 = schema2.fieldNames.toIndexedSeq.map(n => n -> resolve(n))
-    (stagedPairs, schema2, ids2, nextId)
+    val nestedIds2 = nestedOf(schema2)
+    Integration(stagedPairs, stagedNested, schema2, ids2, nestedIds2, nextId)
   }
 
   /** Blind-commutative writers stage partition VALUES under the spec
@@ -2956,10 +3204,21 @@ object SnapshotTable {
     }
     val t = new SnapshotTable(spark, new Path(root), clock)
     require(t.log.currentVersion().isEmpty, s"table already exists at $root")
+    // struct fields get nested ids from birth ("<parentId>.<name>"),
+    // so struct-field rename/drop are metadata-only from the first file
+    var nid = schema.fields.length
+    val nested = schema.fields.toIndexedSeq.zipWithIndex.flatMap {
+      case (f, pid) => f.dataType match {
+        case st: StructType => st.fields.toIndexedSeq.map { nf =>
+          val e = s"$pid.${nf.name}" -> nid; nid += 1; e
+        }
+        case _ => Seq.empty
+      }
+    }
     val first = Snapshot(1L, None, "create", clock(), schema, spec,
       properties, Seq.empty,
       fieldIds = schema.fieldNames.toIndexedSeq.zipWithIndex,
-      nextFieldId = schema.fields.length)
+      nextFieldId = nid, nestedIds = nested)
     if (!t.log.tryCommit(first))
       throw new SnapshotConflictException(s"concurrent create at $root")
     t
@@ -3045,8 +3304,13 @@ object SnapshotTable {
   /** Schema evolution on write: columns only in `incoming` append at
     * the end; a common column widens int→long / float→double (the
     * promotions Spark 4's parquet reader applies losslessly at scan —
-    * old files keep their narrow physical type). Anything else keeps
-    * the table's type; `SchemaOps.alignTo` casts the incoming batch.
+    * old files keep their narrow physical type). A common STRUCT
+    * column merges one level deep the same way: incoming-only nested
+    * fields append inside the struct (old files surface NULL for them
+    * through the nested field-id mapping), common nested fields widen.
+    * Anything else keeps the table's type; `SchemaOps.alignTo` casts
+    * the incoming batch (struct columns conform BY NAME, not by
+    * position).
     */
   private[graft] def evolve(table: StructType, incoming: StructType): StructType = {
     def widens(from: DataType, to: DataType): Boolean = (from, to) match {
@@ -3058,6 +3322,20 @@ object SnapshotTable {
       incoming.fields.find(_.name == tf.name) match {
         case Some(inf) if widens(tf.dataType, inf.dataType) =>
           tf.copy(dataType = inf.dataType)
+        case Some(inf) => (tf.dataType, inf.dataType) match {
+          case (tSt: StructType, iSt: StructType) =>
+            val widenedN = tSt.fields.map { ntf =>
+              iSt.fields.find(_.name == ntf.name) match {
+                case Some(nif) if widens(ntf.dataType, nif.dataType) =>
+                  ntf.copy(dataType = nif.dataType)
+                case _ => ntf
+              }
+            }
+            val addedN =
+              iSt.fields.filterNot(f => tSt.fieldNames.contains(f.name))
+            tf.copy(dataType = StructType(widenedN ++ addedN))
+          case _ => tf
+        }
         case _ => tf
       }
     }

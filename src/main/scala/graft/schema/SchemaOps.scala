@@ -122,7 +122,27 @@ object SchemaOps {
     */
   private def castIfNeeded(c: Column, from: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType): Column =
-    if (from.sql == to.sql) c else c.cast(to)
+    if (from.sql == to.sql) c
+    else (from, to) match {
+      // struct columns conform BY NAME, one level at a time: Spark's
+      // Cast matches struct fields POSITIONALLY and refuses entirely
+      // when the field counts differ — exactly the shape nested schema
+      // evolution produces (a batch written before ADD of a struct
+      // field must align under the grown struct, missing fields
+      // null-filled, and a NULL struct must stay NULL, not become a
+      // struct of nulls)
+      case (f: StructType, t: StructType) =>
+        when(c.isNull, lit(null).cast(t)).otherwise(
+          struct(t.fields.toIndexedSeq.map { tf =>
+            f.fields.find(_.name == tf.name) match {
+              case Some(ff) =>
+                castIfNeeded(c.getField(tf.name), ff.dataType, tf.dataType)
+                  .as(tf.name)
+              case None => lit(null).cast(tf.dataType).as(tf.name)
+            }
+          }: _*))
+      case _ => c.cast(to)
+    }
 
   /** E4 — add target columns missing from df as typed nulls, reorder to
     * target order, append df-only extras after. Does NOT cast existing

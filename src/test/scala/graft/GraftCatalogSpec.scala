@@ -286,6 +286,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT * FROM graft.meta.t").columns.toSeq == Seq("id"))
   }
 
+  test("nested struct-field DDL through SQL ALTER TABLE") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.nest")
+    sql("DROP TABLE IF EXISTS graft.nest.t")
+    sql("CREATE TABLE graft.nest.t " +
+      "(id BIGINT, meta STRUCT<kind: STRING, score: BIGINT>)")
+    sql("INSERT INTO graft.nest.t VALUES " +
+      "(1, named_struct('kind', 'a', 'score', 10L))")
+    // ADD a field inside the struct: metadata-only, old rows read NULL
+    sql("ALTER TABLE graft.nest.t ADD COLUMNS (meta.boost DOUBLE)")
+    assert(sql("SELECT meta.boost FROM graft.nest.t").collect()
+      .head.isNullAt(0))
+    sql("INSERT INTO graft.nest.t VALUES " +
+      "(2, named_struct('kind', 'b', 'score', 20L, 'boost', 2.5D))")
+    // RENAME survives for files written under the old name (field id)
+    sql("ALTER TABLE graft.nest.t RENAME COLUMN meta.score TO points")
+    assert(sql("SELECT id, meta.points FROM graft.nest.t ORDER BY id")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 10L), (2L, 20L)))
+    // DROP removes the field; re-ADD never resurrects old bytes
+    sql("ALTER TABLE graft.nest.t DROP COLUMN meta.points")
+    sql("ALTER TABLE graft.nest.t ADD COLUMNS (meta.points BIGINT)")
+    assert(sql("SELECT count(meta.points) FROM graft.nest.t")
+      .as[Long].collect().head == 0L)
+  }
+
   test("RENAME TABLE moves the directory; DROP NAMESPACE respects emptiness") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
     sql("DROP TABLE IF EXISTS graft.mv.a")

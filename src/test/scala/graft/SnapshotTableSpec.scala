@@ -291,6 +291,75 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 5L)
   }
 
+  test("nested evolution: struct fields add/rename/drop by field id; old files resolve correctly") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("kind", StringType),
+        StructField("score", LongType))))))
+    val t = SnapshotTable.create(spark, freshRoot(), schema)
+    def row(id: Long, kind: String, score: Long) =
+      Seq((id, (kind, score))).toDF("id", "meta")
+        .select(col("id"), col("meta").cast(schema("meta").dataType))
+    t.append(row(1, "a", 10))                                  // v2
+    // WRITE-SIDE nested evolution: a batch whose struct carries a new
+    // field grows the table struct; old rows read NULL for it
+    val grown = Seq((2L, ("b", 20L, 2.5))).toDF("id", "meta")
+    t.append(grown.select(col("id"), col("meta").cast(
+      "struct<kind:string,score:bigint,boost:double>")))       // v3
+    assert(t.schema("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("kind", "score", "boost"))
+    val afterGrow = t.read().select(col("id"), col("meta.kind"),
+      col("meta.boost")).as[(Long, String, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(afterGrow == Seq((1L, "a", None), (2L, "b", Some(2.5))))
+    // an OLD-SHAPE batch still appends (by-name struct conform)
+    t.append(row(3, "c", 30))                                  // v4
+    // explicit DDL add
+    t.addStructField("meta", StructField("tag", StringType))   // v5
+    // RENAME survives: old files keep serving values through the old
+    // physical name via the nested id
+    t.renameStructField("meta", "score", "points")             // v6
+    val renamed = t.read().select(col("id"), col("meta.points"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(renamed == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // DROP then re-ADD the same name: fresh id, NO resurrection
+    t.dropStructField("meta", "points")                        // v7
+    t.addStructField("meta", StructField("points", LongType))  // v8
+    assert(t.read().filter(col("meta.points").isNotNull).count() == 0L)
+    // new appends land in the re-added field; old rows stay NULL
+    val full = Seq((4L, ("d", 7.5, "x", 40L))).toDF("id", "meta")
+      .select(col("id"), col("meta").cast(
+        "struct<kind:string,boost:double,tag:string,points:bigint>"))
+    t.append(full)                                             // v9
+    val pts = t.read().select(col("id"), col("meta.points"))
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(pts == Seq((1L, None), (2L, None), (3L, None), (4L, Some(40L))))
+    // time travel renders each snapshot under its contemporary schema
+    assert(t.readAt(2).select("meta.score").as[Long].collect().toSeq ==
+      Seq(10L))
+    // compaction rewrites under the current schema, content identical
+    val before = t.read().select(col("id"), col("meta.kind"),
+      col("meta.points")).as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    t.compact(minFiles = 1)
+    assert(t.read().select(col("id"), col("meta.kind"),
+      col("meta.points")).as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq == before)
+    // ...and a rename AFTER compaction still resolves (rewritten files
+    // recorded current nested ids)
+    t.renameStructField("meta", "kind", "category")
+    assert(t.read().select("meta.category").as[String].collect().sorted
+      .toSeq == Seq("a", "b", "c", "d"))
+    // NULL structs stay NULL through the rebuild projection
+    val withNull = Seq((5L, None: Option[(String, Double, String, Long)]))
+      .toDF("id", "meta").select(col("id"), col("meta").cast(
+        "struct<category:string,boost:double,tag:string,points:bigint>"))
+    t.append(withNull)
+    assert(t.read().filter(col("id") === 5L).select(col("meta").isNull)
+      .as[Boolean].collect().head)
+  }
+
   test("positional delete vectors: no rewrite, reads apply, compaction folds in, changes retract") {
     val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, None)
     t.append(rows((1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0),

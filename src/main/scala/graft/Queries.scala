@@ -1799,6 +1799,8 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val dvTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val defaultValTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val specEvoTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val streamUpsertTableCache =
@@ -2690,6 +2692,43 @@ object Queries {
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
              |  TRUE AS mor_no_rewrite
              |FROM events WHERE event_id % 37 <> 0
+             |GROUP BY 1""".stripMargin)),
+
+    // DEFAULT COLUMN VALUES (Iceberg v3 initial-default/write-default):
+    // the build added `src` WITH DEFAULT 'legacy' after the evens
+    // append — a metadata-only commit; even rows read the default over
+    // their unchanged files (initial-default), and the odds batch,
+    // which supplies src explicitly, keeps its values. default_ok pins
+    // that the add was metadata-only (file set unchanged across the
+    // commit).
+    QueryDef("snap_default_values",
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, defaultValTableCache, "defv") { tbl =>
+          val pre = tbl.currentSnapshot().files.map(_.path).toSet
+          tbl.addColumnWithDefault(
+            org.apache.spark.sql.types.StructField("src",
+              org.apache.spark.sql.types.StringType), "legacy")
+          require(tbl.currentSnapshot().files.map(_.path).toSet == pre,
+            "ADD COLUMN WITH DEFAULT must be metadata-only")
+          tbl.append(t(s, dir, "events")
+            .filter(col("event_id") % 1000 === 0)
+            .withColumn("src", col("event_type")))
+          ()
+        }
+        tbl.read()
+          .groupBy(col("src"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .withColumn("default_ok", lit(true))
+      },
+      Some("""SELECT 'legacy' AS src, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             |  TRUE AS default_ok
+             |FROM events
+             |UNION ALL
+             |SELECT event_type AS src, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             |  TRUE AS default_ok
+             |FROM events WHERE event_id % 1000 = 0
              |GROUP BY 1""".stripMargin)),
 
     // NESTED schema evolution (Iceberg struct-field evolution): the

@@ -75,6 +75,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** `ALTER TABLE … ADD COLUMNS (c T DEFAULT v)` needs the catalog to
+    * opt in; defaults land as Iceberg-v3-style initial/write defaults
+    * in the snapshot field metadata.
+    */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    Set(org.apache.spark.sql.connector.catalog.TableCatalogCapability
+      .SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+
   // ------------------------------------------------------------ helpers
 
   private def fs =
@@ -314,8 +323,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.position == null,
           "ADD COLUMN ... FIRST/AFTER is not supported (columns append; " +
             "projection order is a query concern)")
-        t.addColumns(Seq(org.apache.spark.sql.types.StructField(
-          add.fieldNames.head, add.dataType, add.isNullable)))
+        val f = org.apache.spark.sql.types.StructField(
+          add.fieldNames.head, add.dataType, add.isNullable)
+        Option(add.defaultValue()).flatMap(d => Option(d.getValue)) match {
+          case Some(litv) =>
+            // connector Literal carries the CATALYST value — convert to
+            // the external form renderDefault expects
+            val v = org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .createToScalaConverter(litv.dataType)(litv.value)
+            t.addColumnWithDefault(f, v)
+          case None => t.addColumns(Seq(f))
+        }
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1,
           "RENAME supports top-level columns and parent.field " +

@@ -1514,7 +1514,11 @@ final class SnapshotTable private (
             case Some(rebuilt) => rebuilt.as(tf.name)
             case None => col(SnapshotTable.quoted(wn)).as(tf.name)
           }
-          case None => lit(null).cast(tf.dataType).as(tf.name)
+          case None =>
+            // a file that predates the column surfaces its
+            // initial-default (Iceberg v3) — plain NULL otherwise
+            SnapshotTable.initialDefault(tf)
+              .getOrElse(lit(null).cast(tf.dataType)).as(tf.name)
         }
       }
       // the hidden parquet metadata columns ride through the projection
@@ -1547,7 +1551,7 @@ final class SnapshotTable private (
   def append(df: DataFrame): Snapshot = restageOnSpecRace(3) {
     val base = currentSnapshot()
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
-    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec,
+    val staged = stage(alignForWrite(df, evolved), base.spec,
       base.properties, applyLayout = true)
     onStagedHook()
     commitRetry { latest =>
@@ -1668,7 +1672,7 @@ final class SnapshotTable private (
   def overwrite(df: DataFrame): Snapshot = restageOnSpecRace(3) {
     val base = currentSnapshot()
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
-    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec,
+    val staged = stage(alignForWrite(df, evolved), base.spec,
       base.properties, applyLayout = true)
     commitRetry { latest =>
       requireSpecUnchanged(base, latest)
@@ -1689,7 +1693,7 @@ final class SnapshotTable private (
     val base = currentSnapshot()
     requireUniformSpec(base, "overwritePartitions")
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
-    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec,
+    val staged = stage(alignForWrite(df, evolved), base.spec,
       base.properties, applyLayout = true)
     val replaced = staged.map(_.partition).toSet
     commitRetry { latest =>
@@ -1784,7 +1788,7 @@ final class SnapshotTable private (
     val base = currentSnapshot()
     if (committed(base)) return None
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
-    val staged = stage(SchemaOps.alignTo(df, evolved), base.spec,
+    val staged = stage(alignForWrite(df, evolved), base.spec,
       base.properties, applyLayout = true)
     // own commit loop rather than commitRetry + catch: "already
     // committed" (clean no-op, checkpoint may advance) must NOT be
@@ -2000,6 +2004,32 @@ final class SnapshotTable private (
     }
     nextWithIds(latest, s"add-columns[${cols.map(_.name).mkString(",")}]",
       schema2, ids2, nextId, latest.files)
+  }
+
+  /** Metadata-only column ADD **with a default** (Iceberg v3
+    * `initial-default` / `write-default`): the default is recorded in
+    * the field METADATA, so
+    *  - files written BEFORE the column existed read the default
+    *    (not NULL) — no data rewrite at any scale, which is the whole
+    *    point: a new NOT-NULL-semantics column over a 100 TB table is
+    *    a metadata commit;
+    *  - blind writes that OMIT the column stamp the default
+    *    (write-default), while a write that explicitly supplies NULL
+    *    keeps NULL — the Iceberg distinction.
+    * Closed default universe: atomic types whose string rendering
+    * round-trips exactly (string / integral / float / double /
+    * decimal / boolean / date). Timestamps are refused — their string
+    * form is session-zone-dependent and would silently shift.
+    */
+  def addColumnWithDefault(field: StructField, default: Any): Snapshot = {
+    require(default != null,
+      "addColumnWithDefault: a NULL default is just addColumns")
+    val rendered = SnapshotTable.renderDefault(field.dataType, default)
+    val meta = new MetadataBuilder().withMetadata(field.metadata)
+      .putString(SnapshotTable.InitialDefaultKey, rendered)
+      .putString(SnapshotTable.WriteDefaultKey, rendered)
+      .build()
+    addColumns(Seq(field.copy(metadata = meta)))
   }
 
   /** Metadata-only type WIDENING (`ALTER TABLE … ALTER COLUMN c TYPE
@@ -2925,6 +2955,21 @@ final class SnapshotTable private (
         "against the current snapshot")
   }
 
+  /** [[SchemaOps.alignTo]] plus write-defaults: a column the batch
+    * OMITS entirely takes its recorded write-default (a batch that
+    * supplies the column, even as NULL, is untouched — the Iceberg
+    * distinction between "writer doesn't know the column" and
+    * "writer wrote NULL").
+    */
+  private def alignForWrite(df: DataFrame, target: StructType): DataFrame = {
+    val present = df.columns.toSet
+    val withDefs = target.fields.toIndexedSeq
+      .filterNot(f => present.contains(f.name))
+      .flatMap(f => SnapshotTable.writeDefault(f).map(f.name -> _))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    SchemaOps.alignTo(withDefs, target)
+  }
+
   /** Write `aligned` as immutable parquet under `data/<batch>/` and
     * return manifest entries. Per-file row counts AND per-column
     * min/max/null-count bounds ([[FileStats]] — the Iceberg data-file
@@ -3125,6 +3170,56 @@ object SnapshotTable {
     case (ByteType | ShortType | IntegerType | LongType, x: Long) => lit(x)
     case _ => lit(v)
   }
+
+  /** Field-metadata keys recording a column default (Iceberg v3
+    * `initial-default` / `write-default`) — they ride the schema JSON
+    * through every snapshot and clone.
+    */
+  private[graft] val InitialDefaultKey = "graft.initial-default"
+  private[graft] val WriteDefaultKey = "graft.write-default"
+
+  /** Canonical string rendering of a default value — only types whose
+    * rendering round-trips exactly through `lit(s).cast(dt)`.
+    */
+  private[graft] def renderDefault(dt: DataType, v: Any): String = {
+    def num(parse: String => Any): String = {
+      val s = v.toString
+      require(scala.util.Try(parse(s)).isSuccess,
+        s"default '$s' does not parse as ${dt.simpleString}")
+      s
+    }
+    dt match {
+      case StringType => v.toString
+      case ByteType | ShortType | IntegerType | LongType =>
+        num(_.toLong.toString)
+      case FloatType => num(_.toFloat.toString)
+      case DoubleType => num(_.toDouble.toString)
+      case _: DecimalType => num(BigDecimal(_))
+      case BooleanType => num(_.toBoolean.toString)
+      case DateType =>
+        num(java.time.LocalDate.parse(_))
+      case other => throw new IllegalArgumentException(
+        s"defaults are not supported for ${other.simpleString} — " +
+          "atomic round-trippable types only (timestamps shift with " +
+          "the session zone)")
+    }
+  }
+
+  /** The initial-default of a field as a typed literal Column, if
+    * recorded.
+    */
+  private[graft] def initialDefault(f: StructField): Option[Column] =
+    if (f.metadata.contains(InitialDefaultKey))
+      Some(lit(f.metadata.getString(InitialDefaultKey)).cast(f.dataType))
+    else None
+
+  /** The write-default of a field as a typed literal Column, if
+    * recorded.
+    */
+  private[graft] def writeDefault(f: StructField): Option[Column] =
+    if (f.metadata.contains(WriteDefaultKey))
+      Some(lit(f.metadata.getString(WriteDefaultKey)).cast(f.dataType))
+    else None
 
   /** Staging-dir partition column name — exists only in staging PATHS,
     * never in data files or the logical schema.

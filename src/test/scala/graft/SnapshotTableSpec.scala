@@ -291,6 +291,46 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 5L)
   }
 
+  test("column defaults: old files read initial-default, omitting writers stamp write-default, explicit NULL stays NULL") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema)
+    t.append(rows((1, "2024-01-01", 1.0)))                      // v2
+    t.addColumnWithDefault(
+      StructField("src", StringType), "legacy")                 // v3
+    // initial-default: the pre-existing file reads the default, no
+    // rewrite (file set unchanged)
+    assert(t.read().select("src").as[String].collect().toSeq == Seq("legacy"))
+    assert(t.currentSnapshot().files.size == 1)
+    // write-default: a batch OMITTING the column stamps the default
+    t.append(rows((2, "2024-01-02", 2.0)))                      // v4
+    // explicit NULL stays NULL; explicit value wins
+    t.append(Seq((3L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"),
+        3.0, null: String), (4L,
+        java.sql.Timestamp.valueOf("2024-01-04 00:00:00"), 4.0, "api"))
+      .toDF("id", "ts", "v", "src"))                            // v5
+    val got = t.read().select(col("id"), col("src"))
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, Some("legacy")), (2L, Some("legacy")),
+      (3L, None), (4L, Some("api"))), got)
+    // compaction materializes defaults into the rewrite — identical
+    t.compact(minFiles = 1)
+    assert(t.read().select(col("id"), col("src"))
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq == got)
+    // timestamps are refused (session-zone-dependent rendering)
+    val bad = intercept[IllegalArgumentException](t.addColumnWithDefault(
+      StructField("at", TimestampType),
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    assert(bad.getMessage.contains("not supported"), bad.getMessage)
+    // SQL surface: ADD COLUMNS ... DEFAULT through the catalog
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.defs")
+    spark.sql("DROP TABLE IF EXISTS graft.defs.t")
+    spark.sql("CREATE TABLE graft.defs.t (id BIGINT)")
+    spark.sql("INSERT INTO graft.defs.t VALUES (1)")
+    spark.sql("ALTER TABLE graft.defs.t ADD COLUMNS " +
+      "(tier STRING DEFAULT 'bronze')")
+    assert(spark.sql("SELECT tier FROM graft.defs.t").as[String]
+      .collect().toSeq == Seq("bronze"))
+  }
+
   test("nested evolution: struct fields add/rename/drop by field id; old files resolve correctly") {
     val schema = StructType(Seq(
       StructField("id", LongType),

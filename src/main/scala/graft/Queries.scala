@@ -3594,6 +3594,41 @@ object Queries {
                |    / CAST(t.n_shingles AS DOUBLE) AS contamination
                |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin)),
 
+      // STEADY-STATE twin of pipeline_contamination_indexed (the
+      // sim_topk_ivf / _index pattern): the index build is charged to
+      // the shared fixture, so this entry times ONLY the amortized
+      // probe the index exists for — sorted multi-key manifest probe
+      // (range binary search + one Bloom resolve per file) + semi-join.
+      // Oracle identical: the cost model differs, the answer must not.
+      QueryDef("pipeline_contamination_probe",
+        (s, dir) => {
+          val docs = t(s, dir, "documents")
+          val root = ngramIndexCache.computeIfAbsent(dir, _ => {
+            val (base, _) = warehouseDbRoot(s, "ngram_idx", dir)
+            Governance.buildNgramIndex(s,
+              docs.filter(col("doc_id") % 10 =!= 0), base, n = 5)
+            base
+          })
+          Governance.contaminationAgainstIndex(
+            graft.catalog.SnapshotTable.load(s, root),
+            docs.filter(col("doc_id") % 10 === 0), n = 5)
+        },
+        Some(s"""${docShingleCtes(5)}, ev AS (
+               |  SELECT doc_id, unnest(shingles) AS sh FROM shsets WHERE doc_id % 10 = 0
+               |), tr AS (
+               |  SELECT DISTINCT unnest(shingles) AS sh FROM shsets WHERE doc_id % 10 != 0
+               |), totals AS (
+               |  SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY doc_id
+               |), hits AS (
+               |  SELECT ev.doc_id, count(*) AS n_contaminated
+               |  FROM ev JOIN tr USING (sh) GROUP BY ev.doc_id
+               |)
+               |SELECT t.doc_id, t.n_shingles,
+               |  CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               |  CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+               |    / CAST(t.n_shingles AS DOUBLE) AS contamination
+               |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin)),
+
       // corpus-wide frequent bigrams by document frequency; bounded
       // top-k (TakeOrderedAndProject), strict total order so the set is
       // engine-independent

@@ -300,6 +300,104 @@ final class SnapshotTable private (
       .filter(col(SnapshotTable.quoted(spec.source)).isin(keys: _*))
   }
 
+  /** Sorted MULTI-KEY point lookup on a string column — the manifest
+    * shape for probing a large key set (an eval benchmark's n-gram
+    * shingles, a blocklist, an id batch) against a range-clustered
+    * table: the keys sort ONCE (UTF8 byte order — the manifest bound
+    * order), each file binary-searches the sorted keys against its
+    * [min, max] bounds, and only the in-range candidates probe the
+    * file's Bloom sidecar (payload resolved ONCE per file, keys
+    * pre-hashed ONCE). With data range-clustered on `column`
+    * ([[compact]] sortBy — each file covers a disjoint slice), the
+    * total Bloom work is O(|keys|), not O(|keys| × |files|), and
+    * non-overlapping files never open. The exact `IN` residual
+    * re-applies at scan (InSet, executor-side), so pruning can only
+    * skip work. Contrast [[readKeyIn]], which serves the same point-
+    * lookup shape via the bucket TRANSFORM; this needs no partition
+    * spec, only stats (+ optional Blooms).
+    */
+  /** @param residual apply the exact `IN` filter to the surviving rows
+    *        (default). Pass false when the CALLER re-establishes
+    *        exactness anyway (e.g. a semi-join against the key set) —
+    *        a tens-of-thousands-literal IN expression costs real
+    *        driver time in analysis/optimization for zero benefit
+    *        there; pruning alone is skip-only-correct.
+    */
+  def readKeysIn(column: String, keys: Seq[String],
+      residual: Boolean = true): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = publishedSnapshot()
+    val f = s.schema.fields.find(_.name == column).getOrElse(
+      sys.error(s"readKeysIn: no column $column in ${s.schema.simpleString}"))
+    require(f.dataType == StringType,
+      s"readKeysIn probes string columns; $column is ${f.dataType.simpleString}")
+    val ks = keys.filter(_ != null).distinct
+    if (ks.isEmpty)
+      return read().filter(lit(false))
+    val sorted = ks.map(UTF8String.fromString).sortWith(_.compareTo(_) < 0)
+    // pre-hash every key once (the write-side seed-42 xxhash64)
+    val hashes = sorted.map(u =>
+      StatsPruner.hashOf(StringType, u.toString).get)
+    val currentById = s.ids.map { case (n, id) => id -> n }.toMap
+    val kept = s.files.filter { file =>
+      effectiveStats(currentById, file).stats.get(column) match {
+        case Some(st) if st.nullCount == file.rows => false
+        case Some(st) =>
+          // first candidate ≥ min (a truncated 64-char min is a PREFIX
+          // of the true min — still a valid lower bound), last ≤ max
+          // (max dropped at write time = unbounded above)
+          var lo = st.min match {
+            case Some(mn) =>
+              val m = UTF8String.fromString(mn)
+              var l = 0; var r = sorted.length
+              while (l < r) {
+                val mid = (l + r) >>> 1
+                if (sorted(mid).compareTo(m) < 0) l = mid + 1 else r = mid
+              }
+              l
+            case None => 0
+          }
+          val hi = st.max match {
+            case Some(mx) =>
+              val m = UTF8String.fromString(mx)
+              var l = -1; var r = sorted.length - 1
+              while (l < r) {
+                val mid = (l + r + 1) >>> 1
+                if (sorted(mid).compareTo(m) <= 0) l = mid else r = mid - 1
+              }
+              l
+            case None => sorted.length - 1
+          }
+          if (lo > hi) false
+          else st.bloom match {
+            case Some(token) =>
+              // resolve the payload ONCE per file; probe candidates by
+              // their precomputed hash. Unresolvable ⇒ conservative keep
+              val payload =
+                if (token.startsWith(SnapshotLog.RefPrefix))
+                  log.resolveBloom(token, file.path)
+                else Some(token)
+              payload match {
+                case Some(b) =>
+                  var i = lo; var hit = false
+                  while (i <= hi && !hit) {
+                    hit = graft.functions.BloomAgg.mightContain(b, hashes(i))
+                    i += 1
+                  }
+                  hit
+                case None => true
+              }
+            case None => true
+          }
+        case None => true // no stats recorded: conservative keep
+      }
+    }
+    val pruned = readWithDeletes(s.schema, s.ids, s, kept)
+    if (residual)
+      pruned.filter(col(SnapshotTable.quoted(column)).isInCollection(ks))
+    else pruned
+  }
+
   /** Hidden-partition predicate pushdown for the `month` transform: a
     * half-open timestamp range [from, until) prunes to the covering
     * months at the MANIFEST (null-partition files excluded — a NULL

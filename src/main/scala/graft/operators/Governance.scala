@@ -278,14 +278,25 @@ object Governance {
   def contaminationAgainstIndex(index: graft.catalog.SnapshotTable,
       eval: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 8, maxProbe: Int = 200000): DataFrame = {
+    // tokenized ONCE (eager local checkpoint): the eval side is tiny
+    // next to the train corpus, and it feeds three consumers (probe
+    // collect, per-doc totals, hit counts) — without the checkpoint
+    // each would re-shingle the eval text
     val evalSh = eval.select(col(idCol),
       explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
+      .localCheckpoint(true)
     val totals = evalSh.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
     val probe = evalSh.select("sh").distinct().limit(maxProbe + 1)
       .collect().map(_.getString(0))
     val trainSh =
       if (probe.length <= maxProbe)
-        index.readWhere(col("sh").isInCollection(probe.toIndexedSeq))
+        // sorted multi-key manifest probe: per-file range binary
+        // search + one Bloom resolve per file — O(|probe|) total Bloom
+        // work against the range-clustered index, only matching files
+        // open (SnapshotTable.readKeysIn)
+        // residual=false: the semi-join below re-establishes exactness,
+        // and a 10⁵-literal IN costs driver analysis time for nothing
+        index.readKeysIn("sh", probe.toIndexedSeq, residual = false)
       else index.read()
     val hits = evalSh.join(trainSh, Seq("sh"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
@@ -304,10 +315,13 @@ object Governance {
     * `ln(count(token) / total_tokens)`. Low scores flag gibberish /
     * OOV-heavy documents; high scores flag boilerplate-typical text.
     * Same two-pass shape as [[rareTokenRatio]]: global counts
-    * (partial-aggregating groupBy) joined back per doc by token; ONE
-    * corpus scalar collects to the driver. Rounded to 1e-6 — the
-    * engine-parity discipline for transcendental math (ulp-level libm
-    * differences; everything before the ln is integer-exact).
+    * (partial-aggregating groupBy) joined back per doc by token; the
+    * ONE corpus scalar rides as a broadcast 1-row frame in the SAME
+    * lazy plan (the [[TermWeights]] pattern) — a separate driver
+    * collect would re-run the tokenize+count aggregation a second time
+    * when the main plan executes. Rounded to 1e-6 — the engine-parity
+    * discipline for transcendental math (ulp-level libm differences;
+    * everything before the ln is integer-exact).
     */
   def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -315,12 +329,13 @@ object Governance {
     val toks = docs.select(col(idCol),
       explode(split(normalText(col(textCol)), " ")).as("tok"))
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum(col("c"))).collect()(0).getLong(0)
+    val totalDf = counts.agg(sum(col("c")).as("__total"))
     toks.join(counts, Seq("tok"))
+      .crossJoin(broadcast(totalDf))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(log(col("c").cast("double"))) -
-          log(lit(total.toDouble)), 6).as("logprob"))
+          log(max(col("__total")).cast("double")), 6).as("logprob"))
   }
 
   /** Best-k rows per group by (score desc, id asc) via the

@@ -229,6 +229,24 @@ class GovernanceSpec extends AnyFunSuite {
     assert(approx(r(2L)._2, (ln(5) + ln(1)) / 2 - ln(7)), r(2L).toString)
     assert(approx(r(3L)._2, ln(1.0 / 7)), r(3L).toString)
     assert(r(1L)._2 > r(2L)._2 && r(2L)._2 > r(3L)._2)
+    // fully lazy: the corpus-total scalar rides the SAME plan as a
+    // broadcast 1-row frame (TermWeights pattern) — building the frame
+    // must launch ZERO jobs (the old code collected the total, running
+    // tokenize+count once extra per call)
+    docs.count() // materialize the local relation outside the window
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val lazyDf = Governance.unigramLogProb(docs)
+      Thread.sleep(500) // listener events are async
+      assert(jobs == 0, s"expected fully lazy definition, saw $jobs jobs")
+      assert(lazyDf.count() == 3L)
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("shuffleShards: deterministic seeded permutation; written shards hold the order") {

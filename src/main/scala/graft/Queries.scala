@@ -1299,6 +1299,49 @@ object Queries {
                |       COALESCE(d.dup_grams, CAST(0 AS BIGINT)) AS dup_grams
                |FROM shsets s LEFT JOIN dup d USING (doc_id)""".stripMargin)),
 
+      // PARAGRAPH-level exact dedup with reconstruction (RefinedWeb/C4
+      // line dedup): the fixture plants a subscribe-box paragraph in
+      // EVERY doc and a second footer in every 5th — both repeat across
+      // >= 2 docs, so both strip from every document, and each doc
+      // reassembles from its surviving (unique) paragraphs in original
+      // order. The compare is the full reconstructed text, byte-exact.
+      QueryDef("dedup_paragraphs",
+        (s, dir) => {
+          val corpus = t(s, dir, "documents").select(col("doc_id"),
+            concat(col("text"),
+              lit("\n\nsubscribe to our newsletter for updates"),
+              when(col("doc_id") % 5 === 0,
+                lit("\n\nfollow us for more")).otherwise(lit("")))
+              .as("text"))
+          Dedup.dedupParagraphs(corpus, minDf = 2)
+        },
+        Some("""WITH corpus AS (
+               |  SELECT doc_id, text || chr(10) || chr(10) ||
+               |    'subscribe to our newsletter for updates' ||
+               |    CASE WHEN doc_id % 5 = 0
+               |         THEN chr(10) || chr(10) || 'follow us for more'
+               |         ELSE '' END AS text
+               |  FROM documents
+               |), splits AS (
+               |  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+               |  FROM corpus
+               |), paras AS (
+               |  SELECT doc_id, unnest(ps) AS para,
+               |         unnest(range(1, len(ps) + 1)) AS pos
+               |  FROM splits
+               |), shared AS (
+               |  SELECT para FROM paras
+               |  GROUP BY para HAVING count(DISTINCT doc_id) >= 2
+               |), kept AS (
+               |  SELECT p.* FROM paras p ANTI JOIN shared s ON p.para = s.para
+               |), recon AS (
+               |  SELECT doc_id,
+               |    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+               |  FROM kept GROUP BY doc_id
+               |)
+               |SELECT c.doc_id, COALESCE(r.text, '') AS text
+               |FROM corpus c LEFT JOIN recon r USING (doc_id)""".stripMargin)),
+
       // The FILTER the signal exists for (Gopher's dup-ngram rule):
       // keep documents whose cross-corpus duplicated 5-gram fraction
       // is ≤ 1/2 — exact duplicates (ratio 1) drop on both sides of

@@ -499,4 +499,42 @@ object Dedup {
       .select(col("id").as(idCol), col("n_grams"),
         coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
   }
+
+  /** PARAGRAPH-level exact dedup with reconstruction (RefinedWeb/C4
+    * line-dedup): paragraphs (split on `sep`) repeated across ≥ `minDf`
+    * DISTINCT documents — navigation chrome, subscribe boxes, license
+    * footers — are removed from EVERY document, and each document is
+    * reassembled from its surviving paragraphs in original order (a
+    * doc whose every paragraph was boilerplate comes back as the empty
+    * string, not a dropped row). Complements [[exact]] (whole-document)
+    * and [[crossDocNgrams]] (n-gram signal): this one REWRITES the
+    * corpus.
+    *
+    * Scale shape: paragraphs shuffle by an md5 FINGERPRINT for the
+    * document-frequency count (ids-only — never the text), the
+    * boilerplate set (repeated paragraphs are few by definition)
+    * broadcasts into the anti-join so the corpus text crosses the wire
+    * only once for the ordered reconstruction shuffle. No O(n²) stage
+    * anywhere.
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minDf: Int = 2,
+      sep: String = "\n\n"): DataFrame = {
+    require(minDf >= 2, s"minDf=$minDf must be >= 2")
+    val paras = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+      .withColumn("fp", md5(col("para")))
+    val boiler = paras.select(col("fp"), col(idCol))
+      .groupBy("fp").agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("fp")
+    val kept = paras.join(broadcast(boiler), Seq("fp"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("para")))),
+        x => x.getField("para")), sep).as(textCol))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

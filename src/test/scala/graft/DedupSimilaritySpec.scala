@@ -497,4 +497,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(4L) == (5L, 1L)) // only "c d e f g" is cross-document
     assert(out(5L) == (1L, 0L)) // whole-text shingle, unique
   }
+
+  test("dedupParagraphs: repeated paragraphs strip everywhere, order-exact reconstruction, all-boilerplate doc → empty") {
+    val sep = "\n\n"
+    val docs = Seq(
+      (1L, Seq("unique one", "SUBSCRIBE NOW", "alpha beta").mkString(sep)),
+      (2L, Seq("SUBSCRIBE NOW", "unique two").mkString(sep)),
+      (3L, "SUBSCRIBE NOW"),                       // only boilerplate
+      (4L, Seq("solo paragraph", "another solo").mkString(sep)),
+      // same paragraph TWICE in one doc but nowhere else: df counts
+      // DISTINCT docs, so it survives (within-doc repetition is the
+      // text_repetition signal, not boilerplate)
+      (5L, Seq("twice here", "twice here").mkString(sep))
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == s"unique one${sep}alpha beta") // order preserved
+    assert(out(2L) == "unique two")
+    assert(out(3L) == "")                            // row kept, text empty
+    assert(out(4L) == s"solo paragraph${sep}another solo")
+    assert(out(5L) == s"twice here${sep}twice here")
+  }
 }

@@ -253,8 +253,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val st = structOf(parent)
           require(del.ifExists || st.fieldNames.contains(nf),
             s"ALTER pre-check: no field $parent.$nf")
-          withStruct(parent,
-            StructType(st.fields.filterNot(_.name == nf)))
+          val remaining = StructType(st.fields.filterNot(_.name == nf))
+          // mirror dropStructField's last-field refusal: without it a
+          // multi-change DROP COLUMNS (s.a, s.b) on a two-field struct
+          // passes pre-check, commits the first drop, then fails on the
+          // second — exactly the partial-DDL state this simulation
+          // exists to prevent
+          require(remaining.fields.nonEmpty || !st.fieldNames.contains(nf),
+            s"ALTER pre-check: cannot drop the last field $parent.$nf — " +
+              "drop the struct column itself")
+          withStruct(parent, remaining)
         case add: TableChange.AddColumn =>
           require(add.fieldNames.length == 1 && !has(add.fieldNames.head),
             s"ALTER pre-check: cannot add ${add.fieldNames.mkString(".")}")

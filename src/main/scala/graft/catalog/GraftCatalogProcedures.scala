@@ -83,18 +83,26 @@ object GraftCatalogProcedures {
       }),
     "compact" -> Proc(
       // partition scoping carries NO in-band sentinels: `partition` is
-      // always a literal partition VALUE (so values that happen to be
-      // the string 'null' or '__all__' are addressable), the null
-      // partition is its own boolean flag, and omitting both means all
-      // partitions — the three cases cannot collide.
+      // always a literal partition VALUE, "omitted" is SQL NULL (not
+      // '' — a default of '' would turn an explicit empty string into
+      // a silent whole-table compaction), and the null partition is
+      // its own boolean flag. The empty STRING is refused loudly: the
+      // storage layer folds '' into __HIVE_DEFAULT_PARTITION__ (Spark/
+      // Hive path semantics), so rows with an empty identity value
+      // live in the null partition — null_partition => true reaches
+      // them.
       Seq(opt("target_rows", L, "1000000"), opt("min_files", L, "2"),
         opt("sort_by", S, "''"), opt("zorder_by", S, "''"),
-        opt("partition", S, "''"),
+        opt("partition", S, "null"),
         opt("null_partition", BooleanType, "false")),
       outS("partitions_rewritten" -> L, "files_before" -> L,
         "files_after" -> L),
       (t, a) => {
-        val p = str(a, "partition")
+        val p: Option[String] = a("partition") match {
+          case null => None // parameter omitted → all partitions
+          case u: UTF8String => Some(u.toString)
+          case v => Some(v.toString)
+        }
         val nullPart = a("null_partition") match {
           case b: Boolean => b
           case other => sys.error(
@@ -102,10 +110,14 @@ object GraftCatalogProcedures {
         }
         require(!(nullPart && p.nonEmpty),
           "pass partition => '<value>' OR null_partition => true, not both")
+        require(!p.contains(""),
+          "partition => '' is not a partition value (the storage layer " +
+            "folds empty strings into the null partition) — pass " +
+            "null_partition => true to scope there, or omit the " +
+            "parameter for all partitions")
         val scope =
           if (nullPart) Some(Seq(None))
-          else if (p.nonEmpty) Some(Seq(Some(p)))
-          else None
+          else p.map(v => Seq(Option(v)))
         val res = t.compact(targetRowsPerFile = lng(a, "target_rows"),
           partitions = scope, minFiles = lng(a, "min_files").toInt,
           sortBy = cols(a, "sort_by"), zOrderBy = cols(a, "zorder_by"))
@@ -208,6 +220,14 @@ object GraftCatalogProcedures {
             // an explicit NULL must error, not silently read as 0/""
             // (getLong on a null slot returns 0 — keep => NULL would
             // otherwise expire everything instead of using the default)
+            // — EXCEPT for params whose declared default IS NULL
+            // ("omitted" marker: compact's partition), where the body
+            // receives null and distinguishes omitted from supplied
+            val nullDefault = Option(param.defaultValue())
+              .exists(_.getSql == "null")
+            if (input.isNullAt(i) && nullDefault)
+              param.name -> null
+            else {
             require(!input.isNullAt(i),
               s"$procName: argument ${param.name} must not be NULL — " +
                 "omit it to take the default")
@@ -218,6 +238,7 @@ object GraftCatalogProcedures {
               case BooleanType => input.getBoolean(i)
               case other => sys.error(s"unsupported param type $other")
             })
+            }
           }.toMap
           val tableRef = str(args, "table")
           require(tableRef.nonEmpty, s"$procName: table => '...' required")

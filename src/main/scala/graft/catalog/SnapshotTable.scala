@@ -1043,7 +1043,11 @@ final class SnapshotTable private (
         s"INSERT target column $n is not in the table schema")
     val ig = integrate(base, evolved)
     val (pairs, nestedPairs) = (ig.pairs, ig.nested)
-    val src = SchemaOps.alignTo(source, evolved).localCheckpoint(true)
+    // alignForWrite: a source that OMITS a defaulted column carries
+    // the write-default into BOTH the UPDATE SET * and INSERT branches
+    // ("the writer doesn't know the column"), matching append/upsert —
+    // a source that explicitly supplies NULL keeps the NULL
+    val src = alignForWrite(source, evolved).localCheckpoint(true)
     val srcKeys = src.select(on.map(col): _*).distinct()
     // cardinality rule applies to MATCHABLE keys only: a NULL key never
     // matches any target row (it always inserts), so duplicate
@@ -1194,9 +1198,7 @@ final class SnapshotTable private (
     * never diverge on path handling.
     */
   private def stagedSubPath(uri: String, rel: String, marker: String): String = {
-    val path =
-      try new java.net.URI(uri).getPath
-      catch { case _: java.net.URISyntaxException => uri }
+    val path = SnapshotTable.uriPath(uri)
     val i = path.indexOf(marker)
     require(i >= 0, s"staged file $path outside batch dir $rel")
     path.substring(i + marker.length)
@@ -1210,9 +1212,7 @@ final class SnapshotTable private (
     * entry, making COW hit-detection silently skip imported files.
     */
   private def relPath(uri: String): String = {
-    val p =
-      try new java.net.URI(uri).getPath
-      catch { case _: java.net.URISyntaxException => uri }
+    val p = SnapshotTable.uriPath(uri)
     val rootPath = fs.makeQualified(root).toUri.getPath
     if (p.startsWith(rootPath + "/")) p.stripPrefix(rootPath + "/")
     else p
@@ -1304,10 +1304,12 @@ final class SnapshotTable private (
       }.toDF("__graft_dvf", "__graft_dvp")
     val scanned = readResolved(target, targetIds, owner, hit, withPos = true,
       targetNested = targetNested)
-      // _metadata.file_path is a URI ("file:/…"); normalize to the
-      // bare path so the join key matches relToAbs' rendering
-      .withColumn(SnapshotTable.DvFileCol, regexp_replace(
-        col(SnapshotTable.DvFileCol), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"))
+      // _metadata.file_path is a URI ("file:/…"); decode to the bare
+      // path through the SAME helper deleteWithVectors keys on, so
+      // percent-encoded partition values (':', '%', space) land on
+      // relToAbs' rendering instead of resurrecting deleted rows
+      .withColumn(SnapshotTable.DvFileCol,
+        SnapshotTable.uriPathCol(col(SnapshotTable.DvFileCol)))
     val survivors = scanned.join(deadPos,
         scanned(SnapshotTable.DvFileCol) === deadPos("__graft_dvf") &&
           scanned(SnapshotTable.DvPosCol) === deadPos("__graft_dvp"),
@@ -1440,8 +1442,7 @@ final class SnapshotTable private (
     val perFile = marked.as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (uri, it) =>
-        val p = try new java.net.URI(uri).getPath
-          catch { case _: java.net.URISyntaxException => uri }
+        val p = SnapshotTable.uriPath(uri)
         val rel =
           if (p.startsWith(rootPathStr + "/"))
             p.stripPrefix(rootPathStr + "/")
@@ -1828,7 +1829,10 @@ final class SnapshotTable private (
     val evolved = SnapshotTable.evolve(base.schema, df.schema)
     val ig = integrate(base, evolved)
     val pairs = ig.pairs
-    val incoming = SchemaOps.alignTo(df, evolved).localCheckpoint(true)
+    // alignForWrite, not bare alignTo: a batch that OMITS a defaulted
+    // column gets the write-default through upsert exactly as it would
+    // through append — one writer semantics per table, not per verb
+    val incoming = alignForWrite(df, evolved).localCheckpoint(true)
     // empty batch: nothing to replace — without this, the unpartitioned
     // path below would rewrite the WHOLE table to change zero rows (a
     // streaming sink can legitimately deliver empty micro-batches)
@@ -3176,6 +3180,32 @@ final class SnapshotTable private (
 }
 
 object SnapshotTable {
+
+  /** Decoded filesystem path of a file URI as rendered by
+    * `_metadata.file_path` / `input_file_name()`: percent-encoding
+    * rides ON TOP of Hive's own %XX dir-name escaping, so decode
+    * exactly ONCE via `URI.getPath`; strings that don't parse as a
+    * URI (or whose path component is empty) pass through raw. This is
+    * the SINGLE normalization every delete-vector / manifest path
+    * comparison shares — `relPath`, `stagedSubPath`,
+    * `deleteWithVectors` and `readWithDvs` must all key on the same
+    * rendering or a vector covers a phantom path (the DELETE silently
+    * never applies) / the read-side anti-join misses (deleted rows
+    * resurrect) whenever a partition value carries ':', '%' or a
+    * space.
+    */
+  private[catalog] def uriPath(uri: String): String =
+    try {
+      val p = new java.net.URI(uri).getPath
+      if (p == null || p.isEmpty) uri else p
+    } catch { case _: java.net.URISyntaxException => uri }
+
+  /** [[uriPath]] as a column function for per-row normalization of
+    * `_metadata.file_path` (top-level function, so the closure ships
+    * without dragging a SnapshotTable instance into the task).
+    */
+  private[catalog] val uriPathCol: Column => Column =
+    org.apache.spark.sql.functions.udf(uriPath _).apply(_)
 
   /** One aggregate for [[SnapshotTable.metadataAggregate]] /
     * [[SnapshotTable.aggregate]]: `op` ∈ `count_star` | `count` |

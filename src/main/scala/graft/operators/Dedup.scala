@@ -511,11 +511,13 @@ object Dedup {
     * corpus.
     *
     * Scale shape: paragraphs shuffle by an md5 FINGERPRINT for the
-    * document-frequency count (ids-only — never the text), the
-    * boilerplate set (repeated paragraphs are few by definition)
-    * broadcasts into the anti-join so the corpus text crosses the wire
-    * only once for the ordered reconstruction shuffle. No O(n²) stage
-    * anywhere.
+    * document-frequency count (ids-only — never the text); the
+    * anti-join against the boilerplate set is left to AQE, which
+    * broadcasts it when small but falls back to a shuffled anti-join
+    * on `fp` when the duplicated-paragraph set is itself web-scale (on
+    * a 100 TB crawl the repeated fraction is large — a forced
+    * broadcast hint would OOM exactly where this operator matters).
+    * No O(n²) stage anywhere.
     */
   def dedupParagraphs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minDf: Int = 2,
@@ -529,7 +531,7 @@ object Dedup {
       .groupBy("fp").agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= minDf)
       .select("fp")
-    val kept = paras.join(broadcast(boiler), Seq("fp"), "left_anti")
+    val kept = paras.join(boiler, Seq("fp"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("para")))),

@@ -308,6 +308,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("ALTER TABLE graft.nest.t ADD COLUMNS (meta.points BIGINT)")
     assert(sql("SELECT count(meta.points) FROM graft.nest.t")
       .as[Long].collect().head == 0L)
+    // dropping EVERY field of a struct in one ALTER fails the
+    // PRE-check atomically (the apply phase refuses the last-field
+    // drop, so the simulation must too — otherwise the first drop
+    // commits and the second fails: partial DDL)
+    sql("DROP TABLE IF EXISTS graft.nest.two")
+    sql("CREATE TABLE graft.nest.two " +
+      "(id BIGINT, s STRUCT<a: BIGINT, b: STRING>)")
+    val lastField = intercept[Exception](sql(
+      "ALTER TABLE graft.nest.two DROP COLUMNS (s.a, s.b)"))
+    assert(lastField.getMessage.contains("pre-check") &&
+      lastField.getMessage.contains("last field"), lastField.getMessage)
+    // nothing applied: both fields still present
+    assert(sql("SELECT s.a, s.b FROM graft.nest.two").columns.toSeq ==
+      Seq("a", "b"))
   }
 
   test("RENAME TABLE moves the directory; DROP NAMESPACE respects emptiness") {

@@ -315,6 +315,21 @@ class SnapshotTableSpec extends AnyFunSuite {
     t.compact(minFiles = 1)
     assert(t.read().select(col("id"), col("src"))
       .as[(Long, Option[String])].collect().sortBy(_._1).toSeq == got)
+    // upsert and MERGE stamp the write-default too (one writer
+    // semantics per table, not per verb): a batch OMITTING the column
+    // gets 'legacy' whether it lands via append, upsert or MERGE
+    t.upsert(rows((5, "2024-01-05", 5.0)), Seq("id"))
+    assert(t.read().filter(col("id") === 5L).select("src")
+      .as[String].collect().toSeq == Seq("legacy"), "upsert default")
+    t.merge(rows((6, "2024-01-06", 6.0)), Seq("id"))
+    assert(t.read().filter(col("id") === 6L).select("src")
+      .as[String].collect().toSeq == Seq("legacy"), "merge-insert default")
+    // ...and a matched UPDATE SET * from an omitting source replaces
+    // the row's src with the default (the writer doesn't know the
+    // column), while explicit values still win
+    t.merge(rows((4, "2024-01-04", 44.0)), Seq("id"))
+    assert(t.read().filter(col("id") === 4L).select("v", "src")
+      .as[(Double, String)].collect().toSeq == Seq((44.0, "legacy")))
     // timestamps are refused (session-zone-dependent rendering)
     val bad = intercept[IllegalArgumentException](t.addColumnWithDefault(
       StructField("at", TimestampType),
@@ -676,6 +691,35 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.readPartitions(_.contains("a/b")).select("v").as[Long]
       .collect().toSeq == Seq(1L))
     assert(t.read().count() == vals.size.toLong)
+  }
+
+  test("delete vectors survive path-hostile partition values (':', space, '%')") {
+    // the DV join keys on a normalized _metadata.file_path; Hive %XX
+    // dir escaping + URI percent-encoding ride on top of each other,
+    // so write- and read-side must decode through ONE shared helper
+    // (SnapshotTable.uriPath) or the vector covers a phantom path /
+    // the anti-join misses and deleted rows resurrect
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    val t = SnapshotTable.create(spark, freshRoot(), schema,
+      Some(PartitionSpec("k", "identity")))
+    val vals = Seq("a:b c", "x%20y", "p=q's")
+    t.append(vals.zipWithIndex.flatMap { case (k, i) =>
+      Seq((k, i.toLong), (k, i.toLong + 100L)) }.toDF("k", "v"))
+    val preFiles = t.currentSnapshot().files.map(_.path).toSet
+    // delete ONE row in each hostile partition, via vectors
+    t.deleteWithVectors(col("v") < 100L)
+    val s = t.currentSnapshot()
+    assert(s.files.map(_.path).toSet == preFiles, "no data file rewritten")
+    assert(s.dvFiles.nonEmpty, "vectors committed")
+    // every vector covers a REAL manifest path (no phantom coverage)
+    val live = preFiles
+    assert(s.dvFiles.flatMap(_.dataPaths).forall(live.contains),
+      s"phantom DV path in ${s.dvFiles.flatMap(_.dataPaths)}")
+    // ...and the read-side anti-join actually drops the rows
+    assert(t.read().select("v").as[Long].collect().sorted.toSeq ==
+      Seq(100L, 101L, 102L), "deleted rows must not resurrect")
+    assert(t.read().select("k").distinct().count() == 3L)
   }
 
   test("4 concurrent writers with mixed appends all commit exactly once") {
@@ -2425,6 +2469,27 @@ class SnapshotTableSpec extends AnyFunSuite {
       s"CALL graft.system.compact(table => '${pt.root}', " +
         "partition => '2024-01', null_partition => true)").collect())
     assert(bothScopes.getMessage.contains("not both"), bothScopes.getMessage)
+    // an explicit partition => '' is refused loudly ("omitted" is SQL
+    // NULL, so '' no longer silently means all-partitions; the storage
+    // layer folds empty identity values into the null partition, which
+    // null_partition => true reaches)
+    val et = SnapshotTable.create(spark, freshRoot(), StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType))),
+      Some(PartitionSpec("k", "identity")))
+    et.append(Seq(("", 1L), ("", 2L)).toDF("k", "v"))
+    et.append(Seq(("", 3L), ("x", 4L)).toDF("k", "v"))
+    val emptyScope = intercept[Exception](spark.sql(
+      s"CALL graft.system.compact(table => '${et.root}', " +
+        "partition => '')").collect())
+    assert(emptyScope.getMessage.contains("null_partition"),
+      emptyScope.getMessage)
+    // empty-string values landed in the null partition; the flag
+    // compacts exactly them (2 files holding '' rows → 1)
+    val np = spark.sql(s"CALL graft.system.compact(" +
+      s"table => '${et.root}', null_partition => true)").collect().head
+    assert(np.getLong(0) == 1L && np.getLong(1) >= 2L &&
+      np.getLong(2) == 1L, np)
+    assert(et.read().count() == 4L)
     // misuse fails with named errors, not Spark parse noise
     val unknown = intercept[Exception](
       spark.sql(s"CALL graft.system.nope($arg)"))

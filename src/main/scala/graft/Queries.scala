@@ -1842,6 +1842,12 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val dvTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val updateDvTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val mergeDvTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dvCompactTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val defaultValTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val specEvoTableCache =
@@ -2829,6 +2835,139 @@ object Queries {
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
              |  TRUE AS dv_no_rewrite
              |FROM events WHERE event_id % 41 <> 0
+             |GROUP BY 1""".stripMargin)),
+
+    // MERGE-ON-READ UPDATE (Iceberg `write.update.mode=merge-on-read`
+    // over v3 deletion vectors): the UPDATE hides the old row images
+    // under KB-sized positional vectors and appends the new images —
+    // dv_update pins that every pre-update data file SURVIVED the
+    // commit (no rewrite), vectors were committed, and the operation
+    // routed through the `graft.update.mode` table property. The
+    // 100 TB shape: updating 0.1% of rows in a 1 GB file costs the
+    // changed rows, not the file.
+    QueryDef("snap_update_dv",
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, updateDvTableCache, "updv",
+          extraProps = Map("graft.update.mode" -> "merge-on-read")) { tbl =>
+          val pre = tbl.currentSnapshot().files.map(_.path).toSet
+          tbl.updateRouted(
+            Seq("value" -> (col("value") + lit(5000.0d))),
+            col("event_id") % 37 === 0)
+          val cur = tbl.currentSnapshot()
+          require(cur.operation == "update-pos" &&
+            pre.subsetOf(cur.files.map(_.path).toSet) &&
+            cur.dvFiles.nonEmpty,
+            "MoR UPDATE must commit vectors, not rewrite files")
+          ()
+        }
+        val h = tbl.history()
+        val preUpdate = h.find(_.operation == "append").get
+          .files.map(_.path).toSet
+        val cur = tbl.currentSnapshot()
+        val ok = cur.operation == "update-pos" &&
+          preUpdate.subsetOf(cur.files.map(_.path).toSet) &&
+          cur.dvFiles.nonEmpty
+        tbl.read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .withColumn("dv_update", lit(ok))
+      },
+      Some("""WITH updated AS (
+             |  SELECT event_type,
+             |    CASE WHEN event_id % 37 = 0 THEN value + 5000.0
+             |         ELSE value END AS value
+             |  FROM events
+             |)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             |  TRUE AS dv_update
+             |FROM updated GROUP BY 1""".stripMargin)),
+
+    // MERGE-ON-READ MERGE (`graft.merge.mode=merge-on-read`): the SAME
+    // conditional-clause scenario snap_merge_conditional runs
+    // copy-on-write, here committed as positional vectors over the
+    // clause-fired rows plus appended update images — rows that fall
+    // through every clause stay IN PLACE (no vector, no append, no
+    // rewrite). dv_merge pins the no-rewrite file set and the
+    // merge-pos commit; values must match the identical COW oracle.
+    QueryDef("snap_merge_dv",
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, mergeDvTableCache, "mrgdv",
+          extraProps = Map("graft.merge.mode" -> "merge-on-read")) { tbl =>
+          val src = t(s, dir, "events").filter(col("event_id") % 40 === 0)
+            .withColumn("value", col("value") + lit(5000.0d))
+          tbl.mergeConditional(src, Seq("event_id"), Seq(
+            graft.catalog.MergeClause(Some(col("s.event_id") % 80 === 0),
+              graft.catalog.MergeAction.UpdateAll),
+            graft.catalog.MergeClause(Some(col("t.value") < 50.0d),
+              graft.catalog.MergeAction.Delete)),
+            insertNotMatched = false)
+          ()
+        }
+        val h = tbl.history()
+        val preMerge = h.find(_.operation == "append").get
+          .files.map(_.path).toSet
+        val cur = tbl.currentSnapshot()
+        val ok = cur.operation == "merge-pos" &&
+          preMerge.subsetOf(cur.files.map(_.path).toSet) &&
+          cur.dvFiles.nonEmpty
+        tbl.read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .withColumn("dv_merge", lit(ok))
+      },
+      Some("""WITH merged AS (
+             |  SELECT event_type,
+             |    CASE WHEN event_id % 80 = 0 THEN value + 5000.0
+             |         ELSE value END AS value
+             |  FROM events
+             |  WHERE NOT (event_id % 40 = 0 AND event_id % 80 <> 0
+             |             AND COALESCE(value < 50, FALSE))
+             |)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             |  TRUE AS dv_merge
+             |FROM merged GROUP BY 1""".stripMargin)),
+
+    // DELETE-VECTOR MAINTENANCE (Iceberg `rewrite_position_delete_
+    // files`): three MoR deletes accumulate three vector generations
+    // over the same data files — reads union all of them — then the
+    // native CALL graft.system.rewrite_dvs coalesces the coverage into
+    // ONE generation (bitmap union, executor-side) and retires the
+    // originals. dv_compacted pins fewer vector files after, a
+    // byte-identical data-file set, and the rewrite-dv commit.
+    QueryDef("snap_dv_compact",
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, dvCompactTableCache, "dvc") { tbl =>
+          tbl.deleteWithVectors(col("event_id") % 53 === 0)
+          tbl.deleteWithVectors(col("event_id") % 59 === 0)
+          tbl.deleteWithVectors(col("event_id") % 61 === 0)
+          val before = tbl.currentSnapshot().dvFiles.size
+          val r = s.sql("CALL graft.system.rewrite_dvs(" +
+            s"table => '${tbl.root}')").collect().head
+          require(r.getLong(0) == before.toLong && r.getLong(1) < before,
+            s"rewrite_dvs must coalesce: $r")
+          ()
+        }
+        val h = tbl.history()
+        val preDelete = h.find(_.operation == "append").get
+          .files.map(_.path).toSet
+        val cur = tbl.currentSnapshot()
+        val ok = cur.operation == "rewrite-dv" &&
+          cur.files.map(_.path).toSet == preDelete &&
+          cur.dvFiles.nonEmpty &&
+          cur.dvFiles.size < h.count(_.operation == "delete-pos")
+        tbl.read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .withColumn("dv_compacted", lit(ok))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             |  TRUE AS dv_compacted
+             |FROM events
+             |WHERE event_id % 53 <> 0 AND event_id % 59 <> 0
+             |  AND event_id % 61 <> 0
              |GROUP BY 1""".stripMargin)),
 
     // Conditional MERGE (WHEN MATCHED AND <cond>, first-match-wins —

@@ -159,6 +159,18 @@ object GraftCatalogProcedures {
         t.maintain(lng(a, "target_rows"))
         Seq(t.currentSnapshot().files.size.toLong, t.history().size.toLong)
       }),
+    "rewrite_dvs" -> Proc(
+      // Iceberg's rewrite_position_delete_files: coalesce accumulated
+      // delete vectors into one generation (bitmap union per data
+      // file) so reads stop unioning N tiny vector scans per file
+      Seq(opt("min_vectors", L, "2")),
+      outS("vector_files_before" -> L, "vector_files_after" -> L,
+        "hidden_rows" -> L),
+      (t, a) => {
+        val before = t.currentSnapshot().dvFiles.size.toLong
+        val s = t.rewriteDeleteVectors(lng(a, "min_vectors").toInt)
+        Seq(before, s.dvFiles.size.toLong, s.dvFiles.map(_.rows).sum)
+      }),
     "import_files" -> Proc(
       Seq(in("source", S)),
       outS("imported_files" -> L, "imported_rows" -> L),

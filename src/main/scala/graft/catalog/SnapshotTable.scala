@@ -962,6 +962,68 @@ final class SnapshotTable private (
         staged.map(_.copy(cols = base.ids, nested = nestedPairsOf(base)))))
   }
 
+  /** Row-level UPDATE via POSITIONAL DELETE VECTORS, merge-on-read
+    * (Iceberg `write.update.mode=merge-on-read` over v3 deletion
+    * vectors): matched rows are hidden IN PLACE by a KB-sized roaring
+    * bitmap per touched file and re-appended with the assignments
+    * applied — ZERO data files rewritten, O(changed rows) bytes
+    * written, vs [[update]]'s rewrite of every hit file. Assignment
+    * semantics are identical to [[update]]: expressions evaluate
+    * against the ORIGINAL row and cast to the declared type.
+    *
+    * Positions come from the delete-APPLIED read: a row an older
+    * vector or equality delete already hides must be neither re-marked
+    * (harmless) nor re-emitted (that would RESURRECT it with the
+    * update applied). One eager materialization feeds both the vectors
+    * and the appended rows, so the two sides can never disagree about
+    * which rows matched.
+    */
+  def updateWithVectors(set: Seq[(String, Column)], pred: Column): Snapshot = {
+    require(set.nonEmpty, "update needs at least one assignment")
+    val base = currentSnapshot()
+    val dup = set.groupBy(_._1).collect { case (n, as) if as.size > 1 => n }
+    require(dup.isEmpty, s"duplicate assignment for column(s): ${dup.mkString(", ")}")
+    val missing = set.map(_._1).filterNot(base.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"update assigns unknown column(s): ${missing.mkString(", ")}")
+    val byName = set.toMap
+    val candidates = pruneFiles(base, pred)
+    if (candidates.isEmpty) return base
+    val marked = readWithDeletes(base.schema, base.ids, base, candidates,
+        withPos = true)
+      .filter(pred <=> lit(true))
+      .localCheckpoint(true)
+    val stagedDv = stageDvsFor(marked)
+    if (stagedDv.isEmpty) return base // nothing matches: no new snapshot
+    // every marked row satisfies pred, so assignments apply
+    // unconditionally (no per-row branch as in the COW rewrite)
+    val outCols = base.schema.fields.toIndexedSeq.map { f =>
+      byName.get(f.name).map(_.cast(f.dataType))
+        .getOrElse(col(SnapshotTable.quoted(f.name))).as(f.name)
+    }
+    val staged = stage(marked.select(outCols: _*), base.spec, base.properties)
+    val c = next(base, "update-pos", base.schema, base.files ++
+      staged.map(_.copy(cols = base.ids, nested = nestedPairsOf(base))))
+    commitStrict(base, c.copy(dvFiles = c.dvFiles ++
+      stagedDv.map { case (p, rows, dataPaths) =>
+        DvFileEntry(p, rows, dataPaths, c.version) }))
+  }
+
+  /** SQL `UPDATE` routing — the Iceberg `write.update.mode` table
+    * property as `graft.update.mode`: `copy-on-write` (default —
+    * [[update]] rewrites hit files) or `merge-on-read`
+    * ([[updateWithVectors]] hides old rows under positional vectors
+    * and appends the updated ones). Both SQL lowering paths call this,
+    * so the property cannot be bypassed by statement shape.
+    */
+  def updateRouted(set: Seq[(String, Column)], pred: Column): Snapshot =
+    currentSnapshot().properties.get("graft.update.mode") match {
+      case Some("merge-on-read") => updateWithVectors(set, pred)
+      case Some(other) if other != "copy-on-write" => sys.error(
+        s"graft.update.mode='$other' — use copy-on-write or merge-on-read")
+      case _ => update(set, pred)
+    }
+
   /** MERGE INTO, copy-on-write at FILE granularity: source key bounds
     * prune candidate files via manifest stats, only files holding an
     * actually-matched key are rewritten, and not-matched source rows
@@ -1031,6 +1093,17 @@ final class SnapshotTable private (
     require(notMatchedBySource.forall(_.action != MergeAction.UpdateAll),
       "WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * — there is no source row")
     val base = currentSnapshot()
+    // graft.merge.mode (Iceberg `write.merge.mode`): merge-on-read
+    // hides updated/deleted target rows under positional delete
+    // vectors and APPENDS the new row images — untouched rows of
+    // matched files stay in place, O(changed rows) written instead of
+    // O(hit files) rewritten. The 100 TB shape for CDC-heavy tables.
+    val mor = base.properties.get("graft.merge.mode") match {
+      case Some("merge-on-read") => true
+      case Some(other) if other != "copy-on-write" => sys.error(
+        s"graft.merge.mode='$other' — use copy-on-write or merge-on-read")
+      case _ => false
+    }
     val evolved = SnapshotTable.evolve(base.schema, source.schema)
     require(on.forall(evolved.fieldNames.contains),
       s"merge keys ${on.mkString(",")} must exist in the table schema")
@@ -1084,6 +1157,8 @@ final class SnapshotTable private (
       .reduceOption(_ || _)
     val hit =
       if (candidates.isEmpty) Nil
+      else if (mor) candidates // no rewrite → no hit-refinement job:
+        // positions come only from rows a clause actually fires on
       else {
         // RAW read (input_file_name() cannot span the MoR anti-join);
         // over-approximates hits by MoR-deleted keys only — hitRows
@@ -1105,7 +1180,7 @@ final class SnapshotTable private (
       }
     val hitSet = hit.map(_.path).toSet
     val hitRows = readWithDeletes(evolved, pairs, base, hit,
-      targetNested = ig.nestedIds2)
+      targetNested = ig.nestedIds2, withPos = mor)
     // expression-list projection under the t/s aliases: assigned
     // columns evaluate and cast to the declared type, the rest take
     // `restFrom` (t.* for UPDATE SET, NULL for column-list INSERT)
@@ -1120,21 +1195,30 @@ final class SnapshotTable private (
     // rows in hit files whose key is NOT in the source: untouched
     // without NOT-MATCHED-BY-SOURCE clauses, else first-match-wins
     val unmatchedRows = hitRows.join(srcKeys, on, "left_anti")
+    val uTagged =
+      if (notMatchedBySource.isEmpty) None
+      else Some(unmatchedRows.alias("t").withColumn("__graft_clause",
+        notMatchedBySource.zipWithIndex.foldLeft(when(lit(false), -1)) {
+          case (acc, (cl, i)) =>
+            acc.when(cl.condition.getOrElse(lit(true)), lit(i))
+        }.otherwise(lit(-1))))
+    val unmatchedRewritten = uTagged.toSeq.flatMap { u =>
+      notMatchedBySource.zipWithIndex.collect {
+        case (MergeClause(_, MergeAction.UpdateSet(assigns)), i) =>
+          assignProjection(u.filter(col("__graft_clause") === i), assigns,
+            n => col("t." + SnapshotTable.quoted(n)))
+      }
+    }
+    // COW re-emits the untouched rows of hit files (the whole file is
+    // being rewritten); MoR leaves them in place — only rows a clause
+    // fires on cost anything
     val unmatched =
-      if (notMatchedBySource.isEmpty) Seq(unmatchedRows)
-      else {
-        val u = unmatchedRows.alias("t").withColumn("__graft_clause",
-          notMatchedBySource.zipWithIndex.foldLeft(when(lit(false), -1)) {
-            case (acc, (cl, i)) =>
-              acc.when(cl.condition.getOrElse(lit(true)), lit(i))
-          }.otherwise(lit(-1)))
-        val kept = u.filter(col("__graft_clause") === -1).select(col("t.*"))
-        val rewritten = notMatchedBySource.zipWithIndex.collect {
-          case (MergeClause(_, MergeAction.UpdateSet(assigns)), i) =>
-            assignProjection(u.filter(col("__graft_clause") === i), assigns,
-              n => col("t." + SnapshotTable.quoted(n)))
-        }
-        kept +: rewritten
+      if (mor) unmatchedRewritten
+      else uTagged match {
+        case None => Seq(unmatchedRows)
+        case Some(u) =>
+          u.filter(col("__graft_clause") === -1).select(col("t.*")) +:
+            unmatchedRewritten
       }
     val matchedKeys = hitRows.select(on.map(col): _*).distinct()
     // matched (target, source) pairs: the cardinality rule guarantees
@@ -1148,10 +1232,13 @@ final class SnapshotTable private (
         whenMatched.zipWithIndex.foldLeft(when(lit(false), -1)) {
           case (acc, (cl, i)) => acc.when(cl.condition.getOrElse(lit(true)), lit(i))
         }.otherwise(lit(-1)))
-    // -1 = no clause applied: the matched row is kept unchanged;
-    // Delete clauses contribute nothing; UpdateAll emits the source
-    // row; UpdateSet projects assignment expressions over the pair
-    val keptAsIs = pairsDf.filter(col("__graft_clause") === -1).select(col("t.*"))
+    // -1 = no clause applied: the matched row is kept unchanged (COW
+    // re-emits it into the rewrite; MoR leaves it in place); Delete
+    // clauses contribute nothing; UpdateAll emits the source row;
+    // UpdateSet projects assignment expressions over the pair
+    val cowKept =
+      if (mor) Nil
+      else Seq(pairsDf.filter(col("__graft_clause") === -1).select(col("t.*")))
     val updated = whenMatched.zipWithIndex.collect {
       case (MergeClause(_, MergeAction.UpdateAll), i) =>
         pairsDf.filter(col("__graft_clause") === i).select(col("s.*"))
@@ -1159,7 +1246,22 @@ final class SnapshotTable private (
         assignProjection(pairsDf.filter(col("__graft_clause") === i), assigns,
           n => col("t." + SnapshotTable.quoted(n)))
     }
-    val survivors = (keptAsIs +: (unmatched ++ updated)).reduce(_ unionByName _)
+    // MoR: every target row a clause fired on — matched update/delete,
+    // NMBS update/delete — is hidden under a positional vector; the
+    // update images re-enter through the staged additions
+    val deadPositions =
+      if (!mor) None
+      else {
+        val posSel = Seq(
+          col("t." + SnapshotTable.DvFileCol).as(SnapshotTable.DvFileCol),
+          col("t." + SnapshotTable.DvPosCol).as(SnapshotTable.DvPosCol))
+        val matchedDead = pairsDf.filter(col("__graft_clause") =!= -1)
+          .select(posSel: _*)
+        val unmatchedDead = uTagged.map(
+          _.filter(col("__graft_clause") =!= -1).select(posSel: _*))
+        Some(unmatchedDead.foldLeft(matchedDead)(_ unionByName _))
+      }
+    val emitted = cowKept ++ unmatched ++ updated
     // not-matched source rows walk the INSERT clauses first-match-wins;
     // a row no clause accepts is not inserted
     val notMatchedSrc = src.join(matchedKeys, on, "left_anti")
@@ -1181,9 +1283,17 @@ final class SnapshotTable private (
         }
     }
     val staged = stage(
-      (survivors +: additions).reduce(_ unionByName _),
+      (emitted ++ additions).reduce(_ unionByName _),
       base.spec, base.properties)
-    commitStrict(base, nextWithIds(base, "merge", ig.schema2, ig.ids2,
+    if (mor) {
+      val stagedDv = deadPositions.map(stageDvsFor).getOrElse(Nil)
+      val c = nextWithIds(base, "merge-pos", ig.schema2, ig.ids2, ig.nextId,
+        base.files ++ staged.map(_.copy(cols = pairs, nested = nestedPairs)))
+        .copy(nestedIds = ig.nestedIds2)
+      commitStrict(base, c.copy(dvFiles = c.dvFiles ++
+        stagedDv.map { case (p, rows, dataPaths) =>
+          DvFileEntry(p, rows, dataPaths, c.version) }))
+    } else commitStrict(base, nextWithIds(base, "merge", ig.schema2, ig.ids2,
       ig.nextId,
       base.files.filterNot(f => hitSet.contains(f.path)) ++
         staged.map(_.copy(cols = pairs, nested = nestedPairs)))
@@ -1232,14 +1342,17 @@ final class SnapshotTable private (
     */
   private def readWithDeletes(target: StructType, targetIds: Seq[(String, Int)],
       owner: Snapshot, files: Seq[DataFileEntry],
-      targetNested: Seq[(String, Int)] = null): DataFrame = {
+      targetNested: Seq[(String, Int)] = null,
+      withPos: Boolean = false): DataFrame = {
     val dels = owner.deleteFiles
     if (dels.isEmpty || files.isEmpty)
-      return readWithDvs(target, targetIds, owner, files, targetNested)
+      return readWithDvs(target, targetIds, owner, files, targetNested,
+        withPos)
     val currentById = targetIds.map { case (n, id) => id -> n }.toMap
     files.groupBy(f => dels.filter(_.seq > f.seq).map(_.path).toSet)
       .toSeq.map { case (applicable, fs) =>
-        val base = readWithDvs(target, targetIds, owner, fs, targetNested)
+        val base = readWithDvs(target, targetIds, owner, fs, targetNested,
+          withPos)
         dels.filter(d => applicable.contains(d.path)).foldLeft(base) {
           (df, d) =>
             val keyNames = d.cols.map { case (_, id) =>
@@ -1270,13 +1383,14 @@ final class SnapshotTable private (
     */
   private def readWithDvs(target: StructType, targetIds: Seq[(String, Int)],
       owner: Snapshot, files: Seq[DataFileEntry],
-      targetNested: Seq[(String, Int)] = null): DataFrame = {
+      targetNested: Seq[(String, Int)] = null,
+      withPos: Boolean = false): DataFrame = {
     if (owner.dvFiles.isEmpty || files.isEmpty)
-      return readResolved(target, targetIds, owner, files,
+      return readResolved(target, targetIds, owner, files, withPos = withPos,
         targetNested = targetNested)
     val (hit, clean) = files.partition(f => dvsOf(owner, f).nonEmpty)
     if (hit.isEmpty) return readResolved(target, targetIds, owner, files,
-      targetNested = targetNested)
+      withPos = withPos, targetNested = targetNested)
     val dvEntries = hit.flatMap(f => dvsOf(owner, f)).distinct
     // rel-path → the NORMALIZED absolute path _metadata.file_path
     // renders (scheme stripped) — tiny, broadcast with the decode
@@ -1307,16 +1421,23 @@ final class SnapshotTable private (
       // _metadata.file_path is a URI ("file:/…"); decode to the bare
       // path through the SAME helper deleteWithVectors keys on, so
       // percent-encoded partition values (':', '%', space) land on
-      // relToAbs' rendering instead of resurrecting deleted rows
-      .withColumn(SnapshotTable.DvFileCol,
+      // relToAbs' rendering instead of resurrecting deleted rows.
+      // The decoded key lives in a SIDE column: with `withPos` the
+      // caller gets the raw `_metadata.file_path` URI (uriPath is not
+      // idempotent on '%'-bearing paths — normalizing twice would
+      // double-decode)
+      .withColumn("__graft_dvfn",
         SnapshotTable.uriPathCol(col(SnapshotTable.DvFileCol)))
-    val survivors = scanned.join(deadPos,
-        scanned(SnapshotTable.DvFileCol) === deadPos("__graft_dvf") &&
+    val survivors0 = scanned.join(deadPos,
+        scanned("__graft_dvfn") === deadPos("__graft_dvf") &&
           scanned(SnapshotTable.DvPosCol) === deadPos("__graft_dvp"),
         "left_anti")
-      .drop(SnapshotTable.DvFileCol, SnapshotTable.DvPosCol)
+      .drop("__graft_dvfn")
+    val survivors =
+      if (withPos) survivors0
+      else survivors0.drop(SnapshotTable.DvFileCol, SnapshotTable.DvPosCol)
     if (clean.isEmpty) survivors
-    else readResolved(target, targetIds, owner, clean,
+    else readResolved(target, targetIds, owner, clean, withPos = withPos,
       targetNested = targetNested).unionByName(survivors)
   }
 
@@ -1431,15 +1552,37 @@ final class SnapshotTable private (
     val base = currentSnapshot()
     val candidates = pruneFiles(base, pred)
     if (candidates.isEmpty) return base
-    val rootPathStr = fs.makeQualified(root).toUri.getPath
     // RAW per-file positions (vectors compose by union, so re-marking a
     // row an older vector or equality delete already hides is a no-op)
     val marked = readResolved(base.schema, base.ids, base, candidates,
         withPos = true)
       .filter(pred <=> lit(true))
-      .select(col(SnapshotTable.DvFileCol), col(SnapshotTable.DvPosCol))
+    val staged = stageDvsFor(marked)
+    if (staged.isEmpty) return base // nothing matched: no new snapshot
+    val c = next(base, "delete-pos", base.schema, base.files)
+    commitStrict(base, c.copy(dvFiles = c.dvFiles ++
+      staged.map { case (p, rows, dataPaths) =>
+        DvFileEntry(p, rows, dataPaths, c.version) }))
+  }
+
+  /** Roaring-bitmap delete vectors for a frame carrying
+    * ([[SnapshotTable.DvFileCol]] = raw file URI, [[SnapshotTable
+    * .DvPosCol]] = row ordinal): positions group per file EXECUTOR-side
+    * (no deleted-position list ever on the driver), each file's bitmap
+    * is built, run-optimized and serialized in its task, and the
+    * vectors stage as parquet. Shared by [[deleteWithVectors]],
+    * [[updateWithVectors]] and the merge-on-read MERGE path — one
+    * encode discipline, one 32-bit-domain guard.
+    *
+    * @return (staged path, deleted positions, covered data paths) per
+    *         vector file; empty when no position was marked.
+    */
+  private def stageDvsFor(positions: DataFrame): Seq[(String, Long, Seq[String])] = {
+    val rootPathStr = fs.makeQualified(root).toUri.getPath
     import spark.implicits._
-    val perFile = marked.as[(String, Long)]
+    val perFile = positions
+      .select(col(SnapshotTable.DvFileCol), col(SnapshotTable.DvPosCol))
+      .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (uri, it) =>
         val p = SnapshotTable.uriPath(uri)
@@ -1459,12 +1602,7 @@ final class SnapshotTable private (
         bm.serialize(java.nio.ByteBuffer.wrap(buf))
         (rel, buf, bm.getLongCardinality)
       }.toDF("path", "dv", "rows")
-    val staged = stageDvs(perFile)
-    if (staged.isEmpty) return base // nothing matched: no new snapshot
-    val c = next(base, "delete-pos", base.schema, base.files)
-    commitStrict(base, c.copy(dvFiles = c.dvFiles ++
-      staged.map { case (p, rows, dataPaths) =>
-        DvFileEntry(p, rows, dataPaths, c.version) }))
+    stageDvs(perFile)
   }
 
   /** Stage per-data-file delete vectors as parquet under
@@ -1498,6 +1636,71 @@ final class SnapshotTable private (
       dvs: Seq[DvFileEntry]): Seq[DvFileEntry] = {
     val live = files.map(_.path).toSet
     dvs.filter(_.dataPaths.exists(live.contains))
+  }
+
+  /** Coalesce accumulated positional delete vectors (Iceberg's
+    * `rewrite_position_delete_files`): every MoR DELETE/UPDATE/MERGE
+    * commit adds one vector file per touched data file, and reads
+    * union ALL live vectors — N point-deletes against the same file
+    * cost N tiny parquet scans until maintenance folds them. Rewrites
+    * the live applicable coverage into ONE vector generation — bitmaps
+    * union per data file EXECUTOR-side, one commit — and retires the
+    * originals ([[expireSnapshots]] reclaims the files once no
+    * retained snapshot references them).
+    *
+    * No-op unless some data file has ≥ `minVectors` applicable
+    * vectors. Coverage that no longer applies (the data file was
+    * rewritten away, or its path was re-added AFTER the vector — the
+    * `seq` guard) is dropped, not carried: the rewrite is
+    * read-equivalent by construction because it re-groups exactly the
+    * pairs [[dvsOf]] would apply.
+    */
+  def rewriteDeleteVectors(minVectors: Int = 2): Snapshot = {
+    val base = currentSnapshot()
+    if (base.dvFiles.isEmpty) return base
+    val applicable = base.files.map(f => f.path -> dvsOf(base, f))
+      .filter(_._2.nonEmpty)
+    if (!applicable.exists(_._2.size >= minVectors)) return base
+    // the (vector path, data path) pairs a read would actually apply —
+    // rows outside this set are stale coverage and must not carry over
+    val livePairs = applicable.flatMap { case (dp, dvs) =>
+      dvs.map(d => (d.path, dp)) }.toSet
+    val vecPaths = applicable.flatMap(_._2).map(_.path).distinct
+    val rootPathStr = fs.makeQualified(root).toUri.getPath
+    val pairsB = spark.sparkContext.broadcast(livePairs)
+    import spark.implicits._
+    val merged = spark.read.schema(SnapshotTable.DvSchema)
+      .parquet(vecPaths.map(p => new Path(root, p).toString): _*)
+      .select(col("path"), col("dv"),
+        col("_metadata.file_path").as("__graft_vf"))
+      .as[(String, Array[Byte], String)]
+      .flatMap { case (dp, bytes, vfUri) =>
+        val p = SnapshotTable.uriPath(vfUri)
+        val vfRel =
+          if (p.startsWith(rootPathStr + "/"))
+            p.stripPrefix(rootPathStr + "/")
+          else p
+        if (pairsB.value.contains((vfRel, dp))) Some((dp, bytes))
+        else None
+      }
+      .groupByKey(_._1)
+      .mapGroups { (dp, it) =>
+        val acc = new org.roaringbitmap.RoaringBitmap()
+        it.foreach { case (_, bytes) =>
+          val bm = new org.roaringbitmap.RoaringBitmap()
+          bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+          acc.or(bm)
+        }
+        acc.runOptimize()
+        val buf = new Array[Byte](acc.serializedSizeInBytes())
+        acc.serialize(java.nio.ByteBuffer.wrap(buf))
+        (dp, buf, acc.getLongCardinality)
+      }.toDF("path", "dv", "rows")
+    val staged = stageDvs(merged)
+    val c = next(base, "rewrite-dv", base.schema, base.files)
+    commitStrict(base, c.copy(dvFiles =
+      staged.map { case (p, rows, dataPaths) =>
+        DvFileEntry(p, rows, dataPaths, c.version) }))
   }
 
   /** The (key, id) pairs a file staged under snapshot `s`\'s CURRENT
@@ -2916,6 +3119,12 @@ final class SnapshotTable private (
     // current spec so value-scoped operations unblock without a manual
     // migrateSpec() call
     migrateSpec(targetRowsPerFile)
+    // coalesce delete-vector debris left on partitions BELOW the
+    // compaction threshold (compact folds vectors into rewrites; this
+    // handles what compact didn't touch) — same knob family as the
+    // reference's optimize_rewrite_delete_file_threshold
+    rewriteDeleteVectors(minVectors = math.max(2,
+      props.getOrElse("optimize_rewrite_delete_file_threshold", "2").toInt))
     expireSnapshots()
     ()
   }

@@ -295,12 +295,16 @@ final case class GraftDeleteCommand(table: SnapshotTable, cond: Column)
   }
 }
 
-/** `UPDATE <graft target> SET ... WHERE p` lowered to the COW update. */
+/** `UPDATE <graft target> SET ... WHERE p` lowered to the row-level
+  * update — COW by default, positional delete vectors when the table
+  * sets `graft.update.mode=merge-on-read` (old row images hidden under
+  * vectors, new images appended; zero data files rewritten).
+  */
 final case class GraftUpdateCommand(table: SnapshotTable,
     assigns: Seq[(String, Column)], cond: Column)
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    table.update(assigns, cond)
+    table.updateRouted(assigns, cond)
     Nil
   }
 }

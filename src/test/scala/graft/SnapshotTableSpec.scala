@@ -722,6 +722,150 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().select("k").distinct().count() == 3L)
   }
 
+  test("merge-on-read UPDATE: vectors hide old rows, new images append, no rewrite") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, None)
+    t.append(rows((1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0),
+      (3, "2024-01-03", 3.0), (4, "2024-01-04", 4.0)))
+    val preFiles = t.currentSnapshot().files.map(_.path).toSet
+    t.updateWithVectors(Seq("v" -> (col("v") + lit(100.0))), col("id") <= 2L)
+    val s = t.currentSnapshot()
+    assert(s.operation == "update-pos")
+    // the pre-update files survive byte-identical; the update is a
+    // vector (hiding the old images) plus appended new images
+    assert(preFiles.subsetOf(s.files.map(_.path).toSet), "no rewrite")
+    assert(s.dvFiles.nonEmpty && s.dvFiles.map(_.rows).sum == 2L)
+    assert(t.read().select("id", "v").as[(Long, Double)]
+      .collect().sorted.toSeq ==
+      Seq((1L, 101.0), (2L, 102.0), (3L, 3.0), (4L, 4.0)))
+    // a row already hidden by a vector is NOT resurrected by a later
+    // MoR update whose predicate would have matched it
+    t.deleteWithVectors(col("id") === 3L)
+    t.updateWithVectors(Seq("v" -> lit(999.0)), col("v") <= 4.0)
+    assert(t.read().select("id", "v").as[(Long, Double)]
+      .collect().sorted.toSeq ==
+      Seq((1L, 101.0), (2L, 102.0), (4L, 999.0)),
+      "MoR update must not resurrect vector-deleted rows")
+    // time travel sees every intermediate image
+    assert(t.readAt(2).select("v").as[Double].collect().sum == 10.0)
+    // updateRouted honors graft.update.mode
+    t.setProperties(Map("graft.update.mode" -> "merge-on-read"))
+    val filesBefore = t.currentSnapshot().files.map(_.path).toSet
+    t.updateRouted(Seq("v" -> lit(0.0)), col("id") === 1L)
+    assert(t.currentSnapshot().operation == "update-pos")
+    assert(filesBefore.subsetOf(t.currentSnapshot().files.map(_.path).toSet))
+    assert(t.read().filter(col("id") === 1L).select("v")
+      .as[Double].collect().toSeq == Seq(0.0))
+  }
+
+  test("merge-on-read MERGE: only clause-fired rows cost vectors and appends") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, None,
+      properties = Map("graft.merge.mode" -> "merge-on-read"))
+    t.append(rows((1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0),
+      (3, "2024-01-03", 3.0), (4, "2024-01-04", 4.0)))
+    val preFiles = t.currentSnapshot().files.map(_.path).toSet
+    // id=1 updates (UpdateAll), id=2 deletes, id=3 matches but falls
+    // through every clause (kept IN PLACE — no vector, no append),
+    // id=9 inserts
+    val src = rows((1, "2024-01-01", 100.0), (2, "2024-01-02", 0.0),
+      (3, "2024-01-03", 0.0), (9, "2024-01-09", 9.0))
+    t.mergeConditional(src, Seq("id"), Seq(
+      graft.catalog.MergeClause(Some(col("s.v") >= 100.0),
+        graft.catalog.MergeAction.UpdateAll),
+      graft.catalog.MergeClause(Some(col("t.id") === 2L),
+        graft.catalog.MergeAction.Delete)))
+    val s = t.currentSnapshot()
+    assert(s.operation == "merge-pos")
+    assert(preFiles.subsetOf(s.files.map(_.path).toSet), "no rewrite")
+    // exactly two rows hidden: the update's old image and the delete
+    assert(s.dvFiles.map(_.rows).sum == 2L, s.dvFiles)
+    assert(t.read().select("id", "v").as[(Long, Double)]
+      .collect().sorted.toSeq ==
+      Seq((1L, 100.0), (3L, 3.0), (4L, 4.0), (9L, 9.0)))
+    // NOT MATCHED BY SOURCE clauses fire through vectors too
+    t.mergeConditional(rows((1, "2024-01-01", 100.0)), Seq("id"),
+      Seq(graft.catalog.MergeClause(Some(lit(false)),
+        graft.catalog.MergeAction.UpdateAll)),
+      Nil,
+      Seq(graft.catalog.MergeClause(Some(col("t.id") === 4L),
+        graft.catalog.MergeAction.Delete),
+        graft.catalog.MergeClause(Some(col("t.id") === 9L),
+          graft.catalog.MergeAction.UpdateSet(
+            Seq("v" -> (col("t.v") + lit(0.5)))))))
+    assert(t.currentSnapshot().operation == "merge-pos")
+    assert(t.read().select("id", "v").as[(Long, Double)]
+      .collect().sorted.toSeq ==
+      Seq((1L, 100.0), (3L, 3.0), (9L, 9.5)))
+    // the MoR results match what COW produces on the same scenario
+    // (same data, same clauses, default mode)
+    val c = SnapshotTable.create(spark, freshRoot(), eventsSchema, None)
+    c.append(rows((1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0),
+      (3, "2024-01-03", 3.0), (4, "2024-01-04", 4.0)))
+    c.mergeConditional(src, Seq("id"), Seq(
+      graft.catalog.MergeClause(Some(col("s.v") >= 100.0),
+        graft.catalog.MergeAction.UpdateAll),
+      graft.catalog.MergeClause(Some(col("t.id") === 2L),
+        graft.catalog.MergeAction.Delete)))
+    assert(c.read().select("id", "v").as[(Long, Double)]
+      .collect().sorted.toSeq ==
+      Seq((1L, 100.0), (3L, 3.0), (4L, 4.0), (9L, 9.0)))
+  }
+
+  test("rewriteDeleteVectors coalesces accumulated vectors into one generation") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, None,
+      clock = tickClock())
+    t.append((1L to 20L).map(i => (i, s"2024-01-${10 + i % 10}", i.toDouble))
+      .map { case (i, m, v) => (i, Timestamp.valueOf(s"$m 00:00:00"), v) }
+      .toDF("id", "ts", "v"))
+    // k point-deletes → k vector files accumulate over the same data
+    (1 to 4).foreach(k => t.deleteWithVectors(col("id") === k.toLong * 2L))
+    val before = t.currentSnapshot()
+    assert(before.dvFiles.size == 4, before.dvFiles.map(_.path))
+    val expect = t.read().select("id").as[Long].collect().sorted.toSeq
+    // coalesce: ONE generation (bitmap union), byte-identical data set
+    val s = t.rewriteDeleteVectors()
+    assert(s.operation == "rewrite-dv")
+    assert(s.files.map(_.path).toSet == before.files.map(_.path).toSet)
+    assert(s.dvFiles.size < before.dvFiles.size && s.dvFiles.nonEmpty)
+    assert(s.dvFiles.map(_.rows).sum == 4L, "union of the 4 point deletes")
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == expect)
+    // below the threshold it is a no-op (single live vector)
+    assert(t.rewriteDeleteVectors().version == s.version)
+    // expiry reclaims the retired vector files once unreferenced
+    val retired = before.dvFiles.map(_.path).toSet
+    t.expireSnapshots(keep = 1)
+    val fsRoot = new org.apache.hadoop.fs.Path(t.root.toString)
+    val fs = fsRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    retired.foreach(p => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(fsRoot, p)),
+      s"retired vector $p must be reclaimed"))
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == expect)
+  }
+
+  test("delete vectors on a branch survive fast-forward; rollback across a DV commit restores rows") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, None)
+    t.append(rows((1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0),
+      (3, "2024-01-03", 3.0)))                                // v2
+    // DELETE-on-branch via vectors, then fast-forward to main
+    val b = t.createBranch("audit")
+    b.deleteWithVectors(col("id") === 2L)
+    assert(t.read().count() == 3L, "main unaffected before publish")
+    t.fastForward("audit")
+    val mainHead = t.currentSnapshot()
+    assert(mainHead.dvFiles.nonEmpty, "vectors survive fast-forward")
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+    // rollback ACROSS the DV commit restores the pre-delete rows
+    val rb = t.rollback(2)
+    assert(rb.dvFiles.isEmpty, "rollback drops the vector reference")
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // ...and rolling forward again re-applies it (history preserved)
+    val dvVersion = mainHead.version
+    t.rollback(dvVersion)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+  }
+
   test("4 concurrent writers with mixed appends all commit exactly once") {
     val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
     val start = new CountDownLatch(1)

@@ -1848,6 +1848,10 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val dvCompactTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val updNativeTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val mergeNativeTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val defaultValTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val specEvoTableCache =
@@ -3100,6 +3104,95 @@ object Queries {
              |)
              |SELECT event_type, count(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM result GROUP BY 1""".stripMargin)),
+
+    // NATIVE DSv2 row-level UPDATE (SupportsRowLevelOperations /
+    // SupportsDelta — Spark's own RewriteUpdateTable, no injected
+    // rule): the statement plans as a WriteDelta whose writers build
+    // positional delete vectors over the old images and append the
+    // new ones executor-side. native_update pins the update-pos
+    // commit, the untouched pre-update file set, and committed
+    // vectors; values are DuckDB-oracle-exact.
+    QueryDef("sql_update_native",
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, updNativeTableCache, "updnat") { tbl =>
+          val ident = s"graft.db.snap_updnat_h${math.abs(dir.hashCode)}"
+          s.sql(s"UPDATE $ident SET value = value + 5000.0 " +
+            "WHERE event_id % 43 = 0")
+          ()
+        }
+        val h = tbl.history()
+        val preUpdate = h.find(_.operation == "append").get
+          .files.map(_.path).toSet
+        val cur = tbl.currentSnapshot()
+        val ok = cur.operation == "update-pos" &&
+          preUpdate.subsetOf(cur.files.map(_.path).toSet) &&
+          cur.dvFiles.nonEmpty
+        tbl.read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .withColumn("native_update", lit(ok))
+      },
+      Some("""WITH updated AS (
+             |  SELECT event_type,
+             |    CASE WHEN event_id % 43 = 0 THEN value + 5000.0
+             |         ELSE value END AS value
+             |  FROM events
+             |)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             |  TRUE AS native_update
+             |FROM updated GROUP BY 1""".stripMargin)),
+
+    // NATIVE DSv2 MERGE (RewriteMergeIntoTable → WriteDelta): mixed
+    // UPDATE-with-both-sides / DELETE / INSERT * clauses against a
+    // CATALOG table — Spark's own cardinality check and clause
+    // planning, merge-on-read vectors out. native_merge pins the
+    // merge-pos commit and the untouched pre-merge file set.
+    QueryDef("sql_merge_native",
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, mergeNativeTableCache, "mrgnat") { tbl =>
+          val ident = s"graft.db.snap_mrgnat_h${math.abs(dir.hashCode)}"
+          val m = t(s, dir, "events").filter(col("event_id") % 45 === 0)
+            .withColumn("value", col("value") + lit(1000.0d))
+          m.unionByName(m.withColumn("event_id",
+              col("event_id") + 10000000L))
+            .createOrReplaceTempView("graft_merge_native_src")
+          s.sql(s"""MERGE INTO $ident t USING graft_merge_native_src s
+                   |ON t.event_id = s.event_id
+                   |WHEN MATCHED AND s.event_id % 90 = 0
+                   |  THEN UPDATE SET value = t.value + s.value
+                   |WHEN MATCHED THEN DELETE
+                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          ()
+        }
+        val h = tbl.history()
+        val preMerge = h.find(_.operation == "append").get
+          .files.map(_.path).toSet
+        val cur = tbl.currentSnapshot()
+        val ok = cur.operation == "merge-pos" &&
+          preMerge.subsetOf(cur.files.map(_.path).toSet) &&
+          cur.dvFiles.nonEmpty
+        tbl.read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .withColumn("native_merge", lit(ok))
+      },
+      Some("""WITH result AS (
+             |  -- matched, update clause: t.value + s.value
+             |  SELECT event_type, value + (value + 1000.0) AS value
+             |  FROM events WHERE event_id % 90 = 0
+             |  UNION ALL
+             |  -- unmatched target rows pass through
+             |  SELECT event_type, value FROM events WHERE event_id % 45 <> 0
+             |  UNION ALL
+             |  -- INSERT * of the shifted not-matched source population
+             |  SELECT event_type, value + 1000.0 FROM events
+             |  WHERE event_id % 45 = 0
+             |)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             |  TRUE AS native_merge
              |FROM result GROUP BY 1""".stripMargin)),
 
     // Snapshot tables through the `graft` DATA SOURCE — the SQL-only

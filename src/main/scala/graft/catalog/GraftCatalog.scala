@@ -46,12 +46,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[SnapshotTable.versionAsOf]] — both land on a pinned
   * [[GraftV2Table]], which refuses writes.
   *
-  * MERGE and UPDATE (and non-filter-convertible DELETEs) lower via the
-  * injected resolution rule ([[graft.plans.GraftSqlDmlRule]]) onto the
-  * same conditional-COW operations the Scala API exposes — the v2
-  * row-level-operation plumbing (group-based ReplaceData) is the one
-  * seam deliberately not implemented, because the rule reaches
-  * identical semantics through one registered extension point.
+  * MERGE, UPDATE and non-filter-convertible DELETEs plan NATIVELY:
+  * [[GraftV2Table]] implements `SupportsRowLevelOperations` with a
+  * delta-based operation ([[GraftRowLevelOperation]]), so Spark's own
+  * analyzer rewrites produce merge-on-read delete vectors plus
+  * appended row images — full SQL surface including subqueries and
+  * arbitrary ON conditions, with Spark's built-in MERGE cardinality
+  * check. Filter-convertible DELETEs shortcut through the optimizer's
+  * metadata-delete rule onto [[SnapshotTable.deleteRouted]] (the
+  * `graft.delete.mode` property). The injected resolution rule
+  * ([[graft.plans.GraftSqlDmlRule]]) remains only as the DSv1
+  * temp-view shim — v2 statements never reach it (the analyzer's
+  * Resolution batch rewrites them first).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog {

@@ -1,0 +1,306 @@
+package graft.catalog
+
+import java.nio.ByteBuffer
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BindReferences, Expression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.Project
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, SupportsDelta, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
+import org.apache.spark.sql.graftbridge.ParquetWriteBridge
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** NATIVE DSv2 row-level operations (`SupportsRowLevelOperations` /
+  * `SupportsDelta`) for graft catalog tables: Spark's OWN analyzer
+  * rewrites (`RewriteDeleteFromTable` / `RewriteUpdateTable` /
+  * `RewriteMergeIntoTable`) plan SQL `DELETE` / `UPDATE` / `MERGE
+  * INTO` against `graft.db.t` — full SQL surface, including subqueries
+  * in predicates and arbitrary `ON` conditions the injected
+  * resolution rule (`graft.plans.GraftSqlDmlRule`, now the DSv1
+  * temp-view shim) never supported, plus Spark's built-in MERGE
+  * cardinality check.
+  *
+  * The operation is DELTA-based (merge-on-read): the scan exposes
+  * each row's identity as two metadata columns — the data file URI
+  * and the row ordinal ([[GraftV2Table.MetaFileCol]] /
+  * [[GraftV2Table.MetaPosCol]], served by the same position-aware
+  * snapshot read the Scala-API vector paths use) — and the write
+  * receives per-row deltas: DELETEs and UPDATEs mark positions into
+  * roaring-bitmap delete vectors built EXECUTOR-side, INSERTs and
+  * update images stream into parquet data files written EXECUTOR-side
+  * through Spark's own parquet factory ([[org.apache.spark.sql
+  * .graftbridge.ParquetWriteBridge]]). One atomic commit attaches
+  * both ([[SnapshotTable.commitDelta]]). ZERO existing data files are
+  * rewritten — the 100 TB shape for CDC-heavy tables, and the native
+  * answer to the reference's `optimize_rewrite_delete_file_threshold`
+  * knob (`/root/reference/src/utils/spark/spark_utils.py:170`):
+  * vector debris is folded by `CALL graft.system.rewrite_dvs` /
+  * compaction.
+  *
+  * Scale posture: DELETE/UPDATE conditions push down to the scan as
+  * ordinary v2 filters (manifest stats prune candidate files); MERGE
+  * reads the target without file-level runtime pruning (the join
+  * filters rows, not files) — the manifest-pruned key-range MERGE
+  * remains available through the Scala API and DSv1 views. Positions
+  * are valid only against the scanned snapshot: the commit pins the
+  * base version and raises [[SnapshotConflictException]] on any
+  * concurrent commit.
+  */
+final class GraftRowLevelOperation(v2: GraftV2Table, cmd: Command)
+    extends RowLevelOperation with SupportsDelta {
+
+  /** The version the statement scans AND commits against — captured
+    * once, so scan and commit can never observe different file sets.
+    */
+  private[catalog] val baseVersion: Long =
+    v2.table.publishedSnapshot().version
+
+  override def command(): Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    v2.scanBuilderAt(Some(baseVersion))
+
+  /** The write side: `info.schema()` is the ROW-image projection —
+    * the table's columns for UPDATE/MERGE, EMPTY for DELETE (vectors
+    * only); `rowIdSchema` is always (file, pos) per [[rowId]].
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(v2.table, baseVersion, cmd, info.schema())
+    }
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(GraftV2Table.MetaFileCol),
+    Expressions.column(GraftV2Table.MetaPosCol))
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  override def description(): String =
+    s"GraftRowLevelOperation[$cmd, base=v$baseVersion]"
+}
+
+/** The delta write: allocates the staging batch directories up front
+  * (data files and vector files in SEPARATE batches — the stats
+  * read-back must never parse a vector file as data) and builds the
+  * serializable writer factory driver-side.
+  */
+final class GraftDeltaWrite(table: SnapshotTable, baseVersion: Long,
+    cmd: Command, rowSchema: StructType) extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite =
+    new GraftDeltaBatchWrite(table, baseVersion, cmd, rowSchema)
+}
+
+final class GraftDeltaBatchWrite(table: SnapshotTable, baseVersion: Long,
+    cmd: Command, rowSchema: StructType) extends DeltaBatchWrite {
+
+  private def freshRel(): String =
+    s"${SnapshotLog.DataDirName}/" +
+      UUID.randomUUID().toString.replace("-", "").take(16)
+
+  private val dataRel = freshRel()
+  private val dvRel = freshRel()
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val spark = table.session
+    val base = table.snapshotAt(baseVersion)
+    // the partition transform bound to the WRITE schema's ordinals:
+    // serialized as a Catalyst expression, projected per-row in the
+    // task — identical rendering to stage()'s withColumn, so the
+    // hand-laid __graft_p=... directories decode to the same manifest
+    // partition values
+    // DELETE carries no row images (row schema empty): no partition
+    // projection, no data-file factory — the writers only mark vectors
+    val partExpr: Option[Expression] =
+      if (rowSchema.isEmpty) None
+      else base.spec.map { ps =>
+        val dummy = spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), rowSchema)
+        val plan = dummy.select(SnapshotTable.partitionExpr(ps))
+          .queryExecution.analyzed.asInstanceOf[Project]
+        BindReferences.bindReference(plan.projectList.head,
+          plan.child.output)
+      }
+    val dataFactory =
+      if (rowSchema.isEmpty) None
+      else Some(ParquetWriteBridge.writerFactory(spark, rowSchema))
+    val dvFactory = ParquetWriteBridge.writerFactory(spark,
+      SnapshotTable.DvSchema)
+    new GraftDeltaWriterFactory(table.root.toString,
+      table.qualifiedRootPath, dataRel, dvRel, rowSchema, partExpr,
+      dataFactory, dvFactory)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.toSeq.collect { case m: GraftDeltaCommit => m }
+    val dvs = msgs.flatMap(_.dvs)
+    val anyData = msgs.exists(_.wroteData)
+    val op = cmd match {
+      case Command.DELETE => "delete-pos"
+      case Command.UPDATE => "update-pos"
+      case Command.MERGE => "merge-pos"
+    }
+    table.commitDelta(baseVersion, op,
+      if (anyData) Some(dataRel) else None, dvs)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // best-effort staging cleanup; removeOrphanFiles reclaims the rest
+    val fs = new Path(table.root.toString)
+      .getFileSystem(table.session.sessionState.newHadoopConf())
+    Seq(dataRel, dvRel).foreach { rel =>
+      try fs.delete(new Path(table.root, rel), true)
+      catch { case _: java.io.IOException => }
+    }
+  }
+}
+
+final case class GraftDeltaCommit(dvs: Seq[(String, Long, Seq[String])],
+    wroteData: Boolean) extends WriterCommitMessage
+
+final class GraftDeltaWriterFactory(
+    rootStr: String,
+    rootPathStr: String,
+    dataRel: String,
+    dvRel: String,
+    rowSchema: StructType,
+    partExpr: Option[Expression],
+    dataFactory: Option[(OutputWriterFactory, SerializableConfiguration)],
+    dvFactory: (OutputWriterFactory, SerializableConfiguration))
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(rootStr, rootPathStr, dataRel, dvRel, rowSchema,
+      partExpr, dataFactory, dvFactory, partitionId, taskId)
+}
+
+/** One task's delta writer: deleted/updated positions accumulate into
+  * per-file roaring bitmaps (compressed, KB-sized — never a position
+  * LIST), inserted rows and update images stream into one open parquet
+  * writer per partition value. Everything stays inside the task; the
+  * commit message carries only file-level metadata.
+  */
+final class GraftDeltaWriter(
+    rootStr: String,
+    rootPathStr: String,
+    dataRel: String,
+    dvRel: String,
+    rowSchema: StructType,
+    partExpr: Option[Expression],
+    dataFactory: Option[(OutputWriterFactory, SerializableConfiguration)],
+    dvFactory: (OutputWriterFactory, SerializableConfiguration),
+    partitionId: Int,
+    taskId: Long) extends DeltaWriter[InternalRow] {
+
+  private val bitmaps =
+    mutable.HashMap.empty[String, org.roaringbitmap.RoaringBitmap]
+  private val writers = mutable.HashMap.empty[Option[String], OutputWriter]
+  private lazy val partProj =
+    partExpr.map(e => UnsafeProjection.create(Seq(e)))
+  private var wrote = false
+
+  /** Manifest-relative path of a scanned file URI — the same
+    * uriPath-decode + root-strip discipline as every vector path.
+    */
+  private def relOf(uri: String): String = {
+    val p = SnapshotTable.uriPath(uri)
+    if (p.startsWith(rootPathStr + "/")) p.stripPrefix(rootPathStr + "/")
+    else p
+  }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val rel = relOf(id.getUTF8String(0).toString)
+    val pos = id.getLong(1)
+    require(pos <= 0xFFFFFFFFL,
+      s"row ordinal $pos exceeds the 32-bit vector domain in $rel " +
+        "— split the file (compact with a smaller targetRowsPerFile)")
+    bitmaps.getOrElseUpdate(rel,
+      new org.roaringbitmap.RoaringBitmap()).add(pos.toInt)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    val part: Option[String] = partProj match {
+      case None => None
+      case Some(p) =>
+        val r = p(row)
+        if (r.isNullAt(0)) None else Some(r.getUTF8String(0).toString)
+    }
+    writers.getOrElseUpdate(part, openWriter(part)).write(row)
+    wrote = true
+  }
+
+  override def update(meta: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def reinsert(meta: InternalRow, row: InternalRow): Unit =
+    insert(row)
+
+  private def openWriter(part: Option[String]): OutputWriter = {
+    val (factory, conf) = dataFactory.getOrElse(sys.error(
+      s"$dataRel: row image arrived for a delete-only write"))
+    // Spark's own partition-segment rendering (Hive %XX escaping;
+    // null/empty → __HIVE_DEFAULT_PARTITION__), so the stats read-back
+    // decodes these directories exactly like a partitionBy batch
+    val dirRel = partExpr match {
+      case None => dataRel
+      case Some(_) => s"$dataRel/" + ExternalCatalogUtils
+        .getPartitionPathString(SnapshotTable.PartCol, part.orNull)
+    }
+    val name = f"part-$partitionId%05d-$taskId-" +
+      s"${UUID.randomUUID().toString.replace("-", "").take(8)}.parquet"
+    ParquetWriteBridge.newWriter(factory, conf.value,
+      new Path(new Path(rootStr), s"$dirRel/$name").toString, rowSchema)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_.close())
+    val dvs =
+      if (bitmaps.isEmpty) Nil
+      else {
+        val (factory, conf) = dvFactory
+        val name = f"dv-$partitionId%05d-$taskId.parquet"
+        val rel = s"$dvRel/$name"
+        val w = ParquetWriteBridge.newWriter(factory, conf.value,
+          new Path(new Path(rootStr), rel).toString,
+          SnapshotTable.DvSchema)
+        var rows = 0L
+        val covered = Seq.newBuilder[String]
+        bitmaps.foreach { case (dataPath, bm) =>
+          bm.runOptimize()
+          val buf = new Array[Byte](bm.serializedSizeInBytes())
+          bm.serialize(ByteBuffer.wrap(buf))
+          w.write(InternalRow(UTF8String.fromString(dataPath), buf,
+            bm.getLongCardinality))
+          rows += bm.getLongCardinality
+          covered += dataPath
+        }
+        w.close()
+        Seq((rel, rows, covered.result()))
+      }
+    GraftDeltaCommit(dvs, wrote)
+  }
+
+  override def abort(): Unit =
+    try writers.values.foreach(_.close())
+    catch { case _: java.io.IOException => }
+
+  override def close(): Unit = ()
+}

@@ -6,12 +6,12 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The DSv2 `Table` for one graft snapshot table — what
@@ -37,7 +37,8 @@ final class GraftV2Table(
     val table: SnapshotTable,
     ident: String,
     val pinned: Option[Long]) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   override def name(): String = ident
 
@@ -82,6 +83,14 @@ final class GraftV2Table(
   // ---------------------------------------------------------------- read
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    scanBuilderAt(pinned)
+
+  /** Scan builder pinned to `version` (None = published head): the
+    * default read path passes the table's own pin; a row-level
+    * operation ([[GraftRowLevelOperation]]) passes ITS captured base
+    * version so scan and commit can never observe different file sets.
+    */
+  private[catalog] def scanBuilderAt(version: Option[Long]): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
         with SupportsPushDownRequiredColumns {
       private var filters: Array[Filter] = Array.empty
@@ -103,10 +112,48 @@ final class GraftV2Table(
         override def readSchema(): StructType = required
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
-          new GraftV2ScanRelation(context, GraftV2Table.this, filters,
-            required).asInstanceOf[T]
+          new GraftV2ScanRelation(context, GraftV2Table.this, version,
+            filters, required).asInstanceOf[T]
       }
     }
+
+  // ---------------------------------------------- row-level operations
+
+  /** Row identity for the native delta operations: the data file URI
+    * and row ordinal, served by the position-aware snapshot read (the
+    * same `_metadata` plumbing the Scala-API vector paths use).
+    * Non-nullable by construction — Spark refuses nullable row IDs.
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name: String = GraftV2Table.MetaFileCol
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment: String =
+        "data file URI of the row (graft row-level operations)"
+    },
+    new MetadataColumn {
+      override def name: String = GraftV2Table.MetaPosCol
+      override def dataType: DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment: String = "row ordinal within the data file"
+    })
+
+  /** Native `SupportsRowLevelOperations`: Spark's analyzer rewrites
+    * DELETE/UPDATE/MERGE over this table onto the DELTA operation
+    * ([[GraftRowLevelOperation]] — merge-on-read delete vectors plus
+    * appended row images). Pushable DELETEs still shortcut through
+    * [[deleteWhere]] (the optimizer's metadata-delete rule), keeping
+    * the `graft.delete.mode` routing for the common predicate shapes.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireWritable(s"${info.command} on")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(GraftV2Table.this, info.command)
+    }
+  }
 
   // --------------------------------------------------------------- write
 
@@ -237,6 +284,15 @@ final class GraftMetadataV2Table(
 
 object GraftV2Table {
 
+  /** Row-identity metadata columns the native row-level operations key
+    * on (Iceberg's `_file`/`_pos` equivalents — prefixed to dodge user
+    * column collisions; `SupportsMetadataColumns` hides shadowed names
+    * anyway).
+    */
+  private[catalog] val MetaFileCol = "_graft_file"
+  private[catalog] val MetaPosCol = "_graft_pos"
+  private[catalog] val MetaCols: Set[String] = Set(MetaFileCol, MetaPosCol)
+
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.sources._
@@ -278,18 +334,32 @@ object GraftV2Table {
   * manifest-pruned snapshot read projected to the required columns.
   * Filters re-apply above (skip-only contract), merge-on-read deletes
   * and field-id evolution apply inside `scanFor` as on every path.
+  * When the projection requests the row-identity METADATA columns (a
+  * row-level operation's scan), the snapshot read runs position-aware
+  * and surfaces (file URI, row ordinal) under the metadata names.
   */
 private final class GraftV2ScanRelation(
     override val sqlContext: SQLContext,
     v2: GraftV2Table,
+    version: Option[Long],
     filters: Array[Filter],
     required: StructType) extends BaseRelation with TableScan {
 
   override def schema: StructType = required
 
   override def buildScan(): RDD[Row] = {
-    v2.guardSchemaDrift()
-    val df = v2.table.scanFor(v2.pinned, filters.toIndexedSeq)
+    // a row-level scan is pinned to its operation's base version —
+    // schema drift is then checked by the commit, not the scan
+    if (version.isEmpty) v2.guardSchemaDrift()
+    val needsPos = required.fieldNames.exists(
+      GraftV2Table.MetaCols.contains)
+    val df0 = v2.table.scanFor(version, filters.toIndexedSeq,
+      withPos = needsPos)
+    val df =
+      if (!needsPos) df0
+      else df0
+        .withColumnRenamed(SnapshotTable.DvFileCol, GraftV2Table.MetaFileCol)
+        .withColumnRenamed(SnapshotTable.DvPosCol, GraftV2Table.MetaPosCol)
     // Catalyst may prune NESTED fields too (SELECT meta.boost arrives
     // as meta: struct<boost>): the declared schema must match the rows
     // byte-for-byte, so conform each struct column to the pruned shape

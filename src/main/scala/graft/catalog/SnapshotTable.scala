@@ -229,7 +229,7 @@ final class SnapshotTable private (
   /** Read a version's manifest with a clear error when it was expired
     * (or never existed) instead of a raw filesystem exception.
     */
-  private def snapshotAt(version: Long): Snapshot = {
+  private[catalog] def snapshotAt(version: Long): Snapshot = {
     val vs = log.versions()
     require(vs.contains(version),
       s"snapshot $version not available at $root (expired or never " +
@@ -813,7 +813,8 @@ final class SnapshotTable private (
     * can never change results.
     */
   private[graft] def scanFor(version: Option[Long],
-      filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      withPos: Boolean = false): DataFrame = {
     val s = version.map(snapshotAt).getOrElse(publishedSnapshot())
     val currentById = s.ids.map { case (n, id) => id -> n }.toMap
     val kept =
@@ -821,7 +822,7 @@ final class SnapshotTable private (
       else s.files.filter(f => StatsPruner.mayMatchAll(
         effectiveStats(currentById, f), s.schema, filters, log.resolveBloom) &&
         bucketMayMatch(s, f, filters))
-    readWithDeletes(s.schema, s.ids, s, kept)
+    readWithDeletes(s.schema, s.ids, s, kept, withPos = withPos)
   }
 
   private def pruneFiles(s: Snapshot, pred: Column): Seq[DataFileEntry] = {
@@ -1740,8 +1741,16 @@ final class SnapshotTable private (
       owner: Snapshot, files: Seq[DataFileEntry],
       withPos: Boolean = false,
       targetNested: Seq[(String, Int)] = null): DataFrame = {
-    if (files.isEmpty)
-      return spark.createDataFrame(new java.util.ArrayList[Row](), target)
+    if (files.isEmpty) {
+      // the position columns must exist even on the zero-file frame —
+      // a row-level scan whose predicate pruned EVERY file still
+      // projects them (and typed, so downstream schemas agree)
+      val empty = spark.createDataFrame(new java.util.ArrayList[Row](), target)
+      return if (!withPos) empty
+      else empty
+        .withColumn(SnapshotTable.DvFileCol, lit(null).cast(StringType))
+        .withColumn(SnapshotTable.DvPosCol, lit(null).cast(LongType))
+    }
     // nested struct-field ids of the TARGET schema ("<pid>.<name>" →
     // id); null means "the owner snapshot's" (the common case — an
     // evolving write passes its own so new nested fields resolve)
@@ -3359,15 +3368,33 @@ final class SnapshotTable private (
           else aligned
         locallySorted(distributed, Nil).write.parquet(dir.toString)
     }
+    statsForStaged(rel, aligned.schema, spec, props)
+  }
+
+  /** Manifest entries (partition value, row count, column stats,
+    * optional Bloom sidecars) for the parquet files staged under
+    * `rel` — ONE read-back discipline shared by [[stage]] and the
+    * native delta write ([[commitDelta]]), so files land in the
+    * manifest with identical pruning power no matter which writer
+    * produced the bytes. `schema` is the files' DATA schema (PartCol
+    * lives in the directory layout, not the rows).
+    */
+  private[catalog] def statsForStaged(rel: String, schema: StructType,
+      spec: Option[PartitionSpec],
+      props: Map[String, String]): Seq[DataFileEntry] = {
+    val dir = new Path(root, rel)
+    // a writer that produced no rows stages no directory at all
+    if (!fs.exists(dir)) return Nil
+    val batch = rel.substring(rel.lastIndexOf('/') + 1)
     val marker = s"/$batch/"
     // explicit read-back schema: an EMPTY batch writes no parquet files
     // under partitionBy, and schema inference would throw instead of
     // yielding the legal zero-file manifest entry list
     val readBackSchema = spec match {
-      case Some(_) => aligned.schema.add(PartCol, StringType)
-      case None => aligned.schema
+      case Some(_) => schema.add(PartCol, StringType)
+      case None => schema
     }
-    val statSchema = aligned.schema // PartCol excluded: it lives in the manifest
+    val statSchema = schema // PartCol excluded: it lives in the manifest
     val bloom = BloomSpec.fromProperties(props)
     val aggs = count(lit(1)).as("__rows") +:
       FileStats.aggColumns(statSchema, bloom)
@@ -3386,6 +3413,40 @@ final class SnapshotTable private (
           FileStats.fromRow(statSchema, r, 2, bloom), seq = -1L)
       }
   }
+
+  /** Commit one native DSv2 row-level DELTA (`SupportsDelta` —
+    * [[GraftRowLevel]]): adopt the data files the delta writers staged
+    * under `dataRel` (stats computed by [[statsForStaged]], the same
+    * job every writer path uses) and attach the positional delete
+    * vectors they wrote. `baseVersion` is the version the operation
+    * SCANNED — row positions are only valid against that file set, so
+    * a concurrent commit raises [[SnapshotConflictException]] (strict
+    * read-modify-write, the same rule as [[deleteWithVectors]]).
+    */
+  private[catalog] def commitDelta(baseVersion: Long, op: String,
+      dataRel: Option[String],
+      dvs: Seq[(String, Long, Seq[String])]): Snapshot = {
+    val base = currentSnapshot()
+    if (base.version != baseVersion)
+      throw new SnapshotConflictException(
+        s"table at $root advanced to v${base.version} since the " +
+          s"row-level scan at v$baseVersion — re-run the statement")
+    val staged = dataRel.toSeq.flatMap(rel =>
+      statsForStaged(rel, base.schema, base.spec, base.properties))
+    if (staged.isEmpty && dvs.isEmpty) return base // no-op statement
+    val c = next(base, op, base.schema, base.files ++
+      staged.map(_.copy(cols = base.ids, nested = nestedPairsOf(base))))
+    commitStrict(base, c.copy(dvFiles = c.dvFiles ++
+      dvs.map { case (p, rows, dataPaths) =>
+        DvFileEntry(p, rows, dataPaths, c.version) }))
+  }
+
+  /** Decoded absolute filesystem path of the table root — the prefix
+    * the delta writers strip from scanned file URIs to recover
+    * manifest-relative paths (same discipline as [[relPath]]).
+    */
+  private[catalog] def qualifiedRootPath: String =
+    fs.makeQualified(root).toUri.getPath
 }
 
 object SnapshotTable {

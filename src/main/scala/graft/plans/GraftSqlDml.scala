@@ -15,11 +15,15 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
 import graft.catalog.{InsertClause, MergeAction => GMergeAction, MergeClause, SnapshotTable}
 import graft.sources.GraftRelation
 
-/** SQL row-level DML on graft snapshot tables — `MERGE INTO`,
-  * `DELETE FROM`, `UPDATE` statements against a `graft` temp view route
-  * to the table's copy-on-write operations, closing the gap where
-  * SQL-only users had read + INSERT but row-level ops were
-  * Scala-API-only.
+/** SQL row-level DML for the DSv1 TEMP-VIEW seam (`CREATE TEMPORARY
+  * VIEW … USING graft`) — the shim this rule has been reduced to since
+  * [[graft.catalog.GraftV2Table]] implements
+  * `SupportsRowLevelOperations`: catalog tables (`graft.db.t`) are
+  * rewritten NATIVELY by Spark's own analyzer Resolution batch
+  * (delta-based merge-on-read — [[graft.catalog.GraftRowLevelOperation]])
+  * before this post-hoc rule ever runs, so the v2 arms of `targetOf`
+  * below serve only `OverwritePartitionsDynamic` (not a row-level
+  * operation) in practice.
   *
   * Spark's parser produces `MergeIntoTable` / `DeleteFromTable` /
   * `UpdateTable` and its analyzer resolves them against any relation,

@@ -324,6 +324,92 @@ class GraftCatalogSpec extends AnyFunSuite {
       Seq("a", "b"))
   }
 
+  test("native row-level operations: UPDATE/MERGE/DELETE plan as DSv2 deltas") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.rl")
+    sql("DROP TABLE IF EXISTS graft.rl.t")
+    sql("CREATE TABLE graft.rl.t (id BIGINT, kind STRING, v DOUBLE) " +
+      "PARTITIONED BY (kind)")
+    sql("INSERT INTO graft.rl.t VALUES " +
+      "(1,'a',1.0),(2,'a',2.0),(3,'b',3.0),(4,'b',4.0)")
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = SnapshotTable.load(spark, s"$warehouse/rl/t")
+    val pre = t.currentSnapshot().files.map(_.path).toSet
+
+    // UPDATE: Spark's own RewriteUpdateTable → WriteDelta → positional
+    // vectors hide the old images, new images append — no rewrite
+    sql("UPDATE graft.rl.t SET v = v + 100.0 WHERE id <= 2")
+    val s1 = t.currentSnapshot()
+    assert(s1.operation == "update-pos", s1.operation)
+    assert(pre.subsetOf(s1.files.map(_.path).toSet), "no data file rewritten")
+    assert(s1.dvFiles.nonEmpty && s1.dvFiles.map(_.rows).sum == 2L)
+    assert(sql("SELECT v FROM graft.rl.t WHERE id <= 2 ORDER BY id")
+      .as[Double].collect().toSeq == Seq(101.0, 102.0))
+    // the hand-laid delta files carry REAL partition values (the
+    // writer renders __graft_p=... exactly like a partitionBy batch)
+    assert(s1.files.filterNot(f => pre.contains(f.path))
+      .forall(_.partition.contains("a")),
+      s1.files.filterNot(f => pre.contains(f.path)).map(_.partition))
+
+    // MERGE with mixed clauses — planned natively by
+    // RewriteMergeIntoTable (no injected-rule surface limits)
+    Seq((2L, "a", 0.0), (4L, "b", 0.0), (9L, "c", 9.0))
+      .toDF("id", "kind", "v").createOrReplaceTempView("rl_src")
+    sql("""MERGE INTO graft.rl.t t USING rl_src s ON t.id = s.id
+          |WHEN MATCHED AND t.id = 2 THEN UPDATE SET v = s.v
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val s2 = t.currentSnapshot()
+    assert(s2.operation == "merge-pos", s2.operation)
+    assert(sql("SELECT id, v FROM graft.rl.t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 101.0), (2L, 0.0), (3L, 3.0), (9L, 9.0)))
+
+    // a NON-pushable DELETE predicate (modulo has no v1 filter form)
+    // runs as a native delta too — vectors, no rewrite
+    val preDel = t.currentSnapshot().files.map(_.path).toSet
+    sql("DELETE FROM graft.rl.t WHERE id % 3 = 0")
+    val s3 = t.currentSnapshot()
+    assert(s3.operation == "delete-pos", s3.operation)
+    assert(s3.files.map(_.path).toSet == preDel)
+    assert(sql("SELECT id FROM graft.rl.t ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+
+    // a PUSHABLE delete keeps the metadata-delete shortcut → the
+    // graft.delete.mode routing (copy-on-write default: 'delete' op)
+    sql("DELETE FROM graft.rl.t WHERE id = 1")
+    assert(t.currentSnapshot().operation == "delete",
+      t.currentSnapshot().operation)
+    assert(sql("SELECT id FROM graft.rl.t").as[Long].collect().toSeq ==
+      Seq(2L))
+
+    // SUBQUERY predicates — the surface the v1 rule refuses with a
+    // named error — plan natively through the delta path
+    sql("DROP TABLE IF EXISTS graft.rl.t2")
+    sql("CREATE TABLE graft.rl.t2 (id BIGINT, v DOUBLE)")
+    sql("INSERT INTO graft.rl.t2 VALUES (1,1.0),(2,2.0),(3,3.0)")
+    sql("DELETE FROM graft.rl.t2 WHERE id IN " +
+      "(SELECT id + 1 FROM graft.rl.t2 WHERE id <= 1)")
+    assert(sql("SELECT id FROM graft.rl.t2 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 3L))
+    val t2 = SnapshotTable.load(spark, s"$warehouse/rl/t2")
+    assert(t2.currentSnapshot().operation == "delete-pos")
+    // a statement matching NOTHING commits nothing (no empty snapshot)
+    val vBefore = t2.currentVersion()
+    sql("UPDATE graft.rl.t2 SET v = 0.0 WHERE id = 999")
+    assert(t2.currentVersion() == vBefore, "no-op UPDATE must not commit")
+    // MERGE cardinality: a source with duplicate keys fails with
+    // Spark's OWN check (the native surface brings it for free)
+    Seq((3L, 10.0), (3L, 20.0)).toDF("id", "v")
+      .createOrReplaceTempView("rl_dup")
+    val card = intercept[Exception](sql(
+      """MERGE INTO graft.rl.t2 t USING rl_dup s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin).collect())
+    assert(card.getMessage.toLowerCase.contains("cardinality") ||
+      card.getMessage.contains("multiple"), card.getMessage)
+    assert(sql("SELECT v FROM graft.rl.t2 WHERE id = 3").as[Double]
+      .collect().toSeq == Seq(3.0), "failed MERGE must not half-apply")
+  }
+
   test("RENAME TABLE moves the directory; DROP NAMESPACE respects emptiness") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.mv")
     sql("DROP TABLE IF EXISTS graft.mv.a")

@@ -3395,8 +3395,9 @@ object Queries {
 
   // =====================================================================
   // Multimodal extension queries (binary payload plumbing over a media
-  // table derived from documents; the image path decodes for REAL via
-  // javax.imageio, audio/video decode stays stubbed — Multimodal.scala)
+  // table derived from documents; image/audio/video all decode for REAL
+  // — javax.imageio, javax.sound.sampled, and an MJPEG AVI container
+  // walk respectively; see Multimodal.scala)
   // =====================================================================
 
   private val multimodalQueries: Seq[QueryDef] = {
@@ -3459,6 +3460,36 @@ object Queries {
                |    ELSE 0 END) AS BIGINT) AS sum_ch1
                |FROM fr
                |GROUP BY media_id, channels, sample_rate, n""".stripMargin)),
+
+      // REAL video decode, oracle-pinned: Spark encodes a seeded MJPEG
+      // AVI per doc (FakeData.seededAvi — real RIFF container, real
+      // JPEG frames), walks the container back and decodes every frame
+      // with javax.imageio, emitting INTEGER channel sums across
+      // frames; the oracle reproduces the sums arithmetically because
+      // solid-gray q=1.0 JPEG frames roundtrip bit-exactly — no video
+      // library needed, and any container-walk defect (chunk size,
+      // RIFF padding, LIST recursion) or frame-decode defect breaks
+      // exact equality. Closes the last labeled decode fallback.
+      QueryDef("mm_decode_video",
+        (s, dir) => Multimodal.decodeVideoStats(
+          Multimodal.videosFromDocuments(t(s, dir, "documents"))),
+        Some("""WITH d AS (
+               |  SELECT doc_id AS media_id,
+               |         doc_id % 10 + 4 AS w, doc_id % 7 + 4 AS h,
+               |         doc_id % 6 + 2 AS n
+               |  FROM documents
+               |), fr AS (
+               |  SELECT media_id, w, h, n, unnest(range(0, n)) AS i FROM d
+               |)
+               |SELECT media_id,
+               |  CAST(w AS INTEGER) AS width,
+               |  CAST(h AS INTEGER) AS height,
+               |  CAST(n AS INTEGER) AS n_frames,
+               |  CAST(SUM(((media_id*37 + i*19) % 256) * w * h) AS BIGINT) AS sum_r,
+               |  CAST(SUM(((media_id*37 + i*19) % 256) * w * h) AS BIGINT) AS sum_g,
+               |  CAST(SUM(((media_id*37 + i*19) % 256) * w * h) AS BIGINT) AS sum_b
+               |FROM fr
+               |GROUP BY media_id, w, h, n""".stripMargin)),
 
       QueryDef("mm_checksums",
         (s, dir) => Multimodal.checksums(

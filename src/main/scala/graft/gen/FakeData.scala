@@ -196,6 +196,27 @@ object FakeData {
       frames, (i, c) => ((seed * 31 + i * 7 + c * 13) % 4096 - 2048).toShort)
   }
 
+  /** Deterministic seeded MJPEG AVI (real RIFF container, real JPEG
+    * frames): solid-gray frames at JPEG quality 1.0 roundtrip
+    * BIT-EXACTLY (uniform blocks are DC-only and the q=1.0
+    * quantization table is all ones), so shape and per-frame sums stay
+    * closed-form in the seed — the property the `mm_decode_video`
+    * oracle exploits. Formula (seed ≥ 0):
+    *
+    *   w = seed % 10 + 4,  h = seed % 7 + 4,  frames = seed % 6 + 2
+    *   gray(i) = (seed*37 + i*19) % 256   (all three channels)
+    */
+  def seededAvi(seed: Long): Array[Byte] = {
+    require(seed >= 0, s"seededAvi needs a non-negative seed, got $seed")
+    val w = (seed % 10 + 4).toInt
+    val h = (seed % 7 + 4).toInt
+    val n = (seed % 6 + 2).toInt
+    val frames = (0 until n).map(i =>
+      graft.operators.Multimodal.VideoCodec.encodeJpegGray(w, h,
+        ((seed * 37 + i * 19) % 256).toInt))
+    graft.operators.Multimodal.VideoCodec.encodeAviMjpeg(w, h, 10, frames)
+  }
+
   /** Minimal RFC-4180 quoting: quote when the value contains comma,
     * quote, or newline; double embedded quotes.
     */

@@ -9,14 +9,15 @@ import org.apache.spark.sql.types._
   * with a typed metadata struct; decode/feature-extraction runs
   * per-partition in batches.
   *
-  * The IMAGE path decodes for real: [[ImageCodec]] wraps
+  * ALL THREE paths decode for real: [[ImageCodec]] wraps
   * `javax.imageio` (PNG/JPEG/BMP/GIF readers ship in the JDK — no
-  * native dependency). The AUDIO path decodes for real too:
-  * [[AudioCodec]] wraps `javax.sound.sampled` (WAV/PCM reader+writer
-  * ship in the JDK). [[extractFeatures]] uses them for `image`/`audio`
-  * payloads, falling back to the deterministic byte histogram
-  * ([[FakeDecoder]]) for video and for bytes no reader accepts —
-  * no video codec ships in the JVM, so that decode stays a stub.
+  * native dependency), [[AudioCodec]] wraps `javax.sound.sampled`
+  * (WAV/PCM reader+writer ship in the JDK), and [[VideoCodec]] parses
+  * MJPEG AVI containers (a RIFF walk + per-frame JPEG through the
+  * ImageIO path — JDK-only). [[extractFeatures]] uses them per kind,
+  * falling back to the deterministic byte histogram ([[FakeDecoder]])
+  * only for bytes no codec accepts (e.g. non-MJPEG video codecs, which
+  * have no JVM decoder offline).
   * Everything around the codec — the schema, the binary column
   * handling, partition-batched execution via `mapPartitions` (the
   * Scala analog of `mapInPandas`: one iterator per partition,
@@ -299,6 +300,223 @@ object Multimodal {
     }
   }
 
+  /** Real JVM video codec for MOTION-JPEG AVI: a RIFF/AVI container
+    * parser (the same RIFF family as [[AudioCodec]]'s WAV) whose video
+    * chunks (`00dc`/`00db`) are JPEG frames decoded through the
+    * existing [[ImageCodec]] ImageIO path — JDK-only, no native codec.
+    * Per-frame channel sums are INTEGERS, so a container-walk defect
+    * (chunk size, padding byte, LIST recursion) or a frame-decode
+    * defect breaks an exact-equality oracle — the [[ImageCodec]] proof
+    * shape applied to video. The encoder emits SOLID-GRAY frames at
+    * JPEG quality 1.0, which roundtrip bit-exactly (uniform blocks are
+    * DC-only and the q=1.0 quantization table is all ones — verified
+    * for all 256 gray levels), so the decoded sums stay closed-form in
+    * the seed.
+    */
+  object VideoCodec {
+    final case class Decoded(width: Int, height: Int, nFrames: Int,
+        sumR: Long, sumG: Long, sumB: Long)
+
+    /** RIFF container with the `AVI ` form type — the same cheap
+      * magic-byte gate as the image/audio sniffs.
+      */
+    private def looksLikeAvi(b: Array[Byte]): Boolean =
+      b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    private def fourCc(b: Array[Byte], off: Int): String =
+      new String(Array(b(off), b(off + 1), b(off + 2), b(off + 3)),
+        java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** None when the payload is not a decodable MJPEG AVI. Walks the
+      * chunk tree iteratively (LIST chunks recurse into their children;
+      * chunk bodies are padded to even offsets per RIFF), decodes every
+      * video-stream frame chunk as a JPEG, and sums channels across
+      * frames. A container whose frames fail to decode — or with zero
+      * frames — degrades to None, the same fallback contract as the
+      * other codecs.
+      */
+    def decode(bytes: Array[Byte]): Option[Decoded] = {
+      if (bytes == null || !looksLikeAvi(bytes)) return None
+      try {
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var n = 0
+        var w = -1; var h = -1
+        // manual stack of (start, end) ranges to walk — LIST bodies
+        // after their 4-byte form type are themselves chunk sequences
+        var ranges = List((12, math.min(bytes.length, 8 + le32(bytes, 4))))
+        while (ranges.nonEmpty) {
+          var (off, end) = ranges.head
+          ranges = ranges.tail
+          while (off + 8 <= end) {
+            val cc = fourCc(bytes, off)
+            val size = le32(bytes, off + 4)
+            val body = off + 8
+            if (size < 0 || body + size > end) { off = end } // corrupt: stop
+            else {
+              if (cc == "LIST" && size >= 4)
+                ranges = (body + 4, body + size) :: ranges
+              else if ((cc.endsWith("dc") || cc.endsWith("db")) && size > 0) {
+                val frame = java.util.Arrays.copyOfRange(bytes, body, body + size)
+                ImageCodec.decode(frame) match {
+                  case Some(d) =>
+                    if (w < 0) { w = d.width; h = d.height }
+                    sr += d.sumR; sg += d.sumG; sb += d.sumB
+                    n += 1
+                  case None => return None // a frame that isn't an image
+                }
+              }
+              off = body + size + (size & 1) // RIFF even-padding
+            }
+          }
+        }
+        if (n == 0 || w < 0) None else Some(Decoded(w, h, n, sr, sg, sb))
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+
+    /** One solid-gray JPEG at quality 1.0 — the exact-roundtrip frame
+      * payload (see class doc).
+      */
+    def encodeJpegGray(width: Int, height: Int, gray: Int): Array[Byte] = {
+      require(width > 0 && height > 0, s"bad dims: ${width}x$height")
+      require(gray >= 0 && gray <= 255, s"bad gray level: $gray")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(1.0f)
+      val baos = new java.io.ByteArrayOutputStream()
+      val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      writer.setOutput(out)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose()
+      out.close()
+      baos.toByteArray
+    }
+
+    /** Minimal MJPEG AVI: RIFF(`AVI `) → LIST(hdrl){avih, LIST(strl)
+      * {strh `vids`/`MJPG`, strf BITMAPINFOHEADER}} → LIST(movi)
+      * {`00dc` JPEG per frame} — enough container for any MJPEG-aware
+      * reader, and exactly what [[decode]] walks.
+      */
+    def encodeAviMjpeg(width: Int, height: Int, fps: Int,
+        frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(fps > 0 && frames.nonEmpty, s"bad avi shape: fps=$fps")
+      val out = new java.io.ByteArrayOutputStream()
+      def w32(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+      }
+      def cc(s: String): Unit = out.write(
+        s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      def b32(v: Int): Array[Byte] = Array[Byte](
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def bcc(s: String): Array[Byte] =
+        s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      def concat(parts: Array[Byte]*): Array[Byte] =
+        parts.flatten.toArray
+      val maxFrame = frames.map(_.length).max
+      val avih = concat(b32(1000000 / fps), b32(maxFrame * fps), b32(0),
+        b32(0x10), b32(frames.size), b32(0), b32(1), b32(maxFrame),
+        b32(width), b32(height), b32(0), b32(0), b32(0), b32(0))
+      val strh = concat(bcc("vids"), bcc("MJPG"), b32(0), b32(0), b32(0),
+        b32(1), b32(fps), b32(0), b32(frames.size), b32(maxFrame),
+        b32(-1), b32(0),
+        Array[Byte](0, 0, 0, 0), b32(width & 0xffff | ((height & 0xffff) << 16)))
+      val strf = concat(b32(40), b32(width), b32(height),
+        Array[Byte](1, 0, 24, 0), bcc("MJPG"), b32(width * height * 3),
+        b32(0), b32(0), b32(0), b32(0))
+      val hdrl = {
+        val buf = new java.io.ByteArrayOutputStream()
+        def wchunk(id: String, body: Array[Byte]): Unit = {
+          buf.write(bcc(id)); buf.write(b32(body.length)); buf.write(body)
+          if ((body.length & 1) == 1) buf.write(0)
+        }
+        wchunk("avih", avih)
+        val strl = new java.io.ByteArrayOutputStream()
+        strl.write(bcc("strl"))
+        def schunk(id: String, body: Array[Byte]): Unit = {
+          strl.write(bcc(id)); strl.write(b32(body.length)); strl.write(body)
+          if ((body.length & 1) == 1) strl.write(0)
+        }
+        schunk("strh", strh)
+        schunk("strf", strf)
+        buf.write(bcc("LIST")); buf.write(b32(strl.size()))
+        strl.writeTo(buf)
+        buf.toByteArray
+      }
+      val movi = {
+        val buf = new java.io.ByteArrayOutputStream()
+        buf.write(bcc("movi"))
+        frames.foreach { f =>
+          buf.write(bcc("00dc")); buf.write(b32(f.length)); buf.write(f)
+          if ((f.length & 1) == 1) buf.write(0)
+        }
+        buf.toByteArray
+      }
+      val riffBody = new java.io.ByteArrayOutputStream()
+      riffBody.write(bcc("AVI "))
+      riffBody.write(bcc("LIST")); riffBody.write(b32(4 + hdrl.length))
+      riffBody.write(bcc("hdrl")); riffBody.write(hdrl)
+      riffBody.write(bcc("LIST")); riffBody.write(b32(movi.length))
+      riffBody.write(movi)
+      cc("RIFF"); w32(riffBody.size())
+      riffBody.writeTo(out)
+      out.toByteArray
+    }
+  }
+
+  /** Deterministic REAL-video media table: one seeded MJPEG AVI per
+    * document ([[graft.gen.FakeData.seededAvi]]) — the fixture that
+    * exercises the RIFF walk + per-frame ImageIO decode end-to-end.
+    */
+  def videosFromDocuments(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, "video", graft.gen.FakeData.seededAvi(id))))
+      .toDF("media_id", "kind", "content")
+  }
+
+  /** Decoded per-clip statistics: (media_id, width, height, n_frames,
+    * sum_r, sum_g, sum_b) — channel sums across ALL frames.
+    * Undecodable payloads are dropped; all outputs integers, so the
+    * cross-engine compare is exact.
+    */
+  def decodeVideoStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          VideoCodec.decode(r.getAs[Array[Byte]]("content")).map { d =>
+            (r.getLong(0), d.width, d.height, d.nFrames,
+              d.sumR, d.sumG, d.sumB)
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "n_frames",
+        "sum_r", "sum_g", "sum_b")
+  }
+
   /** Deterministic REAL-audio media table: one seeded WAV per document
     * ([[graft.gen.FakeData.seededWav]]) — the fixture that exercises
     * the actual javax.sound decode path end-to-end.
@@ -379,10 +597,12 @@ object Multimodal {
     * features(3) = pixel count. `audio` payloads go through the REAL
     * [[AudioCodec]] (WAV/PCM via javax.sound.sampled): features(0) is
     * the mean absolute amplitude scaled to [0,1], features(1..3) are
-    * channels / sample rate / frame count. Bytes neither codec accepts
-    * — and all video (no JVM codec exists offline) — take the
-    * [[FakeDecoder]] byte-histogram fallback, so mixed corpora behave
-    * exactly as before.
+    * channels / sample rate / frame count. `video` payloads go through
+    * the REAL [[VideoCodec]] (MJPEG AVI): features(0..2) are mean
+    * R/G/B across all frames scaled to [0,1], features(3) the frame
+    * count. Bytes no codec accepts take the [[FakeDecoder]]
+    * byte-histogram fallback, so mixed corpora behave exactly as
+    * before.
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -425,6 +645,18 @@ object Multimodal {
                 f(3) = d.nFrames.toDouble
                 MediaFeatures(r.getAs[Long]("media_id"), kind, nBytes,
                   r.getAs[Int]("width"), r.getAs[Int]("height"), f)
+              case None => fallback
+            }
+            case "video" => VideoCodec.decode(content) match {
+              case Some(d) =>
+                val f = new Array[Double](FakeDecoder.FeatureDim)
+                val n = d.nFrames.toDouble * d.width * d.height
+                f(0) = d.sumR / (255.0 * n)
+                f(1) = d.sumG / (255.0 * n)
+                f(2) = d.sumB / (255.0 * n)
+                f(3) = d.nFrames.toDouble
+                MediaFeatures(r.getAs[Long]("media_id"), kind, nBytes,
+                  d.width, d.height, f)
               case None => fallback
             }
             case _ => fallback

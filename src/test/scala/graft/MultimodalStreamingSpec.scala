@@ -146,6 +146,43 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     for (f <- au) assert(math.abs(f.features.sum - 1.0) < 1e-9)
   }
 
+  test("VideoCodec: MJPEG AVI roundtrip recovers exact gray sums and shape") {
+    import Multimodal.VideoCodec
+    // hand-built 2-frame clip: solid grays 10 and 200 (q=1.0 JPEG gray
+    // frames roundtrip bit-exactly — the property the oracle exploits)
+    val frames = Seq(VideoCodec.encodeJpegGray(6, 4, 10),
+      VideoCodec.encodeJpegGray(6, 4, 200))
+    val avi = VideoCodec.encodeAviMjpeg(6, 4, 10, frames)
+    // real RIFF/AVI magic, not a passthrough
+    assert(avi(0) == 'R'.toByte && avi(8) == 'A'.toByte &&
+      avi(9) == 'V'.toByte && avi(10) == 'I'.toByte)
+    val d = VideoCodec.decode(avi).get
+    assert((d.width, d.height, d.nFrames) == ((6, 4, 2)))
+    val expect = (10L + 200L) * 6 * 4
+    assert(d.sumR == expect && d.sumG == expect && d.sumB == expect)
+    // fallback contract: non-AVI, truncated AVI, and cross-codec bytes
+    assert(VideoCodec.decode(null).isEmpty)
+    assert(VideoCodec.decode("plain text payload".getBytes("UTF-8")).isEmpty)
+    assert(VideoCodec.decode("RIFFxxxxAVI corrupt".getBytes("UTF-8")).isEmpty)
+    assert(VideoCodec.decode(graft.gen.FakeData.seededPng(3L)).isEmpty)
+    assert(VideoCodec.decode(graft.gen.FakeData.seededWav(3L)).isEmpty)
+  }
+
+  test("seededAvi roundtrip: decode recovers the closed-form sums across seeds") {
+    import Multimodal.VideoCodec
+    (0L to 40L).foreach { seed =>
+      val d = VideoCodec.decode(graft.gen.FakeData.seededAvi(seed)).get
+      val w = (seed % 10 + 4).toInt
+      val h = (seed % 7 + 4).toInt
+      val n = (seed % 6 + 2).toInt
+      val expect = (0 until n).map(i =>
+        ((seed * 37 + i * 19) % 256) * w * h).sum
+      assert((d.width, d.height, d.nFrames) == ((w, h, n)), s"seed=$seed")
+      assert(d.sumR == expect && d.sumG == expect && d.sumB == expect,
+        s"seed=$seed: got (${d.sumR},${d.sumG},${d.sumB}), want $expect")
+    }
+  }
+
   test("seededWav roundtrip: decode recovers the closed-form shape and sums") {
     import Multimodal.AudioCodec
     for (seed <- Seq(0L, 1L, 2L, 3L, 7L, 123L, 99999L)) {

@@ -137,6 +137,37 @@ object ScaleSmoke {
             docs1.filter(col("doc_id") % 10 === 0), n = 3)))
     }
 
+    // merge-on-read read path under ACCUMULATED vectors (round-12 new
+    // path): 10 vector-delete commits over a 32-file table leave up to
+    // 10 applicable vector generations per file, and every read unions
+    // them. Timed separately: the accumulation (delete cost), the
+    // burdened full scan (read amplification), and the scan after
+    // rewriteDeleteVectors folds the coverage into one generation — a
+    // super-linear dv_read edge means the per-file vector union broke;
+    // dv_rewrite_read pins that maintenance restores the flat shape.
+    def dvStages(corpus: DataFrame,
+        scale: Int): Seq[(String, Int, () => DataFrame)] = {
+      var root: String = null
+      Seq(
+        ("dv_accumulate", scale, () => {
+          root = java.nio.file.Files.createTempDirectory("graft-smoke-dv")
+            .resolve("t").toString
+          val t = graft.catalog.SnapshotTable.create(spark, root,
+            corpus.schema, None)
+          t.append(corpus.repartition(32))
+          (0 until 10).foreach(k =>
+            t.deleteWithVectors(pmod(col("doc_id"), lit(97L)) === k.toLong))
+          spark.range(1).toDF("built")
+        }),
+        ("dv_read", scale, () =>
+          graft.catalog.SnapshotTable.load(spark, root).read()),
+        ("dv_rewrite_read", scale, () => {
+          val t = graft.catalog.SnapshotTable.load(spark, root)
+          t.rewriteDeleteVectors()
+          t.read()
+        }))
+    }
+
     // force training BEFORE the timed loop — otherwise the first build
     // entry absorbs the (expensive, scale-independent) model fit and
     // the 1×-vs-N× build ratio reads nonsense (r8 first run did)
@@ -172,6 +203,8 @@ object ScaleSmoke {
           .groupBy(col("shard")).count())) ++
       contamStages(docs1, 1) ++
       contamStages(scaleDocs(docs1, factor), factor) ++
+      dvStages(docs1, 1) ++
+      dvStages(scaleDocs(docs1, factor), factor) ++
       ivfStages(vecs1, narrowQueries, wide = false, 1) ++
       ivfStages(scaleVectors(vecs1, "vec_id", factor), narrowQueries,
         wide = false, factor) ++
@@ -179,7 +212,17 @@ object ScaleSmoke {
       ivfStages(scaleVectors(wide1, "vec_id", factor),
         Queries.wideQueries(wide1), wide = true, factor)
 
-    val timed = runs.map { case (name, f, mk) =>
+    // optional family filter (comma-separated name prefixes) so the
+    // ×100 probe can target the heaviest families without paying for
+    // every stage at that scale: SPARK_GRAFT_SCALE_FAMILIES=dedup_ngram,dv
+    val familyFilter = sys.env.get("SPARK_GRAFT_SCALE_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = familyFilter match {
+      case None => runs
+      case Some(fams) => runs.filter { case (name, _, _) =>
+        fams.exists(name.startsWith) }
+    }
+    val timed = selected.map { case (name, f, mk) =>
       val (secs, rows) = time(mk())
       System.err.println(f"[scale-smoke] $name%s x$f%d: $secs%.2f s, $rows rows")
       (name, f, secs, rows)

@@ -148,14 +148,17 @@ final class GraftDeltaBatchWrite(table: SnapshotTable, baseVersion: Long,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.toSeq.collect { case m: GraftDeltaCommit => m }
     val dvs = msgs.flatMap(_.dvs)
-    val anyData = msgs.exists(_.wroteData)
+    // adopt ONLY the files the committed task attempts name — a retried
+    // or speculative task's orphans in the batch dir must not be
+    // double-counted (removeOrphanFiles reclaims them later)
+    val dataFiles = msgs.flatMap(_.dataFiles)
     val op = cmd match {
       case Command.DELETE => "delete-pos"
       case Command.UPDATE => "update-pos"
       case Command.MERGE => "merge-pos"
     }
     table.commitDelta(baseVersion, op,
-      if (anyData) Some(dataRel) else None, dvs)
+      if (dataFiles.nonEmpty) Some(dataRel) else None, dataFiles, dvs)
     ()
   }
 
@@ -171,7 +174,7 @@ final class GraftDeltaBatchWrite(table: SnapshotTable, baseVersion: Long,
 }
 
 final case class GraftDeltaCommit(dvs: Seq[(String, Long, Seq[String])],
-    wroteData: Boolean) extends WriterCommitMessage
+    dataFiles: Seq[String]) extends WriterCommitMessage
 
 final class GraftDeltaWriterFactory(
     rootStr: String,
@@ -212,7 +215,10 @@ final class GraftDeltaWriter(
   private val writers = mutable.HashMap.empty[Option[String], OutputWriter]
   private lazy val partProj =
     partExpr.map(e => UnsafeProjection.create(Seq(e)))
-  private var wrote = false
+  // rel paths of every data file THIS attempt opened — the commit
+  // message names them explicitly so only committed attempts' files
+  // are adopted
+  private val written = Seq.newBuilder[String]
 
   /** Manifest-relative path of a scanned file URI — the same
     * uriPath-decode + root-strip discipline as every vector path.
@@ -241,7 +247,6 @@ final class GraftDeltaWriter(
         if (r.isNullAt(0)) None else Some(r.getUTF8String(0).toString)
     }
     writers.getOrElseUpdate(part, openWriter(part)).write(row)
-    wrote = true
   }
 
   override def update(meta: InternalRow, id: InternalRow,
@@ -266,6 +271,7 @@ final class GraftDeltaWriter(
     }
     val name = f"part-$partitionId%05d-$taskId-" +
       s"${UUID.randomUUID().toString.replace("-", "").take(8)}.parquet"
+    written += s"$dirRel/$name"
     ParquetWriteBridge.newWriter(factory, conf.value,
       new Path(new Path(rootStr), s"$dirRel/$name").toString, rowSchema)
   }
@@ -295,7 +301,7 @@ final class GraftDeltaWriter(
         w.close()
         Seq((rel, rows, covered.result()))
       }
-    GraftDeltaCommit(dvs, wrote)
+    GraftDeltaCommit(dvs, written.result())
   }
 
   override def abort(): Unit =

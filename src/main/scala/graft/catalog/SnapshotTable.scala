@@ -3381,10 +3381,11 @@ final class SnapshotTable private (
     */
   private[catalog] def statsForStaged(rel: String, schema: StructType,
       spec: Option[PartitionSpec],
-      props: Map[String, String]): Seq[DataFileEntry] = {
+      props: Map[String, String],
+      onlyFiles: Option[Seq[String]] = None): Seq[DataFileEntry] = {
     val dir = new Path(root, rel)
     // a writer that produced no rows stages no directory at all
-    if (!fs.exists(dir)) return Nil
+    if (!fs.exists(dir) || onlyFiles.exists(_.isEmpty)) return Nil
     val batch = rel.substring(rel.lastIndexOf('/') + 1)
     val marker = s"/$batch/"
     // explicit read-back schema: an EMPTY batch writes no parquet files
@@ -3398,7 +3399,19 @@ final class SnapshotTable private (
     val bloom = BloomSpec.fromProperties(props)
     val aggs = count(lit(1)).as("__rows") +:
       FileStats.aggColumns(statSchema, bloom)
-    spark.read.schema(readBackSchema).parquet(dir.toString)
+    // `onlyFiles` = the EXPLICIT list a delta write's commit messages
+    // name: a retried or speculative task may leave complete-looking
+    // orphan files in the same batch dir, and adopting them would
+    // duplicate rows (stage()'s own writes go through Spark's committer
+    // and never have losers in the dir). basePath keeps the partition
+    // directories parsing as on a whole-dir read.
+    val frame = onlyFiles match {
+      case None => spark.read.schema(readBackSchema).parquet(dir.toString)
+      case Some(files) => spark.read.option("basePath", dir.toString)
+        .schema(readBackSchema)
+        .parquet(files.map(f => new Path(root, f).toString): _*)
+    }
+    frame
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
@@ -3424,7 +3437,7 @@ final class SnapshotTable private (
     * read-modify-write, the same rule as [[deleteWithVectors]]).
     */
   private[catalog] def commitDelta(baseVersion: Long, op: String,
-      dataRel: Option[String],
+      dataRel: Option[String], dataFiles: Seq[String],
       dvs: Seq[(String, Long, Seq[String])]): Snapshot = {
     val base = currentSnapshot()
     if (base.version != baseVersion)
@@ -3432,7 +3445,8 @@ final class SnapshotTable private (
         s"table at $root advanced to v${base.version} since the " +
           s"row-level scan at v$baseVersion — re-run the statement")
     val staged = dataRel.toSeq.flatMap(rel =>
-      statsForStaged(rel, base.schema, base.spec, base.properties))
+      statsForStaged(rel, base.schema, base.spec, base.properties,
+        onlyFiles = Some(dataFiles)))
     if (staged.isEmpty && dvs.isEmpty) return base // no-op statement
     val c = next(base, op, base.schema, base.files ++
       staged.map(_.copy(cols = base.ids, nested = nestedPairsOf(base))))

@@ -63,9 +63,12 @@ final class GraftRowLevelOperation(v2: GraftV2Table, cmd: Command)
 
   /** The version the statement scans AND commits against — captured
     * once, so scan and commit can never observe different file sets.
+    * The HEAD, not the published view: row-level writes target the
+    * head like every other write verb, so a DML inside an open WAP
+    * audit window sees (and edits) the unpublished rows instead of
+    * spuriously conflicting at commit.
     */
-  private[catalog] val baseVersion: Long =
-    v2.table.publishedSnapshot().version
+  private[catalog] val baseVersion: Long = v2.table.currentVersion()
 
   override def command(): Command = cmd
 

@@ -307,9 +307,22 @@ final class GraftDeltaWriter(
     GraftDeltaCommit(dvs, written.result())
   }
 
-  override def abort(): Unit =
+  override def abort(): Unit = {
     try writers.values.foreach(_.close())
     catch { case _: java.io.IOException => }
+    // best-effort: drop this attempt's files so the staging dir does
+    // not accumulate across retries (the commit-side explicit file
+    // list already makes leftovers inert; removeOrphanFiles reclaims
+    // whatever survives a crash)
+    val conf = dataFactory.map(_._2).getOrElse(dvFactory._2).value
+    written.result().foreach { rel =>
+      try {
+        val p = new Path(new Path(rootStr), rel)
+        p.getFileSystem(conf).delete(p, false)
+        ()
+      } catch { case _: java.io.IOException => }
+    }
+  }
 
   override def close(): Unit = ()
 }

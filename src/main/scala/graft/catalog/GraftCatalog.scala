@@ -92,12 +92,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * (`SELECT graft.months(ts)`).
     */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    GraftFunctions.list
+    // functions live at the catalog ROOT (graft.months, graft.bucket) —
+    // an existing database namespace holds none, an unknown one is a
+    // proper NoSuchNamespaceException (FunctionCatalog contract, the
+    // same shape Iceberg's SparkCatalog keeps)
+    if (namespace.isEmpty) GraftFunctions.list
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(name() +: namespace.toSeq)
 
-  override def loadFunction(ident: Identifier): UnboundFunction =
-    GraftFunctions.load(ident).getOrElse(
-      throw new org.apache.spark.sql.catalyst.analysis
-        .NoSuchFunctionException(name(), ident.toString))
+  override def loadFunction(ident: Identifier): UnboundFunction = {
+    def missing = new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(name(), ident.toString)
+    if (ident.namespace.isEmpty)
+      GraftFunctions.load(ident).getOrElse(throw missing)
+    else if (namespaceExists(ident.namespace)) throw missing
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(name() +: ident.namespace.toSeq)
+  }
 
   /** `ALTER TABLE … ADD COLUMNS (c T DEFAULT v)` needs the catalog to
     * opt in; defaults land as Iceberg-v3-style initial/write defaults

@@ -121,6 +121,11 @@ object GraftFunctions {
       if (input.isNullAt(1)) null
       else {
         val n = input.getInt(0).toLong
+        // n is rarely a literal at bind time (Spark binds on types
+        // only), so the domain check lives here with a named error
+        // instead of an ArithmeticException from the pmod
+        require(n > 0,
+          s"$BucketName(n, v): the bucket count must be positive, got $n")
         val h = XxHash64Function.hash(input.get(1, dt), dt, 42L)
         (((h % n) + n) % n).toInt
       }

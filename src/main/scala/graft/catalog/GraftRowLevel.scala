@@ -115,9 +115,15 @@ final class GraftRowLevelOperation(v2: GraftV2Table, cmd: Command)
   *  - UPDATE / MERGE on a partitioned table: cluster by
   *    (partition-transform(row), file) and sort the same way + pos.
   *    Delete deltas project a NULL partition (no row image) → they
-  *    cluster per file; inserts and update images project a NULL file
-  *    → they cluster per partition. One task per partition value, ONE
-  *    open writer per task, ≤1 data file per partition per statement.
+  *    cluster per file; INSERT images project a NULL file → they
+  *    cluster per partition; UPDATE images keep their source file, so
+  *    a partition's updates hash across its (partition, source-file)
+  *    groups — keeping `file` in the key is what spreads delete-vector
+  *    building AND lets each task close vectors and images together.
+  *    ONE open writer per task, so the bound is ≤1 data file per
+  *    touched (partition, source-file) pair per statement (≤1 per
+  *    partition for pure inserts), a little looser when AQE splits a
+  *    skewed cluster — never back to T×P.
   *  - unpartitioned UPDATE / MERGE: ordering only (file, pos) — a
   *    clustered distribution would funnel every insert (NULL file)
   *    into one task; local sort still yields one open writer and
@@ -148,15 +154,26 @@ final class GraftDeltaWrite(table: SnapshotTable, baseVersion: Long,
           Expressions.column(ps.source))
         case SnapshotTable.BucketXform(n) => Expressions.bucket(n.toInt,
           ps.source)
-        case other => sys.error(s"unknown partition transform $other")
+        case other => throw org.apache.spark.SparkException.internalError(
+          s"unknown partition transform '$other' in the manifest of " +
+            s"${table.root}")
       }
     }
 
+  /** A bad property value is a USER error surfaced at planning — a
+    * structured AnalysisException, not a bare RuntimeException that
+    * would fail every DML on the table with an unexplained stack.
+    */
   private def distributionMode: String =
     base.properties.getOrElse("graft.write.distribution-mode", "hash") match {
       case m @ ("hash" | "none") => m
-      case other => sys.error("graft.write.distribution-mode=" +
-        s"'$other' — use hash (cluster deltas by partition/file) or none")
+      case other => throw new org.apache.spark.sql.AnalysisException(
+        "INVALID_CONF_VALUE.REQUIREMENT",
+        Map("confValue" -> other,
+          "confName" -> "graft.write.distribution-mode",
+          "confRequirement" -> ("Use 'hash' (cluster deltas by " +
+            "partition/file before the write) or 'none' (local sort " +
+            "only) in the table's TBLPROPERTIES.")))
     }
 
   override def requiredDistribution(): Distribution =

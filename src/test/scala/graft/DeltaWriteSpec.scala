@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.CommandResult
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.SnapshotTable
+
+/** Pins the delta write's `RequiresDistributionAndOrdering` contract
+  * (VERDICT r12/r13 lead item): the EXECUTED plan of a native
+  * DELETE/UPDATE/MERGE must carry the pre-write rebalance + sort the
+  * write declares, and the COMMITTED snapshot must show the file/vector
+  * bounds that distribution exists to guarantee — one vector builder
+  * per data file (disjoint coverage across vector files) and a small
+  * bounded number of data files per touched partition, independent of
+  * how many tasks scanned the target. If a Spark upgrade or refactor
+  * silently stops applying the distribution, these asserts go red.
+  */
+class DeltaWriteSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSparkSession.spark
+  import spark.implicits._
+
+  private def sql(q: String): DataFrame = spark.sql(q)
+
+  private def warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+
+  /** Physical plan of an eagerly-executed command (MERGE/UPDATE/...):
+    * `spark.sql` wraps it in a `CommandResult`, so the plan is captured
+    * synchronously — no listener, no sleeps.
+    */
+  private def commandPlan(df: DataFrame): String =
+    df.queryExecution.commandExecuted match {
+      case cr: CommandResult => cr.commandPhysicalPlan.toString
+      case other => other.toString
+    }
+
+  test("partitioned MERGE: rebalance+sort plan, bounded files, disjoint vectors") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dw")
+    sql("DROP TABLE IF EXISTS graft.dw.t")
+    sql("CREATE TABLE graft.dw.t (id BIGINT, kind STRING, v DOUBLE) " +
+      "PARTITIONED BY (kind)")
+    // two appends -> >=2 files per partition, 6 partitions
+    sql("INSERT INTO graft.dw.t SELECT id, " +
+      "concat('k', cast(id % 6 as string)), cast(id as double) " +
+      "FROM range(0, 10000)")
+    sql("INSERT INTO graft.dw.t SELECT id, " +
+      "concat('k', cast(id % 6 as string)), cast(id as double) " +
+      "FROM range(10000, 20000)")
+    val t = SnapshotTable.load(spark, s"$warehouse/dw/t")
+    val pre = t.currentSnapshot()
+    val preFiles = pre.files.map(_.path).toSet
+    assert(pre.files.groupBy(_.partition).forall(_._2.size >= 2),
+      "setup: each partition needs >=2 files for the clustering to matter")
+
+    // source touches all 6 partitions: 1000 updates, 1000 deletes,
+    // 500 inserts
+    spark.range(0, 2500).selectExpr("id * 10 as id",
+      "concat('k', cast((id * 10) % 6 as string)) as kind",
+      "cast(id as double) as v").createOrReplaceTempView("dw_src")
+    val plan = commandPlan(sql(
+      """MERGE INTO graft.dw.t t USING dw_src s ON t.id = s.id
+        |WHEN MATCHED AND t.id % 20 = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+
+    // (b) the declared distribution/ordering reached the physical plan:
+    // a rebalance exchange (advisory clustering -> AQE may split skew)
+    // and a sort whose keys include the row-id columns
+    assert(plan.contains("WriteDelta"), plan.take(2000))
+    assert(plan.contains("REBALANCE_PARTITIONS_BY_COL"),
+      s"expected a rebalance exchange before the delta write:\n${plan.take(4000)}")
+    assert(plan.contains("Sort ") && plan.contains("_graft_pos"),
+      s"expected a pre-write sort on (partition, file, pos):\n${plan.take(4000)}")
+
+    val cur = t.currentSnapshot()
+    assert(cur.operation == "merge-pos", cur.operation)
+    assert(preFiles.subsetOf(cur.files.map(_.path).toSet), "no rewrite")
+
+    // (a) bounded data files per partition: one writer task per
+    // clustered partition -> ~1 file; AQE rebalance may split a
+    // partition across a couple of tasks, never back to T x P
+    val newByPart = cur.files.filterNot(f => preFiles.contains(f.path))
+      .groupBy(_.partition).map { case (p, fs) => (p, fs.size) }
+    assert(newByPart.nonEmpty && newByPart.values.max <= 2,
+      s"files per partition after clustered merge: $newByPart")
+
+    // one vector builder per data file: across the committed vector
+    // files, covered data files are DISJOINT (no file's bitmap was
+    // split across tasks) and every covered path is a pre-merge file
+    val newDvs = cur.dvFiles.filter(_.seq == cur.version)
+    assert(newDvs.nonEmpty)
+    val covered = newDvs.flatMap(_.dataPaths)
+    assert(covered.distinct.size == covered.size,
+      s"a data file's delete bitmap was split across vector files: " +
+        newDvs.map(d => d.path -> d.dataPaths).mkString("; "))
+    assert(covered.toSet.subsetOf(preFiles))
+    // 1000 deletes + 1000 update-deletes marked
+    assert(newDvs.map(_.rows).sum == 2000L, newDvs.map(_.rows).sum)
+
+    // values: deletes gone, updates applied, inserts present
+    assert(sql("SELECT count(*) FROM graft.dw.t").as[Long].head ==
+      20000L - 1000L + 500L)
+    assert(sql("SELECT v FROM graft.dw.t WHERE id = 10").as[Double]
+      .head == 10.0 + 1.0) // updated: t.v + s.v = 10 + 1
+    assert(sql("SELECT count(*) FROM graft.dw.t WHERE id = 200")
+      .as[Long].head == 0L) // deleted (id % 20 = 0)
+    assert(sql("SELECT v FROM graft.dw.t WHERE id = 20010").as[Double]
+      .head == 2001.0) // inserted
+  }
+
+  test("DELETE clusters by file: sort on (file, pos), disjoint vectors") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dw")
+    sql("DROP TABLE IF EXISTS graft.dw.d")
+    sql("CREATE TABLE graft.dw.d (id BIGINT, v DOUBLE)")
+    sql("INSERT INTO graft.dw.d SELECT id, cast(id as double) " +
+      "FROM range(0, 8000)")
+    sql("INSERT INTO graft.dw.d SELECT id, cast(id as double) " +
+      "FROM range(8000, 16000)")
+    val t = SnapshotTable.load(spark, s"$warehouse/dw/d")
+    val preFiles = t.currentSnapshot().files.map(_.path).toSet
+    assert(preFiles.size >= 2)
+
+    // modulo predicate has no v1 filter form -> native delta path
+    val plan = commandPlan(sql("DELETE FROM graft.dw.d WHERE id % 7 = 0"))
+    assert(plan.contains("WriteDelta"), plan.take(2000))
+    assert(plan.contains("REBALANCE_PARTITIONS_BY_COL") &&
+      plan.contains("_graft_file"),
+      s"DELETE must cluster deltas by data file:\n${plan.take(4000)}")
+    assert(plan.contains("Sort ") && plan.contains("_graft_pos"),
+      plan.take(4000))
+
+    val cur = t.currentSnapshot()
+    assert(cur.operation == "delete-pos", cur.operation)
+    assert(cur.files.map(_.path).toSet == preFiles, "no data file touched")
+    val dvs = cur.dvFiles.filter(_.seq == cur.version)
+    val covered = dvs.flatMap(_.dataPaths)
+    assert(covered.distinct.size == covered.size,
+      "each file's bitmap must be built by exactly one task")
+    assert(dvs.map(_.rows).sum == (0L until 16000L).count(_ % 7 == 0))
+    assert(sql("SELECT count(*) FROM graft.dw.d WHERE id % 7 = 0")
+      .as[Long].head == 0L)
+  }
+
+  test("distribution-mode=none opts out of the pre-write exchange") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dw")
+    sql("DROP TABLE IF EXISTS graft.dw.n")
+    sql("CREATE TABLE graft.dw.n (id BIGINT, kind STRING, v DOUBLE) " +
+      "PARTITIONED BY (kind) " +
+      "TBLPROPERTIES ('graft.write.distribution-mode'='none')")
+    sql("INSERT INTO graft.dw.n SELECT id, " +
+      "concat('k', cast(id % 4 as string)), cast(id as double) " +
+      "FROM range(0, 4000)")
+    val plan = commandPlan(sql(
+      "UPDATE graft.dw.n SET v = v + 1.0 WHERE id % 3 = 0"))
+    assert(plan.contains("WriteDelta"), plan.take(2000))
+    assert(!plan.contains("REBALANCE_PARTITIONS_BY_COL"),
+      s"mode=none must not shuffle before the write:\n${plan.take(4000)}")
+    // the local sort (one open writer, sequential bitmaps) remains
+    assert(plan.contains("Sort ") && plan.contains("_graft_pos"),
+      plan.take(4000))
+    assert(sql("SELECT v FROM graft.dw.n WHERE id = 3").as[Double]
+      .head == 4.0)
+
+    // a BAD mode value is a structured analysis-time error
+    sql("ALTER TABLE graft.dw.n SET TBLPROPERTIES " +
+      "('graft.write.distribution-mode'='bogus')")
+    val e = intercept[Exception](
+      sql("UPDATE graft.dw.n SET v = 0.0 WHERE id = 1"))
+    assert(e.getMessage.contains("graft.write.distribution-mode"),
+      e.getMessage)
+  }
+
+  test("unpartitioned UPDATE keeps ordering without a clustered shuffle") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dw")
+    sql("DROP TABLE IF EXISTS graft.dw.u")
+    sql("CREATE TABLE graft.dw.u (id BIGINT, v DOUBLE)")
+    sql("INSERT INTO graft.dw.u SELECT id, cast(id as double) " +
+      "FROM range(0, 4000)")
+    val plan = commandPlan(sql(
+      "UPDATE graft.dw.u SET v = v * 2.0 WHERE id % 5 = 0"))
+    assert(plan.contains("WriteDelta"), plan.take(2000))
+    // unpartitioned row images: clustering would funnel all inserts
+    // (NULL file) into one task -> ordering only
+    assert(!plan.contains("REBALANCE_PARTITIONS_BY_COL"),
+      plan.take(4000))
+    assert(plan.contains("Sort ") && plan.contains("_graft_pos"),
+      plan.take(4000))
+    assert(sql("SELECT v FROM graft.dw.u WHERE id = 10").as[Double]
+      .head == 20.0)
+  }
+
+  test("month-transform clustering resolves through the FunctionCatalog") {
+    val root = s"$warehouse/dw/m"
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    val t = SnapshotTable.create(spark, root, schema,
+      Some(graft.catalog.PartitionSpec("ts", "month")))
+    // ~6 distinct months
+    t.append(spark.range(0, 5000).selectExpr("id",
+      "timestamp_seconds(1700000000 + id * 3000) as ts",
+      "cast(id as double) as v"))
+    t.append(spark.range(5000, 10000).selectExpr("id",
+      "timestamp_seconds(1700000000 + id * 3000) as ts",
+      "cast(id as double) as v"))
+    val preFiles = t.currentSnapshot().files.map(_.path).toSet
+
+    val plan = commandPlan(sql(
+      "UPDATE graft.dw.m SET v = v + 1.0 WHERE id % 2 = 0"))
+    assert(plan.contains("WriteDelta"), plan.take(2000))
+    // the months() transform must RESOLVE (unresolvable transforms fail
+    // analysis) and cluster the update images by month + file
+    assert(plan.contains("REBALANCE_PARTITIONS_BY_COL"),
+      s"month-partitioned update must cluster by transform:\n${plan.take(4000)}")
+
+    val cur = SnapshotTable.load(spark, root).currentSnapshot()
+    assert(cur.operation == "update-pos", cur.operation)
+    val newByPart = cur.files.filterNot(f => preFiles.contains(f.path))
+      .groupBy(_.partition).map { case (p, fs) => (p, fs.size) }
+    assert(newByPart.nonEmpty && newByPart.values.max <= 2,
+      s"files per month after clustered update: $newByPart")
+    // update images landed in REAL month partitions (writer renders
+    // the same __graft_p dirs as a partitioned append)
+    val months = t.currentSnapshot().files.flatMap(_.partition).toSet
+    assert(newByPart.keys.flatten.toSet.subsetOf(months))
+    assert(sql("SELECT v FROM graft.dw.m WHERE id = 4").as[Double]
+      .head == 5.0)
+  }
+}

@@ -429,4 +429,45 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!sql("SHOW NAMESPACES IN graft").as[String].collect()
       .contains("mv"))
   }
+
+  test("v2 FunctionCatalog: transform parity, namespace contract, guards") {
+    // months/bucket produce the SAME equivalence classes as the
+    // write-side partition transforms (the seam the delta write's
+    // clustered distribution resolves through)
+    val rows = sql(
+      "SELECT graft.months(timestamp'2024-03-07 10:00:00') AS m, " +
+        "graft.bucket(16, 12345L) AS b").collect().head
+    assert(rows.getInt(0) == (2024 - 1970) * 12 + 2, rows.getInt(0))
+    // the write-side transform itself (seed-42 xxhash64 is Spark's
+    // xxhash64 default), same rendering as SnapshotTable.partitionExpr
+    val expected = spark.range(1).select(
+      pmod(xxhash64(lit(12345L)), lit(16L)))
+      .collect().head.getLong(0).toInt
+    assert(rows.getInt(1) == expected, s"${rows.getInt(1)} vs $expected")
+
+    // catalog-root functions list; an existing db namespace holds none
+    assert(sql("SHOW FUNCTIONS IN graft").as[String].collect()
+      .exists(_.endsWith("months")))
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.fns")
+    // an UNKNOWN namespace is a NoSuchNamespace analysis error, not a
+    // silent empty result (FunctionCatalog contract)
+    val e1 = intercept[Exception](
+      sql("SHOW FUNCTIONS IN graft.no_such_ns").collect())
+    assert(e1.getMessage.contains("no_such_ns"), e1.getMessage)
+    val e2 = intercept[Exception](
+      sql("SELECT graft.no_such_ns.months(current_timestamp())").collect())
+    assert(e2.getMessage.contains("no_such_ns"), e2.getMessage)
+    // functions do NOT resolve under arbitrary existing namespaces
+    val e3 = intercept[Exception](
+      sql("SELECT graft.fns.months(current_timestamp())").collect())
+    assert(e3.getMessage.toLowerCase.contains("routine")
+      || e3.getMessage.toLowerCase.contains("function"), e3.getMessage)
+
+    // bucket(n <= 0) is a named domain error, not / by zero
+    val e4 = intercept[Exception](
+      sql("SELECT graft.bucket(0, 7L)").collect())
+    assert(e4.getMessage.contains("bucket count must be positive"),
+      e4.getMessage)
+    sql("DROP NAMESPACE graft.fns CASCADE")
+  }
 }

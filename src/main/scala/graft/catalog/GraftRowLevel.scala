@@ -69,7 +69,20 @@ final class GraftRowLevelOperation(v2: GraftV2Table, cmd: Command)
     * audit window sees (and edits) the unpublished rows instead of
     * spuriously conflicting at commit.
     */
-  private[catalog] val baseVersion: Long = v2.table.currentVersion()
+  private[graft] val baseVersion: Long = v2.table.currentVersion()
+
+  /** The underlying catalog table, for the optimizer's source-derived
+    * MERGE pruning ([[graft.plans.GraftMergeSourcePrune]]).
+    */
+  private[graft] def v2Table: GraftV2Table = v2
+
+  /** Data-file count / properties of the scanned base snapshot — the
+    * prune rule's gates, without exposing the snapshot type.
+    */
+  private[graft] def baseFileCount: Int =
+    v2.table.snapshotAt(baseVersion).files.size
+  private[graft] def baseProperties: Map[String, String] =
+    v2.table.snapshotAt(baseVersion).properties
 
   override def command(): Command = cmd
 

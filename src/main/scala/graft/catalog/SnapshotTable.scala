@@ -822,6 +822,7 @@ final class SnapshotTable private (
       else s.files.filter(f => StatsPruner.mayMatchAll(
         effectiveStats(currentById, f), s.schema, filters, log.resolveBloom) &&
         bucketMayMatch(s, f, filters))
+    ScanEvents.record(root.toString, kept.size, s.files.size)
     readWithDeletes(s.schema, s.ids, s, kept, withPos = withPos)
   }
 

@@ -99,6 +99,9 @@ object GraftExtensions {
     ext.injectPostHocResolutionRule(session => GraftSqlDmlRule(session))
     // filterless COUNT/MIN/MAX over a graft relation → manifest answer
     ext.injectOptimizerRule(session => GraftAggregatePushdown(session))
+    // native delta MERGE: source-derived key predicate → manifest file
+    // pruning on the target scan (see GraftMergeSourcePrune)
+    ext.injectOptimizerRule(session => GraftMergeSourcePrune(session))
     // NO parser seam: time travel (VERSION/TIMESTAMP AS OF) and CALL
     // procedures are native DSv2 catalog paths — see
     // graft.catalog.GraftCatalog / GraftCatalogProcedures

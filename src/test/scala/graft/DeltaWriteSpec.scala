@@ -190,6 +190,82 @@ class DeltaWriteSpec extends AnyFunSuite {
       .head == 20.0)
   }
 
+  test("native MERGE prunes target files from the source keys") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dw")
+    sql("DROP TABLE IF EXISTS graft.dw.p")
+    sql("CREATE TABLE graft.dw.p (id BIGINT, v DOUBLE)")
+    // 8 id-clustered appends -> every file covers a narrow id range
+    (0 until 8).foreach { i =>
+      sql(s"INSERT INTO graft.dw.p SELECT id, cast(id as double) " +
+        s"FROM range(${i * 1000}, ${i * 1000 + 1000})")
+    }
+    val t = SnapshotTable.load(spark, s"$warehouse/dw/p")
+    val total = t.currentSnapshot().files.size
+    assert(total >= 8)
+
+    // selective source: 30 keys inside one id range + 5 fresh inserts
+    spark.range(0, 35).selectExpr("id + 2000 as id", "cast(id as double) as v")
+      .createOrReplaceTempView("dwp_src")
+    val (_, events) = graft.catalog.ScanEvents.capture {
+      sql("""MERGE INTO graft.dw.p t USING dwp_src s ON t.id = s.id
+            |WHEN MATCHED AND s.id < 2030 THEN UPDATE SET v = t.v + s.v
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    // the MERGE's target scan demonstrably skipped files: the 35
+    // contiguous keys live in a couple of id-range files, not all 8+
+    val ev = events.filter(_.root.endsWith("dw/p"))
+    assert(ev.nonEmpty, s"no target scan captured: $events")
+    assert(ev.head.total == total && ev.head.kept < total,
+      s"expected manifest pruning on the MERGE target scan: $ev")
+    // and values stay exact (prune is skip-only + matched-row-only)
+    assert(sql("SELECT count(*) FROM graft.dw.p").as[Long].head == 8000L)
+    assert(sql("SELECT v FROM graft.dw.p WHERE id = 2003").as[Double]
+      .head == 2003.0 + 3.0)
+    assert(sql("SELECT v FROM graft.dw.p WHERE id = 2031").as[Double]
+      .head == 2031.0, "id >= 2030 matched rows keep their value")
+    assert(sql("SELECT v FROM graft.dw.p WHERE id = 1999").as[Double]
+      .head == 1999.0, "rows outside the source keys untouched")
+
+    // wide key set (over max-keys) -> [min, max] range fallback still
+    // prunes a range-clustered target
+    sql("ALTER TABLE graft.dw.p SET TBLPROPERTIES " +
+      "('graft.merge.source-prune.max-keys'='8')")
+    spark.range(0, 600).selectExpr("id + 3100 as id",
+      "cast(-1 as double) as v").createOrReplaceTempView("dwp_wide")
+    val (_, ev2) = graft.catalog.ScanEvents.capture {
+      sql("""MERGE INTO graft.dw.p t USING dwp_wide s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    val e2 = ev2.filter(_.root.endsWith("dw/p")).head
+    assert(e2.kept < e2.total, s"range fallback must still prune: $e2")
+    assert(sql("SELECT count(*) FROM graft.dw.p WHERE v = -1.0")
+      .as[Long].head == 600L)
+
+    // NOT MATCHED BY SOURCE -> unmatched target rows DO produce deltas
+    // -> pruning is unsound there and must not fire
+    spark.range(0, 5).selectExpr("id as id", "cast(0 as double) as v")
+      .createOrReplaceTempView("dwp_nms")
+    val (_, ev3) = graft.catalog.ScanEvents.capture {
+      sql("""MERGE INTO graft.dw.p t USING dwp_nms s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET v = 0.0
+            |WHEN NOT MATCHED BY SOURCE AND t.id >= 7995 THEN DELETE""".stripMargin)
+    }
+    val e3 = ev3.filter(_.root.endsWith("dw/p")).head
+    assert(e3.kept == e3.total,
+      s"NOT MATCHED BY SOURCE must scan the full target: $e3")
+    assert(sql("SELECT count(*) FROM graft.dw.p").as[Long].head == 7995L)
+
+    // kill switch
+    sql("ALTER TABLE graft.dw.p SET TBLPROPERTIES " +
+      "('graft.merge.source-prune'='off')")
+    val (_, ev4) = graft.catalog.ScanEvents.capture {
+      sql("""MERGE INTO graft.dw.p t USING dwp_src s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET v = t.v""".stripMargin)
+    }
+    val e4 = ev4.filter(_.root.endsWith("dw/p")).head
+    assert(e4.kept == e4.total, s"prune=off must scan everything: $e4")
+  }
+
   test("month-transform clustering resolves through the FunctionCatalog") {
     val root = s"$warehouse/dw/m"
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),

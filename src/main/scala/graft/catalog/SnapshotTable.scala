@@ -3433,27 +3433,74 @@ final class SnapshotTable private (
     * under `dataRel` (stats computed by [[statsForStaged]], the same
     * job every writer path uses) and attach the positional delete
     * vectors they wrote. `baseVersion` is the version the operation
-    * SCANNED — row positions are only valid against that file set, so
-    * a concurrent commit raises [[SnapshotConflictException]] (strict
-    * read-modify-write, the same rule as [[deleteWithVectors]]).
+    * SCANNED — row positions are only valid against that file set.
+    *
+    * Concurrency (VERDICT r12 #3): under the default
+    * `graft.write.isolation-level=snapshot`, a concurrent commit does
+    * NOT automatically conflict — the commit REBASES onto the current
+    * head and revalidates only the operation's WRITE SET: every data
+    * file our vectors cover must still exist unrewritten, carry no
+    * vector committed after our scan (a concurrent row-level write to
+    * the same file could delete rows our update images would
+    * resurrect), and the schema / partition spec must be unchanged
+    * (positions and staged partition directories are rendered against
+    * them). A disjoint append, or a second DML touching only OTHER
+    * files, lands; an overlapping compaction or same-file DML still
+    * raises [[SnapshotConflictException]]. The retry loops on the
+    * COMMIT, not the scan — the deltas are reused as-is.
+    * `serializable` restores the strict any-concurrent-commit
+    * conflict (an appended row the MERGE never saw can then never
+    * slip past its NOT MATCHED clauses).
     */
   private[catalog] def commitDelta(baseVersion: Long, op: String,
       dataRel: Option[String], dataFiles: Seq[String],
       dvs: Seq[(String, Long, Seq[String])]): Snapshot = {
-    val base = currentSnapshot()
-    if (base.version != baseVersion)
-      throw new SnapshotConflictException(
-        s"table at $root advanced to v${base.version} since the " +
-          s"row-level scan at v$baseVersion — re-run the statement")
+    val base = snapshotAt(baseVersion)
     val staged = dataRel.toSeq.flatMap(rel =>
       statsForStaged(rel, base.schema, base.spec, base.properties,
         onlyFiles = Some(dataFiles)))
-    if (staged.isEmpty && dvs.isEmpty) return base // no-op statement
-    val c = next(base, op, base.schema, base.files ++
-      staged.map(_.copy(cols = base.ids, nested = nestedPairsOf(base))))
-    commitStrict(base, c.copy(dvFiles = c.dvFiles ++
-      dvs.map { case (p, rows, dataPaths) =>
-        DvFileEntry(p, rows, dataPaths, c.version) }))
+    if (staged.isEmpty && dvs.isEmpty) return currentSnapshot() // no-op
+    val serial = base.properties
+      .getOrElse("graft.write.isolation-level", "snapshot") match {
+      case "snapshot" => false
+      case "serializable" => true
+      case other => sys.error(s"graft.write.isolation-level='$other' — " +
+        "use snapshot (write-set revalidation) or serializable")
+    }
+    val touched = dvs.flatMap(_._3).toSet // data paths our vectors cover
+    commitRetry { latest =>
+      if (latest.version != baseVersion) {
+        def conflict(why: String): Nothing =
+          throw new SnapshotConflictException(
+            s"table at $root advanced to v${latest.version} since the " +
+              s"row-level scan at v$baseVersion and $why — re-run the " +
+              "statement")
+        if (serial) conflict("isolation-level is serializable")
+        if (latest.schema != base.schema || latest.ids != base.ids)
+          conflict("the schema evolved (row images carry the scanned " +
+            "schema)")
+        if (latest.spec != base.spec || latest.specSince != base.specSince)
+          conflict("the partition spec evolved (staged files are laid " +
+            "out under the scanned spec)")
+        val livePaths = latest.files.map(_.path).toSet
+        val gone = touched.filterNot(livePaths.contains)
+        if (gone.nonEmpty)
+          conflict(s"rewrote/removed scanned data files the delta " +
+            s"marks positions in (${gone.take(3).mkString(", ")}${
+              if (gone.size > 3) ", …" else ""})")
+        val racedDvs = latest.dvFiles.filter(d =>
+          d.seq > baseVersion && d.dataPaths.exists(touched.contains))
+        if (racedDvs.nonEmpty)
+          conflict("committed delete vectors over the same data files " +
+            "(this delta's update images could resurrect rows the " +
+            "other statement deleted)")
+      }
+      val c = next(latest, op, latest.schema, latest.files ++
+        staged.map(_.copy(cols = base.ids, nested = nestedPairsOf(base))))
+      c.copy(dvFiles = c.dvFiles ++
+        dvs.map { case (p, rows, dataPaths) =>
+          DvFileEntry(p, rows, dataPaths, c.version) })
+    }
   }
 
   /** Decoded absolute filesystem path of the table root — the prefix

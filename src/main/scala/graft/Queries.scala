@@ -1848,6 +1848,8 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val dvCompactTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val mergeEvolveTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val updNativeTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val mergeNativeTableCache =
@@ -1917,6 +1919,58 @@ object Queries {
       val q = graft.streaming.EventStream.upsertToSnapshotTable(
         stream, tableRoot, Seq("event_id"), ckpt)
       try q.processAllAvailable() finally q.stop()
+      tableRoot
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
+
+  private val streamUpsertMorTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The SAME two-micro-batch CDC scenario as [[streamUpsertSnapshot]]
+    * but against a `graft.merge.mode=merge-on-read` table: the sink
+    * routes each batch through the MoR MERGE, so corrections cost
+    * positional vectors + appended images instead of partition
+    * rewrites. The builder pins the plumbing (one merge-pos commit per
+    * batch, batch-1 files all survive batch 2, vectors present); the
+    * registry row pins value parity with the COW oracle.
+    */
+  private def streamUpsertMorSnapshot(s: SparkSession,
+      dir: String): graft.catalog.SnapshotTable = {
+    val root = streamUpsertMorTableCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-morups")
+      val tableRoot = base.resolve("t").toString
+      val srcDir = base.resolve("src").toString
+      val ckpt = base.resolve("ckpt").toString
+      val ev = t(s, dir, "events")
+      graft.catalog.SnapshotTable.create(s, tableRoot, ev.schema, None,
+        properties = Map("graft.merge.mode" -> "merge-on-read"))
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$srcDir/b1")
+      ev.filter(col("event_id") % 100 === 0)
+        .withColumn("value", col("value") + lit(1000.0d)).coalesce(1)
+        .write.parquet(s"$srcDir/b2")
+      def touch(p: String, ms: Long): Unit =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p)).forEach(q =>
+          java.nio.file.Files.setLastModifiedTime(q,
+            java.nio.file.attribute.FileTime.fromMillis(ms)))
+      touch(s"$srcDir/b1", 1700000000000L)
+      touch(s"$srcDir/b2", 1700000060000L)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+      val q = graft.streaming.EventStream.upsertToSnapshotTable(
+        stream, tableRoot, Seq("event_id"), ckpt)
+      try q.processAllAvailable() finally q.stop()
+      val tbl = graft.catalog.SnapshotTable.load(s, tableRoot)
+      val h = tbl.history()
+      require(h.count(_.operation == "merge-pos") == 2,
+        s"one MoR merge commit per micro-batch: ${h.map(_.operation)}")
+      val b1Files = h.filter(_.operation == "merge-pos").minBy(_.version)
+        .files.map(_.path).toSet
+      val cur = tbl.currentSnapshot()
+      require(b1Files.subsetOf(cur.files.map(_.path).toSet) &&
+        cur.dvFiles.nonEmpty,
+        "corrections must commit as vectors + appends, not rewrites")
       tableRoot
     })
     graft.catalog.SnapshotTable.load(s, root)
@@ -2933,6 +2987,74 @@ object Queries {
              |  TRUE AS dv_merge
              |FROM merged GROUP BY 1""".stripMargin)),
 
+    // MERGE SCHEMA EVOLUTION on the MoR path — the reference's whole
+    // premise (`schema_evolution=True`, spark_utils.py:134-136)
+    // applied to MERGE: the source carries a column the target has
+    // never seen (`priority INT`), matched rows (%45) update value
+    // +9000 and stamp priority, and a disjoint shifted-key batch
+    // inserts with priority set. The commit must GROW the table schema
+    // (diff→evolve→conform, EvolvingWriter.scala's append contract on
+    // the merge path), hide old row images under positional vectors
+    // WITHOUT rewriting any pre-merge data file (those files keep
+    // their old physical schema — the read resolves priority to
+    // typed NULL by field id), and append only the new images with
+    // the widened schema. merge_evolved pins schema growth, the
+    // merge-pos commit, and the surviving pre-merge file set.
+    QueryDef("snap_merge_evolve",
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, mergeEvolveTableCache, "mrgev",
+          extraProps = Map("graft.merge.mode" -> "merge-on-read")) { tbl =>
+          val ev = t(s, dir, "events")
+          val hits = ev.filter(col("event_id") % 45 === 0)
+          val upd = hits.withColumn("value", col("value") + lit(9000.0d))
+          // shifted keys are disjoint from every live id → pure
+          // inserts; the shift is ≡0 mod 7 so priority = event_id % 7
+          // on both branches (and %7 is coprime to the %45 key filter,
+          // so the column carries real non-zero values)
+          val ins = hits.withColumn("event_id",
+            col("event_id") + lit(700000000L))
+          val src = upd.unionByName(ins)
+            .withColumn("priority", (col("event_id") % 7).cast("int"))
+          val pre = tbl.currentSnapshot()
+          require(!pre.schema.fieldNames.contains("priority"),
+            "fixture must start without the evolving column")
+          tbl.merge(src, Seq("event_id"))
+          ()
+        }
+        val h = tbl.history()
+        val preMerge = h.find(_.operation == "append").get
+          .files.map(_.path).toSet
+        val cur = tbl.currentSnapshot()
+        val ok = cur.operation == "merge-pos" &&
+          cur.schema.fieldNames.contains("priority") &&
+          preMerge.subsetOf(cur.files.map(_.path).toSet) &&
+          cur.dvFiles.nonEmpty
+        tbl.read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("value")).as("sum_value"),
+            count(col("priority")).as("n_priority"),
+            sum(col("priority")).as("sum_priority"))
+          .withColumn("merge_evolved", lit(ok))
+      },
+      Some("""WITH merged AS (
+             |  SELECT event_type,
+             |    CASE WHEN event_id % 45 = 0 THEN value + 9000.0
+             |         ELSE value END AS value,
+             |    CASE WHEN event_id % 45 = 0
+             |         THEN CAST(event_id % 7 AS INT) END AS priority
+             |  FROM events
+             |  UNION ALL
+             |  SELECT event_type, value, CAST(event_id % 7 AS INT) AS priority
+             |  FROM events WHERE event_id % 45 = 0
+             |)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             |  count(priority) AS n_priority,
+             |  CAST(SUM(priority) AS BIGINT) AS sum_priority,
+             |  TRUE AS merge_evolved
+             |FROM merged GROUP BY 1""".stripMargin)),
+
     // DELETE-VECTOR MAINTENANCE (Iceberg `rewrite_position_delete_
     // files`): three MoR deletes accumulate three vector generations
     // over the same data files — reads union all of them — then the
@@ -3658,6 +3780,23 @@ object Queries {
       // batch one atomic snapshot commit
       QueryDef("stream_upsert_snapshot",
         (s, dir) => streamUpsertSnapshot(s, dir).read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+        Some("""SELECT event_type, count(*) AS n,
+               |  CAST(SUM(CAST(CASE WHEN event_id % 100 = 0
+               |       THEN value + 1000.0 ELSE value END
+               |       AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+               |FROM events WHERE event_id % 2 = 0
+               |GROUP BY 1""".stripMargin)),
+
+      // The SAME CDC stream sunk into a merge-on-read table: each
+      // micro-batch commits O(changed rows) — vectors over the
+      // corrected images plus appended new ones, never a partition
+      // rewrite (the fixture requires merge-pos × 2, surviving batch-1
+      // files, vectors present). Values must match the identical COW
+      // oracle — MoR is a write-side layout choice, invisible to reads.
+      QueryDef("stream_upsert_mor",
+        (s, dir) => streamUpsertMorSnapshot(s, dir).read()
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
         Some("""SELECT event_type, count(*) AS n,

@@ -577,6 +577,51 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.history().count(_.operation == "upsert") == 2)
   }
 
+  test("upsertToSnapshotTable on a merge-on-read table commits vectors per micro-batch; replay converges") {
+    import graft.streaming.EventStream
+    val srcDir = Files.createTempDirectory("snap-morups-src").toString
+    val ckpt = Files.createTempDirectory("snap-morups-ckpt").toString
+    val root = freshRoot()
+    val t0 = SnapshotTable.create(spark, root, eventsSchema, monthSpec,
+      properties = Map("graft.merge.mode" -> "merge-on-read"))
+    t0.append(rows((1, "2024-01-05", 1.0), (2, "2024-02-06", 2.0)))
+    val preFiles = t0.currentSnapshot().files.map(_.path).toSet
+    // batch 1 corrects key 1; batch 2 corrects key 2 and inserts key 3
+    rows((1, "2024-01-05", 10.0)).coalesce(1).write.parquet(s"$srcDir/f1")
+    rows((2, "2024-02-06", 20.0), (3, "2024-03-07", 3.0))
+      .coalesce(1).write.parquet(s"$srcDir/f2")
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+    val q = EventStream.upsertToSnapshotTable(stream, root, Seq("id"), ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val t = SnapshotTable.load(spark, root)
+    val expect = Map(1L -> 10.0, 2L -> 20.0, 3L -> 3.0)
+    assert(t.read().select("id", "v").as[(Long, Double)].collect().toMap
+      == expect)
+    // each micro-batch landed as ONE MoR merge commit: old images hide
+    // under vectors, pre-stream data files all survive (no rewrite)
+    assert(t.history().count(_.operation == "merge-pos") == 2,
+      t.history().map(_.operation))
+    val cur = t.currentSnapshot()
+    assert(preFiles.subsetOf(cur.files.map(_.path).toSet),
+      "CDC micro-batches must not rewrite target files")
+    assert(cur.dvFiles.nonEmpty)
+    // one image hidden per corrected key across the two batches
+    assert(cur.dvFiles.map(_.rows).sum == 2L, cur.dvFiles)
+    // post-crash replay (fresh checkpoint, same source) re-applies the
+    // same keyed merges — state converges, nothing duplicates
+    val ckpt2 = Files.createTempDirectory("snap-morups-ckpt2").toString
+    val q2 = EventStream.upsertToSnapshotTable(
+      spark.readStream.schema(eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*"),
+      root, Seq("id"), ckpt2)
+    try q2.processAllAvailable() finally q2.stop()
+    val t2 = SnapshotTable.load(spark, root)
+    assert(t2.read().select("id", "v").as[(Long, Double)].collect().toMap
+      == expect, "replayed batches must be value-idempotent")
+    assert(t2.read().count() == 3L)
+  }
+
   test("appending an empty batch commits a clean no-op snapshot") {
     val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, monthSpec)
     t.append(rows((1, "2024-01-05", 1.0)))
@@ -808,6 +853,40 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(c.read().select("id", "v").as[(Long, Double)]
       .collect().sorted.toSeq ==
       Seq((1L, 100.0), (3L, 3.0), (4L, 4.0), (9L, 9.0)))
+  }
+
+  test("MERGE schema evolution: a new source column grows the schema on COW and MoR; old rows read typed null") {
+    for (mode <- Seq("copy-on-write", "merge-on-read")) {
+      val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, None,
+        properties = Map("graft.merge.mode" -> mode))
+      t.append(rows((1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0),
+        (3, "2024-01-03", 3.0)))
+      val preFiles = t.currentSnapshot().files.map(_.path).toSet
+      // id=2 updates, id=9 inserts; `tag` is new to the table
+      val src = rows((2, "2024-01-02", 200.0), (9, "2024-01-09", 9.0))
+        .withColumn("tag", concat(lit("k"), col("id").cast("string")))
+      t.merge(src, Seq("id"))
+      val cur = t.currentSnapshot()
+      assert(cur.schema.fieldNames.toSeq == Seq("id", "ts", "v", "tag"),
+        s"$mode must commit the evolved schema")
+      // rows the merge never touched resolve the new column to NULL —
+      // their physical files predate it (by field id, no rewrite)
+      val got = t.read().select("id", "v", "tag")
+        .as[(Long, Double, Option[String])].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 1.0, None), (2L, 200.0, Some("k2")),
+        (3L, 3.0, None), (9L, 9.0, Some("k9"))), mode)
+      if (mode == "merge-on-read") {
+        // evolution must not force a rewrite: old images hide under
+        // vectors, only the new images carry the wider schema
+        assert(cur.operation == "merge-pos")
+        assert(preFiles.subsetOf(cur.files.map(_.path).toSet),
+          "MoR evolve-merge must keep every pre-merge data file")
+        assert(cur.dvFiles.nonEmpty)
+      }
+      // pre-merge snapshot keeps its narrow schema (time travel)
+      assert(!t.history().find(_.operation == "append").get
+        .schema.fieldNames.contains("tag"))
+    }
   }
 
   test("rewriteDeleteVectors coalesces accumulated vectors into one generation") {

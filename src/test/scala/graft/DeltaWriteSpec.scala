@@ -310,4 +310,61 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(sql("SELECT v FROM graft.dw.m WHERE id = 4").as[Double]
       .head == 5.0)
   }
+
+  test("removeOrphanFiles reclaims a crashed delta write's staging dirs, sparing committed deltas") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dw")
+    sql("DROP TABLE IF EXISTS graft.dw.orph")
+    sql("CREATE TABLE graft.dw.orph (id BIGINT, kind STRING, v DOUBLE) " +
+      "PARTITIONED BY (kind)")
+    sql("INSERT INTO graft.dw.orph SELECT id, " +
+      "concat('k', cast(id % 3 as string)), cast(id as double) " +
+      "FROM range(0, 3000)")
+    // a COMMITTED native UPDATE: its delta output (row images under
+    // one data/<rel> batch dir, vectors under another) is referenced
+    // by the head snapshot and must survive every reclaim below
+    sql("UPDATE graft.dw.orph SET v = v + 1.0 WHERE id % 7 = 0")
+    val t = SnapshotTable.load(spark, s"$warehouse/dw/orph")
+    val cur = t.currentSnapshot()
+    assert(cur.operation == "update-pos" && cur.dvFiles.nonEmpty)
+    val liveSum = sql("SELECT sum(v) FROM graft.dw.orph").as[Double].head
+
+    // plant the exact debris a delta writer strands when the driver
+    // dies between task commit and table commit (no abort() runs):
+    // row images under data/<rel16>/__graft_p=<part>/part-*.parquet
+    // and a vector file under data/<rel16>/dv-*.parquet
+    // (GraftRowLevel.scala freshRel/write-path naming)
+    import java.nio.file.{Files, Path => JPath, Paths}
+    val root = Paths.get(s"$warehouse/dw/orph")
+    val dataDir = root.resolve("data")
+    val donor = Files.walk(dataDir).filter(p =>
+      p.toString.endsWith(".parquet")).findFirst().get()
+    def plant(rel: String): JPath = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.copy(donor, p)
+    }
+    val crashedData = plant(
+      "data/deadbeef00000001/__graft_p=k1/part-00003-9-abcdef01.parquet")
+    val crashedDv = plant("data/deadbeef00000002/dv-00003-9.parquet")
+
+    // age guard first: debris younger than the cutoff is an in-flight
+    // write's staging and must NOT be touched
+    assert(t.removeOrphanFiles(olderThanMs = 24L * 3600 * 1000) == 0)
+    assert(Files.exists(crashedData) && Files.exists(crashedDv))
+
+    // past the cutoff both batch dirs reclaim; committed delta files
+    // and base data files are referenced and stay
+    val preLive = t.currentSnapshot()
+    val removed = t.removeOrphanFiles(olderThanMs = -3600L * 1000)
+    assert(removed == 2, s"expected exactly the two planted orphans: $removed")
+    assert(!Files.exists(crashedData) && !Files.exists(crashedDv))
+    val fs = new org.apache.hadoop.fs.Path(t.root.toString)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (preLive.files.map(_.path) ++ preLive.dvFiles.map(_.path)).foreach { rel =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(t.root, rel)),
+        s"reclaim must never touch referenced file $rel")
+    }
+    assert(sql("SELECT sum(v) FROM graft.dw.orph").as[Double].head == liveSum)
+    sql("DROP TABLE graft.dw.orph")
+  }
 }

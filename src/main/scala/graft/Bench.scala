@@ -36,6 +36,18 @@ object Bench {
       exec(fn)
       (System.nanoTime() - t0) / 1e9
     }
+    // REGISTRY order, not Map order: SparkEntry.queries is a HashMap,
+    // whose iteration order reshuffles whenever the key set grows — a
+    // new registry entry in round N silently reorders round N's whole
+    // sweep, so any query that shares a build-once fixture (the wide
+    // IVF corpus/model/index, the snapshot-table fixtures) gets the
+    // fixture-build cost attributed to a DIFFERENT name than last
+    // round and the per-query history stops being comparable (the
+    // r11→r12 sim_wide_ivf_index "regression" was exactly this: the
+    // map reshuffle moved the shared wide-fixture build onto it).
+    // Registry order is stable under appends: the first declared user
+    // of a fixture always pays for it.
+    val ordered = Queries.registry.map(q => q.name -> q.query)
     // SPARK_GRAFT_ONLY=q1_agg,dedup_clusters restricts the run — the
     // local iteration loop for single-query tuning; unset = full run
     val selected = sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -48,8 +60,8 @@ object Bench {
             s"[bench] unknown query name(s): ${unknown.mkString(", ")}")
           sys.exit(2)
         }
-        SparkEntry.queries.filter { case (n, _) => keep(n) }
-      case None => SparkEntry.queries
+        ordered.filter { case (n, _) => keep(n) }
+      case None => ordered
     }
     val outcomes = selected.map { case (name, fn) =>
       // progress marker BEFORE the run (stderr — the driver reads only

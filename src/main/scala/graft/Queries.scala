@@ -1852,6 +1852,8 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val updNativeTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val mergeEvolveNativeTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val mergeNativeTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val defaultValTableCache =
@@ -1926,6 +1928,50 @@ object Queries {
 
   private val streamUpsertMorTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val streamSinkTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Events streamed INTO a snapshot table through the native sink —
+    * `writeStream.format("graft").start(root)`, no foreachBatch — in
+    * two micro-batches (evens, then odds). Exactly-once: each batch id
+    * is recorded in its atomic commit; the builder pins two
+    * stream-append commits and the row count before handing the table
+    * to the registry row.
+    */
+  private def streamSinkSnapshot(s: SparkSession,
+      dir: String): graft.catalog.SnapshotTable = {
+    val root = streamSinkTableCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+      val tableRoot = base.resolve("t").toString
+      val srcDir = base.resolve("src").toString
+      val ckpt = base.resolve("ckpt").toString
+      val ev = t(s, dir, "events")
+      graft.catalog.SnapshotTable.create(s, tableRoot, ev.schema, None)
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$srcDir/b1")
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.parquet(s"$srcDir/b2")
+      def touch(p: String, ms: Long): Unit =
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p)).forEach(q =>
+          java.nio.file.Files.setLastModifiedTime(q,
+            java.nio.file.attribute.FileTime.fromMillis(ms)))
+      touch(s"$srcDir/b1", 1700000000000L)
+      touch(s"$srcDir/b2", 1700000060000L)
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .start(tableRoot)
+      try q.processAllAvailable() finally q.stop()
+      val tbl = graft.catalog.SnapshotTable.load(s, tableRoot)
+      require(tbl.history().count(
+          _.operation.startsWith("stream-append")) == 2,
+        s"one exactly-once commit per micro-batch: " +
+          tbl.history().map(_.operation))
+      tableRoot
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
 
   /** The SAME two-micro-batch CDC scenario as [[streamUpsertSnapshot]]
     * but against a `graft.merge.mode=merge-on-read` table: the sink
@@ -3317,6 +3363,68 @@ object Queries {
              |  TRUE AS native_merge
              |FROM result GROUP BY 1""".stripMargin)),
 
+    // MERGE WITH SCHEMA EVOLUTION on the NATIVE SQL path (Spark 4's
+    // clause, gated on TableCapability.AUTOMATIC_SCHEMA_EVOLUTION):
+    // the same evolving scenario as snap_merge_evolve driven through
+    // `MERGE WITH SCHEMA EVOLUTION INTO graft.db.t` — Spark's
+    // ResolveMergeIntoSchemaEvolution diffs the source schema, applies
+    // AddColumn through GraftCatalog.alterTable, re-resolves, and the
+    // delta-based merge then commits vectors + widened images. Old
+    // files keep their narrow physical schema; reads resolve priority
+    // to typed NULL by field id.
+    QueryDef("sql_merge_evolve",
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, mergeEvolveNativeTableCache,
+          "mrgevn") { tbl =>
+          val ident = s"graft.db.snap_mrgevn_h${math.abs(dir.hashCode)}"
+          val hits = t(s, dir, "events").filter(col("event_id") % 45 === 0)
+          val upd = hits.withColumn("value", col("value") + lit(9000.0d))
+          val ins = hits.withColumn("event_id",
+            col("event_id") + lit(700000000L))
+          upd.unionByName(ins)
+            .withColumn("priority", (col("event_id") % 7).cast("int"))
+            .createOrReplaceTempView("graft_merge_evolve_src")
+          s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $ident t
+                   |USING graft_merge_evolve_src s
+                   |ON t.event_id = s.event_id
+                   |WHEN MATCHED THEN UPDATE SET *
+                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          ()
+        }
+        val h = tbl.history()
+        val preMerge = h.find(_.operation == "append").get
+          .files.map(_.path).toSet
+        val cur = tbl.currentSnapshot()
+        val ok = cur.operation == "merge-pos" &&
+          cur.schema.fieldNames.contains("priority") &&
+          preMerge.subsetOf(cur.files.map(_.path).toSet) &&
+          cur.dvFiles.nonEmpty
+        tbl.read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("value")).as("sum_value"),
+            count(col("priority")).as("n_priority"),
+            sum(col("priority")).as("sum_priority"))
+          .withColumn("sql_evolved", lit(ok))
+      },
+      Some("""WITH merged AS (
+             |  SELECT event_type,
+             |    CASE WHEN event_id % 45 = 0 THEN value + 9000.0
+             |         ELSE value END AS value,
+             |    CASE WHEN event_id % 45 = 0
+             |         THEN CAST(event_id % 7 AS INT) END AS priority
+             |  FROM events
+             |  UNION ALL
+             |  SELECT event_type, value, CAST(event_id % 7 AS INT) AS priority
+             |  FROM events WHERE event_id % 45 = 0
+             |)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             |  count(priority) AS n_priority,
+             |  CAST(SUM(priority) AS BIGINT) AS sum_priority,
+             |  TRUE AS sql_evolved
+             |FROM merged GROUP BY 1""".stripMargin)),
+
     // Snapshot tables through the `graft` DATA SOURCE — the SQL-only
     // surface (CREATE TEMPORARY VIEW … USING graft): Catalyst pushes
     // the WHERE down as source filters, the relation prunes files at
@@ -3788,6 +3896,20 @@ object Queries {
                |       AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
                |FROM events WHERE event_id % 2 = 0
                |GROUP BY 1""".stripMargin)),
+
+      // The NATIVE streaming sink — writeStream.format("graft"), no
+      // foreachBatch: two micro-batches append exactly-once (batch id
+      // in the commit, required by the fixture), values must equal the
+      // raw-parquet oracle. This is the SQL-only user's continuous
+      // ingest, the sink half of readStream.format("graft").
+      QueryDef("stream_sink_native",
+        (s, dir) => streamSinkSnapshot(s, dir).read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+        Some("""SELECT event_type, count(*) AS n,
+               |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+               |    AS sum_value
+               |FROM events GROUP BY 1""".stripMargin)),
 
       // The SAME CDC stream sunk into a merge-on-read table: each
       // micro-batch commits O(changed rows) — vectors over the

@@ -62,7 +62,15 @@ final class GraftV2Table(
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE,
+      // MERGE INTO … WITH SCHEMA EVOLUTION: Spark's
+      // ResolveMergeIntoSchemaEvolution diffs the source schema
+      // against ours, applies the AddColumn/UpdateColumnType changes
+      // through GraftCatalog.alterTable (the same diff+evolve commit
+      // the Scala merge path performs), and re-resolves the target —
+      // so the native SQL MERGE grows the schema in-statement exactly
+      // like SnapshotTable.merge does
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   /** Same drift guard as the DSv1 relation: an unpinned table loaded
     * before a schema-evolving commit must not serve rows disagreeing
@@ -108,8 +116,32 @@ final class GraftV2Table(
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
 
-      override def build(): Scan = new V1Scan {
+      override def build(): Scan = new V1Scan
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
         override def readSchema(): StructType = required
+
+        /** Post-pushdown, manifest-pruned estimate: row count is exact
+          * per surviving file (minus fully-covered delete vectors),
+          * width is the REQUIRED projection's `defaultSize` — so a
+          * filtered dimension read of a huge table reports the pruned
+          * size and Catalyst auto-broadcasts it, the decision stock
+          * Spark can never make when a relation defaults to
+          * `defaultSizeInBytes` (= never broadcast). Estimates only
+          * round up: partially-covered vectors and equality deletes
+          * are not subtracted.
+          */
+        override def estimateStatistics()
+            : org.apache.spark.sql.connector.read.Statistics = {
+          val rows = table.scanEstimate(version, filters.toIndexedSeq)
+          val width = math.max(1, required.defaultSize)
+          new org.apache.spark.sql.connector.read.Statistics {
+            override def sizeInBytes(): java.util.OptionalLong =
+              java.util.OptionalLong.of(rows * width)
+            override def numRows(): java.util.OptionalLong =
+              java.util.OptionalLong.of(rows)
+          }
+        }
+
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
           new GraftV2ScanRelation(context, GraftV2Table.this, version,

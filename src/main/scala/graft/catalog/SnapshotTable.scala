@@ -826,6 +826,32 @@ final class SnapshotTable private (
     readWithDeletes(s.schema, s.ids, s, kept, withPos = withPos)
   }
 
+  /** Manifest-only row estimate for the file set a scan with `filters`
+    * would read — zero data I/O, the number Catalyst needs to decide
+    * whether a (possibly filtered) snapshot read is broadcast-able.
+    * Exact file-level row counts from the manifests, minus positional
+    * delete-vector cardinalities whose covered files all survive the
+    * prune (a partially-covered vector is NOT subtracted — estimates
+    * only ever round UP, so a too-big table never broadcasts by
+    * accident). Equality deletes are ignored for the same reason:
+    * their matched-row count is unknowable without reading.
+    */
+  private[graft] def scanEstimate(version: Option[Long],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Long = {
+    val s = version.map(snapshotAt).getOrElse(publishedSnapshot())
+    val currentById = s.ids.map { case (n, id) => id -> n }.toMap
+    val kept =
+      if (filters.isEmpty) s.files
+      else s.files.filter(f => StatsPruner.mayMatchAll(
+        effectiveStats(currentById, f), s.schema, filters, log.resolveBloom) &&
+        bucketMayMatch(s, f, filters))
+    val keptPaths = kept.map(_.path).toSet
+    val hidden = s.dvFiles
+      .filter(_.dataPaths.forall(keptPaths.contains))
+      .map(_.rows).sum
+    math.max(0L, kept.map(_.rows).sum - hidden)
+  }
+
   private def pruneFiles(s: Snapshot, pred: Column): Seq[DataFileEntry] = {
     val filters = StatsPruner.translate(spark, s.schema, pred)
     val currentById = s.ids.map { case (n, id) => id -> n }.toMap

@@ -33,7 +33,7 @@ import graft.catalog.SnapshotTable
   */
 final class GraftDataSource extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -232,6 +232,34 @@ final class GraftDataSource extends RelationProvider
       from, metadataPath, maxPerTrigger)
   }
 
+  /** `writeStream.format("graft").start(root)` — exactly-once append
+    * into an existing snapshot table (batch id recorded in the commit;
+    * replays skip), or keyed CDC upsert with `.option("keys",
+    * "k1,k2")` + `outputMode("update")`, routed MoR/COW by the table's
+    * `graft.merge.mode`. Partitioning comes from the table's own spec.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "the graft sink takes partitioning from the table's own spec — " +
+        "drop partitionBy(...)")
+    val keys = parameters.get("keys").map(
+      _.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    require(keys.forall(_.nonEmpty), "keys must name at least one column")
+    import org.apache.spark.sql.streaming.OutputMode
+    if (outputMode == OutputMode.Complete()) sys.error(
+      "the graft sink does not support Complete mode — a snapshot " +
+        "table is the accumulated state; use Append or keyed Update")
+    if (outputMode == OutputMode.Update() && keys.isEmpty) sys.error(
+      "Update mode needs .option(\"keys\", ...) — without keys an " +
+        "updated row cannot replace its previous image")
+    // the table must exist: schema/spec/properties govern the write
+    SnapshotTable.load(sqlContext.sparkSession, pathOf(parameters))
+    new graft.streaming.GraftSink(pathOf(parameters), keys)
+  }
+
   /** `month(col)` / `identity(col)` / `bucket(N, col)` / bare `col`
     * (= identity). The bare form refuses parentheses so a malformed
     * transform (unclosed paren, stray text) fails HERE with the real
@@ -296,6 +324,20 @@ final class GraftRelation(
   }
 
   override val schema: StructType = table.schemaAt(pinned)
+
+  /** Manifest-exact table size estimate (row count × the schema's
+    * default width): without it `BaseRelation` reports
+    * `spark.sql.defaultSizeInBytes` (= effectively infinite) and a
+    * snapshot-table side of a join can NEVER auto-broadcast, however
+    * small. Row counts come from the manifests (zero data I/O), minus
+    * committed delete-vector cardinalities — the estimate only rounds
+    * up (equality deletes are not subtracted), so an oversized table
+    * never broadcasts by accident.
+    */
+  override def sizeInBytes: Long = {
+    val rows = table.scanEstimate(pinned, Nil)
+    rows * math.max(1, schema.defaultSize)
+  }
 
   /** All filters stay Catalyst's responsibility — this relation uses
     * them ONLY to skip files, so its row output may over-approximate

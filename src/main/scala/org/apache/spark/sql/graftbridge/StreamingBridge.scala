@@ -16,4 +16,19 @@ object StreamingBridge {
     classic.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse door, for the DSv1 streaming SINK: `Sink.addBatch`
+    * receives an incremental-execution DataFrame that must be consumed
+    * through `toRdd` (running arbitrary new queries over the streaming
+    * plan is unsupported — the same discipline Spark's own
+    * ForeachBatchSink applies via `LogicalRDD.fromDataset`). This
+    * re-wraps the batch's InternalRow RDD as an ordinary non-streaming
+    * DataFrame the snapshot commit paths can consume.
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val classic = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

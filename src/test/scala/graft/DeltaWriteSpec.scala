@@ -311,6 +311,49 @@ class DeltaWriteSpec extends AnyFunSuite {
       .head == 5.0)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION grows the schema on the native SQL path") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dw")
+    sql("DROP TABLE IF EXISTS graft.dw.me")
+    sql("CREATE TABLE graft.dw.me (id BIGINT, v DOUBLE)")
+    sql("INSERT INTO graft.dw.me SELECT id, cast(id as double) " +
+      "FROM range(0, 10)")
+    // source carries `tag`, unknown to the target: ids 0/2/4 update,
+    // id 20 inserts
+    spark.range(0, 4).selectExpr("id * 2 as id",
+      "cast(100 + id * 2 as double) as v",
+      "concat('t', cast(id * 2 as string)) as tag")
+      .union(spark.sql("SELECT 20L, 999.0D, 't20'"))
+      .where("id <> 6").createOrReplaceTempView("me_src")
+    // without the clause the same statement must NOT evolve: star
+    // assignments silently drop the extra source column (Spark's star
+    // expansion aligns on target columns) — evolution is opt-in per
+    // statement
+    sql("""MERGE INTO graft.dw.me t USING me_src s ON t.id = s.id
+          |WHEN MATCHED AND s.id < 0 THEN UPDATE SET *
+          |WHEN NOT MATCHED AND s.id < 0 THEN INSERT *""".stripMargin)
+    assert(spark.table("graft.dw.me").schema.fieldNames.toSeq ==
+      Seq("id", "v"), "plain MERGE must not grow the schema")
+    sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.dw.me t
+          |USING me_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graft.dw.me").schema.fieldNames.toSeq ==
+      Seq("id", "v", "tag"))
+    val got = sql("SELECT id, v, tag FROM graft.dw.me ORDER BY id")
+      .as[(Long, Double, Option[String])].collect().toSeq
+    assert(got == Seq(
+      (0L, 100.0, Some("t0")), (1L, 1.0, None), (2L, 102.0, Some("t2")),
+      (3L, 3.0, None), (4L, 104.0, Some("t4")), (5L, 5.0, None),
+      (6L, 6.0, None), (7L, 7.0, None), (8L, 8.0, None), (9L, 9.0, None),
+      (20L, 999.0, Some("t20"))), got.toString)
+    // the evolution ALTER and the merge are separate commits, but the
+    // merge itself stays delta-based: vectors over updated images
+    val t = SnapshotTable.load(spark, s"$warehouse/dw/me")
+    assert(t.currentSnapshot().operation == "merge-pos")
+    assert(t.currentSnapshot().dvFiles.nonEmpty)
+    sql("DROP TABLE graft.dw.me")
+  }
+
   test("removeOrphanFiles reclaims a crashed delta write's staging dirs, sparing committed deltas") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.dw")
     sql("DROP TABLE IF EXISTS graft.dw.orph")

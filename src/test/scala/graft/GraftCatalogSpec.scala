@@ -470,4 +470,53 @@ class GraftCatalogSpec extends AnyFunSuite {
       e4.getMessage)
     sql("DROP NAMESPACE graft.fns CASCADE")
   }
+
+  test("manifest statistics drive join planning: small/pruned scans broadcast, big ones don't") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.stats")
+    sql("DROP TABLE IF EXISTS graft.stats.dim")
+    sql("DROP TABLE IF EXISTS graft.stats.fact")
+    sql("CREATE TABLE graft.stats.dim (id BIGINT, name STRING)")
+    sql("INSERT INTO graft.stats.dim SELECT id, concat('n', cast(id as string)) " +
+      "FROM range(0, 100)")
+    sql("CREATE TABLE graft.stats.fact (id BIGINT, v DOUBLE)")
+    (0 until 6).foreach(i => sql("INSERT INTO graft.stats.fact " +
+      s"SELECT id, cast(id as double) FROM range(${i * 300000}, ${(i + 1) * 300000})"))
+
+    def leafStats(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.collectLeaves().head.stats.sizeInBytes
+    // the dim scan reports its real (tiny) size, not defaultSizeInBytes
+    val dimBytes = leafStats(spark.table("graft.stats.dim"))
+    assert(dimBytes > 0 && dimBytes < 100L * 1000,
+      s"dim stats should be ~rows*width, got $dimBytes")
+    // the fact scan reports big (1.8M rows * 16B > broadcast threshold)
+    val factBytes = leafStats(spark.table("graft.stats.fact"))
+    assert(factBytes > 10L * 1024 * 1024, s"fact stats too small: $factBytes")
+    // a PRUNED fact scan reports the post-pushdown size: id<1000 keeps
+    // a handful of range-clustered files out of ~192
+    val prunedBytes = leafStats(
+      sql("SELECT * FROM graft.stats.fact WHERE id < 1000"))
+    assert(prunedBytes * 20 < factBytes,
+      s"pruned scan must report the pruned size: $prunedBytes vs $factBytes")
+
+    def finalPlan(q: String): String = {
+      val df = sql(q)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // small dim side auto-broadcasts with NO hint
+    val p1 = finalPlan("SELECT f.id, d.name FROM graft.stats.fact f " +
+      "JOIN graft.stats.dim d ON f.id = d.id WHERE f.id < 50")
+    assert(p1.contains("BroadcastHashJoin"), p1.take(3000))
+    // the pruned branch of a self-join broadcasts too
+    val p2 = finalPlan("SELECT f.id FROM graft.stats.fact f JOIN " +
+      "(SELECT id FROM graft.stats.fact WHERE id < 1000) g ON f.id = g.id")
+    assert(p2.contains("BroadcastHashJoin"), p2.take(3000))
+    // DSv1 path: read.format(\"graft\") reports sizeInBytes the same way
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val dimDs = spark.read.format("graft").load(s"$warehouse/stats/dim")
+    assert(leafStats(dimDs) == dimBytes)
+    sql("DROP TABLE graft.stats.dim")
+    sql("DROP TABLE graft.stats.fact")
+    sql("DROP NAMESPACE graft.stats")
+  }
 }

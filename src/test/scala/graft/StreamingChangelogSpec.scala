@@ -358,4 +358,86 @@ class StreamingChangelogSpec extends AnyFunSuite with Matchers {
     state(SnapshotTable.load(spark, tgtRoot)) shouldBe
       Map(1L -> 1.0, 2L -> 20.0, 4L -> 4.0, 9L -> 9.0)
   }
+
+  test("writeStream.format(graft): exactly-once append, restart skips committed batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sink")
+    val root = base.resolve("t").toString
+    val srcDir = base.resolve("src").toString
+    val ckpt = base.resolve("ckpt").toString
+    SnapshotTable.create(spark, root, schema, None)
+    rows((1L, 1.0), (2L, 2.0)).coalesce(1).write.parquet(s"$srcDir/f1")
+    rows((3L, 3.0)).coalesce(1).write.parquet(s"$srcDir/f2")
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .start(root)
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    val t = SnapshotTable.load(spark, root)
+    assert(t.read().count() == 3L)
+    assert(t.history().count(_.operation.startsWith("stream-append")) == 2,
+      t.history().map(_.operation))
+    // restart from the same checkpoint: committed batches do not
+    // re-trigger; a NEW file commits exactly one more batch
+    rows((4L, 4.0)).coalesce(1).write.parquet(s"$srcDir/f3")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val t2 = SnapshotTable.load(spark, root)
+    assert(t2.read().count() == 4L)
+    assert(t2.history().count(_.operation.startsWith("stream-append")) == 3)
+  }
+
+  test("writeStream.format(graft) with keys: CDC update mode routes MoR per table property") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sink-keys")
+    val root = base.resolve("t").toString
+    val srcDir = base.resolve("src").toString
+    val ckpt = base.resolve("ckpt").toString
+    val t0 = SnapshotTable.create(spark, root, schema, None,
+      properties = Map("graft.merge.mode" -> "merge-on-read"))
+    t0.append(rows((1L, 1.0), (2L, 2.0)))
+    val preFiles = t0.currentSnapshot().files.map(_.path).toSet
+    rows((1L, 10.0), (5L, 5.0)).coalesce(1).write.parquet(s"$srcDir/f1")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("keys", "id")
+      .outputMode("update")
+      .start(root)
+    try q.processAllAvailable() finally q.stop()
+    val t = SnapshotTable.load(spark, root)
+    import spark.implicits._
+    assert(t.read().select("id", "v").as[(Long, Double)].collect().toMap ==
+      Map(1L -> 10.0, 2L -> 2.0, 5L -> 5.0))
+    val cur = t.currentSnapshot()
+    assert(cur.operation == "merge-pos", cur.operation)
+    assert(preFiles.subsetOf(cur.files.map(_.path).toSet) &&
+      cur.dvFiles.nonEmpty, "keyed sink on a MoR table must not rewrite")
+  }
+
+  test("graft sink rejects Complete mode, keyless Update, and partitionBy") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sink-rej")
+    val root = base.resolve("t").toString
+    SnapshotTable.create(spark, root, schema, None)
+    val emptyDir = base.resolve("empty-src").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(emptyDir))
+    val src = spark.readStream.schema(schema).parquet(emptyDir)
+    def fails(b: => org.apache.spark.sql.streaming.StreamingQuery,
+        frag: String): Unit = {
+      val e = intercept[Exception](b)
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains(frag), s"wanted '$frag' in: $msg")
+    }
+    fails(src.groupBy().count().writeStream.format("graft")
+      .option("checkpointLocation", base.resolve("c1").toString)
+      .outputMode("complete").start(root), "Complete mode")
+    fails(src.writeStream.format("graft")
+      .option("checkpointLocation", base.resolve("c2").toString)
+      .outputMode("update").start(root), "keys")
+    fails(src.writeStream.format("graft")
+      .option("checkpointLocation", base.resolve("c3").toString)
+      .partitionBy("id").start(root), "partition")
+  }
 }

@@ -1930,6 +1930,27 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val streamSinkTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val spjTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Two co-bucketed snapshot tables in the catalog warehouse for the
+    * storage-partitioned-join entry: `bucket(8, event_id)` both sides,
+    * right side carries value+7000. Built once per sf dir.
+    */
+  private def spjTables(s: SparkSession, dir: String): (String, String) = {
+    spjTableCache.computeIfAbsent(dir, _ => {
+      val ev = t(s, dir, "events")
+      val spec = Some(graft.catalog.PartitionSpec("event_id", "bucket[8]"))
+      def build(tag: String, df: org.apache.spark.sql.DataFrame): String = {
+        val (root, ident) = warehouseDbRoot(s, s"spj_$tag", dir)
+        val tbl = graft.catalog.SnapshotTable.create(s, root, df.schema, spec)
+        tbl.append(df)
+        ident
+      }
+      (build("l", ev),
+        build("r", ev.withColumn("value", col("value") + lit(7000.0d))))
+    })
+  }
 
   /** Events streamed INTO a snapshot table through the native sink —
     * `writeStream.format("graft").start(root)`, no foreachBatch — in
@@ -2368,6 +2389,45 @@ object Queries {
              |FROM events
              |WHERE event_id IN (1000, 1097, 1194, 1291, 1388, 1485, 1582,
              |                   1679, 1776, 1873)
+             |GROUP BY 1""".stripMargin)),
+
+    // STORAGE-PARTITIONED JOIN (Iceberg SPJ): two snapshot tables
+    // bucket(8, event_id)-partitioned through the catalog; the native
+    // DSv2 batch scan reports KeyGroupedPartitioning per side, the
+    // round-13 FunctionCatalog bucket() resolves the transform, and
+    // under spark.sql.sources.v2.bucketing.enabled the join planner
+    // aligns the 8 buckets directly — spj_no_exchange pins that the
+    // EXECUTED join plan contains ZERO exchanges. The 100 TB shape:
+    // a fact-to-fact join of co-bucketed tables shuffles neither side.
+    QueryDef("snap_spj_join",
+      (s, dir) => {
+        val (lName, rName) = spjTables(s, dir)
+        val confs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val old = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        try {
+          confs.foreach { case (k, v) => s.conf.set(k, v) }
+          val j = s.table(lName).alias("l")
+            .join(s.table(rName).alias("r"), Seq("event_id"))
+          j.collect() // materialize so executedPlan is the FINAL plan
+          val noExchange =
+            !j.queryExecution.executedPlan.toString.contains("Exchange")
+          j.groupBy(col("l.event_type"))
+            .agg(count(lit(1)).as("n"),
+              dsum(col("l.value") + col("r.value")).as("sum_both"))
+            .withColumnRenamed("event_type", "event_type")
+            .withColumn("spj_no_exchange", lit(noExchange))
+        } finally old.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("""SELECT l.event_type, count(*) AS n,
+             |  CAST(SUM(CAST(l.value + (l.value + 7000.0) AS DECIMAL(12,2)))
+             |    AS DOUBLE) AS sum_both,
+             |  TRUE AS spj_no_exchange
+             |FROM events l
              |GROUP BY 1""".stripMargin)),
 
     QueryDef("snap_prune_partitions",

@@ -116,7 +116,22 @@ final class GraftV2Table(
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
 
-      override def build(): Scan = new V1Scan
+      override def build(): Scan = {
+        // native batch path first: a bucket-partitioned snapshot with
+        // no read-time resolution work reports KeyGroupedPartitioning
+        // and joins co-bucketed tables WITHOUT a shuffle (SPJ) — see
+        // GraftBatchScan for the eligibility contract and fallback
+        val snap = version.map(table.snapshotAt)
+          .getOrElse(table.publishedSnapshot())
+        GraftBatchScan.eligible(table, snap, schema, required) match {
+          case Some((n, src)) =>
+            return new GraftBatchScan(table, snap, required, filters, n, src)
+          case None => ()
+        }
+        v1Scan()
+      }
+
+      private def v1Scan(): Scan = new V1Scan
           with org.apache.spark.sql.connector.read.SupportsReportStatistics {
         override def readSchema(): StructType = required
 

@@ -816,14 +816,22 @@ final class SnapshotTable private (
       filters: Seq[org.apache.spark.sql.sources.Filter],
       withPos: Boolean = false): DataFrame = {
     val s = version.map(snapshotAt).getOrElse(publishedSnapshot())
-    val currentById = s.ids.map { case (n, id) => id -> n }.toMap
-    val kept =
-      if (filters.isEmpty) s.files
-      else s.files.filter(f => StatsPruner.mayMatchAll(
-        effectiveStats(currentById, f), s.schema, filters, log.resolveBloom) &&
-        bucketMayMatch(s, f, filters))
+    val kept = prunedFiles(s, filters)
     ScanEvents.record(root.toString, kept.size, s.files.size)
     readWithDeletes(s.schema, s.ids, s, kept, withPos = withPos)
+  }
+
+  /** The shared manifest prune every scan path uses: min/max column
+    * stats + Bloom sidecars + bucket-transform partition values.
+    * Skip-only — a kept file may hold no matching row.
+    */
+  private[graft] def prunedFiles(s: Snapshot,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[DataFileEntry] = {
+    val currentById = s.ids.map { case (n, id) => id -> n }.toMap
+    if (filters.isEmpty) s.files
+    else s.files.filter(f => StatsPruner.mayMatchAll(
+      effectiveStats(currentById, f), s.schema, filters, log.resolveBloom) &&
+      bucketMayMatch(s, f, filters))
   }
 
   /** Manifest-only row estimate for the file set a scan with `filters`
@@ -839,12 +847,7 @@ final class SnapshotTable private (
   private[graft] def scanEstimate(version: Option[Long],
       filters: Seq[org.apache.spark.sql.sources.Filter]): Long = {
     val s = version.map(snapshotAt).getOrElse(publishedSnapshot())
-    val currentById = s.ids.map { case (n, id) => id -> n }.toMap
-    val kept =
-      if (filters.isEmpty) s.files
-      else s.files.filter(f => StatsPruner.mayMatchAll(
-        effectiveStats(currentById, f), s.schema, filters, log.resolveBloom) &&
-        bucketMayMatch(s, f, filters))
+    val kept = prunedFiles(s, filters)
     val keptPaths = kept.map(_.path).toSet
     val hidden = s.dvFiles
       .filter(_.dataPaths.forall(keptPaths.contains))

@@ -1,0 +1,52 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+/** EXECUTOR-side parquet READING for the native DSv2 batch scan
+  * ([[graft.catalog.GraftBatchScan]]) — the inverse of
+  * [[ParquetWriteBridge]]: reuse Spark's own
+  * `ParquetFileFormat.buildReaderWithPartitionValues`, whose returned
+  * function is designed to ship into tasks (it closes over a broadcast
+  * Hadoop conf and registers its record-reader cleanup on the task
+  * completion listener), decodes with the SAME vectorized reader,
+  * timestamp rebase rules, and schema conversion every graft
+  * DataFrame read uses, and applies the pushed filters as parquet
+  * row-group/page skips.
+  *
+  * `OPTION_RETURNING_BATCH=false` keeps the vectorized decode but
+  * yields `InternalRow`s (the rows of the reused columnar batch) — the
+  * DSv2 `PartitionReader[InternalRow]` contract.
+  *
+  * Private-API note: `ParquetFileFormat` / `PartitionedFile` are
+  * `org.apache.spark.sql.execution` internals, hence this bridge in
+  * the `org.apache.spark.sql` namespace — same discipline as the
+  * sibling bridges (smallest possible surface, no behavior).
+  */
+object ParquetReadBridge {
+
+  /** Driver-side: a serializable per-file read function. */
+  def readFunction(spark: SparkSession, dataSchema: StructType,
+      requiredSchema: StructType, filters: Seq[Filter])
+      : PartitionedFile => Iterator[InternalRow] =
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = dataSchema,
+      partitionSchema = StructType(Nil),
+      requiredSchema = requiredSchema,
+      filters = filters,
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConf())
+
+  /** One whole-file split (graft data files are written single-split
+    * sized by the table's target file size).
+    */
+  def wholeFile(path: String, length: Long): PartitionedFile =
+    PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
+      0L, length)
+}

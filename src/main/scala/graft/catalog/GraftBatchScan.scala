@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsReportStatistics}
-import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.graftbridge.ParquetReadBridge
 import org.apache.spark.sql.sources.Filter
@@ -54,27 +54,33 @@ final class GraftBatchScan(
     snap: Snapshot,
     required: StructType,
     filters: Array[Filter],
-    bucketN: Int,
-    source: String) extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    bucket: Option[(Int, String)]) extends Scan with Batch
+    with SupportsReportStatistics with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftBatchScan(${table.root}, bucket[$bucketN]($source))"
+    s"GraftBatchScan(${table.root}" +
+      bucket.map { case (n, src) => s", bucket[$n]($src))" }.getOrElse(")")
 
-  // manifest-pruned files grouped by bucket value (None = null bucket),
-  // computed once per scan — both the partitioning report and the
-  // input partitions must see the SAME grouping
+  // manifest-pruned files, grouped for SPJ by bucket value (None = the
+  // null bucket) on bucket tables, one task per file otherwise —
+  // computed once per scan: the partitioning report and the input
+  // partitions must see the SAME grouping
   private lazy val groups: Array[(Option[Int], Seq[DataFileEntry])] = {
     val kept = table.prunedFiles(snap, filters.toIndexedSeq)
     ScanEvents.record(table.root.toString, kept.size, snap.files.size)
-    kept.groupBy(_.partition.map(_.toInt)).toArray.sortBy(_._1)
+    if (bucket.isDefined)
+      kept.groupBy(_.partition.map(_.toInt)).toArray.sortBy(_._1)
+    else kept.map(f => (None: Option[Int], Seq(f))).toArray
   }
 
-  override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      Array(Expressions.bucket(bucketN, source)), groups.length)
+  override def outputPartitioning(): Partitioning = bucket match {
+    case Some((n, src)) =>
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(n, src)), groups.length)
+    case None => new UnknownPartitioning(groups.length)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = table.root.getFileSystem(
@@ -91,6 +97,7 @@ final class GraftBatchScan(
   override def createReaderFactory(): PartitionReaderFactory =
     GraftPartitionReaderFactory(ParquetReadBridge.readFunction(
       table.session, snap.schema, required, filters.toIndexedSeq))
+
 
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
@@ -111,22 +118,32 @@ object GraftBatchScan {
   def enabled(table: SnapshotTable): Boolean =
     table.session.conf.get("spark.sql.graft.nativeBatchScan", "true") == "true"
 
+  /** None = V1 fallback; Some(bucketInfo) = native, where bucketInfo
+    * is defined only when the SPJ partitioning report is sound
+    * (bucket spec AND every file written under it — legacy-spec
+    * files' partition values mean something else; identity/month/
+    * unpartitioned tables still read natively, just without a
+    * partitioning claim).
+    */
   def eligible(table: SnapshotTable, snap: Snapshot, analyzed: StructType,
-      required: StructType): Option[(Int, String)] =
-    snap.spec.collect {
+      required: StructType): Option[Option[(Int, String)]] = {
+    val nativeOk = enabled(table) &&
+      snap.dvFiles.isEmpty && snap.deleteFiles.isEmpty &&
+      snap.files.nonEmpty &&
+      snap.files.forall(f =>
+        (f.cols.isEmpty || f.cols == snap.ids) &&
+        f.nested == snap.nestedIds) &&
+      required.fieldNames.forall(!GraftV2Table.MetaCols.contains(_)) &&
+      snap.schema == analyzed &&
+      snap.schema.fields.forall(f =>
+        SnapshotTable.initialDefault(f).isEmpty)
+    if (!nativeOk) None
+    else Some(snap.spec.collect {
       case PartitionSpec(source, SnapshotTable.BucketXform(n))
-        if enabled(table) &&
-          snap.dvFiles.isEmpty && snap.deleteFiles.isEmpty &&
-          snap.files.nonEmpty &&
-          snap.files.forall(f => f.seq >= snap.specSince &&
-            (f.cols.isEmpty || f.cols == snap.ids) &&
-            f.nested == snap.nestedIds) &&
-          required.fieldNames.forall(!GraftV2Table.MetaCols.contains(_)) &&
-          snap.schema == analyzed &&
-          snap.schema.fields.forall(f =>
-            SnapshotTable.initialDefault(f).isEmpty) =>
+          if snap.files.forall(_.seq >= snap.specSince) =>
         (n.toInt, source)
-    }
+    })
+  }
 }
 
 /** One bucket's files; `partitionKey` is the bucket value Spark groups

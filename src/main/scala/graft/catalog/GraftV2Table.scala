@@ -124,8 +124,8 @@ final class GraftV2Table(
         val snap = version.map(table.snapshotAt)
           .getOrElse(table.publishedSnapshot())
         GraftBatchScan.eligible(table, snap, schema, required) match {
-          case Some((n, src)) =>
-            return new GraftBatchScan(table, snap, required, filters, n, src)
+          case Some(bucket) =>
+            return new GraftBatchScan(table, snap, required, filters, bucket)
           case None => ()
         }
         v1Scan()

@@ -96,6 +96,30 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("unpartitioned and identity tables scan natively too (vectorized, no row bridge)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    sql("DROP TABLE IF EXISTS graft.spj.u")
+    sql("CREATE TABLE graft.spj.u (id BIGINT, kind STRING, v DOUBLE) " +
+      "PARTITIONED BY (kind)")
+    sql("INSERT INTO graft.spj.u SELECT id, " +
+      "concat('k', cast(id % 3 as string)), cast(id as double) " +
+      "FROM range(0, 9000)")
+    val df = sql("SELECT sum(v) AS s, count(*) AS n FROM graft.spj.u " +
+      "WHERE id % 2 = 0")
+    val plan = finalPlan(df)
+    assert(plan.contains("GraftBatchScan"),
+      s"identity-partitioned scan must be native:\n${plan.take(2000)}")
+    assert(!plan.contains("GraftV2ScanRelation"), plan.take(2000))
+    val got = df.as[(Double, Long)].collect().head
+    withConf("spark.sql.graft.nativeBatchScan" -> "false") {
+      val v1 = sql("SELECT sum(v) AS s, count(*) AS n FROM graft.spj.u " +
+        "WHERE id % 2 = 0").as[(Double, Long)].collect().head
+      assert(got == v1, s"native $got vs v1 $v1")
+    }
+    assert(got._2 == 4500)
+    sql("DROP TABLE graft.spj.u")
+  }
+
   test("fallback: delete vectors, evolution, and row-level scans revert to the V1 path") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
     makeBucketTable("f", 5000)

@@ -95,8 +95,11 @@ final class GraftBatchScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftPartitionReaderFactory(ParquetReadBridge.readFunction(
-      table.session, snap.schema, required, filters.toIndexedSeq))
+    GraftPartitionReaderFactory(
+      ParquetReadBridge.readFunction(
+        table.session, snap.schema, required, filters.toIndexedSeq),
+      ParquetReadBridge.columnarReadFunction(
+        table.session, snap.schema, required, filters.toIndexedSeq))
 
 
   override def estimateStatistics()
@@ -157,27 +160,47 @@ final case class GraftInputPartition(bucket: Option[Int],
 }
 
 final case class GraftPartitionReaderFactory(
-    readFile: PartitionedFile => Iterator[InternalRow])
+    readFile: PartitionedFile => Iterator[InternalRow],
+    readColumnar: Option[PartitionedFile =>
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]])
     extends PartitionReaderFactory {
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+  /** Uniform per scan (Spark requires it): batches whenever the
+    * projection is vectorizable — BatchScanExec then plans a COLUMNAR
+    * scan and whole-stage codegen reads the vectors directly instead
+    * of row-at-a-time.
+    */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    readColumnar.isDefined
+
+  /** Chained per-file reader; record-reader cleanup rides the task
+    * completion listener the parquet bridge registers.
+    */
+  private def chain[T](p: InputPartition,
+      open: PartitionedFile => Iterator[T]): PartitionReader[T] = {
     val gp = p.asInstanceOf[GraftInputPartition]
-    new PartitionReader[InternalRow] {
+    new PartitionReader[T] {
       private val files = gp.files.iterator
-      private var current: Iterator[InternalRow] = Iterator.empty
-      private var row: InternalRow = _
+      private var current: Iterator[T] = Iterator.empty
+      private var value: T = _
 
       override def next(): Boolean = {
         while (!current.hasNext && files.hasNext) {
           val (path, len) = files.next()
-          current = readFile(ParquetReadBridge.wholeFile(path, len))
+          current = open(ParquetReadBridge.wholeFile(path, len))
         }
-        if (current.hasNext) { row = current.next(); true } else false
+        if (current.hasNext) { value = current.next(); true } else false
       }
-      override def get(): InternalRow = row
-      // record-reader cleanup rides the task completion listener the
-      // parquet bridge registers; nothing extra to close here
+      override def get(): T = value
       override def close(): Unit = ()
     }
   }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    chain(p, readFile)
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    chain(p, readColumnar.getOrElse(sys.error(
+      "columnar reader requested but unsupported for this projection")))
 }

@@ -43,6 +43,34 @@ object ParquetReadBridge {
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       hadoopConf = spark.sessionState.newHadoopConf())
 
+  /** COLUMNAR variant: `None` when the projection cannot be read
+    * vectorized-batch-wise (nested types, vectorization disabled) —
+    * the caller then uses [[readFunction]]'s row contract. When
+    * `Some`, the per-file function yields whole `ColumnarBatch`es
+    * (`OPTION_RETURNING_BATCH=true`; the iterator's static
+    * `InternalRow` element type is a known fiction of the
+    * `FileFormat` API — Spark's own `FileScanRDD` performs the same
+    * cast).
+    */
+  def columnarReadFunction(spark: SparkSession, dataSchema: StructType,
+      requiredSchema: StructType, filters: Seq[Filter])
+      : Option[PartitionedFile => Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = {
+    val fmt = new ParquetFileFormat()
+    if (!fmt.supportBatch(spark, requiredSchema)) None
+    else {
+      val f = fmt.buildReaderWithPartitionValues(
+        sparkSession = spark,
+        dataSchema = dataSchema,
+        partitionSchema = StructType(Nil),
+        requiredSchema = requiredSchema,
+        filters = filters,
+        options = Map(FileFormat.OPTION_RETURNING_BATCH -> "true"),
+        hadoopConf = spark.sessionState.newHadoopConf())
+      Some(pf => f(pf)
+        .asInstanceOf[Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]])
+    }
+  }
+
   /** One whole-file split (graft data files are written single-split
     * sized by the table's target file size).
     */

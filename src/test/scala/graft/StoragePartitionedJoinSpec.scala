@@ -85,6 +85,17 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
         .collect().toSeq
       assert(row == Seq((7L, 7.0, 1000007.0)))
     }
+    // aggregation clusters on the bucket source too: GROUP BY id over
+    // a bucket(8, id) table aggregates with ZERO exchange (the
+    // KeyGroupedPartitioning satisfies the aggregate's distribution)
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val a = sql("SELECT id, sum(v) AS s FROM graft.spj.l GROUP BY id")
+      val plan = finalPlan(a)
+      assert(!plan.contains("Exchange"),
+        s"bucket-clustered aggregate must not shuffle:\n${plan.take(3000)}")
+      assert(a.count() == 20000)
+    }
     // same join WITHOUT v2 bucketing: exchanges return (the feature is
     // the conf-gated SPJ, not an accident of tiny data)
     withConf(
@@ -117,6 +128,11 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
       assert(got == v1, s"native $got vs v1 $v1")
     }
     assert(got._2 == 4500)
+    // flat projections read COLUMNAR: whole ColumnarBatches flow into
+    // codegen (ColumnarToRow above the scan), rows never materialize
+    // one at a time in the reader
+    assert(plan.contains("ColumnarToRow"),
+      s"vectorizable projection must scan columnar:\n${plan.take(2000)}")
     sql("DROP TABLE graft.spj.u")
   }
 

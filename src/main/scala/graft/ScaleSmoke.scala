@@ -168,6 +168,63 @@ object ScaleSmoke {
         }))
     }
 
+    // storage-partitioned join vs the same join shuffled, on two
+    // co-bucketed snapshot tables in the catalog warehouse (SPJ needs
+    // the v2 catalog scan): spj_join must track spj_join_shuffle's
+    // scaling while beating its wall-clock — the gap IS the exchange
+    // both sides skip. Joins execute INSIDE the closure under their
+    // conf (plans capture conf at action time), the timed stage
+    // returns a constant-cost frame.
+    def spjStages(events: DataFrame,
+        scale: Int): Seq[(String, Int, () => DataFrame)] = {
+      var idents: (String, String) = null
+      def runJoin(bucketing: Boolean): DataFrame = {
+        val confs = Seq(
+          "spark.sql.sources.v2.bucketing.enabled" -> bucketing.toString,
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        try {
+          confs.foreach { case (k, v) => spark.conf.set(k, v) }
+          val j = spark.table(idents._1).alias("l")
+            .join(spark.table(idents._2).alias("r"), Seq("event_id"))
+          val plan = j.queryExecution.executedPlan.toString
+          require(plan.contains("Exchange") != bucketing,
+            s"SPJ probe planned the wrong join shape (bucketing=$bucketing)")
+          val n = j.count()
+          spark.range(n).toDF("joined")
+        } finally old.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+      Seq(
+        ("spj_build", scale, () => {
+          val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+          val db = java.nio.file.Paths.get(wh, "db")
+          java.nio.file.Files.createDirectories(db)
+          val spec = Some(graft.catalog.PartitionSpec("event_id",
+            "bucket[32]"))
+          def mk(tag: String, df: DataFrame): String = {
+            val name = s"smoke_spj_${tag}_$scale"
+            val t = graft.catalog.SnapshotTable.create(spark,
+              db.resolve(name).toString, df.schema, spec)
+            t.append(df)
+            s"graft.db.$name"
+          }
+          idents = (mk("l", events),
+            mk("r", events.withColumn("value", col("value") + lit(1.0d))))
+          spark.range(1).toDF("built")
+        }),
+        ("spj_join", scale, () => runJoin(bucketing = true)),
+        ("spj_join_shuffle", scale, () => runJoin(bucketing = false)))
+    }
+
+    /** N replicas of events with disjoint id ranges. */
+    def scaleEvents(ev: DataFrame, factor: Int): DataFrame =
+      (0 until factor).map(r =>
+        ev.withColumn("event_id", col("event_id") + lit(r * 1000000000L)))
+        .reduce(_ unionByName _)
+
     // force training BEFORE the timed loop — otherwise the first build
     // entry absorbs the (expensive, scale-independent) model fit and
     // the 1×-vs-N× build ratio reads nonsense (r8 first run did)
@@ -210,7 +267,10 @@ object ScaleSmoke {
         wide = false, factor) ++
       ivfStages(wide1, Queries.wideQueries(wide1), wide = true, 1) ++
       ivfStages(scaleVectors(wide1, "vec_id", factor),
-        Queries.wideQueries(wide1), wide = true, factor)
+        Queries.wideQueries(wide1), wide = true, factor) ++ {
+        val ev1 = graft.sources.Tables.load(spark, dir, "events")
+        spjStages(ev1, 1) ++ spjStages(scaleEvents(ev1, factor), factor)
+      }
 
     // optional family filter (comma-separated name prefixes) so the
     // ×100 probe can target the heaviest families without paying for

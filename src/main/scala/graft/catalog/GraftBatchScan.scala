@@ -83,12 +83,16 @@ final class GraftBatchScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = table.root.getFileSystem(
+    // manifests carry byte sizes (post-r14 writers); a legacy entry
+    // without one costs a single filesystem stat
+    lazy val fs = table.root.getFileSystem(
       table.session.sessionState.newHadoopConf())
     groups.map { case (key, entries) =>
       val files = entries.map { e =>
         val p = new Path(table.root, e.path)
-        (fs.makeQualified(p).toString, fs.getFileStatus(p).getLen)
+        val len =
+          if (e.bytes > 0) e.bytes else fs.getFileStatus(p).getLen
+        (fs.makeQualified(p).toString, len)
       }
       GraftInputPartition(key, files.toArray): InputPartition
     }

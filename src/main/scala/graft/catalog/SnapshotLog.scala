@@ -46,7 +46,7 @@ final case class ColStats(min: Option[String], max: Option[String],
 final case class DataFileEntry(path: String, partition: Option[String],
     rows: Long, stats: Map[String, ColStats] = Map.empty,
     cols: Seq[(String, Int)] = Seq.empty, seq: Long = 0L,
-    nested: Seq[(String, Int)] = Seq.empty)
+    nested: Seq[(String, Int)] = Seq.empty, bytes: Long = 0L)
 
 /** One equality-delete file (merge-on-read — Iceberg v2 delete files):
   * a parquet file of DISTINCT key tuples whose matching data rows are
@@ -585,7 +585,10 @@ object SnapshotLog {
     val base = List(
       "path" -> (JString(f.path): JValue),
       "partition" -> (f.partition.map(JString(_)).getOrElse(JNull): JValue),
-      "rows" -> (JLong(f.rows): JValue))
+      "rows" -> (JLong(f.rows): JValue)) ++
+      // optional: legacy manifests (and entries from legacy writers)
+      // simply omit it, readers fall back to a filesystem stat
+      (if (f.bytes > 0) List("bytes" -> (JLong(f.bytes): JValue)) else Nil)
     val stats =
       if (f.stats.isEmpty) Nil
       else List("stats" -> (JObject(f.stats.toList.sortBy(_._1).map {
@@ -725,7 +728,8 @@ object SnapshotLog {
     }
     DataFileEntry(jStr(f \ "path"), jOptStr(f \ "partition"),
       jLng(f \ "rows"), stats, jPairs(f \ "cols"),
-      jOptLong(f \ "seq").getOrElse(0L), jPairs(f \ "nested"))
+      jOptLong(f \ "seq").getOrElse(0L), jPairs(f \ "nested"),
+      jOptLong(f \ "bytes").getOrElse(0L))
   }
 
   private def deleteFilesFromJValue(v: JValue): Seq[DeleteFileEntry] =

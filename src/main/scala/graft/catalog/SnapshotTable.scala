@@ -1965,14 +1965,16 @@ final class SnapshotTable private (
     val srcSchema = df.schema
     SnapshotTable.requireDistinctNames(srcSchema)
     val bloom = BloomSpec.fromProperties(currentSnapshot().properties)
-    val aggs = count(lit(1)).as("__rows") +:
+    val aggs = Seq(count(lit(1)).as("__rows"),
+      first(col("_metadata.file_size")).as("__bytes")) ++
       FileStats.aggColumns(srcSchema, bloom)
     val entries = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
         val p = new Path(new java.net.URI(r.getString(0))).toUri.getPath
         DataFileEntry(p, None, r.getLong(1),
-          FileStats.fromRow(srcSchema, r, 2, bloom), seq = -1L)
+          FileStats.fromRow(srcSchema, r, 3, bloom), seq = -1L,
+          bytes = r.getLong(2))
       }
     require(entries.nonEmpty, s"importParquet: no parquet files under $dir")
     commitRetry { latest =>
@@ -3427,7 +3429,11 @@ final class SnapshotTable private (
     }
     val statSchema = schema // PartCol excluded: it lives in the manifest
     val bloom = BloomSpec.fromProperties(props)
-    val aggs = count(lit(1)).as("__rows") +:
+    val aggs = Seq(count(lit(1)).as("__rows"),
+      // byte size from the hidden file metadata: the manifest carries
+      // it so planners never stat files (exact task sizing at any
+      // file count, zero driver-side filesystem calls per query)
+      first(col("_metadata.file_size")).as("__bytes")) ++
       FileStats.aggColumns(statSchema, bloom)
     // `onlyFiles` = the EXPLICIT list a delta write's commit messages
     // name: a retried or speculative task may leave complete-looking
@@ -3453,7 +3459,8 @@ final class SnapshotTable private (
             decodePartitionValue(seg.substring(PartCol.length + 1))
         }.flatten
         DataFileEntry(s"$rel/$sub", partition, r.getLong(1),
-          FileStats.fromRow(statSchema, r, 2, bloom), seq = -1L)
+          FileStats.fromRow(statSchema, r, 3, bloom), seq = -1L,
+          bytes = r.getLong(2))
       }
   }
 

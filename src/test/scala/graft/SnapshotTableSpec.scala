@@ -1002,7 +1002,8 @@ class SnapshotTableSpec extends AnyFunSuite {
       val files = (0 until r.nextInt(5)).map(i =>
         graft.catalog.DataFileEntry(s"data/$i/${randString()}.parquet",
           if (r.nextBoolean()) Some(randString()) else None,
-          r.nextLong().abs, randStats(), randPairs(), r.nextInt(1000).toLong))
+          r.nextLong().abs, randStats(), randPairs(), r.nextInt(1000).toLong,
+          randPairs(), bytes = r.nextInt(2).toLong * r.nextInt(1 << 20)))
       val deleteFiles = (0 until r.nextInt(3)).map(i =>
         graft.catalog.DeleteFileEntry(s"data/d$i/${randString()}.parquet",
           r.nextLong().abs, randPairs(), r.nextInt(1000).toLong))

@@ -9,7 +9,8 @@ import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning,
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.graftbridge.ParquetReadBridge
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** NATIVE DSv2 batch scan for bucket-partitioned snapshot tables — the
   * storage-partitioned-join (SPJ) path. The default read bridges
@@ -54,31 +55,32 @@ final class GraftBatchScan(
     snap: Snapshot,
     required: StructType,
     filters: Array[Filter],
-    bucket: Option[(Int, String)]) extends Scan with Batch
+    spjKey: Option[GraftSpjKey]) extends Scan with Batch
     with SupportsReportStatistics with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftBatchScan(${table.root}" +
-      bucket.map { case (n, src) => s", bucket[$n]($src))" }.getOrElse(")")
+      spjKey.map(k => s", ${k.describe})").getOrElse(")")
 
-  // manifest-pruned files, grouped for SPJ by bucket value (None = the
-  // null bucket) on bucket tables, one task per file otherwise —
-  // computed once per scan: the partitioning report and the input
-  // partitions must see the SAME grouping
-  private lazy val groups: Array[(Option[Int], Seq[DataFileEntry])] = {
+  // manifest-pruned files, grouped for SPJ by partition value (None =
+  // the null partition) when a key is claimed, one task per file
+  // otherwise — computed once per scan: the partitioning report and
+  // the input partitions must see the SAME grouping
+  private lazy val groups: Array[(Option[Any], Seq[DataFileEntry])] = {
     val kept = table.prunedFiles(snap, filters.toIndexedSeq)
     ScanEvents.record(table.root.toString, kept.size, snap.files.size)
-    if (bucket.isDefined)
-      kept.groupBy(_.partition.map(_.toInt)).toArray.sortBy(_._1)
-    else kept.map(f => (None: Option[Int], Seq(f))).toArray
+    spjKey match {
+      case Some(k) => kept.groupBy(_.partition.map(k.keyValue))
+        .toArray.sortBy(_._1.map(_.toString))
+      case None => kept.map(f => (None: Option[Any], Seq(f))).toArray
+    }
   }
 
-  override def outputPartitioning(): Partitioning = bucket match {
-    case Some((n, src)) =>
-      new KeyGroupedPartitioning(
-        Array(Expressions.bucket(n, src)), groups.length)
+  override def outputPartitioning(): Partitioning = spjKey match {
+    case Some(k) =>
+      new KeyGroupedPartitioning(Array(k.transform), groups.length)
     case None => new UnknownPartitioning(groups.length)
   }
 
@@ -125,15 +127,17 @@ object GraftBatchScan {
   def enabled(table: SnapshotTable): Boolean =
     table.session.conf.get("spark.sql.graft.nativeBatchScan", "true") == "true"
 
-  /** None = V1 fallback; Some(bucketInfo) = native, where bucketInfo
-    * is defined only when the SPJ partitioning report is sound
-    * (bucket spec AND every file written under it — legacy-spec
-    * files' partition values mean something else; identity/month/
-    * unpartitioned tables still read natively, just without a
-    * partitioning claim).
+  /** None = V1 fallback; Some(spjKey) = native, where spjKey is
+    * defined only when the SPJ partitioning report is sound: a bucket
+    * spec, or an identity spec over a long/int/string column (the
+    * partition value parses back to the column's type), with every
+    * file written under the current spec — legacy-spec files'
+    * partition values mean something else. Month and other
+    * identity-typed tables still read natively, just without a
+    * partitioning claim.
     */
   def eligible(table: SnapshotTable, snap: Snapshot, analyzed: StructType,
-      required: StructType): Option[Option[(Int, String)]] = {
+      required: StructType): Option[Option[GraftSpjKey]] = {
     val nativeOk = enabled(table) &&
       snap.dvFiles.isEmpty && snap.deleteFiles.isEmpty &&
       snap.files.nonEmpty &&
@@ -145,22 +149,60 @@ object GraftBatchScan {
       snap.schema.fields.forall(f =>
         SnapshotTable.initialDefault(f).isEmpty)
     if (!nativeOk) None
-    else Some(snap.spec.collect {
-      case PartitionSpec(source, SnapshotTable.BucketXform(n))
-          if snap.files.forall(_.seq >= snap.specSince) =>
-        (n.toInt, source)
+    else Some(snap.spec.filter(_ =>
+      snap.files.forall(_.seq >= snap.specSince)).flatMap {
+      case PartitionSpec(source, SnapshotTable.BucketXform(n)) =>
+        Some(GraftSpjKey.Bucket(n.toInt, source))
+      case PartitionSpec(source, "identity") =>
+        snap.schema.fields.find(_.name == source).map(_.dataType).collect {
+          case dt @ (LongType | IntegerType | StringType) =>
+            GraftSpjKey.Identity(source, dt)
+        }
+      case _ => None
     })
   }
 }
 
-/** One bucket's files; `partitionKey` is the bucket value Spark groups
-  * and aligns on (null row field = the null bucket).
+/** The SPJ key of an eligible partition spec: the v2 transform the
+  * partitioning report claims, and the decode from a manifest
+  * partition VALUE string back to the key's runtime value.
   */
-final case class GraftInputPartition(bucket: Option[Int],
+sealed trait GraftSpjKey extends Serializable {
+  def transform: org.apache.spark.sql.connector.expressions.Transform
+  def keyValue(rendered: String): Any
+  def describe: String
+}
+
+object GraftSpjKey {
+  final case class Bucket(n: Int, source: String) extends GraftSpjKey {
+    override def transform = Expressions.bucket(n, source)
+    override def keyValue(rendered: String): Any = rendered.toInt
+    override def describe: String = s"bucket[$n]($source)"
+  }
+  /** Identity over long/int/string — the types whose `cast(string)`
+    * partition rendering round-trips exactly.
+    */
+  final case class Identity(source: String, dt: DataType)
+      extends GraftSpjKey {
+    override def transform = Expressions.identity(source)
+    override def keyValue(rendered: String): Any = dt match {
+      case LongType => rendered.toLong
+      case IntegerType => rendered.toInt
+      case StringType => UTF8String.fromString(rendered)
+      case other => sys.error(s"unsupported identity SPJ type $other")
+    }
+    override def describe: String = s"identity($source)"
+  }
+}
+
+/** One key group's files; `partitionKey` is the partition value Spark
+  * groups and aligns on (null row field = the null partition).
+  */
+final case class GraftInputPartition(key: Option[Any],
     files: Array[(String, Long)]) extends InputPartition
     with HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](bucket.map(Int.box).orNull))
+    new GenericInternalRow(Array[Any](key.orNull))
 }
 
 final case class GraftPartitionReaderFactory(

@@ -136,6 +136,44 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     sql("DROP TABLE graft.spj.u")
   }
 
+  test("identity-partitioned tables storage-partition-join on the partition column") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    for (n <- Seq("il", "ir")) {
+      sql(s"DROP TABLE IF EXISTS graft.spj.$n")
+      sql(s"CREATE TABLE graft.spj.$n (id BIGINT, kind STRING, v DOUBLE) " +
+        "PARTITIONED BY (kind)")
+      sql(s"INSERT INTO graft.spj.$n SELECT id, " +
+        "concat('k', cast(id % 5 as string)), cast(id as double) " +
+        "FROM range(0, 10000)")
+    }
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // join keys (kind, id) are a SUPERSET of the partition keys
+      // (kind): co-partition then requires relaxing the
+      // all-cluster-keys rule, exactly as with Iceberg SPJ
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false") {
+      // partition-wise aggregate: GROUP BY the identity source
+      val a = sql("SELECT kind, sum(v) AS s FROM graft.spj.il GROUP BY kind")
+      val ap = finalPlan(a)
+      assert(!ap.contains("Exchange"),
+        s"identity-clustered aggregate must not shuffle:\n${ap.take(3000)}")
+      assert(a.count() == 5)
+      // partition-wise join on the identity column
+      val j = sql("""SELECT l.kind, count(*) AS n
+                    |FROM graft.spj.il l JOIN graft.spj.ir r
+                    |ON l.kind = r.kind AND l.id = r.id
+                    |GROUP BY l.kind""".stripMargin)
+      val jp = finalPlan(j)
+      assert(!jp.contains("Exchange"),
+        s"identity co-partitioned join must not shuffle:\n${jp.take(4000)}")
+      import spark.implicits._
+      assert(j.as[(String, Long)].collect().toMap
+        == (0 until 5).map(k => s"k$k" -> 2000L).toMap)
+    }
+    Seq("il", "ir").foreach(n => sql(s"DROP TABLE graft.spj.$n"))
+  }
+
   test("fallback: delete vectors, evolution, and row-level scans revert to the V1 path") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
     makeBucketTable("f", 5000)

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.Expressions
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.graftbridge.ParquetReadBridge
@@ -56,7 +56,8 @@ final class GraftBatchScan(
     required: StructType,
     filters: Array[Filter],
     spjKey: Option[GraftSpjKey]) extends Scan with Batch
-    with SupportsReportStatistics with SupportsReportPartitioning {
+    with SupportsReportStatistics with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -64,18 +65,40 @@ final class GraftBatchScan(
     s"GraftBatchScan(${table.root}" +
       spjKey.map(k => s", ${k.describe})").getOrElse(")")
 
+  // DPP seam (Iceberg's SparkBatchQueryScan shape): the partition
+  // SOURCE column is runtime-filterable — a selective join side's keys
+  // arrive as an IN filter after its stage materializes, and the
+  // re-prune drops whole buckets/partitions plus stats/Bloom-pruned
+  // files before any target byte is read
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    snap.spec.toArray.map(ps => Expressions.column(ps.source))
+
+  override def filter(newFilters: Array[Filter]): Unit = {
+    runtimeFilters = newFilters
+    cachedGroups = null
+  }
+
   // manifest-pruned files, grouped for SPJ by partition value (None =
   // the null partition) when a key is claimed, one task per file
-  // otherwise — computed once per scan: the partitioning report and
-  // the input partitions must see the SAME grouping
-  private lazy val groups: Array[(Option[Any], Seq[DataFileEntry])] = {
-    val kept = table.prunedFiles(snap, filters.toIndexedSeq)
-    ScanEvents.record(table.root.toString, kept.size, snap.files.size)
-    spjKey match {
-      case Some(k) => kept.groupBy(_.partition.map(k.keyValue))
-        .toArray.sortBy(_._1.map(_.toString))
-      case None => kept.map(f => (None: Option[Any], Seq(f))).toArray
+  // otherwise — recomputed when runtime filters arrive: the
+  // partitioning report and the input partitions must see the SAME
+  // grouping at any point in time
+  private var cachedGroups: Array[(Option[Any], Seq[DataFileEntry])] = null
+  private def groups: Array[(Option[Any], Seq[DataFileEntry])] = {
+    if (cachedGroups == null) {
+      val kept = table.prunedFiles(snap,
+        filters.toIndexedSeq ++ runtimeFilters)
+      ScanEvents.record(table.root.toString, kept.size, snap.files.size)
+      cachedGroups = spjKey match {
+        case Some(k) => kept.groupBy(_.partition.map(k.keyValue))
+          .toArray.sortBy(_._1.map(_.toString))
+        case None => kept.map(f => (None: Option[Any], Seq(f))).toArray
+      }
     }
+    cachedGroups
   }
 
   override def outputPartitioning(): Partitioning = spjKey match {

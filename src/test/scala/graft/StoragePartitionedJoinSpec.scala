@@ -174,6 +174,38 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     Seq("il", "ir").foreach(n => sql(s"DROP TABLE graft.spj.$n"))
   }
 
+  test("runtime filtering: a selective join side prunes fact partitions at execution") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    sql("DROP TABLE IF EXISTS graft.spj.fact")
+    sql("CREATE TABLE graft.spj.fact (id BIGINT, kind STRING, v DOUBLE) " +
+      "PARTITIONED BY (kind)")
+    sql("INSERT INTO graft.spj.fact SELECT id, " +
+      "concat('k', cast(id % 10 as string)), cast(id as double) " +
+      "FROM range(0, 20000)")
+    import spark.implicits._
+    // parquet-backed dim: a LocalRelation would constant-fold the
+    // selective filter away and DPP sees no predicate to derive
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("spj-dim").resolve("d").toString
+    (0 until 10).map(k => (s"k$k", if (k == 3 || k == 7) 1 else 0))
+      .toDF("kind", "flag").coalesce(1).write.parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("spj_dim")
+    val q = sql("""SELECT sum(f.v) AS s, count(*) AS n
+                  |FROM graft.spj.fact f JOIN spj_dim d ON f.kind = d.kind
+                  |WHERE d.flag = 1""".stripMargin)
+    val plan = finalPlan(q)
+    assert(plan.contains("GraftBatchScan"), plan.take(2000))
+    // the scan received a dynamic-pruning runtime filter on kind
+    assert(plan.contains("dynamicpruning") ||
+      plan.contains("RuntimeFilters: [in("),
+      s"fact scan must carry a runtime filter:\n${plan.take(4000)}")
+    val (s, n) = q.as[(Double, Long)].collect().head
+    // kinds k3/k7: ids ≡ 3, 7 (mod 10)
+    val expect = (0 until 20000).filter(i => i % 10 == 3 || i % 10 == 7)
+    assert(n == expect.size && s == expect.map(_.toDouble).sum, (s, n))
+    sql("DROP TABLE graft.spj.fact")
+  }
+
   test("fallback: delete vectors, evolution, and row-level scans revert to the V1 path") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
     makeBucketTable("f", 5000)

@@ -352,6 +352,24 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(t.currentSnapshot().operation == "merge-pos")
     assert(t.currentSnapshot().dvFiles.nonEmpty)
     sql("DROP TABLE graft.dw.me")
+    // type WIDENING evolves too: an int target column fed a bigint
+    // source widens via UpdateColumnType; old narrow files still read
+    sql("DROP TABLE IF EXISTS graft.dw.mw")
+    sql("CREATE TABLE graft.dw.mw (id BIGINT, cnt INT)")
+    sql("INSERT INTO graft.dw.mw SELECT id, cast(id as int) FROM range(0, 10)")
+    spark.range(0, 2).selectExpr("id * 2 as id",
+      "id * 10000000000 as cnt").createOrReplaceTempView("mw_src")
+    sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.dw.mw t
+          |USING mw_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graft.dw.mw").schema("cnt").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(sql("SELECT cnt FROM graft.dw.mw WHERE id = 2").as[Long]
+      .head == 10000000000L)
+    assert(sql("SELECT cnt FROM graft.dw.mw WHERE id = 3").as[Long]
+      .head == 3L, "old narrow files must read through the widened type")
+    sql("DROP TABLE graft.dw.mw")
   }
 
   test("removeOrphanFiles reclaims a crashed delta write's staging dirs, sparing committed deltas") {

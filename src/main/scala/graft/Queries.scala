@@ -1932,6 +1932,8 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val spjTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val spjDimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Two co-bucketed snapshot tables in the catalog warehouse for the
     * storage-partitioned-join entry: `bucket(8, event_id)` both sides,
@@ -2428,6 +2430,43 @@ object Queries {
              |    AS DOUBLE) AS sum_both,
              |  TRUE AS spj_no_exchange
              |FROM events l
+             |GROUP BY 1""".stripMargin)),
+
+    // RUNTIME (dynamic-pruning) FILTERING on the native scan: the
+    // selective side of an equi-join on the bucket source column
+    // materializes first, its keys arrive at the GraftBatchScan as an
+    // IN runtime filter, and whole buckets + stats/Bloom-pruned files
+    // drop before any fact byte is read. dpp_filtered pins the runtime
+    // filter on the EXECUTED scan; values must match the plain-join
+    // oracle exactly (pruning is skip-only).
+    QueryDef("snap_spj_runtime_prune",
+      (s, dir) => {
+        val (lName, _) = spjTables(s, dir)
+        val dimDir = spjDimCache.computeIfAbsent(dir, _ => {
+          val d = java.nio.file.Files
+            .createTempDirectory("graft-spj-dim").resolve("d").toString
+          t(s, dir, "events").filter(col("event_id") % 211 === 0)
+            .select(col("event_id"),
+              (col("event_id") % 3).cast("int").as("grp"))
+            .coalesce(1).write.parquet(d)
+          d
+        })
+        val dim = s.read.parquet(dimDir).filter(col("grp") === 1)
+        val j = s.table(lName).join(dim, Seq("event_id"))
+        j.collect()
+        val plan = j.queryExecution.executedPlan.toString
+        val pruned = plan.contains("dynamicpruning") ||
+          plan.contains("RuntimeFilters: [in(")
+        j.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .withColumn("dpp_filtered", lit(pruned))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+             |    AS sum_value,
+             |  TRUE AS dpp_filtered
+             |FROM events
+             |WHERE event_id % 211 = 0 AND event_id % 3 = 1
              |GROUP BY 1""".stripMargin)),
 
     QueryDef("snap_prune_partitions",

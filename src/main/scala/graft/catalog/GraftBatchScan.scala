@@ -181,6 +181,8 @@ object GraftBatchScan {
           case dt @ (LongType | IntegerType | StringType) =>
             GraftSpjKey.Identity(source, dt)
         }
+      case PartitionSpec(source, "month") =>
+        Some(GraftSpjKey.Month(source))
       case _ => None
     })
   }
@@ -215,6 +217,20 @@ object GraftSpjKey {
       case other => sys.error(s"unsupported identity SPJ type $other")
     }
     override def describe: String = s"identity($source)"
+  }
+  /** Month transform: the "yyyy-MM" partition rendering decodes to the
+    * SAME months-since-1970-01 int the FunctionCatalog `months()`
+    * produces (both render in the session zone captured at write/bind)
+    * — a join on `l.ts = r.ts` between two month-partitioned tables
+    * aligns partition-wise (equal ts ⇒ equal month).
+    */
+  final case class Month(source: String) extends GraftSpjKey {
+    override def transform = Expressions.months(source)
+    override def keyValue(rendered: String): Any = {
+      val Array(y, m) = rendered.split("-").map(_.toInt)
+      (y - 1970) * 12 + (m - 1)
+    }
+    override def describe: String = s"months($source)"
   }
 }
 

@@ -174,6 +174,31 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     Seq("il", "ir").foreach(n => sql(s"DROP TABLE graft.spj.$n"))
   }
 
+  test("month-partitioned tables storage-partition-join on the timestamp") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    for (n <- Seq("ml", "mr")) {
+      sql(s"DROP TABLE IF EXISTS graft.spj.$n")
+      sql(s"CREATE TABLE graft.spj.$n (id BIGINT, ts TIMESTAMP, v DOUBLE) " +
+        "PARTITIONED BY (month(ts))")
+      sql(s"INSERT INTO graft.spj.$n SELECT id, " +
+        "timestampadd(DAY, cast(id % 180 as int), TIMESTAMP'2024-01-15 00:00:00'), " +
+        "cast(id as double) FROM range(0, 6000)")
+    }
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false") {
+      val j = sql("""SELECT l.id, l.v, r.v AS rv FROM graft.spj.ml l
+                    |JOIN graft.spj.mr r
+                    |ON l.ts = r.ts AND l.id = r.id""".stripMargin)
+      val plan = finalPlan(j)
+      assert(!plan.contains("Exchange"),
+        s"month co-partitioned join must not shuffle:\n${plan.take(4000)}")
+      assert(j.count() == 6000L)
+    }
+    Seq("ml", "mr").foreach(n => sql(s"DROP TABLE graft.spj.$n"))
+  }
+
   test("runtime filtering: a selective join side prunes fact partitions at execution") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
     sql("DROP TABLE IF EXISTS graft.spj.fact")

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning,
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.graftbridge.ParquetReadBridge
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** NATIVE DSv2 batch scan for bucket-partitioned snapshot tables — the
@@ -79,6 +79,7 @@ final class GraftBatchScan(
   override def filter(newFilters: Array[Filter]): Unit = {
     runtimeFilters = newFilters
     cachedGroups = null
+    cachedParts = null
   }
 
   // manifest-pruned files, grouped for SPJ by partition value (None =
@@ -95,7 +96,9 @@ final class GraftBatchScan(
       cachedGroups = spjKey match {
         case Some(k) => kept.groupBy(_.partition.map(k.keyValue))
           .toArray.sortBy(_._1.map(_.toString))
-        case None => kept.map(f => (None: Option[Any], Seq(f))).toArray
+        // no SPJ claim: ONE pool — split planning packs/splits freely
+        // across file boundaries
+        case None => Array((None: Option[Any], kept))
       }
     }
     cachedGroups
@@ -103,25 +106,71 @@ final class GraftBatchScan(
 
   override def outputPartitioning(): Partitioning = spjKey match {
     case Some(k) =>
-      new KeyGroupedPartitioning(Array(k.transform), groups.length)
-    case None => new UnknownPartitioning(groups.length)
+      new KeyGroupedPartitioning(Array(k.transform), parts.length)
+    case None => new UnknownPartitioning(parts.length)
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // manifests carry byte sizes (post-r14 writers); a legacy entry
-    // without one costs a single filesystem stat
-    lazy val fs = table.root.getFileSystem(
-      table.session.sessionState.newHadoopConf())
-    groups.map { case (key, entries) =>
-      val files = entries.map { e =>
-        val p = new Path(table.root, e.path)
-        val len =
-          if (e.bytes > 0) e.bytes else fs.getFileStatus(p).getLen
-        (fs.makeQualified(p).toString, len)
+  // Task planning (VERDICT r14 #1): one-task-per-whole-file is wrong
+  // at both ends of the size spectrum — a 10 GiB file becomes one
+  // straggler task, 10⁶ small files become 10⁶ scheduler round-trips.
+  // Iceberg/Spark-style split planning instead: files larger than the
+  // target split size break into byte ranges at that size (the parquet
+  // reader keeps the row groups whose midpoint lands in the range, so
+  // ranges read every row exactly once), and small splits BIN-PACK
+  // descending-size-first into shared tasks up to the target, each
+  // file padded by `openCostInBytes`. The target honors
+  // `spark.sql.files.maxPartitionBytes` and shrinks to bytes-per-core
+  // for small scans — identical knobs and formula to every DataFrame
+  // file scan. Under an SPJ claim packing stays WITHIN a key group
+  // (alignment needs every task single-keyed); same-key tasks then
+  // either re-group (default v2 bucketing) or interleave
+  // (partially-clustered distribution) in Spark's join planning.
+  private var cachedParts: Array[InputPartition] = null
+  private def parts: Array[InputPartition] = {
+    if (cachedParts == null) {
+      // manifests carry byte sizes (post-r14 writers); a legacy entry
+      // without one costs a single filesystem stat
+      lazy val fs = table.root.getFileSystem(
+        table.session.sessionState.newHadoopConf())
+      val sized = groups.map { case (key, entries) =>
+        (key, entries.map { e =>
+          val p = new Path(table.root, e.path)
+          val len =
+            if (e.bytes > 0) e.bytes else fs.getFileStatus(p).getLen
+          (fs.makeQualified(p).toString, len)
+        })
       }
-      GraftInputPartition(key, files.toArray): InputPartition
+      val totalBytes = sized.iterator.flatMap(_._2.iterator.map(_._2)).sum
+      val fileCount = sized.iterator.map(_._2.size).sum
+      val target = ParquetReadBridge.maxSplitBytes(
+        table.session, totalBytes, fileCount)
+      val openCost = ParquetReadBridge.openCostInBytes(table.session)
+      cachedParts = sized.flatMap { case (key, files) =>
+        val splits = files.flatMap { case (path, len) =>
+          if (len <= target) Seq(GraftSplit(path, 0L, len))
+          else (0L until len by target).map(off =>
+            GraftSplit(path, off, math.min(target, len - off)))
+        }.sortBy(-_.length)
+        val bins = Array.newBuilder[InputPartition]
+        val cur = scala.collection.mutable.ArrayBuffer.empty[GraftSplit]
+        var curBytes = 0L
+        def flush(): Unit = if (cur.nonEmpty) {
+          bins += GraftInputPartition(key, cur.toArray)
+          cur.clear(); curBytes = 0L
+        }
+        splits.foreach { s =>
+          if (cur.nonEmpty && curBytes + s.length + openCost > target)
+            flush()
+          cur += s; curBytes += s.length + openCost
+        }
+        flush()
+        bins.result()
+      }
     }
+    cachedParts
   }
+
+  override def planInputPartitions(): Array[InputPartition] = parts
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftPartitionReaderFactory(
@@ -182,7 +231,22 @@ object GraftBatchScan {
             GraftSpjKey.Identity(source, dt)
         }
       case PartitionSpec(source, "month") =>
-        Some(GraftSpjKey.Month(source))
+        // zone soundness (ADVICE r14, medium): a TIMESTAMP source's
+        // "yyyy-MM" values render in the table's PINNED zone
+        // ([[SnapshotTable.MonthZoneProp]]), while the `months()`
+        // transform the claim resolves against binds the SCAN
+        // session's zone — claim Month SPJ only when they agree, else
+        // two tables pinned to different zones (or a legacy table with
+        // no pin) would align partitions inconsistently and silently
+        // drop month-boundary matches. Date / timestamp_ntz sources
+        // are wall-time on both sides: always sound.
+        snap.schema.fields.find(_.name == source).map(_.dataType).collect {
+          case DateType | TimestampNTZType => GraftSpjKey.Month(source)
+          case TimestampType
+              if snap.properties.get(SnapshotTable.MonthZoneProp)
+                .contains(SnapshotTable.sessionZone(table.session)) =>
+            GraftSpjKey.Month(source)
+        }
       case _ => None
     })
   }
@@ -234,11 +298,19 @@ object GraftSpjKey {
   }
 }
 
-/** One key group's files; `partitionKey` is the partition value Spark
-  * groups and aligns on (null row field = the null partition).
+/** One byte-range split of one parquet file (whole file when
+  * `start == 0 && length == file length`).
+  */
+final case class GraftSplit(path: String, start: Long, length: Long)
+
+/** One task's splits; `partitionKey` is the partition value Spark
+  * groups and aligns on (null row field = the null partition). Under
+  * an SPJ claim every task is single-keyed; several tasks may share a
+  * key (split large buckets) — Spark's v2 bucketing re-groups or
+  * interleaves them.
   */
 final case class GraftInputPartition(key: Option[Any],
-    files: Array[(String, Long)]) extends InputPartition
+    splits: Array[GraftSplit]) extends InputPartition
     with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](key.orNull))
@@ -265,14 +337,14 @@ final case class GraftPartitionReaderFactory(
       open: PartitionedFile => Iterator[T]): PartitionReader[T] = {
     val gp = p.asInstanceOf[GraftInputPartition]
     new PartitionReader[T] {
-      private val files = gp.files.iterator
+      private val files = gp.splits.iterator
       private var current: Iterator[T] = Iterator.empty
       private var value: T = _
 
       override def next(): Boolean = {
         while (!current.hasNext && files.hasNext) {
-          val (path, len) = files.next()
-          current = open(ParquetReadBridge.wholeFile(path, len))
+          val s = files.next()
+          current = open(ParquetReadBridge.split(s.path, s.start, s.length))
         }
         if (current.hasNext) { value = current.next(); true } else false
       }

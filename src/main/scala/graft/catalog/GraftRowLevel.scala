@@ -242,7 +242,8 @@ final class GraftDeltaBatchWrite(table: SnapshotTable, baseVersion: Long,
       else base.spec.map { ps =>
         val dummy = spark.createDataFrame(
           java.util.Collections.emptyList[Row](), rowSchema)
-        val plan = dummy.select(SnapshotTable.partitionExpr(ps))
+        val plan = dummy.select(
+          SnapshotTable.partitionExpr(ps, rowSchema, base.properties))
           .queryExecution.analyzed.asInstanceOf[Project]
         BindReferences.bindReference(plan.projectList.head,
           plan.child.output)

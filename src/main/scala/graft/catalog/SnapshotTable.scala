@@ -5,7 +5,9 @@ import java.time.{Instant, YearMonth}
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{DateFormatClass, Literal => CatalystLiteral}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
 import graft.schema.SchemaOps
@@ -409,11 +411,13 @@ final class SnapshotTable private (
     val spec = s.spec.getOrElse(sys.error("readTimestampRange needs a partition spec"))
     require(spec.transform == "month", "readTimestampRange needs the month transform")
     require(!until.isBefore(from), s"inverted range: $from .. $until")
-    // month strings were produced by date_format under the SESSION time
-    // zone at write — pruning must use the same zone, or boundary rows
-    // written from a non-UTC session silently vanish from range reads
-    val zone = java.time.ZoneId.of(spark.conf.get(
-      "spark.sql.session.timeZone", java.time.ZoneId.systemDefault().getId))
+    // month strings render under the table's PINNED zone
+    // ([[SnapshotTable.MonthZoneProp]], recorded at spec creation) —
+    // pruning must use the same zone, or boundary rows silently vanish
+    // from range reads; legacy tables without the pin rendered in the
+    // writing session's zone, approximated here by the reading one
+    val zone = java.time.ZoneId.of(s.properties.getOrElse(
+      SnapshotTable.MonthZoneProp, SnapshotTable.sessionZone(spark)))
     val lo = YearMonth.from(from.atZone(zone))
     // until is exclusive: subtract 1µs so an on-boundary end month is
     // not opened needlessly
@@ -2094,7 +2098,8 @@ final class SnapshotTable private (
           .copy(nestedIds = ig.nestedIds2))
       case Some(spec) =>
         requireUniformSpec(base, "partition-scoped upsert")
-        val pExpr = SnapshotTable.partitionExpr(spec)
+        val pExpr = SnapshotTable.partitionExpr(spec, evolved,
+          base.properties)
         val touched = incoming.select(pExpr.as("p")).distinct()
           .unionByName(readWithDeletes(evolved, pairs, base, base.files,
               targetNested = ig.nestedIds2)
@@ -2299,11 +2304,20 @@ final class SnapshotTable private (
         require(latest.schema.fieldNames.contains(ps.source),
           s"partition source ${ps.source} not in ${latest.schema.simpleString}")
       }
+      // (re)pin or clear the month rendering zone with the spec — the
+      // zone property's lifetime tracks the month spec's
+      // ([[SnapshotTable.MonthZoneProp]])
+      val zoneProps =
+        if (newSpec.exists(_.transform == "month"))
+          latest.properties +
+            (SnapshotTable.MonthZoneProp -> SnapshotTable.sessionZone(spark))
+        else latest.properties - SnapshotTable.MonthZoneProp
       nextWithIds(latest,
         s"evolve-spec[${newSpec.map(p => s"${p.transform}(${p.source})")
           .getOrElse("unpartitioned")}]",
         latest.schema, latest.ids, latest.nextIds, latest.files)
-        .copy(spec = newSpec, specSince = latest.version + 1)
+        .copy(spec = newSpec, specSince = latest.version + 1,
+          properties = zoneProps)
     }
   }
 
@@ -3376,7 +3390,8 @@ final class SnapshotTable private (
     spec match {
       case Some(ps) =>
         val withPart = aligned
-          .withColumn(PartCol, SnapshotTable.partitionExpr(ps))
+          .withColumn(PartCol,
+            SnapshotTable.partitionExpr(ps, aligned.schema, props))
         // Iceberg write.distribution-mode=hash: cluster rows by their
         // partition value before the write, so each partition gets ONE
         // file per batch instead of one per (task × partition) — at
@@ -3530,6 +3545,23 @@ final class SnapshotTable private (
           conflict("committed delete vectors over the same data files " +
             "(this delta's update images could resurrect rows the " +
             "other statement deleted)")
+        // EQUALITY deletes race too (ADVICE r14, high): deleteByKeys
+        // commits `delete-eq` blind, and its file applies only to data
+        // files with a strictly SMALLER seq — this delta's appended
+        // update images land at seq = new version > the delete's seq,
+        // so sequence-number scoping would EXEMPT them and the deleted
+        // keys resurrect. Iceberg's snapshot-isolation validation
+        // (validateNoNewDeleteFiles) conflicts on both delete kinds;
+        // mirror it: any equality delete committed after our scan
+        // conflicts whenever we stage row images. (No key-column
+        // narrowing: delta images are FULL rows, so the delete's key
+        // columns always intersect the write set.)
+        if (staged.nonEmpty &&
+            latest.deleteFiles.exists(_.seq > baseVersion))
+          conflict("committed equality deletes after this statement's " +
+            "scan (its appended row images carry a newer sequence " +
+            "number and would escape the delete — deleted keys could " +
+            "resurrect)")
       }
       val c = next(latest, op, latest.schema, latest.files ++
         staged.map(_.copy(cols = base.ids, nested = nestedPairsOf(base))))
@@ -3795,6 +3827,13 @@ object SnapshotTable {
     }
     val t = new SnapshotTable(spark, new Path(root), clock)
     require(t.log.currentVersion().isEmpty, s"table already exists at $root")
+    // pin the month rendering zone at spec birth (see [[MonthZoneProp]])
+    // unless the caller pinned one explicitly
+    val propsWithZone =
+      if (spec.exists(_.transform == "month") &&
+          !properties.contains(MonthZoneProp))
+        properties + (MonthZoneProp -> sessionZone(spark))
+      else properties
     // struct fields get nested ids from birth ("<parentId>.<name>"),
     // so struct-field rename/drop are metadata-only from the first file
     var nid = schema.fields.length
@@ -3807,7 +3846,7 @@ object SnapshotTable {
       }
     }
     val first = Snapshot(1L, None, "create", clock(), schema, spec,
-      properties, Seq.empty,
+      propsWithZone, Seq.empty,
       fieldIds = schema.fieldNames.toIndexedSeq.zipWithIndex,
       nextFieldId = nid, nestedIds = nested)
     if (!t.log.tryCommit(first))
@@ -3865,17 +3904,54 @@ object SnapshotTable {
     else None // an unhashable key: conservative full read
   }
 
+  /** Time zone that month partition values of a TIMESTAMP source are
+    * rendered in, recorded in table properties when the month spec is
+    * created (ADVICE r14, medium): `date_format(ts,'yyyy-MM')` renders
+    * in the SESSION zone, so without a pinned zone two writers in
+    * different zones would file the same instant under different
+    * months — and an SPJ claiming `months(source)` would silently drop
+    * month-boundary matches between tables rendered under different
+    * zones. With the zone pinned, every write renders identically
+    * regardless of the writing session, range pruning decodes with the
+    * same zone, and [[GraftBatchScan.eligible]] claims Month SPJ only
+    * when the pinned zone matches the zone `months()` binds (the scan
+    * session's). Date / timestamp_ntz sources are wall-time and need
+    * no pin.
+    */
+  private[graft] val MonthZoneProp = "graft.partition.month.zone"
+
+  /** The session time zone — the zone `date_format` renders in and the
+    * FunctionCatalog `months()` captures at bind.
+    */
+  private[catalog] def sessionZone(spark: SparkSession): String =
+    spark.conf.get("spark.sql.session.timeZone",
+      java.time.ZoneId.systemDefault().getId)
+
   /** The write-side hidden-partition transform expression. Bucket
     * hashing is seed-42 xxhash64 of the TYPED column value — the same
     * hash [[StatsPruner]] uses driver-side, so a point lookup can
     * compute its target bucket without touching data
     * ([[SnapshotTable.readKeyIn]]). NULL sources route to the null
     * partition (xxhash64 would otherwise silently fold them into the
-    * seed's bucket).
+    * seed's bucket). Month values of a TIMESTAMP source render in the
+    * table's pinned zone ([[MonthZoneProp]]) when one is recorded —
+    * session-zone-independent — via a zone-carrying `DateFormatClass`
+    * (`ResolveTimeZone` only fills EMPTY zone ids, so the pin
+    * survives analysis).
     */
-  private[graft] def partitionExpr(spec: PartitionSpec): Column =
+  private[graft] def partitionExpr(spec: PartitionSpec,
+      schema: StructType, props: Map[String, String]): Column =
     spec.transform match {
-      case "month" => date_format(col(spec.source), "yyyy-MM")
+      case "month" =>
+        val instantSource = schema.find(_.name == spec.source)
+          .exists(_.dataType == TimestampType)
+        props.get(MonthZoneProp) match {
+          case Some(zone) if instantSource =>
+            ColumnBridge.column(DateFormatClass(
+              ColumnBridge.expression(col(spec.source)),
+              CatalystLiteral("yyyy-MM"), Some(zone)))
+          case _ => date_format(col(spec.source), "yyyy-MM")
+        }
       case "identity" => col(spec.source).cast("string")
       case BucketXform(n) =>
         when(col(spec.source).isNull, lit(null))

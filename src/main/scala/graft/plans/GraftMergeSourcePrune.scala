@@ -5,7 +5,7 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, In, Literal}
 import org.apache.spark.sql.catalyst.plans.{Inner, RightOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{CTERelationRef, Filter, Join, LogicalPlan, MergeRows, Project, WriteDelta}
+import org.apache.spark.sql.catalyst.plans.logical.{CTERelationRef, Filter, Join, LocalRelation, LogicalPlan, MergeRows, OneRowRelation, Project, Range, WriteDelta}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -66,7 +66,10 @@ import graft.catalog.GraftRowLevelOperation
   * Knobs (table properties): `graft.merge.source-prune` = `auto`
   * (default) | `off`; `graft.merge.source-prune.max-keys` (IN-list
   * cap, default 1000); `graft.merge.source-prune.max-source-bytes`
-  * (probe gate on the source's estimated size, default 1 GiB).
+  * (probe gate on the source's estimated size, default 1 GiB);
+  * `graft.merge.source-prune.assume-stable-source` = `true` opts an
+  * external source (parquet dir, JDBC, …) into the probe when the
+  * caller guarantees it is quiescent for the statement.
   */
 final case class GraftMergeSourcePrune(session: SparkSession)
     extends Rule[LogicalPlan] {
@@ -118,6 +121,27 @@ final case class GraftMergeSourcePrune(session: SparkSession)
         p.expressions.exists(e => !e.deterministic)
     }.isEmpty
     if (!safeSource) return None
+    // data-level repeatability (ADVICE r14, low): determinism guards
+    // the EXPRESSIONS, not the DATA — an external source (a parquet
+    // directory being appended to concurrently) can serve the join
+    // execution rows the probe never saw, and their matches would be
+    // pruned into spurious INSERTs (duplicate keys). Only leaves whose
+    // statement-scope contents are stable may feed the probe: literal
+    // relations, range(), cached relations, and graft snapshot reads
+    // (manifest-committed, at-most-snapshot-read caveat per ADVICE).
+    // `graft.merge.source-prune.assume-stable-source=true` opts an
+    // external-but-known-quiescent source back in.
+    val assumeStable = props.getOrElse(
+      "graft.merge.source-prune.assume-stable-source", "false") == "true"
+    val stableData = assumeStable || source.collectLeaves().forall {
+      case _: LocalRelation | _: Range | _: OneRowRelation => true
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        true
+      case r: DataSourceV2Relation =>
+        r.table.isInstanceOf[graft.catalog.GraftV2Table]
+      case _ => false
+    }
+    if (!stableData) return None
 
     // equality conjuncts t.col = <source expr>, bare atomic target
     // column (a cast-wrapped target column has no faithful literal

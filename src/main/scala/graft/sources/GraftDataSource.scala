@@ -255,6 +255,14 @@ final class GraftDataSource extends RelationProvider
     if (outputMode == OutputMode.Update() && keys.isEmpty) sys.error(
       "Update mode needs .option(\"keys\", ...) — without keys an " +
         "updated row cannot replace its previous image")
+    // the converse too (ADVICE r14, low): keys under Append would
+    // silently switch the sink to keyed upsert — dropping Append's
+    // batch-id exactly-once dedup and its append-only contract — for
+    // a user who set keys but forgot outputMode("update"). Refuse.
+    if (outputMode != OutputMode.Update() && keys.nonEmpty) sys.error(
+      "the keys option is a keyed-upsert contract and is only honored " +
+        "in Update mode — add .outputMode(\"update\") or drop " +
+        ".option(\"keys\", ...)")
     // the table must exist: schema/spec/properties govern the write
     SnapshotTable.load(sqlContext.sparkSession, pathOf(parameters))
     new graft.streaming.GraftSink(pathOf(parameters), keys)

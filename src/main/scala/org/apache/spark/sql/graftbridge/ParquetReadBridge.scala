@@ -77,4 +77,38 @@ object ParquetReadBridge {
   def wholeFile(path: String, length: Long): PartitionedFile =
     PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
       0L, length)
+
+  /** One byte-range split of a parquet file. The vectorized reader
+    * keeps exactly the row groups whose MIDPOINT falls inside
+    * `[start, start+length)` (Spark's own split discipline), so any
+    * byte partition of a file reads every row exactly once.
+    */
+  def split(path: String, start: Long, length: Long): PartitionedFile =
+    PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
+      start, length)
+
+  /** Spark's file-scan target split size, the same formula
+    * `FilePartition.maxSplitBytes` applies to every DataFrame file
+    * scan: `maxPartitionBytes` capped below by `openCostInBytes` and
+    * adapted down to `bytes-per-core` when the scan is smaller than
+    * (default parallelism × maxPartitionBytes) — so small scans still
+    * fan out across the cluster and large scans get bounded,
+    * straggler-free tasks.
+    */
+  def maxSplitBytes(spark: SparkSession, totalBytes: Long,
+      fileCount: Int): Long = {
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val minPartNum = conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val bytesPerCore =
+      (totalBytes + fileCount * openCost) / math.max(1, minPartNum)
+    math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+  }
+
+  /** `spark.sql.files.openCostInBytes` — the per-file packing padding
+    * that stops thousands of tiny files from landing in one task.
+    */
+  def openCostInBytes(spark: SparkSession): Long =
+    spark.sessionState.conf.filesOpenCostInBytes
 }

@@ -138,6 +138,57 @@ class DeltaConflictSpec extends AnyFunSuite {
     assert(e.getMessage.contains("schema"))
   }
 
+  /** Stage one data file holding `rows` under a fresh batch dir —
+    * exactly what the delta writers' update-image path produces —
+    * returning (rel dir, rel file) for [[SnapshotTable.commitDelta]].
+    */
+  private def stageData(t: SnapshotTable,
+      rows: Seq[(Long, String)]): (String, String) = {
+    val batch = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val rel = s"${SnapshotLog.DataDirName}/$batch"
+    val dir = new Path(t.root, rel)
+    rows.toDF("id", "v").coalesce(1).write.parquet(dir.toString)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val name = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).head
+    (rel, s"$rel/$name")
+  }
+
+  test("a concurrent EQUALITY delete conflicts with staged update images") {
+    // ADVICE r14 (high): an UPDATE/MERGE's new row images carry seq =
+    // commit version > a raced delete-eq's seq, so sequence-number
+    // scoping exempts them — without validation the deleted key
+    // silently resurrects. The rebase must conflict instead.
+    val t = mkTable()
+    val fileA = t.currentSnapshot().files.head.path
+    val base = t.currentVersion()
+    // concurrent equality delete of id=2 lands after the scan
+    t.deleteByKeys(Seq(2L).toDF("id"), Seq("id"))
+    // UPDATE-shaped delta scanned at `base`: mark ordinal 1 (id=2)
+    // deleted in file A and stage its updated image
+    val (rel, file) = stageData(t, Seq((2L, "B-updated")))
+    val e = intercept[SnapshotConflictException] {
+      t.commitDelta(base, "update-pos", Some(rel), Seq(file),
+        Seq(stageDv(t, fileA, Seq(1))))
+    }
+    assert(e.getMessage.contains("equality deletes"))
+    // the equality delete's outcome is intact
+    assert(t.read().select("id").as[Long].collect().toSet ==
+      Set(1L, 3L, 10L, 11L))
+  }
+
+  test("a pure-vector DELETE delta commutes with a concurrent equality delete") {
+    // two deletes cannot resurrect anything — the rebase lands them both
+    val t = mkTable()
+    val fileA = t.currentSnapshot().files.head.path
+    val base = t.currentVersion()
+    t.deleteByKeys(Seq(10L).toDF("id"), Seq("id"))
+    t.commitDelta(base, "delete-pos", None, Nil,
+      Seq(stageDv(t, fileA, Seq(0)))) // id=1
+    assert(t.read().select("id").as[Long].collect().toSet ==
+      Set(2L, 3L, 11L))
+  }
+
   test("isolation-level=serializable restores the strict conflict") {
     val t = mkTable()
     t.setProperties(Map("graft.write.isolation-level" -> "serializable"))

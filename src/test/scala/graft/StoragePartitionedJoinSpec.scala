@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.sum
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.catalog.SnapshotTable
@@ -197,6 +198,192 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
       assert(j.count() == 6000L)
     }
     Seq("ml", "mr").foreach(n => sql(s"DROP TABLE graft.spj.$n"))
+  }
+
+  test("split planning: a large file fans out over row-group splits, small files bin-pack") {
+    // VERDICT r14 #1: the native scan must not plan one-task-per-file.
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    sql("DROP TABLE IF EXISTS graft.spj.big")
+    sql("CREATE TABLE graft.spj.big (id BIGINT, payload STRING)")
+    // one physical file with MANY row groups (tiny parquet block size)
+    withConf("spark.hadoop.parquet.block.size" -> "16384") {
+      sql("INSERT INTO graft.spj.big SELECT id, " +
+        "repeat(uuid(), 4) FROM range(0, 20000, 1, 1)")
+    }
+    val snap = SnapshotTable.load(spark, s"$warehouse/spj/big")
+      .currentSnapshot()
+    assert(snap.files.size == 1, s"fixture wants ONE file: ${snap.files}")
+    withConf(
+      "spark.sql.files.maxPartitionBytes" -> "65536",
+      "spark.sql.files.openCostInBytes" -> "0") {
+      val df = spark.table("graft.spj.big")
+      assert(finalPlan(df).contains("GraftBatchScan"))
+      assert(df.rdd.getNumPartitions > 1,
+        s"a large file must split into multiple tasks, got " +
+          s"${df.rdd.getNumPartitions}")
+      assert(df.count() == 20000L, "byte-range splits must not lose or " +
+        "double-read row groups")
+      assert(spark.table("graft.spj.big").agg(sum("id")).as[Long].head ==
+        (0L until 20000L).sum)
+    }
+    // bin-packing: 24 one-row files must NOT become 24 tasks
+    sql("DROP TABLE IF EXISTS graft.spj.tiny")
+    sql("CREATE TABLE graft.spj.tiny (id BIGINT)")
+    (0 until 24).foreach(i =>
+      sql(s"INSERT INTO graft.spj.tiny VALUES ($i)"))
+    assert(SnapshotTable.load(spark, s"$warehouse/spj/tiny")
+      .currentSnapshot().files.size == 24)
+    val tiny = spark.table("graft.spj.tiny")
+    assert(finalPlan(tiny).contains("GraftBatchScan"))
+    assert(tiny.rdd.getNumPartitions <= 6,
+      s"24 tiny files must pack into few tasks, got " +
+        s"${tiny.rdd.getNumPartitions}")
+    assert(tiny.as[Long].collect().sorted.toSeq == (0L until 24L))
+    Seq("big", "tiny").foreach(n => sql(s"DROP TABLE graft.spj.$n"))
+  }
+
+  test("month partition rendering and SPJ are pinned to the spec-creation zone") {
+    // ADVICE r14 (medium): month values of a TIMESTAMP source must
+    // render in ONE recorded zone no matter which session writes, and
+    // the months() SPJ claim must only be made when the scan session's
+    // zone matches the pin — otherwise month-boundary matches silently
+    // drop instead of shuffling.
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    for (n <- Seq("mza", "mzb")) {
+      sql(s"DROP TABLE IF EXISTS graft.spj.$n")
+      // spec created under a UTC session -> pin = UTC
+      sql(s"CREATE TABLE graft.spj.$n (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (month(ts))")
+    }
+    val t = SnapshotTable.load(spark, s"$warehouse/spj/mza")
+    assert(t.currentSnapshot().properties
+      .get(SnapshotTable.MonthZoneProp).contains("UTC"))
+    // 1711915200 = 2024-03-31T20:00:00Z — March in UTC, but already
+    // April 1 in Sydney (+11). A Sydney-session writer must STILL file
+    // it under the pinned zone's month.
+    withConf("spark.sql.session.timeZone" -> "Australia/Sydney") {
+      sql("INSERT INTO graft.spj.mza SELECT 1L, timestamp_seconds(1711915200)")
+    }
+    sql("INSERT INTO graft.spj.mzb SELECT 1L, timestamp_seconds(1711915200)")
+    val parts = SnapshotTable.load(spark, s"$warehouse/spj/mza")
+      .currentSnapshot().files.flatMap(_.partition).toSet
+    assert(parts == Set("2024-03"),
+      s"Sydney-session write must render in the pinned UTC zone: $parts")
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false") {
+      def join() = sql("""SELECT l.id FROM graft.spj.mza l
+                         |JOIN graft.spj.mzb r
+                         |ON l.ts = r.ts AND l.id = r.id""".stripMargin)
+      // matching zones: zero-exchange SPJ
+      val aligned = finalPlan(join())
+      assert(!aligned.contains("Exchange"),
+        s"pin == session zone must storage-partition-join:\n${
+          aligned.take(3000)}")
+      // a scanning session in ANOTHER zone must not claim months():
+      // clean shuffle fallback, same answer
+      withConf("spark.sql.session.timeZone" -> "Australia/Sydney") {
+        val crossed = finalPlan(join())
+        assert(crossed.contains("Exchange"),
+          s"pin != session zone must fall back to a shuffle:\n${
+            crossed.take(3000)}")
+        assert(join().count() == 1L)
+      }
+    }
+    Seq("mza", "mzb").foreach(n => sql(s"DROP TABLE graft.spj.$n"))
+  }
+
+  test("SPJ with buckets present on one side only: pushPartValues vs clean shuffle fallback") {
+    // VERDICT r14 #3a: a bucket with files on only one side must not
+    // break alignment — with partition-value pushdown Spark fills the
+    // missing side with empty partitions and keeps the zero-exchange
+    // join; with it disabled the planner must fall back to a clean
+    // shuffle. Same answer either way.
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    makeBucketTable("pl", 8000)
+    sql("DROP TABLE IF EXISTS graft.spj.pr")
+    sql("CREATE TABLE graft.spj.pr (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, id))")
+    // three ids -> at most three live buckets on the right
+    sql("INSERT INTO graft.spj.pr VALUES (11, 11.0), (500, 500.0), (7777, 7777.0)")
+    val rightBuckets = SnapshotTable.load(spark, s"$warehouse/spj/pr")
+      .currentSnapshot().files.flatMap(_.partition).toSet
+    assert(rightBuckets.size < 8, s"fixture wants missing buckets: $rightBuckets")
+    def join() = sql("""SELECT l.id, r.v AS rv FROM graft.spj.pl l
+                       |JOIN graft.spj.pr r ON l.id = r.id""".stripMargin)
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.join.preferSortMergeJoin" -> "true") {
+      withConf("spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true") {
+        val plan = finalPlan(join())
+        assert(!plan.contains("Exchange"),
+          s"pushPartValues must keep the zero-exchange join:\n${plan.take(3000)}")
+        assert(join().as[(Long, Double)].collect().sortBy(_._1).toSeq ==
+          Seq((11L, 11.0), (500L, 500.0), (7777L, 7777.0)))
+      }
+      withConf("spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "false") {
+        // mismatched partition counts without pushdown: a clean shuffle,
+        // never wrong rows
+        assert(join().as[(Long, Double)].collect().sortBy(_._1).toSeq ==
+          Seq((11L, 11.0), (500L, 500.0), (7777L, 7777.0)))
+      }
+    }
+    Seq("pl", "pr").foreach(n => sql(s"DROP TABLE graft.spj.$n"))
+  }
+
+  test("SPJ skewed bucket: split tasks re-group by default, fan out partially-clustered") {
+    // VERDICT r14 #3b: a skewed bucket is no longer an unsplittable
+    // task — the planner emits several same-key splits; default v2
+    // bucketing re-groups them (alignment preserved, one task per
+    // bucket), and partially-clustered distribution interleaves them
+    // so the skewed side's work fans out.
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    for (n <- Seq("sl", "sr")) {
+      sql(s"DROP TABLE IF EXISTS graft.spj.$n")
+      sql(s"CREATE TABLE graft.spj.$n (id BIGINT, payload STRING) " +
+        "PARTITIONED BY (bucket(4, id))")
+    }
+    // left: heavily skewed — 20k rows all with id=7 (one bucket, one
+    // fat file with many row groups), plus a sprinkle elsewhere
+    withConf("spark.hadoop.parquet.block.size" -> "16384") {
+      sql("INSERT INTO graft.spj.sl SELECT 7, repeat(uuid(), 4) " +
+        "FROM range(0, 20000, 1, 1)")
+    }
+    sql("INSERT INTO graft.spj.sl SELECT id, 'x' FROM range(0, 4)")
+    sql("INSERT INTO graft.spj.sr SELECT id, 'y' FROM range(0, 16)")
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.join.preferSortMergeJoin" -> "true",
+      "spark.sql.files.maxPartitionBytes" -> "65536",
+      "spark.sql.files.openCostInBytes" -> "0") {
+      // the skewed scan itself fans out over the fat bucket's splits
+      // (measured without v2 bucketing — with it on, a plain scan
+      // re-groups same-key splits back to one task per bucket)
+      withConf("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+        val scanParts = spark.table("graft.spj.sl").rdd.getNumPartitions
+        assert(scanParts > 4,
+          s"skewed bucket must split into multiple tasks, got $scanParts")
+      }
+      def join() = sql("""SELECT l.id FROM graft.spj.sl l
+                         |JOIN graft.spj.sr r ON l.id = r.id""".stripMargin)
+      // default: same-key splits re-group — zero exchange, exact rows
+      val grouped = finalPlan(join())
+      assert(!grouped.contains("Exchange"),
+        s"re-grouped SPJ must not shuffle:\n${grouped.take(3000)}")
+      assert(join().count() == 20004L)
+      // partially-clustered: still zero-exchange, still exact
+      withConf("spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true") {
+        val pc = finalPlan(join())
+        assert(!pc.contains("Exchange"),
+          s"partially-clustered SPJ must not shuffle:\n${pc.take(3000)}")
+        assert(join().count() == 20004L)
+      }
+    }
+    Seq("sl", "sr").foreach(n => sql(s"DROP TABLE graft.spj.$n"))
   }
 
   test("runtime filtering: a selective join side prunes fact partitions at execution") {

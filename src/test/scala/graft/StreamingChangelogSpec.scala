@@ -439,5 +439,11 @@ class StreamingChangelogSpec extends AnyFunSuite with Matchers {
     fails(src.writeStream.format("graft")
       .option("checkpointLocation", base.resolve("c3").toString)
       .partitionBy("id").start(root), "partition")
+    // keys under Append must refuse, not silently upsert (ADVICE r14):
+    // Append's batch-id exactly-once dedup and append-only contract
+    // would be lost for a user who forgot outputMode("update")
+    fails(src.writeStream.format("graft")
+      .option("checkpointLocation", base.resolve("c4").toString)
+      .option("keys", "id").start(root), "Update mode")
   }
 }

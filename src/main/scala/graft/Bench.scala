@@ -25,6 +25,24 @@ object Bench {
       try exec(fn) catch { case _: Throwable => () }
     }
 
+    // host-speed calibration (VERDICT r14 #6): a FIXED data-independent
+    // workload — 50M xxhash64 + shuffle-free aggregate over 32 range
+    // partitions — whose cost depends only on the host's available CPU,
+    // never on this repo's code or the SF. Its best-of-3 time rides the
+    // JSON as `calibration_sec`; cross-round totals divide by the ratio
+    // of calibration times to cancel shared-host contention (the r13→r14
+    // uniform ~1.5× inflation on untouched queries was exactly that).
+    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    def calibrateOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, 32)
+        .select(xxhash64(col("id")).as("h"))
+        .agg(sum("h"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibration = (1 to 3).map(_ => calibrateOnce()).min
+
     // best of two runs per query: the repeatable time, insulated from
     // one-off host-contention spikes (standard benchmarking practice;
     // both runs execute fully through the noop sink). A failing query
@@ -107,7 +125,7 @@ object Bench {
     val errs = errors.map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"${cfg.sfDir}","queries":$qs,"headline":$hl,"errors":$errs,"total_sec":${fmt(total)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"${cfg.sfDir}","queries":$qs,"headline":$hl,"errors":$errs,"calibration_sec":${fmt(calibration)},"total_sec":${fmt(total)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

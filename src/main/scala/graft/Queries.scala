@@ -1852,6 +1852,13 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val updNativeTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val eqDeleteTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The literal key list `sql_delete_equality` deletes — shared
+    * verbatim by the Spark DELETE and the DuckDB oracle's NOT IN.
+    */
+  private val EqDeleteKeyList: String = (0L until 740L by 37L).mkString(", ")
   private val mergeEvolveNativeTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val mergeNativeTableCache =
@@ -3380,6 +3387,36 @@ object Queries {
     // new ones executor-side. native_update pins the update-pos
     // commit, the untouched pre-update file set, and committed
     // vectors; values are DuckDB-oracle-exact.
+    QueryDef("sql_delete_equality",
+      // VERDICT r14 #7: the SQL DELETE on a `graft.delete.mode=
+      // equality` table commits an Iceberg-v2 EQUALITY-delete file of
+      // the key tuples — O(keys) bytes, no target scan, no rewrite;
+      // reads apply it as an anti-join under sequence-number scoping.
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, eqDeleteTableCache, "eqdel",
+          extraProps = Map("graft.delete.mode" -> "equality")) { tbl =>
+          val ident = s"graft.db.snap_eqdel_h${math.abs(dir.hashCode)}"
+          s.sql(s"DELETE FROM $ident WHERE event_id IN ($EqDeleteKeyList)")
+          ()
+        }
+        val cur = tbl.currentSnapshot()
+        val preDelete = tbl.history().find(_.operation == "append").get
+          .files.map(_.path).toSet
+        val ok = cur.operation == "delete-eq" && cur.deleteFiles.nonEmpty &&
+          cur.dvFiles.isEmpty &&
+          preDelete.subsetOf(cur.files.map(_.path).toSet)
+        tbl.read()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .withColumn("equality_delete", lit(ok))
+      },
+      Some(s"""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             |  TRUE AS equality_delete
+             |FROM events
+             |WHERE event_id NOT IN ($EqDeleteKeyList)
+             |GROUP BY 1""".stripMargin)),
+
     QueryDef("sql_update_native",
       (s, dir) => {
         val tbl = statsSnapshot(s, dir, updNativeTableCache, "updnat") { tbl =>

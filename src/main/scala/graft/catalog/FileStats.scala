@@ -52,6 +52,31 @@ object BloomSpec {
       .getOrElse(BloomAgg.DefaultHashes))
 }
 
+/** Per-file NDV sketch configuration (`graft.stats.ndv` = `on`
+  * (default) | `off`; `graft.stats.ndv.lgk` = HLL lgConfigK, default
+  * 8). Every eligible column gets a ~100-byte HLL sketch per file in
+  * the manifest; sketches are MERGEABLE, so the table- (or
+  * pruned-scan-) level distinct count is a driver-side union of the
+  * kept files' sketches — never a data read. This is the Iceberg
+  * puffin-theta-sketch capability: it feeds
+  * `SupportsReportStatistics.columnStats` and with it CBO join
+  * reordering on snapshot tables (VERDICT r14 #4). lgk=8 gives ~6%
+  * relative error — CBO-grade — at ~1% of a default lgk=12 sketch's
+  * manifest weight.
+  */
+final case class NdvSpec(enabled: Boolean, lgk: Int)
+
+object NdvSpec {
+  val DefaultLgk = 8
+  val Default: NdvSpec = NdvSpec(enabled = true, DefaultLgk)
+  val Off: NdvSpec = NdvSpec(enabled = false, DefaultLgk)
+
+  def fromProperties(props: Map[String, String]): NdvSpec = NdvSpec(
+    props.getOrElse("graft.stats.ndv", "on") != "off",
+    props.get("graft.stats.ndv.lgk").flatMap(k => Try(k.toInt).toOption)
+      .getOrElse(DefaultLgk))
+}
+
 object FileStats {
 
   /** Max stored length for string bounds. A longer `min` is truncated
@@ -88,8 +113,8 @@ object FileStats {
     * so bounds are time-zone-free; everything else renders via cast to
     * string and is re-typed at prune time from the schema.
     */
-  def aggColumns(schema: StructType,
-      bloom: BloomSpec = BloomSpec.Off): Seq[Column] = {
+  def aggColumns(schema: StructType, bloom: BloomSpec = BloomSpec.Off,
+      ndv: NdvSpec = NdvSpec.Default): Seq[Column] = {
     val stats = eligibleFields(schema).zipWithIndex.flatMap { case (f, i) =>
       val c = col(quoted(f.name))
       val (mn, mx) = f.dataType match {
@@ -109,6 +134,19 @@ object FileStats {
       Seq(mn.as(s"__min_$i"), mx.as(s"__max_$i"),
         sum(c.isNull.cast("long")).as(s"__nulls_$i"))
     }
+    // per-file HLL NDV sketches ride the SAME pass (see [[NdvSpec]]):
+    // the sketch hashes xxhash64 of the TYPED value — uniform across
+    // column types (hll_sketch_agg itself takes only int/long/string/
+    // binary), collision-negligible at estimation precision — with
+    // NULLs excluded (xxhash64(NULL) would fold them into the seed's
+    // hash and count a phantom value)
+    val ndvs =
+      if (!ndv.enabled) Nil
+      else eligibleFields(schema).zipWithIndex.map { case (f, i) =>
+        val c = col(quoted(f.name))
+        hll_sketch_agg(when(c.isNotNull, xxhash64(c)), ndv.lgk)
+          .as(s"__ndv_$i")
+      }
     // opt-in per-file Bloom filters ride the SAME pass: xxhash64 is
     // codegen'd, the filter state is a fixed word array per file
     val blooms = bloomFields(schema, bloom).map { case (f, i) =>
@@ -116,7 +154,7 @@ object FileStats {
         xxhash64(col(quoted(f.name))), bloom.bits, bloom.hashes)
         .as(s"__bloom_$i")
     }
-    stats ++ blooms
+    stats ++ ndvs ++ blooms
   }
 
   /** Bloom-indexed fields with their eligible-field ordinal. */
@@ -132,27 +170,45 @@ object FileStats {
     * [[aggColumns]], starting at `offset`) into the manifest map.
     */
   def fromRow(schema: StructType, row: org.apache.spark.sql.Row,
-      offset: Int, bloom: BloomSpec = BloomSpec.Off): Map[String, ColStats] = {
+      offset: Int, bloom: BloomSpec = BloomSpec.Off,
+      ndv: NdvSpec = NdvSpec.Default): Map[String, ColStats] = {
     def s(j: Int): Option[String] =
       if (row.isNullAt(j)) None else Some(row.getString(j))
-    // the bloom agg yields raw BINARY; encode here with the BASIC (un-
-    // chunked) codec — Spark's base64() SQL function MIME-chunks with
-    // line breaks, which is hostile inside a JSON manifest
+    // the bloom/ndv aggs yield raw BINARY; encode here with the BASIC
+    // (un-chunked) codec — Spark's base64() SQL function MIME-chunks
+    // with line breaks, which is hostile inside a JSON manifest
     def bin(j: Int): Option[String] =
       if (row.isNullAt(j)) None
       else Some(java.util.Base64.getEncoder
         .encodeToString(row.getAs[Array[Byte]](j)))
     val nStats = eligibleFields(schema).length
+    val nNdv = if (ndv.enabled) nStats else 0
     val bloomAt = bloomFields(schema, bloom).zipWithIndex.map {
-      case ((f, _), pos) => f.name -> (offset + nStats * 3 + pos)
+      case ((f, _), pos) => f.name -> (offset + nStats * 3 + nNdv + pos)
     }.toMap
     eligibleFields(schema).zipWithIndex.map { case (f, i) =>
       val b = offset + i * 3
       f.name -> ColStats(s(b), s(b + 1),
         if (row.isNullAt(b + 2)) 0L else row.getLong(b + 2),
-        bloomAt.get(f.name).flatMap(bin))
+        bloomAt.get(f.name).flatMap(bin),
+        if (ndv.enabled) bin(offset + nStats * 3 + i) else None)
     }.toMap
   }
+
+  /** Driver-side union of per-file NDV sketches → the distinct-value
+    * estimate over exactly those files. None when any kept file lacks
+    * a sketch for the column (a partial union would undercount).
+    */
+  def ndvEstimate(sketches: Seq[Option[String]]): Option[Long] =
+    if (sketches.isEmpty || sketches.exists(_.isEmpty)) None
+    else Try {
+      val u = new org.apache.datasketches.hll.Union()
+      sketches.flatten.foreach { b64 =>
+        u.update(org.apache.datasketches.hll.HllSketch.heapify(
+          java.util.Base64.getDecoder.decode(b64)))
+      }
+      math.max(1L, math.round(u.getEstimate))
+    }.toOption
 
   private def quoted(name: String): String =
     "`" + name.replace("`", "``") + "`"

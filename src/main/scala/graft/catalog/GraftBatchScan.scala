@@ -65,16 +65,28 @@ final class GraftBatchScan(
     s"GraftBatchScan(${table.root}" +
       spjKey.map(k => s", ${k.describe})").getOrElse(")")
 
-  // DPP seam (Iceberg's SparkBatchQueryScan shape): the partition
-  // SOURCE column is runtime-filterable — a selective join side's keys
-  // arrive as an IN filter after its stage materializes, and the
-  // re-prune drops whole buckets/partitions plus stats/Bloom-pruned
-  // files before any target byte is read
+  // DPP seam (Iceberg's SparkBatchQueryScan shape): a selective join
+  // side's keys arrive as an IN filter after its stage materializes,
+  // and the re-prune drops whole buckets/partitions plus
+  // stats/Bloom-pruned files before any target byte is read. Runtime-
+  // filterable columns are not just the partition source (VERDICT r14
+  // #5): the manifest carries min/max (+ opt-in Bloom) for EVERY
+  // stats-eligible column, so a join key that the table is merely
+  // range-clustered on prunes files too — [[SnapshotTable.prunedFiles]]
+  // evaluates any filter conservatively through [[StatsPruner]].
   private var runtimeFilters: Array[Filter] = Array.empty
 
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    snap.spec.toArray.map(ps => Expressions.column(ps.source))
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only columns in THIS scan's pruned projection: Spark resolves
+    // every listed reference against the scan output and throws on a
+    // projected-away column
+    val visible = required.fieldNames.toSet
+    (FileStats.eligibleFields(snap.schema).map(_.name)
+      .filter(visible.contains) ++
+      snap.spec.map(_.source).filter(visible.contains)).distinct
+      .map(Expressions.column).toArray
+  }
 
   override def filter(newFilters: Array[Filter]): Unit = {
     runtimeFilters = newFilters
@@ -132,12 +144,26 @@ final class GraftBatchScan(
       // without one costs a single filesystem stat
       lazy val fs = table.root.getFileSystem(
         table.session.sessionState.newHadoopConf())
+      // positional delete vectors covering a kept file ride its splits
+      // as (qualified dv path, length) refs — the TASK loads and ORs
+      // the tiny bitmaps and masks deleted row ordinals (native MoR,
+      // VERDICT r14 #2); lengths are stat'd once per distinct dv file
+      val dvLens = scala.collection.mutable.HashMap.empty[String, (String, Long)]
+      def dvRef(e: DataFileEntry): Option[GraftDvRef] = {
+        val dvs = table.dvsOf(snap, e)
+        if (dvs.isEmpty) None
+        else Some(GraftDvRef(e.path, dvs.map(d =>
+          dvLens.getOrElseUpdate(d.path, {
+            val p = new Path(table.root, d.path)
+            (fs.makeQualified(p).toString, fs.getFileStatus(p).getLen)
+          })).toArray))
+      }
       val sized = groups.map { case (key, entries) =>
         (key, entries.map { e =>
           val p = new Path(table.root, e.path)
           val len =
             if (e.bytes > 0) e.bytes else fs.getFileStatus(p).getLen
-          (fs.makeQualified(p).toString, len)
+          (fs.makeQualified(p).toString, len, dvRef(e))
         })
       }
       val totalBytes = sized.iterator.flatMap(_._2.iterator.map(_._2)).sum
@@ -146,10 +172,10 @@ final class GraftBatchScan(
         table.session, totalBytes, fileCount)
       val openCost = ParquetReadBridge.openCostInBytes(table.session)
       cachedParts = sized.flatMap { case (key, files) =>
-        val splits = files.flatMap { case (path, len) =>
-          if (len <= target) Seq(GraftSplit(path, 0L, len))
+        val splits = files.flatMap { case (path, len, dv) =>
+          if (len <= target) Seq(GraftSplit(path, 0L, len, dv))
           else (0L until len by target).map(off =>
-            GraftSplit(path, off, math.min(target, len - off)))
+            GraftSplit(path, off, math.min(target, len - off), dv))
         }.sortBy(-_.length)
         val bins = Array.newBuilder[InputPartition]
         val cur = scala.collection.mutable.ArrayBuffer.empty[GraftSplit]
@@ -172,28 +198,138 @@ final class GraftBatchScan(
 
   override def planInputPartitions(): Array[InputPartition] = parts
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // any delete vectors in the snapshot → ROW-based reads for the
+    // whole scan (Spark requires a uniform columnar answer, and masked
+    // reads ride the row-index column; columnar masking is the next
+    // step). Everything else — SPJ, manifest/runtime pruning, split
+    // planning, vectorized DECODE (rows come off the reused columnar
+    // batch) — stays native, which is the point: a steady-state MoR
+    // table no longer falls back to the V1 bridge.
+    val hasDvs = snap.dvFiles.nonEmpty
     GraftPartitionReaderFactory(
       ParquetReadBridge.readFunction(
         table.session, snap.schema, required, filters.toIndexedSeq),
-      ParquetReadBridge.columnarReadFunction(
-        table.session, snap.schema, required, filters.toIndexedSeq))
+      ParquetReadBridge.rowIndexReadFunction(
+        table.session, snap.schema, required, filters.toIndexedSeq),
+      if (hasDvs) None
+      else ParquetReadBridge.columnarReadFunction(
+        table.session, snap.schema, required, filters.toIndexedSeq),
+      ParquetReadBridge.readFunction(table.session,
+        SnapshotTable.DvSchema, SnapshotTable.DvSchema, Nil),
+      required)
+  }
 
 
+  /** Post-pruning statistics WITH per-column stats (VERDICT r14 #4):
+    * rows come from the manifest (minus delete-vector rows whose
+    * entries are fully contained in the kept set), and each required
+    * column reports nullCount (exact sum), min/max (typed fold of the
+    * per-file bounds — numeric/temporal only; CBO ignores string
+    * bounds and a truncated string bound would lie), and
+    * distinctCount (driver-side union of the kept files' HLL
+    * sketches, [[FileStats.ndvEstimate]]). Spark's
+    * `DataSourceV2Relation.transformV2Stats` lifts these into catalyst
+    * `ColumnStat`s, which is what CBO join reordering sizes
+    * multi-snapshot-table joins with. All metadata-only — no file is
+    * opened at any table size.
+    */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val rows = groups.map(_._2.map(_.rows).sum).sum
+    val kept = groups.flatMap(_._2)
+    val grossRows = kept.iterator.map(_.rows).sum
+    // dv entries record a TOTAL across covered files; subtract only
+    // vectors whose covered files are all kept (else overcount live
+    // rows — harmless, stats are estimates)
+    val keptPaths = kept.iterator.map(_.path).toSet
+    val dead = kept.iterator.flatMap(f => table.dvsOf(snap, f)).toSeq
+      .distinct.filter(_.dataPaths.forall(keptPaths.contains))
+      .map(_.rows).sum
+    val rows = math.max(0L, grossRows - dead)
     val width = math.max(1, required.defaultSize)
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    required.fields.foreach { f =>
+      val perFile = kept.map(_.stats.get(f.name))
+      if (perFile.nonEmpty && perFile.forall(_.isDefined)) {
+        val sts = perFile.flatten
+        val nulls = sts.iterator.map(_.nullCount).sum
+        val ndv = FileStats.ndvEstimate(sts.map(_.ndv))
+        val (mn, mx) = GraftBatchScan.foldTypedBounds(f.dataType, sts)
+        colStats.put(Expressions.column(f.name),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(nulls)
+            override def distinctCount(): java.util.OptionalLong =
+              ndv.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            override def min(): java.util.Optional[Object] =
+              mn.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def max(): java.util.Optional[Object] =
+              mx.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
+          })
+      }
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows * width)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 }
 
 object GraftBatchScan {
+
+  /** Fold per-file manifest bounds into table-level (min, max) as
+    * CATALYST-internal values (Int days for dates, Long micros for
+    * timestamps, `Decimal` for decimals) — the representation catalyst
+    * `ColumnStat` carries. Strings are skipped (CBO ignores string
+    * bounds, and a prefix-truncated min would lie); a file with no
+    * bound is all-NULL for the column and contributes nothing; an
+    * unparseable bound (NaN/Inf float renderings) drops the stat
+    * entirely — conservative, never wrong.
+    */
+  private[catalog] def foldTypedBounds(dt: DataType,
+      sts: Seq[ColStats]): (Option[Any], Option[Any]) = dt match {
+    case StringType | org.apache.spark.sql.types.BooleanType =>
+      (None, None)
+    case _ if !FileStats.eligible(dt) => (None, None)
+    case _ =>
+      def fold(isMin: Boolean): Option[Any] = {
+        val present = sts.flatMap(s => if (isMin) s.min else s.max)
+        if (present.isEmpty) return None
+        val parsed = present.map(SnapshotTable.parseBound(dt, _))
+        if (parsed.exists(_.isEmpty)) return None
+        val vs = parsed.flatten
+        toCatalyst(dt, vs.reduce((a, b) =>
+          if (SnapshotTable.boundLess(dt, a, b) == isMin) a else b))
+      }
+      (fold(isMin = true), fold(isMin = false))
+  }
+
+  private def toCatalyst(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (org.apache.spark.sql.types.ByteType, x: Long) => Some(x.toByte)
+    case (org.apache.spark.sql.types.ShortType, x: Long) => Some(x.toShort)
+    case (IntegerType, x: Long) => Some(x.toInt)
+    case (LongType | TimestampType, x: Long) => Some(x)
+    case (org.apache.spark.sql.types.FloatType, x: Float) => Some(x)
+    case (org.apache.spark.sql.types.DoubleType, x: Double) => Some(x)
+    case (_: org.apache.spark.sql.types.DecimalType, x: BigDecimal) =>
+      Some(org.apache.spark.sql.types.Decimal(x))
+    case (DateType, x: java.time.LocalDate) => Some(x.toEpochDay.toInt)
+    case (TimestampNTZType, x: java.time.LocalDateTime) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateTimeToMicros(x))
+    case _ => None
+  }
 
   /** Session kill-switch (default on): `spark.sql.graft.nativeBatchScan`. */
   def enabled(table: SnapshotTable): Boolean =
@@ -210,8 +346,11 @@ object GraftBatchScan {
     */
   def eligible(table: SnapshotTable, snap: Snapshot, analyzed: StructType,
       required: StructType): Option[Option[GraftSpjKey]] = {
+    // positional delete vectors no longer force the V1 fallback — the
+    // reader masks them natively (VERDICT r14 #2); EQUALITY deletes
+    // still do (their application is an anti-join, a plan-level shape)
     val nativeOk = enabled(table) &&
-      snap.dvFiles.isEmpty && snap.deleteFiles.isEmpty &&
+      snap.deleteFiles.isEmpty &&
       snap.files.nonEmpty &&
       snap.files.forall(f =>
         (f.cols.isEmpty || f.cols == snap.ids) &&
@@ -299,9 +438,19 @@ object GraftSpjKey {
 }
 
 /** One byte-range split of one parquet file (whole file when
-  * `start == 0 && length == file length`).
+  * `start == 0 && length == file length`); `dv` carries the file's
+  * positional-delete-vector refs when any cover it.
   */
-final case class GraftSplit(path: String, start: Long, length: Long)
+final case class GraftSplit(path: String, start: Long, length: Long,
+    dv: Option[GraftDvRef] = None)
+
+/** Delete-vector refs for one data file: `dataRel` is the file's
+  * MANIFEST-relative path (the key the dv parquet rows carry);
+  * `dvFiles` are (qualified path, byte length) of every covering
+  * vector parquet. KB-sized reads, loaded task-side so no bitmap ever
+  * sits on the driver.
+  */
+final case class GraftDvRef(dataRel: String, dvFiles: Array[(String, Long)])
 
 /** One task's splits; `partitionKey` is the partition value Spark
   * groups and aligns on (null row field = the null partition). Under
@@ -318,23 +467,52 @@ final case class GraftInputPartition(key: Option[Any],
 
 final case class GraftPartitionReaderFactory(
     readFile: PartitionedFile => Iterator[InternalRow],
+    readFileWithIndex: PartitionedFile => Iterator[InternalRow],
     readColumnar: Option[PartitionedFile =>
-      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]])
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]],
+    readDv: PartitionedFile => Iterator[InternalRow],
+    required: StructType)
     extends PartitionReaderFactory {
 
   /** Uniform per scan (Spark requires it): batches whenever the
     * projection is vectorizable — BatchScanExec then plans a COLUMNAR
     * scan and whole-stage codegen reads the vectors directly instead
-    * of row-at-a-time.
+    * of row-at-a-time. A scan with delete vectors passes
+    * `readColumnar = None` (masked reads are row-based).
     */
   override def supportColumnarReads(p: InputPartition): Boolean =
     readColumnar.isDefined
 
-  /** Chained per-file reader; record-reader cleanup rides the task
+  /** A dv-covered split: read with the row-index column, drop rows
+    * whose ordinal is set in the file's OR-ed vectors, project the
+    * ordinal back off (a reused wrapper, no per-row copy — the DSv2
+    * row contract allows reuse; buffering consumers copy).
+    */
+  private def masked(s: GraftSplit,
+      ref: GraftDvRef): Iterator[InternalRow] = {
+    val bm = new org.roaringbitmap.RoaringBitmap()
+    ref.dvFiles.foreach { case (p, len) =>
+      readDv(ParquetReadBridge.wholeFile(p, len)).foreach { r =>
+        if (r.getUTF8String(0).toString == ref.dataRel) {
+          val b = new org.roaringbitmap.RoaringBitmap()
+          b.deserialize(java.nio.ByteBuffer.wrap(r.getBinary(1).clone()))
+          bm.or(b)
+        }
+      }
+    }
+    val idxOrdinal = required.length
+    val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+      required, 0 until required.length)
+    readFileWithIndex(ParquetReadBridge.split(s.path, s.start, s.length))
+      .filter(r => !bm.contains((r.getLong(idxOrdinal) & 0xFFFFFFFFL).toInt))
+      .map { r => proj.project(r); proj }
+  }
+
+  /** Chained per-split reader; record-reader cleanup rides the task
     * completion listener the parquet bridge registers.
     */
   private def chain[T](p: InputPartition,
-      open: PartitionedFile => Iterator[T]): PartitionReader[T] = {
+      open: GraftSplit => Iterator[T]): PartitionReader[T] = {
     val gp = p.asInstanceOf[GraftInputPartition]
     new PartitionReader[T] {
       private val files = gp.splits.iterator
@@ -343,8 +521,7 @@ final case class GraftPartitionReaderFactory(
 
       override def next(): Boolean = {
         while (!current.hasNext && files.hasNext) {
-          val s = files.next()
-          current = open(ParquetReadBridge.split(s.path, s.start, s.length))
+          current = open(files.next())
         }
         if (current.hasNext) { value = current.next(); true } else false
       }
@@ -354,10 +531,19 @@ final case class GraftPartitionReaderFactory(
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    chain(p, readFile)
+    chain(p, s => s.dv match {
+      case None =>
+        readFile(ParquetReadBridge.split(s.path, s.start, s.length))
+      case Some(ref) => masked(s, ref)
+    })
 
   override def createColumnarReader(p: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    chain(p, readColumnar.getOrElse(sys.error(
-      "columnar reader requested but unsupported for this projection")))
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val open = readColumnar.getOrElse(sys.error(
+      "columnar reader requested but unsupported for this projection"))
+    chain(p, s => {
+      require(s.dv.isEmpty, "dv-covered split on the columnar path")
+      open(ParquetReadBridge.split(s.path, s.start, s.length))
+    })
+  }
 }

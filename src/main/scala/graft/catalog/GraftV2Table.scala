@@ -261,11 +261,31 @@ final class GraftV2Table(
       f.references.forall(schema.fieldNames.contains))
 
   /** The Iceberg `write.delete.mode` knob: `copy-on-write` (default —
-    * rewrite hit files) or `merge-on-read` (commit positional delete
-    * vectors; KB-sized commits, reads anti-join until compaction).
+    * rewrite hit files), `merge-on-read` (commit positional delete
+    * vectors; KB-sized commits, reads anti-join until compaction), or
+    * `equality` (VERDICT r14 #7): a KEY-predicate DELETE commits an
+    * Iceberg-v2 equality-delete file of the key tuples — O(keys)
+    * bytes with ZERO scan of the target at any table size (positional
+    * modes must at least open candidate files to find ordinals).
+    * Non-key predicates under `equality` degrade to positional
+    * vectors via [[SnapshotTable.deleteRouted]].
     */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireWritable("DELETE FROM")
+    if (table.publishedSnapshot().properties
+        .get("graft.delete.mode").contains("equality")) {
+      GraftV2Table.equalityDeleteKeys(schema, filters) match {
+        case Some((cols, tuples)) =>
+          val spark = table.session
+          val keySchema = org.apache.spark.sql.types.StructType(
+            cols.map(c => schema(c)))
+          val rows = new java.util.ArrayList[Row](tuples.size)
+          tuples.foreach(t => rows.add(Row.fromSeq(t)))
+          table.deleteByKeys(spark.createDataFrame(rows, keySchema), cols)
+          return
+        case None => () // not key-shaped: positional fallback below
+      }
+    }
     val cond = filters.toIndexedSeq
       .flatMap(f => GraftV2Table.filterToColumn(f))
       .reduceOption(_ && _)
@@ -343,6 +363,44 @@ object GraftV2Table {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.sources._
+
+  /** Key extraction for `graft.delete.mode=equality`: a DELETE whose
+    * conjuncts are single-column equalities / IN lists over DISTINCT
+    * top-level columns of simple types defines its deleted keys
+    * entirely in the predicate — the key set is the conjuncts' cross
+    * product, capped (10k tuples) to keep the delete file key-sized.
+    * Values must be the external JVM renderings `createDataFrame`
+    * accepts for the column's type (numerics/strings/booleans — ids,
+    * in practice); NULLs never match `=`/`IN`, so a null value defeats
+    * the shortcut rather than silently deleting the null key.
+    * None = not key-shaped, caller falls back to positional vectors.
+    */
+  private[catalog] def equalityDeleteKeys(schema: StructType,
+      filters: Array[Filter]): Option[(Seq[String], Seq[Seq[Any]])] = {
+    import org.apache.spark.sql.types._
+    def simple(c: String): Boolean =
+      schema.fields.find(_.name == c).map(_.dataType).exists {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | StringType | BooleanType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+    val parts: Seq[Option[(String, Seq[Any])]] = filters.toSeq.map {
+      case EqualTo(c, v) if v != null && simple(c) => Some((c, Seq(v)))
+      case In(c, vs) if vs.nonEmpty && !vs.contains(null) && simple(c) =>
+        Some((c, vs.toSeq))
+      case _ => None
+    }
+    if (parts.isEmpty || parts.exists(_.isEmpty)) return None
+    val byCol = parts.flatten
+    val cols = byCol.map(_._1)
+    if (cols.distinct.size != cols.size) return None
+    if (byCol.map(_._2.size.toLong).product > 10000L) return None
+    val tuples = byCol.foldLeft(Seq(Seq.empty[Any])) {
+      case (acc, (_, vs)) => acc.flatMap(t => vs.map(v => t :+ v))
+    }
+    Some((cols, tuples))
+  }
 
   /** `sources.Filter` → `Column`, the inverse of the pushdown
     * translation, for lowering v2 `deleteWhere` filters onto the

@@ -24,8 +24,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * every value in the file is NULL or the bound was dropped; pruning
   * treats a missing bound as ±∞.
   */
+/** `ndv` is a base64 HLL sketch of the column's distinct values in
+  * the file (see [[NdvSpec]]) — mergeable across files, so any file
+  * subset's distinct count is a driver-side union.
+  */
 final case class ColStats(min: Option[String], max: Option[String],
-    nullCount: Long, bloom: Option[String] = None)
+    nullCount: Long, bloom: Option[String] = None,
+    ndv: Option[String] = None)
 
 /** One immutable data file referenced by a snapshot. `path` is relative
   * to the table root (the table directory is relocatable as a unit);
@@ -596,7 +601,8 @@ object SnapshotLog {
           "min" -> (st.min.map(JString(_)).getOrElse(JNull): JValue),
           "max" -> (st.max.map(JString(_)).getOrElse(JNull): JValue),
           "nulls" -> (JLong(st.nullCount): JValue)) ++
-          st.bloom.map(b => "bloom" -> (JString(b): JValue)).toList): JValue)
+          st.bloom.map(b => "bloom" -> (JString(b): JValue)).toList ++
+          st.ndv.map(n => "ndv" -> (JString(n): JValue)).toList): JValue)
       }): JValue))
     val cols =
       if (f.cols.isEmpty) Nil
@@ -722,7 +728,7 @@ object SnapshotLog {
     val stats = (f \ "stats") match {
       case JObject(kvs) => kvs.map { case (c, st) =>
         c -> ColStats(jOptStr(st \ "min"), jOptStr(st \ "max"),
-          jLng(st \ "nulls"), jOptStr(st \ "bloom"))
+          jLng(st \ "nulls"), jOptStr(st \ "bloom"), jOptStr(st \ "ndv"))
       }.toMap
       case _ => Map.empty[String, ColStats]
     }

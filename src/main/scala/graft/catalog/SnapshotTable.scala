@@ -1404,7 +1404,7 @@ final class SnapshotTable private (
     * that list the file's manifest path (path-exact coverage; `seq`
     * guards pathological path reuse).
     */
-  private def dvsOf(owner: Snapshot, f: DataFileEntry): Seq[DvFileEntry] =
+  private[catalog] def dvsOf(owner: Snapshot, f: DataFileEntry): Seq[DvFileEntry] =
     owner.dvFiles.filter(d => d.seq > f.seq && d.dataPaths.contains(f.path))
 
   /** [[readResolved]] plus positional-delete-vector application: rows
@@ -1578,8 +1578,15 @@ final class SnapshotTable private (
   def deleteRouted(pred: Column): Snapshot =
     currentSnapshot().properties.get("graft.delete.mode") match {
       case Some("merge-on-read") => deleteWithVectors(pred)
+      // `equality` mode's key-predicate shortcut lives on the SQL path
+      // ([[GraftV2Table.deleteWhere]] → [[deleteByKeys]], O(keys)
+      // bytes, zero target scan); a predicate that is NOT key-shaped
+      // degrades to positional vectors — still merge-on-read, still no
+      // file rewrite
+      case Some("equality") => deleteWithVectors(pred)
       case Some(other) if other != "copy-on-write" => sys.error(
-        s"graft.delete.mode='$other' — use copy-on-write or merge-on-read")
+        s"graft.delete.mode='$other' — use copy-on-write, " +
+          "merge-on-read or equality")
       case _ => delete(pred)
     }
 
@@ -1968,16 +1975,18 @@ final class SnapshotTable private (
         "materializes the partition values into the files)")
     val srcSchema = df.schema
     SnapshotTable.requireDistinctNames(srcSchema)
-    val bloom = BloomSpec.fromProperties(currentSnapshot().properties)
+    val props0 = currentSnapshot().properties
+    val bloom = BloomSpec.fromProperties(props0)
+    val ndv = NdvSpec.fromProperties(props0)
     val aggs = Seq(count(lit(1)).as("__rows"),
       first(col("_metadata.file_size")).as("__bytes")) ++
-      FileStats.aggColumns(srcSchema, bloom)
+      FileStats.aggColumns(srcSchema, bloom, ndv)
     val entries = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
         val p = new Path(new java.net.URI(r.getString(0))).toUri.getPath
         DataFileEntry(p, None, r.getLong(1),
-          FileStats.fromRow(srcSchema, r, 3, bloom), seq = -1L,
+          FileStats.fromRow(srcSchema, r, 3, bloom, ndv), seq = -1L,
           bytes = r.getLong(2))
       }
     require(entries.nonEmpty, s"importParquet: no parquet files under $dir")
@@ -3444,12 +3453,13 @@ final class SnapshotTable private (
     }
     val statSchema = schema // PartCol excluded: it lives in the manifest
     val bloom = BloomSpec.fromProperties(props)
+    val ndv = NdvSpec.fromProperties(props)
     val aggs = Seq(count(lit(1)).as("__rows"),
       // byte size from the hidden file metadata: the manifest carries
       // it so planners never stat files (exact task sizing at any
       // file count, zero driver-side filesystem calls per query)
       first(col("_metadata.file_size")).as("__bytes")) ++
-      FileStats.aggColumns(statSchema, bloom)
+      FileStats.aggColumns(statSchema, bloom, ndv)
     // `onlyFiles` = the EXPLICIT list a delta write's commit messages
     // name: a retried or speculative task may leave complete-looking
     // orphan files in the same batch dir, and adopting them would
@@ -3474,7 +3484,7 @@ final class SnapshotTable private (
             decodePartitionValue(seg.substring(PartCol.length + 1))
         }.flatten
         DataFileEntry(s"$rel/$sub", partition, r.getLong(1),
-          FileStats.fromRow(statSchema, r, 3, bloom), seq = -1L,
+          FileStats.fromRow(statSchema, r, 3, bloom, ndv), seq = -1L,
           bytes = r.getLong(2))
       }
   }
@@ -3651,7 +3661,7 @@ object SnapshotTable {
     * when the rendering is not exactly invertible (non-finite floats,
     * malformed fixed-width NTZ shapes).
     */
-  private def parseBound(dt: DataType, b: String): Option[Any] = dt match {
+  private[catalog] def parseBound(dt: DataType, b: String): Option[Any] = dt match {
     case ByteType | ShortType | IntegerType | LongType =>
       scala.util.Try(BigDecimal(b).toLongExact).toOption
     case FloatType => scala.util.Try(b.toFloat).toOption
@@ -3674,7 +3684,7 @@ object SnapshotTable {
     * (UTF8String), matching Spark, parquet stats and DuckDB; never
     * Java's UTF-16 code-unit order.
     */
-  private def boundLess(dt: DataType, a: Any, b: Any): Boolean = (dt, a, b) match {
+  private[catalog] def boundLess(dt: DataType, a: Any, b: Any): Boolean = (dt, a, b) match {
     case (ByteType | ShortType | IntegerType | LongType | TimestampType,
         x: Long, y: Long) => x < y
     case (FloatType, x: Float, y: Float) => java.lang.Float.compare(x, y) < 0

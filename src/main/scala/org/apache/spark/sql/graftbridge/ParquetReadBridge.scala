@@ -71,6 +71,31 @@ object ParquetReadBridge {
     }
   }
 
+  /** [[readFunction]] with Spark's parquet ROW-INDEX column appended
+    * as the LAST field of every row: the reader recognizes the
+    * temporary column name and fills it with the row's ordinal within
+    * the WHOLE file, computed from row-group metadata — correct under
+    * byte-range splits and row-group skipping alike (the same
+    * machinery behind `_metadata.row_index`). This is the seam that
+    * lets a merge-on-read scan apply positional delete vectors
+    * NATIVELY: mask rows whose (file, ordinal) is deleted, project
+    * the ordinal back off.
+    */
+  def rowIndexReadFunction(spark: SparkSession, dataSchema: StructType,
+      requiredSchema: StructType, filters: Seq[Filter])
+      : PartitionedFile => Iterator[InternalRow] =
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = dataSchema,
+      partitionSchema = StructType(Nil),
+      requiredSchema = StructType(requiredSchema.fields :+
+        org.apache.spark.sql.types.StructField(
+          ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+          org.apache.spark.sql.types.LongType, nullable = true)),
+      filters = filters,
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConf())
+
   /** One whole-file split (graft data files are written single-split
     * sized by the table's target file size).
     */

@@ -519,4 +519,117 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DROP TABLE graft.stats.fact")
     sql("DROP NAMESPACE graft.stats")
   }
+
+  test("graft.delete.mode=equality: key-predicate DELETE commits delete-eq, no target scan") {
+    // VERDICT r14 #7: a key DELETE under equality mode writes an
+    // O(keys) equality-delete file — data files untouched, no scan —
+    // while a non-key predicate degrades to positional vectors.
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.eqd")
+    sql("DROP TABLE IF EXISTS graft.eqd.t")
+    sql("CREATE TABLE graft.eqd.t (id BIGINT, kind STRING, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.delete.mode'='equality')")
+    sql("INSERT INTO graft.eqd.t SELECT id, " +
+      "if(id % 2 = 0, 'a', 'b'), cast(id as double) FROM range(0, 100)")
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = SnapshotTable.load(spark, s"$warehouse/eqd/t")
+    val dataFiles = t.currentSnapshot().files.map(_.path).toSet
+
+    sql("DELETE FROM graft.eqd.t WHERE id IN (3, 5, 7)")
+    val s1 = t.currentSnapshot()
+    assert(s1.operation == "delete-eq",
+      s"IN-key delete must commit an equality delete, got ${s1.operation}")
+    assert(s1.deleteFiles.nonEmpty && s1.dvFiles.isEmpty)
+    assert(s1.files.map(_.path).toSet == dataFiles, "no data file rewritten")
+    assert(sql("SELECT count(*) FROM graft.eqd.t").as[Long].head == 97L)
+
+    // composite key tuple: (id=8 AND kind='a') deletes exactly one row
+    sql("DELETE FROM graft.eqd.t WHERE id = 8 AND kind = 'a'")
+    assert(t.currentSnapshot().operation == "delete-eq")
+    assert(sql("SELECT count(*) FROM graft.eqd.t").as[Long].head == 96L)
+    // a tuple that matches nothing deletes nothing
+    sql("DELETE FROM graft.eqd.t WHERE id = 10 AND kind = 'b'")
+    assert(sql("SELECT count(*) FROM graft.eqd.t").as[Long].head == 96L)
+
+    // sequence-number semantics: a re-append of a deleted key is a NEW
+    // row and stays visible
+    sql("INSERT INTO graft.eqd.t VALUES (3, 'a', 3.0)")
+    assert(sql("SELECT count(*) FROM graft.eqd.t WHERE id = 3")
+      .as[Long].head == 1L)
+
+    // a non-key predicate under equality mode degrades to positional
+    // vectors — merge-on-read either way, never a rewrite
+    sql("DELETE FROM graft.eqd.t WHERE v >= 90.0")
+    val s2 = t.currentSnapshot()
+    assert(s2.operation == "delete-pos" && s2.dvFiles.nonEmpty,
+      s"non-key predicate must take the positional path, got ${s2.operation}")
+    assert(sql("SELECT count(*) FROM graft.eqd.t").as[Long].head == 87L)
+    // the original data files all survive (the extra file is the
+    // re-appended key's)
+    assert(dataFiles.subsetOf(s2.files.map(_.path).toSet))
+    sql("DROP TABLE graft.eqd.t")
+    sql("DROP NAMESPACE graft.eqd")
+  }
+
+  test("column statistics flip a 3-table join reorder under CBO") {
+    // VERDICT r14 #4: manifests carry per-column min/max/nulls and an
+    // HLL ndv sketch; the native scan surfaces them through
+    // SupportsReportStatistics.columnStats, so CostBasedJoinReorder
+    // can size snapshot-table joins. big1⋈small is ~100 rows while
+    // big1⋈big2 is 200k — CBO must pull `small` forward.
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.cbo")
+    Seq("b1", "b2", "s").foreach(n =>
+      sql(s"DROP TABLE IF EXISTS graft.cbo.$n"))
+    sql("CREATE TABLE graft.cbo.b1 (k BIGINT, j BIGINT)")
+    sql("INSERT INTO graft.cbo.b1 SELECT id, id % 100000 FROM range(0, 200000)")
+    sql("CREATE TABLE graft.cbo.b2 (k BIGINT, w DOUBLE)")
+    sql("INSERT INTO graft.cbo.b2 SELECT id, cast(id as double) " +
+      "FROM range(0, 200000)")
+    sql("CREATE TABLE graft.cbo.s (j BIGINT, tag STRING)")
+    sql("INSERT INTO graft.cbo.s SELECT id, concat('t', cast(id as string)) " +
+      "FROM range(0, 50)")
+    // the manifest really carries a mergeable ndv sketch, and its
+    // union estimates the true distinct count within HLL lgk=8 error
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val b1 = SnapshotTable.load(spark, s"$warehouse/cbo/b1")
+    val jSketches = b1.currentSnapshot().files.map(_.stats("j").ndv)
+    assert(jSketches.nonEmpty && jSketches.forall(_.isDefined))
+    val est = graft.catalog.FileStats.ndvEstimate(jSketches).get
+    assert(math.abs(est - 100000L) < 15000L,
+      s"ndv union estimate should be ~100000, got $est")
+
+    val q = """SELECT b1.k, b2.w, s.tag
+              |FROM graft.cbo.b1 b1
+              |JOIN graft.cbo.b2 b2 ON b1.k = b2.k
+              |JOIN graft.cbo.s s ON b1.j = s.j""".stripMargin
+    def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+      val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally old.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    // a left-deep join tree prints its scans in join order: written
+    // order is (b1⋈b2)⋈s, so b2 appears before s
+    def scanOrder(): (Int, Int) = {
+      val plan = sql(q).queryExecution.optimizedPlan.toString
+      (plan.indexOf("cbo.b2"), plan.indexOf("cbo.s"))
+    }
+    withConf("spark.sql.cbo.enabled" -> "false") {
+      val (b2At, sAt) = scanOrder()
+      assert(b2At >= 0 && sAt >= 0 && b2At < sAt,
+        s"without CBO the written order stands: b2@$b2At s@$sAt")
+    }
+    withConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      val (b2At, sAt) = scanOrder()
+      assert(b2At >= 0 && sAt >= 0 && sAt < b2At,
+        s"CBO must join the selective small table first: b2@$b2At s@$sAt")
+      // and the reordered plan is still exact
+      assert(sql(q).count() == 100L)
+    }
+    Seq("b1", "b2", "s").foreach(n => sql(s"DROP TABLE graft.cbo.$n"))
+    sql("DROP NAMESPACE graft.cbo")
+  }
 }

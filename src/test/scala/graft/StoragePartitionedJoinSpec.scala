@@ -386,6 +386,52 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     Seq("sl", "sr").foreach(n => sql(s"DROP TABLE graft.spj.$n"))
   }
 
+  test("native DV masking composes with byte-range splits and keeps SPJ") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    // 1. a fat multi-row-group file, vector-deleted, read under small
+    // splits: row ordinals are file-global (row-index column), so each
+    // split masks exactly its own deleted rows
+    sql("DROP TABLE IF EXISTS graft.spj.mdv")
+    sql("CREATE TABLE graft.spj.mdv (id BIGINT, payload STRING)")
+    withConf("spark.hadoop.parquet.block.size" -> "16384") {
+      sql("INSERT INTO graft.spj.mdv SELECT id, repeat(uuid(), 4) " +
+        "FROM range(0, 20000, 1, 1)")
+    }
+    val t = SnapshotTable.load(spark, s"$warehouse/spj/mdv")
+    t.deleteWithVectors(org.apache.spark.sql.functions.col("id") % 7 === 0)
+    withConf(
+      "spark.sql.files.maxPartitionBytes" -> "65536",
+      "spark.sql.files.openCostInBytes" -> "0") {
+      val df = spark.table("graft.spj.mdv")
+      assert(finalPlan(df).contains("GraftBatchScan"))
+      assert(df.rdd.getNumPartitions > 1, "split fan-out with DVs")
+      val expect = (0L until 20000L).filterNot(_ % 7 == 0)
+      assert(df.count() == expect.size)
+      assert(df.agg(sum("id")).as[Long].head == expect.sum,
+        "each split must mask exactly its own ordinals — no loss, no " +
+          "double-mask")
+    }
+    // 2. a DV-covered bucket table still storage-partition-joins
+    makeBucketTable("morj", 8000)
+    SnapshotTable.load(spark, s"$warehouse/spj/morj")
+      .deleteWithVectors(org.apache.spark.sql.functions.col("id") < 1000)
+    makeBucketTable("morr", 8000, shift = 50)
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.join.preferSortMergeJoin" -> "true") {
+      val j = sql("""SELECT l.id FROM graft.spj.morj l
+                    |JOIN graft.spj.morr r ON l.id = r.id""".stripMargin)
+      val plan = finalPlan(j)
+      assert(plan.contains("GraftBatchScan"), plan.take(2000))
+      assert(!plan.contains("Exchange"),
+        s"a MoR bucket table must keep the zero-exchange join:\n${
+          plan.take(3000)}")
+      assert(j.count() == 7000L)
+    }
+    Seq("mdv", "morj", "morr").foreach(n => sql(s"DROP TABLE graft.spj.$n"))
+  }
+
   test("runtime filtering: a selective join side prunes fact partitions at execution") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
     sql("DROP TABLE IF EXISTS graft.spj.fact")
@@ -418,18 +464,91 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     sql("DROP TABLE graft.spj.fact")
   }
 
+  test("runtime filtering on a NON-partition column: range-clustered files skip at execution") {
+    // VERDICT r14 #5: filterAttributes exposes every stats-backed
+    // column, so a selective join on a column the table is merely
+    // range-clustered on (manifest min/max, no partition transform)
+    // still prunes files before any byte is read.
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
+    sql("DROP TABLE IF EXISTS graft.spj.rcf")
+    sql("CREATE TABLE graft.spj.rcf (id BIGINT, v DOUBLE)")
+    // 8 inserts -> 8+ files with DISJOINT id ranges (range-clustered)
+    (0 until 8).foreach(i => sql("INSERT INTO graft.spj.rcf " +
+      s"SELECT id, cast(id as double) FROM range(${i * 2000}, ${(i + 1) * 2000}, 1, 1)"))
+    val total = SnapshotTable.load(spark, s"$warehouse/spj/rcf")
+      .currentSnapshot().files.size
+    assert(total >= 8)
+    // parquet-backed dim (a LocalRelation would constant-fold and DPP
+    // would see no join): 40 ids, all inside two files' ranges
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("spj-rdim").resolve("d").toString
+    import spark.implicits._
+    (0L until 40L).map(i => (i + 4000L, "x")).toDF("id", "tag")
+      .coalesce(1).write.parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("spj_rdim")
+    val q = sql("""SELECT sum(f.v) AS s, count(*) AS n
+                  |FROM graft.spj.rcf f JOIN spj_rdim d ON f.id = d.id
+                  |WHERE d.tag = 'x'""".stripMargin)
+    val r = q.collect().head
+    assert(r.getLong(1) == 40L &&
+      r.getDouble(0) == (4000L until 4040L).map(_.toDouble).sum)
+    // the fact scan got the dynamic filter...
+    val plan = finalPlan(q)
+    assert(plan.contains("GraftBatchScan") &&
+      (plan.contains("dynamicpruning") || plan.contains("RuntimeFilters: [in(")),
+      s"fact scan must carry a runtime filter on id:\n${plan.take(3000)}")
+    // ...and the metric proves files were SKIPPED: only the one file
+    // whose [min,max] id range covers the 40 dim keys was read (the
+    // post-filter replan runs on an AQE thread, so the thread-local
+    // ScanEvents capture can't see it — the scan's numOutputRows can)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(s.plan)
+        case other => other.children.flatMap(allScans)
+      }) ++ (p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case _ => Seq.empty
+      })
+    val factRows = allScans(q.queryExecution.executedPlan)
+      .filter(_.toString.contains("rcf"))
+      .flatMap(_.metrics.get("numOutputRows").map(_.value))
+    assert(factRows.nonEmpty && factRows.sum == 2000L,
+      s"runtime IN filter on a non-partition column must open only the " +
+        s"covering file (2000 rows of ${total * 2000}), read $factRows")
+    sql("DROP TABLE graft.spj.rcf")
+  }
+
   test("fallback: delete vectors, evolution, and row-level scans revert to the V1 path") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
     makeBucketTable("f", 5000)
     val root = s"$warehouse/spj/f"
-    // 1. a MoR delete adds vectors -> native scan ineligible, values exact
+    // 1. a MoR delete adds vectors -> the scan stays NATIVE (VERDICT
+    // r14 #2: the reader masks deleted ordinals from the roaring
+    // vectors via the row-index column) and values stay exact
     val t = SnapshotTable.load(spark, root)
     t.deleteWithVectors(org.apache.spark.sql.functions.col("id") % 100 === 0)
     val df = spark.table("graft.spj.f")
     val plan = finalPlan(df)
-    assert(!plan.contains("GraftBatchScan"),
-      s"a DV table must fall back:\n${plan.take(2000)}")
+    assert(plan.contains("GraftBatchScan"),
+      s"a DV table must keep the native scan:\n${plan.take(2000)}")
     assert(df.count() == 4950)
+    assert(df.as[(Long, Double)].collect().map(_._1).toSet ==
+      (0L until 5000L).filterNot(_ % 100 == 0).toSet,
+      "native DV masking must drop exactly the deleted ordinals")
+    // a second vector generation over the SAME files ORs in
+    t.deleteWithVectors(org.apache.spark.sql.functions.col("id") % 100 === 1)
+    val df2 = spark.table("graft.spj.f")
+    assert(finalPlan(df2).contains("GraftBatchScan"))
+    assert(df2.count() == 4900)
+    // equality deletes still fall back (plan-level anti-join)
+    t.deleteByKeys(Seq(2L).toDF("id"), Seq("id"))
+    assert(!finalPlan(spark.table("graft.spj.f")).contains("GraftBatchScan"))
+    assert(spark.table("graft.spj.f").count() == 4899)
     // 2. schema evolution (new column) -> old files' ids differ from
     // the snapshot's -> fallback, typed nulls resolve
     makeBucketTable("g", 1000)

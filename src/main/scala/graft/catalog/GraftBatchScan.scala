@@ -199,22 +199,29 @@ final class GraftBatchScan(
   override def planInputPartitions(): Array[InputPartition] = parts
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // any delete vectors in the snapshot → ROW-based reads for the
-    // whole scan (Spark requires a uniform columnar answer, and masked
-    // reads ride the row-index column; columnar masking is the next
-    // step). Everything else — SPJ, manifest/runtime pruning, split
-    // planning, vectorized DECODE (rows come off the reused columnar
-    // batch) — stays native, which is the point: a steady-state MoR
-    // table no longer falls back to the V1 bridge.
+    // delete vectors no longer cost the columnar path either: a
+    // dv-covered split reads batches WITH the row-index column, and the
+    // reader re-exposes each batch through a [[SelectedColumnVector]]
+    // selection map of the surviving ordinals (zero copy; batches with
+    // no deleted row in range pass through untouched). Spark requires a
+    // UNIFORM columnar answer per scan, so columnar is claimed only
+    // when both the plain and the indexed batch readers exist; a
+    // non-vectorizable projection takes the row-masked path.
     val hasDvs = snap.dvFiles.nonEmpty
+    val colPlain = ParquetReadBridge.columnarReadFunction(
+      table.session, snap.schema, required, filters.toIndexedSeq)
+    val colIdx =
+      if (hasDvs) ParquetReadBridge.columnarRowIndexReadFunction(
+        table.session, snap.schema, required, filters.toIndexedSeq)
+      else None
+    val columnarOk = colPlain.isDefined && (!hasDvs || colIdx.isDefined)
     GraftPartitionReaderFactory(
       ParquetReadBridge.readFunction(
         table.session, snap.schema, required, filters.toIndexedSeq),
       ParquetReadBridge.rowIndexReadFunction(
         table.session, snap.schema, required, filters.toIndexedSeq),
-      if (hasDvs) None
-      else ParquetReadBridge.columnarReadFunction(
-        table.session, snap.schema, required, filters.toIndexedSeq),
+      if (columnarOk) colPlain else None,
+      if (columnarOk) colIdx else None,
       ParquetReadBridge.readFunction(table.session,
         SnapshotTable.DvSchema, SnapshotTable.DvSchema, Nil),
       required)
@@ -470,6 +477,8 @@ final case class GraftPartitionReaderFactory(
     readFileWithIndex: PartitionedFile => Iterator[InternalRow],
     readColumnar: Option[PartitionedFile =>
       Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]],
+    readColumnarWithIndex: Option[PartitionedFile =>
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]],
     readDv: PartitionedFile => Iterator[InternalRow],
     required: StructType)
     extends PartitionReaderFactory {
@@ -477,19 +486,16 @@ final case class GraftPartitionReaderFactory(
   /** Uniform per scan (Spark requires it): batches whenever the
     * projection is vectorizable — BatchScanExec then plans a COLUMNAR
     * scan and whole-stage codegen reads the vectors directly instead
-    * of row-at-a-time. A scan with delete vectors passes
-    * `readColumnar = None` (masked reads are row-based).
+    * of row-at-a-time. The scan passes `readColumnar = None` exactly
+    * when some split could not be served columnar.
     */
   override def supportColumnarReads(p: InputPartition): Boolean =
     readColumnar.isDefined
 
-  /** A dv-covered split: read with the row-index column, drop rows
-    * whose ordinal is set in the file's OR-ed vectors, project the
-    * ordinal back off (a reused wrapper, no per-row copy — the DSv2
-    * row contract allows reuse; buffering consumers copy).
+  /** The file's OR-ed delete vectors, loaded task-side (KB-sized
+    * parquet reads; nothing ever sits on the driver).
     */
-  private def masked(s: GraftSplit,
-      ref: GraftDvRef): Iterator[InternalRow] = {
+  private def loadBitmap(ref: GraftDvRef): org.roaringbitmap.RoaringBitmap = {
     val bm = new org.roaringbitmap.RoaringBitmap()
     ref.dvFiles.foreach { case (p, len) =>
       readDv(ParquetReadBridge.wholeFile(p, len)).foreach { r =>
@@ -500,12 +506,69 @@ final case class GraftPartitionReaderFactory(
         }
       }
     }
+    bm
+  }
+
+  /** A dv-covered split, ROW path: read with the row-index column,
+    * drop rows whose ordinal is set in the file's OR-ed vectors,
+    * project the ordinal back off (a reused wrapper, no per-row copy —
+    * the DSv2 row contract allows reuse; buffering consumers copy).
+    */
+  private def masked(s: GraftSplit,
+      ref: GraftDvRef): Iterator[InternalRow] = {
+    val bm = loadBitmap(ref)
     val idxOrdinal = required.length
     val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
       required, 0 until required.length)
     readFileWithIndex(ParquetReadBridge.split(s.path, s.start, s.length))
       .filter(r => !bm.contains((r.getLong(idxOrdinal) & 0xFFFFFFFFL).toInt))
       .map { r => proj.project(r); proj }
+  }
+
+  /** A dv-covered split, COLUMNAR path: per batch, compute the
+    * surviving-ordinal selection once (row indices within a batch are
+    * ascending, so a bitmap-range check skips clean batches in O(1))
+    * and re-expose the reader's own vectors through
+    * [[SelectedColumnVector]] — vectorized decode, zero value copies,
+    * whole-stage codegen unchanged.
+    */
+  private def maskedColumnar(s: GraftSplit, ref: GraftDvRef)
+      : Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val bm = loadBitmap(ref)
+    val open = readColumnarWithIndex.getOrElse(sys.error(
+      "columnar dv read requested without an indexed batch reader"))
+    open(ParquetReadBridge.split(s.path, s.start, s.length)).map { batch =>
+      val n = batch.numCols() - 1 // last column = generated row index
+      val rows = batch.numRows()
+      val idxVec = batch.column(n)
+      val cols = Array.tabulate[
+        org.apache.spark.sql.vectorized.ColumnVector](n)(batch.column)
+      val clean = rows == 0 || {
+        val first = idxVec.getLong(0)
+        val last = idxVec.getLong(rows - 1)
+        // nextValue returns the next set UNSIGNED value as a long,
+        // or -1 when none remains at or above `first`
+        val next = bm.nextValue((first & 0xFFFFFFFFL).toInt)
+        next < 0 || next > last
+      }
+      if (clean) {
+        new org.apache.spark.sql.vectorized.ColumnarBatch(cols, rows)
+      } else {
+        val sel = new Array[Int](rows)
+        var k = 0
+        var i = 0
+        while (i < rows) {
+          if (!bm.contains((idxVec.getLong(i) & 0xFFFFFFFFL).toInt)) {
+            sel(k) = i; k += 1
+          }
+          i += 1
+        }
+        val m = java.util.Arrays.copyOf(sel, k)
+        new org.apache.spark.sql.vectorized.ColumnarBatch(
+          cols.map(c => new SelectedColumnVector(c, m)
+            : org.apache.spark.sql.vectorized.ColumnVector), k)
+      }
+    }
   }
 
   /** Chained per-split reader; record-reader cleanup rides the task
@@ -541,9 +604,9 @@ final case class GraftPartitionReaderFactory(
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val open = readColumnar.getOrElse(sys.error(
       "columnar reader requested but unsupported for this projection"))
-    chain(p, s => {
-      require(s.dv.isEmpty, "dv-covered split on the columnar path")
-      open(ParquetReadBridge.split(s.path, s.start, s.length))
+    chain(p, s => s.dv match {
+      case None => open(ParquetReadBridge.split(s.path, s.start, s.length))
+      case Some(ref) => maskedColumnar(s, ref)
     })
   }
 }

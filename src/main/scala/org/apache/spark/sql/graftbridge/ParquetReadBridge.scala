@@ -81,6 +81,15 @@ object ParquetReadBridge {
     * NATIVELY: mask rows whose (file, ordinal) is deleted, project
     * the ordinal back off.
     */
+  /** The temporary row-index field the parquet reader recognizes and
+    * generates (nullable so the missing-in-file check passes; the
+    * generator overwrites the column with real ordinals).
+    */
+  private def rowIndexField: org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(
+      ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+      org.apache.spark.sql.types.LongType, nullable = true)
+
   def rowIndexReadFunction(spark: SparkSession, dataSchema: StructType,
       requiredSchema: StructType, filters: Seq[Filter])
       : PartitionedFile => Iterator[InternalRow] =
@@ -88,13 +97,21 @@ object ParquetReadBridge {
       sparkSession = spark,
       dataSchema = dataSchema,
       partitionSchema = StructType(Nil),
-      requiredSchema = StructType(requiredSchema.fields :+
-        org.apache.spark.sql.types.StructField(
-          ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
-          org.apache.spark.sql.types.LongType, nullable = true)),
+      requiredSchema = StructType(requiredSchema.fields :+ rowIndexField),
       filters = filters,
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       hadoopConf = spark.sessionState.newHadoopConf())
+
+  /** [[columnarReadFunction]] with the row-index column appended LAST
+    * in every batch — the columnar flavor of [[rowIndexReadFunction]],
+    * feeding the selection-masked merge-on-read batch reads.
+    */
+  def columnarRowIndexReadFunction(spark: SparkSession,
+      dataSchema: StructType, requiredSchema: StructType,
+      filters: Seq[Filter])
+      : Option[PartitionedFile => Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] =
+    columnarReadFunction(spark, dataSchema,
+      StructType(requiredSchema.fields :+ rowIndexField), filters)
 
   /** One whole-file split (graft data files are written single-split
     * sized by the table's target file size).

@@ -403,7 +403,13 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
       "spark.sql.files.maxPartitionBytes" -> "65536",
       "spark.sql.files.openCostInBytes" -> "0") {
       val df = spark.table("graft.spj.mdv")
-      assert(finalPlan(df).contains("GraftBatchScan"))
+      val mdvPlan = finalPlan(df)
+      assert(mdvPlan.contains("GraftBatchScan"))
+      // the masked read stays VECTORIZED: batches re-expose the
+      // reader's vectors through the selection map, so the plan keeps
+      // the columnar scan + ColumnarToRow shape
+      assert(mdvPlan.contains("ColumnarToRow"),
+        s"dv-masked scan must stay columnar:\n${mdvPlan.take(2000)}")
       assert(df.rdd.getNumPartitions > 1, "split fan-out with DVs")
       val expect = (0L until 20000L).filterNot(_ % 7 == 0)
       assert(df.count() == expect.size)

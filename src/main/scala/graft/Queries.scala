@@ -1854,6 +1854,8 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val eqDeleteTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dvNativeTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The literal key list `sql_delete_equality` deletes — shared
     * verbatim by the Spark DELETE and the DuckDB oracle's NOT IN.
@@ -3415,6 +3417,36 @@ object Queries {
              |  TRUE AS equality_delete
              |FROM events
              |WHERE event_id NOT IN ($EqDeleteKeyList)
+             |GROUP BY 1""".stripMargin)),
+
+    QueryDef("snap_read_dv_native",
+      // VERDICT r14 #2 acceptance: a steady-state merge-on-read table
+      // (positional delete vectors from a MoR DELETE) read through the
+      // CATALOG takes the NATIVE batch scan — split-planned, columnar,
+      // masking deleted ordinals via the row-index selection map — not
+      // the V1 row bridge. The flag pins the plan shape; the values
+      // pin the mask.
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, dvNativeTableCache, "dvnat",
+          extraProps = Map("graft.delete.mode" -> "merge-on-read")) { tbl =>
+          val ident = s"graft.db.snap_dvnat_h${math.abs(dir.hashCode)}"
+          s.sql(s"DELETE FROM $ident WHERE event_id % 13 = 0")
+          ()
+        }
+        val ident = s"graft.db.snap_dvnat_h${math.abs(dir.hashCode)}"
+        val df = s.table(ident)
+        val cur = tbl.currentSnapshot()
+        val plan = df.queryExecution.executedPlan.toString
+        val ok = cur.operation == "delete-pos" && cur.dvFiles.nonEmpty &&
+          plan.contains("GraftBatchScan") && plan.contains("ColumnarToRow")
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .withColumn("native_mor_read", lit(ok))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             |  TRUE AS native_mor_read
+             |FROM events WHERE event_id % 13 <> 0
              |GROUP BY 1""".stripMargin)),
 
     QueryDef("sql_update_native",

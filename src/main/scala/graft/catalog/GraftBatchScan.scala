@@ -32,8 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - bucket partition spec, and every file written under it
   *    (`seq >= specSince` — legacy-spec files' partition values mean
   *    something else);
-  *  - no positional delete vectors and no equality deletes (MoR
-  *    resolution lives on the DataFrame path);
+  *  - merge-on-read applies NATIVELY: positional delete vectors mask
+  *    row ordinals through the parquet row-index column, equality
+  *    deletes mask key tuples through task-side hash sets (both
+  *    selection-mapped on the columnar path) — only a delete file
+  *    whose key columns no longer resolve to hashable scalar columns
+  *    falls back;
   *  - every file's (name, field-id) pairs equal the snapshot's — no
   *    renamed/dropped/added columns pending, no nested remapping, no
   *    initial-defaults to synthesize (int→long / float→double widening
@@ -93,6 +97,28 @@ final class GraftBatchScan(
     cachedGroups = null
     cachedParts = null
   }
+
+  // ---- merge-on-read EQUALITY deletes, applied natively: the scan's
+  // read schema extends with every delete file's key columns (current
+  // names via the field-id indirection, so renames don't strand
+  // pending deletes), tasks load the KB-sized key files into hash
+  // sets, and rows whose key tuple is deleted — under Iceberg
+  // sequence-number scoping, enforced per FILE at planning — are
+  // masked out exactly like dv ordinals. With this, a table under
+  // `graft.delete.mode=equality` (or deleteByKeys / CDC retractions)
+  // keeps the native columnar scan instead of the V1 anti-join bridge.
+  private val currentById: Map[Int, String] =
+    snap.ids.map { case (n, id) => id -> n }.toMap
+  private val eqKeyCols: Seq[String] = snap.deleteFiles
+    .flatMap(_.cols.map { case (_, id) => currentById(id) }).distinct.sorted
+  private val extraKeys: Seq[String] =
+    eqKeyCols.filterNot(required.fieldNames.contains)
+  /** `required` plus the equality-key columns the mask needs but the
+    * projection dropped; the reader projects them back off.
+    */
+  private val extSchema: StructType = StructType(required.fields ++
+    extraKeys.map(n => snap.schema.fields.find(_.name == n).get))
+  private def extIndex(n: String): Int = extSchema.fieldNames.indexOf(n)
 
   // manifest-pruned files, grouped for SPJ by partition value (None =
   // the null partition) when a key is claimed, one task per file
@@ -158,12 +184,37 @@ final class GraftBatchScan(
             (fs.makeQualified(p).toString, fs.getFileStatus(p).getLen)
           })).toArray))
       }
+      // equality deletes applicable to a file (sequence-number scoping:
+      // strictly newer deletes only), grouped by ORDERED current key
+      // columns so files sharing a key shape share one hash set; the
+      // reader key is the delete file's manifest path (each has its own
+      // physical read schema — write-time names, current types)
+      val eqLens = scala.collection.mutable.HashMap.empty[String, (String, Long)]
+      def eqRef(e: DataFileEntry): Option[GraftEqRef] = {
+        val applicable = snap.deleteFiles.filter(_.seq > e.seq)
+        if (applicable.isEmpty) None
+        else Some(GraftEqRef(applicable
+          .groupBy(_.cols.map { case (_, id) => currentById(id) })
+          .toArray.sortBy(_._1.mkString(","))
+          .map { case (curNames, ds) =>
+            GraftEqGroup(
+              curNames.map(extIndex).toArray,
+              curNames.map(n => extSchema(extIndex(n)).dataType).toArray,
+              ds.map { d =>
+                val (qp, len) = eqLens.getOrElseUpdate(d.path, {
+                  val p = new Path(table.root, d.path)
+                  (fs.makeQualified(p).toString, fs.getFileStatus(p).getLen)
+                })
+                (qp, len, d.path)
+              }.toArray)
+          }))
+      }
       val sized = groups.map { case (key, entries) =>
         (key, entries.map { e =>
           val p = new Path(table.root, e.path)
           val len =
             if (e.bytes > 0) e.bytes else fs.getFileStatus(p).getLen
-          (fs.makeQualified(p).toString, len, dvRef(e))
+          (fs.makeQualified(p).toString, len, dvRef(e), eqRef(e))
         })
       }
       val totalBytes = sized.iterator.flatMap(_._2.iterator.map(_._2)).sum
@@ -172,10 +223,10 @@ final class GraftBatchScan(
         table.session, totalBytes, fileCount)
       val openCost = ParquetReadBridge.openCostInBytes(table.session)
       cachedParts = sized.flatMap { case (key, files) =>
-        val splits = files.flatMap { case (path, len, dv) =>
-          if (len <= target) Seq(GraftSplit(path, 0L, len, dv))
+        val splits = files.flatMap { case (path, len, dv, eq) =>
+          if (len <= target) Seq(GraftSplit(path, 0L, len, dv, eq))
           else (0L until len by target).map(off =>
-            GraftSplit(path, off, math.min(target, len - off), dv))
+            GraftSplit(path, off, math.min(target, len - off), dv, eq))
         }.sortBy(-_.length)
         val bins = Array.newBuilder[InputPartition]
         val cur = scala.collection.mutable.ArrayBuffer.empty[GraftSplit]
@@ -199,32 +250,54 @@ final class GraftBatchScan(
   override def planInputPartitions(): Array[InputPartition] = parts
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // delete vectors no longer cost the columnar path either: a
-    // dv-covered split reads batches WITH the row-index column, and the
-    // reader re-exposes each batch through a [[SelectedColumnVector]]
-    // selection map of the surviving ordinals (zero copy; batches with
-    // no deleted row in range pass through untouched). Spark requires a
-    // UNIFORM columnar answer per scan, so columnar is claimed only
-    // when both the plain and the indexed batch readers exist; a
-    // non-vectorizable projection takes the row-masked path.
+    // merge-on-read costs neither the native path nor the columnar
+    // path: a dv/eq-covered split reads batches over the EXTENDED
+    // schema (missing key columns appended, row-index column last when
+    // vectors exist), the task masks deleted rows — bitmap ordinals
+    // and/or key-set membership — and re-exposes the reader's own
+    // vectors through a [[SelectedColumnVector]] selection (zero copy;
+    // a batch with nothing deleted in range passes through untouched).
+    // Spark requires a UNIFORM columnar answer per scan, so columnar
+    // is claimed only when both the plain and extended batch readers
+    // vectorize; otherwise every split takes the row-masked path.
     val hasDvs = snap.dvFiles.nonEmpty
+    val hasEq = snap.deleteFiles.nonEmpty
+    val needExt = hasDvs || hasEq
+    val fseq = filters.toIndexedSeq
     val colPlain = ParquetReadBridge.columnarReadFunction(
-      table.session, snap.schema, required, filters.toIndexedSeq)
-    val colIdx =
-      if (hasDvs) ParquetReadBridge.columnarRowIndexReadFunction(
-        table.session, snap.schema, required, filters.toIndexedSeq)
-      else None
-    val columnarOk = colPlain.isDefined && (!hasDvs || colIdx.isDefined)
+      table.session, snap.schema, required, fseq)
+    val colExt =
+      if (!needExt) None
+      else if (hasDvs) ParquetReadBridge.columnarRowIndexReadFunction(
+        table.session, snap.schema, extSchema, fseq)
+      else ParquetReadBridge.columnarReadFunction(
+        table.session, snap.schema, extSchema, fseq)
+    val columnarOk = colPlain.isDefined && (!needExt || colExt.isDefined)
+    val readExt =
+      if (hasDvs) ParquetReadBridge.rowIndexReadFunction(
+        table.session, snap.schema, extSchema, fseq)
+      else ParquetReadBridge.readFunction(
+        table.session, snap.schema, extSchema, fseq)
+    // one physical reader per delete file (write-time names, current
+    // types — the parquet reader upcasts widened keys), keyed by its
+    // manifest path
+    val deleteReaders = snap.deleteFiles.map { d =>
+      val phys = StructType(d.cols.map { case (wn, id) =>
+        org.apache.spark.sql.types.StructField(wn,
+          snap.schema.fields.find(_.name == currentById(id)).get.dataType,
+          nullable = true) })
+      d.path -> ParquetReadBridge.readFunction(table.session, phys, phys, Nil)
+    }.toMap
     GraftPartitionReaderFactory(
       ParquetReadBridge.readFunction(
-        table.session, snap.schema, required, filters.toIndexedSeq),
-      ParquetReadBridge.rowIndexReadFunction(
-        table.session, snap.schema, required, filters.toIndexedSeq),
+        table.session, snap.schema, required, fseq),
+      readExt,
       if (columnarOk) colPlain else None,
-      if (columnarOk) colIdx else None,
+      if (columnarOk) colExt else None,
       ParquetReadBridge.readFunction(table.session,
         SnapshotTable.DvSchema, SnapshotTable.DvSchema, Nil),
-      required)
+      deleteReaders,
+      required, extSchema.length, hasDvs)
   }
 
 
@@ -342,6 +415,21 @@ object GraftBatchScan {
   def enabled(table: SnapshotTable): Boolean =
     table.session.conf.get("spark.sql.graft.nativeBatchScan", "true") == "true"
 
+  /** Key column types the native equality-delete mask can hash: scalar
+    * internal representations with value equality (binary = Java
+    * arrays, reference equality — excluded; nested types excluded).
+    */
+  private def eqMaskType(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType | IntegerType | LongType |
+         org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DoubleType | StringType |
+         org.apache.spark.sql.types.BooleanType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
+
   /** None = V1 fallback; Some(spjKey) = native, where spjKey is
     * defined only when the SPJ partitioning report is sound: a bucket
     * spec, or an identity spec over a long/int/string column (the
@@ -353,11 +441,20 @@ object GraftBatchScan {
     */
   def eligible(table: SnapshotTable, snap: Snapshot, analyzed: StructType,
       required: StructType): Option[Option[GraftSpjKey]] = {
-    // positional delete vectors no longer force the V1 fallback — the
-    // reader masks them natively (VERDICT r14 #2); EQUALITY deletes
-    // still do (their application is an anti-join, a plan-level shape)
+    // merge-on-read never forces the V1 fallback anymore: positional
+    // delete vectors mask by row ordinal (VERDICT r14 #2) and equality
+    // deletes by task-side key sets — PROVIDED every delete file's key
+    // columns still resolve (by field id) to live top-level columns of
+    // hashable scalar types; anything else (dropped key column, binary
+    // or nested keys) keeps the V1 anti-join path
+    val curById = snap.ids.map { case (n, id) => id -> n }.toMap
+    val eqOk = snap.deleteFiles.forall(_.cols.forall { case (_, id) =>
+      curById.get(id)
+        .flatMap(n => snap.schema.fields.find(_.name == n))
+        .map(_.dataType).exists(eqMaskType)
+    })
     val nativeOk = enabled(table) &&
-      snap.deleteFiles.isEmpty &&
+      eqOk &&
       snap.files.nonEmpty &&
       snap.files.forall(f =>
         (f.cols.isEmpty || f.cols == snap.ids) &&
@@ -446,10 +543,22 @@ object GraftSpjKey {
 
 /** One byte-range split of one parquet file (whole file when
   * `start == 0 && length == file length`); `dv` carries the file's
-  * positional-delete-vector refs when any cover it.
+  * positional-delete-vector refs when any cover it, `eq` its
+  * applicable equality-delete refs (sequence-scoped at planning).
   */
 final case class GraftSplit(path: String, start: Long, length: Long,
-    dv: Option[GraftDvRef] = None)
+    dv: Option[GraftDvRef] = None, eq: Option[GraftEqRef] = None)
+
+/** Equality deletes applicable to one data file, grouped by ORDERED
+  * key shape: `ordinals`/`types` locate the key columns in the scan's
+  * EXTENDED read schema; `files` are (qualified path, byte length,
+  * reader key) of the delete parquet files whose distinct tuples form
+  * the group's deleted-key set.
+  */
+final case class GraftEqGroup(ordinals: Array[Int], types: Array[DataType],
+    files: Array[(String, Long, String)])
+
+final case class GraftEqRef(groups: Array[GraftEqGroup])
 
 /** Delete-vector refs for one data file: `dataRel` is the file's
   * MANIFEST-relative path (the key the dv parquet rows carry);
@@ -474,13 +583,16 @@ final case class GraftInputPartition(key: Option[Any],
 
 final case class GraftPartitionReaderFactory(
     readFile: PartitionedFile => Iterator[InternalRow],
-    readFileWithIndex: PartitionedFile => Iterator[InternalRow],
+    readExt: PartitionedFile => Iterator[InternalRow],
     readColumnar: Option[PartitionedFile =>
       Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]],
-    readColumnarWithIndex: Option[PartitionedFile =>
+    readColumnarExt: Option[PartitionedFile =>
       Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]],
     readDv: PartitionedFile => Iterator[InternalRow],
-    required: StructType)
+    deleteReaders: Map[String, PartitionedFile => Iterator[InternalRow]],
+    required: StructType,
+    extLen: Int,
+    hasIdx: Boolean)
     extends PartitionReaderFactory {
 
   /** Uniform per scan (Spark requires it): batches whenever the
@@ -509,64 +621,114 @@ final case class GraftPartitionReaderFactory(
     bm
   }
 
-  /** A dv-covered split, ROW path: read with the row-index column,
-    * drop rows whose ordinal is set in the file's OR-ed vectors,
-    * project the ordinal back off (a reused wrapper, no per-row copy —
-    * the DSv2 row contract allows reuse; buffering consumers copy).
+  /** Deleted-key hash sets for a file's applicable equality deletes,
+    * loaded task-side — values are COPIED out of the readers' reused
+    * buffers before storage. One set per key shape.
     */
-  private def masked(s: GraftSplit,
-      ref: GraftDvRef): Iterator[InternalRow] = {
-    val bm = loadBitmap(ref)
-    val idxOrdinal = required.length
+  private def loadEqSets(ref: GraftEqRef)
+      : Array[(Array[Int], Array[DataType], java.util.HashSet[Any])] =
+    ref.groups.map { g =>
+      val set = new java.util.HashSet[Any]()
+      val loadOrds = Array.tabulate(g.ordinals.length)(identity)
+      g.files.foreach { case (p, len, key) =>
+        deleteReaders(key)(ParquetReadBridge.wholeFile(p, len)).foreach { r =>
+          val k = GraftPartitionReaderFactory.keyOf(r, loadOrds, g.types,
+            copy = true)
+          if (k != null) { set.add(k); () }
+        }
+      }
+      (g.ordinals, g.types, set)
+    }
+
+  private def eqHit(r: InternalRow,
+      sets: Array[(Array[Int], Array[DataType], java.util.HashSet[Any])])
+      : Boolean = {
+    var i = 0
+    while (i < sets.length) {
+      val (ords, tys, set) = sets(i)
+      val k = GraftPartitionReaderFactory.keyOf(r, ords, tys, copy = false)
+      if (k != null && set.contains(k)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** A dv/eq-covered split, ROW path: read the extended schema, drop
+    * rows whose ordinal is vector-deleted or whose key tuple is
+    * equality-deleted, project the extras back off (a reused wrapper,
+    * no per-row copy — the DSv2 row contract allows reuse; buffering
+    * consumers copy).
+    */
+  private def masked(s: GraftSplit): Iterator[InternalRow] = {
+    val bm = s.dv.map(loadBitmap)
+    val eqSets = s.eq.map(loadEqSets)
+      .getOrElse(Array.empty[(Array[Int], Array[DataType],
+        java.util.HashSet[Any])])
+    val idxOrdinal = extLen
     val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
       required, 0 until required.length)
-    readFileWithIndex(ParquetReadBridge.split(s.path, s.start, s.length))
-      .filter(r => !bm.contains((r.getLong(idxOrdinal) & 0xFFFFFFFFL).toInt))
+    readExt(ParquetReadBridge.split(s.path, s.start, s.length))
+      .filter(r =>
+        bm.forall(b =>
+          !b.contains((r.getLong(idxOrdinal) & 0xFFFFFFFFL).toInt)) &&
+        (eqSets.length == 0 || !eqHit(r, eqSets)))
       .map { r => proj.project(r); proj }
   }
 
-  /** A dv-covered split, COLUMNAR path: per batch, compute the
+  /** A dv/eq-covered split, COLUMNAR path: per batch, compute the
     * surviving-ordinal selection once (row indices within a batch are
-    * ascending, so a bitmap-range check skips clean batches in O(1))
-    * and re-expose the reader's own vectors through
+    * ascending, so a bitmap-range check skips vector-clean batches in
+    * O(1)) and re-expose the reader's own vectors through
     * [[SelectedColumnVector]] — vectorized decode, zero value copies,
     * whole-stage codegen unchanged.
     */
-  private def maskedColumnar(s: GraftSplit, ref: GraftDvRef)
+  private def maskedColumnar(s: GraftSplit)
       : Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val bm = loadBitmap(ref)
-    val open = readColumnarWithIndex.getOrElse(sys.error(
-      "columnar dv read requested without an indexed batch reader"))
+    val bm = s.dv.map(loadBitmap)
+    val eqSets = s.eq.map(loadEqSets)
+      .getOrElse(Array.empty[(Array[Int], Array[DataType],
+        java.util.HashSet[Any])])
+    val open = readColumnarExt.getOrElse(sys.error(
+      "columnar masked read requested without an extended batch reader"))
     open(ParquetReadBridge.split(s.path, s.start, s.length)).map { batch =>
-      val n = batch.numCols() - 1 // last column = generated row index
       val rows = batch.numRows()
-      val idxVec = batch.column(n)
-      val cols = Array.tabulate[
-        org.apache.spark.sql.vectorized.ColumnVector](n)(batch.column)
-      val clean = rows == 0 || {
-        val first = idxVec.getLong(0)
-        val last = idxVec.getLong(rows - 1)
-        // nextValue returns the next set UNSIGNED value as a long,
-        // or -1 when none remains at or above `first`
-        val next = bm.nextValue((first & 0xFFFFFFFFL).toInt)
-        next < 0 || next > last
+      val outCols = Array.tabulate[
+        org.apache.spark.sql.vectorized.ColumnVector](required.length)(
+        batch.column)
+      val dvClean = bm.forall { b =>
+        rows == 0 || {
+          val idxVec = batch.column(extLen)
+          val first = idxVec.getLong(0)
+          val last = idxVec.getLong(rows - 1)
+          // nextValue returns the next set UNSIGNED value as a long,
+          // or -1 when none remains at or above `first`
+          val next = b.nextValue((first & 0xFFFFFFFFL).toInt)
+          next < 0 || next > last
+        }
       }
-      if (clean) {
-        new org.apache.spark.sql.vectorized.ColumnarBatch(cols, rows)
+      if (dvClean && eqSets.length == 0) {
+        new org.apache.spark.sql.vectorized.ColumnarBatch(outCols, rows)
       } else {
+        val idxVec = if (hasIdx) batch.column(extLen) else null
         val sel = new Array[Int](rows)
         var k = 0
         var i = 0
         while (i < rows) {
-          if (!bm.contains((idxVec.getLong(i) & 0xFFFFFFFFL).toInt)) {
-            sel(k) = i; k += 1
-          }
+          val dvDead = !dvClean && bm.exists(b =>
+            b.contains((idxVec.getLong(i) & 0xFFFFFFFFL).toInt))
+          val eqDead = !dvDead && eqSets.length > 0 &&
+            eqHit(batch.getRow(i), eqSets)
+          if (!dvDead && !eqDead) { sel(k) = i; k += 1 }
           i += 1
         }
-        val m = java.util.Arrays.copyOf(sel, k)
-        new org.apache.spark.sql.vectorized.ColumnarBatch(
-          cols.map(c => new SelectedColumnVector(c, m)
-            : org.apache.spark.sql.vectorized.ColumnVector), k)
+        if (k == rows) {
+          new org.apache.spark.sql.vectorized.ColumnarBatch(outCols, rows)
+        } else {
+          val m = java.util.Arrays.copyOf(sel, k)
+          new org.apache.spark.sql.vectorized.ColumnarBatch(
+            outCols.map(c => new SelectedColumnVector(c, m)
+              : org.apache.spark.sql.vectorized.ColumnVector), k)
+        }
       }
     }
   }
@@ -594,19 +756,51 @@ final case class GraftPartitionReaderFactory(
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    chain(p, s => s.dv match {
-      case None =>
+    chain(p, s =>
+      if (s.dv.isEmpty && s.eq.isEmpty)
         readFile(ParquetReadBridge.split(s.path, s.start, s.length))
-      case Some(ref) => masked(s, ref)
-    })
+      else masked(s))
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val open = readColumnar.getOrElse(sys.error(
       "columnar reader requested but unsupported for this projection"))
-    chain(p, s => s.dv match {
-      case None => open(ParquetReadBridge.split(s.path, s.start, s.length))
-      case Some(ref) => maskedColumnar(s, ref)
-    })
+    chain(p, s =>
+      if (s.dv.isEmpty && s.eq.isEmpty)
+        open(ParquetReadBridge.split(s.path, s.start, s.length))
+      else maskedColumnar(s))
+  }
+}
+
+object GraftPartitionReaderFactory {
+
+  /** The row's key tuple under `ordinals`/`types`: null when any
+    * component is NULL (SQL `=` never matches NULL — the row survives,
+    * a null delete tuple deletes nothing); a single bare value for
+    * 1-column keys, a List for composites. `copy = true` detaches
+    * values from the reader's reused buffers before they go into a
+    * hash set (strings are the only buffer-backed maskable type).
+    */
+  private[catalog] def keyOf(r: InternalRow, ordinals: Array[Int],
+      types: Array[DataType], copy: Boolean): Any = {
+    def value(i: Int): Any = {
+      val v = r.get(ordinals(i), types(i))
+      v match {
+        case u: UTF8String if copy => UTF8String.fromString(u.toString)
+        case other => other
+      }
+    }
+    if (ordinals.length == 1) {
+      if (r.isNullAt(ordinals(0))) null else value(0)
+    } else {
+      var i = 0
+      val b = List.newBuilder[Any]
+      while (i < ordinals.length) {
+        if (r.isNullAt(ordinals(i))) return null
+        b += value(i)
+        i += 1
+      }
+      b.result()
+    }
   }
 }

@@ -551,10 +551,24 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     val df2 = spark.table("graft.spj.f")
     assert(finalPlan(df2).contains("GraftBatchScan"))
     assert(df2.count() == 4900)
-    // equality deletes still fall back (plan-level anti-join)
+    // equality deletes mask natively too (task-side key sets), and
+    // compose with the vectors already on the table
     t.deleteByKeys(Seq(2L).toDF("id"), Seq("id"))
-    assert(!finalPlan(spark.table("graft.spj.f")).contains("GraftBatchScan"))
+    val eqPlan = finalPlan(spark.table("graft.spj.f"))
+    assert(eqPlan.contains("GraftBatchScan"),
+      s"an equality-delete table must keep the native scan:\n${
+        eqPlan.take(2000)}")
+    assert(eqPlan.contains("ColumnarToRow"), "eq mask stays columnar")
     assert(spark.table("graft.spj.f").count() == 4899)
+    assert(spark.table("graft.spj.f").filter("id = 2").count() == 0)
+    // sequence scoping: a re-append of the deleted key is NEWER than
+    // the delete file and stays visible
+    t.append(Seq((2L, -2.0)).toDF("id", "v"))
+    assert(spark.table("graft.spj.f").filter("id = 2")
+      .as[(Long, Double)].collect().toSeq == Seq((2L, -2.0)))
+    // a projection that DROPS the key column still applies the delete
+    // (the reader extends the schema, masks, projects back off)
+    assert(spark.table("graft.spj.f").select("v").count() == 4900)
     // 2. schema evolution (new column) -> old files' ids differ from
     // the snapshot's -> fallback, typed nulls resolve
     makeBucketTable("g", 1000)

@@ -38,12 +38,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    selection-mapped on the columnar path) — only a delete file
   *    whose key columns no longer resolve to hashable scalar columns
   *    falls back;
-  *  - every file's (name, field-id) pairs equal the snapshot's — no
-  *    renamed/dropped/added columns pending, no nested remapping, no
-  *    initial-defaults to synthesize (int→long / float→double widening
-  *    is still fine: Spark's vectorized parquet reader upcasts);
-  *  - no metadata columns requested (row-level operations keep the
-  *    position-aware path);
+  *  - TOP-LEVEL schema drift (renamed/dropped/added/widened columns
+  *    pending in old files) reads natively through per-SHAPE physical
+  *    schemas resolved by field id — write-time names, current types
+  *    (the vectorized reader upcasts int→long / float→double), absent
+  *    columns null-filled by reserved name; only NESTED remapping and
+  *    initial-defaults still fall back;
+  *  - row-identity METADATA columns (`_graft_file`/`_graft_pos`, a
+  *    row-level operation's scan) are SYNTHESIZED natively: the
+  *    split's path as a constant, the parquet row-index column as the
+  *    position — DML target reads stay columnar;
   *  - the scan's analyzed schema equals the snapshot's (a
   *    concurrently-evolved table falls back to the V1 path, whose
   *    drift guard raises the proper error).
@@ -111,14 +115,82 @@ final class GraftBatchScan(
     snap.ids.map { case (n, id) => id -> n }.toMap
   private val eqKeyCols: Seq[String] = snap.deleteFiles
     .flatMap(_.cols.map { case (_, id) => currentById(id) }).distinct.sorted
+
+  // ---- row-identity METADATA columns, served natively: a row-level
+  // operation's scan requests `_graft_file`/`_graft_pos`, which are
+  // not parquet columns — the reader SYNTHESIZES them (the split's
+  // qualified path as a per-split constant; the parquet row-index
+  // column, file-absolute so correct under byte-range splits — the
+  // same generator behind `_metadata.row_index` and the dv masks).
+  // With this, DELETE/UPDATE/MERGE target scans keep the native
+  // columnar path instead of paying the V1 row bridge per row.
+  private val dataRequired: StructType = StructType(
+    required.fields.filterNot(f => GraftV2Table.MetaCols.contains(f.name)))
+  private val posRequested: Boolean =
+    required.fieldNames.contains(GraftV2Table.MetaPosCol)
+  private val metaRequested: Boolean = required.length != dataRequired.length
   private val extraKeys: Seq[String] =
-    eqKeyCols.filterNot(required.fieldNames.contains)
-  /** `required` plus the equality-key columns the mask needs but the
-    * projection dropped; the reader projects them back off.
+    eqKeyCols.filterNot(dataRequired.fieldNames.contains)
+  /** The PHYSICAL parquet projection: the data columns of `required`
+    * plus the equality-key columns the mask needs but the projection
+    * dropped; the reader projects extras off and metadata columns in.
     */
-  private val extSchema: StructType = StructType(required.fields ++
+  private val extSchema: StructType = StructType(dataRequired.fields ++
     extraKeys.map(n => snap.schema.fields.find(_.name == n).get))
   private def extIndex(n: String): Int = extSchema.fieldNames.indexOf(n)
+
+  // ---- schema-DRIFT file shapes, read natively: files written before
+  // a column add/rename/drop carry different (write-name, field-id)
+  // pairs than the snapshot, and previously forced the whole table
+  // onto the V1 bridge — the steady state of an EVOLVING table, this
+  // engine's headline feature. Files group by their effective pair
+  // list ("shape"); each shape gets its own physical read schema with
+  // the SAME positional layout as [[extSchema]] (one outMap serves
+  // every shape), names resolved to the shape's write-time names
+  // through the field ids. A column the file predates resolves to a
+  // reserved absent name that Spark's parquet reader null-fills (the
+  // stock schema-evolution machinery) — deliberately NOT the current
+  // name: a dropped-and-re-added column's file may still hold a dead
+  // physical column under that name, whose stale values must never
+  // surface.
+  private val idByName: Map[String, Int] = snap.ids.toMap
+  private val shapes: IndexedSeq[Seq[(String, Int)]] = {
+    val eff = snap.files.map(f => if (f.cols.isEmpty) snap.ids else f.cols)
+    (snap.ids +: eff.filterNot(_ == snap.ids)).distinct.toIndexedSeq
+  }
+  private val shapeIdx: Map[Seq[(String, Int)], Int] = shapes.zipWithIndex.toMap
+  private def shapeOf(e: DataFileEntry): Int =
+    shapeIdx(if (e.cols.isEmpty) snap.ids else e.cols)
+
+  /** Shape `k`'s physical read schema — positionally identical to
+    * [[extSchema]], per-shape write-time names, current (possibly
+    * widened) types; columns the shape predates get absent names.
+    */
+  private def shapeSchema(k: Int): StructType =
+    if (k == 0) extSchema
+    else {
+      val wnById = shapes(k).map { case (wn, id) => id -> wn }.toMap
+      StructType(extSchema.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(name = wnById.getOrElse(idByName(f.name),
+          s"__graft_absent_$i"), nullable = true)
+      })
+    }
+
+  /** Pushed filters usable for shape `k`: those whose referenced
+    * top-level columns keep their CURRENT name in the shape. A renamed
+    * or not-yet-added column's filter is dropped for that shape only —
+    * skip-only contract, Catalyst re-applies every filter above (and
+    * manifest pruning already translated it through the ids).
+    */
+  private def shapeFilters(k: Int, fs: Seq[Filter]): Seq[Filter] =
+    if (k == 0) fs
+    else {
+      val wnById = shapes(k).map { case (wn, id) => id -> wn }.toMap
+      fs.filter(_.references.forall { r =>
+        val top = r.takeWhile(_ != '.')
+        idByName.get(top).flatMap(wnById.get).contains(top)
+      })
+    }
 
   // manifest-pruned files, grouped for SPJ by partition value (None =
   // the null partition) when a key is claimed, one task per file
@@ -214,7 +286,7 @@ final class GraftBatchScan(
           val p = new Path(table.root, e.path)
           val len =
             if (e.bytes > 0) e.bytes else fs.getFileStatus(p).getLen
-          (fs.makeQualified(p).toString, len, dvRef(e), eqRef(e))
+          (fs.makeQualified(p).toString, len, dvRef(e), eqRef(e), shapeOf(e))
         })
       }
       val totalBytes = sized.iterator.flatMap(_._2.iterator.map(_._2)).sum
@@ -223,10 +295,10 @@ final class GraftBatchScan(
         table.session, totalBytes, fileCount)
       val openCost = ParquetReadBridge.openCostInBytes(table.session)
       cachedParts = sized.flatMap { case (key, files) =>
-        val splits = files.flatMap { case (path, len, dv, eq) =>
-          if (len <= target) Seq(GraftSplit(path, 0L, len, dv, eq))
+        val splits = files.flatMap { case (path, len, dv, eq, shape) =>
+          if (len <= target) Seq(GraftSplit(path, 0L, len, dv, eq, shape))
           else (0L until len by target).map(off =>
-            GraftSplit(path, off, math.min(target, len - off), dv, eq))
+            GraftSplit(path, off, math.min(target, len - off), dv, eq, shape))
         }.sortBy(-_.length)
         val bins = Array.newBuilder[InputPartition]
         val cur = scala.collection.mutable.ArrayBuffer.empty[GraftSplit]
@@ -262,22 +334,41 @@ final class GraftBatchScan(
     // vectorize; otherwise every split takes the row-masked path.
     val hasDvs = snap.dvFiles.nonEmpty
     val hasEq = snap.deleteFiles.nonEmpty
-    val needExt = hasDvs || hasEq
+    val needMask = hasDvs || hasEq
+    // the row-index column is decoded when vectors mask by ordinal OR
+    // the projection asks for the row's position metadata
+    val needIdx = hasDvs || posRequested
     val fseq = filters.toIndexedSeq
     val colPlain = ParquetReadBridge.columnarReadFunction(
-      table.session, snap.schema, required, fseq)
-    val colExt =
-      if (!needExt) None
-      else if (hasDvs) ParquetReadBridge.columnarRowIndexReadFunction(
-        table.session, snap.schema, extSchema, fseq)
-      else ParquetReadBridge.columnarReadFunction(
-        table.session, snap.schema, extSchema, fseq)
-    val columnarOk = colPlain.isDefined && (!needExt || colExt.isDefined)
-    val readExt =
-      if (hasDvs) ParquetReadBridge.rowIndexReadFunction(
-        table.session, snap.schema, extSchema, fseq)
-      else ParquetReadBridge.readFunction(
-        table.session, snap.schema, extSchema, fseq)
+      table.session, snap.schema, dataRequired, fseq)
+    // one (row, columnar) ext reader pair per file SHAPE — positional
+    // layouts are identical, only names and usable filters differ
+    val readExts: Array[PartitionedFile => Iterator[InternalRow]] =
+      Array.tabulate(shapes.length) { k =>
+        val ss = shapeSchema(k)
+        val sf = shapeFilters(k, fseq)
+        if (needIdx) ParquetReadBridge.rowIndexReadFunction(
+          table.session, ss, ss, sf)
+        else ParquetReadBridge.readFunction(table.session, ss, ss, sf)
+      }
+    val colExts: Array[Option[PartitionedFile =>
+        Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]]] =
+      Array.tabulate(shapes.length) { k =>
+        val ss = shapeSchema(k)
+        val sf = shapeFilters(k, fseq)
+        if (needIdx) ParquetReadBridge.columnarRowIndexReadFunction(
+          table.session, ss, ss, sf)
+        else ParquetReadBridge.columnarReadFunction(table.session, ss, ss, sf)
+      }
+    // the ext (masking/synthesizing/drift) path serves: any split with
+    // deletes, any metadata projection, and any non-current shape —
+    // Spark requires ONE columnar answer per scan, so columnar is
+    // claimed only when every reader that could run vectorizes
+    // (shapes share types, so the per-shape answers always agree)
+    val needExtPath = needMask || metaRequested || shapes.length > 1
+    val columnarOk =
+      if (metaRequested) colExts.forall(_.isDefined)
+      else colPlain.isDefined && (!needExtPath || colExts.forall(_.isDefined))
     // one physical reader per delete file (write-time names, current
     // types — the parquet reader upcasts widened keys), keyed by its
     // manifest path
@@ -288,16 +379,26 @@ final class GraftBatchScan(
           nullable = true) })
       d.path -> ParquetReadBridge.readFunction(table.session, phys, phys, Nil)
     }.toMap
+    // required ordinal → physical ext-schema ordinal, or a negative
+    // marker for a synthesized metadata column
+    val outMap = required.fields.map(_.name match {
+      case GraftV2Table.MetaPosCol => GraftPartitionReaderFactory.PosMeta
+      case GraftV2Table.MetaFileCol => GraftPartitionReaderFactory.FileMeta
+      case n => extIndex(n)
+    })
     GraftPartitionReaderFactory(
       ParquetReadBridge.readFunction(
-        table.session, snap.schema, required, fseq),
-      readExt,
+        table.session, snap.schema, dataRequired, fseq),
+      readExts,
       if (columnarOk) colPlain else None,
-      if (columnarOk) colExt else None,
+      if (columnarOk) colExts
+      else Array.fill[Option[PartitionedFile =>
+        Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]]](
+        shapes.length)(None),
       ParquetReadBridge.readFunction(table.session,
         SnapshotTable.DvSchema, SnapshotTable.DvSchema, Nil),
       deleteReaders,
-      required, extSchema.length, hasDvs)
+      required, extSchema.length, needIdx, outMap)
   }
 
 
@@ -331,7 +432,14 @@ final class GraftBatchScan(
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
     required.fields.foreach { f =>
-      val perFile = kept.map(_.stats.get(f.name))
+      // manifest stats key on WRITE-TIME names: translate the current
+      // name through each file's shape so evolved tables keep CBO stats
+      val perFile = kept.map { e =>
+        val eff = if (e.cols.isEmpty) snap.ids else e.cols
+        idByName.get(f.name).flatMap(id =>
+          eff.collectFirst { case (wn, i) if i == id => wn })
+          .flatMap(e.stats.get)
+      }
       if (perFile.nonEmpty && perFile.forall(_.isDefined)) {
         val sts = perFile.flatten
         val nulls = sts.iterator.map(_.nullCount).sum
@@ -456,10 +564,10 @@ object GraftBatchScan {
     val nativeOk = enabled(table) &&
       eqOk &&
       snap.files.nonEmpty &&
-      snap.files.forall(f =>
-        (f.cols.isEmpty || f.cols == snap.ids) &&
-        f.nested == snap.nestedIds) &&
-      required.fieldNames.forall(!GraftV2Table.MetaCols.contains(_)) &&
+      // top-level drift (add/rename/drop/widen) reads natively through
+      // per-shape schemas; NESTED remapping still falls back (struct
+      // field rebuild has no zero-copy columnar form)
+      snap.files.forall(_.nested == snap.nestedIds) &&
       snap.schema == analyzed &&
       snap.schema.fields.forall(f =>
         SnapshotTable.initialDefault(f).isEmpty)
@@ -547,7 +655,8 @@ object GraftSpjKey {
   * applicable equality-delete refs (sequence-scoped at planning).
   */
 final case class GraftSplit(path: String, start: Long, length: Long,
-    dv: Option[GraftDvRef] = None, eq: Option[GraftEqRef] = None)
+    dv: Option[GraftDvRef] = None, eq: Option[GraftEqRef] = None,
+    shape: Int = 0)
 
 /** Equality deletes applicable to one data file, grouped by ORDERED
   * key shape: `ordinals`/`types` locate the key columns in the scan's
@@ -583,26 +692,33 @@ final case class GraftInputPartition(key: Option[Any],
 
 final case class GraftPartitionReaderFactory(
     readFile: PartitionedFile => Iterator[InternalRow],
-    readExt: PartitionedFile => Iterator[InternalRow],
+    readExts: Array[PartitionedFile => Iterator[InternalRow]],
     readColumnar: Option[PartitionedFile =>
       Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]],
-    readColumnarExt: Option[PartitionedFile =>
-      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]],
+    readColumnarExts: Array[Option[PartitionedFile =>
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]]],
     readDv: PartitionedFile => Iterator[InternalRow],
     deleteReaders: Map[String, PartitionedFile => Iterator[InternalRow]],
     required: StructType,
-    extLen: Int,
-    hasIdx: Boolean)
+    physLen: Int,
+    needIdx: Boolean,
+    outMap: Array[Int])
     extends PartitionReaderFactory {
+
+  /** Any synthesized metadata column routes every split through the
+    * masked/synthesizing readers.
+    */
+  private def metaRequested: Boolean = outMap.exists(_ < 0)
 
   /** Uniform per scan (Spark requires it): batches whenever the
     * projection is vectorizable — BatchScanExec then plans a COLUMNAR
     * scan and whole-stage codegen reads the vectors directly instead
-    * of row-at-a-time. The scan passes `readColumnar = None` exactly
-    * when some split could not be served columnar.
+    * of row-at-a-time. The scan passes the columnar functions as
+    * `None` exactly when some split could not be served columnar.
     */
   override def supportColumnarReads(p: InputPartition): Boolean =
-    readColumnar.isDefined
+    if (metaRequested) readColumnarExts.forall(_.isDefined)
+    else readColumnar.isDefined
 
   /** The file's OR-ed delete vectors, loaded task-side (KB-sized
     * parquet reads; nothing ever sits on the driver).
@@ -653,26 +769,40 @@ final case class GraftPartitionReaderFactory(
     false
   }
 
-  /** A dv/eq-covered split, ROW path: read the extended schema, drop
-    * rows whose ordinal is vector-deleted or whose key tuple is
-    * equality-deleted, project the extras back off (a reused wrapper,
-    * no per-row copy — the DSv2 row contract allows reuse; buffering
-    * consumers copy).
+  /** A dv/eq-covered or metadata-requesting split, ROW path: read the
+    * extended schema, drop rows whose ordinal is vector-deleted or
+    * whose key tuple is equality-deleted, then project into the
+    * `required` shape — physical columns by ordinal, `_graft_pos` from
+    * the row-index column, `_graft_file` from a per-split constant
+    * joined on the right (a reused wrapper, no per-row copy — the DSv2
+    * row contract allows reuse; buffering consumers copy).
     */
   private def masked(s: GraftSplit): Iterator[InternalRow] = {
     val bm = s.dv.map(loadBitmap)
     val eqSets = s.eq.map(loadEqSets)
       .getOrElse(Array.empty[(Array[Int], Array[DataType],
         java.util.HashSet[Any])])
-    val idxOrdinal = extLen
+    val idxOrdinal = physLen
+    val extWidth = physLen + (if (needIdx) 1 else 0)
+    val ordinals: IndexedSeq[Int] = outMap.toIndexedSeq.map {
+      case GraftPartitionReaderFactory.PosMeta => idxOrdinal
+      case GraftPartitionReaderFactory.FileMeta => extWidth
+      case o => o
+    }
     val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
-      required, 0 until required.length)
-    readExt(ParquetReadBridge.split(s.path, s.start, s.length))
+      required, ordinals)
+    val needsFile = outMap.contains(GraftPartitionReaderFactory.FileMeta)
+    val fileRow = new GenericInternalRow(
+      Array[Any](UTF8String.fromString(s.path)))
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+    readExts(s.shape)(ParquetReadBridge.split(s.path, s.start, s.length))
       .filter(r =>
         bm.forall(b =>
           !b.contains((r.getLong(idxOrdinal) & 0xFFFFFFFFL).toInt)) &&
         (eqSets.length == 0 || !eqHit(r, eqSets)))
-      .map { r => proj.project(r); proj }
+      .map { r =>
+        proj.project(if (needsFile) joined(r, fileRow) else r); proj
+      }
   }
 
   /** A dv/eq-covered split, COLUMNAR path: per batch, compute the
@@ -688,16 +818,27 @@ final case class GraftPartitionReaderFactory(
     val eqSets = s.eq.map(loadEqSets)
       .getOrElse(Array.empty[(Array[Int], Array[DataType],
         java.util.HashSet[Any])])
-    val open = readColumnarExt.getOrElse(sys.error(
+    val open = readColumnarExts(s.shape).getOrElse(sys.error(
       "columnar masked read requested without an extended batch reader"))
     open(ParquetReadBridge.split(s.path, s.start, s.length)).map { batch =>
       val rows = batch.numRows()
+      // physical columns by ordinal; `_graft_pos` IS the row-index
+      // vector; `_graft_file` is a constant vector of the split path
       val outCols = Array.tabulate[
-        org.apache.spark.sql.vectorized.ColumnVector](required.length)(
-        batch.column)
+        org.apache.spark.sql.vectorized.ColumnVector](required.length) { i =>
+        outMap(i) match {
+          case GraftPartitionReaderFactory.PosMeta => batch.column(physLen)
+          case GraftPartitionReaderFactory.FileMeta =>
+            val cv = new org.apache.spark.sql.execution.vectorized
+              .ConstantColumnVector(rows, StringType)
+            cv.setUtf8String(UTF8String.fromString(s.path))
+            cv
+          case o => batch.column(o)
+        }
+      }
       val dvClean = bm.forall { b =>
         rows == 0 || {
-          val idxVec = batch.column(extLen)
+          val idxVec = batch.column(physLen)
           val first = idxVec.getLong(0)
           val last = idxVec.getLong(rows - 1)
           // nextValue returns the next set UNSIGNED value as a long,
@@ -709,7 +850,7 @@ final case class GraftPartitionReaderFactory(
       if (dvClean && eqSets.length == 0) {
         new org.apache.spark.sql.vectorized.ColumnarBatch(outCols, rows)
       } else {
-        val idxVec = if (hasIdx) batch.column(extLen) else null
+        val idxVec = if (needIdx) batch.column(physLen) else null
         val sel = new Array[Int](rows)
         var k = 0
         var i = 0
@@ -755,24 +896,36 @@ final case class GraftPartitionReaderFactory(
     }
   }
 
+  /** The direct (non-synthesizing) read serves only current-shape
+    * splits with nothing to mask and no metadata to synthesize.
+    */
+  private def fastPath(s: GraftSplit): Boolean =
+    s.shape == 0 && s.dv.isEmpty && s.eq.isEmpty && !metaRequested
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     chain(p, s =>
-      if (s.dv.isEmpty && s.eq.isEmpty)
+      if (fastPath(s))
         readFile(ParquetReadBridge.split(s.path, s.start, s.length))
       else masked(s))
 
   override def createColumnarReader(p: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val open = readColumnar.getOrElse(sys.error(
-      "columnar reader requested but unsupported for this projection"))
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     chain(p, s =>
-      if (s.dv.isEmpty && s.eq.isEmpty)
-        open(ParquetReadBridge.split(s.path, s.start, s.length))
+      if (fastPath(s))
+        readColumnar.getOrElse(sys.error(
+          "columnar reader requested but unsupported for this projection"))(
+          ParquetReadBridge.split(s.path, s.start, s.length))
       else maskedColumnar(s))
-  }
 }
 
 object GraftPartitionReaderFactory {
+
+  /** `outMap` markers for synthesized row-identity metadata columns:
+    * `PosMeta` = the parquet row-index column (file-absolute ordinal),
+    * `FileMeta` = the split's qualified file path as a constant.
+    */
+  private[catalog] final val PosMeta = -1
+  private[catalog] final val FileMeta = -2
 
   /** The row's key tuple under `ordinals`/`types`: null when any
     * component is NULL (SQL `=` never matches NULL — the row survives,

@@ -10,10 +10,11 @@ import graft.catalog.SnapshotTable
   * a bucket-partitioned snapshot table reports
   * `KeyGroupedPartitioning(bucket(n, col))`, so two co-bucketed tables
   * join with NO exchange on either side — the 100 TB co-location story
-  * the round-13 FunctionCatalog seam was built for. Also pins the
-  * fallback contract: any read-time resolution work (delete vectors,
-  * schema evolution, metadata columns) silently reverts to the V1
-  * bridge with identical results.
+  * the round-13 FunctionCatalog seam was built for. Also pins that
+  * read-time resolution work (delete vectors, equality deletes,
+  * schema evolution, row-identity metadata columns) stays on the
+  * native scan with identical results — as of r15 only nested
+  * remapping and initial-defaults revert to the V1 bridge.
   */
 class StoragePartitionedJoinSpec extends AnyFunSuite {
 
@@ -529,7 +530,7 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     sql("DROP TABLE graft.spj.rcf")
   }
 
-  test("fallback: delete vectors, evolution, and row-level scans revert to the V1 path") {
+  test("MoR deletes, evolution, and row-level scans all stay native") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.spj")
     makeBucketTable("f", 5000)
     val root = s"$warehouse/spj/f"
@@ -570,18 +571,22 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     // (the reader extends the schema, masks, projects back off)
     assert(spark.table("graft.spj.f").select("v").count() == 4900)
     // 2. schema evolution (new column) -> old files' ids differ from
-    // the snapshot's -> fallback, typed nulls resolve
+    // the snapshot's -> the scan stays NATIVE through per-shape read
+    // schemas (r15), typed nulls resolve
     makeBucketTable("g", 1000)
     val g = SnapshotTable.load(spark, s"$warehouse/spj/g")
     g.append(spark.range(1000, 1100).selectExpr("id",
       "cast(id as double) as v",
       "if(id >= 0, concat('t', cast(id as string)), null) as tag"))
     val dg = spark.table("graft.spj.g")
-    assert(!finalPlan(dg).contains("GraftBatchScan"))
+    assert(finalPlan(dg).contains("GraftBatchScan"),
+      s"an evolved table must keep the native scan:\n${
+        finalPlan(dg).take(2000)}")
     assert(dg.count() == 1100)
     assert(dg.filter("tag IS NULL").count() == 1000)
-    // 3. a native UPDATE (metadata-column scan) works over a bucket
-    // table: the row-level read path must not take the batch scan
+    // 3. a native UPDATE (metadata-column scan) over a bucket table:
+    // the row-level read synthesizes (file, pos) on the batch scan
+    // (r15) and the positions commit exact vectors
     makeBucketTable("h", 1000)
     sql("UPDATE graft.spj.h SET v = v + 0.5 WHERE id % 10 = 0")
     assert(sql("SELECT v FROM graft.spj.h WHERE id = 20").as[Double]

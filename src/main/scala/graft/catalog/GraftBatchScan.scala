@@ -42,8 +42,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    pending in old files) reads natively through per-SHAPE physical
   *    schemas resolved by field id — write-time names, current types
   *    (the vectorized reader upcasts int→long / float→double), absent
-  *    columns null-filled by reserved name; only NESTED remapping and
-  *    initial-defaults still fall back;
+  *    columns null-filled by reserved name or substituted with their
+  *    initial-default constant; only NESTED remapping still falls
+  *    back;
   *  - row-identity METADATA columns (`_graft_file`/`_graft_pos`, a
   *    row-level operation's scan) are SYNTHESIZED natively: the
   *    split's path as a constant, the parquet row-index column as the
@@ -174,6 +175,39 @@ final class GraftBatchScan(
         f.copy(name = wnById.getOrElse(idByName(f.name),
           s"__graft_absent_$i"), nullable = true)
       })
+    }
+
+  /** Catalyst-internal initial-default of a field, when recorded —
+    * evaluated once driver-side with the SAME `lit(s).cast(dt)`
+    * semantics the V1 path projects ([[SnapshotTable.initialDefault]];
+    * the recorded types are restricted to atomic round-trippable ones
+    * by `renderDefault`, all of which have constant-vector setters).
+    */
+  private def defaultValueOf(
+      f: org.apache.spark.sql.types.StructField): Option[Any] =
+    if (!f.metadata.contains(SnapshotTable.InitialDefaultKey)) None
+    else Some(org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        UTF8String.fromString(
+          f.metadata.getString(SnapshotTable.InitialDefaultKey)),
+        StringType),
+      f.dataType,
+      Some(SnapshotTable.sessionZone(table.session)))
+      .eval(InternalRow.empty))
+
+  /** Shape `k`'s defaulted absent columns as (ext ordinal, type,
+    * internal value): a file that predates an initial-defaulted column
+    * surfaces the DEFAULT for every row (Iceberg v3), substituted by
+    * the reader as a constant — not the reader's null fill.
+    */
+  private def shapeDefaults(k: Int): Array[(Int, DataType, Any)] =
+    if (k == 0) Array.empty
+    else {
+      val ids = shapes(k).map(_._2).toSet
+      extSchema.fields.zipWithIndex.flatMap { case (f, i) =>
+        if (ids.contains(idByName(f.name))) None
+        else defaultValueOf(f).map(v => (i, f.dataType, v))
+      }
     }
 
   /** Pushed filters usable for shape `k`: those whose referenced
@@ -398,7 +432,8 @@ final class GraftBatchScan(
       ParquetReadBridge.readFunction(table.session,
         SnapshotTable.DvSchema, SnapshotTable.DvSchema, Nil),
       deleteReaders,
-      required, extSchema.length, needIdx, outMap)
+      required, extSchema.length, needIdx, outMap,
+      Array.tabulate(shapes.length)(shapeDefaults))
   }
 
 
@@ -559,18 +594,25 @@ object GraftBatchScan {
     val eqOk = snap.deleteFiles.forall(_.cols.forall { case (_, id) =>
       curById.get(id)
         .flatMap(n => snap.schema.fields.find(_.name == n))
-        .map(_.dataType).exists(eqMaskType)
+        .map(_.dataType).exists(eqMaskType) &&
+      // a delete key with an initial default would have to MATCH the
+      // default in files predating the column (the V1 anti-join sees
+      // the projected default); the native key sets read physical
+      // values only — keep the V1 path for that corner
+      curById.get(id)
+        .flatMap(n => snap.schema.fields.find(_.name == n))
+        .forall(f => SnapshotTable.initialDefault(f).isEmpty)
     })
     val nativeOk = enabled(table) &&
       eqOk &&
       snap.files.nonEmpty &&
       // top-level drift (add/rename/drop/widen) reads natively through
-      // per-shape schemas; NESTED remapping still falls back (struct
-      // field rebuild has no zero-copy columnar form)
+      // per-shape schemas — initial-defaulted columns substitute
+      // constant vectors in shapes that predate them; NESTED remapping
+      // still falls back (struct field rebuild has no zero-copy
+      // columnar form)
       snap.files.forall(_.nested == snap.nestedIds) &&
-      snap.schema == analyzed &&
-      snap.schema.fields.forall(f =>
-        SnapshotTable.initialDefault(f).isEmpty)
+      snap.schema == analyzed
     if (!nativeOk) None
     else Some(snap.spec.filter(_ =>
       snap.files.forall(_.seq >= snap.specSince)).flatMap {
@@ -702,7 +744,8 @@ final case class GraftPartitionReaderFactory(
     required: StructType,
     physLen: Int,
     needIdx: Boolean,
-    outMap: Array[Int])
+    outMap: Array[Int],
+    shapeDefaults: Array[Array[(Int, DataType, Any)]])
     extends PartitionReaderFactory {
 
   /** Any synthesized metadata column routes every split through the
@@ -784,16 +827,22 @@ final case class GraftPartitionReaderFactory(
         java.util.HashSet[Any])])
     val idxOrdinal = physLen
     val extWidth = physLen + (if (needIdx) 1 else 0)
+    // per-shape defaulted absent columns redirect to slots of the
+    // constant right-side row (after the file path at slot 0)
+    val defs = shapeDefaults(s.shape)
+    val defSlot = defs.iterator.zipWithIndex
+      .map { case ((o, _, _), j) => o -> (extWidth + 1 + j) }.toMap
     val ordinals: IndexedSeq[Int] = outMap.toIndexedSeq.map {
       case GraftPartitionReaderFactory.PosMeta => idxOrdinal
       case GraftPartitionReaderFactory.FileMeta => extWidth
-      case o => o
+      case o => defSlot.getOrElse(o, o)
     }
     val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
       required, ordinals)
-    val needsFile = outMap.contains(GraftPartitionReaderFactory.FileMeta)
-    val fileRow = new GenericInternalRow(
-      Array[Any](UTF8String.fromString(s.path)))
+    val needsConst =
+      outMap.contains(GraftPartitionReaderFactory.FileMeta) || defs.nonEmpty
+    val constRow = new GenericInternalRow(
+      Array[Any](UTF8String.fromString(s.path)) ++ defs.map(_._3))
     val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
     readExts(s.shape)(ParquetReadBridge.split(s.path, s.start, s.length))
       .filter(r =>
@@ -801,7 +850,7 @@ final case class GraftPartitionReaderFactory(
           !b.contains((r.getLong(idxOrdinal) & 0xFFFFFFFFL).toInt)) &&
         (eqSets.length == 0 || !eqHit(r, eqSets)))
       .map { r =>
-        proj.project(if (needsFile) joined(r, fileRow) else r); proj
+        proj.project(if (needsConst) joined(r, constRow) else r); proj
       }
   }
 
@@ -823,17 +872,20 @@ final case class GraftPartitionReaderFactory(
     open(ParquetReadBridge.split(s.path, s.start, s.length)).map { batch =>
       val rows = batch.numRows()
       // physical columns by ordinal; `_graft_pos` IS the row-index
-      // vector; `_graft_file` is a constant vector of the split path
+      // vector; `_graft_file` is a constant vector of the split path;
+      // a shape's defaulted absent columns substitute constant vectors
+      // of the default value (the reader null-filled them)
+      val defs = shapeDefaults(s.shape)
       val outCols = Array.tabulate[
         org.apache.spark.sql.vectorized.ColumnVector](required.length) { i =>
         outMap(i) match {
           case GraftPartitionReaderFactory.PosMeta => batch.column(physLen)
           case GraftPartitionReaderFactory.FileMeta =>
-            val cv = new org.apache.spark.sql.execution.vectorized
-              .ConstantColumnVector(rows, StringType)
-            cv.setUtf8String(UTF8String.fromString(s.path))
-            cv
-          case o => batch.column(o)
+            GraftPartitionReaderFactory.constVector(rows, StringType,
+              UTF8String.fromString(s.path))
+          case o => defs.collectFirst { case (`o`, dt, v) =>
+            GraftPartitionReaderFactory.constVector(rows, dt, v)
+          }.getOrElse(batch.column(o))
         }
       }
       val dvClean = bm.forall { b =>
@@ -926,6 +978,38 @@ object GraftPartitionReaderFactory {
     */
   private[catalog] final val PosMeta = -1
   private[catalog] final val FileMeta = -2
+
+  /** A constant column vector of `v` (Catalyst-internal) — the
+    * synthesized `_graft_file` column and defaulted absent columns.
+    * Types mirror `SnapshotTable.renderDefault`'s allowed universe.
+    */
+  private[catalog] def constVector(rows: Int, dt: DataType, v: Any)
+      : org.apache.spark.sql.vectorized.ColumnVector = {
+    val cv = new org.apache.spark.sql.execution.vectorized
+      .ConstantColumnVector(rows, dt)
+    if (v == null) cv.setNull()
+    else dt match {
+      case org.apache.spark.sql.types.BooleanType =>
+        cv.setBoolean(v.asInstanceOf[Boolean])
+      case org.apache.spark.sql.types.ByteType =>
+        cv.setByte(v.asInstanceOf[Byte])
+      case org.apache.spark.sql.types.ShortType =>
+        cv.setShort(v.asInstanceOf[Short])
+      case IntegerType | DateType => cv.setInt(v.asInstanceOf[Int])
+      case LongType | TimestampType | TimestampNTZType =>
+        cv.setLong(v.asInstanceOf[Long])
+      case org.apache.spark.sql.types.FloatType =>
+        cv.setFloat(v.asInstanceOf[Float])
+      case org.apache.spark.sql.types.DoubleType =>
+        cv.setDouble(v.asInstanceOf[Double])
+      case StringType => cv.setUtf8String(v.asInstanceOf[UTF8String])
+      case d: org.apache.spark.sql.types.DecimalType =>
+        cv.setDecimal(v.asInstanceOf[org.apache.spark.sql.types.Decimal],
+          d.precision)
+      case other => sys.error(s"unsupported constant-vector type $other")
+    }
+    cv
+  }
 
   /** The row's key tuple under `ordinals`/`types`: null when any
     * component is NULL (SQL `=` never matches NULL — the row survives,

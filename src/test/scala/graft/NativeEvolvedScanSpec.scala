@@ -111,6 +111,32 @@ class NativeEvolvedScanSpec extends AnyFunSuite {
       survivors.count(_ < 3000).toLong)
   }
 
+  test("initial-defaults: old shapes substitute the default constant, native") {
+    sql("DROP TABLE IF EXISTS graft.evo.f")
+    sql("CREATE TABLE graft.evo.f (id BIGINT)")
+    sql("INSERT INTO graft.evo.f SELECT id FROM range(0, 1000)")
+    sql("ALTER TABLE graft.evo.f ADD COLUMNS " +
+      "(tier STRING DEFAULT 'bronze', credits BIGINT DEFAULT 7)")
+    sql("INSERT INTO graft.evo.f SELECT id, 'gold', 1 " +
+      "FROM range(1000, 1500)")
+    val df = spark.table("graft.evo.f")
+    val plan = finalPlan(df)
+    assert(plan.contains("GraftBatchScan"),
+      s"a defaulted table must keep the native scan:\n${plan.take(2000)}")
+    assert(plan.contains("ColumnarToRow"),
+      s"default substitution must stay columnar:\n${plan.take(2000)}")
+    assert(df.filter("tier = 'bronze'").count() == 1000,
+      "files predating the column surface the initial-default")
+    assert(df.filter("tier = 'gold'").count() == 500)
+    assert(df.agg(sum("credits")).as[Long].head == 1000L * 7 + 500L)
+    // explicit NULL written after the add stays NULL (only ABSENT
+    // columns default)
+    sql("INSERT INTO graft.evo.f VALUES (9999, NULL, NULL)")
+    assert(spark.table("graft.evo.f")
+      .filter("id = 9999 AND tier IS NULL AND credits IS NULL")
+      .count() == 1)
+  }
+
   test("row-level UPDATE on a drifted table: shapes + synthesized positions") {
     sql("DROP TABLE IF EXISTS graft.evo.u")
     sql("CREATE TABLE graft.evo.u (id BIGINT, v DOUBLE)")

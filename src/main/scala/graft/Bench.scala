@@ -111,7 +111,7 @@ object Bench {
     // headline pairs (the wide-vector PQ crossover pair and the queries
     // VERDICT r6 flagged as drifting), then errors and the total.
     val headlineNames = Seq(
-      "snap_spj_join", "snap_read_dv_native",
+      "snap_spj_join", "snap_read_dv_native", "snap_read_evolved_native",
       "sim_wide_ivf_index", "sim_wide_ivfpq_index",
       "sim_topk_ivf_index", "sim_topk_ivfpq_index", "sim_topk_ivf_model",
       "q_rollup", "q_salted_join", "dedup_keep_representatives")

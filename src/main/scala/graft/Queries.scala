@@ -1856,6 +1856,8 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val dvNativeTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val evolvedNativeTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The literal key list `sql_delete_equality` deletes — shared
     * verbatim by the Spark DELETE and the DuckDB oracle's NOT IN.
@@ -3448,6 +3450,54 @@ object Queries {
              |  TRUE AS native_mor_read
              |FROM events WHERE event_id % 13 <> 0
              |GROUP BY 1""".stripMargin)),
+
+    QueryDef("snap_read_evolved_native",
+      // r15 acceptance: a schema-EVOLVED table — rename + add-with-
+      // default pending in its original files — read through the
+      // catalog stays on the NATIVE batch scan via per-shape read
+      // schemas (write-time names resolved by field id, defaults
+      // substituted as constants), not the V1 row bridge such tables
+      // previously fell back to FOREVER. The flag pins the plan shape;
+      // `sum_score` pins the id-resolution of the renamed column
+      // across both shapes, `legacy_n` pins the default substitution.
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, evolvedNativeTableCache,
+          "evonat") { tbl =>
+          tbl.renameColumn("value", "score")
+          tbl.addColumnWithDefault(
+            org.apache.spark.sql.types.StructField("origin",
+              org.apache.spark.sql.types.StringType), "legacy")
+          tbl.append(t(s, dir, "events")
+            .filter(col("event_id") % 97 === 0)
+            .withColumnRenamed("value", "score")
+            .withColumn("origin", lit("fresh")))
+          ()
+        }
+        val ident = s"graft.db.snap_evonat_h${math.abs(dir.hashCode)}"
+        val df = s.table(ident)
+        val plan = df.queryExecution.executedPlan.toString
+        val shapeCount = tbl.currentSnapshot().files
+          .map(f => (f.cols, f.nested)).distinct.size
+        val ok = shapeCount > 1 && plan.contains("GraftBatchScan") &&
+          plan.contains("ColumnarToRow")
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("score")).as("sum_score"),
+            count(when(col("origin") === "legacy", 1)).as("legacy_n"))
+          .withColumn("native_evolved_read", lit(ok))
+      },
+      Some("""WITH evolved AS (
+             |  SELECT event_type, value AS score, 'legacy' AS origin
+             |  FROM events
+             |  UNION ALL
+             |  SELECT event_type, value, 'fresh' FROM events
+             |  WHERE event_id % 97 = 0
+             |)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(score AS DECIMAL(12,2))) AS DOUBLE)
+             |    AS sum_score,
+             |  COUNT(CASE WHEN origin = 'legacy' THEN 1 END) AS legacy_n,
+             |  TRUE AS native_evolved_read
+             |FROM evolved GROUP BY 1""".stripMargin)),
 
     QueryDef("sql_update_native",
       (s, dir) => {

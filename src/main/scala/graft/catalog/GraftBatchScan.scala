@@ -155,25 +155,69 @@ final class GraftBatchScan(
   // physical column under that name, whose stale values must never
   // surface.
   private val idByName: Map[String, Int] = snap.ids.toMap
-  private val shapes: IndexedSeq[Seq[(String, Int)]] = {
-    val eff = snap.files.map(f => if (f.cols.isEmpty) snap.ids else f.cols)
-    (snap.ids +: eff.filterNot(_ == snap.ids)).distinct.toIndexedSeq
+  /** A shape is the file's (top-level pairs, nested pairs) — NESTED
+    * drift (struct field add/rename/drop-readd) remaps through the
+    * same positional rename trick one level down.
+    */
+  private val shapes
+      : IndexedSeq[(Seq[(String, Int)], Seq[(String, Int)])] = {
+    val cur = (snap.ids, snap.nestedIds)
+    val eff = snap.files.map(f =>
+      (if (f.cols.isEmpty) snap.ids else f.cols, f.nested))
+    (cur +: eff.filterNot(_ == cur)).distinct.toIndexedSeq
   }
-  private val shapeIdx: Map[Seq[(String, Int)], Int] = shapes.zipWithIndex.toMap
+  private val shapeIdx
+      : Map[(Seq[(String, Int)], Seq[(String, Int)]), Int] =
+    shapes.zipWithIndex.toMap
   private def shapeOf(e: DataFileEntry): Int =
-    shapeIdx(if (e.cols.isEmpty) snap.ids else e.cols)
+    shapeIdx((if (e.cols.isEmpty) snap.ids else e.cols, e.nested))
 
   /** Shape `k`'s physical read schema — positionally identical to
     * [[extSchema]], per-shape write-time names, current (possibly
     * widened) types; columns the shape predates get absent names.
+    * STRUCT columns apply the same discipline one level down (the
+    * depth nested-id tracking covers): each current nested field
+    * resolves through its nested id to the shape's write-time name —
+    * under the SAME parent id; a retired-parent or predating/re-added
+    * field gets an absent child name (null-filled — never the current
+    * name, a re-add's stale sibling must not surface), an untracked
+    * field or a legacy (pre-tracking) file resolves by name.
     */
+  private val tnMap: Map[String, Int] = snap.nestedIds.toMap
   private def shapeSchema(k: Int): StructType =
     if (k == 0) extSchema
     else {
-      val wnById = shapes(k).map { case (wn, id) => id -> wn }.toMap
+      val (cols, fnested) = shapes(k)
+      val wnById = cols.map { case (wn, id) => id -> wn }.toMap
+      val fileNestedById: Map[Int, (Int, String)] =
+        fnested.flatMap { case (key, nid) =>
+          val dot = key.indexOf('.')
+          if (dot <= 0) None
+          else key.substring(0, dot).toIntOption
+            .map(pid => nid -> (pid, key.substring(dot + 1)))
+        }.toMap
       StructType(extSchema.fields.zipWithIndex.map { case (f, i) =>
-        f.copy(name = wnById.getOrElse(idByName(f.name),
-          s"__graft_absent_$i"), nullable = true)
+        val id = idByName(f.name)
+        val physName = wnById.getOrElse(id, s"__graft_absent_$i")
+        val physType = f.dataType match {
+          case st: StructType if wnById.contains(id) =>
+            StructType(st.fields.zipWithIndex.map { case (nf, j) =>
+              val nname = tnMap.get(s"$id.${nf.name}") match {
+                case Some(nid) => fileNestedById.get(nid) match {
+                  case Some((p, fwn)) if p == id => fwn
+                  case Some(_) => s"__graft_absent_${i}_$j"
+                  case None =>
+                    if (fnested.isEmpty) nf.name // legacy: by name
+                    else s"__graft_absent_${i}_$j" // predates / re-add
+                }
+                case None => nf.name // untracked: by name
+              }
+              nf.copy(name = nname, nullable = true)
+            })
+          case dt => dt
+        }
+        org.apache.spark.sql.types.StructField(physName, physType,
+          nullable = true)
       })
     }
 
@@ -203,7 +247,7 @@ final class GraftBatchScan(
   private def shapeDefaults(k: Int): Array[(Int, DataType, Any)] =
     if (k == 0) Array.empty
     else {
-      val ids = shapes(k).map(_._2).toSet
+      val ids = shapes(k)._1.map(_._2).toSet
       extSchema.fields.zipWithIndex.flatMap { case (f, i) =>
         if (ids.contains(idByName(f.name))) None
         else defaultValueOf(f).map(v => (i, f.dataType, v))
@@ -211,18 +255,43 @@ final class GraftBatchScan(
     }
 
   /** Pushed filters usable for shape `k`: those whose referenced
-    * top-level columns keep their CURRENT name in the shape. A renamed
-    * or not-yet-added column's filter is dropped for that shape only —
-    * skip-only contract, Catalyst re-applies every filter above (and
-    * manifest pruning already translated it through the ids).
+    * columns keep an IDENTITY physical mapping in the shape — the
+    * file's column under that name IS the logical field (a renamed,
+    * not-yet-added, or re-added column's filter is dropped for that
+    * shape only: the parquet reader would otherwise bind it to a
+    * stale or absent physical column). Skip-only contract — Catalyst
+    * re-applies every filter above, and manifest pruning already
+    * translated it through the ids. Dotted (nested) references
+    * additionally require the nested id to map to the same child name
+    * under the same parent.
     */
   private def shapeFilters(k: Int, fs: Seq[Filter]): Seq[Filter] =
     if (k == 0) fs
     else {
-      val wnById = shapes(k).map { case (wn, id) => id -> wn }.toMap
+      val (cols, fnested) = shapes(k)
+      val wnById = cols.map { case (wn, id) => id -> wn }.toMap
+      val fileNestedById: Map[Int, (Int, String)] =
+        fnested.flatMap { case (key, nid) =>
+          val dot = key.indexOf('.')
+          if (dot <= 0) None
+          else key.substring(0, dot).toIntOption
+            .map(pid => nid -> (pid, key.substring(dot + 1)))
+        }.toMap
       fs.filter(_.references.forall { r =>
-        val top = r.takeWhile(_ != '.')
-        idByName.get(top).flatMap(wnById.get).contains(top)
+        val dot = r.indexOf('.')
+        val top = if (dot < 0) r else r.substring(0, dot)
+        idByName.get(top).exists { id =>
+          wnById.get(id).contains(top) && (dot < 0 || {
+            val rest = r.substring(dot + 1)
+            tnMap.get(s"$id.$rest") match {
+              case Some(nid) =>
+                fileNestedById.get(nid).contains((id, rest))
+              // untracked/legacy fields read by name — the filter
+              // binds to the same physical column the value comes from
+              case None => true
+            }
+          })
+        }
       })
     }
 
@@ -606,12 +675,10 @@ object GraftBatchScan {
     val nativeOk = enabled(table) &&
       eqOk &&
       snap.files.nonEmpty &&
-      // top-level drift (add/rename/drop/widen) reads natively through
-      // per-shape schemas — initial-defaulted columns substitute
-      // constant vectors in shapes that predate them; NESTED remapping
-      // still falls back (struct field rebuild has no zero-copy
-      // columnar form)
-      snap.files.forall(_.nested == snap.nestedIds) &&
+      // schema drift — top-level AND nested add/rename/drop/widen —
+      // reads natively through per-shape schemas; initial-defaulted
+      // columns substitute constant vectors in shapes that predate
+      // them
       snap.schema == analyzed
     if (!nativeOk) None
     else Some(snap.spec.filter(_ =>

@@ -137,6 +137,43 @@ class NativeEvolvedScanSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("NESTED drift: add/rename/drop-readd remap natively one level down") {
+    sql("DROP TABLE IF EXISTS graft.evo.n")
+    sql("CREATE TABLE graft.evo.n " +
+      "(id BIGINT, meta STRUCT<kind: STRING, score: BIGINT>)")
+    sql("INSERT INTO graft.evo.n SELECT id, " +
+      "named_struct('kind', 'a', 'score', id) FROM range(0, 1000)")
+    // grow the struct; old files read NULL for the new field
+    sql("ALTER TABLE graft.evo.n ADD COLUMNS (meta.boost DOUBLE)")
+    sql("INSERT INTO graft.evo.n SELECT id, " +
+      "named_struct('kind', 'b', 'score', id, 'boost', 0.5) " +
+      "FROM range(1000, 1500)")
+    // rename: old files keep serving values through the nested id
+    sql("ALTER TABLE graft.evo.n RENAME COLUMN meta.score TO points")
+    val df = spark.table("graft.evo.n")
+    val plan = finalPlan(df.select("id", "meta.points", "meta.boost"))
+    assert(plan.contains("GraftBatchScan"),
+      s"nested drift must stay native:\n${plan.take(2000)}")
+    assert(df.agg(sum("meta.points")).as[Long].head ==
+      (0L until 1500L).sum, "renamed nested field reads both shapes")
+    assert(df.filter("meta.boost IS NULL").count() == 1000)
+    // filter on the renamed nested field: dropped for old shapes at
+    // the parquet level, re-applied above — counts stay exact
+    assert(df.filter("meta.points < 100").count() == 100)
+    // drop-readd: fresh nested id, NO resurrection from old files
+    sql("ALTER TABLE graft.evo.n DROP COLUMN meta.points")
+    sql("ALTER TABLE graft.evo.n ADD COLUMNS (meta.points BIGINT)")
+    val df2 = spark.table("graft.evo.n")
+    assert(finalPlan(df2).contains("GraftBatchScan"))
+    assert(df2.filter("meta.points IS NOT NULL").count() == 0,
+      "stale nested values leaked through the re-added name")
+    sql("INSERT INTO graft.evo.n SELECT id, " +
+      "named_struct('kind', 'c', 'boost', 1.0, 'points', id) " +
+      "FROM range(1500, 1600)")
+    assert(spark.table("graft.evo.n").agg(sum("meta.points"))
+      .as[Long].head == (1500L until 1600L).sum)
+  }
+
   test("row-level UPDATE on a drifted table: shapes + synthesized positions") {
     sql("DROP TABLE IF EXISTS graft.evo.u")
     sql("CREATE TABLE graft.evo.u (id BIGINT, v DOUBLE)")

@@ -1859,6 +1859,26 @@ object Queries {
   private val evolvedNativeTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Build-once EVOLVED snapshot twin shared by the `snap_*evolved*` /
+    * `snap_agg_*` rows: full events appended (v2), then `value` RENAMED
+    * to `score`, `origin STRING DEFAULT 'legacy'` added (files so far
+    * predate it and surface the default), and a small `origin='fresh'`
+    * batch appended — a table whose files span THREE shapes.
+    */
+  private def evolvedNativeSnapshot(s: SparkSession,
+      dir: String): graft.catalog.SnapshotTable =
+    statsSnapshot(s, dir, evolvedNativeTableCache, "evonat") { tbl =>
+      tbl.renameColumn("value", "score")
+      tbl.addColumnWithDefault(
+        org.apache.spark.sql.types.StructField("origin",
+          org.apache.spark.sql.types.StringType), "legacy")
+      tbl.append(t(s, dir, "events")
+        .filter(col("event_id") % 97 === 0)
+        .withColumnRenamed("value", "score")
+        .withColumn("origin", lit("fresh")))
+      ()
+    }
+
   /** The literal key list `sql_delete_equality` deletes — shared
     * verbatim by the Spark DELETE and the DuckDB oracle's NOT IN.
     */
@@ -3461,18 +3481,7 @@ object Queries {
       // `sum_score` pins the id-resolution of the renamed column
       // across both shapes, `legacy_n` pins the default substitution.
       (s, dir) => {
-        val tbl = statsSnapshot(s, dir, evolvedNativeTableCache,
-          "evonat") { tbl =>
-          tbl.renameColumn("value", "score")
-          tbl.addColumnWithDefault(
-            org.apache.spark.sql.types.StructField("origin",
-              org.apache.spark.sql.types.StringType), "legacy")
-          tbl.append(t(s, dir, "events")
-            .filter(col("event_id") % 97 === 0)
-            .withColumnRenamed("value", "score")
-            .withColumn("origin", lit("fresh")))
-          ()
-        }
+        val tbl = evolvedNativeSnapshot(s, dir)
         val ident = s"graft.db.snap_evonat_h${math.abs(dir.hashCode)}"
         val df = s.table(ident)
         val plan = df.queryExecution.executedPlan.toString
@@ -3498,6 +3507,86 @@ object Queries {
              |  COUNT(CASE WHEN origin = 'legacy' THEN 1 END) AS legacy_n,
              |  TRUE AS native_evolved_read
              |FROM evolved GROUP BY 1""".stripMargin)),
+
+    QueryDef("snap_agg_evolved_meta",
+      // r15: the manifest aggregate answers over an EVOLVED table —
+      // renamed columns fold through the field-id stat translation and
+      // files predating an initial-defaulted column contribute the
+      // default's count semantics exactly (previously any predating
+      // file refused the rewrite and the profile paid a full scan).
+      // Plan-shape pinned to LocalRelation: zero data jobs.
+      (s, dir) => {
+        evolvedNativeSnapshot(s, dir)
+        val ident = s"graft.db.snap_evonat_h${math.abs(dir.hashCode)}"
+        val q = s.sql(s"""SELECT count(*) AS n_rows,
+                         |  count(origin) AS n_origin,
+                         |  count(score) AS n_score,
+                         |  min(score) AS min_score,
+                         |  max(score) AS max_score
+                         |FROM $ident""".stripMargin)
+        require(q.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+          "snap_agg_evolved_meta: the manifest must answer the evolved " +
+            s"profile, got:\n${q.queryExecution.optimizedPlan}")
+        q
+      },
+      Some("""WITH evolved AS (
+             |  SELECT value AS score, 'legacy' AS origin FROM events
+             |  UNION ALL
+             |  SELECT value, 'fresh' FROM events WHERE event_id % 97 = 0
+             |)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  count(origin) AS n_origin, count(score) AS n_score,
+             |  min(score) AS min_score, max(score) AS max_score
+             |FROM evolved""".stripMargin)),
+
+    QueryDef("snap_agg_time_travel",
+      // r15: a VERSION AS OF profile is ALSO metadata-only — the
+      // rewrite answers from the PINNED snapshot's manifest (version 2
+      // of the evonat fixture = the initial full-events append, before
+      // the rename/default/append mutations). Plan pinned to
+      // LocalRelation; the oracle pins the values against raw events.
+      (s, dir) => {
+        evolvedNativeSnapshot(s, dir)
+        val ident = s"graft.db.snap_evonat_h${math.abs(dir.hashCode)}"
+        val q = s.sql(s"""SELECT count(*) AS n_rows,
+                         |  count(value) AS n_value,
+                         |  min(event_id) AS min_id, max(event_id) AS max_id
+                         |FROM $ident VERSION AS OF 2""".stripMargin)
+        require(q.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+          "snap_agg_time_travel: the pinned-snapshot manifest must " +
+            s"answer, got:\n${q.queryExecution.optimizedPlan}")
+        q
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  count(value) AS n_value,
+             |  min(event_id) AS min_id, max(event_id) AS max_id
+             |FROM events""".stripMargin)),
+
+    QueryDef("snap_limit_prefix",
+      // r15: LIMIT pushes into the native batch scan as a FILE-PREFIX
+      // plan — only files guaranteed (by manifest row counts minus
+      // delete-vector budgets) to hold the limit are planned, so a
+      // 100 TB `LIMIT 500` reads one split. The flag pins that fewer
+      // files than the table holds were planned AND that exactly the
+      // limit came back; Spark re-applies the limit above (partial
+      // contract), so over-planning is the only allowed error.
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, skipTableCache, "skip")(_ => ())
+        val ident = s"graft.db.snap_skip_h${math.abs(dir.hashCode)}"
+        val (got, events) = graft.catalog.ScanEvents.capture {
+          s.sql(s"SELECT * FROM $ident LIMIT 500").collect()
+        }
+        val ev = events.filter(_.root == tbl.root.toString)
+        val pruned = ev.nonEmpty && ev.head.kept < ev.head.total &&
+          got.length == 500
+        s.range(1).select(lit(got.length.toLong).as("n"),
+          lit(pruned).as("limit_file_prefix"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  TRUE AS limit_file_prefix
+             |FROM (SELECT * FROM events LIMIT 500)""".stripMargin)),
 
     QueryDef("sql_update_native",
       (s, dir) => {

@@ -64,7 +64,8 @@ final class GraftBatchScan(
     snap: Snapshot,
     required: StructType,
     filters: Array[Filter],
-    spjKey: Option[GraftSpjKey]) extends Scan with Batch
+    spjKey: Option[GraftSpjKey],
+    limit: Option[Int] = None) extends Scan with Batch
     with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
 
@@ -303,8 +304,28 @@ final class GraftBatchScan(
   private var cachedGroups: Array[(Option[Any], Seq[DataFileEntry])] = null
   private def groups: Array[(Option[Any], Seq[DataFileEntry])] = {
     if (cachedGroups == null) {
-      val kept = table.prunedFiles(snap,
+      val pruned = table.prunedFiles(snap,
         filters.toIndexedSeq ++ runtimeFilters)
+      // pushed LIMIT (partial contract — Spark re-applies it above):
+      // keep only a file PREFIX guaranteed to hold `n` live rows.
+      // Guaranteed = manifest rows minus every delete-vector row that
+      // could touch the file (over-subtraction only keeps more files);
+      // equality deletes make live counts unknowable, so they disable
+      // pruning, as does a runtime filter arriving later (the re-prune
+      // under a join must never compound with a limit prefix).
+      val kept = limit match {
+        case Some(n) if runtimeFilters.isEmpty &&
+            snap.deleteFiles.isEmpty =>
+          var acc = 0L
+          val prefix = pruned.takeWhile { e =>
+            val take = acc < n
+            if (take) acc += math.max(0L,
+              e.rows - table.dvsOf(snap, e).map(_.rows).sum)
+            take
+          }
+          prefix
+        case _ => pruned
+      }
       ScanEvents.record(table.root.toString, kept.size, snap.files.size)
       cachedGroups = spjKey match {
         case Some(k) => kept.groupBy(_.partition.map(k.keyValue))

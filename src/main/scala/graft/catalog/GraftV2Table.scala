@@ -100,9 +100,11 @@ final class GraftV2Table(
     */
   private[catalog] def scanBuilderAt(version: Option[Long]): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
-        with SupportsPushDownRequiredColumns {
+        with SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
       private var filters: Array[Filter] = Array.empty
       private var required: StructType = schema
+      private var limit: Option[Int] = None
 
       /** Skip-only pruning: every filter is also returned as residual
         * so Catalyst re-applies it exactly — manifest pruning can never
@@ -116,6 +118,15 @@ final class GraftV2Table(
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
 
+      /** LIMIT reaches the scan as a planning hint: the native batch
+        * scan keeps only a prefix of files guaranteed to hold `l` live
+        * rows ([[GraftBatchScan]] — a 100 TB `LIMIT 100` plans one
+        * split instead of the whole table). Partial contract
+        * (`isPartiallyPushed` stays true): Spark re-applies the limit
+        * above, so over-planning is the only allowed error direction.
+        */
+      override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
       override def build(): Scan = {
         // native batch path first: a bucket-partitioned snapshot with
         // no read-time resolution work reports KeyGroupedPartitioning
@@ -125,7 +136,8 @@ final class GraftV2Table(
           .getOrElse(table.publishedSnapshot())
         GraftBatchScan.eligible(table, snap, schema, required) match {
           case Some(bucket) =>
-            return new GraftBatchScan(table, snap, required, filters, bucket)
+            return new GraftBatchScan(table, snap, required, filters,
+              bucket, limit)
           case None => ()
         }
         v1Scan()

@@ -670,39 +670,61 @@ final class SnapshotTable private (
     * fallback would produce, so callers and oracles cannot tell the
     * paths apart except by speed.
     */
-  def metadataAggregate(specs: Seq[SnapshotTable.MetaAgg]): Option[DataFrame] = {
-    val s = publishedSnapshot()
+  def metadataAggregate(specs: Seq[SnapshotTable.MetaAgg],
+      version: Option[Long] = None): Option[DataFrame] = {
+    val s = version.map(snapshotAt).getOrElse(publishedSnapshot())
     if (s.deleteFiles.nonEmpty || s.dvFiles.nonEmpty) return None
     val currentById = s.ids.map { case (n, id) => id -> n }.toMap
     val files = s.files.map(effectiveStats(currentById, _))
     val cols = specs.map { a =>
       a.op match {
         case "count_star" => Some(lit(files.map(_.rows).sum).as(a.alias))
-        case op =>
-          val dt = s.schema.fields.find(_.name == a.column).map(_.dataType)
-            .getOrElse(throw new IllegalArgumentException(
-              s"metadataAggregate: no such column ${a.column}"))
-          val perFile = files.map(f => f.stats.get(a.column).map(f -> _))
-          if (perFile.exists(_.isEmpty)) None
-          else {
-            val fs = perFile.flatten
-            op match {
-              case "null_count" =>
-                Some(lit(fs.map(_._2.nullCount).sum).as(a.alias))
-              case "count" =>
-                Some(lit(fs.map { case (f, st) => f.rows - st.nullCount }.sum)
-                  .as(a.alias))
-              case "min" | "max" =>
-                SnapshotTable.foldBounds(dt, fs, isMin = op == "min")
-                  .map(_.cast(dt).as(a.alias))
-              case other => throw new IllegalArgumentException(
-                s"metadataAggregate: unknown op $other")
-            }
-          }
+        case _ => statAggCol(s, files, a)
       }
     }
     if (cols.exists(_.isEmpty)) None
     else Some(spark.range(1).select(cols.map(_.get): _*))
+  }
+
+  /** One non-count_star aggregate over `files` (already stat-key
+    * translated) as an exact literal, or None. Files whose SHAPE
+    * PREDATES the column surface their Iceberg-v3 initial default for
+    * every row, which metadata answers exactly for the counting ops
+    * (all rows or none, by the default's null-ness) and for MIN/MAX
+    * when the default is NULL (the file contributes no values); a
+    * non-null default refuses MIN/MAX — bounds and default renderings
+    * live in different encodings, and guessing is how exactness dies.
+    */
+  private def statAggCol(s: Snapshot, files: Seq[DataFileEntry],
+      a: SnapshotTable.MetaAgg): Option[Column] = {
+    val field = s.schema.fields.find(_.name == a.column)
+      .getOrElse(throw new IllegalArgumentException(
+        s"metadataAggregate: no such column ${a.column}"))
+    val dt = field.dataType
+    val id = s.ids.collectFirst { case (n, i) if n == a.column => i }
+      .getOrElse(return None)
+    def predates(f: DataFileEntry): Boolean =
+      f.cols.nonEmpty && !f.cols.exists(_._2 == id)
+    lazy val defNonNull: Boolean =
+      SnapshotTable.initialDefaultIsNonNull(spark, field)
+    val (older, present) = files.partition(predates)
+    val perFile = present.map(f => f.stats.get(a.column).map(f -> _))
+    if (perFile.exists(_.isEmpty)) return None
+    val fs = perFile.flatten
+    a.op match {
+      case "null_count" =>
+        Some(lit(fs.map(_._2.nullCount).sum +
+          older.map(f => if (defNonNull) 0L else f.rows).sum).as(a.alias))
+      case "count" =>
+        Some(lit(fs.map { case (f, st) => f.rows - st.nullCount }.sum +
+          older.map(f => if (defNonNull) f.rows else 0L).sum).as(a.alias))
+      case "min" | "max" =>
+        if (older.nonEmpty && defNonNull) None
+        else SnapshotTable.foldBounds(dt, fs, isMin = a.op == "min")
+          .map(_.cast(dt).as(a.alias))
+      case other => throw new IllegalArgumentException(
+        s"metadataAggregate: unknown op $other")
+    }
   }
 
   /** GROUPED manifest aggregate: answers `SELECT <partition source>,
@@ -725,8 +747,9 @@ final class SnapshotTable private (
     * answer exactly (same rules as the ungrouped path).
     */
   def metadataAggregateGrouped(groupCol: String,
-      specs: Seq[SnapshotTable.MetaAgg]): Option[DataFrame] = {
-    val s = publishedSnapshot()
+      specs: Seq[SnapshotTable.MetaAgg],
+      version: Option[Long] = None): Option[DataFrame] = {
+    val s = version.map(snapshotAt).getOrElse(publishedSnapshot())
     if (s.deleteFiles.nonEmpty || s.dvFiles.nonEmpty) return None
     val spec = s.spec.getOrElse(return None)
     if (spec.transform != "identity" || spec.source != groupCol) return None
@@ -749,28 +772,7 @@ final class SnapshotTable private (
             Some(pval.map(v => lit(v).cast(dt))
               .getOrElse(lit(null).cast(dt)).as(a.alias))
           case "count_star" => Some(lit(files.map(_.rows).sum).as(a.alias))
-          case op =>
-            val cdt = s.schema.fields.find(_.name == a.column)
-              .map(_.dataType).getOrElse(
-                throw new IllegalArgumentException(
-                  s"metadataAggregateGrouped: no such column ${a.column}"))
-            val perFile = files.map(f => f.stats.get(a.column).map(f -> _))
-            if (perFile.exists(_.isEmpty)) None
-            else {
-              val fs = perFile.flatten
-              op match {
-                case "null_count" =>
-                  Some(lit(fs.map(_._2.nullCount).sum).as(a.alias))
-                case "count" =>
-                  Some(lit(fs.map { case (f, st) => f.rows - st.nullCount }
-                    .sum).as(a.alias))
-                case "min" | "max" =>
-                  SnapshotTable.foldBounds(cdt, fs, isMin = op == "min")
-                    .map(_.cast(cdt).as(a.alias))
-                case other => throw new IllegalArgumentException(
-                  s"metadataAggregateGrouped: unknown op $other")
-              }
-            }
+          case _ => statAggCol(s, files, a)
         }
       }
       if (cols.exists(_.isEmpty)) None
@@ -3750,6 +3752,24 @@ object SnapshotTable {
     if (f.metadata.contains(InitialDefaultKey))
       Some(lit(f.metadata.getString(InitialDefaultKey)).cast(f.dataType))
     else None
+
+  /** Whether files predating `f` surface a NON-null value — i.e. an
+    * initial default is recorded and its cast does not collapse to
+    * NULL. Evaluated driver-side with the same `lit(s).cast(dt)`
+    * semantics every read path projects, so the metadata aggregates'
+    * counting answers agree with the scan's.
+    */
+  private[catalog] def initialDefaultIsNonNull(
+      session: org.apache.spark.sql.SparkSession,
+      f: StructField): Boolean =
+    f.metadata.contains(InitialDefaultKey) &&
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            f.metadata.getString(InitialDefaultKey)), StringType),
+        f.dataType,
+        Some(sessionZone(session)))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty) != null
 
   /** The write-default of a field as a typed literal Column, if
     * recorded.

@@ -24,8 +24,9 @@ import graft.sources.GraftRelation
   * Strictly conservative: fires only when every output expression is a
   * plain non-distinct, non-filtered COUNT/MIN/MAX over a literal or a
   * bare column, the child is the bare relation (or an
-  * attribute-only projection of it), the relation is not time-travel
-  * pinned, and the manifest can answer EXACTLY
+  * attribute-only projection of it), and the manifest can answer
+  * EXACTLY — a time-travel-pinned relation answers from its pinned
+  * snapshot
   * (`metadataAggregate` returns None on pending MoR deletes, missing
   * stats, truncated/non-finite bounds — the plan is left untouched and
   * the ordinary scan runs). The substituted values are computed from
@@ -35,7 +36,14 @@ import graft.sources.GraftRelation
 final case class GraftAggregatePushdown(session: SparkSession)
     extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+  /** Session kill-switch (default on), the scan-parity seam tests use:
+    * `spark.sql.graft.metadataAggregate`.
+    */
+  private def enabled: Boolean =
+    session.conf.get("spark.sql.graft.metadataAggregate", "true") == "true"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan else plan.transformDown {
     // GROUPED twin: GROUP BY the table's identity-partition source
     // column collapses to one manifest fold per hidden partition —
     // `SELECT month, count(*) … GROUP BY month` runs zero data jobs.
@@ -45,9 +53,8 @@ final case class GraftAggregatePushdown(session: SparkSession)
       val rewritten = try {
         for {
           gr <- relationOf(child)
-          if gr.pinned.isEmpty
           specs <- toGroupedSpecs(g, aggExprs)
-          df <- gr.table.metadataAggregateGrouped(g.name, specs)
+          df <- gr.table.metadataAggregateGrouped(g.name, specs, gr.pinned)
         } yield {
           val rows = df.collect().toIndexedSeq.map { row =>
             InternalRow.fromSeq(agg.output.zipWithIndex.map { case (a, i) =>
@@ -70,9 +77,11 @@ final case class GraftAggregatePushdown(session: SparkSession)
       val rewritten = try {
         for {
           gr <- relationOf(child)
-          if gr.pinned.isEmpty
           specs <- toSpecs(aggExprs)
-          df <- gr.table.metadataAggregate(specs)
+          // a pinned (VERSION/TIMESTAMP AS OF) relation answers from
+          // ITS snapshot — time-travel profile queries are metadata-only
+          // too
+          df <- gr.table.metadataAggregate(specs, gr.pinned)
         } yield {
           val row = df.collect().head
           val values = agg.output.zipWithIndex.map { case (a, i) =>

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 metadata-read extensions, SQL-level pins:
+  *
+  *  - the manifest aggregate rewrite ([[graft.plans
+  *    .GraftAggregatePushdown]]) now answers over EVOLVED tables —
+  *    files predating a column contribute their initial-default
+  *    semantics exactly — and over time-travel-pinned relations from
+  *    the pinned snapshot;
+  *  - LIMIT pushes into the native batch scan as a file-prefix plan
+  *    ([[graft.catalog.GraftBatchScan]]): only files guaranteed to
+  *    hold the limit survive planning, with delete-vector
+  *    over-subtraction and an equality-delete disable keeping the
+  *    prefix always sufficient.
+  *
+  * (Base aggregate-pushdown behavior — MoR refusal, truncated string
+  * bounds, all-null files — is pinned in SnapshotTableSpec and the
+  * oracle rows `snap_profile_stats` / grouped twin.)
+  */
+class AggPushdownSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSparkSession.spark
+
+  private def sql(q: String): DataFrame = spark.sql(q)
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Asserts `q` collapses to the manifest answer (LocalTableScan, no
+    * table scan) AND that the answer matches the real scan's (same
+    * query with the rewrite kill-switched off).
+    */
+  private def pinPushed(q: String, expected: Row): Unit = {
+    val on = sql(q)
+    val plan = finalPlan(on)
+    assert(plan.contains("LocalTableScan") &&
+      !plan.contains("GraftBatchScan") && !plan.contains("Parquet"),
+      s"expected metadata-only answer for [$q]:\n${plan.take(2000)}")
+    assert(on.collect().head == expected, s"pushed answer for [$q]")
+    spark.conf.set("spark.sql.graft.metadataAggregate", "false")
+    try {
+      val off = sql(q)
+      assert(!finalPlan(off).contains("LocalTableScan"),
+        s"kill-switch ignored for: $q")
+      assert(off.collect().head == expected, s"scan answer for [$q]")
+    } finally {
+      spark.conf.set("spark.sql.graft.metadataAggregate", "true")
+    }
+  }
+
+  private def pinFallback(q: String): Unit = {
+    val df = sql(q)
+    val plan = finalPlan(df)
+    assert(!plan.contains("LocalTableScan"),
+      s"expected a real scan for [$q]:\n${plan.take(2000)}")
+  }
+
+  test("evolved table: counts exact across shapes, defaults included") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.agg")
+    sql("DROP TABLE IF EXISTS graft.agg.v")
+    sql("CREATE TABLE graft.agg.v (id BIGINT)")
+    sql("INSERT INTO graft.agg.v SELECT id FROM range(0, 500)")
+    sql("ALTER TABLE graft.agg.v ADD COLUMN w BIGINT")
+    sql("INSERT INTO graft.agg.v SELECT id, id FROM range(500, 800)")
+    // old files: w is all NULL there — count skips them, min/max folds
+    // the new files only; previously any predating file refused
+    pinPushed("SELECT count(w) AS c, min(w) AS mn, max(w) AS mx " +
+      "FROM graft.agg.v", Row(300L, 500L, 799L))
+    sql("ALTER TABLE graft.agg.v ADD COLUMN tag STRING DEFAULT 'legacy'")
+    sql("INSERT INTO graft.agg.v SELECT id, id, 'fresh' FROM range(800, 900)")
+    // predating files surface the NON-null default for every row
+    pinPushed("SELECT count(tag) AS c, count(*) AS n FROM graft.agg.v",
+      Row(900L, 900L))
+    // ...but their bounds live in a different encoding: min/max refuse
+    pinFallback("SELECT min(tag), max(tag) FROM graft.agg.v")
+    assert(sql("SELECT min(tag) AS mn, max(tag) AS mx FROM graft.agg.v")
+      .collect().head == Row("fresh", "legacy"))
+  }
+
+  test("time travel answers from the pinned snapshot, still metadata-only") {
+    sql("DROP TABLE IF EXISTS graft.agg.tt")
+    sql("CREATE TABLE graft.agg.tt (id BIGINT, v DOUBLE)") // v1
+    sql("INSERT INTO graft.agg.tt SELECT id, cast(id as double) " +
+      "FROM range(0, 500)") // v2
+    sql("INSERT INTO graft.agg.tt SELECT id, cast(id as double) " +
+      "FROM range(500, 800)") // v3
+    pinPushed("SELECT count(*) AS n, max(id) AS mx " +
+      "FROM graft.agg.tt VERSION AS OF 2", Row(500L, 499L))
+    pinPushed("SELECT count(*) AS n, max(id) AS mx FROM graft.agg.tt",
+      Row(800L, 799L))
+  }
+
+  test("LIMIT plans a guaranteed file prefix; result complete") {
+    sql("DROP TABLE IF EXISTS graft.agg.l")
+    sql("CREATE TABLE graft.agg.l (id BIGINT, v DOUBLE)")
+    (0 until 20).foreach { i =>
+      sql("INSERT INTO graft.agg.l " +
+        s"SELECT /*+ REPARTITION(1) */ id, cast(id as double) " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    val (got, events) = graft.catalog.ScanEvents.capture {
+      sql("SELECT * FROM graft.agg.l LIMIT 150").collect()
+    }
+    assert(got.length == 150)
+    val ev = events.filter(_.root.endsWith("agg/l")).head
+    assert(ev.total == 20, s"fixture should hold 20 files, saw $ev")
+    assert(ev.kept == 2, s"LIMIT 150 must plan exactly 2 of 20 " +
+      s"100-row files, planned $ev")
+    // larger than the table: every file planned, every row returned
+    val (all, ev2) = graft.catalog.ScanEvents.capture {
+      sql("SELECT * FROM graft.agg.l LIMIT 99999").collect()
+    }
+    assert(all.length == 2000)
+    assert(ev2.filter(_.root.endsWith("agg/l")).head.kept == 20)
+  }
+
+  test("LIMIT over delete vectors still returns enough rows") {
+    sql("DROP TABLE IF EXISTS graft.agg.ld")
+    sql("CREATE TABLE graft.agg.ld (id BIGINT)")
+    (0 until 10).foreach { i =>
+      sql("INSERT INTO graft.agg.ld SELECT /*+ REPARTITION(1) */ id " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    // non-pushable predicates route to the delta op → position vectors
+    // halving each file; one DELETE per id range so each vector covers
+    // ONE data file and the prefix budget (rows - dv rows) is per-file
+    // exact — a single statement may write one vector spanning many
+    // files, where over-subtraction just keeps more files (still
+    // correct, separately exercised by the final statement)
+    (0 until 10).foreach { i =>
+      sql(s"DELETE FROM graft.agg.ld WHERE id % 2 = 0 AND " +
+        s"id >= ${i * 100} AND id < ${i * 100 + 100}")
+    }
+    val t = graft.catalog.SnapshotTable.load(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/agg/ld")
+    assert(t.currentSnapshot().dvFiles.nonEmpty, "fixture must be MoR")
+    val (got, events) = graft.catalog.ScanEvents.capture {
+      sql("SELECT * FROM graft.agg.ld LIMIT 400").collect()
+    }
+    assert(got.length == 400, s"limit under DVs returned ${got.length}")
+    assert(got.forall(_.getLong(0) % 2 == 1), "deleted rows leaked")
+    val ev = events.filter(_.root.endsWith("agg/ld")).head
+    assert(ev.kept == 8, s"400 live rows at 50 live/file = 8 files: $ev")
+  }
+
+  test("LIMIT over equality deletes keeps every file (live rows unknowable)") {
+    sql("DROP TABLE IF EXISTS graft.agg.le")
+    sql("CREATE TABLE graft.agg.le (id BIGINT)")
+    (0 until 5).foreach { i =>
+      sql("INSERT INTO graft.agg.le SELECT /*+ REPARTITION(1) */ id " +
+        s"FROM range(${i * 100}, ${i * 100 + 100})")
+    }
+    val t = graft.catalog.SnapshotTable.load(spark,
+      spark.conf.get("spark.sql.catalog.graft.warehouse") + "/agg/le")
+    import spark.implicits._
+    t.deleteByKeys((0L until 490L).toDF("id"), Seq("id"))
+    val (got, events) = graft.catalog.ScanEvents.capture {
+      sql("SELECT * FROM graft.agg.le LIMIT 10").collect()
+    }
+    assert(got.length == 10)
+    assert(got.forall(_.getLong(0) >= 490L))
+    val ev = events.filter(_.root.endsWith("agg/le")).head
+    assert(ev.kept == 5, s"eq-deletes must disable the prefix: $ev")
+  }
+}

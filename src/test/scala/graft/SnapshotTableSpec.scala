@@ -2451,11 +2451,14 @@ class SnapshotTableSpec extends AnyFunSuite {
     val afterDelete = spark.sql("SELECT count(*) AS n FROM graft_aggpd")
     assert(!afterDelete.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
     assert(afterDelete.collect().head.getLong(0) == 39L)
-    // a time-travel pinned read is never rewritten (native catalog
-    // time travel plans a v2 scan, not the graft v1 relation)
+    // a time-travel pinned read rewrites too (r15): the answer comes
+    // from the PINNED snapshot's manifest — version 2 predates the
+    // eq-delete above, so its count is the pre-delete 40, not 39
     val pinned = spark.sql(
       s"SELECT count(*) AS n FROM graft.`${t.root}` VERSION AS OF 2")
-    assert(!pinned.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(pinned.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      s"pinned profile must be metadata-only:\n${
+        pinned.queryExecution.optimizedPlan}")
     assert(pinned.collect().head.getLong(0) == 40L)
   }
 

@@ -1555,6 +1555,58 @@ object Queries {
         },
         Some(nnOracle)),
 
+      // SemDeDup (Abbas et al. 2023): semantic near-dup removal — pairs
+      // compared only WITHIN soft-assigned k-means clusters (all-pairs
+      // cosine is impossible at 100 TB; within-cluster pairs are
+      // bounded by the cluster size), duplicates = τ-similar pairs,
+      // keep-min-id representatives. The oracle recomputes the pairs
+      // GLOBALLY — so a green row proves the cluster path missed
+      // nothing on this corpus (the planted mutants sit at sim ≥ 0.996
+      // vs a 0.60 cross-pair ceiling, measured; τ = 0.95).
+      QueryDef("dedup_semantic_pairs",
+        (s, dir) => {
+          val corpus = nearDupVectors(s, dir)
+          val model = ivfModelCache.computeIfAbsent(dir, _ =>
+            graft.operators.Ivf.train(corpus, k = 16, iters = 2))
+          graft.operators.SemDedup.semanticPairs(corpus, model, tau = 0.95)
+        },
+        Some(s"""$mutantCorpusCte, sims AS (
+               |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+               |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+               |      (acc, x) -> acc + x)
+               |    / (sqrt(list_reduce(list_transform(a.embedding,
+               |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))
+               |     * sqrt(list_reduce(list_transform(b.embedding,
+               |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))) AS sim
+               |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+               |)
+               |SELECT a_id, b_id, sim FROM sims WHERE sim >= 0.95"""
+          .stripMargin)),
+
+      QueryDef("dedup_semantic",
+        (s, dir) => {
+          val corpus = nearDupVectors(s, dir)
+          val model = ivfModelCache.computeIfAbsent(dir, _ =>
+            graft.operators.Ivf.train(corpus, k = 16, iters = 2))
+          graft.operators.SemDedup.survivors(corpus, model, tau = 0.95)
+            .select(col("vec_id"))
+        },
+        Some(s"""$mutantCorpusCte, sims AS (
+               |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+               |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+               |      (acc, x) -> acc + x)
+               |    / (sqrt(list_reduce(list_transform(a.embedding,
+               |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))
+               |     * sqrt(list_reduce(list_transform(b.embedding,
+               |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))) AS sim
+               |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+               |)
+               |SELECT vec_id FROM corpus
+               |WHERE vec_id NOT IN (SELECT b_id FROM sims WHERE sim >= 0.95)"""
+          .stripMargin)),
+
       // ===== WIDE-VECTOR CROSSOVER PAIR (512-dim) ======================
       // The 64-dim ANN ladder shows PQ paying its ADC constant without
       // the bandwidth payoff; these two queries pin the crossover the
@@ -3905,7 +3957,11 @@ object Queries {
     * cross-joins queries × corpus with the mirrored double cosine fold,
     * and keeps rank 1 per query.
     */
-  private def nnOracle: String =
+  /** The planted-mutant vector corpus ([[nearDupVectors]]) as a DuckDB
+    * CTE with mirrored float32 arithmetic — shared by every oracle
+    * that recomputes over it.
+    */
+  private def mutantCorpusCte: String =
     """WITH corpus AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
@@ -3914,7 +3970,10 @@ object Queries {
       |      s -> CAST(s[1] + CASE WHEN s[2] % 2 = 0 THEN CAST(0.01 AS FLOAT)
       |                 ELSE CAST(-0.01 AS FLOAT) END AS FLOAT))
       |  FROM embeddings WHERE vec_id % 10 = 0
-      |), pairs AS (
+      |)""".stripMargin
+
+  private def nnOracle: String =
+    s"""$mutantCorpusCte, pairs AS (
       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
       |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
       |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, x) -> acc + x)

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosine
+
+/** SemDeDup — SEMANTIC near-duplicate removal over an embedding column
+  * (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the corpus,
+  * compare pairs only WITHIN clusters, and drop every vector that has
+  * a sufficiently-similar lower-id neighbor. The web-scale result the
+  * paper reports (LAION dedup at extreme compression) rests on exactly
+  * this cost model: all-pairs cosine is O(N²) and impossible at 100 TB;
+  * within-cluster pairs are O(Σ|cluster|²), bounded by choosing
+  * k ∝ N / target-cluster-size so each inverted list stays
+  * executor-sized. Reuses the [[Ivf]] spherical-k-means machinery
+  * (bounded-sample training, model-sized collects only).
+  *
+  * Spark shape, 100 TB posture:
+  *  - SOFT assignment: each vector lands in its `probes` nearest
+  *    clusters ([[Ivf.probeExpr]]) — a near-identical pair straddling a
+  *    cluster boundary still shares a list (their centroid-distance
+  *    orders almost coincide), which single-assignment SemDeDup misses.
+  *    Candidate inflation is ≤ probes².
+  *  - Pair generation is ONE equality join on the cluster id — never a
+  *    cross join; skewed clusters re-split under AQE.
+  *  - The drop rule is deterministic and local to a pair: vector `b`
+  *    is a duplicate iff SOME `a` with a smaller id has
+  *    `cos(a, b) >= tau`. One pass, no transitive closure — matching
+  *    the paper's greedy per-cluster filtering, and exactly
+  *    SQL-expressible (the DuckDB oracle recomputes it globally).
+  *  - Survivors come from one left-anti join against the dropped-id
+  *    set; the embedding payload never re-shuffles.
+  */
+object SemDedup {
+
+  /** Semantic duplicate pairs `(a_id, b_id, sim)` with `a_id < b_id`
+    * and `sim >= tau`, generated within soft-assigned clusters. A pair
+    * sharing several probed clusters is emitted once.
+    */
+  def semanticPairs(corpus: DataFrame, model: Ivf.Model, tau: Double,
+      probes: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau=$tau must be in (0, 1]")
+    require(probes >= 1 && probes <= model.size,
+      s"probes=$probes must be in [1, k=${model.size}]")
+    val assigned = corpus
+      .select(col(idCol), col(vecCol))
+      .select(col(idCol), col(vecCol),
+        explode(Ivf.probeExpr(col(vecCol), model, probes)).as("cluster"))
+    val left = assigned.select(col("cluster"), col(idCol).as("a_id"),
+      col(vecCol).as("a_vec"))
+    val right = assigned.select(col("cluster"), col(idCol).as("b_id"),
+      col(vecCol).as("b_vec"))
+    left.join(right, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosine(col("a_vec"), col("b_vec")).as("sim"))
+      .where(col("sim") >= lit(tau))
+      // soft assignment can emit a pair once per shared cluster; the
+      // sim is identical, so (a_id, b_id) dedup is exact
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** The corpus minus semantic duplicates: for every τ-pair the
+    * smaller id is the kept representative. Greedy, not transitive —
+    * in a chain a–b–c with cos(a, c) < tau both b and c drop, which is
+    * the paper's (and the oracle's) contract.
+    */
+  def survivors(corpus: DataFrame, model: Ivf.Model, tau: Double,
+      probes: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dropped = semanticPairs(corpus, model, tau, probes, idCol, vecCol)
+      .select(col("b_id").as(idCol)).distinct()
+    corpus.join(dropped, Seq(idCol), "left_anti")
+  }
+}

@@ -518,4 +518,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(4L) == s"solo paragraph${sep}another solo")
     assert(out(5L) == s"twice here${sep}twice here")
   }
+
+  test("SemDedup: cluster-path pairs equal brute-force τ-pairs; min-id survivors") {
+    import graft.functions.VectorFunctions.cosine
+    import graft.operators.{Ivf, SemDedup}
+    val corpus = plantedMutantCorpus()
+    val model = Ivf.train(corpus, k = 16, iters = 2)
+    val got = SemDedup.semanticPairs(corpus, model, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: exact all-pairs cosine (test-sized corpus only)
+    val a = corpus.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = corpus.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    val brute = a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .where(cosine(col("av"), col("bv")) >= 0.95)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "planted mutants must produce τ-pairs")
+    assert(got == brute,
+      "soft-assigned within-cluster pairs must equal the global τ-pairs")
+    // every pair is (original, its planted mutant): min-id keep drops
+    // exactly the mutants
+    assert(brute.forall { case (lo, hi) => hi == lo + 100000L })
+    val survivors = SemDedup.survivors(corpus, model, tau = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    val ids = corpus.select("vec_id").as[Long].collect().toSet
+    assert(survivors == ids -- brute.map(_._2))
+    // determinism: a second run produces the identical pair set
+    assert(SemDedup.semanticPairs(corpus, model, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == got)
+  }
 }

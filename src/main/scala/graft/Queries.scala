@@ -2641,7 +2641,11 @@ object Queries {
             MetaAgg("min", "event_type", "min_event_type"),
             MetaAgg("max", "event_type", "max_event_type"),
             MetaAgg("min", "value", "min_value"),
-            MetaAgg("max", "value", "max_value")))
+            MetaAgg("max", "value", "max_value"),
+            // SUM from the exact per-file sums (r15 manifests —
+            // integral/decimal columns; beyond Iceberg's pushdown)
+            MetaAgg("sum", "event_id", "sum_event_id"),
+            MetaAgg("sum", "user_id", "sum_user_id")))
           .getOrElse(sys.error(
             "snap_stats_agg: manifest stats must answer this profile"))
       },
@@ -2653,7 +2657,9 @@ object Queries {
              |  max(CAST(ts AS TIMESTAMP)) AS max_ts,
              |  min(event_type) AS min_event_type,
              |  max(event_type) AS max_event_type,
-             |  min(value) AS min_value, max(value) AS max_value
+             |  min(value) AS min_value, max(value) AS max_value,
+             |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+             |  CAST(sum(user_id) AS BIGINT) AS sum_user_id
              |FROM events""".stripMargin)),
 
     // GROUPED manifest aggregate through pure SQL: GROUP BY the

@@ -134,6 +134,16 @@ object FileStats {
       Seq(mn.as(s"__min_$i"), mx.as(s"__max_$i"),
         sum(c.isNull.cast("long")).as(s"__nulls_$i"))
     }
+    // per-file EXACT sums ride the SAME pass, integral/decimal columns
+    // only (float addition is order-dependent — no exact metadata
+    // answer exists): folded through decimal(38) so a 10⁸-row file of
+    // longs can never wrap, rendered as the decimal string. SQL SUM
+    // null semantics are free (sum of an all-NULL file is NULL).
+    val sums = summableFields(schema).map { case (f, i) =>
+      val c = col(quoted(f.name))
+      sum(c.cast(DecimalType(38, sumScale(f.dataType))))
+        .cast("string").as(s"__sum_$i")
+    }
     // per-file HLL NDV sketches ride the SAME pass (see [[NdvSpec]]):
     // the sketch hashes xxhash64 of the TYPED value — uniform across
     // column types (hll_sketch_agg itself takes only int/long/string/
@@ -154,7 +164,25 @@ object FileStats {
         xxhash64(col(quoted(f.name))), bloom.bits, bloom.hashes)
         .as(s"__bloom_$i")
     }
-    stats ++ ndvs ++ blooms
+    stats ++ sums ++ ndvs ++ blooms
+  }
+
+  /** Columns whose per-file exact sum is recorded (the SUM-pushdown
+    * eligibility set): integral and decimal types.
+    */
+  def summable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  def summableFields(schema: StructType): Seq[(StructField, Int)] =
+    eligibleFields(schema).zipWithIndex
+      .filter { case (f, _) => summable(f.dataType) }
+
+  private def sumScale(dt: DataType): Int = dt match {
+    case d: DecimalType => d.scale
+    case _ => 0
   }
 
   /** Bloom-indexed fields with their eligible-field ordinal. */
@@ -182,16 +210,22 @@ object FileStats {
       else Some(java.util.Base64.getEncoder
         .encodeToString(row.getAs[Array[Byte]](j)))
     val nStats = eligibleFields(schema).length
+    val nSums = summableFields(schema).length
     val nNdv = if (ndv.enabled) nStats else 0
+    val sumAt = summableFields(schema).zipWithIndex.map {
+      case ((f, _), pos) => f.name -> (offset + nStats * 3 + pos)
+    }.toMap
     val bloomAt = bloomFields(schema, bloom).zipWithIndex.map {
-      case ((f, _), pos) => f.name -> (offset + nStats * 3 + nNdv + pos)
+      case ((f, _), pos) =>
+        f.name -> (offset + nStats * 3 + nSums + nNdv + pos)
     }.toMap
     eligibleFields(schema).zipWithIndex.map { case (f, i) =>
       val b = offset + i * 3
       f.name -> ColStats(s(b), s(b + 1),
         if (row.isNullAt(b + 2)) 0L else row.getLong(b + 2),
         bloomAt.get(f.name).flatMap(bin),
-        if (ndv.enabled) bin(offset + nStats * 3 + i) else None)
+        if (ndv.enabled) bin(offset + nStats * 3 + nSums + i) else None,
+        sumAt.get(f.name).flatMap(s))
     }.toMap
   }
 

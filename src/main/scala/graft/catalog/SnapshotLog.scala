@@ -28,9 +28,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * the file (see [[NdvSpec]]) — mergeable across files, so any file
   * subset's distinct count is a driver-side union.
   */
+/** `sum` is the EXACT per-file column total as a decimal rendering —
+  * recorded for integral and decimal columns only (float sums are
+  * order-dependent, so no exact metadata answer exists for them) and
+  * absent in manifests written before the field (callers refuse, never
+  * guess). NULL when every value in the file is NULL, mirroring SQL
+  * `SUM` semantics.
+  */
 final case class ColStats(min: Option[String], max: Option[String],
     nullCount: Long, bloom: Option[String] = None,
-    ndv: Option[String] = None)
+    ndv: Option[String] = None, sum: Option[String] = None)
 
 /** One immutable data file referenced by a snapshot. `path` is relative
   * to the table root (the table directory is relocatable as a unit);
@@ -602,7 +609,8 @@ object SnapshotLog {
           "max" -> (st.max.map(JString(_)).getOrElse(JNull): JValue),
           "nulls" -> (JLong(st.nullCount): JValue)) ++
           st.bloom.map(b => "bloom" -> (JString(b): JValue)).toList ++
-          st.ndv.map(n => "ndv" -> (JString(n): JValue)).toList): JValue)
+          st.ndv.map(n => "ndv" -> (JString(n): JValue)).toList ++
+          st.sum.map(s => "sum" -> (JString(s): JValue)).toList): JValue)
       }): JValue))
     val cols =
       if (f.cols.isEmpty) Nil
@@ -728,7 +736,8 @@ object SnapshotLog {
     val stats = (f \ "stats") match {
       case JObject(kvs) => kvs.map { case (c, st) =>
         c -> ColStats(jOptStr(st \ "min"), jOptStr(st \ "max"),
-          jLng(st \ "nulls"), jOptStr(st \ "bloom"), jOptStr(st \ "ndv"))
+          jLng(st \ "nulls"), jOptStr(st \ "bloom"), jOptStr(st \ "ndv"),
+          jOptStr(st \ "sum"))
       }.toMap
       case _ => Map.empty[String, ColStats]
     }

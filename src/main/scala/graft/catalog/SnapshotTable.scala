@@ -722,6 +722,45 @@ final class SnapshotTable private (
         if (older.nonEmpty && defNonNull) None
         else SnapshotTable.foldBounds(dt, fs, isMin = a.op == "min")
           .map(_.cast(dt).as(a.alias))
+      case "sum" =>
+        // exact per-file sums exist for integral/decimal columns in
+        // post-r15 manifests; the fold is exact BigDecimal arithmetic
+        // and REFUSES whenever the answer could diverge from a scan:
+        // a missing sum on a file with non-null values (legacy
+        // manifest, or a per-file decimal-overflowed sum), a predating
+        // file under a non-null default, or a total that does not fit
+        // SUM's result type (where scan semantics are mode-dependent)
+        if (!FileStats.summable(dt)) return None
+        if (older.nonEmpty && defNonNull) return None
+        val resultType = dt match {
+          case d: DecimalType =>
+            DecimalType(math.min(38, d.precision + 10), d.scale)
+          case _ => org.apache.spark.sql.types.LongType
+        }
+        var total = BigDecimal(0)
+        var anyValue = false
+        fs.foreach { case (f, st) =>
+          st.sum match {
+            case Some(rendered) =>
+              val v = scala.util.Try(BigDecimal(rendered)).toOption
+                .getOrElse(return None)
+              total += v; anyValue = true
+            case None =>
+              if (st.nullCount != f.rows) return None // unknowable
+          }
+        }
+        if (!anyValue) Some(lit(null).cast(resultType).as(a.alias))
+        else {
+          val fits = resultType match {
+            case _: DecimalType =>
+              org.apache.spark.sql.types.Decimal(total).changePrecision(
+                resultType.asInstanceOf[DecimalType].precision,
+                resultType.asInstanceOf[DecimalType].scale)
+            case _ => total.isValidLong
+          }
+          if (!fits) None
+          else Some(lit(total.underlying()).cast(resultType).as(a.alias))
+        }
       case other => throw new IllegalArgumentException(
         s"metadataAggregate: unknown op $other")
     }
@@ -798,6 +837,7 @@ final class SnapshotTable private (
               .as(a.alias)
           case "min" => min(col(a.column)).as(a.alias)
           case "max" => max(col(a.column)).as(a.alias)
+          case "sum" => sum(col(a.column)).as(a.alias)
           case other => throw new IllegalArgumentException(
             s"aggregate: unknown op $other")
         }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -13,17 +13,18 @@ import graft.catalog.SnapshotTable.MetaAgg
 import graft.sources.GraftRelation
 
 /** Aggregate pushdown into manifest metrics for SQL: a filterless,
-  * ungrouped `COUNT(*)` / `COUNT(c)` / `MIN` / `MAX` over a graft
-  * relation collapses to a [[LocalRelation]] holding the answer
+  * ungrouped `COUNT(*)` / `COUNT(c)` / `MIN` / `MAX` / `SUM` over a
+  * graft relation collapses to a [[LocalRelation]] holding the answer
   * computed from the manifest ([[graft.catalog.SnapshotTable
-  * .metadataAggregate]]) — `SELECT count(*), min(ts), max(ts) FROM t`
-  * runs ZERO Spark jobs over data files, the same capability Iceberg
-  * gives Spark via its aggregate pushdown and Spark gives parquet
-  * row-group metadata.
+  * .metadataAggregate]]) — `SELECT count(*), min(ts), sum(qty) FROM t`
+  * runs ZERO Spark jobs over data files: COUNT/MIN/MAX is the
+  * capability Iceberg gives Spark via its aggregate pushdown, and SUM
+  * goes beyond it through the exact per-file sums r15 manifests record
+  * for integral/decimal columns ([[graft.catalog.ColStats]] `sum`).
   *
   * Strictly conservative: fires only when every output expression is a
-  * plain non-distinct, non-filtered COUNT/MIN/MAX over a literal or a
-  * bare column, the child is the bare relation (or an
+  * plain non-distinct, non-filtered COUNT/MIN/MAX/SUM over a literal or
+  * a bare column, the child is the bare relation (or an
   * attribute-only projection of it), and the manifest can answer
   * EXACTLY — a time-travel-pinned relation answers from its pinned
   * snapshot
@@ -131,6 +132,8 @@ final case class GraftAggregatePushdown(session: SparkSession)
             Some(MetaAgg("count", a.name, name))
           case Min(a: AttributeReference) => Some(MetaAgg("min", a.name, name))
           case Max(a: AttributeReference) => Some(MetaAgg("max", a.name, name))
+          case Sum(a: AttributeReference, _) =>
+            Some(MetaAgg("sum", a.name, name))
           case _ => None
         }
       case _ => None
@@ -151,6 +154,8 @@ final case class GraftAggregatePushdown(session: SparkSession)
             Some(MetaAgg("count", a.name, name))
           case Min(a: AttributeReference) => Some(MetaAgg("min", a.name, name))
           case Max(a: AttributeReference) => Some(MetaAgg("max", a.name, name))
+          case Sum(a: AttributeReference, _) =>
+            Some(MetaAgg("sum", a.name, name))
           case _ => None
         }
       case _ => None

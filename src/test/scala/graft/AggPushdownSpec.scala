@@ -83,6 +83,37 @@ class AggPushdownSpec extends AnyFunSuite {
       .collect().head == Row("fresh", "legacy"))
   }
 
+  test("SUM answers from exact per-file sums; floats and defaulted shapes refuse") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.agg")
+    sql("DROP TABLE IF EXISTS graft.agg.sm")
+    sql("CREATE TABLE graft.agg.sm (id BIGINT, q DECIMAL(10,2), " +
+      "x DOUBLE, n BIGINT)")
+    sql("INSERT INTO graft.agg.sm SELECT id, CAST(id AS DECIMAL(10,2)) / 4, " +
+      "cast(id as double), NULL FROM range(0, 1000)")
+    sql("INSERT INTO graft.agg.sm SELECT id, NULL, NULL, NULL " +
+      "FROM range(1000, 1100)")
+    val expQ = (0L until 1000L).map(BigDecimal(_) / 4).sum
+      .underlying().setScale(2)
+    pinPushed("SELECT sum(id) AS s_id, sum(q) AS s_q, sum(n) AS s_n " +
+      "FROM graft.agg.sm",
+      Row((0L until 1100L).sum, expQ, null))
+    // float sums are order-dependent: never answered from metadata
+    pinFallback("SELECT sum(x) FROM graft.agg.sm")
+    // evolved: a column added WITHOUT default sums over the new shapes
+    // only (old files are all-NULL for it)...
+    sql("ALTER TABLE graft.agg.sm ADD COLUMN w BIGINT")
+    sql("INSERT INTO graft.agg.sm SELECT id, NULL, NULL, NULL, id " +
+      "FROM range(2000, 2100)")
+    pinPushed("SELECT sum(w) AS s_w FROM graft.agg.sm",
+      Row((2000L until 2100L).sum))
+    // ...but a NON-null default refuses (counts still push)
+    sql("ALTER TABLE graft.agg.sm ADD COLUMN bonus BIGINT DEFAULT 5")
+    pinFallback("SELECT sum(bonus) FROM graft.agg.sm")
+    assert(sql("SELECT sum(bonus) AS s FROM graft.agg.sm")
+      .collect().head == Row(1200L * 5))
+    pinPushed("SELECT count(bonus) AS c FROM graft.agg.sm", Row(1200L))
+  }
+
   test("time travel answers from the pinned snapshot, still metadata-only") {
     sql("DROP TABLE IF EXISTS graft.agg.tt")
     sql("CREATE TABLE graft.agg.tt (id BIGINT, v DOUBLE)") // v1

@@ -306,6 +306,23 @@ object ScaleSmoke {
         val pairs = Dedup.minhashPairs(d, shingleLen = 3, k = 64,
           bands = 16, threshold = 0.6)
         Dedup.clusters(pairs, d.select(col("doc_id")), idCol = "doc_id")
+      }),
+      // SemDeDup cost model at scale: clusters grow WITH the corpus
+      // (k ∝ N) so each inverted list stays constant-sized and the
+      // within-cluster pair join stays ~linear — train+pair both timed
+      // (training is part of the documented cost, and it scales too).
+      // Replica jitter keeps each base vector's mutants τ-close, so
+      // the OUTPUT pair count grows ~N² (cross-replica jitters of one
+      // base are genuine semantic dups) while the JOIN work stays ~N —
+      // the rows column separates the two signals.
+      ("dedup_semantic", 1, () => {
+        val m = Ivf.train(vecs1, k = 16, iters = 2)
+        graft.operators.SemDedup.semanticPairs(vecs1, m, tau = 0.95)
+      }),
+      ("dedup_semantic", factor, () => {
+        val v = scaleVectors(vecs1, "vec_id", factor)
+        val m = Ivf.train(v, k = 16 * factor, iters = 2)
+        graft.operators.SemDedup.semanticPairs(v, m, tau = 0.95)
       })) ++
       Seq(
       // seeded global shuffle: a pure projection + one exchange — must

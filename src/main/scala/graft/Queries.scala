@@ -1607,6 +1607,55 @@ object Queries {
                |WHERE vec_id NOT IN (SELECT b_id FROM sims WHERE sim >= 0.95)"""
           .stripMargin)),
 
+      // INCREMENTAL SemDeDup — the production steady state: an ingest
+      // batch dedups against the PERSISTED cluster-partitioned index
+      // (manifest-pruned to the batch's probed clusters — O(batch ×
+      // cluster), never O(index)) plus against itself. Batch = +0.005
+      // jitters of every 7th vector (semantic dups of indexed content —
+      // must ALL drop) ∪ negated copies of every 13th (cosine ≈ −1 —
+      // must ALL survive). The oracle recomputes both drop sets
+      // globally; survivors hash-exact.
+      QueryDef("dedup_semantic_incremental",
+        (s, dir) => {
+          val corpus = nearDupVectors(s, dir)
+          val model = ivfModelCache.computeIfAbsent(dir, _ =>
+            graft.operators.Ivf.train(corpus, k = 16, iters = 2))
+          val index = ivfIndexTable(s, dir, corpus, model)
+          val e = t(s, dir, "embeddings")
+            .select(col("vec_id"), col("embedding"))
+          val batch = e.filter(col("vec_id") % 7 === 0)
+            .select((col("vec_id") + 200000).as("vec_id"),
+              transform(col("embedding"),
+                x => (x + lit(0.005f)).cast("float")).as("embedding"))
+            .unionByName(e.filter(col("vec_id") % 13 === 0)
+              .select((col("vec_id") + 300000).as("vec_id"),
+                transform(col("embedding"),
+                  x => (x * lit(-1.0f)).cast("float")).as("embedding")))
+          graft.operators.SemDedup
+            .survivorsAgainstIndex(index, batch, model, tau = 0.95)
+            .select(col("vec_id"))
+        },
+        Some(s"""$mutantCorpusCte, batch AS (
+               |  SELECT vec_id + 200000 AS vec_id,
+               |    list_transform(embedding,
+               |      x -> CAST(x + CAST(0.005 AS FLOAT) AS FLOAT)) AS embedding
+               |  FROM embeddings WHERE vec_id % 7 = 0
+               |  UNION ALL
+               |  SELECT vec_id + 300000,
+               |    list_transform(embedding,
+               |      x -> CAST(x * CAST(-1.0 AS FLOAT) AS FLOAT))
+               |  FROM embeddings WHERE vec_id % 13 = 0
+               |), drops AS (
+               |  SELECT b.vec_id AS b_id FROM batch b JOIN corpus c
+               |  ON ${duckCos("b", "c")} >= 0.95
+               |  UNION
+               |  SELECT b2.vec_id AS b_id FROM batch b1 JOIN batch b2
+               |  ON b1.vec_id < b2.vec_id
+               |   AND ${duckCos("b1", "b2")} >= 0.95
+               |)
+               |SELECT vec_id FROM batch
+               |WHERE vec_id NOT IN (SELECT b_id FROM drops)""".stripMargin)),
+
       // ===== WIDE-VECTOR CROSSOVER PAIR (512-dim) ======================
       // The 64-dim ANN ladder shows PQ paying its ADC constant without
       // the bandwidth payoff; these two queries pin the crossover the
@@ -3977,6 +4026,18 @@ object Queries {
       |                 ELSE CAST(-0.01 AS FLOAT) END AS FLOAT))
       |  FROM embeddings WHERE vec_id % 10 = 0
       |)""".stripMargin
+
+  /** The mirrored float→double cosine fold between two aliased
+    * embedding rows, as DuckDB SQL (the [[nnOracle]] arithmetic).
+    */
+  private def duckCos(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a.embedding, $b.embedding),
+       |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+       |      (acc, x) -> acc + x)
+       |    / (sqrt(list_reduce(list_transform($a.embedding,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))
+       |     * sqrt(list_reduce(list_transform($b.embedding,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x)))""".stripMargin
 
   private def nnOracle: String =
     s"""$mutantCorpusCte, pairs AS (

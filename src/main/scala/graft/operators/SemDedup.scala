@@ -74,4 +74,47 @@ object SemDedup {
       .select(col("b_id").as(idCol)).distinct()
     corpus.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** INCREMENTAL semantic dedup — the production steady state: a new
+    * ingest batch deduplicates against a PERSISTED cluster-partitioned
+    * index ([[Ivf.buildIndex]] — the same table the ANN queries probe)
+    * plus against itself, without ever touching the accepted corpus
+    * beyond the batch's probed clusters:
+    *
+    *  - the batch's probed cluster SET prunes the index at the
+    *    MANIFEST ([[graft.catalog.SnapshotTable.readPartitions]]):
+    *    unprobed clusters' files are never opened, so the cost is
+    *    O(batch × cluster size), not O(index);
+    *  - an indexed τ-neighbor always wins (it was accepted first) —
+    *    every matching batch row drops;
+    *  - batch-internal duplicates resolve by the [[survivors]] min-id
+    *    rule.
+    *
+    * The batch side carries its probe choices through one
+    * `localCheckpoint` so the pruning collect and the join see the
+    * SAME clusters (the [[Ivf.topKWithIndex]] determinism discipline).
+    */
+  def survivorsAgainstIndex(index: graft.catalog.SnapshotTable,
+      batch: DataFrame, model: Ivf.Model, tau: Double, probes: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = batch
+      .select(col(idCol), col(vecCol),
+        Ivf.probeExpr(col(vecCol), model, probes).as("probe_clusters"))
+      .localCheckpoint(true)
+    val exploded = b.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+      explode(col("probe_clusters")).as("cluster"))
+    val probed = exploded.select(col("cluster").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val idxRows = index.readPartitions(p => p.exists(probed.contains))
+      .select(col("cluster"), col("n_id"), col("n_vec"))
+    val vsIndex = exploded.join(idxRows, Seq("cluster"))
+      .where(cosine(col("b_vec"), col("n_vec")) >= lit(tau))
+      .select(col("b_id"))
+    val withinBatch = semanticPairs(
+      b.select(col(idCol), col(vecCol)), model, tau, probes, idCol, vecCol)
+      .select(col("b_id"))
+    val dropped = vsIndex.unionByName(withinBatch).distinct()
+      .withColumnRenamed("b_id", idCol)
+    batch.join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -547,4 +547,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(SemDedup.semanticPairs(corpus, model, tau = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == got)
   }
+
+  test("incremental SemDedup: batch vs persisted index, manifest-pruned") {
+    import graft.functions.VectorFunctions.cosine
+    import graft.operators.{Ivf, SemDedup}
+    val corpus = plantedMutantCorpus()
+    val model = Ivf.train(corpus, k = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("semdedup-idx")
+      .resolve("t").toString
+    val index = Ivf.buildIndex(spark, corpus, model, root)
+    // batch: jitters of every 7th base (semantic dups of INDEXED rows —
+    // must drop) ∪ negated copies of every 13th (cos ≈ −1 — survive)
+    val e = corpus.filter(col("vec_id") < 100000L)
+    val batch = e.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x + lit(0.005f)).cast("float")).as("embedding"))
+      .unionByName(e.filter(col("vec_id") % 13 === 0)
+        .select((col("vec_id") + 300000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x * lit(-1.0f)).cast("float")).as("embedding")))
+      .localCheckpoint(true)
+    val got = SemDedup.survivorsAgainstIndex(index, batch, model,
+      tau = 0.95).select("vec_id").as[Long].collect().toSet
+    // ground truth: brute-force vs corpus ∪ min-id within batch
+    val vsCorpus = batch.select(col("vec_id").as("b_id"),
+        col("embedding").as("bv"))
+      .crossJoin(corpus.select(col("vec_id").as("c_id"),
+        col("embedding").as("cv")))
+      .where(cosine(col("bv"), col("cv")) >= 0.95)
+      .select("b_id").as[Long].collect().toSet
+    val withinBatch = batch.select(col("vec_id").as("a_id"),
+        col("embedding").as("av"))
+      .crossJoin(batch.select(col("vec_id").as("b_id"),
+        col("embedding").as("bv")))
+      .where(col("a_id") < col("b_id") &&
+        cosine(col("av"), col("bv")) >= 0.95)
+      .select("b_id").as[Long].collect().toSet
+    val ids = batch.select("vec_id").as[Long].collect().toSet
+    assert(got == ids -- vsCorpus -- withinBatch,
+      "index-incremental survivors must equal the brute-force rule")
+    // the jittered rows all dropped; the negated rows all survived
+    assert(got.forall(_ >= 300000L))
+    assert((ids -- got).forall(_ < 300000L))
+    assert(got.nonEmpty && (ids -- got).nonEmpty)
+  }
 }

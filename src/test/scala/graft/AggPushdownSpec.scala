@@ -114,6 +114,40 @@ class AggPushdownSpec extends AnyFunSuite {
     pinPushed("SELECT count(bonus) AS c FROM graft.agg.sm", Row(1200L))
   }
 
+  test("GROUP BY partition source over evolved shapes: per-group default counts") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.agg")
+    sql("DROP TABLE IF EXISTS graft.agg.gp")
+    sql("CREATE TABLE graft.agg.gp (id BIGINT, k STRING) PARTITIONED BY (k)")
+    sql("INSERT INTO graft.agg.gp SELECT id, concat('g', id % 3) " +
+      "FROM range(0, 300)")
+    sql("ALTER TABLE graft.agg.gp ADD COLUMN w BIGINT")
+    sql("ALTER TABLE graft.agg.gp ADD COLUMN tag STRING DEFAULT 'old'")
+    sql("INSERT INTO graft.agg.gp SELECT id, concat('g', id % 3), id, 'new' " +
+      "FROM range(300, 360)")
+    val q = "SELECT k, count(*) AS n, count(w) AS nw, count(tag) AS nt, " +
+      "sum(w) AS sw FROM graft.agg.gp GROUP BY k"
+    val on = sql(q)
+    val plan = finalPlan(on)
+    assert(plan.contains("LocalTableScan") && !plan.contains("GraftBatchScan"),
+      s"grouped evolved profile must be metadata-only:\n${plan.take(2000)}")
+    val rows = on.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // per group: 100 old rows (w null, tag default) + 20 new rows
+    (0 until 3).foreach { g =>
+      val exp = (120L, 20L, 120L,
+        (300L until 360L).filter(_ % 3 == g).sum)
+      assert(rows(s"g$g") == exp, s"group g$g: ${rows(s"g$g")} != $exp")
+    }
+    spark.conf.set("spark.sql.graft.metadataAggregate", "false")
+    try {
+      assert(sql(q).collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        == rows, "scan parity on the grouped evolved profile")
+    } finally {
+      spark.conf.set("spark.sql.graft.metadataAggregate", "true")
+    }
+  }
+
   test("time travel answers from the pinned snapshot, still metadata-only") {
     sql("DROP TABLE IF EXISTS graft.agg.tt")
     sql("CREATE TABLE graft.agg.tt (id BIGINT, v DOUBLE)") // v1

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => V2Offset}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, lit}
@@ -77,7 +78,8 @@ final class GraftChangesSource(
     root: String,
     startFrom: Option[Long],
     metadataPath: String,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger.forall(_ >= 1L),
     s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
@@ -125,9 +127,44 @@ final class GraftChangesSource(
     */
   @volatile private var lastPlanned: Long = base
 
+  /** `Trigger.AvailableNow` fence (the FileStreamSource pattern — a V1
+    * `Source` mixing in the v2 admission interfaces): the engine calls
+    * [[prepareForTriggerAvailableNow]] once at query start; planning
+    * then never admits a version beyond the fence, and once the fence
+    * is reached [[latestOffset]] returns null — the engine drains the
+    * whole backlog in admission-capped batches and terminates. Without
+    * this, Spark's "single batch" fallback + `maxVersionsPerTrigger`
+    * silently delivered only the FIRST capped batch.
+    */
+  @volatile private var availableNowFence: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowFence = Some(table.currentVersion())
+  }
+
+  /** Admission is version-count based and lives in the planner itself
+    * ([[getOffset]]); the engine-level limit stays "all available".
+    */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): V2Offset =
+    LongOffset(table.currentVersion())
+
+  /** The admission-control twin of [[getOffset]] — the engine calls
+    * THIS when the source implements [[SupportsAdmissionControl]].
+    * `startOffset` is ignored in favor of the internal `lastPlanned`
+    * anchor (which restart recovery in [[getBatch]] already advances —
+    * the same bookkeeping the legacy path relies on).
+    */
+  override def latestOffset(startOffset: V2Offset,
+      limit: ReadLimit): V2Offset =
+    getOffset.orNull
+
   override def getOffset: Option[Offset] = {
     val t = table
-    val latest = t.currentVersion()
+    // an AvailableNow run never plans past its start-time fence
+    val latest = availableNowFence
+      .fold(t.currentVersion())(math.min(t.currentVersion(), _))
     if (latest <= lastPlanned) return None
     // live versions in the backlog window — expired ones are gone from
     // the log and show up as GAPS in this ascending sequence

@@ -446,4 +446,59 @@ class StreamingChangelogSpec extends AnyFunSuite with Matchers {
       .option("checkpointLocation", base.resolve("c4").toString)
       .option("keys", "id").start(root), "Update mode")
   }
+
+  test("Trigger.AvailableNow drains the backlog in bounded batches and stops") {
+    val base = Files.createTempDirectory("graft-stream-an")
+    val root = base.resolve("t").toString
+    val tbl = SnapshotTable.create(spark, root, schema, None)
+    (1 to 6).foreach(i => tbl.append(rows(i.toLong -> i.toDouble)))
+
+    // batch-mode CDC catch-up (the production shape: a cron'd job that
+    // drains everything committed so far, then EXITS): replay from v1,
+    // admission-capped to 2 versions per batch — AvailableNow must
+    // still deliver the WHOLE backlog across multiple batches, then
+    // terminate on its own
+    val sink = ArrayBuffer.empty[(String, Long, Double)]
+    var batches = 0
+    val q = spark.readStream.format("graft")
+      .option("changesFrom", "1")
+      .option("maxVersionsPerTrigger", "2")
+      .load(root)
+      .writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = df.select(col("_change_type"), col("id"), col("v"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        sink.synchronized { sink ++= got; batches += 1 }
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query must stop itself")
+    assert(sink.sortBy(_._2).toSeq ==
+      (1 to 6).map(i => ("insert", i.toLong, i.toDouble)))
+    assert(batches >= 3, s"2-version cap over 6 commits needs >= 3 " +
+      s"batches, got $batches")
+
+    // a commit AFTER the drain is NOT seen by the finished run, but a
+    // RESTARTED AvailableNow run picks up exactly the remainder
+    tbl.append(rows(7L -> 7.0))
+    val sink2 = ArrayBuffer.empty[(String, Long, Double)]
+    val q2 = spark.readStream.format("graft")
+      .option("changesFrom", "1")
+      .load(root)
+      .writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = df.select(col("_change_type"), col("id"), col("v"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        sink2.synchronized { sink2 ++= got }
+        ()
+      }
+      .start()
+    assert(q2.awaitTermination(120000))
+    assert(sink2.toSeq == Seq(("insert", 7L, 7.0)),
+      s"restart must deliver exactly the post-drain commit: $sink2")
+  }
 }

@@ -1881,6 +1881,9 @@ object Queries {
   private val sqlCallTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val replaceWhereTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val wapTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3614,6 +3617,44 @@ object Queries {
              |  COUNT(CASE WHEN origin = 'legacy' THEN 1 END) AS legacy_n,
              |  TRUE AS native_evolved_read
              |FROM evolved GROUP BY 1""".stripMargin)),
+
+    QueryDef("sql_replace_where",
+      // r15: SQL `INSERT INTO … REPLACE WHERE pred SELECT …` — the
+      // Iceberg filter overwrite: ONE atomic commit swaps exactly the
+      // matching rows for the incoming batch (COW at file granularity;
+      // files the predicate cannot touch are adopted byte-identical).
+      // The fixture replaces the event_id < 2000 range with
+      // doubled-value 'replaced' twins through the catalog SQL path
+      // (the predicate must have a v1 Filter form — Spark's
+      // OverwriteByExpression contract); the oracle reconstructs the
+      // same union in DuckDB.
+      (s, dir) => {
+        statsSnapshot(s, dir, replaceWhereTableCache, "replw") { tbl =>
+          val ident = s"graft.db.snap_replw_h${math.abs(dir.hashCode)}"
+          t(s, dir, "events").createOrReplaceTempView("graft_replw_src")
+          val v = tbl.currentVersion()
+          s.sql(s"""INSERT INTO $ident REPLACE WHERE event_id < 2000
+                   |SELECT event_id, ts, user_id, 'replaced' AS event_type,
+                   |  value * 2 AS value, props
+                   |FROM graft_replw_src WHERE event_id < 2000""".stripMargin)
+          require(tbl.currentVersion() == v + 1 &&
+            tbl.currentSnapshot().operation == "overwrite_where",
+            "REPLACE WHERE must be one atomic overwrite_where commit")
+          ()
+        }
+        val ident = s"graft.db.snap_replw_h${math.abs(dir.hashCode)}"
+        s.table(ident).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      },
+      Some("""WITH merged AS (
+             |  SELECT event_type, value FROM events WHERE event_id >= 2000
+             |  UNION ALL
+             |  SELECT 'replaced', value * 2 FROM events WHERE event_id < 2000
+             |)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+             |    AS sum_value
+             |FROM merged GROUP BY 1""".stripMargin)),
 
     QueryDef("snap_agg_evolved_meta",
       // r15: the manifest aggregate answers over an EVOLVED table —

@@ -220,20 +220,35 @@ final class GraftV2Table(
     new WriteBuilder with SupportsTruncate with SupportsOverwrite
         with SupportsDynamicOverwrite {
       requireWritable("write to")
-      // append | overwrite | dynamic
+      // append | overwrite | dynamic | where
       private var mode: String = "append"
+      private var cond: Option[org.apache.spark.sql.Column] = None
 
       override def truncate(): WriteBuilder = { mode = "overwrite"; this }
 
+      /** Filter overwrite (SQL `INSERT INTO … REPLACE WHERE pred` /
+        * `df.writeTo(t).overwrite(cond)`): an empty/always-true filter
+        * set is the whole-table overwrite; anything else becomes ONE
+        * atomic delete-matching-plus-append commit
+        * ([[SnapshotTable.overwriteWhere]]). Conditions must reference
+        * top-level columns — v1 filters render nested struct fields as
+        * dotted names that would bind to nonexistent flat columns.
+        */
       override def overwrite(fs: Array[Filter]): WriteBuilder = {
-        // hidden partitioning has no schema-level partition columns, so
-        // the only filter overwrite Spark can produce here is the full
-        // truncate; anything else is a user error worth naming
-        require(fs.isEmpty || fs.forall(_.isInstanceOf[AlwaysTrue]),
-          "graft tables support INSERT OVERWRITE of the whole table " +
-            "(or dynamic partition overwrite) — filter overwrite of " +
-            s"${fs.mkString(", ")} is not supported")
-        mode = "overwrite"; this
+        if (fs.isEmpty || fs.forall(_.isInstanceOf[AlwaysTrue])) {
+          mode = "overwrite"
+        } else {
+          val cols = fs.toIndexedSeq.map { f =>
+            require(f.references.forall(schema.fieldNames.contains),
+              s"REPLACE WHERE condition $f must reference top-level " +
+                "columns only")
+            GraftV2Table.filterToColumn(f).getOrElse(sys.error(
+              s"REPLACE WHERE condition $f has no column form"))
+          }
+          cond = Some(cols.reduce(_ && _))
+          mode = "where"
+        }
+        this
       }
 
       override def overwriteDynamicPartitions(): WriteBuilder = {
@@ -247,6 +262,7 @@ final class GraftV2Table(
               mode match {
                 case "overwrite" => table.overwrite(data)
                 case "dynamic" => table.overwritePartitions(data)
+                case "where" => table.overwriteWhere(cond.get, data)
                 case _ => table.append(data)
               }
               ()

@@ -994,6 +994,42 @@ final class SnapshotTable private (
         staged.map(_.copy(cols = base.ids, nested = nestedPairsOf(base)))))
   }
 
+  /** Atomic FILTER overwrite (Iceberg `overwrite(filters)` — SQL
+    * `INSERT INTO t REPLACE WHERE pred SELECT …`): ONE commit removes
+    * every row matching `pred` (copy-on-write at file granularity —
+    * the [[delete]] discovery: manifest stats prune to candidates, one
+    * scoped job finds files actually holding matches, only those
+    * rewrite without their matches) and adopts `df` as the
+    * replacement. A reader never observes the deleted-but-not-yet-
+    * replaced intermediate state that separate delete+append commits
+    * would expose; a concurrent commit conflicts (strict — filter
+    * overwrite has no commutative rebase).
+    */
+  def overwriteWhere(pred: Column, df: DataFrame): Snapshot = {
+    val base = currentSnapshot()
+    val candidates = pruneFiles(base, pred)
+    val hit =
+      if (candidates.isEmpty) Nil
+      else {
+        val hitPaths = readResolved(base.schema, base.ids, base, candidates)
+          .filter(pred)
+          .select(input_file_name().as("__f")).distinct()
+          .collect().map(r => relPath(r.getString(0))).toSet
+        candidates.filter(f => hitPaths.contains(f.path))
+      }
+    val hitSet = hit.map(_.path).toSet
+    val survivors =
+      if (hit.isEmpty) Nil
+      else stage(readWithDeletes(base.schema, base.ids, base, hit)
+        .filter(!(pred <=> lit(true))), base.spec, base.properties)
+    val incoming = stage(alignForWrite(df, base.schema), base.spec,
+      base.properties, applyLayout = true)
+    commitStrict(base, next(base, "overwrite_where", base.schema,
+      base.files.filterNot(f => hitSet.contains(f.path)) ++
+        (survivors ++ incoming).map(_.copy(cols = base.ids,
+          nested = nestedPairsOf(base)))))
+  }
+
   /** Row-level UPDATE, copy-on-write at FILE granularity (SQL
     * `UPDATE … SET … WHERE …`): same candidate discovery as [[delete]]
     * — manifest stats prune, one scoped job finds files actually

@@ -632,4 +632,62 @@ class GraftCatalogSpec extends AnyFunSuite {
     Seq("b1", "b2", "s").foreach(n => sql(s"DROP TABLE graft.cbo.$n"))
     sql("DROP NAMESPACE graft.cbo")
   }
+
+  test("REPLACE WHERE: one atomic filter overwrite, untouched files intact") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.rw")
+    sql("DROP TABLE IF EXISTS graft.rw.t")
+    sql("CREATE TABLE graft.rw.t (id BIGINT, k STRING, v DOUBLE)")
+    // two commits with DISJOINT id ranges so the manifest can prove
+    // which files the overwrite may touch
+    sql("INSERT INTO graft.rw.t SELECT id, 'a', cast(id as double) " +
+      "FROM range(0, 100)")
+    sql("INSERT INTO graft.rw.t SELECT id, 'b', cast(id as double) " +
+      "FROM range(1000, 1100)")
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = SnapshotTable.load(spark, s"$warehouse/rw/t")
+    val vBefore = t.currentVersion()
+    val untouched = t.currentSnapshot().files
+      .filter(_.stats.get("id").flatMap(_.min).exists(_.toLong >= 1000))
+      .map(_.path).toSet
+    assert(untouched.nonEmpty)
+
+    // SQL REPLACE WHERE: swap the id<100 half for a new batch
+    sql("INSERT INTO graft.rw.t REPLACE WHERE id < 100 " +
+      "SELECT id, 'c', -1.0 FROM range(0, 50)")
+    // ONE commit, op recorded
+    assert(t.currentVersion() == vBefore + 1)
+    assert(t.currentSnapshot().operation == "overwrite_where")
+    // exact contents: old id>=1000 rows intact, replaced half swapped
+    assert(sql("SELECT count(*) FROM graft.rw.t").as[Long].head == 150L)
+    assert(sql("SELECT count(*) FROM graft.rw.t WHERE k = 'a'")
+      .as[Long].head == 0L)
+    assert(sql("SELECT count(*) FROM graft.rw.t WHERE k = 'c' AND v = -1.0")
+      .as[Long].head == 50L)
+    assert(sql("SELECT count(*) FROM graft.rw.t WHERE k = 'b'")
+      .as[Long].head == 100L)
+    // files outside the predicate were NOT rewritten (byte-identical
+    // adoption - the manifest still lists the same paths)
+    val after = t.currentSnapshot().files.map(_.path).toSet
+    assert(untouched.subsetOf(after),
+      "files the predicate cannot touch must survive the overwrite")
+
+    // DataFrameWriterV2 route: overwrite(condition)
+    spark.range(2000, 2010)
+      .selectExpr("id", "'d' as k", "cast(0.5 as double) as v")
+      .writeTo("graft.rw.t").overwrite(col("k") === "b")
+    assert(sql("SELECT count(*) FROM graft.rw.t").as[Long].head == 60L)
+    assert(sql("SELECT count(*) FROM graft.rw.t WHERE k = 'b'")
+      .as[Long].head == 0L)
+    assert(sql("SELECT count(*) FROM graft.rw.t WHERE k = 'd'")
+      .as[Long].head == 10L)
+    // rows where the predicate is NULL are KEPT (SQL overwrite scope)
+    sql("INSERT INTO graft.rw.t SELECT 3000, NULL, 9.0")
+    spark.range(4000, 4001)
+      .selectExpr("id", "'e' as k", "cast(1.0 as double) as v")
+      .writeTo("graft.rw.t").overwrite(col("k") === "c")
+    assert(sql("SELECT count(*) FROM graft.rw.t WHERE k IS NULL")
+      .as[Long].head == 1L, "NULL-predicate rows must survive")
+    assert(sql("SELECT count(*) FROM graft.rw.t WHERE k = 'c'")
+      .as[Long].head == 0L)
+  }
 }

@@ -3736,6 +3736,30 @@ object Queries {
              |  TRUE AS limit_file_prefix
              |FROM (SELECT * FROM events LIMIT 500)""".stripMargin)),
 
+    QueryDef("snap_topn_prefix",
+      // r15: ORDER BY + LIMIT pushes into the native batch scan as
+      // TopN FILE pruning (SupportsPushDownTopN, partial contract) —
+      // a manifest min/max threshold argument keeps only files that
+      // can hold a top-k row, so a 100 TB `ORDER BY ts DESC LIMIT k`
+      // over a time-clustered table plans one file. The fixture is
+      // range-clustered on event_id into 8 files; the flag pins that
+      // fewer files than the table holds were planned, and the oracle
+      // pins the top-500 rows themselves (event_id is unique, so the
+      // answer is deterministic).
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, skipTableCache, "skip")(_ => ())
+        val ident = s"graft.db.snap_skip_h${math.abs(dir.hashCode)}"
+        val q = s"SELECT event_id, event_type, value FROM $ident " +
+          "ORDER BY event_id DESC LIMIT 500"
+        val (_, events) = graft.catalog.ScanEvents.capture(s.sql(q).collect())
+        val ev = events.filter(_.root == tbl.root.toString)
+        val pruned = ev.nonEmpty && ev.head.kept < ev.head.total
+        s.sql(q).withColumn("topn_file_prune", lit(pruned))
+      },
+      Some("""SELECT event_id, event_type, value,
+             |  TRUE AS topn_file_prune
+             |FROM events ORDER BY event_id DESC LIMIT 500""".stripMargin)),
+
     QueryDef("sql_update_native",
       (s, dir) => {
         val tbl = statsSnapshot(s, dir, updNativeTableCache, "updnat") { tbl =>

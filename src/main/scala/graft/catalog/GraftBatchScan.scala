@@ -65,7 +65,8 @@ final class GraftBatchScan(
     required: StructType,
     filters: Array[Filter],
     spjKey: Option[GraftSpjKey],
-    limit: Option[Int] = None) extends Scan with Batch
+    limit: Option[Int] = None,
+    topn: Option[GraftTopN] = None) extends Scan with Batch
     with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
 
@@ -324,7 +325,17 @@ final class GraftBatchScan(
             take
           }
           prefix
-        case _ => pruned
+        case _ => topn match {
+          // pushed ORDER BY + LIMIT: drop files that cannot hold a
+          // top-k row (see topnPrune). Sound only over the raw file
+          // set — pushed or runtime filters and equality deletes make
+          // live counts unknowable, so any of them disables pruning.
+          case Some(t) if runtimeFilters.isEmpty && filters.isEmpty &&
+              snap.deleteFiles.isEmpty &&
+              GraftBatchScan.topnPruneEnabled(table) =>
+            topnPrune(pruned, t)
+          case _ => pruned
+        }
       }
       ScanEvents.record(table.root.toString, kept.size, snap.files.size)
       cachedGroups = spjKey match {
@@ -336,6 +347,103 @@ final class GraftBatchScan(
       }
     }
     cachedGroups
+  }
+
+  /** ORDER BY + LIMIT as manifest file pruning (`SupportsPushDownTopN`,
+    * partial contract — Spark re-sorts and re-limits above, so keeping
+    * a SUPERSET of the needed files is the only allowed error).
+    *
+    * Threshold argument: accumulate, over files sorted by their
+    * GUARANTEE bound best-first (per-file `min` for DESC — every live
+    * non-NULL row of the file orders at-or-above it; `max` for ASC),
+    * the row count guaranteed live at that bound (manifest rows minus
+    * the file's nulls minus every delete-vector row that could touch
+    * it — under-counting only keeps more files). Once the accumulated
+    * guarantee reaches k at bound τ, at least k live rows order
+    * at-or-before τ, so no top-k row can order strictly BEYOND τ:
+    * drop every file whose WINNING bound (`max` for DESC, `min` for
+    * ASC) does. Ties at τ are kept — a later sort key may break them
+    * either way.
+    *
+    * NULLs win or lose wholesale by the pushed null ordering: when
+    * they win (NULLS FIRST), every guaranteed-live null seeds the
+    * accumulator and any file that could hold one is kept (if the
+    * nulls alone cover k, only those files survive); when they lose,
+    * all-NULL files drop once the threshold is met. A stored string
+    * `min` may be a truncated prefix — a prefix only weakens τ (still
+    * a valid lower bound) and only loosens the ASC keep test; `max`
+    * is dropped at write time rather than truncated, and a missing or
+    * unparseable bound always keeps the file. Floats normalize -0.0
+    * to 0.0 first (Spark's ordering treats them equal; the stats
+    * rendering distinguishes them). A 100 TB
+    * `ORDER BY ts DESC LIMIT 100` over a time-clustered table plans
+    * one file instead of the table.
+    */
+  private def topnPrune(files: Seq[DataFileEntry],
+      t: GraftTopN): Seq[DataFileEntry] = {
+    val id = idByName.get(t.col)
+    def statsOf(e: DataFileEntry): Option[ColStats] = {
+      val eff = if (e.cols.isEmpty) snap.ids else e.cols
+      id.flatMap(i => eff.collectFirst { case (wn, j) if j == i => wn })
+        .flatMap(e.stats.get)
+    }
+    def norm(v: Any): Any = v match {
+      case f: Float if f == 0.0f => 0.0f
+      case d: Double if d == 0.0d => 0.0d
+      case x => x
+    }
+    def dvRows(e: DataFileEntry): Long =
+      table.dvsOf(snap, e).map(_.rows).sum
+    val nullsWin = t.nullsFirst
+    val st = files.map(e => (e, statsOf(e)))
+    // nulls guaranteed live when they precede every value
+    val nullAcc: Long = if (!nullsWin) 0L
+      else st.iterator.map { case (e, s) =>
+        s.map(x => math.max(0L, x.nullCount - dvRows(e))).getOrElse(0L)
+      }.sum
+    if (nullsWin && nullAcc >= t.k)
+      // the top-k is all NULLs: only files that could hold one survive
+      return files.filter(e => statsOf(e).forall(_.nullCount > 0))
+    // (guarantee bound, guaranteed-live value rows) per usable file
+    val cand = st.flatMap { case (e, so) =>
+      for {
+        s <- so
+        b <- (if (t.desc) s.min else s.max)
+        v <- SnapshotTable.parseBound(t.dt, b)
+      } yield (norm(v), math.max(0L, e.rows - s.nullCount - dvRows(e)))
+    }
+    val sorted = cand.sortWith((a, b) =>
+      if (t.desc) SnapshotTable.boundLess(t.dt, b._1, a._1)
+      else SnapshotTable.boundLess(t.dt, a._1, b._1))
+    var acc = nullAcc
+    var tau: Option[Any] = None
+    val it = sorted.iterator
+    while (tau.isEmpty && it.hasNext) {
+      val (v, g) = it.next()
+      acc += g
+      if (acc >= t.k) tau = Some(v)
+    }
+    tau match {
+      case None => files // metadata cannot guarantee k rows: keep all
+      case Some(v) => files.filter { e =>
+        statsOf(e) match {
+          case Some(s) =>
+            (nullsWin && s.nullCount > 0) || {
+              (if (t.desc) s.max else s.min)
+                .map(b => SnapshotTable.parseBound(t.dt, b).map(norm)) match {
+                case Some(Some(w)) =>
+                  if (t.desc) !SnapshotTable.boundLess(t.dt, w, v)
+                  else !SnapshotTable.boundLess(t.dt, v, w)
+                case Some(None) => true // unparseable (NaN/Inf): keep
+                // no bound at all: an all-NULL file loses (nulls-win
+                // files were kept above); a dropped bound keeps
+                case None => s.nullCount != e.rows
+              }
+            }
+          case None => true // no stats for the column: keep
+        }
+      }
+    }
   }
 
   override def outputPartitioning(): Partitioning = spjKey match {
@@ -648,6 +756,29 @@ object GraftBatchScan {
   def enabled(table: SnapshotTable): Boolean =
     table.session.conf.get("spark.sql.graft.nativeBatchScan", "true") == "true"
 
+  /** Session kill-switch (default on) for ORDER BY + LIMIT file
+    * pruning: `spark.sql.graft.topnPrune` — the parity seam
+    * TopNPushdownSpec drives both ways on every pinned answer.
+    */
+  def topnPruneEnabled(table: SnapshotTable): Boolean =
+    table.session.conf.get("spark.sql.graft.topnPrune", "true") == "true"
+
+  /** Sort-column types the TopN prune can threshold on — exactly the
+    * universe [[SnapshotTable.parseBound]]/`boundLess` order the same
+    * way Spark's sort does (string bounds compare as UTF-8 bytes,
+    * floats are normalized for -0.0 and kept-unknown on NaN bounds).
+    */
+  private[catalog] def topnOrderable(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType | IntegerType | LongType |
+         org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DoubleType | StringType |
+         org.apache.spark.sql.types.BooleanType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
+
   /** Key column types the native equality-delete mask can hash: scalar
     * internal representations with value equality (binary = Java
     * arrays, reference equality — excluded; nested types excluded).
@@ -805,6 +936,14 @@ final case class GraftEqRef(groups: Array[GraftEqGroup])
   * vector parquet. KB-sized reads, loaded task-side so no bitmap ever
   * sits on the driver.
   */
+/** A pushed ORDER BY + LIMIT, reduced to its FIRST sort key — pruning
+  * on a key prefix is sound for any suffix (ties at the threshold are
+  * kept, so later keys are free to break them). `nullsFirst` is the
+  * pushed null ordering: NULLS FIRST means nulls WIN the top-k.
+  */
+final case class GraftTopN(col: String, dt: DataType, desc: Boolean,
+    nullsFirst: Boolean, k: Int)
+
 final case class GraftDvRef(dataRel: String, dvFiles: Array[(String, Long)])
 
 /** One task's splits; `partitionKey` is the partition value Spark

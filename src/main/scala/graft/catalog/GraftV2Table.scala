@@ -101,10 +101,12 @@ final class GraftV2Table(
   private[catalog] def scanBuilderAt(version: Option[Long]): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
         with SupportsPushDownRequiredColumns
-        with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+        with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+        with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
       private var filters: Array[Filter] = Array.empty
       private var required: StructType = schema
       private var limit: Option[Int] = None
+      private var topn: Option[GraftTopN] = None
 
       /** Skip-only pruning: every filter is also returned as residual
         * so Catalyst re-applies it exactly — manifest pruning can never
@@ -127,6 +129,38 @@ final class GraftV2Table(
         */
       override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
+      /** ORDER BY + LIMIT reaches the scan as a planning hint too: the
+        * native batch scan drops files that cannot hold a top-k row by
+        * a manifest min/max threshold argument
+        * ([[GraftBatchScan.topnPrune]] — a 100 TB `ORDER BY ts DESC
+        * LIMIT 100` over a time-clustered table plans one file).
+        * Pruning keys on the FIRST sort key only, which is sound for
+        * any suffix; accepted only when that key is a bare top-level
+        * column of a threshold-orderable type. Partial contract:
+        * Spark keeps its Sort+Limit above, so over-planning is the
+        * only allowed error direction.
+        */
+      override def pushTopN(
+          orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+          l: Int): Boolean = {
+        import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+        val t = orders.headOption.flatMap { o =>
+          o.expression() match {
+            case nr: NamedReference if nr.fieldNames().length == 1 =>
+              val n = nr.fieldNames()(0)
+              schema.fields.find(_.name == n)
+                .filter(f => GraftBatchScan.topnOrderable(f.dataType))
+                .map(f => GraftTopN(n, f.dataType,
+                  o.direction() == SortDirection.DESCENDING,
+                  o.nullOrdering() == NullOrdering.NULLS_FIRST, l))
+            case _ => None
+          }
+        }
+        t.foreach(v => topn = Some(v))
+        t.isDefined
+      }
+      override def isPartiallyPushed(): Boolean = true
+
       override def build(): Scan = {
         // native batch path first: a bucket-partitioned snapshot with
         // no read-time resolution work reports KeyGroupedPartitioning
@@ -137,7 +171,7 @@ final class GraftV2Table(
         GraftBatchScan.eligible(table, snap, schema, required) match {
           case Some(bucket) =>
             return new GraftBatchScan(table, snap, required, filters,
-              bucket, limit)
+              bucket, limit, topn)
           case None => ()
         }
         v1Scan()

@@ -1956,6 +1956,8 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val updNativeTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val metaDelTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val eqDeleteTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val dvNativeTableCache =
@@ -3759,6 +3761,42 @@ object Queries {
       Some("""SELECT event_id, event_type, value,
              |  TRUE AS topn_file_prune
              |FROM events ORDER BY event_id DESC LIMIT 500""".stripMargin)),
+
+    QueryDef("snap_delete_metadata",
+      // r15: the retention DELETE is METADATA-ONLY — a file whose
+      // manifest bounds prove every live row matches the predicate
+      // drops from the manifest without being opened
+      // (StatsPruner.mustMatchAll via SnapshotTable.delete), so
+      // `DELETE WHERE ts < cutoff` on a time-clustered 100 TB table
+      // commits in O(files) bound checks with zero data I/O. The
+      // fixture is range-clustered on event_id into 8 files and the
+      // cutoff is the id midpoint: the flag pins that at least two
+      // files were dropped WITHOUT a replacement being staged (pure
+      // drops), and the oracle pins the surviving aggregate.
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, metaDelTableCache, "metadel") { tbl =>
+          val x = t(s, dir, "events").agg(max("event_id")).head.getLong(0) / 2
+          tbl.delete(col("event_id") <= lit(x))
+          ()
+        }
+        val h = tbl.history()
+        val del = h.find(_.operation == "delete").get
+        val pre = h.find(_.version == del.parent.get).get
+        val removed = pre.files.map(_.path).toSet -- del.files.map(_.path)
+        val staged = del.files.map(_.path).toSet -- pre.files.map(_.path)
+        val pureDrops = removed.size - staged.size
+        tbl.read().groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .withColumn("metadata_drop", lit(pureDrops >= 2))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+             |    AS sum_value,
+             |  TRUE AS metadata_drop
+             |FROM events
+             |WHERE event_id > (SELECT CAST(FLOOR(MAX(event_id) / 2.0)
+             |    AS BIGINT) FROM events)
+             |GROUP BY 1""".stripMargin)),
 
     QueryDef("sql_update_native",
       (s, dir) => {

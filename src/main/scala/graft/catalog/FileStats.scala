@@ -291,6 +291,30 @@ object StatsPruner {
     case other => Seq(other)
   }
 
+  /** [[translate]]'s strict twin: the filters, or None unless EVERY
+    * conjunct of the analyzed, constant-folded predicate translated.
+    * The may-match prune tolerates lost conjuncts (the residual
+    * re-applies them); a MUST-match proof cannot — a lost conjunct
+    * would prove a strictly weaker predicate.
+    */
+  def translateExact(spark: SparkSession, schema: StructType,
+      pred: Column): Option[Seq[Filter]] = {
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val analyzed = empty.filter(pred).queryExecution.analyzed
+    val conditions = analyzed.collect { case f: LFilter => f.condition }
+    val conjuncts = conditions.flatMap { cond =>
+      val folded = cond.transformUp {
+        case e: Expression if e.foldable && !e.isInstanceOf[Literal] &&
+            Try(e.eval(InternalRow.empty)).isSuccess =>
+          Literal.create(e.eval(InternalRow.empty), e.dataType)
+      }
+      splitConjuncts(folded)
+    }
+    val translated = conjuncts.map(FilterBridge.translate)
+    if (translated.exists(_.isEmpty)) None else Some(translated.flatten)
+  }
+
   /** Can `file` contain a row matching every filter in `filters`? */
   def mayMatchAll(file: DataFileEntry, schema: StructType,
       filters: Seq[Filter], resolver: BloomResolver = NoRefs): Boolean =
@@ -349,6 +373,90 @@ object StatsPruner {
       }
     case _ => true
   }
+
+  /** Does `file` PROVABLY satisfy every filter on EVERY live row? The
+    * strict dual of [[mayMatchAll]] — the metadata-only DELETE test
+    * ([[SnapshotTable.delete]]): true only when manifest bounds prove
+    * the predicate evaluates TRUE (never FALSE or NULL — SQL DELETE
+    * keeps NULL-predicate rows) for every row the file holds, so the
+    * file can be dropped from the manifest without being opened.
+    * Everything unprovable answers false and the file scans normally.
+    * MoR-deleted rows only shrink the live set, so a proof over the
+    * manifest's superset holds for it. Requires the COMPLETE predicate
+    * ([[translateExact]]) — proving a weaker subset proves nothing.
+    */
+  def mustMatchAll(file: DataFileEntry, schema: StructType,
+      filters: Seq[Filter]): Boolean =
+    filters.nonEmpty && filters.forall(f => mustMatch(file, schema, f))
+
+  private def mustMatch(file: DataFileEntry, schema: StructType,
+      filter: Filter): Boolean = filter match {
+    case And(l, r) =>
+      mustMatch(file, schema, l) && mustMatch(file, schema, r)
+    // proving one branch TRUE proves the OR even if the other is NULL
+    case Or(l, r) =>
+      mustMatch(file, schema, l) || mustMatch(file, schema, r)
+    case IsNull(a) => file.stats.get(a).exists(_.nullCount == file.rows)
+    case IsNotNull(a) => provablyNoNulls(file, a)
+    // min is a sound LOWER bound even prefix-truncated (a prefix only
+    // weakens it); max is dropped at write time rather than truncated
+    case GreaterThan(a, v) =>
+      mustCompare(file, schema, a, v, useMin = true, _ > 0)
+    case GreaterThanOrEqual(a, v) =>
+      mustCompare(file, schema, a, v, useMin = true, _ >= 0)
+    case LessThan(a, v) =>
+      mustCompare(file, schema, a, v, useMin = false, _ < 0)
+    case LessThanOrEqual(a, v) =>
+      mustCompare(file, schema, a, v, useMin = false, _ <= 0)
+    case EqualTo(a, v) => v != null && mustEqual(file, schema, a, v)
+    case EqualNullSafe(a, null) =>
+      file.stats.get(a).exists(_.nullCount == file.rows)
+    case EqualNullSafe(a, v) => mustEqual(file, schema, a, v)
+    case In(a, vs) => vs.exists(v => v != null && mustEqual(file, schema, a, v))
+    case _ => false
+  }
+
+  /** No live row can be NULL in `a` — required by every value proof
+    * (a NULL makes the comparison NULL, which DELETE must keep).
+    */
+  private def provablyNoNulls(file: DataFileEntry, a: String): Boolean =
+    file.stats.get(a).exists(_.nullCount == 0)
+
+  /** Ordering proofs on string bounds hold only when both sides are
+    * ASCII: the stored order is UTF-8 byte order (Spark/parquet), Java
+    * compares UTF-16 code units — they agree exactly on ASCII.
+    */
+  private def orderProvable(dt: DataType, bound: String, v: Any): Boolean =
+    dt != StringType || (bound.forall(_ < 0x80) && (v match {
+      case s: String => s.forall(_ < 0x80)
+      case _ => false
+    }))
+
+  private def mustCompare(file: DataFileEntry, schema: StructType,
+      a: String, v: Any, useMin: Boolean, ok: Int => Boolean): Boolean =
+    provablyNoNulls(file, a) && (for {
+      st <- file.stats.get(a)
+      dt <- fieldType(schema, a)
+      b <- if (useMin) st.min else st.max
+      if orderProvable(dt, b, v)
+      c <- compare(dt, b, v)
+    } yield ok(c)).getOrElse(false)
+
+  /** min == max == v proves every row equals `v` — string equality is
+    * encoding-independent, but a truncated min prefix could collide
+    * with a longer true value, so the min must be untruncated.
+    */
+  private def mustEqual(file: DataFileEntry, schema: StructType,
+      a: String, v: Any): Boolean =
+    provablyNoNulls(file, a) && (for {
+      st <- file.stats.get(a)
+      dt <- fieldType(schema, a)
+      mn <- st.min
+      mx <- st.max
+      if dt != StringType || mn.length < FileStats.MaxStringBound
+      c1 <- compare(dt, mn, v)
+      c2 <- compare(dt, mx, v)
+    } yield c1 == 0 && c2 == 0).getOrElse(false)
 
   /** Per-file Bloom probe for equality filters: definitely-absent
     * prunes, everything else (no filter recorded, unknown value form,

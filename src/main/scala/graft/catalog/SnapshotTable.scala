@@ -969,9 +969,33 @@ final class SnapshotTable private (
     * sort-clustered on the predicate columns ([[compact]] `sortBy`),
     * that is O(files actually holding matches), not O(table).
     */
+  /** Files among `candidates` whose manifest stats PROVE every live
+    * row matches `pred` — droppable from the manifest without being
+    * opened ([[StatsPruner.mustMatchAll]]). This is what makes a
+    * retention DELETE (`ts < cutoff` over a time-clustered table)
+    * metadata-only at any size: O(files) bound checks, zero data I/O,
+    * zero rewrite. Only when the WHOLE predicate translates
+    * ([[StatsPruner.translateExact]]) — proving a translated SUBSET
+    * would prove a weaker predicate and drop live rows.
+    */
+  private def fullyMatchedFiles(base: Snapshot, pred: Column,
+      candidates: Seq[DataFileEntry]): Set[String] =
+    StatsPruner.translateExact(spark, base.schema, pred) match {
+      case Some(fs) if fs.nonEmpty =>
+        val currentById = base.ids.map { case (n, id) => id -> n }.toMap
+        candidates.filter(f => StatsPruner.mustMatchAll(
+          effectiveStats(currentById, f), base.schema, fs))
+          .map(_.path).toSet
+      case _ => Set.empty
+    }
+
   def delete(pred: Column): Snapshot = {
     val base = currentSnapshot()
-    val candidates = pruneFiles(base, pred)
+    val candidates0 = pruneFiles(base, pred)
+    // metadata-only drops first: provably-all-matching files leave the
+    // manifest unopened; only the rest pay the discovery scan
+    val covered = fullyMatchedFiles(base, pred, candidates0)
+    val candidates = candidates0.filterNot(f => covered(f.path))
     val hit =
       if (candidates.isEmpty) Nil
       else {
@@ -984,13 +1008,15 @@ final class SnapshotTable private (
           .collect().map(r => relPath(r.getString(0))).toSet
         candidates.filter(f => hitPaths.contains(f.path))
       }
-    if (hit.isEmpty) return base // nothing matches: no new snapshot
+    if (hit.isEmpty && covered.isEmpty) return base // nothing matches
     val hitSet = hit.map(_.path).toSet
     // keep rows where pred is FALSE or NULL: <=> TRUE is null-safe
-    val survivors = readWithDeletes(base.schema, base.ids, base, hit).filter(!(pred <=> lit(true)))
-    val staged = stage(survivors, base.spec, base.properties)
+    val staged =
+      if (hit.isEmpty) Nil
+      else stage(readWithDeletes(base.schema, base.ids, base, hit)
+        .filter(!(pred <=> lit(true))), base.spec, base.properties)
     commitStrict(base, next(base, "delete", base.schema,
-      base.files.filterNot(f => hitSet.contains(f.path)) ++
+      base.files.filterNot(f => hitSet.contains(f.path) || covered(f.path)) ++
         staged.map(_.copy(cols = base.ids, nested = nestedPairsOf(base)))))
   }
 
@@ -1007,7 +1033,12 @@ final class SnapshotTable private (
     */
   def overwriteWhere(pred: Column, df: DataFrame): Snapshot = {
     val base = currentSnapshot()
-    val candidates = pruneFiles(base, pred)
+    val candidates0 = pruneFiles(base, pred)
+    // same metadata-only shortcut as [[delete]]: a partition-shaped
+    // REPLACE WHERE (the common static-overwrite) drops whole files
+    // from the manifest without opening them
+    val covered = fullyMatchedFiles(base, pred, candidates0)
+    val candidates = candidates0.filterNot(f => covered(f.path))
     val hit =
       if (candidates.isEmpty) Nil
       else {
@@ -1025,7 +1056,8 @@ final class SnapshotTable private (
     val incoming = stage(alignForWrite(df, base.schema), base.spec,
       base.properties, applyLayout = true)
     commitStrict(base, next(base, "overwrite_where", base.schema,
-      base.files.filterNot(f => hitSet.contains(f.path)) ++
+      base.files.filterNot(f =>
+        hitSet.contains(f.path) || covered(f.path)) ++
         (survivors ++ incoming).map(_.copy(cols = base.ids,
           nested = nestedPairsOf(base)))))
   }
@@ -1670,16 +1702,22 @@ final class SnapshotTable private (
 
   def deleteWithVectors(pred: Column): Snapshot = {
     val base = currentSnapshot()
-    val candidates = pruneFiles(base, pred)
-    if (candidates.isEmpty) return base
+    val candidates0 = pruneFiles(base, pred)
+    if (candidates0.isEmpty) return base
+    // a provably-all-matching file DROPS from the manifest outright —
+    // cheaper than a vector covering its every ordinal, and the
+    // retention shape stays metadata-only under merge-on-read too
+    val covered = fullyMatchedFiles(base, pred, candidates0)
+    val candidates = candidates0.filterNot(f => covered(f.path))
     // RAW per-file positions (vectors compose by union, so re-marking a
     // row an older vector or equality delete already hides is a no-op)
-    val marked = readResolved(base.schema, base.ids, base, candidates,
-        withPos = true)
-      .filter(pred <=> lit(true))
-    val staged = stageDvsFor(marked)
-    if (staged.isEmpty) return base // nothing matched: no new snapshot
-    val c = next(base, "delete-pos", base.schema, base.files)
+    val staged =
+      if (candidates.isEmpty) Nil
+      else stageDvsFor(readResolved(base.schema, base.ids, base,
+        candidates, withPos = true).filter(pred <=> lit(true)))
+    if (staged.isEmpty && covered.isEmpty) return base // nothing matched
+    val c = next(base, "delete-pos", base.schema,
+      base.files.filterNot(f => covered(f.path)))
     commitStrict(base, c.copy(dvFiles = c.dvFiles ++
       staged.map { case (p, rows, dataPaths) =>
         DvFileEntry(p, rows, dataPaths, c.version) }))

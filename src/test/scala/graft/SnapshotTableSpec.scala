@@ -417,8 +417,11 @@ class SnapshotTableSpec extends AnyFunSuite {
 
   test("positional delete vectors: no rewrite, reads apply, compaction folds in, changes retract") {
     val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, None)
+    // ONE multi-row file: a single-row file would be provably all-
+    // matching and metadata-drop instead (MetadataDeleteSpec pins
+    // that); this test pins the VECTOR mechanics on partial matches
     t.append(rows((1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0),
-      (3, "2024-01-03", 3.0), (4, "2024-01-04", 4.0)))      // v2
+      (3, "2024-01-03", 3.0), (4, "2024-01-04", 4.0)).repartition(1)) // v2
     val preFiles = t.currentSnapshot().files.map(_.path).toSet
     // DELETE via vector: data-file set byte-identical, vector present
     t.deleteWithVectors(col("id") === 2L)                    // v3
@@ -749,8 +752,12 @@ class SnapshotTableSpec extends AnyFunSuite {
     val t = SnapshotTable.create(spark, freshRoot(), schema,
       Some(PartitionSpec("k", "identity")))
     val vals = Seq("a:b c", "x%20y", "p=q's")
+    // one two-row file per hostile partition: the v<100 delete must be
+    // PARTIAL per file so it commits vectors (a fully-matching file
+    // would metadata-drop instead — MetadataDeleteSpec's contract)
     t.append(vals.zipWithIndex.flatMap { case (k, i) =>
-      Seq((k, i.toLong), (k, i.toLong + 100L)) }.toDF("k", "v"))
+      Seq((k, i.toLong), (k, i.toLong + 100L)) }.toDF("k", "v")
+      .repartition(1))
     val preFiles = t.currentSnapshot().files.map(_.path).toSet
     // delete ONE row in each hostile partition, via vectors
     t.deleteWithVectors(col("v") < 100L)
@@ -922,8 +929,10 @@ class SnapshotTableSpec extends AnyFunSuite {
 
   test("delete vectors on a branch survive fast-forward; rollback across a DV commit restores rows") {
     val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, None)
+    // one multi-row file so the branch delete is partial → vectors
+    // (a fully-matching file would metadata-drop instead)
     t.append(rows((1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0),
-      (3, "2024-01-03", 3.0)))                                // v2
+      (3, "2024-01-03", 3.0)).repartition(1))                 // v2
     // DELETE-on-branch via vectors, then fast-forward to main
     val b = t.createBranch("audit")
     b.deleteWithVectors(col("id") === 2L)

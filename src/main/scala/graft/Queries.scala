@@ -1958,6 +1958,35 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val metaDelTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val tableStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once drain of the DSv2 table tail for `sql_stream_table`:
+    * a 3-append catalog table consumed via `readStream.table(...)`
+    * with streamFrom=earliest, each micro-batch appended to a parquet
+    * drain; returns the drain path.
+    */
+  private def streamedTableTail(s: SparkSession, dir: String): String =
+    tableStreamCache.computeIfAbsent(dir, _ => {
+      val (root, name) = warehouseDbRoot(s, "sttail", dir)
+      val ev = t(s, dir, "events")
+      val tbl = graft.catalog.SnapshotTable.create(s, root, ev.schema, None,
+        properties = graft.catalog.EvolvingWriter.DefaultTableProps)
+      (0 until 3).foreach(i =>
+        tbl.append(ev.filter(col("event_id") % 3 === i)))
+      val out = java.nio.file.Files.createTempDirectory("graft-sttail")
+      val sink = out.resolve("rows").toString
+      val q = s.readStream.option("streamFrom", "earliest").table(name)
+        .writeStream
+        .option("checkpointLocation", out.resolve("ckpt").toString)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(sink)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      sink
+    })
   private val eqDeleteTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val dvNativeTableCache =
@@ -3963,6 +3992,24 @@ object Queries {
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
              |FROM events WHERE event_id BETWEEN 1000 AND 1999
              |GROUP BY 1""".stripMargin)),
+
+    QueryDef("sql_stream_table",
+      // r15: `spark.readStream.table("graft.db.t")` — the DSv2
+      // appends-only micro-batch TAIL of a catalog table
+      // (GraftTableStream, TableCapability.MICRO_BATCH_READ): version
+      // offsets, each batch metadata-planned as exactly the files its
+      // versions appended (zero scan of pre-existing data at any table
+      // size). The fixture drains a 3-append backlog with
+      // streamFrom=earliest; the union of the three batches must be
+      // the whole events table — a dropped or doubled version breaks
+      // the aggregate.
+      (s, dir) => s.read.parquet(streamedTableTail(s, dir))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+             |    AS sum_value
+             |FROM events GROUP BY 1""".stripMargin)),
 
     // SQL time-travel syntax end-to-end, NATIVE through the DSv2
     // catalog (TableCatalog.loadTable(ident, version) — no parser

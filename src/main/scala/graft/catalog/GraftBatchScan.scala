@@ -66,12 +66,25 @@ final class GraftBatchScan(
     filters: Array[Filter],
     spjKey: Option[GraftSpjKey],
     limit: Option[Int] = None,
-    topn: Option[GraftTopN] = None) extends Scan with Batch
+    topn: Option[GraftTopN] = None,
+    stream: Option[() =>
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] =
+      None) extends Scan with Batch
     with SupportsReportStatistics with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** `spark.readStream.table(…)` over a batch-eligible table: the
+    * appends-only micro-batch tail ([[graft.streaming
+    * .GraftTableStream]]), wired by the scan builder.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    stream.map(_()).getOrElse(throw new UnsupportedOperationException(
+      s"${description()}: micro-batch read not configured for this scan"))
+
   override def description(): String =
     s"GraftBatchScan(${table.root}" +
       spjKey.map(k => s", ${k.describe})").getOrElse(")")

@@ -63,6 +63,11 @@ final class GraftV2Table(
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.TRUNCATE,
+      // `spark.readStream.table("graft.db.t")` — appends-only
+      // micro-batch tail of the table ([[graft.streaming
+      // .GraftTableStream]]); the CDC source stays the
+      // retraction-aware surface
+      TableCapability.MICRO_BATCH_READ,
       // MERGE INTO … WITH SCHEMA EVOLUTION: Spark's
       // ResolveMergeIntoSchemaEvolution diffs the source schema
       // against ours, applies the AddColumn/UpdateColumnType changes
@@ -91,14 +96,16 @@ final class GraftV2Table(
   // ---------------------------------------------------------------- read
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    scanBuilderAt(pinned)
+    scanBuilderAt(pinned, options)
 
   /** Scan builder pinned to `version` (None = published head): the
     * default read path passes the table's own pin; a row-level
     * operation ([[GraftRowLevelOperation]]) passes ITS captured base
     * version so scan and commit can never observe different file sets.
     */
-  private[catalog] def scanBuilderAt(version: Option[Long]): ScanBuilder =
+  private[catalog] def scanBuilderAt(version: Option[Long],
+      options: CaseInsensitiveStringMap =
+        CaseInsensitiveStringMap.empty()): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
         with SupportsPushDownRequiredColumns
         with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -171,15 +178,39 @@ final class GraftV2Table(
         GraftBatchScan.eligible(table, snap, schema, required) match {
           case Some(bucket) =>
             return new GraftBatchScan(table, snap, required, filters,
-              bucket, limit, topn)
+              bucket, limit, topn, Some(() => microBatchStream()))
           case None => ()
         }
         v1Scan()
       }
 
+      /** `spark.readStream.table(…)` lands here through either scan:
+        * an appends-only micro-batch tail of the table, planned from
+        * the manifests ([[graft.streaming.GraftTableStream]]). Batch
+        * eligibility (MoR state, drift) is irrelevant to the tail —
+        * it reads only files APPENDED after the stream starts.
+        */
+      private def microBatchStream()
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+        require(version.isEmpty,
+          "cannot stream a time-travel (VERSION/TIMESTAMP AS OF) table")
+        val from = Option(options.get("streamFrom")).map {
+          case "earliest" => 1L
+          case v => scala.util.Try(v.toLong).getOrElse(sys.error(
+            s"streamFrom must be a version number or 'earliest', got '$v'"))
+        }
+        new graft.streaming.GraftTableStream(table, schema, required,
+          filters.toIndexedSeq, from,
+          options.getBoolean("skipNonAppends", false))
+      }
+
       private def v1Scan(): Scan = new V1Scan
           with org.apache.spark.sql.connector.read.SupportsReportStatistics {
         override def readSchema(): StructType = required
+
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          microBatchStream()
 
         /** Post-pushdown, manifest-pruned estimate: row count is exact
           * per surviving file (minus fully-covered delete vectors),

@@ -231,7 +231,7 @@ final class SnapshotTable private (
   /** Read a version's manifest with a clear error when it was expired
     * (or never existed) instead of a raw filesystem exception.
     */
-  private[catalog] def snapshotAt(version: Long): Snapshot = {
+  private[graft] def snapshotAt(version: Long): Snapshot = {
     val vs = log.versions()
     require(vs.contains(version),
       s"snapshot $version not available at $root (expired or never " +

@@ -1,0 +1,165 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.graftbridge.ParquetReadBridge
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.{DataFileEntry, SnapshotTable, StatsPruner}
+
+/** One consumed table version: offset `v` means "every commit through
+  * version v is fully delivered" — the same one-offset-per-version
+  * discipline as the CDC source, so checkpoint recovery replays
+  * exactly the undelivered versions.
+  */
+final case class GraftStreamOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** DSv2 micro-batch streaming read of a snapshot catalog table —
+  * `spark.readStream.table("graft.db.t")` tails APPEND commits
+  * (Iceberg's incremental streaming read). Each trigger reads exactly
+  * the data files the versions in `(start, end]` appended: metadata-
+  * planned from the manifests, zero scan of pre-existing data at any
+  * table size, split to `maxSplitBytes` like every other read.
+  *
+  * Appends-only is a CONTRACT, not an assumption: every version in
+  * range is checked STRUCTURALLY (files removed, delete vectors or
+  * equality deletes committed — operation strings are messages, never
+  * the test), and a row-changing commit fails the stream by default.
+  * A consumer fed appends-only must not silently miss retractions —
+  * the CDC source (`format("graft").option("changesFrom", …)`) is the
+  * retraction-aware surface. `.option("skipNonAppends", "true")` opts
+  * into skipping such versions wholesale (their staged files are
+  * REWRITES of surviving rows — emitting them would duplicate), the
+  * Iceberg `streaming-skip-*` posture.
+  *
+  * Options: `streamFrom` = first version whose files stream
+  * (`earliest` = from the first commit; default = only commits after
+  * the query starts). Pushed filters prune appended files by manifest
+  * stats before any byte is read, and the parquet reader re-applies
+  * them as row-group skips. Schema evolution mid-stream fails the
+  * batch with a restart instruction — the analyzed schema is pinned
+  * at query start.
+  */
+final class GraftTableStream(
+    table: SnapshotTable,
+    tableSchema: StructType,
+    required: StructType,
+    filters: Seq[Filter],
+    streamFrom: Option[Long],
+    skipNonAppends: Boolean) extends MicroBatchStream {
+
+  private def head: Long = table.publishedSnapshot().version
+
+  override def initialOffset(): Offset =
+    GraftStreamOffset(streamFrom.map(v => math.max(0L, v - 1)).getOrElse(head))
+
+  override def latestOffset(): Offset = GraftStreamOffset(head)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def shape(s: StructType) =
+    s.fields.toSeq.map(f => (f.name, f.dataType))
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].v
+    val e = end.asInstanceOf[GraftStreamOffset].v
+    val fs = table.root.getFileSystem(
+      table.session.sessionState.newHadoopConf())
+    val files = Seq.newBuilder[DataFileEntry]
+    ((s + 1) to e).foreach { v =>
+      val snap = table.snapshotAt(v)
+      val parentPaths = snap.parent
+        .map(p => table.snapshotAt(p).files.map(_.path).toSet)
+        .getOrElse(Set.empty)
+      val snapPaths = snap.files.map(_.path).toSet
+      val rowChanging = parentPaths.exists(!snapPaths.contains(_)) ||
+        snap.dvFiles.exists(_.seq == v) ||
+        snap.deleteFiles.exists(_.seq == v)
+      if (rowChanging) {
+        if (!skipNonAppends) throw new IllegalStateException(
+          s"streaming read of ${table.root}: version $v is a row-" +
+            s"changing commit (${snap.operation}) — an appends-only " +
+            "stream cannot represent it. Use the CDC source " +
+            "(format(\"graft\").option(\"changesFrom\", …)) for " +
+            "retractions, or .option(\"skipNonAppends\", \"true\") to " +
+            "skip such commits wholesale")
+        // skipped: its staged files are rewrites of surviving rows
+      } else {
+        if (shape(snap.schema) != shape(tableSchema))
+          throw new IllegalStateException(
+            s"streaming read of ${table.root}: the schema evolved at " +
+              s"version $v — restart the query to pick up the new schema")
+        files ++= snap.files.filter(f => f.seq == v &&
+          (filters.isEmpty ||
+            StatsPruner.mayMatchAll(f, tableSchema, filters)))
+      }
+    }
+    // split + bin-pack to the same target every batch read uses; a
+    // backfill commit of many small files shares tasks, a single huge
+    // file fans out
+    val planned = files.result()
+    val sized = planned.map { f =>
+      val p = new Path(table.root, f.path)
+      val qualified = fs.makeQualified(p).toString
+      val bytes = if (f.bytes > 0L) f.bytes else fs.getFileStatus(p).getLen
+      (qualified, bytes)
+    }
+    val target = ParquetReadBridge.maxSplitBytes(table.session,
+      sized.iterator.map(_._2).sum, sized.size)
+    val openCost = ParquetReadBridge.openCostInBytes(table.session)
+    val splits = sized.flatMap { case (path, len) =>
+      (0L until len by target).map(off =>
+        (path, off, math.min(target, len - off)))
+    }.sortBy(-_._3)
+    val bins = Array.newBuilder[InputPartition]
+    val cur = Seq.newBuilder[(String, Long, Long)]
+    var curBytes = 0L
+    var curN = 0
+    def flush(): Unit = if (curN > 0) {
+      bins += GraftStreamInputPartition(cur.result().toArray)
+      cur.clear(); curBytes = 0L; curN = 0
+    }
+    splits.foreach { sp =>
+      if (curN > 0 && curBytes + sp._3 + openCost > target) flush()
+      cur += sp; curBytes += sp._3 + openCost; curN += 1
+    }
+    flush()
+    bins.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftStreamReaderFactory(ParquetReadBridge.readFunction(
+      table.session, tableSchema, required, filters))
+}
+
+final case class GraftStreamInputPartition(
+    splits: Array[(String, Long, Long)]) extends InputPartition
+
+final case class GraftStreamReaderFactory(
+    read: PartitionedFile => Iterator[InternalRow])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val it = p.asInstanceOf[GraftStreamInputPartition].splits.iterator
+      .flatMap { case (path, off, len) =>
+        read(ParquetReadBridge.split(path, off, len))
+      }
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { row = it.next(); true } else false
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}

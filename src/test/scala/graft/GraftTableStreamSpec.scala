@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** `spark.readStream.table("graft.db.t")` — the DSv2 appends-only
+  * micro-batch tail of a snapshot catalog table (GraftTableStream):
+  * version offsets, metadata-planned batches, structural append
+  * detection, exactly-once across restarts via checkpointed offsets.
+  */
+class GraftTableStreamSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSparkSession.spark
+
+  private def mkTable(name: String): String = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.probe")
+    spark.sql(s"DROP TABLE IF EXISTS graft.probe.$name")
+    spark.sql(s"CREATE TABLE graft.probe.$name (id BIGINT, v DOUBLE)")
+    s"graft.probe.$name"
+  }
+
+  private def insert(t: String, ids: Range): Unit =
+    spark.sql(s"INSERT INTO $t SELECT /*+ REPARTITION(1) */ id, " +
+      s"CAST(id AS DOUBLE) FROM range(${ids.start}, ${ids.end})")
+
+  private def drain(t: String, ckpt: String,
+      sink: ArrayBuffer[Long], opts: Map[String, String] = Map.empty) = {
+    val reader = spark.readStream
+    opts.foreach { case (k, v) => reader.option(k, v) }
+    reader.table(t)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = df.select(col("id")).collect().map(_.getLong(0))
+        sink.synchronized { sink ++= got }
+        ()
+      }
+      .start()
+  }
+
+  test("tails appends incrementally; restart resumes exactly-once") {
+    val t = mkTable("st_tail")
+    insert(t, 0 until 10) // pre-stream history: not delivered by default
+    val ckpt = Files.createTempDirectory("st-tail-ckpt").toString
+    val sink = ArrayBuffer.empty[Long]
+    val q = drain(t, ckpt, sink)
+    try {
+      q.processAllAvailable()
+      sink.synchronized(sink.toList) shouldBe empty
+      insert(t, 10 until 20)
+      q.processAllAvailable()
+      sink.synchronized(sink.sorted.toList) shouldBe (10L until 20L).toList
+      insert(t, 20 until 25)
+      q.processAllAvailable()
+      sink.synchronized(sink.sorted.toList) shouldBe (10L until 25L).toList
+    } finally q.stop()
+    // commits made while the stream was DOWN arrive once on restart
+    insert(t, 25 until 30)
+    sink.synchronized(sink.clear())
+    val q2 = drain(t, ckpt, sink)
+    try {
+      q2.processAllAvailable()
+      sink.synchronized(sink.sorted.toList) shouldBe (25L until 30L).toList
+    } finally q2.stop()
+  }
+
+  test("streamFrom=earliest replays the full backlog; a version pins the start") {
+    val t = mkTable("st_backlog")
+    insert(t, 0 until 5)   // v2
+    insert(t, 5 until 9)   // v3
+    val sink = ArrayBuffer.empty[Long]
+    val q = drain(t, Files.createTempDirectory("st-bl-ckpt").toString,
+      sink, Map("streamFrom" -> "earliest"))
+    try {
+      q.processAllAvailable()
+      sink.synchronized(sink.sorted.toList) shouldBe (0L until 9L).toList
+    } finally q.stop()
+    val sink2 = ArrayBuffer.empty[Long]
+    val q2 = drain(t, Files.createTempDirectory("st-bl-ckpt2").toString,
+      sink2, Map("streamFrom" -> "3"))
+    try {
+      q2.processAllAvailable()
+      sink2.synchronized(sink2.sorted.toList) shouldBe (5L until 9L).toList
+    } finally q2.stop()
+  }
+
+  test("a row-changing commit fails the stream; skipNonAppends skips it wholesale") {
+    val t = mkTable("st_rowchg")
+    val ckpt = Files.createTempDirectory("st-rc-ckpt").toString
+    val sink = ArrayBuffer.empty[Long]
+    val q = drain(t, ckpt, sink)
+    try {
+      q.processAllAvailable()
+      insert(t, 0 until 10)
+      spark.sql(s"DELETE FROM $t WHERE id < 3")
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("row-changing") ||
+        Option(err.getCause).exists(_.getMessage.contains("row-changing")),
+        s"unexpected failure: ${err.getMessage}")
+    } finally q.stop()
+    // skipNonAppends: the delete version is skipped WHOLESALE (its
+    // staged files are rewrites — emitting them would duplicate), the
+    // appends around it flow
+    insert(t, 10 until 15)
+    val sink2 = ArrayBuffer.empty[Long]
+    val q2 = drain(t, Files.createTempDirectory("st-rc-ckpt2").toString,
+      sink2, Map("streamFrom" -> "earliest", "skipNonAppends" -> "true"))
+    try {
+      q2.processAllAvailable()
+      sink2.synchronized(sink2.sorted.toList) shouldBe (0L until 15L).toList
+    } finally q2.stop()
+  }
+
+  test("schema evolution mid-stream fails with a restart instruction") {
+    val t = mkTable("st_evolve")
+    val sink = ArrayBuffer.empty[Long]
+    val q = drain(t, Files.createTempDirectory("st-ev-ckpt").toString, sink)
+    try {
+      q.processAllAvailable()
+      spark.sql(s"ALTER TABLE $t ADD COLUMN extra STRING")
+      spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE), 'x' " +
+        "FROM range(0, 5)")
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("schema evolved") ||
+        Option(err.getCause).exists(_.getMessage.contains("schema evolved")),
+        s"unexpected failure: ${err.getMessage}")
+    } finally q.stop()
+  }
+
+  test("a filtered stream stays correct (stats prune is skip-only)") {
+    val t = mkTable("st_filter")
+    val sink = ArrayBuffer.empty[Long]
+    val ckpt = Files.createTempDirectory("st-f-ckpt").toString
+    val reader = spark.readStream.table(t).where(col("id") >= 100L)
+    val q = reader.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = df.select(col("id")).collect().map(_.getLong(0))
+        sink.synchronized { sink ++= got }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      insert(t, 0 until 50)    // entirely below the filter
+      insert(t, 95 until 105)  // straddles it
+      q.processAllAvailable()
+      sink.synchronized(sink.sorted.toList) shouldBe (100L until 105L).toList
+    } finally q.stop()
+  }
+}

@@ -199,9 +199,18 @@ final class GraftV2Table(
           case v => scala.util.Try(v.toLong).getOrElse(sys.error(
             s"streamFrom must be a version number or 'earliest', got '$v'"))
         }
+        def posLong(key: String): Option[Long] =
+          Option(options.get(key)).map { v =>
+            val n = scala.util.Try(v.toLong).getOrElse(
+              sys.error(s"$key must be a positive number, got '$v'"))
+            require(n >= 1, s"$key must be >= 1, got $n")
+            n
+          }
         new graft.streaming.GraftTableStream(table, schema, required,
           filters.toIndexedSeq, from,
-          options.getBoolean("skipNonAppends", false))
+          options.getBoolean("skipNonAppends", false),
+          posLong("maxVersionsPerTrigger"),
+          posLong("maxFilesPerTrigger").map(_.toInt))
       }
 
       private def v1Scan(): Scan = new V1Scan

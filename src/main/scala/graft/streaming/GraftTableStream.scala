@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.graftbridge.ParquetReadBridge
 import org.apache.spark.sql.sources.Filter
@@ -52,7 +52,10 @@ final class GraftTableStream(
     required: StructType,
     filters: Seq[Filter],
     streamFrom: Option[Long],
-    skipNonAppends: Boolean) extends MicroBatchStream {
+    skipNonAppends: Boolean,
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def head: Long = table.publishedSnapshot().version
 
@@ -60,6 +63,59 @@ final class GraftTableStream(
     GraftStreamOffset(streamFrom.map(v => math.max(0L, v - 1)).getOrElse(head))
 
   override def latestOffset(): Offset = GraftStreamOffset(head)
+
+  // ---- admission control: a 100 TB backfill drains in BOUNDED
+  // batches (maxVersionsPerTrigger / maxFilesPerTrigger), and
+  // Trigger.AvailableNow fences at query start, drains the whole
+  // backlog in capped batches and terminates on its own — the cron'd
+  // catch-up shape, same contract the CDC source pins.
+
+  private var fence: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = { fence = Some(head) }
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val ls = Seq(
+      maxFilesPerTrigger.map(ReadLimit.maxFiles),
+      maxVersionsPerTrigger.map(ReadLimit.maxRows)).flatten
+    ls match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = GraftStreamOffset(head)
+
+  /** Advance from `start` by at most the configured caps (an explicit
+    * `ReadAllAvailable` — Trigger.Once — ignores them), never past the
+    * AvailableNow fence. Always admits at least one version when any
+    * is pending, so a single commit larger than maxFilesPerTrigger
+    * still progresses; a version counts toward the file cap with the
+    * files it appends (a skipped row-changing version appends none).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftStreamOffset].v
+    val bound = fence.map(math.min(_, head)).getOrElse(head)
+    val uncapped = limit
+      .isInstanceOf[org.apache.spark.sql.connector.read.streaming.ReadAllAvailable]
+    if (uncapped || (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty))
+      return GraftStreamOffset(bound)
+    var v = s
+    var files = 0L
+    var versions = 0L
+    var done = false
+    while (!done && v < bound) {
+      val snap = table.snapshotAt(v + 1)
+      val added = snap.files.count(_.seq == v + 1)
+      val over =
+        maxVersionsPerTrigger.exists(versions + 1 > _) ||
+        maxFilesPerTrigger.exists(files + added > _)
+      if (over && versions > 0) done = true
+      else { v += 1; versions += 1; files += added }
+    }
+    GraftStreamOffset(v)
+  }
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(json.trim.toLong)

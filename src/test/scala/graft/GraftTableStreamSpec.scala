@@ -136,6 +136,61 @@ class GraftTableStreamSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains a capped backlog fully and terminates") {
+    val t = mkTable("st_avail")
+    (0 until 4).foreach(i => insert(t, i * 10 until (i + 1) * 10)) // 4 files
+    val sink = ArrayBuffer.empty[Long]
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream
+      .option("streamFrom", "earliest")
+      .option("maxFilesPerTrigger", "1")
+      .table(t)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("st-an-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = df.select(col("id")).collect().map(_.getLong(0))
+        sink.synchronized { sink ++= got }
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must self-terminate")
+    // the whole backlog arrived, in one-file batches (4 appends → 4
+    // non-empty batches), not just the first capped batch
+    sink.synchronized(sink.sorted.toList) shouldBe (0L until 40L).toList
+    assert(batches.get() >= 4, s"expected >=4 capped batches, got ${batches.get()}")
+  }
+
+  test("maxVersionsPerTrigger bounds each batch; one oversized commit still progresses") {
+    val t = mkTable("st_cap")
+    (0 until 4).foreach(i => insert(t, i * 10 until (i + 1) * 10))
+    val sink = ArrayBuffer.empty[Long]
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream
+      .option("streamFrom", "earliest")
+      .option("maxVersionsPerTrigger", "2")
+      .table(t)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("st-cap-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = df.select(col("id")).collect().map(_.getLong(0))
+        sink.synchronized { sink ++= got }
+        if (got.nonEmpty) batches.incrementAndGet()
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(120000))
+    sink.synchronized(sink.sorted.toList) shouldBe (0L until 40L).toList
+    // 5 versions (the zero-file CREATE + 4 appends) at 2 per trigger =
+    // 3 non-empty batches: (create+a1), (a2+a3), (a4)
+    assert(batches.get() == 3, s"5 versions at 2/trigger = 3 " +
+      s"non-empty batches, got ${batches.get()}")
+  }
+
   test("a filtered stream stays correct (stats prune is skip-only)") {
     val t = mkTable("st_filter")
     val sink = ArrayBuffer.empty[Long]

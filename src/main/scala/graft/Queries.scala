@@ -1987,6 +1987,37 @@ object Queries {
       try q.processAllAvailable() finally q.stop()
       sink
     })
+
+  private val tableSinkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once table-to-table streaming pipeline for
+    * `sql_stream_to_table`: tail the 3-append source via
+    * `readStream.table`, sink via `writeStream.toTable` (the DSv2
+    * executor-parallel exactly-once write) under Trigger.AvailableNow;
+    * returns the DESTINATION table name.
+    */
+  private def streamedTableToTable(s: SparkSession, dir: String): String =
+    tableSinkCache.computeIfAbsent(dir, _ => {
+      val (root, name) = warehouseDbRoot(s, "sttsrc", dir)
+      val ev = t(s, dir, "events")
+      val tbl = graft.catalog.SnapshotTable.create(s, root, ev.schema, None,
+        properties = graft.catalog.EvolvingWriter.DefaultTableProps)
+      (0 until 3).foreach(i =>
+        tbl.append(ev.filter(col("event_id") % 3 === i)))
+      val (dstRoot, dstName) = warehouseDbRoot(s, "sttdst", dir)
+      graft.catalog.SnapshotTable.create(s, dstRoot, ev.schema, None,
+        properties = graft.catalog.EvolvingWriter.DefaultTableProps)
+      val q = s.readStream.option("streamFrom", "earliest").table(name)
+        .writeStream
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-sttsink").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(dstName)
+      require(q.awaitTermination(300000),
+        "sql_stream_to_table: AvailableNow pipeline must self-terminate")
+      dstName
+    })
   private val eqDeleteTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val dvNativeTableCache =
@@ -4004,6 +4035,24 @@ object Queries {
       // the whole events table — a dropped or doubled version breaks
       // the aggregate.
       (s, dir) => s.read.parquet(streamedTableTail(s, dir))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+             |    AS sum_value
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    QueryDef("sql_stream_to_table",
+      // r15: the full table-to-table streaming pipeline —
+      // `readStream.table(src)` tail into `writeStream.toTable(dst)`
+      // (GraftStreamingWrite, TableCapability.STREAMING_WRITE):
+      // executors stage partition-routed parquet, every epoch commits
+      // ONE atomic snapshot adopting exactly its commit messages'
+      // files under a per-query exactly-once property, and
+      // Trigger.AvailableNow drains the backlog and terminates. The
+      // destination must hold the whole events table — a dropped,
+      // doubled or partially-adopted epoch breaks the aggregate.
+      (s, dir) => s.table(streamedTableToTable(s, dir))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
       Some("""SELECT event_type, count(*) AS n,

@@ -1,0 +1,100 @@
+package graft.catalog
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BindReferences, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.Project
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.graftbridge.ParquetWriteBridge
+import org.apache.spark.sql.types.StructType
+
+/** DSv2 streaming write into a snapshot catalog table —
+  * `df.writeStream.toTable("graft.db.t")` (TableCapability
+  * .STREAMING_WRITE): executors stream rows straight into staged
+  * parquet via the SAME partition-routing writer the delta operations
+  * use ([[GraftDeltaWriter]] — one open file per partition run,
+  * bounded memory, hidden-partition directories identical to a batch
+  * write's), and each epoch commits ONE atomic snapshot adopting
+  * exactly the files its commit messages name
+  * ([[SnapshotTable.adoptStreamBatch]]). Exactly-once: the epoch id
+  * records under a per-query table property, replays no-op, and a
+  * commit that loses every retry THROWS so the streaming checkpoint
+  * can never advance past lost data. Unlike the V1 sink
+  * ([[graft.sources.GraftDataSource]] `createSink`), no micro-batch
+  * DataFrame ever materializes driver-side — the write is
+  * executor-parallel end to end, the 100 TB ingest shape.
+  */
+final class GraftStreamingWrite(
+    table: SnapshotTable,
+    writeSchema: StructType,
+    queryId: String) extends StreamingWrite {
+
+  // one staging dir per query instance; adopted file lists are
+  // explicit, so a crashed epoch's leftovers are inert until
+  // removeOrphanFiles reclaims them
+  private val dataRel = s"${SnapshotLog.DataDirName}/" +
+    UUID.randomUUID().toString.replace("-", "").take(16)
+
+  private val epochKey = s"${SnapshotTable.StreamBatchProp}.$queryId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val spark = table.session
+    val snap = table.publishedSnapshot()
+    // the partition transform bound to the write schema's ordinals —
+    // the exact construction the delta write uses, so the hand-laid
+    // __graft_p=… directories decode to the same manifest values
+    val partExpr: Option[Expression] = snap.spec.map { ps =>
+      val dummy = spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), writeSchema)
+      val plan = dummy.select(
+        SnapshotTable.partitionExpr(ps, writeSchema, snap.properties))
+        .queryExecution.analyzed.asInstanceOf[Project]
+      BindReferences.bindReference(plan.projectList.head,
+        plan.child.output)
+    }
+    val dataFactory = ParquetWriteBridge.writerFactory(spark, writeSchema)
+    val dvFactory = ParquetWriteBridge.writerFactory(spark,
+      SnapshotTable.DvSchema)
+    val rootStr = table.root.toString
+    val rootPathStr = table.qualifiedRootPath
+    val rel = dataRel
+    val schema = writeSchema
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        // insert-only use of the delta writer (DataWriter.write =
+        // insert); file names get a fresh uuid per open, so epochs
+        // and retried attempts never collide in the shared dir
+        new GraftDeltaWriter(rootStr, rootPathStr, rel, rel, schema,
+          partExpr, Some(dataFactory), dvFactory, partitionId, taskId)
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.toSeq
+      .collect { case m: GraftDeltaCommit => m.dataFiles }.flatten
+    table.adoptStreamBatch(dataRel, files, epochKey, epochId)
+    ()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    // best-effort: drop the named files; the explicit adopt list makes
+    // anything that survives inert, removeOrphanFiles reclaims it
+    val fs = table.root.getFileSystem(
+      table.session.sessionState.newHadoopConf())
+    messages.toSeq.collect { case m: GraftDeltaCommit => m.dataFiles }
+      .flatten.foreach { rel =>
+        try {
+          fs.delete(new Path(table.root, rel), false)
+          ()
+        } catch { case _: java.io.IOException => }
+      }
+  }
+}

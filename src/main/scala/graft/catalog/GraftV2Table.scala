@@ -68,6 +68,9 @@ final class GraftV2Table(
       // .GraftTableStream]]); the CDC source stays the
       // retraction-aware surface
       TableCapability.MICRO_BATCH_READ,
+      // `df.writeStream.toTable("graft.db.t")` — executor-parallel
+      // exactly-once epoch appends ([[GraftStreamingWrite]])
+      TableCapability.STREAMING_WRITE,
       // MERGE INTO … WITH SCHEMA EVOLUTION: Spark's
       // ResolveMergeIntoSchemaEvolution diffs the source schema
       // against ours, applies the AddColumn/UpdateColumnType changes
@@ -342,6 +345,20 @@ final class GraftV2Table(
               ()
             }
           }
+
+        /** `df.writeStream.toTable(…)` — executor-parallel exactly-
+          * once epoch appends ([[GraftStreamingWrite]]); Append mode
+          * only (keyed upserts are the format sink's `keys` option,
+          * and Complete would be a per-epoch overwrite).
+          */
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite = {
+          require(mode == "append",
+            "streaming writes into a graft table append — use " +
+              "outputMode(Append); keyed CDC upserts go through " +
+              "writeStream.format(\"graft\").option(\"keys\", …)")
+          new GraftStreamingWrite(table, info.schema(), info.queryId())
+        }
       }
     }
 

@@ -2292,6 +2292,52 @@ final class SnapshotTable private (
         "the streaming query must fail and replay this batch")
   }
 
+  /** [[appendStreamBatch]]'s twin for EXECUTOR-staged files (the DSv2
+    * streaming write, [[GraftStreamingWrite]]): adopts the exact file
+    * list the epoch's commit messages name — a retried or speculative
+    * task's orphans in the staging dir are never double-counted —
+    * computing manifest stats in one read-back pass. Exactly-once per
+    * `key` (a PER-QUERY property, so two concurrent streaming queries
+    * into one table cannot swallow each other's epochs — the V1 sink's
+    * single shared key cannot make that promise); a replayed epoch is
+    * a clean no-op, a contention-exhausted commit THROWS so the
+    * checkpoint can never advance past lost data. The schema and spec
+    * must match the write plan's: either evolving mid-epoch conflicts
+    * (the staged files carry the planned shape), and the restarted
+    * query replans against the new table state.
+    */
+  private[catalog] def adoptStreamBatch(dataRel: String,
+      files: Seq[String], key: String, epochId: Long): Option[Snapshot] = {
+    def committed(s: Snapshot): Boolean =
+      s.properties.get(key).exists(_.toLong >= epochId)
+    def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+    val base = currentSnapshot()
+    if (committed(base)) return None
+    val staged = statsForStaged(dataRel, base.schema, base.spec,
+      base.properties, onlyFiles = Some(files))
+    var attempts = 0
+    while (attempts < SnapshotTable.MaxCommitAttempts) {
+      val latest = currentSnapshot()
+      if (committed(latest)) return None
+      if (shape(latest.schema) != shape(base.schema))
+        throw new SnapshotConflictException(
+          s"table at $root evolved its schema during stream epoch " +
+            s"$epochId — restart the query to replan against it")
+      requireSpecUnchanged(base, latest)
+      val candidate = next(latest, s"stream-append[$epochId]",
+        latest.schema,
+        latest.files ++ staged.map(_.copy(cols = latest.ids,
+          nested = nestedPairsOf(latest))))
+        .copy(properties = latest.properties + (key -> epochId.toString))
+      if (log.tryCommit(candidate)) return Some(candidate)
+      attempts += 1
+    }
+    throw new SnapshotConflictException(
+      s"stream epoch $epochId NOT committed: lost " +
+        s"${SnapshotTable.MaxCommitAttempts} commit races at $root — " +
+        "the streaming query must fail and replay this epoch")
+  }
+
   /** Partition-scoped compaction — the VERDICT r2 `weak` fixed: each
     * partition is read, rewritten to ~`targetRowsPerFile`-row files,
     * and swapped with its OWN commit, so driver and executor memory are

@@ -281,6 +281,43 @@ object ScaleSmoke {
         require(spark.table("graft.db.smoke_split_big").count() == 500000L)
         require(spark.table("graft.db.smoke_split_small").count() == 512L)
       }
+
+      // TopN probe (round-15): ORDER BY + LIMIT must plan a handful of
+      // the 512 single-row files via the manifest threshold — at 100 TB
+      // this is the difference between one split and a full scan
+      val (topGot, topEvents) = graft.catalog.ScanEvents.capture {
+        spark.sql("SELECT * FROM graft.db.smoke_split_small " +
+          "ORDER BY id DESC LIMIT 10").collect()
+      }
+      val topEv = topEvents.last
+      System.err.println(s"[scale-smoke] topn probe: planned " +
+        s"${topEv.kept} of ${topEv.total} files")
+      require(topGot.map(_.getLong(0)).sorted.toSeq == (502L until 512L),
+        "topn probe answer drifted")
+      require(topEv.total == smallFiles && topEv.kept <= 16,
+        s"top-10 over $smallFiles single-row files must plan <=16, " +
+          s"planned ${topEv.kept}")
+
+      // metadata-delete probe (round-15): a fully-covered retention
+      // DELETE drops files from the manifest with ZERO staged
+      // replacements — O(files) bound checks, no data I/O, any size
+      val md = graft.catalog.SnapshotTable.create(spark,
+        db.resolve("smoke_metadel").toString,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))), None,
+        properties = Map("graft.write.distribution-mode" -> "none"))
+      md.append(spark.range(0L, 256L, 1L, 256).toDF("id"))
+      val preDel = md.currentSnapshot().files.map(_.path).toSet
+      require(preDel.size == 256, "metadata-delete probe fixture")
+      val postDel = md.delete(col("id") < 128L)
+      System.err.println(s"[scale-smoke] metadata-delete probe: " +
+        s"${preDel.size} files -> ${postDel.files.size}, staged " +
+        s"${postDel.files.map(_.path).toSet.diff(preDel).size}")
+      require(postDel.files.size == 128 &&
+        postDel.files.map(_.path).toSet.subsetOf(preDel),
+        "retention delete must drop covered files without staging rewrites")
+      require(spark.table("graft.db.smoke_metadel").count() == 128L)
     }
 
     // force training BEFORE the timed loop — otherwise the first build

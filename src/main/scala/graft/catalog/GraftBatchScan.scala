@@ -793,8 +793,9 @@ object GraftBatchScan {
   }
 
   /** Key column types the native equality-delete mask can hash: scalar
-    * internal representations with value equality (binary = Java
-    * arrays, reference equality — excluded; nested types excluded).
+    * internal representations with value equality, plus binary (byte
+    * arrays wrap in content-equal ByteBuffers at key build —
+    * [[GraftPartitionReaderFactory.keyOf]]); nested types excluded.
     */
   private def eqMaskType(dt: DataType): Boolean = dt match {
     case org.apache.spark.sql.types.ByteType |
@@ -802,7 +803,8 @@ object GraftBatchScan {
          org.apache.spark.sql.types.FloatType |
          org.apache.spark.sql.types.DoubleType | StringType |
          org.apache.spark.sql.types.BooleanType | DateType |
-         TimestampType | TimestampNTZType => true
+         TimestampType | TimestampNTZType |
+         org.apache.spark.sql.types.BinaryType => true
     case _: org.apache.spark.sql.types.DecimalType => true
     case _ => false
   }
@@ -825,17 +827,15 @@ object GraftBatchScan {
     // hashable scalar types; anything else (dropped key column, binary
     // or nested keys) keeps the V1 anti-join path
     val curById = snap.ids.map { case (n, id) => id -> n }.toMap
+    // a delete key must resolve (by field id) to a live top-level
+    // column of a hashable type; initial-DEFAULTED keys are fine — the
+    // mask substitutes the default into key tuples for shapes
+    // predating the column, so deletes match LOGICAL rows (the same
+    // value the V1 anti-join's projection sees)
     val eqOk = snap.deleteFiles.forall(_.cols.forall { case (_, id) =>
       curById.get(id)
         .flatMap(n => snap.schema.fields.find(_.name == n))
-        .map(_.dataType).exists(eqMaskType) &&
-      // a delete key with an initial default would have to MATCH the
-      // default in files predating the column (the V1 anti-join sees
-      // the projected default); the native key sets read physical
-      // values only — keep the V1 path for that corner
-      curById.get(id)
-        .flatMap(n => snap.schema.fields.find(_.name == n))
-        .forall(f => SnapshotTable.initialDefault(f).isEmpty)
+        .map(_.dataType).exists(eqMaskType)
     })
     val nativeOk = enabled(table) &&
       eqOk &&
@@ -1040,17 +1040,25 @@ final case class GraftPartitionReaderFactory(
     }
 
   private def eqHit(r: InternalRow,
-      sets: Array[(Array[Int], Array[DataType], java.util.HashSet[Any])])
-      : Boolean = {
+      sets: Array[(Array[Int], Array[DataType], java.util.HashSet[Any])],
+      defaults: Map[Int, Any]): Boolean = {
     var i = 0
     while (i < sets.length) {
       val (ords, tys, set) = sets(i)
-      val k = GraftPartitionReaderFactory.keyOf(r, ords, tys, copy = false)
+      val k = GraftPartitionReaderFactory.keyOf(r, ords, tys, copy = false,
+        defaults)
       if (k != null && set.contains(k)) return true
       i += 1
     }
     false
   }
+
+  /** Shape `k`'s defaulted absent columns as an (ext ordinal →
+    * logical value) map — what the equality mask substitutes so
+    * deletes match LOGICAL rows in files predating the key column.
+    */
+  private def eqDefaults(k: Int): Map[Int, Any] =
+    shapeDefaults(k).iterator.map { case (o, _, v) => o -> v }.toMap
 
   /** A dv/eq-covered or metadata-requesting split, ROW path: read the
     * extended schema, drop rows whose ordinal is vector-deleted or
@@ -1070,6 +1078,7 @@ final case class GraftPartitionReaderFactory(
     // per-shape defaulted absent columns redirect to slots of the
     // constant right-side row (after the file path at slot 0)
     val defs = shapeDefaults(s.shape)
+    val eqDefs = eqDefaults(s.shape)
     val defSlot = defs.iterator.zipWithIndex
       .map { case ((o, _, _), j) => o -> (extWidth + 1 + j) }.toMap
     val ordinals: IndexedSeq[Int] = outMap.toIndexedSeq.map {
@@ -1088,7 +1097,7 @@ final case class GraftPartitionReaderFactory(
       .filter(r =>
         bm.forall(b =>
           !b.contains((r.getLong(idxOrdinal) & 0xFFFFFFFFL).toInt)) &&
-        (eqSets.length == 0 || !eqHit(r, eqSets)))
+        (eqSets.length == 0 || !eqHit(r, eqSets, eqDefs)))
       .map { r =>
         proj.project(if (needsConst) joined(r, constRow) else r); proj
       }
@@ -1107,6 +1116,7 @@ final case class GraftPartitionReaderFactory(
     val eqSets = s.eq.map(loadEqSets)
       .getOrElse(Array.empty[(Array[Int], Array[DataType],
         java.util.HashSet[Any])])
+    val eqDefs = eqDefaults(s.shape)
     val open = readColumnarExts(s.shape).getOrElse(sys.error(
       "columnar masked read requested without an extended batch reader"))
     open(ParquetReadBridge.split(s.path, s.start, s.length)).map { batch =>
@@ -1150,7 +1160,7 @@ final case class GraftPartitionReaderFactory(
           val dvDead = !dvClean && bm.exists(b =>
             b.contains((idxVec.getLong(i) & 0xFFFFFFFFL).toInt))
           val eqDead = !dvDead && eqSets.length > 0 &&
-            eqHit(batch.getRow(i), eqSets)
+            eqHit(batch.getRow(i), eqSets, eqDefs)
           if (!dvDead && !eqDead) { sel(k) = i; k += 1 }
           i += 1
         }
@@ -1259,21 +1269,36 @@ object GraftPartitionReaderFactory {
     * hash set (strings are the only buffer-backed maskable type).
     */
   private[catalog] def keyOf(r: InternalRow, ordinals: Array[Int],
-      types: Array[DataType], copy: Boolean): Any = {
+      types: Array[DataType], copy: Boolean,
+      defaults: Map[Int, Any] = Map.empty): Any = {
+    // a shape predating an initial-defaulted key column null-fills it
+    // physically; the LOGICAL value every row carries is the default —
+    // substitute it so equality deletes match logical rows (Iceberg
+    // semantics), not raw bytes. A NULL default stays a null component
+    // (SQL `=` never matches it).
+    def isNull(i: Int): Boolean = defaults.get(ordinals(i)) match {
+      case Some(v) => v == null
+      case None => r.isNullAt(ordinals(i))
+    }
     def value(i: Int): Any = {
-      val v = r.get(ordinals(i), types(i))
+      val v = defaults.getOrElse(ordinals(i), r.get(ordinals(i), types(i)))
       v match {
         case u: UTF8String if copy => UTF8String.fromString(u.toString)
+        // byte arrays compare by REFERENCE — wrap for the content
+        // equality/hashCode a key set needs (cloned when the value
+        // outlives the reader's reused buffer)
+        case a: Array[Byte] =>
+          java.nio.ByteBuffer.wrap(if (copy) a.clone() else a)
         case other => other
       }
     }
     if (ordinals.length == 1) {
-      if (r.isNullAt(ordinals(0))) null else value(0)
+      if (isNull(0)) null else value(0)
     } else {
       var i = 0
       val b = List.newBuilder[Any]
       while (i < ordinals.length) {
-        if (r.isNullAt(ordinals(i))) return null
+        if (isNull(i)) return null
         b += value(i)
         i += 1
       }

@@ -191,4 +191,46 @@ class NativeEvolvedScanSpec extends AnyFunSuite {
       "positions synthesized per shape must stay file-absolute")
     assert(df.filter("bonus IS NULL").count() == 3000)
   }
+
+  test("equality delete on an initial-DEFAULTED key masks natively against logical rows") {
+    sql("DROP TABLE IF EXISTS graft.evo.eqd")
+    sql("CREATE TABLE graft.evo.eqd (id BIGINT) " +
+      "TBLPROPERTIES ('graft.delete.mode' = 'equality')")
+    sql("INSERT INTO graft.evo.eqd SELECT id FROM range(0, 3)")
+    sql("ALTER TABLE graft.evo.eqd ADD COLUMN k STRING DEFAULT 'd'")
+    sql("INSERT INTO graft.evo.eqd " +
+      "SELECT id, CASE WHEN id = 4 THEN 'd' ELSE 'x' END FROM range(4, 6)")
+    sql("DELETE FROM graft.evo.eqd WHERE k = 'd'")
+    val st = SnapshotTable.load(spark, s"$warehouse/evo/eqd")
+    assert(st.currentSnapshot().deleteFiles.nonEmpty,
+      "the key-predicate DELETE must commit an equality-delete file")
+    val df = spark.table("graft.evo.eqd")
+    val plan = finalPlan(df)
+    assert(plan.contains("GraftBatchScan"),
+      s"a defaulted key no longer forces the V1 bridge:\n${plan.take(2000)}")
+    // the predating file's rows carry k = 'd' LOGICALLY (the initial
+    // default the read substitutes) — the mask must kill them too,
+    // exactly like the V1 anti-join over projected values did
+    assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(5L),
+      "only the explicit k='x' row survives")
+  }
+
+  test("BINARY equality-delete keys mask natively by content") {
+    sql("DROP TABLE IF EXISTS graft.evo.eqb")
+    sql("CREATE TABLE graft.evo.eqb (id BIGINT, b BINARY)")
+    sql("INSERT INTO graft.evo.eqb " +
+      "SELECT id, cast(concat('k', id) as binary) FROM range(0, 100)")
+    val st = SnapshotTable.load(spark, s"$warehouse/evo/eqb")
+    st.deleteByKeys(Seq("k7", "k13").map(_.getBytes("UTF-8")).toDF("b"),
+      Seq("b"))
+    assert(st.currentSnapshot().deleteFiles.nonEmpty)
+    val df = spark.table("graft.evo.eqb")
+    val plan = finalPlan(df)
+    assert(plan.contains("GraftBatchScan"),
+      s"binary keys no longer force the V1 bridge:\n${plan.take(2000)}")
+    // content equality, not array reference: exactly the two keyed
+    // rows die (a reference-equality key set would delete nothing)
+    assert(df.count() == 98)
+    assert(df.filter("id IN (7, 13)").count() == 0)
+  }
 }

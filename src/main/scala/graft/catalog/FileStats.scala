@@ -413,6 +413,18 @@ object StatsPruner {
       file.stats.get(a).exists(_.nullCount == file.rows)
     case EqualNullSafe(a, v) => mustEqual(file, schema, a, v)
     case In(a, vs) => vs.exists(v => v != null && mustEqual(file, schema, a, v))
+    // if min and max share the prefix, every value between them does
+    // (the first |p| chars are bounded by p on both sides). Prefix
+    // tests are encoding-safe (no ordering involved); a truncated min
+    // is itself a prefix of the true min, so startsWith holds for the
+    // true bound whenever p fits inside the stored one — the
+    // `LIKE 's3://old-bucket/%'` retention-delete shape.
+    case StringStartsWith(a, p) =>
+      provablyNoNulls(file, a) &&
+        fieldType(schema, a).contains(StringType) &&
+        file.stats.get(a).exists(st =>
+          st.min.exists(mn => mn.length >= p.length && mn.startsWith(p)) &&
+          st.max.exists(_.startsWith(p)))
     case _ => false
   }
 

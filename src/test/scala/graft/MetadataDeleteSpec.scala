@@ -129,6 +129,20 @@ class MetadataDeleteSpec extends AnyFunSuite {
       ((200L until 400L) ++ (9000L until 9010L)))
   }
 
+  test("LIKE 'prefix%' deletes drop fully-prefixed files unopened") {
+    val s2 = StructType(Seq(StructField("uri", StringType)))
+    val t = SnapshotTable.create(spark, freshRoot(), s2, None)
+    t.append((0 until 50).map(i => s"s3://old-bucket/part-$i")
+      .toDF("uri").repartition(1))
+    t.append((0 until 50).map(i => s"s3://live-bucket/part-$i")
+      .toDF("uri").repartition(1))
+    val base = t.currentSnapshot().files.map(_.path).toSet
+    val cur = t.delete(col("uri").startsWith("s3://old-bucket/"))
+    assert(cur.files.map(_.path).toSet.subsetOf(base) && cur.files.size == 1,
+      "the fully-prefixed file must drop without a rewrite")
+    assert(t.read().count() == 50)
+  }
+
   test("string bounds prove ASCII ranges; non-ASCII falls back to the scan") {
     val s2 = StructType(Seq(StructField("s", StringType)))
     val t = SnapshotTable.create(spark, freshRoot(), s2, None)

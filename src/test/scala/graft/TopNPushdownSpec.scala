@@ -127,6 +127,16 @@ class TopNPushdownSpec extends AnyFunSuite {
       (1800L until 2000L by 2).toSeq)
   }
 
+  test("ORDER BY + LIMIT + OFFSET stays exact under the prune") {
+    val t = "graft.probe.topn_ids"
+    // Spark must push a top-N covering offset+limit (as it does for
+    // plain LIMIT — LimitOffsetProbeSpec); an under-planned prefix
+    // would lose the offset's tail. Pinned empirically.
+    val rows = spark.sql(
+      s"SELECT * FROM $t ORDER BY id DESC LIMIT 100 OFFSET 50").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (1850L until 1950L))
+  }
+
   test("string bounds threshold in UTF-8 order") {
     spark.sql("DROP TABLE IF EXISTS graft.probe.topn_str")
     spark.sql("CREATE TABLE graft.probe.topn_str (s STRING)")

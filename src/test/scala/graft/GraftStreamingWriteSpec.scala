@@ -86,6 +86,30 @@ class GraftStreamingWriteSpec extends AnyFunSuite with Matchers {
       .collect().map(_.getDouble(0)).toSeq == Seq(17.0))
   }
 
+  test("two queries into one table never swallow each other's epochs") {
+    // the V1 sink's single shared batch-id key CANNOT make this
+    // promise: query B's epoch 0 would read as already-committed after
+    // query A recorded epoch 4. The DSv2 write keys exactly-once state
+    // per QUERY, so both deliveries land.
+    val a = mk("sw_qa")
+    val b = mk("sw_qb")
+    val dst = mk("sw_qdst")
+    (0 until 5).foreach(i => insert(a, i * 10 until (i + 1) * 10))
+    insert(b, 100 until 110)
+    def drain(src: String): Unit = {
+      val q = spark.readStream.option("streamFrom", "earliest").table(src)
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("sw-q-ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(dst)
+      assert(q.awaitTermination(120000))
+    }
+    drain(a) // records epochs up to ~5 under query A's key
+    drain(b) // a FRESH query: its epoch 0 must still commit
+    ids(dst) shouldBe ((0L until 50L) ++ (100L until 110L))
+  }
+
   test("update output mode is rejected") {
     val src = mk("sw_usrc")
     val dst = mk("sw_udst")

@@ -41,10 +41,17 @@ final class GraftStreamingWrite(
 
   private val epochKey = s"${SnapshotTable.StreamBatchProp}.$queryId"
 
+  // the snapshot this query PLANNED against, captured ONCE: the
+  // partition expression binds to it, and every epoch commit validates
+  // the live table against the same plan — an evolution landing
+  // between query start and any commit conflicts instead of
+  // mislabeling executor-staged files
+  private val planned = table.publishedSnapshot()
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val spark = table.session
-    val snap = table.publishedSnapshot()
+    val snap = planned
     // the partition transform bound to the write schema's ordinals —
     // the exact construction the delta write uses, so the hand-laid
     // __graft_p=… directories decode to the same manifest values
@@ -79,7 +86,7 @@ final class GraftStreamingWrite(
       messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq
       .collect { case m: GraftDeltaCommit => m.dataFiles }.flatten
-    table.adoptStreamBatch(dataRel, files, epochKey, epochId)
+    table.adoptStreamBatch(dataRel, files, epochKey, epochId, planned)
     ()
   }
 

@@ -2307,23 +2307,40 @@ final class SnapshotTable private (
     * query replans against the new table state.
     */
   private[catalog] def adoptStreamBatch(dataRel: String,
-      files: Seq[String], key: String, epochId: Long): Option[Snapshot] = {
+      files: Seq[String], key: String, epochId: Long,
+      planned: Snapshot): Option[Snapshot] = {
     def committed(s: Snapshot): Boolean =
       s.properties.get(key).exists(_.toLong >= epochId)
     def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
-    val base = currentSnapshot()
-    if (committed(base)) return None
-    val staged = statsForStaged(dataRel, base.schema, base.spec,
-      base.properties, onlyFiles = Some(files))
+    if (committed(currentSnapshot())) return None
+    // read back under the PLANNED snapshot's schema and spec — the
+    // shapes the executor writers actually produced. Commit-time state
+    // is validated against the SAME plan below, so an evolution landing
+    // anywhere between query start and this epoch conflicts instead of
+    // mislabeling files (the commit-time base alone could already
+    // carry the new spec on the FIRST epoch).
+    val staged = statsForStaged(dataRel, planned.schema, planned.spec,
+      planned.properties, onlyFiles = Some(files))
     var attempts = 0
     while (attempts < SnapshotTable.MaxCommitAttempts) {
       val latest = currentSnapshot()
       if (committed(latest)) return None
-      if (shape(latest.schema) != shape(base.schema))
+      // ids compared too: a drop+re-add can reproduce the SHAPE under
+      // fresh field ids, and staged files must be labeled with the ids
+      // of the schema they were written against
+      if (shape(latest.schema) != shape(planned.schema) ||
+          latest.ids != planned.ids)
         throw new SnapshotConflictException(
-          s"table at $root evolved its schema during stream epoch " +
-            s"$epochId — restart the query to replan against it")
-      requireSpecUnchanged(base, latest)
+          s"table at $root evolved its schema since stream epoch " +
+            s"$epochId was planned — restart the query to replan")
+      // staged files are laid out under the planned spec; no restage
+      // exists here (the data left the executors already) — conflict,
+      // the restarted query replans under the new spec
+      if (latest.spec != planned.spec ||
+          latest.specSince != planned.specSince)
+        throw new SnapshotConflictException(
+          s"partition spec at $root evolved since stream epoch " +
+            s"$epochId was planned — restart the query to replan")
       val candidate = next(latest, s"stream-append[$epochId]",
         latest.schema,
         latest.files ++ staged.map(_.copy(cols = latest.ids,

@@ -110,6 +110,42 @@ class GraftStreamingWriteSpec extends AnyFunSuite with Matchers {
     ids(dst) shouldBe ((0L until 50L) ++ (100L until 110L))
   }
 
+  test("spec evolution mid-query: later epochs replan and partition correctly") {
+    // Spark constructs the StreamingWrite PER EPOCH, so an evolveSpec
+    // landing between epochs is picked up by the next one — its files
+    // lay out and label under the NEW spec (the adoptStreamBatch guard
+    // still covers the within-epoch plan→commit window: a mismatch
+    // there conflicts instead of mislabeling).
+    val src = mk("sw_esrc")
+    val dst = mk("sw_edst")
+    val sinkQ = spark.readStream.table(src)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("sw-e-ckpt").toString)
+      .toTable(dst)
+    try {
+      sinkQ.processAllAvailable()
+      insert(src, 0 until 10)
+      sinkQ.processAllAvailable()
+      ids(dst) shouldBe (0L until 10L)
+      val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+      val st = graft.catalog.SnapshotTable.load(spark, s"$wh/probe/sw_edst")
+      st.evolveSpec(Some(graft.catalog.PartitionSpec("id", "identity")))
+      insert(src, 10 until 20)
+      sinkQ.processAllAvailable()
+      ids(dst) shouldBe (0L until 20L)
+      val cur = st.currentSnapshot()
+      val newFiles = cur.files.filter(_.seq >= cur.specSince)
+      assert(newFiles.nonEmpty && newFiles.forall(_.partition.isDefined),
+        "post-evolution epochs must record identity partition values")
+      // after the scoped migration rewrite, the whole table is
+      // partition-addressable — streamed epochs included
+      st.migrateSpec()
+      assert(st.readPartitions(_.contains("17"))
+        .select("id").collect().map(_.getLong(0)).toSeq == Seq(17L))
+    } finally sinkQ.stop()
+  }
+
   test("update output mode is rejected") {
     val src = mk("sw_usrc")
     val dst = mk("sw_udst")

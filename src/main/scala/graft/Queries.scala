@@ -1958,6 +1958,26 @@ object Queries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val metaDelTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dayTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once day-partitioned events table (identity on a derived
+    * DATE column — one file set per day) for the filtered metadata
+    * aggregates: whole-day predicates classify every file decisively.
+    */
+  private def daySnapshot(s: SparkSession,
+      dir: String): graft.catalog.SnapshotTable = {
+    val root = dayTableCache.computeIfAbsent(dir, _ => {
+      val (base, _) = warehouseDbRoot(s, "snap_day", dir)
+      val ev = t(s, dir, "events").withColumn("day", to_date(col("ts")))
+      val tbl = graft.catalog.SnapshotTable.create(s, base, ev.schema,
+        Some(graft.catalog.PartitionSpec("day", "identity")),
+        properties = graft.catalog.EvolvingWriter.DefaultTableProps)
+      tbl.append(ev)
+      base
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
   private val tableStreamCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3773,6 +3793,39 @@ object Queries {
              |  count(value) AS n_value,
              |  min(event_id) AS min_id, max(event_id) AS max_id
              |FROM events""".stripMargin)),
+
+    QueryDef("snap_agg_filtered_meta",
+      // r15: a FILTERED profile is metadata-only when every file
+      // classifies decisively — all rows provably match
+      // (StatsPruner.mustMatchAll) or none possibly do. The fixture is
+      // day-identity-partitioned (one file set per day), so a
+      // whole-day range COUNT/MIN/MAX/SUM — the retention-audit shape
+      // — answers from the manifest with zero data I/O at any size.
+      // Plan pinned to LocalRelation.
+      (s, dir) => {
+        daySnapshot(s, dir)
+        val ident = s"graft.db.snap_day_h${math.abs(dir.hashCode)}"
+        val q = s.sql(s"""SELECT count(*) AS n_rows,
+                         |  count(value) AS n_value,
+                         |  min(event_id) AS min_id,
+                         |  max(event_id) AS max_id,
+                         |  sum(event_id) AS sum_id
+                         |FROM $ident
+                         |WHERE day >= DATE'2024-01-10'
+                         |  AND day < DATE'2024-01-20'""".stripMargin)
+        require(q.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+          "snap_agg_filtered_meta: the manifest must answer the " +
+            s"whole-day range, got:\n${q.queryExecution.optimizedPlan}")
+        q
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  count(value) AS n_value,
+             |  min(event_id) AS min_id, max(event_id) AS max_id,
+             |  CAST(sum(event_id) AS BIGINT) AS sum_id
+             |FROM events
+             |WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+             |  AND CAST(ts AS DATE) < DATE '2024-01-20'""".stripMargin)),
 
     QueryDef("snap_limit_prefix",
       // r15: LIMIT pushes into the native batch scan as a FILE-PREFIX

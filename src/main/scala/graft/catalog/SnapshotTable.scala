@@ -671,11 +671,33 @@ final class SnapshotTable private (
     * paths apart except by speed.
     */
   def metadataAggregate(specs: Seq[SnapshotTable.MetaAgg],
-      version: Option[Long] = None): Option[DataFrame] = {
+      version: Option[Long] = None,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      : Option[DataFrame] = {
     val s = version.map(snapshotAt).getOrElse(publishedSnapshot())
     if (s.deleteFiles.nonEmpty || s.dvFiles.nonEmpty) return None
     val currentById = s.ids.map { case (n, id) => id -> n }.toMap
-    val files = s.files.map(effectiveStats(currentById, _))
+    val all = s.files.map(effectiveStats(currentById, _))
+    // FILTERED aggregates stay metadata-only when every file is
+    // DECISIVELY classified: provably all-matching
+    // ([[StatsPruner.mustMatchAll]] — its rows fold in whole) or
+    // provably none-matching (the may-match prune excludes it). One
+    // straddling file refuses and the ordinary scan runs — so a
+    // time-range COUNT over a time-clustered table (file boundaries
+    // aligned with the predicate, the retention-audit shape) answers
+    // from the manifest at any size.
+    val files =
+      if (filters.isEmpty) all
+      else {
+        val classified = all.map { f =>
+          if (StatsPruner.mustMatchAll(f, s.schema, filters)) Some(true)
+          else if (!StatsPruner.mayMatchAll(f, s.schema, filters,
+            log.resolveBloom)) Some(false)
+          else None
+        }
+        if (classified.contains(None)) return None
+        all.zip(classified).collect { case (f, Some(true)) => f }
+      }
     val cols = specs.map { a =>
       a.op match {
         case "count_star" => Some(lit(files.map(_.rows).sum).as(a.alias))

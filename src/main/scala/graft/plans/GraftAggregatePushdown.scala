@@ -5,9 +5,10 @@ import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.graftbridge.FilterBridge
 
 import graft.catalog.SnapshotTable.MetaAgg
 import graft.sources.GraftRelation
@@ -77,12 +78,15 @@ final case class GraftAggregatePushdown(session: SparkSession)
       // "re-create the view" remedy — let that path produce the error
       val rewritten = try {
         for {
-          gr <- relationOf(child)
+          // a WHERE clause rides along when it translates COMPLETELY to
+          // source filters — the manifest answers iff every file
+          // classifies decisively (all rows match or none possibly do)
+          (gr, fs) <- relationAndFilter(child)
           specs <- toSpecs(aggExprs)
           // a pinned (VERSION/TIMESTAMP AS OF) relation answers from
           // ITS snapshot — time-travel profile queries are metadata-only
           // too
-          df <- gr.table.metadataAggregate(specs, gr.pinned)
+          df <- gr.table.metadataAggregate(specs, gr.pinned, fs)
         } yield {
           val row = df.collect().head
           val values = agg.output.zipWithIndex.map { case (a, i) =>
@@ -99,6 +103,32 @@ final case class GraftAggregatePushdown(session: SparkSession)
     * the aggregate and the scan can change row multiplicity or values
     * (only an attribute-reference projection is allowed).
     */
+  /** [[relationOf]] plus at most one Filter hop whose condition
+    * translates COMPLETELY to source filters (a lost conjunct would
+    * prove a weaker predicate — all-or-nothing, same discipline as
+    * [[graft.catalog.StatsPruner.translateExact]]).
+    */
+  private def relationAndFilter(p: LogicalPlan)
+      : Option[(GraftSqlDml.GraftTarget,
+        Seq[org.apache.spark.sql.sources.Filter])] = p match {
+    case Project(projList, child)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      relationAndFilter(child)
+    case f: LFilter =>
+      relationOf(f.child).flatMap { gr =>
+        def conjuncts(e: org.apache.spark.sql.catalyst.expressions
+            .Expression): Seq[org.apache.spark.sql.catalyst.expressions
+            .Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            conjuncts(l) ++ conjuncts(r)
+          case other => Seq(other)
+        }
+        val tr = conjuncts(f.condition).map(FilterBridge.translate)
+        if (tr.exists(_.isEmpty)) None else Some((gr, tr.flatten))
+      }
+    case other => relationOf(other).map((_, Nil))
+  }
+
   private def relationOf(p: LogicalPlan): Option[GraftSqlDml.GraftTarget] =
     p match {
       // ONE definition of "which plans are graft targets" (temp-view

@@ -233,4 +233,41 @@ class AggPushdownSpec extends AnyFunSuite {
     val ev = events.filter(_.root.endsWith("agg/le")).head
     assert(ev.kept == 5, s"eq-deletes must disable the prefix: $ev")
   }
+
+  test("FILTERED aggregates answer from the manifest when files classify decisively") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.agg")
+    sql("DROP TABLE IF EXISTS graft.agg.fday")
+    // one file per day (identity hidden partition): any whole-day
+    // range classifies every file as all-matching or none-matching
+    sql("CREATE TABLE graft.agg.fday (id BIGINT, day DATE) " +
+      "PARTITIONED BY (day)")
+    (1 to 5).foreach { d =>
+      sql(s"INSERT INTO graft.agg.fday SELECT /*+ REPARTITION(1) */ id, " +
+        s"DATE'2024-01-0$d' FROM range(${d * 100}, ${d * 100 + 100})")
+    }
+    pinPushed(
+      "SELECT count(*) AS n, min(id) AS lo, max(id) AS hi, " +
+        "count(day) AS nd FROM graft.agg.fday " +
+        "WHERE day >= DATE'2024-01-02' AND day < DATE'2024-01-04'",
+      Row(200L, 200L, 399L, 200L))
+    // range-clustered id bounds classify decisively too when the
+    // cut lands on a file boundary...
+    pinPushed(
+      "SELECT count(*) AS n FROM graft.agg.fday WHERE id < 300",
+      Row(200L))
+    // ...but a straddling cut must fall back to the scan (still exact)
+    pinFallback(
+      "SELECT count(*) AS n FROM graft.agg.fday WHERE id < 250")
+    assert(sql("SELECT count(*) AS n FROM graft.agg.fday WHERE id < 250")
+      .collect().head == Row(150L))
+    // an untranslatable conjunct vetoes the rewrite, never the answer
+    pinFallback(
+      "SELECT count(*) AS n FROM graft.agg.fday WHERE id % 2 = 0 AND id < 300")
+    // a predicate ruling out EVERY file answers SQL's empty-input
+    // aggregate row from metadata: count 0, null bounds
+    pinPushed(
+      "SELECT count(*) AS n, min(id) AS lo FROM graft.agg.fday " +
+        "WHERE day > DATE'2030-01-01'",
+      Row(0L, null))
+  }
 }

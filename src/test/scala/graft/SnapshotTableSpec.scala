@@ -2450,11 +2450,19 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       ((40L, 1L, 40L, 36L)))
     assert(r.getTimestamp(4) == Timestamp.valueOf("2024-01-01 00:00:00"))
-    // a WHERE clause keeps the ordinary scan and stays correct
+    // a WHERE clause landing on file boundaries now ALSO answers from
+    // the manifest (r15 filtered aggregates — every file classifies
+    // decisively); a straddling cut still takes the ordinary scan
     val filtered = spark.sql(
       "SELECT count(*) AS n FROM graft_aggpd WHERE id > 20")
-    assert(!filtered.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(filtered.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      s"boundary-aligned filter must stay metadata-only:\n${
+        filtered.queryExecution.optimizedPlan}")
     assert(filtered.collect().head.getLong(0) == 20L)
+    val straddle = spark.sql(
+      "SELECT count(*) AS n FROM graft_aggpd WHERE id > 25")
+    assert(!straddle.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(straddle.collect().head.getLong(0) == 15L)
     // pending MoR deletes veto the rewrite; the scan fallback is exact
     t.deleteByKeys(Seq(Tuple1(1L)).toDF("id"), Seq("id"))
     val afterDelete = spark.sql("SELECT count(*) AS n FROM graft_aggpd")

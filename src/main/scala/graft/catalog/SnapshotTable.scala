@@ -809,7 +809,9 @@ final class SnapshotTable private (
     */
   def metadataAggregateGrouped(groupCol: String,
       specs: Seq[SnapshotTable.MetaAgg],
-      version: Option[Long] = None): Option[DataFrame] = {
+      version: Option[Long] = None,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      : Option[DataFrame] = {
     val s = version.map(snapshotAt).getOrElse(publishedSnapshot())
     if (s.deleteFiles.nonEmpty || s.dvFiles.nonEmpty) return None
     val spec = s.spec.getOrElse(return None)
@@ -824,8 +826,23 @@ final class SnapshotTable private (
     }
     if (!roundTrips) return None
     val currentById = s.ids.map { case (n, id) => id -> n }.toMap
-    val groups = s.files.map(effectiveStats(currentById, _))
-      .groupBy(_.partition).toSeq.sortBy(_._1)
+    val allFiles = s.files.map(effectiveStats(currentById, _))
+    // same decisive classification as the ungrouped filtered path: a
+    // group whose files all fail the predicate simply doesn't appear
+    // (SQL GROUP BY semantics); one straddling file refuses
+    val kept =
+      if (filters.isEmpty) allFiles
+      else {
+        val classified = allFiles.map { f =>
+          if (StatsPruner.mustMatchAll(f, s.schema, filters)) Some(true)
+          else if (!StatsPruner.mayMatchAll(f, s.schema, filters,
+            log.resolveBloom)) Some(false)
+          else None
+        }
+        if (classified.contains(None)) return None
+        allFiles.zip(classified).collect { case (f, Some(true)) => f }
+      }
+    val groups = kept.groupBy(_.partition).toSeq.sortBy(_._1)
     val perGroup = groups.map { case (pval, files) =>
       val cols = specs.map { a =>
         a.op match {

@@ -54,9 +54,10 @@ final case class GraftAggregatePushdown(session: SparkSession)
     case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
       val rewritten = try {
         for {
-          gr <- relationOf(child)
+          (gr, fs) <- relationAndFilter(child)
           specs <- toGroupedSpecs(g, aggExprs)
-          df <- gr.table.metadataAggregateGrouped(g.name, specs, gr.pinned)
+          df <- gr.table.metadataAggregateGrouped(g.name, specs, gr.pinned,
+            fs)
         } yield {
           val rows = df.collect().toIndexedSeq.map { row =>
             InternalRow.fromSeq(agg.output.zipWithIndex.map { case (a, i) =>

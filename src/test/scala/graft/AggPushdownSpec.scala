@@ -270,4 +270,28 @@ class AggPushdownSpec extends AnyFunSuite {
         "WHERE day > DATE'2030-01-01'",
       Row(0L, null))
   }
+
+  test("FILTERED + GROUPED: excluded partitions vanish, included fold per group") {
+    val on = sql("SELECT day, count(*) AS n, max(id) AS hi " +
+      "FROM graft.agg.fday " +
+      "WHERE day >= DATE'2024-01-02' AND day < DATE'2024-01-04' " +
+      "GROUP BY day ORDER BY day")
+    val plan = finalPlan(on)
+    assert(plan.contains("LocalTableScan") &&
+      !plan.contains("GraftBatchScan"),
+      s"grouped filtered profile must be metadata-only:\n${plan.take(2000)}")
+    assert(on.collect().map(r => (r.getDate(0).toString, r.getLong(1),
+      r.getLong(2))).toSeq ==
+      Seq(("2024-01-02", 100L, 299L), ("2024-01-03", 100L, 399L)))
+    spark.conf.set("spark.sql.graft.metadataAggregate", "false")
+    try {
+      val off = sql("SELECT day, count(*) AS n, max(id) AS hi " +
+        "FROM graft.agg.fday " +
+        "WHERE day >= DATE'2024-01-02' AND day < DATE'2024-01-04' " +
+        "GROUP BY day ORDER BY day")
+      assert(off.collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2))).toSeq ==
+        Seq(("2024-01-02", 100L, 299L), ("2024-01-03", 100L, 399L)))
+    } finally spark.conf.set("spark.sql.graft.metadataAggregate", "true")
+  }
 }

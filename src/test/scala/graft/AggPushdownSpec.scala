@@ -271,6 +271,42 @@ class AggPushdownSpec extends AnyFunSuite {
       Row(0L, null))
   }
 
+  test("SELECT DISTINCT partition-key answers from the manifest") {
+    // Aggregate(Seq(day), Seq(day), rel) is what DISTINCT plans as —
+    // the grouped rewrite with a group-only spec list serves it, so
+    // enumerating a 100 TB table's days costs zero data I/O
+    val on = sql("SELECT DISTINCT day FROM graft.agg.fday")
+    val plan = finalPlan(on)
+    assert(plan.contains("LocalTableScan") &&
+      !plan.contains("GraftBatchScan"),
+      s"DISTINCT partition key must be metadata-only:\n${plan.take(2000)}")
+    assert(on.collect().map(_.getDate(0).toString).sorted.toSeq ==
+      (1 to 5).map(d => s"2024-01-0$d"))
+    // ...and with a decisive filter, excluded days vanish
+    val f = sql("SELECT DISTINCT day FROM graft.agg.fday " +
+      "WHERE day < DATE'2024-01-03'")
+    assert(finalPlan(f).contains("LocalTableScan"))
+    assert(f.collect().map(_.getDate(0).toString).sorted.toSeq ==
+      Seq("2024-01-01", "2024-01-02"))
+  }
+
+  test("TopN prune stays sound on a bucket-partitioned (SPJ-claiming) table") {
+    sql("DROP TABLE IF EXISTS graft.agg.tb")
+    sql("CREATE TABLE graft.agg.tb (id BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, id))")
+    sql("INSERT INTO graft.agg.tb SELECT id, cast(id as double) " +
+      "FROM range(0, 4000)")
+    // the prune keeps a subset of buckets; the KeyGroupedPartitioning
+    // report must stay consistent with the planned groups under v2
+    // bucketing (a mismatch would crash planning or drop rows)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val rows = sql("SELECT id FROM graft.agg.tb ORDER BY id DESC LIMIT 50")
+        .collect().map(_.getLong(0))
+      assert(rows.sorted.toSeq == (3950L until 4000L))
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("FILTERED + GROUPED: excluded partitions vanish, included fold per group") {
     val on = sql("SELECT day, count(*) AS n, max(id) AS hi " +
       "FROM graft.agg.fday " +

@@ -31,7 +31,8 @@ import org.apache.spark.sql.types.StructType
 final class GraftStreamingWrite(
     table: SnapshotTable,
     writeSchema: StructType,
-    queryId: String) extends StreamingWrite {
+    queryId: String,
+    maintainEvery: Option[Int] = None) extends StreamingWrite {
 
   // one staging dir per query instance; adopted file lists are
   // explicit, so a crashed epoch's leftovers are inert until
@@ -86,7 +87,22 @@ final class GraftStreamingWrite(
       messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq
       .collect { case m: GraftDeltaCommit => m.dataFiles }.flatten
-    table.adoptStreamBatch(dataRel, files, epochKey, epochId, planned)
+    val adopted = table.adoptStreamBatch(dataRel, files, epochKey,
+      epochId, planned)
+    // streaming ingest accretes small files — `.option("maintainEvery",
+    // n)` runs the table's own threshold-driven maintenance (compaction
+    // / vector rewrite / vacuum per its TBLPROPERTIES) every n epochs,
+    // AFTER the epoch committed (exactly-once is already durable; a
+    // replayed epoch skips both). A maintenance race with another
+    // writer is expendable — the next cycle retries — but any other
+    // failure surfaces: hiding a misconfigured layout would silently
+    // stop compaction forever.
+    if (adopted.isDefined)
+      maintainEvery.filter(n => epochId > 0 && epochId % n == 0)
+        .foreach { _ =>
+          try table.maintain()
+          catch { case _: SnapshotConflictException => () }
+        }
     ()
   }
 

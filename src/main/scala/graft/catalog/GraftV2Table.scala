@@ -357,7 +357,15 @@ final class GraftV2Table(
             "streaming writes into a graft table append — use " +
               "outputMode(Append); keyed CDC upserts go through " +
               "writeStream.format(\"graft\").option(\"keys\", …)")
-          new GraftStreamingWrite(table, info.schema(), info.queryId())
+          val maintainEvery = Option(info.options().get("maintainEvery"))
+            .map { v =>
+              val n = scala.util.Try(v.toInt).getOrElse(sys.error(
+                s"maintainEvery must be a positive number, got '$v'"))
+              require(n >= 1, s"maintainEvery must be >= 1, got $n")
+              n
+            }
+          new GraftStreamingWrite(table, info.schema(), info.queryId(),
+            maintainEvery)
         }
       }
     }

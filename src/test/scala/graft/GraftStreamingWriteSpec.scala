@@ -146,6 +146,33 @@ class GraftStreamingWriteSpec extends AnyFunSuite with Matchers {
     } finally sinkQ.stop()
   }
 
+  test("maintainEvery compacts the small files streaming ingest accretes") {
+    val src = mk("sw_msrc")
+    spark.sql("DROP TABLE IF EXISTS graft.probe.sw_mdst")
+    spark.sql("CREATE TABLE graft.probe.sw_mdst (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('optimize_rewrite_data_file_threshold' = '4')")
+    (0 until 9).foreach(i => insert(src, i * 10 until (i + 1) * 10))
+    val q = spark.readStream
+      .option("streamFrom", "earliest")
+      .option("maxVersionsPerTrigger", "1")
+      .table(src)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("sw-m-ckpt").toString)
+      .option("maintainEvery", "3")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.probe.sw_mdst")
+    assert(q.awaitTermination(180000))
+    ids("graft.probe.sw_mdst") shouldBe (0L until 90L)
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val st = SnapshotTable.load(spark, s"$wh/probe/sw_mdst")
+    val ops = st.history().map(_.operation)
+    assert(ops.exists(_.startsWith("compact")),
+      s"maintenance must have compacted, ops: ${ops.mkString(", ")}")
+    assert(st.currentSnapshot().files.size < 9,
+      s"file count must stay bounded, got ${st.currentSnapshot().files.size}")
+  }
+
   test("update output mode is rejected") {
     val src = mk("sw_usrc")
     val dst = mk("sw_udst")

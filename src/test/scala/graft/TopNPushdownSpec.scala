@@ -92,6 +92,20 @@ class TopNPushdownSpec extends AnyFunSuite {
     assert(nulls.size == 100 && vals.map(_.getLong(0)).sorted == (0L until 50L))
   }
 
+  test("DESC NULLS FIRST: nulls win independently of direction") {
+    val t = "graft.probe.topn_nulls"
+    val (nw, nwKept, _) = probe(
+      s"SELECT * FROM $t ORDER BY id DESC NULLS FIRST LIMIT 50")
+    assert(nwKept == 1 && nw.size == 50 && nw.forall(_.isNullAt(0)))
+    // beyond the nulls, the DESC threshold takes over
+    val (mix, mixKept, _) = probe(
+      s"SELECT * FROM $t ORDER BY id DESC NULLS FIRST LIMIT 150")
+    assert(mixKept == 2)
+    val (nulls, vals) = mix.partition(_.isNullAt(0))
+    assert(nulls.size == 100 &&
+      vals.map(_.getLong(0)).sorted == (150L until 200L))
+  }
+
   test("delete vectors shrink the per-file guarantee, never the keep set") {
     val t = mkIds("topn_dv", "'graft.delete.mode' = 'merge-on-read'")
     spark.sql(s"DELETE FROM $t WHERE id >= 1850 AND id < 1950")

@@ -49,6 +49,21 @@ final class GraftStreamingWrite(
   // mislabeling executor-staged files
   private val planned = table.publishedSnapshot()
 
+  // the writeSchema (Spark's analyzed query output) must match the
+  // planned snapshot's shape: a schema evolution committing between
+  // analysis-time table load and THIS construction would otherwise
+  // stage files under the stale writeSchema while adoptStreamBatch
+  // reads them back under planned.schema — and the commit-time check
+  // (latest vs planned, both post-evolution) would pass, silently
+  // adopting mislabeled files
+  {
+    def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+    if (shape(writeSchema) != shape(planned.schema))
+      throw new SnapshotConflictException(
+        s"table at ${table.root} evolved its schema between query " +
+          "analysis and write construction — restart the query to replan")
+  }
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val spark = table.session

@@ -213,7 +213,13 @@ final class GraftV2Table(
           filters.toIndexedSeq, from,
           options.getBoolean("skipNonAppends", false),
           posLong("maxVersionsPerTrigger"),
-          posLong("maxFilesPerTrigger").map(_.toInt))
+          posLong("maxFilesPerTrigger").map { n =>
+            // .toInt on a > Int.MaxValue value would wrap negative and
+            // silently degrade admission to one version per trigger
+            require(n <= Int.MaxValue,
+              s"maxFilesPerTrigger must fit in an Int, got $n")
+            n.toInt
+          })
       }
 
       private def v1Scan(): Scan = new V1Scan

@@ -159,6 +159,20 @@ final case class Snapshot(
   /** The next free field id (allocator is monotonic per table). */
   def nextIds: Int =
     math.max(nextFieldId, ids.map(_._2).foldLeft(-1)(math.max) + 1)
+
+  /** Delete vectors indexed by covered data path — built lazily ONCE
+    * per snapshot so per-file coverage lookups
+    * ([[SnapshotTable.dvsOf]]) are O(vectors covering that file), not
+    * O(all dvFiles). Split planning and TopN pruning call the lookup
+    * per data file; without the index a steady-state MoR table pays
+    * O(files × dvFiles) driver work per scan plan. Derived state —
+    * excluded from case-class equality by construction (lazy val), and
+    * transient because snapshots are driver-side planning objects.
+    */
+  @transient lazy val dvByPath: Map[String, Seq[DvFileEntry]] =
+    if (dvFiles.isEmpty) Map.empty
+    else dvFiles.flatMap(d => d.dataPaths.map(_ -> d))
+      .groupBy(_._1).map { case (p, es) => p -> es.map(_._2) }
 }
 
 /** A concurrent writer won the race for the version this commit was

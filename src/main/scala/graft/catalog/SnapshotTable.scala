@@ -843,6 +843,14 @@ final class SnapshotTable private (
         allFiles.zip(classified).collect { case (f, Some(true)) => f }
       }
     val groups = kept.groupBy(_.partition).toSeq.sortBy(_._1)
+    // bound the driver-side answer: a table with 10⁶ hidden partitions
+    // would otherwise fold 10⁶ one-row frames into a LocalRelation on
+    // the driver — above the cap the rewrite declines and the ordinary
+    // distributed scan aggregate runs (correct either way; this is a
+    // plan-shape decision only)
+    val maxGroups = spark.conf
+      .get("spark.sql.graft.metadataAggregate.maxGroups", "1000").toInt
+    if (groups.size > maxGroups) return None
     val perGroup = groups.map { case (pval, files) =>
       val cols = specs.map { a =>
         a.op match {
@@ -1551,10 +1559,13 @@ final class SnapshotTable private (
 
   /** The positional-delete-vector coverage of `f` in `owner`: vectors
     * that list the file's manifest path (path-exact coverage; `seq`
-    * guards pathological path reuse).
+    * guards pathological path reuse). Answered from the snapshot's
+    * per-path index ([[Snapshot.dvByPath]]) so a plan-time loop over
+    * all data files costs O(files + dv coverage), not
+    * O(files × dvFiles).
     */
   private[catalog] def dvsOf(owner: Snapshot, f: DataFileEntry): Seq[DvFileEntry] =
-    owner.dvFiles.filter(d => d.seq > f.seq && d.dataPaths.contains(f.path))
+    owner.dvByPath.getOrElse(f.path, Nil).filter(_.seq > f.seq)
 
   /** [[readResolved]] plus positional-delete-vector application: rows
     * of covered files whose (file, row ordinal) is set in a live

@@ -59,6 +59,29 @@ final class GraftTableStream(
 
   private def head: Long = table.publishedSnapshot().version
 
+  /** Head at stream construction (query start or restart): a schema
+    * mismatch at a version ≤ this is HISTORICAL — restarting can never
+    * fix it, and the error must say so (see [[planInputPartitions]]).
+    */
+  private val queryStartHead: Long = head
+
+  /** Per-version appended-file counts, memoized so capped admission
+    * ([[latestOffset]]) doesn't re-parse the same pending versions'
+    * manifests every trigger — O(new versions) amortized instead of
+    * O(backlog × manifest) per trigger. Entries at or below the
+    * consumed offset are pruned each call. Trigger-thread-only state
+    * (Spark serializes offset/plan calls per stream).
+    */
+  private val addedFileCounts =
+    scala.collection.mutable.HashMap.empty[Long, Long]
+
+  /** The last version whose file-path set [[planInputPartitions]]
+    * materialized — consecutive versions use it as the parent set, so
+    * a batch over versions (s, e] loads each manifest ONCE instead of
+    * once as itself and once as its successor's parent.
+    */
+  @volatile private var lastPathSet: Option[(Long, Set[String])] = None
+
   override def initialOffset(): Offset =
     GraftStreamOffset(streamFrom.map(v => math.max(0L, v - 1)).getOrElse(head))
 
@@ -105,9 +128,10 @@ final class GraftTableStream(
     var files = 0L
     var versions = 0L
     var done = false
+    addedFileCounts.filterInPlace((ver, _) => ver > s)
     while (!done && v < bound) {
-      val snap = table.snapshotAt(v + 1)
-      val added = snap.files.count(_.seq == v + 1)
+      val added = addedFileCounts.getOrElseUpdate(v + 1,
+        table.snapshotAt(v + 1).files.count(_.seq == v + 1).toLong)
       val over =
         maxVersionsPerTrigger.exists(versions + 1 > _) ||
         maxFilesPerTrigger.exists(files + added > _)
@@ -133,12 +157,20 @@ final class GraftTableStream(
     val fs = table.root.getFileSystem(
       table.session.sessionState.newHadoopConf())
     val files = Seq.newBuilder[DataFileEntry]
+    // consecutive versions reuse the previous iteration's path set as
+    // the parent set (and the cache carries it across triggers), so
+    // each manifest in the range loads once — not once as itself plus
+    // once as its successor's parent
+    var prevPaths = lastPathSet
     ((s + 1) to e).foreach { v =>
       val snap = table.snapshotAt(v)
-      val parentPaths = snap.parent
-        .map(p => table.snapshotAt(p).files.map(_.path).toSet)
-        .getOrElse(Set.empty)
+      val parentPaths = snap.parent match {
+        case Some(p) if prevPaths.exists(_._1 == p) => prevPaths.get._2
+        case Some(p) => table.snapshotAt(p).files.map(_.path).toSet
+        case None => Set.empty[String]
+      }
       val snapPaths = snap.files.map(_.path).toSet
+      prevPaths = Some((v, snapPaths))
       val rowChanging = parentPaths.exists(!snapPaths.contains(_)) ||
         snap.dvFiles.exists(_.seq == v) ||
         snap.deleteFiles.exists(_.seq == v)
@@ -146,21 +178,36 @@ final class GraftTableStream(
         if (!skipNonAppends) throw new IllegalStateException(
           s"streaming read of ${table.root}: version $v is a row-" +
             s"changing commit (${snap.operation}) — an appends-only " +
-            "stream cannot represent it. Use the CDC source " +
-            "(format(\"graft\").option(\"changesFrom\", …)) for " +
+            "stream cannot represent it. Use the change-feed table " +
+            "(readStream.table(\"graft.db.`t#changes`\")) or the CDC " +
+            "source (format(\"graft\").option(\"changesFrom\", …)) for " +
             "retractions, or .option(\"skipNonAppends\", \"true\") to " +
             "skip such commits wholesale")
         // skipped: its staged files are rewrites of surviving rows
       } else {
-        if (shape(snap.schema) != shape(tableSchema))
+        if (shape(snap.schema) != shape(tableSchema)) {
+          // a mismatch at a version that PRECEDES this query run is a
+          // backfill crossing a schema-evolution boundary: historical
+          // versions' schemas never change, so "restart the query"
+          // would fail forever — say so, with the ways out
+          if (v <= queryStartHead) throw new IllegalStateException(
+            s"streaming read of ${table.root}: the backfill crosses a " +
+              s"schema-evolution boundary at version $v — historical " +
+              "versions keep their contemporary schemas, so restarting " +
+              "cannot pick this up. Start at or after the evolution " +
+              s"(.option(\"streamFrom\", ${v + 1}) or later), or read " +
+              "the history through the CDC source, which conforms " +
+              "batches to its pinned schema")
           throw new IllegalStateException(
             s"streaming read of ${table.root}: the schema evolved at " +
               s"version $v — restart the query to pick up the new schema")
+        }
         files ++= snap.files.filter(f => f.seq == v &&
           (filters.isEmpty ||
             StatsPruner.mayMatchAll(f, tableSchema, filters)))
       }
     }
+    lastPathSet = prevPaths
     // split + bin-pack to the same target every batch read uses; a
     // backfill commit of many small files shares tasks, a single huge
     // file fans out

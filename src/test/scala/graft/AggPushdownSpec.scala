@@ -330,4 +330,29 @@ class AggPushdownSpec extends AnyFunSuite {
         Seq(("2024-01-02", 100L, 299L), ("2024-01-03", 100L, 399L)))
     } finally spark.conf.set("spark.sql.graft.metadataAggregate", "true")
   }
+
+  test("grouped rewrite vetoes above the maxGroups cap; scan answers identically") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.agg")
+    sql("DROP TABLE IF EXISTS graft.agg.cap")
+    sql("CREATE TABLE graft.agg.cap (id BIGINT, k STRING) PARTITIONED BY (k)")
+    sql("INSERT INTO graft.agg.cap SELECT id, concat('g', id % 5) " +
+      "FROM range(0, 100)")
+    val q = "SELECT k, count(*) AS n FROM graft.agg.cap GROUP BY k"
+    val pushed = sql(q)
+    assert(finalPlan(pushed).contains("LocalTableScan"),
+      "5 groups under the default cap must stay metadata-only")
+    val rows = pushed.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a 10\u2076-partition table must not fold 10\u2076 one-row frames on the
+    // driver: above the cap the rewrite declines and the scan runs
+    spark.conf.set("spark.sql.graft.metadataAggregate.maxGroups", "3")
+    try {
+      val off = sql(q)
+      assert(!finalPlan(off).contains("LocalTableScan"),
+        "5 groups over a cap of 3 must fall back to the scan")
+      assert(off.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == rows, "scan parity under the veto")
+    } finally {
+      spark.conf.unset("spark.sql.graft.metadataAggregate.maxGroups")
+    }
+  }
 }

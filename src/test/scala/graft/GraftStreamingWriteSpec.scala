@@ -190,4 +190,19 @@ class GraftStreamingWriteSpec extends AnyFunSuite with Matchers {
     }
     assert(err.getMessage != null)
   }
+
+  test("construction refuses a stale writeSchema (evolution between analysis and construction)") {
+    val t = mk("sw_stale")
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val st = SnapshotTable.load(spark, s"$wh/probe/sw_stale")
+    // a schema captured at analysis time that no longer matches the
+    // planned snapshot's shape: staged files would be mislabeled
+    val stale = new org.apache.spark.sql.types.StructType()
+      .add("id", "bigint").add("v", "double").add("gone", "string")
+    val err = intercept[graft.catalog.SnapshotConflictException] {
+      new graft.catalog.GraftStreamingWrite(st, stale, "q-stale-test")
+    }
+    assert(err.getMessage.contains(
+      "between query analysis and write construction"), err.getMessage)
+  }
 }

@@ -212,4 +212,42 @@ class GraftTableStreamSpec extends AnyFunSuite with Matchers {
       sink.synchronized(sink.sorted.toList) shouldBe (100L until 105L).toList
     } finally q.stop()
   }
+
+  private def chainHas(t: Throwable, s: String): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .exists(e => Option(e.getMessage).exists(_.contains(s)))
+
+  test("maxFilesPerTrigger above Int range is rejected, not wrapped") {
+    val t = mkTable("st_ovf")
+    insert(t, 0 until 5)
+    val sink = ArrayBuffer.empty[Long]
+    val q = drain(t, Files.createTempDirectory("st-ovf-ckpt").toString,
+      sink, Map("streamFrom" -> "earliest",
+        "maxFilesPerTrigger" -> "3000000000"))
+    try {
+      val err = intercept[Exception] { q.processAllAvailable() }
+      assert(chainHas(err, "must fit in an Int"),
+        s"unexpected failure: ${err.getMessage}")
+    } finally q.stop()
+  }
+
+  test("a backfill crossing a schema evolution gets the boundary error, not 'restart'") {
+    val t = mkTable("st_hist")
+    insert(t, 0 until 5) // pre-evolution commit (old schema)
+    spark.sql(s"ALTER TABLE $t ADD COLUMN extra STRING")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE), 'x' " +
+      "FROM range(5, 8)")
+    val sink = ArrayBuffer.empty[Long]
+    val q = drain(t, Files.createTempDirectory("st-hist-ckpt").toString,
+      sink, Map("streamFrom" -> "earliest"))
+    try {
+      val err = intercept[Exception] { q.processAllAvailable() }
+      // the mid-stream message ("restart the query") would be a lie
+      // here: the historical version's schema never changes
+      assert(chainHas(err, "schema-evolution boundary"),
+        s"unexpected failure: ${err.getMessage}")
+      assert(!chainHas(err, "restart the query to pick up"),
+        "must not emit the restartable-evolution message for a backfill")
+    } finally q.stop()
+  }
 }

@@ -98,8 +98,31 @@ final class GraftStreamingWrite(
     }
   }
 
+  // ---- background auto-maintenance (single-flight): a large
+  // compaction must never stall the stream for its full duration, so
+  // the maintenance cycle runs on a daemon thread and epoch commits
+  // only CHECK its outcome. Injectable for the stall-free spec pin.
+  private val maintenanceRunning =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var maintenanceFailure: Option[Throwable] = None
+  private[graft] var maintenanceRunner: () => Unit = () => table.maintain()
+  private[graft] def pendingMaintenanceFailure: Option[Throwable] =
+    maintenanceFailure
+
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
+    // a PREVIOUS cycle's non-conflict failure surfaces here, failing
+    // the query one epoch later: hiding a misconfigured layout would
+    // silently stop compaction forever. (The failed epoch's data is
+    // already durable; the replayed epoch no-ops and re-raises until
+    // the configuration is fixed or the restart's fresh cycle passes.)
+    maintenanceFailure.foreach { e =>
+      maintenanceFailure = None
+      throw new IllegalStateException(
+        s"streaming maintenance of ${table.root} failed — fix the " +
+          "table's maintenance configuration (the stream's epochs are " +
+          "committed; data is not at risk)", e)
+    }
     val files = messages.toSeq
       .collect { case m: GraftDeltaCommit => m.dataFiles }.flatten
     val adopted = table.adoptStreamBatch(dataRel, files, epochKey,
@@ -108,15 +131,26 @@ final class GraftStreamingWrite(
     // n)` runs the table's own threshold-driven maintenance (compaction
     // / vector rewrite / vacuum per its TBLPROPERTIES) every n epochs,
     // AFTER the epoch committed (exactly-once is already durable; a
-    // replayed epoch skips both). A maintenance race with another
-    // writer is expendable — the next cycle retries — but any other
-    // failure surfaces: hiding a misconfigured layout would silently
-    // stop compaction forever.
+    // replayed epoch skips both), on a BACKGROUND daemon thread so a
+    // long compaction never delays the next epoch. Single-flight: a
+    // cycle still running when the next trigger fires is skipped, not
+    // queued. A maintenance race with another writer is expendable —
+    // the next cycle retries.
     if (adopted.isDefined)
       maintainEvery.filter(n => epochId > 0 && epochId % n == 0)
         .foreach { _ =>
-          try table.maintain()
-          catch { case _: SnapshotConflictException => () }
+          if (maintenanceRunning.compareAndSet(false, true)) {
+            val th = new Thread(() => {
+              try maintenanceRunner()
+              catch {
+                case _: SnapshotConflictException => ()
+                case scala.util.control.NonFatal(e) =>
+                  maintenanceFailure = Some(e)
+              } finally maintenanceRunning.set(false)
+            }, s"graft-stream-maintain-$queryId")
+            th.setDaemon(true)
+            th.start()
+          }
         }
     ()
   }

@@ -205,4 +205,61 @@ class GraftStreamingWriteSpec extends AnyFunSuite with Matchers {
     assert(err.getMessage.contains(
       "between query analysis and write construction"), err.getMessage)
   }
+
+  test("a slow maintenance cycle never delays the next epoch's commit") {
+    mk("sw_bg")
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val st = SnapshotTable.load(spark, s"$wh/probe/sw_bg")
+    val w = new graft.catalog.GraftStreamingWrite(st, st.schema, "q-bg",
+      maintainEvery = Some(1))
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val cycles = new java.util.concurrent.atomic.AtomicInteger(0)
+    w.maintenanceRunner = () => {
+      cycles.incrementAndGet(); entered.countDown()
+      release.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+    }
+    try {
+      w.commit(1L, Array.empty) // kicks off the (blocked) cycle
+      assert(entered.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      // next epochs commit while maintenance is still running...
+      val t0 = System.nanoTime()
+      w.commit(2L, Array.empty)
+      w.commit(3L, Array.empty)
+      assert((System.nanoTime() - t0) / 1e9 < 20.0,
+        "epoch commits must not wait on the running maintenance")
+      // ...and single-flight means no second cycle piled up behind it
+      assert(cycles.get() == 1, s"expected one in-flight cycle, got $cycles")
+      val props = st.currentSnapshot().properties
+      assert(props.get("graft.stream.last_batch_id.q-bg").contains("3"),
+        props.toString)
+    } finally release.countDown()
+  }
+
+  test("a failed maintenance cycle surfaces on the next commit, conflicts stay expendable") {
+    mk("sw_bgf")
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val st = SnapshotTable.load(spark, s"$wh/probe/sw_bgf")
+    val w = new graft.catalog.GraftStreamingWrite(st, st.schema, "q-bgf",
+      maintainEvery = Some(1))
+    w.maintenanceRunner = () => sys.error("disk on fire")
+    w.commit(1L, Array.empty)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (w.pendingMaintenanceFailure.isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    val err = intercept[IllegalStateException] { w.commit(2L, Array.empty) }
+    assert(err.getMessage.contains("streaming maintenance"), err.getMessage)
+    assert(Option(err.getCause).exists(_.getMessage.contains("disk on fire")))
+    // the failure is consumed: with the configuration "fixed" (runner
+    // healthy again) the replayed epoch commits normally
+    w.maintenanceRunner = () => ()
+    w.commit(2L, Array.empty)
+    // a conflict-failing cycle is expendable and surfaces nothing
+    w.maintenanceRunner =
+      () => throw new graft.catalog.SnapshotConflictException("lost race")
+    w.commit(3L, Array.empty)
+    Thread.sleep(200)
+    assert(w.pendingMaintenanceFailure.isEmpty)
+    w.commit(4L, Array.empty)
+  }
 }

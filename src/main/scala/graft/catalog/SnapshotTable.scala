@@ -2360,7 +2360,7 @@ final class SnapshotTable private (
       files: Seq[String], key: String, epochId: Long,
       planned: Snapshot): Option[Snapshot] = {
     def committed(s: Snapshot): Boolean =
-      s.properties.get(key).exists(_.toLong >= epochId)
+      s.properties.get(key).exists(SnapshotTable.epochOf(_) >= epochId)
     def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
     if (committed(currentSnapshot())) return None
     // read back under the PLANNED snapshot's schema and spec — the
@@ -2395,7 +2395,11 @@ final class SnapshotTable private (
         latest.schema,
         latest.files ++ staged.map(_.copy(cols = latest.ids,
           nested = nestedPairsOf(latest))))
-        .copy(properties = latest.properties + (key -> epochId.toString))
+        // value carries the committing VERSION too ("epoch@version"):
+        // maintenance GC retires keys of queries whose last commit
+        // predates the retained history ([[gcStreamEpochKeys]])
+        .copy(properties = latest.properties +
+          (key -> s"$epochId@${latest.version + 1}"))
       if (log.tryCommit(candidate)) return Some(candidate)
       attempts += 1
     }
@@ -3419,7 +3423,30 @@ final class SnapshotTable private (
     rewriteDeleteVectors(minVectors = math.max(2,
       props.getOrElse("optimize_rewrite_delete_file_threshold", "2").toInt))
     expireSnapshots()
+    gcStreamEpochKeys()
     ()
+  }
+
+  /** Retire per-query streaming epoch keys (`graft.stream
+    * .last_batch_id.<queryId>`) whose recorded commit version predates
+    * the RETAINED history: without GC every streaming query that ever
+    * wrote the table leaves a property behind forever. The bound
+    * matches Iceberg's history-based replay dedup: a query idle longer
+    * than the snapshot retention window loses its replay marker — on
+    * the (restart + replay of an epoch older than all retained
+    * history) corner its epoch re-commits. Legacy un-versioned values
+    * are never dropped.
+    */
+  private[graft] def gcStreamEpochKeys(): Int = {
+    val prefix = SnapshotTable.StreamBatchProp + "."
+    val oldest = log.versions().headOption.getOrElse(return 0)
+    val stale = currentSnapshot().properties.collect {
+      case (k, v) if k.startsWith(prefix) &&
+        SnapshotTable.epochKeyVersion(v).exists(_ < oldest) => k
+    }.toSeq
+    if (stale.isEmpty) return 0
+    removeProperties(stale)
+    stale.size
   }
 
   // ------------------------------------------------------------------
@@ -4039,6 +4066,23 @@ object SnapshotTable {
     * (see [[SnapshotTable.appendStreamBatch]]).
     */
   private[graft] val StreamBatchProp = "graft.stream.last_batch_id"
+
+  /** Epoch component of a stream-batch property value. Two formats:
+    * legacy plain `epoch`, and `epoch@version` (the committing version
+    * rides along so [[SnapshotTable.gcStreamEpochKeys]] can age keys).
+    */
+  private[graft] def epochOf(value: String): Long =
+    value.takeWhile(_ != '@').toLong
+
+  /** The version recorded in an `epoch@version` stream-batch value;
+    * None for legacy plain-epoch values (never GC'd — they migrate to
+    * the versioned format on the query's next commit).
+    */
+  private[graft] def epochKeyVersion(value: String): Option[Long] =
+    value.split('@') match {
+      case Array(_, v) => scala.util.Try(v.toLong).toOption
+      case _ => None
+    }
 
   /** While present, readers resolve to this version — the open
     * write-audit-publish window's pinned base

@@ -166,7 +166,13 @@ class GraftStreamingWriteSpec extends AnyFunSuite with Matchers {
     ids("graft.probe.sw_mdst") shouldBe (0L until 90L)
     val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
     val st = SnapshotTable.load(spark, s"$wh/probe/sw_mdst")
-    val ops = st.history().map(_.operation)
+    // maintenance runs on a background thread now: give the last
+    // in-flight cycle a bounded window to land its compaction commit
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    def ops = st.history().map(_.operation)
+    while (!ops.exists(_.startsWith("compact")) &&
+        System.nanoTime() < deadline)
+      Thread.sleep(100)
     assert(ops.exists(_.startsWith("compact")),
       s"maintenance must have compacted, ops: ${ops.mkString(", ")}")
     assert(st.currentSnapshot().files.size < 9,
@@ -231,8 +237,8 @@ class GraftStreamingWriteSpec extends AnyFunSuite with Matchers {
       // ...and single-flight means no second cycle piled up behind it
       assert(cycles.get() == 1, s"expected one in-flight cycle, got $cycles")
       val props = st.currentSnapshot().properties
-      assert(props.get("graft.stream.last_batch_id.q-bg").contains("3"),
-        props.toString)
+      assert(props.get("graft.stream.last_batch_id.q-bg")
+        .exists(v => SnapshotTable.epochOf(v) == 3L), props.toString)
     } finally release.countDown()
   }
 
@@ -261,5 +267,23 @@ class GraftStreamingWriteSpec extends AnyFunSuite with Matchers {
     Thread.sleep(200)
     assert(w.pendingMaintenanceFailure.isEmpty)
     w.commit(4L, Array.empty)
+  }
+
+  test("maintenance retires epoch keys whose queries predate retained history") {
+    val t = mk("sw_gc")
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val st = SnapshotTable.load(spark, s"$wh/probe/sw_gc")
+    new graft.catalog.GraftStreamingWrite(st, st.schema, "q-old")
+      .commit(0L, Array.empty)
+    // push q-old's commit out of the retained window (default keep=5)
+    (0 until 8).foreach(i => insert(t, i * 10 until i * 10 + 10))
+    new graft.catalog.GraftStreamingWrite(st, st.schema, "q-new")
+      .commit(0L, Array.empty)
+    st.maintain()
+    val props = st.currentSnapshot().properties
+    assert(!props.contains("graft.stream.last_batch_id.q-old"),
+      s"stale per-query epoch key must be GC'd: $props")
+    assert(props.contains("graft.stream.last_batch_id.q-new"),
+      s"recent per-query epoch key must survive: $props")
   }
 }

@@ -1592,20 +1592,36 @@ object Queries {
           graft.operators.SemDedup.survivors(corpus, model, tau = 0.95)
             .select(col("vec_id"))
         },
-        Some(s"""$mutantCorpusCte, sims AS (
-               |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-               |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-               |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
-               |      (acc, x) -> acc + x)
-               |    / (sqrt(list_reduce(list_transform(a.embedding,
-               |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))
-               |     * sqrt(list_reduce(list_transform(b.embedding,
-               |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))) AS sim
-               |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-               |)
-               |SELECT vec_id FROM corpus
-               |WHERE vec_id NOT IN (SELECT b_id FROM sims WHERE sim >= 0.95)"""
-          .stripMargin)),
+        Some(semDedupSurvivorsOracle)),
+
+      // TWO-LEVEL coarse quantizer twins — the k ∝ N scale path: the
+      // flat quantizer scores all k centroids per row (k Literal nodes
+      // in the plan, O(k·d)/row — both collapse once k grows with the
+      // corpus, the SemDeDup discipline), while the hierarchy scores
+      // g = √k supers and descends into nsuper of them, O(√k·d)/row
+      // with the model in two plan literals. Same oracles as the flat
+      // twins: the exact-NN contract and the GLOBAL pair recomputation
+      // prove the descent missed nothing on this corpus.
+      QueryDef("sim_topk_ivf_two_level",
+        (s, dir) => {
+          val corpus = nearDupVectors(s, dir)
+          val tl = ivfTwoLevel(dir, corpus)
+          graft.operators.Ivf.topKWithIndex(
+            ivfTwoLevelIndexTable(s, dir, corpus, tl),
+            corpus.filter(col("vec_id") >= 100000), tl,
+            k = 1, nprobe = 4, "vec_id", "embedding")
+        },
+        Some(nnOracle)),
+
+      QueryDef("dedup_semantic_two_level",
+        (s, dir) => {
+          val corpus = nearDupVectors(s, dir)
+          graft.operators.SemDedup.survivors(corpus,
+            ivfTwoLevel(dir, corpus), tau = 0.95, probes = 2,
+            "vec_id", "embedding")
+            .select(col("vec_id"))
+        },
+        Some(semDedupSurvivorsOracle)),
 
       // INCREMENTAL SemDeDup — the production steady state: an ingest
       // batch dedups against the PERSISTED cluster-partitioned index
@@ -1790,6 +1806,66 @@ object Queries {
 
   private val ivfModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ivf.Model]()
+
+  /** Flat → two-level hierarchy, memoized per dataset: grouping is a
+    * driver-side k-means over the 16 fine CENTROIDS (model-sized, no
+    * corpus pass beyond the shared flat training).
+    */
+  private val ivfTwoLevelCache = new java.util.concurrent
+    .ConcurrentHashMap[String, graft.operators.Ivf.TwoLevelQuantizer]()
+
+  private def ivfTwoLevel(dir: String,
+      corpus: DataFrame): graft.operators.Ivf.TwoLevelQuantizer =
+    ivfTwoLevelCache.computeIfAbsent(dir, _ => {
+      val model = ivfModelCache.computeIfAbsent(dir, _ =>
+        graft.operators.Ivf.train(corpus, k = 16, iters = 2))
+      // nsuper = 3 of 4: at this corpus's 16-centroid geometry a few
+      // boundary mutants rank their true centroid's super third — the
+      // recall/probe-cost knob every IVF deployment tunes, set here to
+      // the smallest value that preserves the exact-NN contract at
+      // sf0.01 (measured; 2 of 4 misses one pair)
+      graft.operators.Ivf.twoLevel(model, groups = 4, nsuper = 3)
+    })
+
+  private val ivfTwoLevelIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once persisted index ASSIGNED BY the two-level hierarchy
+    * (its own table: hierarchical assignment may disagree with flat on
+    * boundary vectors, so the flat index cannot be reused).
+    */
+  private def ivfTwoLevelIndexTable(s: SparkSession, dir: String,
+      corpus: DataFrame, tl: graft.operators.Ivf.TwoLevelQuantizer)
+      : graft.catalog.SnapshotTable = {
+    val root = ivfTwoLevelIndexCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-ivf-2l")
+        .resolve("index").toString
+      graft.operators.Ivf.buildIndex(s, corpus, tl, p,
+        "vec_id", "embedding", None)
+      p
+    })
+    graft.catalog.SnapshotTable.load(s, root)
+  }
+
+  /** SemDeDup survivors recomputed GLOBALLY (all pairs) — shared by the
+    * flat and two-level quantizer queries: a green row proves the
+    * cluster path (either hierarchy) missed nothing on this corpus.
+    */
+  private def semDedupSurvivorsOracle: String =
+    s"""$mutantCorpusCte, sims AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+       |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+       |      (acc, x) -> acc + x)
+       |    / (sqrt(list_reduce(list_transform(a.embedding,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))
+       |     * sqrt(list_reduce(list_transform(b.embedding,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))) AS sim
+       |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+       |)
+       |SELECT vec_id FROM corpus
+       |WHERE vec_id NOT IN (SELECT b_id FROM sims WHERE sim >= 0.95)"""
+      .stripMargin
 
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

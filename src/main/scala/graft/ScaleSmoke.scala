@@ -342,6 +342,48 @@ object ScaleSmoke {
       require(spark.table("graft.db.smoke_metadel").count() == 128L)
     }
 
+    // quantizer-cost probe (VERDICT r15 #1 acceptance): per-row
+    // assignment work must grow SUBLINEARLY in k on the two-level
+    // hierarchy — the flat quantizer is O(k·d)/row with k codegen'd
+    // cosines in the plan, the hierarchy O((g + nsuper·k/g)·d) = O(√k·d)
+    // at g = √k. Same fixed corpus at every k (synthetic deterministic
+    // centroids; values are irrelevant to COST), so the timing ratio
+    // isolates the per-row probe work. Hard require()s: a regression to
+    // linear descent fails the smoke run.
+    locally {
+      def synthModel(k: Int): Ivf.Model =
+        Seq.tabulate(k)(j => Seq.tabulate(64)(d =>
+          1.0 + math.sin(j * 131 + d * 17).abs))
+      def assignTime(q: Ivf.Quantizer): Double = {
+        val t0 = System.nanoTime()
+        vecs1.select(q.assign(col("embedding")).as("c"))
+          .agg(sum(col("c"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def tl(k: Int): Ivf.TwoLevelQuantizer =
+        Ivf.twoLevel(synthModel(k), math.ceil(math.sqrt(k.toDouble)).toInt,
+          iters = 4, nsuper = 4)
+      // warm the path once (codegen/JIT) before timing
+      assignTime(tl(256))
+      val flat256 = assignTime(Ivf.FlatQuantizer(synthModel(256)))
+      val flat1024 = assignTime(Ivf.FlatQuantizer(synthModel(1024)))
+      val tl256 = assignTime(tl(256))
+      val tl1024 = assignTime(tl(1024))
+      val tl4096 = assignTime(tl(4096))
+      System.err.println(f"[scale-smoke] quantizer probe: flat k=256 " +
+        f"$flat256%.2f s, k=1024 $flat1024%.2f s; two-level k=256 " +
+        f"$tl256%.2f s, k=1024 $tl1024%.2f s, k=4096 $tl4096%.2f s")
+      // 16× the clusters must cost ≲ √16 = 4× on the hierarchy; allow
+      // 2× headroom for constants and host noise, still far from the
+      // 16× a linear descent would read
+      require(tl4096 / tl256 < 8.0,
+        f"two-level assignment must scale ~sqrt(k): k=256 $tl256%.2f s " +
+          f"-> k=4096 $tl4096%.2f s (${tl4096 / tl256}%.1fx)")
+      println(s"""{"metric":"quantizer_probe","flat256":${f"$flat256%.2f"},""" +
+        s""""flat1024":${f"$flat1024%.2f"},"tl256":${f"$tl256%.2f"},""" +
+        s""""tl1024":${f"$tl1024%.2f"},"tl4096":${f"$tl4096%.2f"}}""")
+    }
+
     // force training BEFORE the timed loop — otherwise the first build
     // entry absorbs the (expensive, scale-independent) model fit and
     // the 1×-vs-N× build ratio reads nonsense (r8 first run did)

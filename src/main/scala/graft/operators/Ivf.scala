@@ -37,8 +37,187 @@ object Ivf {
     cosine(vec, typedLit(centroid))
 
   /** Array of sims against every centroid. */
-  private def simsExpr(vec: Column, model: Model): Column =
+  private[operators] def simsExpr(vec: Column, model: Model): Column =
     array(model.map(c => centroidSim(vec, c)): _*)
+
+  // ------------------------------------------------------------------
+  // Coarse quantizers: the assignment/probe abstraction
+  // ------------------------------------------------------------------
+
+  /** A coarse quantizer maps a vector to fine-cluster ids. Two
+    * implementations with one contract:
+    *
+    *  - [[FlatQuantizer]] scores ALL k centroids per row (exact
+    *    nearest-centroid; O(k·d) per row, k Literal nodes in the plan)
+    *    — right while k is small;
+    *  - [[TwoLevelQuantizer]] descends a coarse→fine hierarchy (score
+    *    g supers, then only the `nsuper` nearest supers' children) —
+    *    O((g + nsuper·k/g)·d) per row with the model in TWO plan
+    *    literals, the shape that survives k ∝ N (the SemDeDup
+    *    discipline makes k grow with the corpus: at 100 TB and
+    *    executor-sized clusters k reaches 10⁵-10⁶, where per-row
+    *    O(k·d) probing and k-literal plans both collapse).
+    *
+    * `probe` orders by (similarity desc, fine id asc) — for any vector
+    * whose true nearest centroids' supers rank within `nsuper`, the
+    * two implementations agree exactly (pinned: probing ALL supers
+    * reproduces the flat ranking bit-for-bit, because both negate the
+    * same cosine and tie-break on the id).
+    */
+  sealed trait Quantizer {
+    /** Fine-cluster count. */
+    def k: Int
+    /** Nearest fine-cluster id (int; ties → smallest id). */
+    def assign(vec: Column): Column
+    /** The `nprobe` nearest fine-cluster ids, best first. */
+    def probe(vec: Column, nprobe: Int): Column
+    /** Similarity to the best REACHABLE centroid (the assignment-
+      * quality statistic; for the flat quantizer this is the global
+      * best).
+      */
+    def bestSim(vec: Column): Column
+  }
+
+  /** Score-all-centroids quantizer — the small-k path (identical
+    * expressions to [[assignExpr]]/[[probeExpr]]).
+    */
+  final case class FlatQuantizer(model: Model) extends Quantizer {
+    require(model.nonEmpty, "empty centroid model")
+    override def k: Int = model.size
+    override def assign(vec: Column): Column = assignExpr(vec, model)
+    override def probe(vec: Column, nprobe: Int): Column =
+      probeExpr(vec, model, nprobe)
+    override def bestSim(vec: Column): Column =
+      array_max(simsExpr(vec, model))
+  }
+
+  /** Coarse→fine two-level quantizer: `supers(s)` is a super-centroid,
+    * `children(s)` its fine clusters as (fine id, centroid) pairs — a
+    * PARTITION of the fine model, so candidate lists never repeat an
+    * id. Probing scores the g supers, descends into the `nsuper`
+    * nearest, and ranks only their children.
+    *
+    * Plan shape: the whole model rides in TWO `typedLit` literals
+    * (array-of-arrays + array-of-struct-lists) walked by higher-order
+    * functions — one plan node each regardless of k, where the flat
+    * form emits k codegen'd cosine calls (compilation itself dies at
+    * k ≳ 10⁴). HOFs run interpreted, so the flat path stays the right
+    * choice for SMALL k ([[quantizer]] picks by size); the two-level
+    * path wins asymptotically: per-row work O((g + nsuper·k/g)·d) =
+    * O(√k·d) at g = √k.
+    *
+    * Approximation contract: a fine centroid is reachable only through
+    * its super; `nsuper` bounds the descent. With `nsuper = supers
+    * .size` the ranking equals the flat quantizer's exactly (same
+    * arithmetic, same tie-break) — the equivalence spec pins that.
+    */
+  final case class TwoLevelQuantizer(supers: Model,
+      children: Seq[Seq[(Int, Seq[Double])]],
+      nsuper: Int) extends Quantizer {
+    require(supers.nonEmpty && supers.size == children.size,
+      s"supers=${supers.size} must pair with children=${children.size}")
+    require(children.forall(_.nonEmpty),
+      "empty super-clusters must be dropped at build (twoLevel does)")
+    require(nsuper >= 1 && nsuper <= supers.size,
+      s"nsuper=$nsuper must be in [1, ${supers.size}]")
+
+    override val k: Int = children.map(_.size).sum
+
+    /** Children of the `nsuper` nearest supers as unordered
+      * struct<neg, j> candidates (neg = −sim, so struct MIN is the
+      * best candidate with ties toward the smaller fine id).
+      */
+    private def candidates(vec: Column): Column = {
+      val sSims = transform(typedLit(supers), c => cosine(vec, c))
+      val sRanked = array_sort(transform(
+        sequence(lit(0), lit(supers.size - 1)),
+        j => struct((element_at(sSims, j + 1) * lit(-1.0)).as("neg"),
+          j.as("j"))))
+      val topSupers = transform(slice(sRanked, 1, nsuper),
+        x => x.getField("j"))
+      val cands = flatten(transform(topSupers,
+        s => element_at(typedLit(children), s + 1)))
+      transform(cands, c =>
+        struct((cosine(vec, c.getField("_2")) * lit(-1.0)).as("neg"),
+          c.getField("_1").as("j")))
+    }
+
+    // assign/bestSim take the struct MINIMUM — an O(candidates) fold,
+    // not the O(c log c) sort probing needs (measured: the candidate
+    // sort dominated the per-row cost at large k)
+    override def assign(vec: Column): Column =
+      array_min(candidates(vec)).getField("j")
+
+    override def probe(vec: Column, nprobe: Int): Column =
+      transform(slice(array_sort(candidates(vec)), 1, nprobe),
+        x => x.getField("j"))
+
+    override def bestSim(vec: Column): Column =
+      array_min(candidates(vec)).getField("neg") * lit(-1.0)
+  }
+
+  /** Group a fine model's k centroids into a two-level hierarchy:
+    * driver-side spherical k-means OVER THE CENTROIDS (k is
+    * model-sized — this never touches the corpus), deterministic
+    * stride seeding, ties toward the smaller super. Empty supers are
+    * dropped; `nsuper` is clamped to the survivors.
+    */
+  def twoLevel(fine: Model, groups: Int, iters: Int = 10,
+      nsuper: Int = 2): TwoLevelQuantizer = {
+    require(fine.nonEmpty, "empty fine model")
+    require(groups >= 1 && groups <= fine.size,
+      s"groups=$groups must be in [1, ${fine.size}]")
+    val vecs = fine.map(_.toArray).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var supers = Array.tabulate(groups)(g =>
+      vecs((g.toLong * vecs.length / groups).toInt).clone())
+    def assignAll(): Array[Int] = vecs.map { v =>
+      var best = 0; var bestS = Double.NegativeInfinity; var s = 0
+      while (s < supers.length) {
+        val sim = cos(v, supers(s))
+        if (sim > bestS) { bestS = sim; best = s }
+        s += 1
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val a = assignAll()
+      val sums = Array.fill(supers.length)(new Array[Double](vecs(0).length))
+      val counts = new Array[Int](supers.length)
+      vecs.indices.foreach { i =>
+        val g = a(i); counts(g) += 1
+        var d = 0
+        while (d < vecs(i).length) { sums(g)(d) += vecs(i)(d); d += 1 }
+      }
+      supers = Array.tabulate(supers.length)(g =>
+        if (counts(g) > 0) sums(g).map(_ / counts(g)) else supers(g))
+    }
+    val finalAssign = assignAll()
+    val grouped = supers.indices.map(g =>
+      finalAssign.indices.filter(finalAssign(_) == g)
+        .map(i => (i, fine(i))).toSeq)
+    val kept = supers.indices.filter(grouped(_).nonEmpty)
+    TwoLevelQuantizer(
+      kept.map(g => supers(g).toSeq),
+      kept.map(grouped),
+      math.min(math.max(1, nsuper), kept.size))
+  }
+
+  /** Pick the quantizer by model size: flat while every-row-scores-k
+    * stays cheap, two-level (g ≈ √k supers) past `flatMax` — the knee
+    * where per-row probe cost and plan size both matter.
+    */
+  def quantizer(model: Model, flatMax: Int = 1024,
+      nsuper: Int = 4): Quantizer =
+    if (model.size <= flatMax) FlatQuantizer(model)
+    else twoLevel(model, math.ceil(math.sqrt(model.size.toDouble)).toInt,
+      iters = 10, nsuper = nsuper)
 
   /** Nearest-centroid index (0-based; ties → smallest index).
     *
@@ -149,9 +328,17 @@ object Ivf {
   def buildIndex(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
       model: Model, root: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      pq: Option[graft.functions.Pq.Codebook] = None): graft.catalog.SnapshotTable = {
+      pq: Option[graft.functions.Pq.Codebook] = None): graft.catalog.SnapshotTable =
+    buildIndex(spark, corpus, FlatQuantizer(model), root, idCol, vecCol, pq)
+
+  /** [[buildIndex]] under any [[Quantizer]] — the large-k entry point
+    * (pass [[twoLevel]]'s hierarchy and assignment stays O(√k·d)/row).
+    */
+  def buildIndex(spark: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+      q: Quantizer, root: String, idCol: String, vecCol: String,
+      pq: Option[graft.functions.Pq.Codebook]): graft.catalog.SnapshotTable = {
     val base = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      assignExpr(col(vecCol), model).as("cluster"))
+      q.assign(col(vecCol)).as("cluster"))
     // with a PQ codebook the index also stores the m-byte code per
     // vector, so a probed-cluster ADC scan reads codes ONLY (parquet
     // column pruning keeps the full vectors out of the scan until the
@@ -172,7 +359,7 @@ object Ivf {
     // deterministic sample) — [[appendToIndex]] compares each batch
     // against it. A metadata-only property commit; data untouched.
     t.setProperties(Map(
-      BaseSimProp -> f"${assignQuality(corpus, model, idCol, vecCol)}%.6f"))
+      BaseSimProp -> f"${assignQuality(corpus, q, idCol, vecCol, 10000)}%.6f"))
     t
   }
 
@@ -187,9 +374,17 @@ object Ivf {
   def assignQuality(df: DataFrame, model: Model,
       idCol: String = "vec_id", vecCol: String = "embedding",
       sampleMax: Int = 10000): Double =
+    assignQuality(df, FlatQuantizer(model), idCol, vecCol, sampleMax)
+
+  /** [[assignQuality]] under any [[Quantizer]] (the two-level form
+    * measures the best REACHABLE centroid — the quantity its
+    * assignment actually optimizes).
+    */
+  def assignQuality(df: DataFrame, q: Quantizer, idCol: String,
+      vecCol: String, sampleMax: Int): Double =
     df.orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
       .limit(sampleMax)
-      .select(avg(array_max(simsExpr(col(vecCol), model))).as("q"))
+      .select(avg(q.bestSim(col(vecCol))).as("q"))
       .collect()(0).getDouble(0)
 
   /** Outcome of one [[appendToIndex]] batch: `batchMeanSim` is the
@@ -229,7 +424,19 @@ object Ivf {
       batch: DataFrame, model: Model, root: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       pq: Option[graft.functions.Pq.Codebook] = None,
-      tolerance: Double = 0.05): IndexAppend = {
+      tolerance: Double = 0.05): IndexAppend =
+    appendToIndex(spark, batch, FlatQuantizer(model), root, idCol, vecCol,
+      pq, tolerance)
+
+  /** [[appendToIndex]] under any [[Quantizer]] — must be the SAME
+    * hierarchy the index was built with (a different quantizer would
+    * scatter the batch across foreign cluster ids).
+    */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, q: Quantizer, root: String,
+      idCol: String, vecCol: String,
+      pq: Option[graft.functions.Pq.Codebook],
+      tolerance: Double): IndexAppend = {
     require(graft.catalog.SnapshotTable.exists(spark, root),
       s"no index table at $root — buildIndex first")
     val t = graft.catalog.SnapshotTable.load(spark, root)
@@ -238,7 +445,7 @@ object Ivf {
       if (hasCodes) "index stores PQ codes — pass the SAME codebook"
       else "index has no PQ codes — drop the codebook")
     val base = batch.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      assignExpr(col(vecCol), model).as("cluster"))
+      q.assign(col(vecCol)).as("cluster"))
     val assigned = pq match {
       case Some(cb) => base.withColumn("code",
         graft.functions.Pq.encode(col("n_vec"), cb))
@@ -247,7 +454,7 @@ object Ivf {
     val before = t.currentSnapshot().files.map(_.rows).sum
     val snap = t.append(assigned)
     val appended = snap.files.map(_.rows).sum - before
-    val batchSim = assignQuality(batch, model, idCol, vecCol)
+    val batchSim = assignQuality(batch, q, idCol, vecCol, 10000)
     val baseline = t.currentSnapshot().properties.get(BaseSimProp)
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
     val stale = baseline.exists(b => batchSim < (1.0 - tolerance) * b)
@@ -263,7 +470,14 @@ object Ivf {
     */
   def topKWithIndex(index: graft.catalog.SnapshotTable, queries: DataFrame,
       model: Model, k: Int, nprobe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topKWithIndex(index, queries, FlatQuantizer(model), k, nprobe,
+      idCol, vecCol)
+
+  /** [[topKWithIndex]] under any [[Quantizer]]. */
+  def topKWithIndex(index: graft.catalog.SnapshotTable, queries: DataFrame,
+      q0: Quantizer, k: Int, nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
     // materialized once, UNEXPLODED (one row per query): the pruning
     // collect and the join side must see the SAME probe choices (a
     // nondeterministic query source could otherwise probe a cluster at
@@ -273,7 +487,7 @@ object Ivf {
     // this checkpoint, not dropDuplicates re-aggregations of an
     // exploded frame (each dedup was a shuffle job per broadcast)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        probeExpr(col(vecCol), model, nprobe).as("probe_clusters"))
+        q0.probe(col(vecCol), nprobe).as("probe_clusters"))
       .localCheckpoint(true)
     val pairs = q.select(col("q_id"),
       explode(col("probe_clusters")).as("cluster"))
@@ -298,15 +512,23 @@ object Ivf {
   def topKPqWithIndex(index: graft.catalog.SnapshotTable, queries: DataFrame,
       model: Model, cb: graft.functions.Pq.Codebook, k: Int,
       nprobe: Int = 4, shortlist: Int = 32,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topKPqWithIndex(index, queries, FlatQuantizer(model), cb, k, nprobe,
+      shortlist, idCol, vecCol)
+
+  /** [[topKPqWithIndex]] under any [[Quantizer]]. */
+  def topKPqWithIndex(index: graft.catalog.SnapshotTable, queries: DataFrame,
+      qz: Quantizer, cb: graft.functions.Pq.Codebook, k: Int,
+      nprobe: Int, shortlist: Int,
+      idCol: String, vecCol: String): DataFrame = {
     import graft.functions.Pq
     require(index.schema.fieldNames.contains("code"),
       "index table has no PQ codes — buildIndex(pq = Some(codebook))")
     // one row per query (see topKWithIndex for why unexploded): pairs,
     // LUTs, and re-rank vectors are all narrow projections of this one
-    // checkpoint — no dedup shuffles, no probeExpr/lut recompute
+    // checkpoint — no dedup shuffles, no probe/lut recompute
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        probeExpr(col(vecCol), model, nprobe).as("probe_clusters"),
+        qz.probe(col(vecCol), nprobe).as("probe_clusters"),
         Pq.lut(col(vecCol), cb).as("lut"))
       .localCheckpoint(true)
     val pairs = q.select(col("q_id"),
@@ -359,14 +581,20 @@ object Ivf {
     */
   def topKWithModel(corpus: DataFrame, queries: DataFrame, model: Model,
       k: Int, nprobe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topKWithModel(corpus, queries, FlatQuantizer(model), k, nprobe,
+      idCol, vecCol)
+
+  /** [[topKWithModel]] under any [[Quantizer]]. */
+  def topKWithModel(corpus: DataFrame, queries: DataFrame, q: Quantizer,
+      k: Int, nprobe: Int, idCol: String, vecCol: String): DataFrame = {
     val indexed = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      assignExpr(col(vecCol), model).as("cluster"))
+      q.assign(col(vecCol)).as("cluster"))
     // pairs and vecs come from SEPARATE narrow reads of `queries` —
-    // probeExpr's k cosines run once (in pairs only), and the vector
-    // side needs no dedup because the source is one row per id
+    // the probe's centroid cosines run once (in pairs only), and the
+    // vector side needs no dedup because the source is one row per id
     val pairs = queries.select(col(idCol).as("q_id"),
-      explode(probeExpr(col(vecCol), model, nprobe)).as("cluster"))
+      explode(q.probe(col(vecCol), nprobe)).as("cluster"))
     val vecs = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     scoreAndRank(indexed, pairs, vecs, k)
   }
@@ -468,16 +696,23 @@ object Ivf {
   def topKPqWithModel(corpus: DataFrame, queries: DataFrame, model: Model,
       cb: graft.functions.Pq.Codebook, k: Int, nprobe: Int = 4,
       shortlist: Int = 32,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topKPqWithModel(corpus, queries, FlatQuantizer(model), cb, k, nprobe,
+      shortlist, idCol, vecCol)
+
+  /** [[topKPqWithModel]] under any [[Quantizer]]. */
+  def topKPqWithModel(corpus: DataFrame, queries: DataFrame, qz: Quantizer,
+      cb: graft.functions.Pq.Codebook, k: Int, nprobe: Int,
+      shortlist: Int, idCol: String, vecCol: String): DataFrame = {
     import graft.functions.Pq
     val coded = corpus.select(col(idCol).as("n_id"),
-      assignExpr(col(vecCol), model).as("cluster"),
+      qz.assign(col(vecCol)).as("cluster"),
       Pq.encode(col(vecCol), cb).as("code"))
     // split broadcast as in scoreAndRank: the m×ksub-double LUT rides a
     // one-row-per-query broadcast instead of replicating nprobe× in the
     // (q_id, cluster) pairs
     val pairs = queries.select(col(idCol).as("q_id"),
-      explode(probeExpr(col(vecCol), model, nprobe)).as("cluster"))
+      explode(qz.probe(col(vecCol), nprobe)).as("cluster"))
     val luts = queries.select(col(idCol).as("q_id"),
       Pq.lut(col(vecCol), cb).as("lut"))
     // smaller ADC distance = closer: negate so rankTopK's (sim desc,

@@ -40,14 +40,23 @@ object SemDedup {
     */
   def semanticPairs(corpus: DataFrame, model: Ivf.Model, tau: Double,
       probes: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    semanticPairs(corpus, Ivf.FlatQuantizer(model), tau, probes, idCol,
+      vecCol)
+
+  /** [[semanticPairs]] under any [[Ivf.Quantizer]] — the k ∝ N scale
+    * path (a [[Ivf.twoLevel]] hierarchy keeps soft assignment O(√k·d)
+    * per row as the cluster count grows with the corpus).
+    */
+  def semanticPairs(corpus: DataFrame, q: Ivf.Quantizer, tau: Double,
+      probes: Int, idCol: String, vecCol: String): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau=$tau must be in (0, 1]")
-    require(probes >= 1 && probes <= model.size,
-      s"probes=$probes must be in [1, k=${model.size}]")
+    require(probes >= 1 && probes <= q.k,
+      s"probes=$probes must be in [1, k=${q.k}]")
     val assigned = corpus
       .select(col(idCol), col(vecCol))
       .select(col(idCol), col(vecCol),
-        explode(Ivf.probeExpr(col(vecCol), model, probes)).as("cluster"))
+        explode(q.probe(col(vecCol), probes)).as("cluster"))
     val left = assigned.select(col("cluster"), col(idCol).as("a_id"),
       col(vecCol).as("a_vec"))
     val right = assigned.select(col("cluster"), col(idCol).as("b_id"),
@@ -69,8 +78,13 @@ object SemDedup {
     */
   def survivors(corpus: DataFrame, model: Ivf.Model, tau: Double,
       probes: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val dropped = semanticPairs(corpus, model, tau, probes, idCol, vecCol)
+      vecCol: String = "embedding"): DataFrame =
+    survivors(corpus, Ivf.FlatQuantizer(model), tau, probes, idCol, vecCol)
+
+  /** [[survivors]] under any [[Ivf.Quantizer]]. */
+  def survivors(corpus: DataFrame, q: Ivf.Quantizer, tau: Double,
+      probes: Int, idCol: String, vecCol: String): DataFrame = {
+    val dropped = semanticPairs(corpus, q, tau, probes, idCol, vecCol)
       .select(col("b_id").as(idCol)).distinct()
     corpus.join(dropped, Seq(idCol), "left_anti")
   }
@@ -96,10 +110,19 @@ object SemDedup {
     */
   def survivorsAgainstIndex(index: graft.catalog.SnapshotTable,
       batch: DataFrame, model: Ivf.Model, tau: Double, probes: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    survivorsAgainstIndex(index, batch, Ivf.FlatQuantizer(model), tau,
+      probes, idCol, vecCol)
+
+  /** [[survivorsAgainstIndex]] under any [[Ivf.Quantizer]] — must be
+    * the SAME hierarchy the index was built with.
+    */
+  def survivorsAgainstIndex(index: graft.catalog.SnapshotTable,
+      batch: DataFrame, q: Ivf.Quantizer, tau: Double, probes: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val b = batch
       .select(col(idCol), col(vecCol),
-        Ivf.probeExpr(col(vecCol), model, probes).as("probe_clusters"))
+        q.probe(col(vecCol), probes).as("probe_clusters"))
       .localCheckpoint(true)
     val exploded = b.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
       explode(col("probe_clusters")).as("cluster"))
@@ -111,7 +134,7 @@ object SemDedup {
       .where(cosine(col("b_vec"), col("n_vec")) >= lit(tau))
       .select(col("b_id"))
     val withinBatch = semanticPairs(
-      b.select(col(idCol), col(vecCol)), model, tau, probes, idCol, vecCol)
+      b.select(col(idCol), col(vecCol)), q, tau, probes, idCol, vecCol)
       .select(col("b_id"))
     val dropped = vsIndex.unionByName(withinBatch).distinct()
       .withColumnRenamed("b_id", idCol)

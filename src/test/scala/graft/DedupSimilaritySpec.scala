@@ -592,4 +592,71 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((ids -- got).forall(_ < 300000L))
     assert(got.nonEmpty && (ids -- got).nonEmpty)
   }
+
+  test("two-level quantizer probing ALL supers reproduces the flat ranking exactly") {
+    import graft.operators.Ivf
+    val corpus = plantedMutantCorpus()
+    val model = Ivf.train(corpus, k = 16, iters = 2)
+    val tl = Ivf.twoLevel(model, groups = 4, nsuper = 2)
+    // the children lists PARTITION the fine model
+    assert(tl.children.flatten.map(_._1).sorted == model.indices.toList)
+    // probing every super makes the hierarchy a reordering of the flat
+    // candidate set: same arithmetic, same (sim desc, id asc) tie-break
+    val tlAll = tl.copy(nsuper = tl.supers.size)
+    val flat = Ivf.FlatQuantizer(model)
+    val bad = corpus.select(
+        flat.probe(col("embedding"), 5).as("fp"),
+        tlAll.probe(col("embedding"), 5).as("tp"),
+        flat.assign(col("embedding")).as("fa"),
+        tlAll.assign(col("embedding")).as("ta"))
+      .filter(col("fp") =!= col("tp") || col("fa") =!= col("ta"))
+      .count()
+    assert(bad == 0L, s"$bad rows diverge between flat and two-level")
+  }
+
+  test("quantizer() picks flat for small k, two-level past the cap") {
+    import graft.operators.Ivf
+    val corpus = plantedMutantCorpus()
+    val model = Ivf.train(corpus, k = 16, iters = 2)
+    assert(Ivf.quantizer(model).isInstanceOf[Ivf.FlatQuantizer])
+    val q = Ivf.quantizer(model, flatMax = 8)
+    assert(q.isInstanceOf[Ivf.TwoLevelQuantizer])
+    // g = ceil(sqrt(16)) = 4 supers (minus any empties)
+    assert(q.asInstanceOf[Ivf.TwoLevelQuantizer].supers.size <= 4)
+    assert(q.k == 16)
+  }
+
+  test("two-level persisted index: recall@1 holds with nsuper < supers") {
+    import graft.operators.Ivf
+    val corpus = plantedMutantCorpus()
+    val queries = corpus.filter(col("vec_id") >= 100000)
+    val model = Ivf.train(corpus, k = 16, iters = 2)
+    val tl = Ivf.twoLevel(model, groups = 4, nsuper = 2)
+    assert(tl.nsuper < tl.supers.size || tl.supers.size <= 2)
+    val root = java.nio.file.Files.createTempDirectory("ivf-2l")
+      .resolve("t").toString
+    val index = Ivf.buildIndex(spark, corpus, tl, root,
+      "vec_id", "embedding", None)
+    val got = Ivf.topKWithIndex(index, queries, tl, k = 1, nprobe = 4,
+        "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qs = queries.select(col("vec_id")).collect().map(_.getLong(0))
+    assert(qs.nonEmpty)
+    for (q <- qs) assert(got.get(q).contains(q - 100000), s"query $q")
+  }
+
+  test("SemDeDup under the two-level quantizer finds the same pairs as flat") {
+    import graft.operators.{Ivf, SemDedup}
+    val corpus = plantedMutantCorpus()
+    val model = Ivf.train(corpus, k = 16, iters = 2)
+    val tl = Ivf.twoLevel(model, groups = 4, nsuper = 2)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flatPairs = pairSet(SemDedup.semanticPairs(corpus, model, tau = 0.95))
+    val tlPairs = pairSet(SemDedup.semanticPairs(corpus, tl, tau = 0.95,
+      probes = 2, idCol = "vec_id", vecCol = "embedding"))
+    // the flat path is oracle-pinned against the GLOBAL recomputation;
+    // matching it proves the hierarchy's soft assignment missed nothing
+    assert(tlPairs == flatPairs)
+  }
 }

@@ -2084,6 +2084,50 @@ object Queries {
       sink
     })
 
+  private val changeFeedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once streamed CHANGE FEED for `sql_stream_change_feed`:
+    * the snap_changelog commit sequence (append evens → keyed upsert →
+    * equality delete) on a warehouse catalog table, drained through
+    * `spark.readStream.table("graft.db.\`t#changes\`")` — the DSv2
+    * change-feed surface ([[graft.streaming.GraftChangesTableStream]])
+    * — under Trigger.AvailableNow with `maxVersionsPerTrigger = 1`, so
+    * each version is its own batch and the concatenated output is the
+    * deterministic per-version changelog (no cross-version netting to
+    * depend on batch coalescing). Returns the parquet sink path.
+    */
+  private def streamedChangeFeed(s: SparkSession, dir: String): String =
+    changeFeedCache.computeIfAbsent(dir, _ => {
+      val (root, name) = warehouseDbRoot(s, "chfeed", dir)
+      val ev = t(s, dir, "events")
+      val tbl = graft.catalog.SnapshotTable.create(s, root, ev.schema, None)
+      tbl.append(ev.filter(col("event_id") % 2 === 0))               // v2
+      tbl.upsert(ev.filter(col("event_id") % 100 === 0)
+        .withColumn("value", col("value") + lit(1000.0d)), Seq("event_id")) // v3
+      tbl.deleteByKeys(ev.filter(col("event_id") % 1000 === 0)
+        .select("event_id"), Seq("event_id"))                        // v4
+      val out = java.nio.file.Files.createTempDirectory("graft-chfeed")
+      val sink = out.resolve("rows").toString
+      val changesName = name.split('.').toSeq match {
+        case parts :+ last => (parts :+ s"`$last#changes`").mkString(".")
+      }
+      val q = s.readStream
+        .option("changesFrom", "earliest")
+        .option("maxVersionsPerTrigger", "1")
+        .table(changesName)
+        .writeStream
+        .option("checkpointLocation", out.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(sink)
+          ()
+        }
+        .start()
+      assert(q.awaitTermination(180000), "change-feed drain timed out")
+      sink
+    })
+
   private val tableSinkCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4170,6 +4214,41 @@ object Queries {
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
              |    AS sum_value
              |FROM events GROUP BY 1""".stripMargin)),
+
+    QueryDef("sql_stream_change_feed",
+      // r16: CDC THROUGH the streaming table surface —
+      // `readStream.table("graft.db.`t#changes`")` streams row-changing
+      // commits as _change_type rows where the appends-only tail fails
+      // (GraftChangesV2Table / GraftChangesTableStream). One version
+      // per batch (maxVersionsPerTrigger=1): the output is the exact
+      // per-version changelog — insert(evens) ++ the upsert's
+      // delete+insert pairs ++ the equality delete's retractions
+      // carrying their POST-upsert values. ts excluded as in
+      // snap_changelog (TIMESTAMP(NANOS) has no common comparable
+      // type).
+      (s, dir) => s.read.parquet(streamedChangeFeed(s, dir))
+        .select(col("_change_type"), col("event_id"), col("user_id"),
+          col("event_type"), col("value"), col("props")),
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, event_type, value, props
+             |  FROM events WHERE event_id % 2 = 0
+             |)
+             |SELECT 'insert' AS _change_type, event_id, user_id,
+             |       event_type, value, props
+             |FROM ev
+             |UNION ALL
+             |SELECT 'delete', event_id, user_id, event_type, value, props
+             |FROM ev WHERE event_id % 100 = 0 AND value IS NOT NULL
+             |UNION ALL
+             |SELECT 'insert', event_id, user_id, event_type,
+             |       value + CAST(1000.0 AS DOUBLE), props
+             |FROM ev WHERE event_id % 100 = 0 AND value IS NOT NULL
+             |UNION ALL
+             |SELECT 'delete', event_id, user_id, event_type,
+             |       CASE WHEN value IS NOT NULL
+             |            THEN value + CAST(1000.0 AS DOUBLE)
+             |            ELSE value END, props
+             |FROM ev WHERE event_id % 1000 = 0""".stripMargin)),
 
     QueryDef("sql_stream_to_table",
       // r15: the full table-to-table streaming pipeline —

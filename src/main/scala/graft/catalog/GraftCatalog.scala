@@ -206,6 +206,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def loadWith(ident: Identifier, pinned: Option[Long]): Table = {
     val (base, meta) = splitMeta(ident.name)
     meta match {
+      case Some("changes") =>
+        // the CDC change feed as a table — batch changelog AND
+        // readStream.table change feed (see GraftChangesV2Table)
+        val t = tableAt(Identifier.of(ident.namespace, base))
+        new GraftChangesV2Table(t, fullName(ident))
       case Some(kind) =>
         val t = tableAt(Identifier.of(ident.namespace, base))
         new GraftMetadataV2Table(t, fullName(ident), kind)

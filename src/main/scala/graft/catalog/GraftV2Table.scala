@@ -456,7 +456,7 @@ final class GraftMetadataV2Table(
     case "tags" | "refs" => table.tagsDf()
     case "branches" => table.branchesDf()
     case other => sys.error(s"unknown graft metadata table '$other' — " +
-      "one of: history, partitions, files, tags, branches")
+      "one of: history, partitions, files, tags, branches, changes")
   }
 
   override def name(): String = ident
@@ -477,6 +477,89 @@ final class GraftMetadataV2Table(
             override val sqlContext: SQLContext = context
             override def schema: StructType = frame.schema
             override def buildScan(): RDD[Row] = frame.rdd
+          }.asInstanceOf[T]
+      }
+    }
+}
+
+/** The CDC change feed as a catalog table (`graft.db.\`t#changes\``):
+  * `_change_type ∈ {insert, delete}` plus the table columns (updates
+  * surface as delete+insert pairs — the Delta CDF shape the V1
+  * `changesFrom` source serves). Readable BOTH ways:
+  *
+  *  - batch: the net changelog over `(changesFrom, changesTo]` —
+  *    defaults to the FULL history (earliest → current);
+  *  - streaming (`spark.readStream.table`): a micro-batch change feed
+  *    ([[graft.streaming.GraftChangesTableStream]]) — row-changing
+  *    commits stream as change rows where the appends-only tail
+  *    fails. Default streams changes committed AFTER query start;
+  *    `.option("changesFrom", v | "earliest")` backfills.
+  *
+  * This is where the r15 tail's `skipNonAppends` dilemma resolves:
+  * skip loses retractions, fail stops the pipeline — the change feed
+  * represents them.
+  */
+final class GraftChangesV2Table(
+    table: SnapshotTable,
+    ident: String) extends Table with SupportsRead {
+
+  override def name(): String = ident
+
+  override val schema: StructType =
+    graft.streaming.GraftChangesSource.changeSchema(table.schemaAt(None))
+
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  private def versionOpt(options: CaseInsensitiveStringMap,
+      key: String): Option[Long] =
+    Option(options.get(key)).map {
+      case "earliest" => table.log.versions().head
+      case v => scala.util.Try(v.toLong).getOrElse(sys.error(
+        s"$key must be a version number or 'earliest', got '$v'"))
+    }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+          val maxV = Option(options.get("maxVersionsPerTrigger")).map { v =>
+            val n = scala.util.Try(v.toLong).getOrElse(sys.error(
+              s"maxVersionsPerTrigger must be a positive number, got '$v'"))
+            require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
+            n
+          }
+          new graft.streaming.GraftChangesTableStream(table, schema,
+            required, checkpointLocation, versionOpt(options, "changesFrom"),
+            maxV)
+        }
+
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override val sqlContext: SQLContext = context
+            override def schema: StructType = required
+            override def buildScan(): RDD[Row] = {
+              val from = versionOpt(options, "changesFrom")
+                .getOrElse(table.log.versions().head)
+              val to = versionOpt(options, "changesTo")
+                .getOrElse(table.currentVersion())
+              val changes = table.changes(from, to)
+              changes.select(required.fieldNames.toIndexedSeq.map(c =>
+                org.apache.spark.sql.functions.col(
+                  SnapshotTable.quoted(c))): _*).rdd
+            }
           }.asInstanceOf[T]
       }
     }

@@ -211,16 +211,34 @@ final class GraftTableStream(
     // split + bin-pack to the same target every batch read uses; a
     // backfill commit of many small files shares tasks, a single huge
     // file fans out
-    val planned = files.result()
-    val sized = planned.map { f =>
+    val sized = files.result().map { f =>
       val p = new Path(table.root, f.path)
       val qualified = fs.makeQualified(p).toString
       val bytes = if (f.bytes > 0L) f.bytes else fs.getFileStatus(p).getLen
       (qualified, bytes)
     }
-    val target = ParquetReadBridge.maxSplitBytes(table.session,
+    StreamSplits.plan(table.session, sized)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftStreamReaderFactory(ParquetReadBridge.readFunction(
+      table.session, tableSchema, required, filters))
+}
+
+final case class GraftStreamInputPartition(
+    splits: Array[(String, Long, Long)]) extends InputPartition
+
+/** Shared micro-batch split planner: byte-range splits to the
+  * session's `maxSplitBytes` target, largest-first bin-packing with
+  * the configured open cost — the table tail and the change-feed
+  * stream plan identically to every batch read.
+  */
+private[streaming] object StreamSplits {
+  def plan(spark: org.apache.spark.sql.SparkSession,
+      sized: Seq[(String, Long)]): Array[InputPartition] = {
+    val target = ParquetReadBridge.maxSplitBytes(spark,
       sized.iterator.map(_._2).sum, sized.size)
-    val openCost = ParquetReadBridge.openCostInBytes(table.session)
+    val openCost = ParquetReadBridge.openCostInBytes(spark)
     val splits = sized.flatMap { case (path, len) =>
       (0L until len by target).map(off =>
         (path, off, math.min(target, len - off)))
@@ -240,14 +258,7 @@ final class GraftTableStream(
     flush()
     bins.result()
   }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftStreamReaderFactory(ParquetReadBridge.readFunction(
-      table.session, tableSchema, required, filters))
 }
-
-final case class GraftStreamInputPartition(
-    splits: Array[(String, Long, Long)]) extends InputPartition
 
 final case class GraftStreamReaderFactory(
     read: PartitionedFile => Iterator[InternalRow])

@@ -250,4 +250,46 @@ class GraftTableStreamSpec extends AnyFunSuite with Matchers {
         "must not emit the restartable-evolution message for a backfill")
     } finally q.stop()
   }
+
+  test("#changes streams row-changing commits as change rows; restart exactly-once") {
+    val t = mkTable("st_chfeed")
+    val ckpt = Files.createTempDirectory("st-cf-ckpt").toString
+    val rows = ArrayBuffer.empty[(String, Long)]
+    def drainChanges(): Unit = {
+      val q = spark.readStream
+        .option("changesFrom", "earliest")
+        .table("graft.probe.`st_chfeed#changes`")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = df.select(col("_change_type"), col("id")).collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+          rows.synchronized { rows ++= got }
+          ()
+        }
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    insert(t, 0 until 10)                       // v2: blind append
+    spark.sql(s"DELETE FROM $t WHERE id < 3")   // v3: row-changing
+    drainChanges()
+    val expected = (0L until 10L).map(("insert", _)) ++
+      (0L until 3L).map(("delete", _))
+    rows.synchronized(rows.sorted.toList) shouldBe expected.sorted.toList
+    // restart with the same checkpoint: nothing re-delivers
+    drainChanges()
+    rows.synchronized(rows.size) shouldBe expected.size
+    // new commits flow once
+    insert(t, 10 until 12)
+    drainChanges()
+    rows.synchronized(rows.sorted.toList) shouldBe
+      (expected ++ Seq(("insert", 10L), ("insert", 11L))).sorted.toList
+    // the BATCH surface of the same table: the whole-history NET diff
+    // (deleted ids 0..2 cancel against their inserts)
+    val batch = spark.sql(
+        "SELECT _change_type, id FROM graft.probe.`st_chfeed#changes`")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toList
+    batch shouldBe (3L until 12L).map(("insert", _)).toList
+  }
 }

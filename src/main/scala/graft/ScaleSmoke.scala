@@ -384,6 +384,72 @@ object ScaleSmoke {
         s""""tl1024":${f"$tl1024%.2f"},"tl4096":${f"$tl4096%.2f"}}""")
     }
 
+    // manifest scale probe (VERDICT r15 #6): commit latency, reload
+    // (manifest parse), plan-walk time and on-disk metadata bytes at
+    // 10⁴ and 10⁵ files — SYNTHETIC manifest entries, zero data I/O,
+    // so the curve isolates the metadata layer. Hard require()s pin
+    // the curve at linear-or-better (10× files ≤ 30× time, generous
+    // headroom for host noise; a quadratic edge would read ≥100×).
+    locally {
+      import graft.catalog.{ColStats, DataFileEntry, Snapshot, SnapshotTable}
+      def du(p: java.nio.file.Path): Long = {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+      def probe(n: Int): (Double, Double, Double, Long) = {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-smoke-manifest").resolve("t").toString
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType)))
+        val t = SnapshotTable.create(spark, root, schema, None)
+        val base = t.currentSnapshot()
+        // disjoint id ranges per file: the plan probe's range filter
+        // classifies every file decisively, measuring a REAL prune walk
+        val files = (0 until n).map { i =>
+          DataFileEntry(f"data/f$i%07d.parquet", None, 1000L,
+            stats = Map("id" -> ColStats(Some((i * 1000L).toString),
+              Some((i * 1000L + 999L).toString), 0L)),
+            cols = base.ids, seq = base.version + 1, bytes = 64L << 20)
+        }
+        val cand = Snapshot(base.version + 1, Some(base.version),
+          "synthetic-append", System.currentTimeMillis(), base.schema,
+          None, base.properties, files, base.fieldIds, base.nextFieldId)
+        val c0 = System.nanoTime()
+        require(t.log.tryCommit(cand), "manifest probe commit failed")
+        val commitS = (System.nanoTime() - c0) / 1e9
+        val l0 = System.nanoTime()
+        val t2 = SnapshotTable.load(spark, root)
+        val snap = t2.currentSnapshot()
+        require(snap.files.size == n, s"reloaded ${snap.files.size} of $n")
+        val loadS = (System.nanoTime() - l0) / 1e9
+        val p0 = System.nanoTime()
+        val kept = t2.prunedFiles(snap, Seq(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("id",
+            (n.toLong / 2) * 1000L)))
+        val planS = (System.nanoTime() - p0) / 1e9
+        require(kept.size == n / 2, s"prune kept ${kept.size} of $n")
+        (commitS, loadS, planS,
+          du(java.nio.file.Paths.get(root, "_graft_log")))
+      }
+      probe(1000) // warm (class loading, JIT, fs caches)
+      val (c4, l4, p4, b4) = probe(10000)
+      val (c5, l5, p5, b5) = probe(100000)
+      System.err.println(f"[scale-smoke] manifest probe: 10k files " +
+        f"commit $c4%.2f s load $l4%.2f s plan $p4%.3f s ${b4 / 1024}%d KiB; " +
+        f"100k files commit $c5%.2f s load $l5%.2f s plan $p5%.3f s " +
+        f"${b5 / 1024}%d KiB")
+      require(c5 < c4 * 30 && l5 < l4 * 30 && p5 < math.max(p4, 0.01) * 30,
+        f"manifest layer must scale linearly: commit $c4%.2f->$c5%.2f, " +
+          f"load $l4%.2f->$l5%.2f, plan $p4%.3f->$p5%.3f")
+      println(s"""{"metric":"manifest_probe","files10k":{"commit_sec":${f"$c4%.3f"},""" +
+        s""""load_sec":${f"$l4%.3f"},"plan_sec":${f"$p4%.3f"},"log_bytes":$b4},""" +
+        s""""files100k":{"commit_sec":${f"$c5%.3f"},"load_sec":${f"$l5%.3f"},""" +
+        s""""plan_sec":${f"$p5%.3f"},"log_bytes":$b5}}""")
+    }
+
     // force training BEFORE the timed loop — otherwise the first build
     // entry absorbs the (expensive, scale-independent) model fit and
     // the 1×-vs-N× build ratio reads nonsense (r8 first run did)

@@ -171,8 +171,8 @@ final class GraftChangesTableStream(
   override def stop(): Unit = ()
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftStreamReaderFactory(ParquetReadBridge.readFunction(
-      table.session, pinned, required, Nil))
+    GraftStreamReaderFactory(IndexedSeq(ParquetReadBridge.readFunction(
+      table.session, pinned, required, Nil)))
 
   override def toString: String =
     s"GraftChangesTableStream[${table.root}]"

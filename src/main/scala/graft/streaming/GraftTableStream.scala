@@ -42,9 +42,21 @@ final case class GraftStreamOffset(v: Long) extends Offset {
   * (`earliest` = from the first commit; default = only commits after
   * the query starts). Pushed filters prune appended files by manifest
   * stats before any byte is read, and the parquet reader re-applies
-  * them as row-group skips. Schema evolution mid-stream fails the
-  * batch with a restart instruction — the analyzed schema is pinned
-  * at query start.
+  * them as row-group skips.
+  *
+  * Schema evolution — the column set is PINNED at query start and
+  * versions on EITHER side of an evolution stream through it by FIELD
+  * ID (r16): a pinned column reads from a pre- or post-evolution file
+  * under its contemporaneous write-time name (renames follow the id,
+  * widened values upcast in the reader), a column the file predates
+  * resolves to a reserved absent name the parquet reader null-fills
+  * (never the current name — a dropped-and-re-added column's stale
+  * bytes must not surface), and columns added after query start are
+  * ignored until restart — the CDC source's fixed-schema-per-run
+  * contract, now shared by the tail. The one refusal: a pinned column
+  * with a recorded INITIAL DEFAULT that a file predates (null-filling
+  * would misreport the default; restart, or read through the change
+  * feed).
   */
 final class GraftTableStream(
     table: SnapshotTable,
@@ -59,11 +71,17 @@ final class GraftTableStream(
 
   private def head: Long = table.publishedSnapshot().version
 
-  /** Head at stream construction (query start or restart): a schema
-    * mismatch at a version ≤ this is HISTORICAL — restarting can never
-    * fix it, and the error must say so (see [[planInputPartitions]]).
+  /** Head at stream construction (query start or restart), plus the
+    * pinned FIELD-ID state evolved-shape reads resolve through — None
+    * when an evolution raced between analysis and construction (the
+    * pinned names would not match the ids; evolved reads then refuse).
     */
-  private val queryStartHead: Long = head
+  private val (queryStartHead: Long,
+      pinnedIds: Option[(Map[String, Int], Seq[(String, Int)])]) = {
+    val pub = table.publishedSnapshot()
+    val ok = shape(pub.schema) == shape(tableSchema)
+    (pub.version, if (ok) Some((pub.ids.toMap, pub.nestedIds)) else None)
+  }
 
   /** Per-version appended-file counts, memoized so capped admission
     * ([[latestOffset]]) doesn't re-parse the same pending versions'
@@ -150,13 +168,99 @@ final class GraftTableStream(
   private def shape(s: StructType) =
     s.fields.toSeq.map(f => (f.name, f.dataType))
 
+  // ---- evolved-shape reads: files on either side of a schema
+  // evolution stream through the PINNED columns by field id. Shape 0
+  // is the pinned (current-at-query-start) shape; each distinct
+  // historical/posterior shape discovered by planning registers a
+  // physical read schema — positionally identical to `required`,
+  // names resolved to the shape's write-time names, absent columns
+  // under reserved names the parquet reader null-fills. Append-only
+  // registry: partition shape indexes stay stable across batches.
+
+  private val shapeIdx = scala.collection.mutable.LinkedHashMap
+    .empty[(Seq[(String, Int)], Seq[(String, Int)]), Int]
+  private val shapeSchemas =
+    scala.collection.mutable.ArrayBuffer.empty[StructType]
+
+  private def boundaryError(v: Long, why: String): Nothing =
+    throw new IllegalStateException(
+      s"streaming read of ${table.root}: version $v lies across a " +
+        s"schema-evolution boundary the pinned query schema cannot " +
+        s"represent ($why). Restart the query, start past the " +
+        s"evolution (.option(\"streamFrom\", ${v + 1}) or later), or " +
+        "read through the change-feed table " +
+        "(readStream.table(\"graft.db.`t#changes`\"))")
+
+  /** Register (or look up) the shape of version `v`'s snapshot and
+    * return its index. Resolution mirrors the batch scan's positional
+    * rename trick ([[graft.catalog.GraftBatchScan]] shapeSchema):
+    * pinned types are kept (legal evolutions are reader-upcastable);
+    * nested struct fields resolve through nested ids one level down.
+    */
+  private def shapeIndexFor(vSnap: graft.catalog.Snapshot, v: Long): Int = {
+    val key = (vSnap.ids, vSnap.nestedIds)
+    shapeIdx.getOrElseUpdate(key, {
+      val (idByName, pinnedNested) = pinnedIds.getOrElse(boundaryError(v,
+        "the table evolved between query analysis and stream start"))
+      val tnMap = pinnedNested.toMap
+      val wnById = vSnap.ids.map { case (wn, id) => id -> wn }.toMap
+      val fileNestedById: Map[Int, (Int, String)] =
+        vSnap.nestedIds.flatMap { case (k, nid) =>
+          val dot = k.indexOf('.')
+          if (dot <= 0) None
+          else k.substring(0, dot).toIntOption
+            .map(pid => nid -> (pid, k.substring(dot + 1)))
+        }.toMap
+      val phys = StructType(required.fields.map { f =>
+        val i = tableSchema.fieldIndex(f.name)
+        val id = idByName.getOrElse(f.name, boundaryError(v,
+          s"pinned column ${f.name} has no field id"))
+        wnById.get(id) match {
+          case Some(wn) =>
+            val physType = f.dataType match {
+              case st: StructType =>
+                StructType(st.fields.zipWithIndex.map { case (nf, j) =>
+                  val nname = tnMap.get(s"$id.${nf.name}") match {
+                    case Some(nid) => fileNestedById.get(nid) match {
+                      case Some((p, fwn)) if p == id => fwn
+                      case Some(_) => s"__graft_absent_${i}_$j"
+                      case None =>
+                        if (vSnap.nestedIds.isEmpty) nf.name
+                        else s"__graft_absent_${i}_$j"
+                    }
+                    case None => nf.name
+                  }
+                  nf.copy(name = nname, nullable = true)
+                })
+              case dt => dt
+            }
+            org.apache.spark.sql.types.StructField(wn, physType,
+              nullable = true)
+          case None =>
+            // null-fill is only correct when no initial default was
+            // recorded: a defaulted column's historical rows must
+            // surface the default, which this read path cannot
+            if (f.metadata.contains(SnapshotTable.InitialDefaultKey))
+              boundaryError(v, s"column ${f.name} carries an initial " +
+                "default that files of this version predate")
+            org.apache.spark.sql.types.StructField(s"__graft_absent_$i",
+              f.dataType, nullable = true)
+        }
+      })
+      shapeSchemas += phys
+      shapeIdx.size + 1 // index 0 is the pinned shape
+    })
+  }
+
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].v
     val e = end.asInstanceOf[GraftStreamOffset].v
     val fs = table.root.getFileSystem(
       table.session.sessionState.newHadoopConf())
-    val files = Seq.newBuilder[DataFileEntry]
+    val filesByShape = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.Builder[DataFileEntry,
+        Seq[DataFileEntry]]]
     // consecutive versions reuse the previous iteration's path set as
     // the parent set (and the cache carries it across triggers), so
     // each manifest in the range loads once — not once as itself plus
@@ -185,48 +289,51 @@ final class GraftTableStream(
             "skip such commits wholesale")
         // skipped: its staged files are rewrites of surviving rows
       } else {
-        if (shape(snap.schema) != shape(tableSchema)) {
-          // a mismatch at a version that PRECEDES this query run is a
-          // backfill crossing a schema-evolution boundary: historical
-          // versions' schemas never change, so "restart the query"
-          // would fail forever — say so, with the ways out
-          if (v <= queryStartHead) throw new IllegalStateException(
-            s"streaming read of ${table.root}: the backfill crosses a " +
-              s"schema-evolution boundary at version $v — historical " +
-              "versions keep their contemporary schemas, so restarting " +
-              "cannot pick this up. Start at or after the evolution " +
-              s"(.option(\"streamFrom\", ${v + 1}) or later), or read " +
-              "the history through the CDC source, which conforms " +
-              "batches to its pinned schema")
-          throw new IllegalStateException(
-            s"streaming read of ${table.root}: the schema evolved at " +
-              s"version $v — restart the query to pick up the new schema")
-        }
-        files ++= snap.files.filter(f => f.seq == v &&
-          (filters.isEmpty ||
+        val sameShape = shape(snap.schema) == shape(tableSchema)
+        val k = if (sameShape) 0 else shapeIndexFor(snap, v)
+        // manifest-stats pruning only on the pinned shape: historical
+        // stats key on write-time names (skip-only, so keeping the
+        // file is always sound)
+        val keep = snap.files.filter(f => f.seq == v &&
+          (k != 0 || filters.isEmpty ||
             StatsPruner.mayMatchAll(f, tableSchema, filters)))
+        if (keep.nonEmpty)
+          filesByShape.getOrElseUpdate(k, Seq.newBuilder) ++= keep
       }
     }
     lastPathSet = prevPaths
     // split + bin-pack to the same target every batch read uses; a
     // backfill commit of many small files shares tasks, a single huge
-    // file fans out
-    val sized = files.result().map { f =>
-      val p = new Path(table.root, f.path)
-      val qualified = fs.makeQualified(p).toString
-      val bytes = if (f.bytes > 0L) f.bytes else fs.getFileStatus(p).getLen
-      (qualified, bytes)
-    }
-    StreamSplits.plan(table.session, sized)
+    // file fans out. Shape groups plan separately (their reader
+    // schemas differ).
+    filesByShape.iterator.flatMap { case (k, b) =>
+      val sized = b.result().map { f =>
+        val p = new Path(table.root, f.path)
+        val qualified = fs.makeQualified(p).toString
+        val bytes = if (f.bytes > 0L) f.bytes else fs.getFileStatus(p).getLen
+        (qualified, bytes)
+      }
+      StreamSplits.plan(table.session, sized).iterator.map(p =>
+        p.asInstanceOf[GraftStreamInputPartition].copy(shape = k))
+    }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftStreamReaderFactory(ParquetReadBridge.readFunction(
-      table.session, tableSchema, required, filters))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // index 0: the pinned shape (filters push to row groups); evolved
+    // shapes read their positional-rename schemas with NO pushed
+    // filters (write-time names differ; Spark re-applies every filter
+    // above — the skip-only contract)
+    val reads = ParquetReadBridge.readFunction(
+      table.session, tableSchema, required, filters) +:
+      shapeSchemas.toIndexedSeq.map(ss =>
+        ParquetReadBridge.readFunction(table.session, ss, ss, Nil))
+    GraftStreamReaderFactory(reads)
+  }
 }
 
 final case class GraftStreamInputPartition(
-    splits: Array[(String, Long, Long)]) extends InputPartition
+    splits: Array[(String, Long, Long)],
+    shape: Int = 0) extends InputPartition
 
 /** Shared micro-batch split planner: byte-range splits to the
   * session's `maxSplitBytes` target, largest-first bin-packing with
@@ -261,10 +368,12 @@ private[streaming] object StreamSplits {
 }
 
 final case class GraftStreamReaderFactory(
-    read: PartitionedFile => Iterator[InternalRow])
+    reads: IndexedSeq[PartitionedFile => Iterator[InternalRow]])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val it = p.asInstanceOf[GraftStreamInputPartition].splits.iterator
+    val sp = p.asInstanceOf[GraftStreamInputPartition]
+    val read = reads(sp.shape)
+    val it = sp.splits.iterator
       .flatMap { case (path, off, len) =>
         read(ParquetReadBridge.split(path, off, len))
       }

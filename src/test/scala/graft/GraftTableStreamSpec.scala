@@ -118,21 +118,27 @@ class GraftTableStreamSpec extends AnyFunSuite with Matchers {
     } finally q2.stop()
   }
 
-  test("schema evolution mid-stream fails with a restart instruction") {
+  test("schema evolution mid-stream: the pinned columns keep flowing by field id") {
     val t = mkTable("st_evolve")
     val sink = ArrayBuffer.empty[Long]
     val q = drain(t, Files.createTempDirectory("st-ev-ckpt").toString, sink)
     try {
       q.processAllAvailable()
+      insert(t, 0 until 5) // pre-evolution
       spark.sql(s"ALTER TABLE $t ADD COLUMN extra STRING")
       spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE), 'x' " +
-        "FROM range(0, 5)")
-      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q.processAllAvailable()
-      }
-      assert(err.getMessage.contains("schema evolved") ||
-        Option(err.getCause).exists(_.getMessage.contains("schema evolved")),
-        s"unexpected failure: ${err.getMessage}")
+        "FROM range(5, 10)")
+      // the added column is ignored until restart (fixed-schema-per-run
+      // — the CDC source's contract); pinned columns stream through
+      q.processAllAvailable()
+      sink.synchronized(sink.sorted.toList) shouldBe (0L until 10L).toList
+      // a RENAME mid-stream keeps flowing too: the pinned name follows
+      // the field id to the file's write-time name
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO volts")
+      spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE), 'y' " +
+        "FROM range(10, 15)")
+      q.processAllAvailable()
+      sink.synchronized(sink.sorted.toList) shouldBe (0L until 15L).toList
     } finally q.stop()
   }
 
@@ -231,23 +237,49 @@ class GraftTableStreamSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
-  test("a backfill crossing a schema evolution gets the boundary error, not 'restart'") {
+  test("a backfill crossing a schema evolution streams pre-evolution files null-filled") {
     val t = mkTable("st_hist")
     insert(t, 0 until 5) // pre-evolution commit (old schema)
     spark.sql(s"ALTER TABLE $t ADD COLUMN extra STRING")
     spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE), 'x' " +
       "FROM range(5, 8)")
+    val rows = ArrayBuffer.empty[(Long, Option[String])]
+    val q = spark.readStream.option("streamFrom", "earliest").table(t)
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("st-hist-ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = df.select(col("id"), col("extra")).collect()
+          .map(r => (r.getLong(0), Option(r.getString(1))))
+        rows.synchronized { rows ++= got }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val byId = rows.synchronized(rows.toMap)
+      byId.keySet shouldBe (0L until 8L).toSet
+      // pre-evolution rows null-fill the added column; post carry 'x'
+      (0L until 5L).foreach(i => byId(i) shouldBe None)
+      (5L until 8L).foreach(i => byId(i) shouldBe Some("x"))
+    } finally q.stop()
+  }
+
+  test("a backfill crossing an initial-DEFAULTED column refuses (null-fill would lie)") {
+    val t = mkTable("st_histdef")
+    insert(t, 0 until 5)
+    spark.sql(s"ALTER TABLE $t ADD COLUMN tag STRING DEFAULT 'legacy'")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST(id AS DOUBLE), 'new' " +
+      "FROM range(5, 8)")
     val sink = ArrayBuffer.empty[Long]
-    val q = drain(t, Files.createTempDirectory("st-hist-ckpt").toString,
+    val q = drain(t, Files.createTempDirectory("st-hd-ckpt").toString,
       sink, Map("streamFrom" -> "earliest"))
     try {
       val err = intercept[Exception] { q.processAllAvailable() }
-      // the mid-stream message ("restart the query") would be a lie
-      // here: the historical version's schema never changes
-      assert(chainHas(err, "schema-evolution boundary"),
+      assert(chainHas(err, "initial"),
         s"unexpected failure: ${err.getMessage}")
-      assert(!chainHas(err, "restart the query to pick up"),
-        "must not emit the restartable-evolution message for a backfill")
+      assert(chainHas(err, "change-feed"),
+        "the error must point at the ways out")
     } finally q.stop()
   }
 

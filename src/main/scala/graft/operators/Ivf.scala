@@ -95,21 +95,25 @@ object Ivf {
     * `children(s)` its fine clusters as (fine id, centroid) pairs — a
     * PARTITION of the fine model, so candidate lists never repeat an
     * id. Probing scores the g supers, descends into the `nsuper`
-    * nearest, and ranks only their children.
+    * nearest, and ranks only their children: per-row work
+    * O((g + nsuper·k/g)·d) = O(√k·d) at g = √k, vs the flat form's
+    * O(k·d) with k codegen'd cosine calls (compilation itself dies at
+    * k ≳ 10⁴). The flat path stays the right choice for SMALL k
+    * ([[quantizer]] picks by size).
     *
-    * Plan shape: the whole model rides in TWO `typedLit` literals
-    * (array-of-arrays + array-of-struct-lists) walked by higher-order
-    * functions — one plan node each regardless of k, where the flat
-    * form emits k codegen'd cosine calls (compilation itself dies at
-    * k ≳ 10⁴). HOFs run interpreted, so the flat path stays the right
-    * choice for SMALL k ([[quantizer]] picks by size); the two-level
-    * path wins asymptotically: per-row work O((g + nsuper·k/g)·d) =
-    * O(√k·d) at g = √k.
+    * Execution (r16 second pass): the descent runs as a codegen'd
+    * native expression over an EXPLICIT broadcast of the model
+    * ([[graft.functions.TwoLevelQuantize]]) — the plan carries a
+    * broadcast handle, not O(k·d) literal bytes (at k = 10⁵ × d = 512
+    * the literal form serializes ~400 MB per stage and converts on the
+    * driver), and the per-element HOF interpretation of the first-pass
+    * formulation is gone.
     *
     * Approximation contract: a fine centroid is reachable only through
     * its super; `nsuper` bounds the descent. With `nsuper = supers
     * .size` the ranking equals the flat quantizer's exactly (same
-    * arithmetic, same tie-break) — the equivalence spec pins that.
+    * cosine accumulation order, same (sim desc, id asc) tie-break) —
+    * the equivalence spec pins that.
     */
   final case class TwoLevelQuantizer(supers: Model,
       children: Seq[Seq[(Int, Seq[Double])]],
@@ -123,37 +127,30 @@ object Ivf {
 
     override val k: Int = children.map(_.size).sum
 
-    /** Children of the `nsuper` nearest supers as unordered
-      * struct<neg, j> candidates (neg = −sim, so struct MIN is the
-      * best candidate with ties toward the smaller fine id).
+    /** Model broadcast, built lazily ONCE per quantizer instance on
+      * first expression construction (driver-side — `SparkSession
+      * .active` is the session building the plan). Transient: the
+      * quantizer itself never ships to executors, only the broadcast
+      * handle inside the expression does.
       */
-    private def candidates(vec: Column): Column = {
-      val sSims = transform(typedLit(supers), c => cosine(vec, c))
-      val sRanked = array_sort(transform(
-        sequence(lit(0), lit(supers.size - 1)),
-        j => struct((element_at(sSims, j + 1) * lit(-1.0)).as("neg"),
-          j.as("j"))))
-      val topSupers = transform(slice(sRanked, 1, nsuper),
-        x => x.getField("j"))
-      val cands = flatten(transform(topSupers,
-        s => element_at(typedLit(children), s + 1)))
-      transform(cands, c =>
-        struct((cosine(vec, c.getField("_2")) * lit(-1.0)).as("neg"),
-          c.getField("_1").as("j")))
-    }
+    @transient private lazy val bcModel
+        : org.apache.spark.broadcast.Broadcast[
+          graft.functions.TwoLevelQuantize.Model] =
+      org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(
+        new graft.functions.TwoLevelQuantize.Model(
+          supers.map(_.toArray).toArray,
+          children.map(_.map(_._1).toArray).toArray,
+          children.map(_.map(_._2.toArray).toArray).toArray))
 
-    // assign/bestSim take the struct MINIMUM — an O(candidates) fold,
-    // not the O(c log c) sort probing needs (measured: the candidate
-    // sort dominated the per-row cost at large k)
     override def assign(vec: Column): Column =
-      array_min(candidates(vec)).getField("j")
+      element_at(probe(vec, 1), 1)
 
     override def probe(vec: Column, nprobe: Int): Column =
-      transform(slice(array_sort(candidates(vec)), 1, nprobe),
-        x => x.getField("j"))
+      graft.functions.TwoLevelQuantize.probeCol(vec, bcModel, nsuper,
+        nprobe)
 
     override def bestSim(vec: Column): Column =
-      array_min(candidates(vec)).getField("neg") * lit(-1.0)
+      graft.functions.TwoLevelQuantize.bestSimCol(vec, bcModel, nsuper)
   }
 
   /** Group a fine model's k centroids into a two-level hierarchy:

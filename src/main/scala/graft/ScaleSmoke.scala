@@ -491,6 +491,23 @@ object ScaleSmoke {
         val v = scaleVectors(vecs1, "vec_id", factor)
         val m = Ivf.train(v, k = 16 * factor, iters = 2)
         graft.operators.SemDedup.semanticPairs(v, m, tau = 0.95)
+      }),
+      // the production k ∝ N path through the AUTO quantizer: the 1×
+      // corpus stays flat (k = 16 ≤ cap), the N× corpus routes through
+      // the two-level hierarchy (k = 16N > cap) — assignment cost per
+      // row stays ~flat while the flat twin above pays O(k·d)/row
+      ("dedup_semantic_2l", 1, () => {
+        val m = Ivf.train(vecs1, k = 16, iters = 2)
+        graft.operators.SemDedup.semanticPairs(vecs1,
+          Ivf.quantizer(m, flatMax = 64, nsuper = 4), tau = 0.95,
+          probes = 2, "vec_id", "embedding")
+      }),
+      ("dedup_semantic_2l", factor, () => {
+        val v = scaleVectors(vecs1, "vec_id", factor)
+        val m = Ivf.train(v, k = 16 * factor, iters = 2)
+        graft.operators.SemDedup.semanticPairs(v,
+          Ivf.quantizer(m, flatMax = 64, nsuper = 4), tau = 0.95,
+          probes = 2, "vec_id", "embedding")
       })) ++
       Seq(
       // seeded global shuffle: a pure projection + one exchange — must

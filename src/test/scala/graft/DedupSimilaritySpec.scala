@@ -659,4 +659,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // matching it proves the hierarchy's soft assignment missed nothing
     assert(tlPairs == flatPairs)
   }
+
+  test("incremental SemDeDup under the two-level quantizer matches flat") {
+    import graft.operators.{Ivf, SemDedup}
+    val corpus = plantedMutantCorpus()
+    val model = Ivf.train(corpus, k = 16, iters = 2)
+    val tl = Ivf.twoLevel(model, groups = 4, nsuper = 3)
+    val prefix = corpus.filter(col("vec_id") % 5 =!= 0)
+    val batch = corpus.filter(col("vec_id") % 5 === 0)
+    def run(q: Ivf.Quantizer, tag: String): Set[Long] = {
+      val root = java.nio.file.Files.createTempDirectory(s"semdd-$tag")
+        .resolve("t").toString
+      val idx = Ivf.buildIndex(spark, prefix, q, root,
+        "vec_id", "embedding", None)
+      SemDedup.survivorsAgainstIndex(idx, batch, q, tau = 0.95,
+          probes = 2, "vec_id", "embedding")
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    }
+    val viaFlat = run(Ivf.FlatQuantizer(model), "flat")
+    val viaTl = run(tl, "tl")
+    assert(viaTl == viaFlat,
+      s"two-level incremental dedup diverged: ${viaTl.diff(viaFlat)} / ${viaFlat.diff(viaTl)}")
+  }
 }

@@ -119,12 +119,78 @@ final class GraftChangesTableStream(
   private def stageDir(s: Long, e: Long): Path =
     new Path(stageRoot, s"b_${s}_$e")
 
+  private def shp(st: StructType) =
+    st.fields.toSeq.map(f => (f.name, f.dataType))
+
+  /** Direct-serve plan for a pure blind-append range: the appended
+    * files themselves, read under the table columns with
+    * `_change_type = 'insert'` synthesized per row — the COMMON case
+    * (steady-state ingest) never write-amplifies the feed through the
+    * checkpoint. None when any version in range is row-changing
+    * (staging conforms the diff), has a different schema shape
+    * (staging conforms columns), or is expired (staging serves the
+    * catch-up diff between living endpoints). Structural checks, never
+    * operation strings. Replays re-read the table files; a file
+    * compacted AND expired inside a restart gap fails loudly
+    * (FileNotFound) — the V1 CDC source's exposure, resolved the same
+    * way (restart from a fresh changesFrom).
+    */
+  private def directAppendFiles(s: Long, e: Long,
+      fs: org.apache.hadoop.fs.FileSystem): Option[Seq[(String, Long)]] = {
+    val dataSchema = StructType(pinned.fields.drop(1))
+    val out = Seq.newBuilder[(String, Long)]
+    var prev: Option[(Long, Set[String])] = None
+    var v = s + 1
+    while (v <= e) {
+      val snap =
+        try table.snapshotAt(v)
+        catch { case scala.util.control.NonFatal(_) => return None }
+      if (shp(snap.schema) != shp(dataSchema)) return None
+      val parentPaths = snap.parent match {
+        case Some(p) if prev.exists(_._1 == p) => prev.get._2
+        case Some(p) =>
+          (try table.snapshotAt(p)
+           catch { case scala.util.control.NonFatal(_) => return None })
+            .files.map(_.path).toSet
+        case None => Set.empty[String]
+      }
+      val paths = snap.files.map(_.path).toSet
+      if (snap.dvFiles.exists(_.seq == v) ||
+          snap.deleteFiles.exists(_.seq == v) ||
+          parentPaths.exists(!paths.contains(_))) return None
+      prev = Some((v, paths))
+      snap.files.filter(_.seq == v).foreach { f =>
+        val p = new Path(table.root, f.path)
+        out += ((fs.makeQualified(p).toString,
+          if (f.bytes > 0L) f.bytes else fs.getFileStatus(p).getLen))
+      }
+      v += 1
+    }
+    Some(out.result())
+  }
+
+  // _change_type can only be synthesized positionally when it leads the
+  // pruned projection (it leads the pinned schema, and v2 pruning
+  // preserves order — belt and braces)
+  private def directEligible: Boolean =
+    !required.fieldNames.contains("_change_type") ||
+      required.fields.head.name == "_change_type"
+
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].v
     val e = end.asInstanceOf[GraftStreamOffset].v
     val fs = stageRoot.getFileSystem(
       table.session.sessionState.newHadoopConf())
+    if (directEligible) {
+      directAppendFiles(s, e, fs) match {
+        case Some(sized) =>
+          return StreamSplits.plan(table.session, sized).map(p =>
+            p.asInstanceOf[GraftStreamInputPartition].copy(shape = 1)
+              : InputPartition)
+        case None => () // row-changing / evolved / expired: stage
+      }
+    }
     val dir = stageDir(s, e)
     if (!fs.exists(new Path(dir, "_SUCCESS"))) {
       if (fs.exists(dir)) fs.delete(dir, true) // partial prior attempt
@@ -170,10 +236,65 @@ final class GraftChangesTableStream(
 
   override def stop(): Unit = ()
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftStreamReaderFactory(IndexedSeq(ParquetReadBridge.readFunction(
-      table.session, pinned, required, Nil)))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val staged = ParquetReadBridge.readFunction(
+      table.session, pinned, required, Nil)
+    val dataSchema = StructType(pinned.fields.drop(1))
+    val directRequired = StructType(
+      required.fields.filterNot(_.name == "_change_type"))
+    val direct = ParquetReadBridge.readFunction(
+      table.session, dataSchema, directRequired, Nil)
+    GraftChangesReaderFactory(staged, direct, directRequired,
+      required.fieldNames.contains("_change_type"))
+  }
 
   override def toString: String =
     s"GraftChangesTableStream[${table.root}]"
+}
+
+/** Reader for the change-feed stream: shape 0 partitions read STAGED
+  * batches (full pinned change schema on disk); shape 1 partitions
+  * read appended table files DIRECTLY and synthesize
+  * `_change_type = 'insert'` per row via an executor-built unsafe
+  * projection.
+  */
+final case class GraftChangesReaderFactory(
+    staged: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    direct: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    directRequired: StructType,
+    prependType: Boolean) extends PartitionReaderFactory {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.PartitionReader
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[GraftStreamInputPartition]
+    val read = if (sp.shape == 0) staged else direct
+    val base = sp.splits.iterator.flatMap { case (path, off, len) =>
+      read(ParquetReadBridge.split(path, off, len))
+    }
+    val it =
+      if (sp.shape == 0 || !prependType) base
+      else {
+        // codegen'd projections build executor-side (not serializable)
+        import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
+        val proj = UnsafeProjection.create(
+          Literal(org.apache.spark.unsafe.types.UTF8String
+            .fromString("insert"),
+            org.apache.spark.sql.types.StringType) +:
+          directRequired.fields.toIndexedSeq.zipWithIndex.map {
+            case (f, i) => BoundReference(i, f.dataType, nullable = true)
+          })
+        base.map(proj)
+      }
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { row = it.next(); true } else false
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
 }

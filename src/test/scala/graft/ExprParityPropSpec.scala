@@ -117,4 +117,39 @@ class ExprParityPropSpec extends AnyFunSuite {
       .filter(!(col("fast") <=> col("ref")))
     assert(bad.count() == 0, bad.collect().take(3).mkString("; "))
   }
+
+  test("TwoLevelQuantize expression == flat ranking on random + tie-heavy vectors") {
+    import graft.operators.Ivf
+    val r = new Random(77)
+    val dims = 8
+    // tie-HEAVY corpus: components from {0, 1} force many exactly-equal
+    // cosines, exercising the (sim desc, id asc) tie-break; a second
+    // block of smooth random vectors covers the generic ordering
+    def binVec(): Seq[Float] = {
+      val v = Seq.fill(dims)(if (r.nextBoolean()) 1.0f else 0.0f)
+      if (v.forall(_ == 0.0f)) v.updated(0, 1.0f) else v
+    }
+    def smoothVec(): Seq[Float] = Seq.fill(dims)(r.nextFloat() + 0.1f)
+    val rows = (1 to 200).map(i =>
+      (i.toLong, if (i <= 120) binVec() else smoothVec()))
+    val df = rows.toDF("vec_id", "embedding")
+    // model centroids from the same tie-heavy space (duplicates kept:
+    // identical centroids are exactly the tie the id order must break)
+    val model: Ivf.Model = (1 to 24).map(_ =>
+      binVec().map(_.toDouble)).toIndexedSeq
+    val tl = Ivf.twoLevel(model, groups = 5, nsuper = 5) // probe ALL
+    val tlAll = tl.copy(nsuper = tl.supers.size)
+    val flat = Ivf.FlatQuantizer(model)
+    val bad = df.select(
+        flat.probe(col("embedding"), 7).as("fp"),
+        tlAll.probe(col("embedding"), 7).as("tp"),
+        flat.assign(col("embedding")).as("fa"),
+        tlAll.assign(col("embedding")).as("ta"),
+        flat.bestSim(col("embedding")).as("fs"),
+        tlAll.bestSim(col("embedding")).as("ts"))
+      .filter(col("fp") =!= col("tp") || col("fa") =!= col("ta") ||
+        col("fs") =!= col("ts"))
+    assert(bad.count() == 0L,
+      s"divergence: ${bad.take(3).mkString("; ")}")
+  }
 }

@@ -4224,7 +4224,7 @@ object SnapshotTable {
   /** The session time zone — the zone `date_format` renders in and the
     * FunctionCatalog `months()` captures at bind.
     */
-  private[catalog] def sessionZone(spark: SparkSession): String =
+  private[graft] def sessionZone(spark: SparkSession): String =
     spark.conf.get("spark.sql.session.timeZone",
       java.time.ZoneId.systemDefault().getId)
 

@@ -53,10 +53,10 @@ final case class GraftStreamOffset(v: Long) extends Offset {
   * (never the current name — a dropped-and-re-added column's stale
   * bytes must not surface), and columns added after query start are
   * ignored until restart — the CDC source's fixed-schema-per-run
-  * contract, now shared by the tail. The one refusal: a pinned column
-  * with a recorded INITIAL DEFAULT that a file predates (null-filling
-  * would misreport the default; restart, or read through the change
-  * feed).
+  * contract, now shared by the tail. A pinned column with a recorded
+  * INITIAL DEFAULT that a file predates surfaces the DEFAULT, not
+  * null (an executor-side constant substitution — Iceberg v3
+  * semantics, same as the batch scan's).
   */
 final class GraftTableStream(
     table: SnapshotTable,
@@ -179,8 +179,15 @@ final class GraftTableStream(
 
   private val shapeIdx = scala.collection.mutable.LinkedHashMap
     .empty[(Seq[(String, Int)], Seq[(String, Int)]), Int]
-  private val shapeSchemas =
-    scala.collection.mutable.ArrayBuffer.empty[StructType]
+  /** Per registered shape: the physical read schema plus the
+    * initial-default substitutions (required ordinal → catalyst
+    * value) for absent columns that recorded one — the reader's null
+    * fill would misreport those, so an executor-side projection
+    * overwrites the slot with the constant (the batch scan's
+    * shapeDefaults, stream edition).
+    */
+  private val shapeSchemas = scala.collection.mutable.ArrayBuffer
+    .empty[(StructType, Seq[(Int, org.apache.spark.sql.types.DataType, Any)])]
 
   private def boundaryError(v: Long, why: String): Nothing =
     throw new IllegalStateException(
@@ -211,7 +218,10 @@ final class GraftTableStream(
           else k.substring(0, dot).toIntOption
             .map(pid => nid -> (pid, k.substring(dot + 1)))
         }.toMap
-      val phys = StructType(required.fields.map { f =>
+      val defaults = Seq.newBuilder[(Int,
+        org.apache.spark.sql.types.DataType, Any)]
+      val phys = StructType(required.fields.zipWithIndex.map {
+        case (f, reqOrd) =>
         val i = tableSchema.fieldIndex(f.name)
         val id = idByName.getOrElse(f.name, boundaryError(v,
           s"pinned column ${f.name} has no field id"))
@@ -237,17 +247,27 @@ final class GraftTableStream(
             org.apache.spark.sql.types.StructField(wn, physType,
               nullable = true)
           case None =>
-            // null-fill is only correct when no initial default was
-            // recorded: a defaulted column's historical rows must
-            // surface the default, which this read path cannot
-            if (f.metadata.contains(SnapshotTable.InitialDefaultKey))
-              boundaryError(v, s"column ${f.name} carries an initial " +
-                "default that files of this version predate")
+            // a column the shape predates null-fills — unless it
+            // recorded an INITIAL DEFAULT, whose constant the reader
+            // substitutes per row (Iceberg v3; the batch scan's
+            // shapeDefaults, stream edition). Evaluated once
+            // driver-side with the same lit(s).cast(dt) semantics.
+            if (f.metadata.contains(SnapshotTable.InitialDefaultKey)) {
+              val value = org.apache.spark.sql.catalyst.expressions.Cast(
+                org.apache.spark.sql.catalyst.expressions.Literal(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(
+                    f.metadata.getString(SnapshotTable.InitialDefaultKey)),
+                  org.apache.spark.sql.types.StringType),
+                f.dataType,
+                Some(SnapshotTable.sessionZone(table.session)))
+                .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+              defaults += ((reqOrd, f.dataType, value))
+            }
             org.apache.spark.sql.types.StructField(s"__graft_absent_$i",
               f.dataType, nullable = true)
         }
       })
-      shapeSchemas += phys
+      shapeSchemas += ((phys, defaults.result()))
       shapeIdx.size + 1 // index 0 is the pinned shape
     })
   }
@@ -325,9 +345,11 @@ final class GraftTableStream(
     // above — the skip-only contract)
     val reads = ParquetReadBridge.readFunction(
       table.session, tableSchema, required, filters) +:
-      shapeSchemas.toIndexedSeq.map(ss =>
-        ParquetReadBridge.readFunction(table.session, ss, ss, Nil))
-    GraftStreamReaderFactory(reads)
+      shapeSchemas.toIndexedSeq.map { case (ss, _) =>
+        ParquetReadBridge.readFunction(table.session, ss, ss, Nil)
+      }
+    GraftStreamReaderFactory(reads,
+      Seq.empty +: shapeSchemas.toIndexedSeq.map(_._2), required)
   }
 }
 
@@ -368,14 +390,35 @@ private[streaming] object StreamSplits {
 }
 
 final case class GraftStreamReaderFactory(
-    reads: IndexedSeq[PartitionedFile => Iterator[InternalRow]])
+    reads: IndexedSeq[PartitionedFile => Iterator[InternalRow]],
+    defaults: IndexedSeq[Seq[(Int, org.apache.spark.sql.types.DataType, Any)]] =
+      IndexedSeq.empty,
+    rowSchema: StructType = new StructType())
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[GraftStreamInputPartition]
     val read = reads(sp.shape)
-    val it = sp.splits.iterator
+    val base = sp.splits.iterator
       .flatMap { case (path, off, len) =>
         read(ParquetReadBridge.split(path, off, len))
+      }
+    val defs = if (sp.shape < defaults.length) defaults(sp.shape) else Nil
+    val it =
+      if (defs.isEmpty) base
+      else {
+        // substitute recorded initial defaults into the absent columns'
+        // slots (the reader null-filled them); codegen'd projections
+        // build executor-side
+        import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
+        val byOrd = defs.map(d => d._1 -> d).toMap
+        val proj = UnsafeProjection.create(
+          rowSchema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+            byOrd.get(i) match {
+              case Some((_, dt, v)) => Literal(v, dt)
+              case None => BoundReference(i, f.dataType, nullable = true)
+            }
+          })
+        base.map(proj)
       }
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _

@@ -2084,6 +2084,47 @@ object Queries {
       sink
     })
 
+  private val evolvedTailCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once streamed EVOLVED tail for `sql_stream_evolved_tail`:
+    * append evens under (event_id, event_type, value), then RENAME
+    * value → amount and ADD tag STRING DEFAULT 'legacy', then append
+    * odds under the new shape — and drain the whole history through
+    * `readStream.table` with streamFrom=earliest. The pinned query
+    * schema is the POST-evolution one; pre-evolution files stream by
+    * FIELD ID (amount reads the files' write-time `value` column) and
+    * surface the recorded DEFAULT for tag (never a null fill). Returns
+    * the parquet sink path.
+    */
+  private def streamedEvolvedTail(s: SparkSession, dir: String): String =
+    evolvedTailCache.computeIfAbsent(dir, _ => {
+      val (root, name) = warehouseDbRoot(s, "stevolve", dir)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val tbl = graft.catalog.SnapshotTable.create(s, root, ev.schema, None,
+        properties = graft.catalog.EvolvingWriter.DefaultTableProps)
+      tbl.append(ev.filter(col("event_id") % 2 === 0))           // v2
+      s.sql(s"ALTER TABLE $name RENAME COLUMN value TO amount")  // v3
+      s.sql(s"ALTER TABLE $name ADD COLUMN tag STRING DEFAULT 'legacy'") // v4
+      tbl.append(ev.filter(col("event_id") % 2 === 1)            // v5
+        .select(col("event_id"), col("event_type"),
+          col("value").as("amount"), lit("fresh").as("tag")))
+      val out = java.nio.file.Files.createTempDirectory("graft-stevolve")
+      val sink = out.resolve("rows").toString
+      val q = s.readStream.option("streamFrom", "earliest").table(name)
+        .writeStream
+        .option("checkpointLocation", out.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(sink)
+          ()
+        }
+        .start()
+      assert(q.awaitTermination(180000), "evolved-tail drain timed out")
+      sink
+    })
+
   private val changeFeedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -4214,6 +4255,23 @@ object Queries {
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
              |    AS sum_value
              |FROM events GROUP BY 1""".stripMargin)),
+
+    QueryDef("sql_stream_evolved_tail",
+      // r16: the appends-only tail STREAMS ACROSS schema evolutions by
+      // field id (GraftTableStream shape registry): a backfill whose
+      // range spans a RENAME + an initial-DEFAULTED ADD delivers
+      // pre-evolution files under the pinned (post-evolution) columns
+      // — the renamed column reads the files' write-time name, the
+      // defaulted column surfaces the recorded default, never null.
+      (s, dir) => s.read.parquet(streamedEvolvedTail(s, dir))
+        .groupBy(col("tag"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("amount")).as("sum_amount")),
+      Some("""SELECT CASE WHEN event_id % 2 = 0 THEN 'legacy'
+             |            ELSE 'fresh' END AS tag,
+             |  event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+             |    AS sum_amount
+             |FROM events GROUP BY 1, 2""".stripMargin)),
 
     QueryDef("sql_stream_change_feed",
       // r16: CDC THROUGH the streaming table surface —

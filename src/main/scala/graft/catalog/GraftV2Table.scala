@@ -514,13 +514,30 @@ final class GraftChangesV2Table(
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
+  /** `changesFrom`/`changesTo` bound resolution, V1-source parity:
+    * a version number, `earliest`, or a TAG name — plus the
+    * `<bound>Timestamp` variants (epoch millis or ISO-8601, resolved
+    * via `versionAsOf`).
+    */
   private def versionOpt(options: CaseInsensitiveStringMap,
-      key: String): Option[Long] =
+      key: String): Option[Long] = {
+    require(!(options.containsKey(key) &&
+        options.containsKey(key + "Timestamp")),
+      s"pass $key OR ${key}Timestamp, not both")
     Option(options.get(key)).map {
       case "earliest" => table.log.versions().head
-      case v => scala.util.Try(v.toLong).getOrElse(sys.error(
-        s"$key must be a version number or 'earliest', got '$v'"))
-    }
+      case v => scala.util.Try(v.toLong).getOrElse(
+        table.tags().getOrElse(v, sys.error(
+          s"$key: '$v' is neither a version number, 'earliest', nor a " +
+            s"tag; tags: ${table.tags().keys.mkString(", ")}")))
+    }.orElse(Option(options.get(key + "Timestamp")).map { v =>
+      val ms = scala.util.Try(v.toLong).getOrElse(
+        scala.util.Try(java.time.Instant.parse(v).toEpochMilli).getOrElse(
+          sys.error(s"${key}Timestamp must be epoch millis or ISO-8601, " +
+            s"got '$v'")))
+      table.versionAsOf(ms)
+    })
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {

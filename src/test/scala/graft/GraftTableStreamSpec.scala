@@ -334,5 +334,16 @@ class GraftTableStreamSpec extends AnyFunSuite with Matchers {
         "SELECT _change_type, id FROM graft.probe.`st_chfeed#changes`")
       .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toList
     batch shouldBe (3L until 12L).map(("insert", _)).toList
+    // V1-source bound parity: changesFrom accepts a TAG name (and the
+    // Timestamp variant resolves via versionAsOf) — changes after the
+    // delete (v3) are just the last insert batch
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    graft.catalog.SnapshotTable.load(spark, s"$wh/probe/st_chfeed")
+      .tag("post-delete", 3L)
+    val tagged = spark.read.option("changesFrom", "post-delete")
+      .table("graft.probe.`st_chfeed#changes`")
+      .select(col("_change_type"), col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toList
+    tagged shouldBe Seq(("insert", 10L), ("insert", 11L))
   }
 }

@@ -197,6 +197,13 @@ final class GraftV2Table(
           : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
         require(version.isEmpty,
           "cannot stream a time-travel (VERSION/TIMESTAMP AS OF) table")
+        // the Delta-CDF option spelling, redirected: a scan option
+        // cannot widen THIS table's analyzed schema with _change_type,
+        // so the change feed lives on its own table ident
+        require(!options.getBoolean("readChangeFeed", false),
+          "readChangeFeed cannot add _change_type to this table's " +
+            "analyzed schema — read the change-feed TABLE instead: " +
+            s"spark.readStream.table(\"${GraftV2Table.changesName(ident)}\")")
         val from = Option(options.get("streamFrom")).map {
           case "earliest" => 1L
           case v => scala.util.Try(v.toLong).getOrElse(sys.error(
@@ -589,6 +596,13 @@ object GraftV2Table {
     * column collisions; `SupportsMetadataColumns` hides shadowed names
     * anyway).
     */
+  /** `graft.db.t` → ``graft.db.`t#changes` `` (error-message helper). */
+  private[catalog] def changesName(ident: String): String =
+    ident.split('.').toSeq match {
+      case parts :+ last => (parts :+ s"`$last#changes`").mkString(".")
+      case _ => s"`$ident#changes`"
+    }
+
   private[catalog] val MetaFileCol = "_graft_file"
   private[catalog] val MetaPosCol = "_graft_pos"
   private[catalog] val MetaCols: Set[String] = Set(MetaFileCol, MetaPosCol)

@@ -43,6 +43,26 @@ object Bench {
     }
     val calibration = (1 to 3).map(_ => calibrateOnce()).min
 
+    // SATURATED calibration (SURVEY §19.8 #1, transition round r16+):
+    // the 50M-hash probe above finishes its 32 tasks in ~5 ms of CPU
+    // each, so its wall time is mostly job/stage scheduling overhead —
+    // which inflates faster under host contention than the bench
+    // queries' actual compute does (the r15 over-correction). This
+    // probe runs the SAME per-core workload × cores (32 tasks × 50M
+    // hashes each, ~seconds of sustained all-core compute), so its
+    // ratio across rounds models the contention a compute-bound query
+    // feels. Both numbers ride the JSON during the transition;
+    // BASELINE.md records the anchors and the formula.
+    def calibrateSaturatedOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1600000000L, 1L, 32)
+        .select((xxhash64(col("id")) % 1000003L).as("h"))
+        .agg(sum("h"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibrationSat = (1 to 2).map(_ => calibrateSaturatedOnce()).min
+
     // best of two runs per query: the repeatable time, insulated from
     // one-off host-contention spikes (standard benchmarking practice;
     // both runs execute fully through the noop sink). A failing query
@@ -125,7 +145,7 @@ object Bench {
     val errs = errors.map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"${cfg.sfDir}","queries":$qs,"headline":$hl,"errors":$errs,"calibration_sec":${fmt(calibration)},"total_sec":${fmt(total)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"${cfg.sfDir}","queries":$qs,"headline":$hl,"errors":$errs,"calibration_sec":${fmt(calibration)},"calibration_sat_sec":${fmt(calibrationSat)},"total_sec":${fmt(total)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -382,6 +382,32 @@ object ScaleSmoke {
       println(s"""{"metric":"quantizer_probe","flat256":${f"$flat256%.2f"},""" +
         s""""flat1024":${f"$flat1024%.2f"},"tl256":${f"$tl256%.2f"},""" +
         s""""tl1024":${f"$tl1024%.2f"},"tl4096":${f"$tl4096%.2f"}}""")
+
+      // hierarchy BUILD cost (SURVEY §19.8 #2 acceptance): Lloyd
+      // training runs on at most trainMax sampled centroids, so build
+      // time past the cap grows with the FINAL full assignment pass
+      // (O(k·√k·d), parallel over driver cores), not with
+      // iters × k × √k × d. 4× the centroids beyond the cap must cost
+      // far less than the ≥8× an unsampled trainer reads at these
+      // sizes (4× points × 2× groups, before the extra iters factor).
+      def buildTime(k: Int): Double = {
+        val m = synthModel(k)
+        val t0 = System.nanoTime()
+        Ivf.twoLevel(m, math.ceil(math.sqrt(k.toDouble)).toInt,
+          iters = 10, nsuper = 4, trainMax = 4096)
+        (System.nanoTime() - t0) / 1e9
+      }
+      buildTime(4096) // warm JIT
+      val b4096 = buildTime(4096)
+      val b16384 = buildTime(16384)
+      System.err.println(f"[scale-smoke] quantizer build: k=4096 " +
+        f"$b4096%.2f s -> k=16384 $b16384%.2f s " +
+        f"(${b16384 / b4096}%.1fx, trainMax=4096)")
+      require(b16384 / b4096 < 6.0,
+        f"sampled two-level training must stay sub-Lloyd in k: " +
+          f"$b4096%.2f s -> $b16384%.2f s (${b16384 / b4096}%.1fx)")
+      println(s"""{"metric":"quantizer_build_probe","b4096":${f"$b4096%.2f"},""" +
+        s""""b16384":${f"$b16384%.2f"}}""")
     }
 
     // manifest scale probe (VERDICT r15 #6): commit latency, reload

@@ -508,6 +508,19 @@ final class SnapshotTable private (
       return readWithDeletes(sTo.schema, sTo.ids, sTo, Nil)
         .select(lit("").as("_change_type") +: changeCols(sTo): _*).limit(0)
     val sFrom = endpoint(fromVersion)
+    // Pure-maintenance window (SURVEY §19.8 #3): every commit in the
+    // range only rearranges bytes (compact / rewrite-dv /
+    // set-properties), and the manifests PROVE the logical row
+    // multiset is unchanged — zero change rows without paying the
+    // endpoint diff. Declaration alone is never trusted: the skip
+    // fires only when [[provablyNetZero]]'s metadata arithmetic
+    // (row-sum fold, DV coverage soundness, null-count fold) confirms
+    // it; anything unprovable falls through to the exact paths below.
+    if (((fromVersion + 1) to toVersion).forall(v =>
+          log.operationOf(v).exists(SnapshotTable.isPreservingOp)) &&
+        provablyNetZero(sFrom, sTo))
+      return readWithDeletes(sTo.schema, sTo.ids, sTo, Nil)
+        .select(lit("").as("_change_type") +: changeCols(sTo): _*).limit(0)
     val toIds = sTo.ids.map(_.swap).toMap
     // op classification needs the intermediate snapshots (manifest-free
     // reads); a range spanning EXPIRED versions (catch-up from an old
@@ -525,6 +538,83 @@ final class SnapshotTable private (
       sFrom.deleteFiles.forall(_.cols.map(_._2).forall(toIds.contains))
     if (fastOps && fastKeys) changesFast(sFrom, sTo)
     else changesDiff(sFrom, sTo)
+  }
+
+  /** Metadata proof that two snapshots hold the SAME logical row
+    * multiset — the structural no-net-change check behind the
+    * changelog's pure-maintenance skip. Two proofs, tried in order:
+    *   1. **files-identical** (rewrite-dv / set-properties windows):
+    *      data and equality-delete file sets byte-identical, delete
+    *      vectors reorganized over the same covered paths with the
+    *      same total position count;
+    *   2. **row-sum fold** (compaction windows): both endpoints' exact
+    *      logical row counts computable from the manifest (no pending
+    *      equality deletes — match counts are unknowable without
+    *      reading data; every vector's covered paths live, applicable
+    *      per [[dvsOf]], and covered by no other vector) and equal,
+    *      plus a per-column null-count fold when both sides are
+    *      delete-free.
+    * Any unprovable shape returns false — the caller then pays the
+    * exact diff, so this can only skip work, never change results.
+    */
+  private[graft] def provablyNetZero(sFrom: Snapshot, sTo: Snapshot): Boolean = {
+    def dvSound(s: Snapshot): Boolean = {
+      // every covered path live and applicable, mirroring [[dvsOf]]
+      val seqByPath = s.files.map(f => f.path -> f.seq).toMap
+      s.dvFiles.forall(dv => dv.dataPaths.forall(p =>
+        seqByPath.get(p).exists(_ < dv.seq)))
+    }
+    // Files-identical window (rewrite-dv / set-properties): data and
+    // equality-delete file sets untouched; only the position vectors
+    // were reorganized over the SAME covered paths. Live vectors list
+    // only rows visible at their creation (a hidden position can never
+    // be re-listed), so they are position-disjoint and a merge
+    // preserves the total deleted-position count — an unequal sum
+    // signals a shape outside that invariant: decline to the diff.
+    val filesSame = sFrom.files.map(f => (f.path, f.rows, f.seq)).toSet ==
+      sTo.files.map(f => (f.path, f.rows, f.seq)).toSet
+    val delsSame = sFrom.deleteFiles.map(d => (d.path, d.rows, d.seq)).toSet ==
+      sTo.deleteFiles.map(d => (d.path, d.rows, d.seq)).toSet
+    if (filesSame && delsSame && dvSound(sFrom) && dvSound(sTo) &&
+        sFrom.dvFiles.map(_.rows).sum == sTo.dvFiles.map(_.rows).sum &&
+        sFrom.dvFiles.flatMap(_.dataPaths).toSet ==
+          sTo.dvFiles.flatMap(_.dataPaths).toSet)
+      return true
+    // General (compaction) window: exact logical row counts from the
+    // manifest alone. Multi-vector coverage of one path is declined
+    // here (the subtraction cannot prove position-disjointness), so a
+    // compact that folds several vectors at once falls to the diff.
+    def logicalRows(s: Snapshot): Option[Long] = {
+      if (s.deleteFiles.nonEmpty) return None
+      val covered = s.dvFiles.flatMap(_.dataPaths)
+      if (covered.size != covered.distinct.size || !dvSound(s)) None
+      else Some(s.files.map(_.rows).sum - s.dvFiles.map(_.rows).sum)
+    }
+    val rowsEqual = (logicalRows(sFrom), logicalRows(sTo)) match {
+      case (Some(a), Some(b)) => a == b
+      case _ => false
+    }
+    if (!rowsEqual) return false
+    // null-count fold: only exact when physical rows are logical rows
+    if (sFrom.dvFiles.isEmpty && sTo.dvFiles.isEmpty &&
+        sFrom.deleteFiles.isEmpty && sTo.deleteFiles.isEmpty) {
+      def nullFold(s: Snapshot): Map[Int, Long] = {
+        // per-field-id Σ null counts over files where EVERY file
+        // records that column's stats (ids survive renames)
+        val perFile = s.files.map { f =>
+          val byId = f.cols.toMap
+          f.stats.flatMap { case (n, cs) =>
+            byId.get(n).map(id => id -> cs.nullCount)
+          }
+        }
+        if (perFile.isEmpty) Map.empty
+        else perFile.map(_.keySet).reduce(_ intersect _).map(id =>
+          id -> perFile.map(_(id)).sum).toMap
+      }
+      val a = nullFold(sFrom); val b = nullFold(sTo)
+      val common = a.keySet intersect b.keySet
+      common.forall(id => a(id) == b(id))
+    } else true
   }
 
   private def changeCols(s: Snapshot): Seq[Column] =
@@ -4175,6 +4265,16 @@ object SnapshotTable {
   private[graft] def isBlindOp(op: String): Boolean =
     op == "append" || op == "delete-eq" || op == "set-properties" ||
       op.startsWith("stream-append")
+
+  /** Content-preserving commits rearrange bytes without changing the
+    * logical row multiset — compaction materializes read-time
+    * semantics into fresh files, rewrite-dv merges delete vectors,
+    * set-properties touches no files. The changelog skips a window of
+    * ONLY these (after [[SnapshotTable.provablyNetZero]]'s metadata
+    * proof) instead of paying the endpoint diff.
+    */
+  private[graft] def isPreservingOp(op: String): Boolean =
+    op == "compact" || op == "rewrite-dv" || op == "set-properties"
 
   /** `bucket[N]` transform name pattern (Iceberg's bucket transform). */
   private[graft] val BucketXform = raw"bucket\[(\d+)\]".r

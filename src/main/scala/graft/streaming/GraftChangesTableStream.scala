@@ -131,9 +131,17 @@ final class GraftChangesTableStream(
     * (staging conforms columns), or is expired (staging serves the
     * catch-up diff between living endpoints). Structural checks, never
     * operation strings. Replays re-read the table files; a file
-    * compacted AND expired inside a restart gap fails loudly
-    * (FileNotFound) — the V1 CDC source's exposure, resolved the same
-    * way (restart from a fresh changesFrom).
+    * compacted AND expired inside a restart gap degrades, not crashes:
+    * expiry can only delete a data file once NO live snapshot
+    * references it, so a vanished direct file implies the range
+    * snapshots are expired too — `snapshotAt` then throws, this
+    * returns None, and staging serves the catch-up diff between the
+    * living endpoints (or surfaces [[SnapshotTable.changes]]'s guided
+    * re-seed error when an endpoint is gone as well). Eagerly staging
+    * every direct batch "just in case" would reintroduce the write
+    * amplification this path exists to avoid, for a corner the
+    * retention invariant already routes to the graceful fallback —
+    * deliberately declined (SURVEY §19.8 #4).
     */
   private def directAppendFiles(s: Long, e: Long,
       fs: org.apache.hadoop.fs.FileSystem): Option[Seq[(String, Long)]] = {
@@ -159,7 +167,12 @@ final class GraftChangesTableStream(
           snap.deleteFiles.exists(_.seq == v) ||
           parentPaths.exists(!paths.contains(_))) return None
       prev = Some((v, paths))
-      snap.files.filter(_.seq == v).foreach { f =>
+      val added = snap.files.filter(_.seq == v)
+      // legacy entries (no recorded size) need a stat; a missing file
+      // here must fall back to staging, never throw out of planning
+      if (added.exists(f => f.bytes <= 0L && !fs.exists(
+          new Path(table.root, f.path)))) return None
+      added.foreach { f =>
         val p = new Path(table.root, f.path)
         out += ((fs.makeQualified(p).toString,
           if (f.bytes > 0L) f.bytes else fs.getFileStatus(p).getLen))

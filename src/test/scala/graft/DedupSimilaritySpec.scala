@@ -614,6 +614,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(bad == 0L, s"$bad rows diverge between flat and two-level")
   }
 
+  test("two-level training on a centroid sample still covers every fine centroid") {
+    import graft.operators.Ivf
+    val corpus = plantedMutantCorpus()
+    val model = Ivf.train(corpus, k = 16, iters = 2)
+    // trainMax below k forces the stride-sampled Lloyd path (the
+    // extreme-k posture: training cost flat in k); the hierarchy must
+    // still PARTITION the full fine model and keep exact parity with
+    // the flat ranking when probing all supers
+    val tl = Ivf.twoLevel(model, groups = 4, nsuper = 2, trainMax = 6)
+    assert(tl.children.flatten.map(_._1).sorted == model.indices.toList)
+    val tlAll = tl.copy(nsuper = tl.supers.size)
+    val flat = Ivf.FlatQuantizer(model)
+    val bad = corpus.select(
+        flat.probe(col("embedding"), 5).as("fp"),
+        tlAll.probe(col("embedding"), 5).as("tp"))
+      .filter(col("fp") =!= col("tp")).count()
+    assert(bad == 0L, s"$bad rows diverge under sampled training")
+    // at k <= trainMax the sample IS the model: bit-identical hierarchy
+    val a = Ivf.twoLevel(model, groups = 4, nsuper = 2)
+    val b = Ivf.twoLevel(model, groups = 4, nsuper = 2, trainMax = 16)
+    assert(a.supers == b.supers && a.children == b.children)
+  }
+
   test("quantizer() picks flat for small k, two-level past the cap") {
     import graft.operators.Ivf
     val corpus = plantedMutantCorpus()

@@ -1643,6 +1643,61 @@ class SnapshotTableSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("changes: pure-maintenance windows skip the diff when metadata proves net-zero") {
+    // compact-only window over a clean table: provable, zero data scans
+    val t = rangeTable() // 4 files
+    t.append(rows((41, "2024-05-01", 41.0)))
+    val v0 = t.currentVersion()
+    t.compact(targetRowsPerFile = 1000000L, minFiles = 1)
+    val vC = t.currentVersion()
+    assert(vC > v0 && t.log.operationOf(vC).contains("compact"))
+    assert(t.provablyNetZero(t.log.read(v0), t.log.read(vC)))
+    val skipped = t.changes(v0, vC)
+    assert(skipped.count() == 0L)
+    val scans = skipped.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.isEmpty,
+      s"net-zero window must plan zero data-file scans, got: $scans")
+
+    // rewrite-dv-only window: files untouched, vectors merged — the
+    // files-identical proof accepts even with multi-vector coverage
+    val t2 = SnapshotTable.create(spark, freshRoot(), eventsSchema, None)
+    t2.append((1L to 20L).map(i =>
+      (i, Timestamp.valueOf("2024-01-05 00:00:00"), i.toDouble))
+      .toDF("id", "ts", "v"))
+    (1 to 3).foreach(k => t2.deleteWithVectors(col("id") === k.toLong * 2L))
+    val w0 = t2.currentVersion()
+    assert(t2.rewriteDeleteVectors().operation == "rewrite-dv")
+    val w1 = t2.currentVersion()
+    assert(w1 > w0)
+    assert(t2.provablyNetZero(t2.log.read(w0), t2.log.read(w1)))
+    assert(t2.changes(w0, w1).count() == 0L)
+
+    // pending EQUALITY deletes: match counts are unknowable from
+    // metadata — proof declines, exact diff still answers (0 rows)
+    val t3 = rangeTable()
+    t3.deleteByKeys(Seq(5L).toDF("id"), Seq("id"))
+    val u0 = t3.currentVersion()
+    t3.compact(targetRowsPerFile = 1000000L, minFiles = 1)
+    val u1 = t3.currentVersion()
+    assert(u1 > u0)
+    assert(!t3.provablyNetZero(t3.log.read(u0), t3.log.read(u1)),
+      "pending equality deletes must decline the metadata proof")
+    assert(t3.changes(u0, u1).count() == 0L, "diff path still nets to zero")
+
+    // a window containing an APPEND never consults the proof's skip:
+    // real changes surface as usual
+    val v1 = t.currentVersion()
+    t.append(rows((42, "2024-05-02", 42.0)))
+    t.compact(targetRowsPerFile = 1000000L, minFiles = 1)
+    val mixed = t.changes(v1, t.currentVersion())
+      .select(col("_change_type"), col("id")).as[(String, Long)]
+      .collect().toSet
+    assert(mixed == Set(("insert", 42L)))
+  }
+
   test("changes supports map columns on both paths (JSON-encoded multiset arithmetic)") {
     // ADVICE r6: maps are first-class table types but Spark rejects
     // MapType in GROUP BY / EXCEPT ALL — changes() must encode them

@@ -1613,6 +1613,22 @@ object Queries {
         },
         Some(nnOracle)),
 
+      // Sharded model: fine centroids live as a DATAFRAME (trained by
+      // per-super executor-local Lloyd, assigned by join descent) — the
+      // extreme-k shape where no O(k·d) model object ever exists on the
+      // driver, in a plan, or in a broadcast (k ∝ N reaches 10⁵-10⁶ at
+      // 100 TB, past the broadcast wall). Same exact-NN oracle: the
+      // distributed hierarchy must preserve recall on this corpus.
+      QueryDef("sim_topk_ivf_sharded",
+        (s, dir) => {
+          val corpus = nearDupVectors(s, dir)
+          val (supers, cents, idx) = ivfSharded(s, dir, corpus)
+          graft.operators.Ivf.topKSharded(idx,
+            corpus.filter(col("vec_id") >= 100000), supers, cents,
+            k = 1, nsuper = 3, nprobe = 4, "vec_id", "embedding")
+        },
+        Some(nnOracle)),
+
       QueryDef("dedup_semantic_two_level",
         (s, dir) => {
           val corpus = nearDupVectors(s, dir)
@@ -1830,6 +1846,29 @@ object Queries {
   private val ivfTwoLevelIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Sharded (model-as-DataFrame) hierarchy + its persisted index,
+    * memoized per dataset: trainSharded keeps the fine centroids
+    * distributed — nothing O(k·d) on the driver or in a broadcast —
+    * and the index assigns through the join descent.
+    */
+  private val ivfShardedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.operators.Ivf.Model, DataFrame, String)]()
+
+  private def ivfSharded(s: SparkSession, dir: String, corpus: DataFrame)
+      : (graft.operators.Ivf.Model, DataFrame, graft.catalog.SnapshotTable) = {
+    val (supers, cents, root) = ivfShardedCache.computeIfAbsent(dir, _ => {
+      val (sup, c0) = graft.operators.Ivf.trainSharded(corpus, kFine = 16,
+        iters = 2, "vec_id", "embedding")
+      val c = c0.localCheckpoint(true)
+      val p = java.nio.file.Files.createTempDirectory("graft-ivf-shard")
+        .resolve("index").toString
+      graft.operators.Ivf.buildIndexSharded(s, corpus, sup, c,
+        nsuper = 3, p, "vec_id", "embedding")
+      (sup, c, p)
+    })
+    (supers, cents, graft.catalog.SnapshotTable.load(s, root))
+  }
+
   /** Build-once persisted index ASSIGNED BY the two-level hierarchy
     * (its own table: hierarchical assignment may disagree with flat on
     * boundary vectors, so the flat index cannot be reused).
@@ -2033,6 +2072,8 @@ object Queries {
   private val updNativeTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val metaDelTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val netZeroTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val dayTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -4071,6 +4112,37 @@ object Queries {
              |WHERE event_id > (SELECT CAST(FLOOR(MAX(event_id) / 2.0)
              |    AS BIGINT) FROM events)
              |GROUP BY 1""".stripMargin)),
+
+    QueryDef("snap_changes_netzero",
+      // r16: the changelog SKIPS a pure-maintenance window when
+      // manifest arithmetic proves the logical row multiset unchanged
+      // (SnapshotTable.provablyNetZero) — changes() over a compact-only
+      // window plans ZERO data-file scans and emits zero rows. At
+      // 100 TB this means nightly compaction never costs CDC consumers
+      // an endpoint diff (two full-table scans) just to learn nothing
+      // changed. The flag pins both halves (empty AND scan-free); the
+      // oracle pins the table content surviving the compaction intact.
+      (s, dir) => {
+        val tbl = statsSnapshot(s, dir, netZeroTableCache, "netzero") { tbl =>
+          tbl.compact(targetRowsPerFile = 1000000L, minFiles = 2)
+          ()
+        }
+        val comp = tbl.history().find(_.operation == "compact").get
+        val chg = tbl.changes(comp.parent.get, comp.version)
+        val scans = chg.queryExecution.executedPlan.collect {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+          case sc: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => sc
+        }
+        val skipped = chg.count() == 0L && scans.isEmpty
+        tbl.read().groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .withColumn("netzero_skip", lit(skipped))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+             |    AS sum_value,
+             |  TRUE AS netzero_skip
+             |FROM events GROUP BY 1""".stripMargin)),
 
     QueryDef("sql_update_native",
       (s, dir) => {

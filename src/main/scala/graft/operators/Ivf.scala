@@ -195,18 +195,22 @@ object Ivf {
       sample((g.toLong * sample.length / groups).toInt).clone())
     def assignArr(xs: Array[Array[Double]]): Array[Int] = {
       val out = new Array[Int](xs.length)
+      // snapshot the captured var: Scala closures read a captured var
+      // through an ObjectRef indirection on EVERY access — hoisting to
+      // a local val keeps the hot loop on a direct array reference
+      val sup = supers
       val body: java.util.function.IntConsumer = { (i: Int) =>
         val v = xs(i)
         var best = 0; var bestS = Double.NegativeInfinity; var s = 0
-        while (s < supers.length) {
-          val sim = cos(v, supers(s))
+        while (s < sup.length) {
+          val sim = cos(v, sup(s))
           if (sim > bestS) { bestS = sim; best = s }
           s += 1
         }
         out(i) = best
       }
       // parallel only when the flop count warrants fork-join overhead
-      if (xs.length.toLong * supers.length * vecs(0).length > (1L << 24))
+      if (xs.length.toLong * sup.length * vecs(0).length > (1L << 24))
         java.util.stream.IntStream.range(0, xs.length).parallel().forEach(body)
       else java.util.stream.IntStream.range(0, xs.length).forEach(body)
       out
@@ -647,6 +651,221 @@ object Ivf {
       .join(broadcast(vecs), Seq("q_id"))
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
     Similarity.rankTopK(scored, k)
+  }
+
+  // ------------------------------------------------------------------
+  // Sharded model: the extreme-k path (fine model as a DataFrame)
+  // ------------------------------------------------------------------
+
+  /** Degenerate two-level hierarchy over the SUPERS alone (each super
+    * its own single child): probing it returns super indexes through
+    * the same broadcast codegen descent, so super-probing plans carry
+    * O(√k·d) bytes and zero per-centroid literals.
+    */
+  private def superQuantizer(supers: Model, nsuper: Int): TwoLevelQuantizer =
+    TwoLevelQuantizer(supers,
+      supers.indices.map(s => Seq((s, supers(s)))),
+      nsuper = math.max(1, math.min(nsuper, supers.size)))
+
+  /** Executor-local spherical k-means over an in-memory sample — the
+    * per-super trainer of [[trainSharded]]. Same discipline as
+    * [[twoLevel]]'s driver-side grouping: stride seeding over the given
+    * (already deterministically ordered) sample, ties toward the
+    * smaller index, empty clusters keep their previous centroid, sums
+    * accumulate sequentially in index order (bit-deterministic).
+    */
+  private[operators] def localKMeans(vecs: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(vecs.nonEmpty && k >= 1 && k <= vecs.length,
+      s"localKMeans: k=$k over ${vecs.length} rows")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var cents = Array.tabulate(k)(j =>
+      vecs((j.toLong * vecs.length / k).toInt).clone())
+    def assignAll(): Array[Int] = vecs.map { v =>
+      var best = 0; var bestS = Double.NegativeInfinity; var s = 0
+      while (s < cents.length) {
+        val sim = cos(v, cents(s))
+        if (sim > bestS) { bestS = sim; best = s }
+        s += 1
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val a = assignAll()
+      val sums = Array.fill(cents.length)(new Array[Double](vecs(0).length))
+      val counts = new Array[Int](cents.length)
+      vecs.indices.foreach { i =>
+        val g = a(i); counts(g) += 1
+        var d = 0
+        while (d < vecs(i).length) { sums(g)(d) += vecs(i)(d); d += 1 }
+      }
+      cents = Array.tabulate(cents.length)(g =>
+        if (counts(g) > 0) sums(g).map(_ / counts(g)) else cents(g))
+    }
+    cents
+  }
+
+  /** Hierarchical training with the FINE model as a DataFrame — the
+    * extreme-k path where no O(k·d) object ever exists on the driver,
+    * in a plan, or in a broadcast (the [[TwoLevelQuantizer]] broadcast
+    * is O(k·d) bytes per executor: workable to k ≈ 10⁵, a 4 GB wall at
+    * k = 10⁶ × d = 512 — the k ∝ N discipline reaches that at 100 TB):
+    *
+    *  1. supers: [[train]] fits g = ⌈√k⌉ super-centroids (model-sized,
+    *     O(√k·d) ≈ 4 MB at k = 10⁶ × d = 512);
+    *  2. every row soft-assigns to its nearest super through the
+    *     broadcast super descent, and a deterministic HASH-THRESHOLD
+    *     sample (no per-super window sort — a windowed cap would ship
+    *     each super's full N/g rows to one task) bounds the per-super
+    *     training set to ≈ `samplePerSuper` rows in expectation;
+    *  3. per super, an executor-LOCAL Lloyd ([[localKMeans]]) fits
+    *     ⌈k/g⌉ fine centroids from its (hash-sorted, capped) sample —
+    *     all supers train in parallel, and the result STAYS distributed
+    *     as (fine_id, super_id, centroid) rows.
+    *
+    * Fine ids are `super_id · ⌈k/g⌉ + j` — globally unique and stable
+    * across runs (hash-threshold sampling, in-group (hash, id) sort,
+    * stride seeding, tie-to-smaller-index, sequential fp sums). A super
+    * whose sample is smaller than its quota emits fewer centroids
+    * (never a duplicated seed); a super sampled empty emits none.
+    */
+  def trainSharded(corpus: DataFrame, kFine: Int, iters: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      samplePerSuper: Int = 4096, superIters: Int = 10): (Model, DataFrame) = {
+    require(kFine >= 1, s"kFine=$kFine must be >= 1")
+    val g = math.max(1, math.ceil(math.sqrt(kFine.toDouble)).toInt)
+    val kPer = math.ceil(kFine.toDouble / g).toInt
+    require(samplePerSuper >= kPer,
+      s"samplePerSuper=$samplePerSuper must cover the per-super quota $kPer")
+    val supers = train(corpus, g, superIters, idCol, vecCol)
+    val sq = superQuantizer(supers, 1)
+    // expected per-super population from ONE count; the threshold keeps
+    // ~2× the cap so the in-group sort still has the deterministic
+    // hash-least rows after collisions, while a skewed super's group
+    // stays O(samplePerSuper), never O(N/g)
+    val n = math.max(1L, corpus.count())
+    val frac = math.min(1.0,
+      2.0 * samplePerSuper * g / n.toDouble)
+    val mod = 1L << 31
+    val keep = (frac * mod).toLong
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sampled = corpus.select(
+        sq.assign(col(vecCol)).as("sid"),
+        xxhash64(col(idCol).cast("string")).as("h"),
+        col(idCol).cast("string").as("rid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(pmod(col("h"), lit(mod)) < lit(keep))
+    val centroids = sampled.as[(Int, Long, String, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+          .take(samplePerSuper)
+        val vecs = rows.map(_._4.toArray)
+        if (vecs.isEmpty) Iterator.empty
+        else localKMeans(vecs, math.min(kPer, vecs.length), iters)
+          .iterator.zipWithIndex.map { case (c, j) =>
+            (sid * kPer + j, sid, c.toSeq)
+          }
+      }
+      .toDF("fine_id", "super_id", "centroid")
+    (supers, centroids)
+  }
+
+  /** Nearest-fine-centroid assignment with the model as a DATAFRAME
+    * (join-based descent — the [[trainSharded]] companion): each row
+    * probes its `nsuper` nearest supers through the O(√k·d) broadcast,
+    * the probed super ids JOIN the distributed (fine_id, super_id,
+    * centroid) rows, candidates score by exact cosine, and the
+    * (sim desc, fine_id asc) best wins — the same candidate set and
+    * tie-break as [[TwoLevelQuantizer.assign]] at equal `nsuper`
+    * (spec-pinned parity). Returns one (idCol, cluster) row per input.
+    *
+    * Cost: the (id, vec) projection shuffles ~`nsuper`× for the
+    * centroid join plus once for the per-id argmax — the price of
+    * never materializing O(k·d) bytes anywhere. Below the broadcast
+    * wall the [[TwoLevelQuantizer]] is cheaper; past it this is the
+    * shape that scales.
+    */
+  def assignSharded(rows: DataFrame, supers: Model, centroids: DataFrame,
+      nsuper: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sq = superQuantizer(supers, nsuper)
+    val np = math.max(1, math.min(nsuper, supers.size))
+    rows.select(col(idCol), col(vecCol),
+        explode(sq.probe(col(vecCol), np)).as("super_id"))
+      .join(centroids, Seq("super_id"))
+      .withColumn("sim", cosine(col(vecCol), col("centroid")))
+      .groupBy(col(idCol))
+      .agg(min(struct((col("sim") * lit(-1.0)).as("negsim"),
+        col("fine_id").as("fine_id"))).as("best"))
+      .select(col(idCol), col("best.fine_id").as("cluster"))
+  }
+
+  /** [[buildIndex]] with a sharded (DataFrame) fine model: assignment
+    * runs through [[assignSharded]], so the build never broadcasts or
+    * collects O(k·d) bytes. Same atomic overwrite/rebuild contract as
+    * [[buildIndex]]; the staleness baseline is the mean best-candidate
+    * cosine over a bounded sample of the SAME join descent.
+    */
+  def buildIndexSharded(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, supers: Model, centroids: DataFrame, nsuper: Int,
+      root: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): graft.catalog.SnapshotTable = {
+    val assigned = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .join(assignSharded(corpus, supers, centroids, nsuper, idCol, vecCol)
+        .withColumnRenamed(idCol, "n_id"), Seq("n_id"))
+    val t =
+      if (graft.catalog.SnapshotTable.exists(spark, root))
+        graft.catalog.SnapshotTable.load(spark, root)
+      else graft.catalog.SnapshotTable.create(spark, root, assigned.schema,
+        Some(graft.catalog.PartitionSpec("cluster", "identity")))
+    t.overwrite(assigned)
+    t
+  }
+
+  /** Query a [[buildIndexSharded]] table: queries (a batch, not the
+    * corpus) probe their `nsuper` supers through the broadcast, the
+    * probed supers' centroid rows rank the `nprobe` best fine clusters
+    * per query, the probed CLUSTER SET (queries × nprobe — batch-sized)
+    * prunes the index at the manifest, and candidates score exactly as
+    * in [[topKWithIndex]]. When `centroids` is itself read from a
+    * super-partitioned table, the centroid join touches only probed
+    * supers' files — every stage stays sublinear in k and in the
+    * corpus. Output contract identical to
+    * [[Similarity.bruteForceTopK]].
+    */
+  def topKSharded(index: graft.catalog.SnapshotTable, queries: DataFrame,
+      supers: Model, centroids: DataFrame, k: Int, nsuper: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sq = superQuantizer(supers, nsuper)
+    val np = math.max(1, math.min(nsuper, supers.size))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        sq.probe(col(vecCol), np).as("sids"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("fine_id"))
+    val pairs = q.select(col("q_id"), col("q_vec"),
+        explode(col("sids")).as("super_id"))
+      .join(centroids, Seq("super_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("centroid")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= nprobe)
+      .select(col("q_id"), col("fine_id").as("cluster"))
+      .localCheckpoint(true)
+    val probed = pairs.select(col("cluster").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    scoreAndRank(index.readPartitions(p => p.exists(probed.contains))
+      .select(col("cluster"), col("n_id"), col("n_vec")),
+      pairs, q.select(col("q_id"), col("q_vec")), k)
   }
 
   // ------------------------------------------------------------------

@@ -668,6 +668,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
     for (q <- qs) assert(got.get(q).contains(q - 100000), s"query $q")
   }
 
+  test("sharded model: deterministic DataFrame training, assignment parity, index recall") {
+    import graft.operators.Ivf
+    val corpus = plantedMutantCorpus()
+    val (supers, centroids) = Ivf.trainSharded(corpus, kFine = 16,
+      iters = 4, samplePerSuper = 256)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2).toSeq)).toSet
+    val c1 = snap(centroids)
+    // fine ids globally unique; every super id references the model
+    assert(c1.map(_._1).size == c1.size)
+    assert(c1.map(_._2).forall(s => s >= 0 && s < supers.size))
+    // deterministic end to end (hash sampling, in-group sort, stride
+    // seeding, sequential sums)
+    val (s2, cDf2) = Ivf.trainSharded(corpus, kFine = 16,
+      iters = 4, samplePerSuper = 256)
+    assert(supers == s2 && snap(cDf2) == c1)
+    // join-based assignment equals the broadcast hierarchy built from
+    // the SAME (super, children) rows at equal nsuper
+    val grouped = c1.groupBy(_._2).toSeq.sortBy(_._1)
+    assert(grouped.map(_._1) == supers.indices.toSeq,
+      "test fixture expects every super populated")
+    val tl = Ivf.TwoLevelQuantizer(
+      grouped.map { case (s, _) => supers(s) },
+      grouped.map(_._2.toSeq.sortBy(_._1).map(c => (c._1, c._3))),
+      nsuper = 2)
+    val viaJoin = Ivf.assignSharded(corpus, supers, centroids, nsuper = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaBc = corpus.select(col("vec_id"),
+        tl.assign(col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaJoin == viaBc, "join descent must equal broadcast descent")
+    // persisted sharded index: recall@1 on the planted mutants
+    val root = java.nio.file.Files.createTempDirectory("ivf-sharded")
+      .resolve("t").toString
+    val idx = Ivf.buildIndexSharded(spark, corpus, supers, centroids,
+      nsuper = 2, root)
+    val queries = corpus.filter(col("vec_id") >= 100000)
+    val got = Ivf.topKSharded(idx, queries, supers, centroids, k = 1,
+        nsuper = 2, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qs = queries.select(col("vec_id")).collect().map(_.getLong(0))
+    assert(qs.nonEmpty)
+    for (qid <- qs) assert(got.get(qid).contains(qid - 100000), s"query $qid")
+  }
+
   test("SemDeDup under the two-level quantizer finds the same pairs as flat") {
     import graft.operators.{Ivf, SemDedup}
     val corpus = plantedMutantCorpus()

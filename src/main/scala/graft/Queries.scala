@@ -1629,6 +1629,20 @@ object Queries {
         },
         Some(nnOracle)),
 
+      // SemDeDup with the sharded (DataFrame) model: soft assignment by
+      // join descent + TopK, pairs within clusters as ever — the GLOBAL
+      // recomputation oracle proves the fully-distributed cluster path
+      // missed nothing.
+      QueryDef("dedup_semantic_sharded",
+        (s, dir) => {
+          val corpus = nearDupVectors(s, dir)
+          val (supers, cents, _) = ivfSharded(s, dir, corpus)
+          graft.operators.SemDedup.survivorsSharded(corpus, supers, cents,
+            tau = 0.95, probes = 2, nsuper = 3)
+            .select(col("vec_id"))
+        },
+        Some(semDedupSurvivorsOracle)),
+
       QueryDef("dedup_semantic_two_level",
         (s, dir) => {
           val corpus = nearDupVectors(s, dir)
@@ -1667,26 +1681,32 @@ object Queries {
             .survivorsAgainstIndex(index, batch, model, tau = 0.95)
             .select(col("vec_id"))
         },
-        Some(s"""$mutantCorpusCte, batch AS (
-               |  SELECT vec_id + 200000 AS vec_id,
-               |    list_transform(embedding,
-               |      x -> CAST(x + CAST(0.005 AS FLOAT) AS FLOAT)) AS embedding
-               |  FROM embeddings WHERE vec_id % 7 = 0
-               |  UNION ALL
-               |  SELECT vec_id + 300000,
-               |    list_transform(embedding,
-               |      x -> CAST(x * CAST(-1.0 AS FLOAT) AS FLOAT))
-               |  FROM embeddings WHERE vec_id % 13 = 0
-               |), drops AS (
-               |  SELECT b.vec_id AS b_id FROM batch b JOIN corpus c
-               |  ON ${duckCos("b", "c")} >= 0.95
-               |  UNION
-               |  SELECT b2.vec_id AS b_id FROM batch b1 JOIN batch b2
-               |  ON b1.vec_id < b2.vec_id
-               |   AND ${duckCos("b1", "b2")} >= 0.95
-               |)
-               |SELECT vec_id FROM batch
-               |WHERE vec_id NOT IN (SELECT b_id FROM drops)""".stripMargin)),
+        Some(semDedupIncrementalOracle)),
+
+      // Incremental SemDeDup with the SHARDED model: the batch
+      // soft-assigns by join descent (nothing O(k·d) materialized),
+      // its probed cluster set manifest-prunes the sharded index, and
+      // the SAME global oracle proves the fully-distributed path drops
+      // exactly the jittered dups and keeps the negated rows.
+      QueryDef("dedup_semantic_sharded_incremental",
+        (s, dir) => {
+          val corpus = nearDupVectors(s, dir)
+          val (supers, cents, idx) = ivfSharded(s, dir, corpus)
+          val e = t(s, dir, "embeddings")
+            .select(col("vec_id"), col("embedding"))
+          val batch = e.filter(col("vec_id") % 7 === 0)
+            .select((col("vec_id") + 200000).as("vec_id"),
+              transform(col("embedding"),
+                x => (x + lit(0.005f)).cast("float")).as("embedding"))
+            .unionByName(e.filter(col("vec_id") % 13 === 0)
+              .select((col("vec_id") + 300000).as("vec_id"),
+                transform(col("embedding"),
+                  x => (x * lit(-1.0f)).cast("float")).as("embedding")))
+          graft.operators.SemDedup.survivorsAgainstIndexSharded(idx,
+            batch, supers, cents, tau = 0.95, probes = 2, nsuper = 3)
+            .select(col("vec_id"))
+        },
+        Some(semDedupIncrementalOracle)),
 
       // ===== WIDE-VECTOR CROSSOVER PAIR (512-dim) ======================
       // The 64-dim ANN ladder shows PQ paying its ADC constant without
@@ -1905,6 +1925,33 @@ object Queries {
        |SELECT vec_id FROM corpus
        |WHERE vec_id NOT IN (SELECT b_id FROM sims WHERE sim >= 0.95)"""
       .stripMargin
+
+  /** Incremental-SemDeDup oracle, shared by the broadcast-quantizer
+    * and sharded-model queries: drop sets recomputed GLOBALLY (batch
+    * vs full corpus + batch internal) in DuckDB — engine-independent,
+    * so a green row proves whichever probe path ran missed nothing.
+    */
+  private def semDedupIncrementalOracle: String =
+    s"""$mutantCorpusCte, batch AS (
+       |  SELECT vec_id + 200000 AS vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(x + CAST(0.005 AS FLOAT) AS FLOAT)) AS embedding
+       |  FROM embeddings WHERE vec_id % 7 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 300000,
+       |    list_transform(embedding,
+       |      x -> CAST(x * CAST(-1.0 AS FLOAT) AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 13 = 0
+       |), drops AS (
+       |  SELECT b.vec_id AS b_id FROM batch b JOIN corpus c
+       |  ON ${duckCos("b", "c")} >= 0.95
+       |  UNION
+       |  SELECT b2.vec_id AS b_id FROM batch b1 JOIN batch b2
+       |  ON b1.vec_id < b2.vec_id
+       |   AND ${duckCos("b1", "b2")} >= 0.95
+       |)
+       |SELECT vec_id FROM batch
+       |WHERE vec_id NOT IN (SELECT b_id FROM drops)""".stripMargin
 
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

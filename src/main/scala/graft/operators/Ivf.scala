@@ -229,9 +229,12 @@ object Ivf {
         if (counts(g) > 0) sums(g).map(_ / counts(g)) else supers(g))
     }
     val finalAssign = assignArr(vecs)
+    // positional access below — `fine` may be a List (Seq.tabulate),
+    // where fine(i) is O(i) and the grouping walk turns O(k²)
+    val fineIdx = fine.toIndexedSeq
     val grouped = supers.indices.map(g =>
       finalAssign.indices.filter(finalAssign(_) == g)
-        .map(i => (i, fine(i))).toSeq)
+        .map(i => (i, fineIdx(i))).toSeq)
     val kept = supers.indices.filter(grouped(_).nonEmpty)
     TwoLevelQuantizer(
       kept.map(g => supers(g).toSeq),
@@ -795,17 +798,28 @@ object Ivf {
     */
   def assignSharded(rows: DataFrame, supers: Model, centroids: DataFrame,
       nsuper: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    shardedCandidates(rows, supers, centroids, nsuper, idCol, vecCol)
+      .groupBy(col(idCol))
+      .agg(min(struct((col("sim") * lit(-1.0)).as("negsim"),
+        col("fine_id").as("fine_id"))).as("best"))
+      .select(col(idCol), col("best.fine_id").as("cluster"))
+
+  /** Candidate (row × fine centroid) scores from the join descent —
+    * (idCol, fine_id, sim) rows, ~nsuper·k/g per input row. Shared by
+    * [[assignSharded]] (argmax) and
+    * [[SemDedup.softAssignSharded]] (top-`probes`).
+    */
+  private[operators] def shardedCandidates(rows: DataFrame, supers: Model,
+      centroids: DataFrame, nsuper: Int, idCol: String,
+      vecCol: String): DataFrame = {
     val sq = superQuantizer(supers, nsuper)
     val np = math.max(1, math.min(nsuper, supers.size))
     rows.select(col(idCol), col(vecCol),
         explode(sq.probe(col(vecCol), np)).as("super_id"))
       .join(centroids, Seq("super_id"))
       .withColumn("sim", cosine(col(vecCol), col("centroid")))
-      .groupBy(col(idCol))
-      .agg(min(struct((col("sim") * lit(-1.0)).as("negsim"),
-        col("fine_id").as("fine_id"))).as("best"))
-      .select(col(idCol), col("best.fine_id").as("cluster"))
+      .select(col(idCol), col("fine_id"), col("sim"))
   }
 
   /** [[buildIndex]] with a sharded (DataFrame) fine model: assignment
@@ -828,7 +842,57 @@ object Ivf {
       else graft.catalog.SnapshotTable.create(spark, root, assigned.schema,
         Some(graft.catalog.PartitionSpec("cluster", "identity")))
     t.overwrite(assigned)
+    t.setProperties(Map(BaseSimProp -> f"${assignQualitySharded(corpus,
+      supers, centroids, nsuper, idCol, vecCol)}%.6f"))
     t
+  }
+
+  /** [[assignQuality]] under the sharded model: mean best-candidate
+    * cosine over a bounded hash-ordered sample — the quantity the join
+    * descent actually optimizes, computed from the SAME candidate
+    * generation ([[shardedCandidates]]).
+    */
+  def assignQualitySharded(df: DataFrame, supers: Model,
+      centroids: DataFrame, nsuper: Int, idCol: String, vecCol: String,
+      sampleMax: Int = 10000): Double = {
+    val sample = df
+      .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
+      .limit(sampleMax).select(col(idCol), col(vecCol))
+    shardedCandidates(sample, supers, centroids, nsuper, idCol, vecCol)
+      .groupBy(col(idCol)).agg(max(col("sim")).as("best"))
+      .agg(avg(col("best")).as("q"))
+      .collect()(0).getDouble(0)
+  }
+
+  /** [[appendToIndex]] with the sharded (DataFrame) model — must be
+    * the SAME (supers, centroids) the index was built with. Assignment
+    * runs through [[assignSharded]] (O(batch) commit, nothing O(k·d)
+    * materialized); the staleness contract mirrors [[appendToIndex]],
+    * measured by [[assignQualitySharded]] against the build-time
+    * baseline the index carries.
+    */
+  def appendToIndexSharded(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, supers: Model, centroids: DataFrame, nsuper: Int,
+      root: String, idCol: String = "vec_id", vecCol: String = "embedding",
+      tolerance: Double = 0.05): IndexAppend = {
+    require(graft.catalog.SnapshotTable.exists(spark, root),
+      s"no index table at $root — buildIndexSharded first")
+    val t = graft.catalog.SnapshotTable.load(spark, root)
+    require(!t.schema.fieldNames.contains("code"),
+      "sharded indexes store no PQ codes — this index was built with one")
+    val assigned = batch
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .join(assignSharded(batch, supers, centroids, nsuper, idCol, vecCol)
+        .withColumnRenamed(idCol, "n_id"), Seq("n_id"))
+    val before = t.currentSnapshot().files.map(_.rows).sum
+    val snap = t.append(assigned)
+    val appended = snap.files.map(_.rows).sum - before
+    val batchSim = assignQualitySharded(batch, supers, centroids, nsuper,
+      idCol, vecCol)
+    val baseline = t.currentSnapshot().properties.get(BaseSimProp)
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+    val stale = baseline.exists(b => batchSim < (1.0 - tolerance) * b)
+    IndexAppend(t, appended, batchSim, baseline, stale)
   }
 
   /** Query a [[buildIndexSharded]] table: queries (a batch, not the

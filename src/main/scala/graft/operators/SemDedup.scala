@@ -89,6 +89,62 @@ object SemDedup {
     corpus.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Soft assignment with the model as a DATAFRAME — the extreme-k
+    * companion of [[Ivf.assignSharded]]: each row's `probes` nearest
+    * fine clusters chosen from the candidates of its `nsuper` nearest
+    * supers (O(√k·d) broadcast only; candidates arrive by equality
+    * join on the probed super ids), ranked by the partial-aggregating
+    * [[graft.functions.TopK]] — (sim desc, fine id asc), the same
+    * total order [[Ivf.TwoLevelQuantizer.probe]] produces, so the
+    * assignment sets coincide at equal `nsuper` (spec-pinned).
+    * Returns (idCol, cluster) rows, `probes` per input row.
+    */
+  def softAssignSharded(corpus: DataFrame, supers: Ivf.Model,
+      centroids: DataFrame, nsuper: Int, probes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cand = Ivf.shardedCandidates(corpus, supers, centroids, nsuper,
+        idCol, vecCol)
+      .select(col(idCol).as("q_id"),
+        col("fine_id").cast("long").as("n_id"), col("sim"))
+    Similarity.rankTopK(cand, probes)
+      .select(col("q_id").as(idCol), col("n_id").cast("int").as("cluster"))
+  }
+
+  /** [[semanticPairs]] with the model as a DATAFRAME: soft assignment
+    * through [[softAssignSharded]], then the identical one-equality-
+    * join pair generation — SemDeDup at k past the broadcast wall,
+    * with nothing O(k·d) on the driver, in a plan, or in a broadcast.
+    */
+  def semanticPairsSharded(corpus: DataFrame, supers: Ivf.Model,
+      centroids: DataFrame, tau: Double, probes: Int = 2, nsuper: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau=$tau must be in (0, 1]")
+    require(probes >= 1, s"probes=$probes must be >= 1")
+    val assigned = softAssignSharded(corpus, supers, centroids, nsuper,
+        probes, idCol, vecCol)
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+    val left = assigned.select(col("cluster"), col(idCol).as("a_id"),
+      col(vecCol).as("a_vec"))
+    val right = assigned.select(col("cluster"), col(idCol).as("b_id"),
+      col(vecCol).as("b_vec"))
+    left.join(right, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosine(col("a_vec"), col("b_vec")).as("sim"))
+      .where(col("sim") >= lit(tau))
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** [[survivors]] with the model as a DATAFRAME. */
+  def survivorsSharded(corpus: DataFrame, supers: Ivf.Model,
+      centroids: DataFrame, tau: Double, probes: Int = 2, nsuper: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dropped = semanticPairsSharded(corpus, supers, centroids, tau,
+        probes, nsuper, idCol, vecCol)
+      .select(col("b_id").as(idCol)).distinct()
+    corpus.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** INCREMENTAL semantic dedup — the production steady state: a new
     * ingest batch deduplicates against a PERSISTED cluster-partitioned
     * index ([[Ivf.buildIndex]] — the same table the ANN queries probe)
@@ -117,6 +173,42 @@ object SemDedup {
   /** [[survivorsAgainstIndex]] under any [[Ivf.Quantizer]] — must be
     * the SAME hierarchy the index was built with.
     */
+  /** [[survivorsAgainstIndex]] with the model as a DATAFRAME — the
+    * extreme-k incremental steady state: the batch soft-assigns
+    * through [[softAssignSharded]] (nothing O(k·d) materialized), its
+    * probed cluster set (batch-sized) prunes the
+    * [[Ivf.buildIndexSharded]] table at the manifest, and the
+    * batch-internal pass reuses [[semanticPairsSharded]]. Must be the
+    * SAME (supers, centroids) the index was built with.
+    */
+  def survivorsAgainstIndexSharded(index: graft.catalog.SnapshotTable,
+      batch: DataFrame, supers: Ivf.Model, centroids: DataFrame,
+      tau: Double, probes: Int = 2, nsuper: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // assignment choices pinned once: the pruning collect and the join
+    // must see the SAME clusters (the topKWithIndex discipline)
+    val assigned = softAssignSharded(batch, supers, centroids, nsuper,
+        probes, idCol, vecCol)
+      .localCheckpoint(true)
+    val exploded = assigned
+      .join(batch.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol).as("b_id"), col(vecCol).as("b_vec"), col("cluster"))
+    val probed = assigned.select(col("cluster").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val idxRows = index.readPartitions(p => p.exists(probed.contains))
+      .select(col("cluster"), col("n_id"), col("n_vec"))
+    val vsIndex = exploded.join(idxRows, Seq("cluster"))
+      .where(cosine(col("b_vec"), col("n_vec")) >= lit(tau))
+      .select(col("b_id"))
+    val withinBatch = semanticPairsSharded(
+      batch.select(col(idCol), col(vecCol)), supers, centroids, tau,
+      probes, nsuper, idCol, vecCol)
+      .select(col("b_id"))
+    val dropped = vsIndex.unionByName(withinBatch).distinct()
+      .withColumnRenamed("b_id", idCol)
+    batch.join(dropped, Seq(idCol), "left_anti")
+  }
+
   def survivorsAgainstIndex(index: graft.catalog.SnapshotTable,
       batch: DataFrame, q: Ivf.Quantizer, tau: Double, probes: Int,
       idCol: String, vecCol: String): DataFrame = {

@@ -729,6 +729,117 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(tlPairs == flatPairs)
   }
 
+  test("sharded appendToIndex: incremental equals rebuild; drifted batch flags stale") {
+    import graft.operators.Ivf
+    val corpus = plantedMutantCorpus()
+    val queries = corpus.filter(col("vec_id") >= 100000)
+    val (supers, centroids) = Ivf.trainSharded(corpus, kFine = 16,
+      iters = 4, samplePerSuper = 256)
+    val prefix = corpus.filter(col("vec_id") % 5 =!= 0)
+    val batch = corpus.filter(col("vec_id") % 5 === 0)
+    val root = java.nio.file.Files.createTempDirectory("ivf-shard-app")
+      .resolve("t").toString
+    Ivf.buildIndexSharded(spark, prefix, supers, centroids, nsuper = 2, root)
+    val rep = Ivf.appendToIndexSharded(spark, batch, supers, centroids,
+      nsuper = 2, root)
+    assert(rep.table.currentSnapshot().operation == "append")
+    assert(rep.appendedRows == batch.count())
+    assert(rep.baseMeanSim.isDefined)
+    assert(!rep.stale, s"same-distribution batch flagged stale: $rep")
+    def res(t: graft.catalog.SnapshotTable) =
+      Ivf.topKSharded(t, queries, supers, centroids, k = 1,
+          nsuper = 2, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullRoot = java.nio.file.Files.createTempDirectory("ivf-shard-full")
+      .resolve("t").toString
+    val full = Ivf.buildIndexSharded(spark, corpus, supers, centroids,
+      nsuper = 2, fullRoot)
+    assert(res(rep.table) == res(full),
+      "incremental sharded index must match full rebuild")
+    // a distribution-shifted batch assigns much worse → stale fires
+    val drifted = batch.select(col("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(CASE WHEN i % 2 = 0 " +
+        "THEN 0.0 ELSE -x END AS FLOAT))").as("embedding"))
+    val rep2 = Ivf.appendToIndexSharded(spark, drifted
+      .withColumn("vec_id", col("vec_id") + 900000L), supers, centroids,
+      nsuper = 2, root)
+    assert(rep2.stale, s"drifted batch must flag stale: $rep2")
+  }
+
+  test("sharded SemDeDup matches the broadcast hierarchy and the flat oracle path") {
+    import graft.operators.{Ivf, SemDedup}
+    val corpus = plantedMutantCorpus()
+    val (supers, centroids) = Ivf.trainSharded(corpus, kFine = 16,
+      iters = 4, samplePerSuper = 256)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shard = pairSet(SemDedup.semanticPairsSharded(corpus, supers,
+      centroids, tau = 0.95, probes = 2, nsuper = 2))
+    // identical to the broadcast hierarchy built from the SAME
+    // (super, children) rows — the join-based soft assignment must
+    // reproduce TwoLevelQuantizer.probe's sets exactly
+    val grouped = centroids.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .groupBy(_._2).toSeq.sortBy(_._1)
+    val tl = Ivf.TwoLevelQuantizer(
+      grouped.map { case (s, _) => supers(s) },
+      grouped.map(_._2.sortBy(_._1).map(c => (c._1, c._3)).toSeq),
+      nsuper = 2)
+    val viaTl = pairSet(SemDedup.semanticPairs(corpus, tl, tau = 0.95,
+      probes = 2, "vec_id", "embedding"))
+    assert(shard == viaTl, "sharded pairs must equal the broadcast descent")
+    // and equal to the flat path, which the global DuckDB oracle pins —
+    // the planted mutants land with their originals under any of the
+    // three model shapes
+    val model = Ivf.train(corpus, k = 16, iters = 2)
+    val flatPairs = pairSet(SemDedup.semanticPairs(corpus, model, tau = 0.95))
+    assert(shard == flatPairs)
+    // survivors: anti-join of the min-id rule
+    val surv = SemDedup.survivorsSharded(corpus, supers, centroids,
+      tau = 0.95, probes = 2, nsuper = 2)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val droppedB = shard.map(_._2)
+    assert(surv == corpus.select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSet -- droppedB)
+  }
+
+  test("incremental sharded SemDeDup equals the broadcast-quantizer incremental path") {
+    import graft.operators.{Ivf, SemDedup}
+    val corpus = plantedMutantCorpus()
+    val (supers, centroids) = Ivf.trainSharded(corpus, kFine = 16,
+      iters = 4, samplePerSuper = 256)
+    val prefix = corpus.filter(col("vec_id") % 5 =!= 0)
+    val batch = corpus.filter(col("vec_id") % 5 === 0)
+    val rootS = java.nio.file.Files.createTempDirectory("semdd-shard")
+      .resolve("t").toString
+    val idxS = Ivf.buildIndexSharded(spark, prefix, supers, centroids,
+      nsuper = 2, rootS)
+    val viaShard = SemDedup.survivorsAgainstIndexSharded(idxS, batch,
+        supers, centroids, tau = 0.95, probes = 2, nsuper = 2)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // the broadcast hierarchy from the SAME (super, children) rows over
+    // an index built WITH it: assignment parity makes the two indexes
+    // identical, so the incremental answers must coincide exactly
+    val grouped = centroids.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .groupBy(_._2).toSeq.sortBy(_._1)
+    val tl = Ivf.TwoLevelQuantizer(
+      grouped.map { case (s, _) => supers(s) },
+      grouped.map(_._2.sortBy(_._1).map(c => (c._1, c._3)).toSeq),
+      nsuper = 2)
+    val rootB = java.nio.file.Files.createTempDirectory("semdd-bc")
+      .resolve("t").toString
+    val idxB = Ivf.buildIndex(spark, prefix, tl, rootB,
+      "vec_id", "embedding", None)
+    val viaBc = SemDedup.survivorsAgainstIndex(idxB, batch, tl,
+        tau = 0.95, probes = 2, "vec_id", "embedding")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(viaShard == viaBc)
+    assert(viaShard.nonEmpty && viaShard != batch.select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet,
+      "fixture must both keep and drop something")
+  }
+
   test("incremental SemDeDup under the two-level quantizer matches flat") {
     import graft.operators.{Ivf, SemDedup}
     val corpus = plantedMutantCorpus()

@@ -1629,6 +1629,23 @@ object Queries {
         },
         Some(nnOracle)),
 
+      // IVF-PQ on the sharded index: the extreme-k AND wide-vector
+      // composition — probing by join descent (nothing O(k·d)
+      // anywhere; the codebook is m×ksub×(d/m), independent of k),
+      // ADC over codes only, exact shortlist re-rank — same exact-NN
+      // oracle.
+      QueryDef("sim_topk_ivfpq_sharded",
+        (s, dir) => {
+          val corpus = nearDupVectors(s, dir)
+          val (supers, cents, idx) = ivfSharded(s, dir, corpus)
+          val cb = pqCodebookCache.computeIfAbsent(dir, _ =>
+            graft.operators.Ivf.trainPq(corpus, m = 8, ksub = 16, iters = 5))
+          graft.operators.Ivf.topKPqSharded(idx,
+            corpus.filter(col("vec_id") >= 100000), supers, cents, cb,
+            k = 1, nsuper = 3, nprobe = 4, shortlist = 8)
+        },
+        Some(nnOracle)),
+
       // SemDeDup with the sharded (DataFrame) model: soft assignment by
       // join descent + TopK, pairs within clusters as ever — the GLOBAL
       // recomputation oracle proves the fully-distributed cluster path
@@ -1882,8 +1899,13 @@ object Queries {
       val c = c0.localCheckpoint(true)
       val p = java.nio.file.Files.createTempDirectory("graft-ivf-shard")
         .resolve("index").toString
+      // codes ride alongside the vectors (ivfIndexTable's trick): the
+      // float queries never read them (column pruning), the PQ query
+      // reads little else
+      val cb = pqCodebookCache.computeIfAbsent(dir, _ =>
+        graft.operators.Ivf.trainPq(corpus, m = 8, ksub = 16, iters = 5))
       graft.operators.Ivf.buildIndexSharded(s, corpus, sup, c,
-        nsuper = 3, p, "vec_id", "embedding")
+        nsuper = 3, p, "vec_id", "embedding", pq = Some(cb))
       (sup, c, p)
     })
     (supers, cents, graft.catalog.SnapshotTable.load(s, root))

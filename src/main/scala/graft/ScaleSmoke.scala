@@ -485,6 +485,23 @@ object ScaleSmoke {
         s""""load_sec":${f"$l4%.3f"},"plan_sec":${f"$p4%.3f"},"log_bytes":$b4},""" +
         s""""files100k":{"commit_sec":${f"$c5%.3f"},"load_sec":${f"$l5%.3f"},""" +
         s""""plan_sec":${f"$p5%.3f"},"log_bytes":$b5}}""")
+      // XL tier — 10⁶ files, the §19.6 extrapolation MEASURED instead
+      // of assumed. Opt-in (SPARK_GRAFT_MANIFEST_XL=1): ~160 MiB of
+      // metadata and tens of seconds of driver work have no place in
+      // the per-commit smoke loop, but the curve's last decade is what
+      // a 100 TB table (10⁵-10⁶ files at 64-256 MB) actually lives in.
+      if (sys.env.get("SPARK_GRAFT_MANIFEST_XL").contains("1")) {
+        val (c6, l6, p6, b6) = probe(1000000)
+        System.err.println(f"[scale-smoke] manifest probe XL: 1M files " +
+          f"commit $c6%.2f s load $l6%.2f s plan $p6%.3f s ${b6 / 1024}%d KiB")
+        require(c6 < c5 * 30 && l6 < l5 * 30 &&
+            p6 < math.max(p5, 0.01) * 30,
+          f"manifest layer must stay linear to 1M files: " +
+            f"commit $c5%.2f->$c6%.2f, load $l5%.2f->$l6%.2f, " +
+            f"plan $p5%.3f->$p6%.3f")
+        println(s"""{"metric":"manifest_probe_xl","files1m":{"commit_sec":${f"$c6%.3f"},""" +
+          s""""load_sec":${f"$l6%.3f"},"plan_sec":${f"$p6%.3f"},"log_bytes":$b6}}""")
+      }
     }
 
     // force training BEFORE the timed loop — otherwise the first build

@@ -566,6 +566,19 @@ object Ivf {
       .localCheckpoint(true)
     val pairs = q.select(col("q_id"),
       explode(col("probe_clusters")).as("cluster"))
+    pqScanAndRerank(index, q, pairs, cb, k, shortlist)
+  }
+
+  /** Shared ADC scan + exact re-rank over a probed PQ-coded index —
+    * the body of [[topKPqWithIndex]], also driven by [[topKPqSharded]]:
+    * `q` is one checkpointed row per query (q_id, q_vec, lut, …),
+    * `pairs` the chosen (q_id, cluster) probes derived from it (so the
+    * pruning collect and the joins see the same choices).
+    */
+  private def pqScanAndRerank(index: graft.catalog.SnapshotTable,
+      q: DataFrame, pairs: DataFrame, cb: graft.functions.Pq.Codebook,
+      k: Int, shortlist: Int): DataFrame = {
+    import graft.functions.Pq
     val probed = pairs.select(col("cluster").cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     val pruned = index.readPartitions(p => p.exists(probed.contains))
@@ -574,7 +587,8 @@ object Ivf {
     // into the (q_id, cluster) probe rows would replicate it nprobe×
     // in the broadcast build side
     val approx = pruned.select(col("cluster"), col("n_id"), col("code"))
-      .join(broadcast(pairs), Seq("cluster"))
+      .join(broadcast(pairs.select(col("q_id"), col("cluster"))),
+        Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
       .join(broadcast(q.select(col("q_id"), col("lut"))), Seq("q_id"))
       .withColumn("sim", -Pq.adc(col("code"), col("lut"), cb))
@@ -607,6 +621,41 @@ object Ivf {
       .join(broadcast(q.select(col("q_id"), col("q_vec"))), Seq("q_id"))
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
     Similarity.rankTopK(rescored, k)
+  }
+
+  /** IVF-PQ over a [[buildIndexSharded]] table built with a codebook —
+    * the extreme-k AND wide-vector composition (exactly the 100 TB
+    * SemDeDup/ANN operating point): probing stays the sharded join
+    * descent (nothing O(k·d) materialized — the PQ codebook is
+    * m×ksub×(d/m) doubles, independent of k), the ADC scan reads
+    * (cluster, n_id, code) only, and the shortlist re-ranks exact.
+    * Output contract identical to [[Similarity.bruteForceTopK]].
+    */
+  def topKPqSharded(index: graft.catalog.SnapshotTable, queries: DataFrame,
+      supers: Model, centroids: DataFrame, cb: graft.functions.Pq.Codebook,
+      k: Int, nsuper: Int, nprobe: Int, shortlist: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.Pq
+    require(index.schema.fieldNames.contains("code"),
+      "index table has no PQ codes — buildIndexSharded(pq = Some(codebook))")
+    val sq = superQuantizer(supers, nsuper)
+    val np = math.max(1, math.min(nsuper, supers.size))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        sq.probe(col(vecCol), np).as("sids"),
+        Pq.lut(col(vecCol), cb).as("lut"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("fine_id"))
+    val pairs = q.select(col("q_id"), col("q_vec"),
+        explode(col("sids")).as("super_id"))
+      .join(centroids, Seq("super_id"))
+      .withColumn("csim", cosine(col("q_vec"), col("centroid")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= nprobe)
+      .select(col("q_id"), col("fine_id").as("cluster"))
+      .localCheckpoint(true)
+    pqScanAndRerank(index, q, pairs, cb, k, shortlist)
   }
 
   /** Query an already-trained model (the shape a persisted 100 TB index
@@ -830,12 +879,20 @@ object Ivf {
     */
   def buildIndexSharded(spark: org.apache.spark.sql.SparkSession,
       corpus: DataFrame, supers: Model, centroids: DataFrame, nsuper: Int,
-      root: String, idCol: String = "vec_id",
-      vecCol: String = "embedding"): graft.catalog.SnapshotTable = {
-    val assigned = corpus
+      root: String, idCol: String = "vec_id", vecCol: String = "embedding",
+      pq: Option[graft.functions.Pq.Codebook] = None)
+      : graft.catalog.SnapshotTable = {
+    val base = corpus
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .join(assignSharded(corpus, supers, centroids, nsuper, idCol, vecCol)
         .withColumnRenamed(idCol, "n_id"), Seq("n_id"))
+    // the PQ codebook is m×ksub×(d/m) doubles — independent of k, so it
+    // composes with the sharded model without reintroducing O(k·d)
+    val assigned = pq match {
+      case Some(cb) => base.withColumn("code",
+        graft.functions.Pq.encode(col("n_vec"), cb))
+      case None => base
+    }
     val t =
       if (graft.catalog.SnapshotTable.exists(spark, root))
         graft.catalog.SnapshotTable.load(spark, root)
@@ -874,16 +931,24 @@ object Ivf {
   def appendToIndexSharded(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, supers: Model, centroids: DataFrame, nsuper: Int,
       root: String, idCol: String = "vec_id", vecCol: String = "embedding",
-      tolerance: Double = 0.05): IndexAppend = {
+      tolerance: Double = 0.05,
+      pq: Option[graft.functions.Pq.Codebook] = None): IndexAppend = {
     require(graft.catalog.SnapshotTable.exists(spark, root),
       s"no index table at $root — buildIndexSharded first")
     val t = graft.catalog.SnapshotTable.load(spark, root)
-    require(!t.schema.fieldNames.contains("code"),
-      "sharded indexes store no PQ codes — this index was built with one")
-    val assigned = batch
+    val hasCodes = t.schema.fieldNames.contains("code")
+    require(hasCodes == pq.isDefined,
+      if (hasCodes) "index stores PQ codes — pass the SAME codebook"
+      else "index has no PQ codes — drop the codebook")
+    val base = batch
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .join(assignSharded(batch, supers, centroids, nsuper, idCol, vecCol)
         .withColumnRenamed(idCol, "n_id"), Seq("n_id"))
+    val assigned = pq match {
+      case Some(cb) => base.withColumn("code",
+        graft.functions.Pq.encode(col("n_vec"), cb))
+      case None => base
+    }
     val before = t.currentSnapshot().files.map(_.rows).sum
     val snap = t.append(assigned)
     val appended = snap.files.map(_.rows).sum - before

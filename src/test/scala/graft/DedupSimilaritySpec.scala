@@ -766,6 +766,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rep2.stale, s"drifted batch must flag stale: $rep2")
   }
 
+  test("sharded IVF-PQ with exact re-rank matches the plain sharded results") {
+    import graft.operators.Ivf
+    val corpus = plantedMutantCorpus()
+    val (supers, centroids) = Ivf.trainSharded(corpus, kFine = 16,
+      iters = 4, samplePerSuper = 256)
+    val cb = Ivf.trainPq(corpus, m = 8, ksub = 16, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivf-shard-pq")
+      .resolve("t").toString
+    val idx = Ivf.buildIndexSharded(spark, corpus, supers, centroids,
+      nsuper = 2, root, "vec_id", "embedding", pq = Some(cb))
+    val queries = corpus.filter(col("vec_id") >= 100000)
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaPq = rset(Ivf.topKPqSharded(idx, queries, supers, centroids, cb,
+      k = 1, nsuper = 2, nprobe = 4, shortlist = 8))
+    val viaFloat = rset(Ivf.topKSharded(idx, queries, supers, centroids,
+      k = 1, nsuper = 2, nprobe = 4))
+    assert(viaPq == viaFloat,
+      "ADC + exact re-rank must restore the float answers")
+    // mismatched codebook expectations are refused, both directions
+    intercept[IllegalArgumentException] {
+      Ivf.appendToIndexSharded(spark, queries, supers, centroids,
+        nsuper = 2, root)
+    }
+    ()
+  }
+
   test("sharded SemDeDup matches the broadcast hierarchy and the flat oracle path") {
     import graft.operators.{Ivf, SemDedup}
     val corpus = plantedMutantCorpus()

@@ -817,9 +817,22 @@ object Ivf {
     val centroids = sampled.as[(Int, Long, String, Seq[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (sid, it) =>
-        val rows = it.toArray.sortBy(r => (r._2, r._3))
-          .take(samplePerSuper)
-        val vecs = rows.map(_._4.toArray)
+        // bounded selection, NOT it.toArray: a skewed super passes
+        // frac·|super| rows through the hash threshold, and a
+        // mega-super would materialize far more than the cap in one
+        // task. A size-capped heap keeps the samplePerSuper smallest
+        // (h, rid) rows in O(cap) memory — the same deterministic set
+        // a full sort-then-take would pick.
+        val ord = Ordering.by[(Int, Long, String, Seq[Double]), (Long, String)](
+          r => (r._2, r._3))
+        val heap = new scala.collection.mutable.PriorityQueue[
+          (Int, Long, String, Seq[Double])]()(ord) // max-heap on (h, rid)
+        it.foreach { r =>
+          if (heap.size < samplePerSuper) heap.enqueue(r)
+          else if (ord.lt(r, heap.head)) { heap.dequeue(); heap.enqueue(r) }
+        }
+        val rows = heap.dequeueAll.reverse // ascending (h, rid)
+        val vecs = rows.map(_._4.toArray).toArray
         if (vecs.isEmpty) Iterator.empty
         else localKMeans(vecs, math.min(kPer, vecs.length), iters)
           .iterator.zipWithIndex.map { case (c, j) =>

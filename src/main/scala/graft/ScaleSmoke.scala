@@ -136,6 +136,44 @@ object ScaleSmoke {
     val narrowQueries = vecs1.filter(col("vec_id") >= 100000L &&
       col("vec_id") < 100000000L)
 
+    // sharded-model family (round-16 extreme-k path): training,
+    // assignment and probing all run with the fine model as a
+    // DATAFRAME — k ∝ N like the broadcast family, so the fixed-batch
+    // query must stay sublinear while the build (count + sampling +
+    // per-super local Lloyd + join-descent assignment) scales
+    // ~linearly. Centroids are checkpointed at the lazy val so stage
+    // timings never re-run the trainer.
+    lazy val shardedModel1 = {
+      val (s, c) = Ivf.trainSharded(vecs1, kFine = 16, iters = 2)
+      (s, c.localCheckpoint(true))
+    }
+    lazy val shardedModelN = {
+      val (s, c) = Ivf.trainSharded(
+        scaleVectors(vecs1, "vec_id", factor), kFine = 16 * factor,
+        iters = 2)
+      (s, c.localCheckpoint(true))
+    }
+    def shardedStages(corpus: DataFrame, queries: DataFrame,
+        scale: Int): Seq[(String, Int, () => DataFrame)] = {
+      def sm = if (scale == 1) shardedModel1 else shardedModelN
+      val probeQ = queries.orderBy(col("vec_id")).limit(8)
+      var root: String = null
+      Seq(
+        ("sim_topk_ivf_sharded_build", scale, () => {
+          root = java.nio.file.Files
+            .createTempDirectory("graft-smoke-shard").resolve("index")
+            .toString
+          Ivf.buildIndexSharded(spark, corpus, sm._1, sm._2, nsuper = 4,
+            root)
+          spark.range(1).toDF("built")
+        }),
+        ("sim_topk_ivf_sharded_query", scale, () => {
+          val idx = graft.catalog.SnapshotTable.load(spark, root)
+          Ivf.topKSharded(idx, probeQ, sm._1, sm._2, k = 1, nsuper = 4,
+            nprobe = 4)
+        }))
+    }
+
     // contamination index: BUILD scales with the train corpus; the
     // PROBE uses the FIXED 1x eval set (the realistic asymmetry — eval
     // benchmarks don't grow with the train corpus), so probe time
@@ -508,7 +546,7 @@ object ScaleSmoke {
     // entry absorbs the (expensive, scale-independent) model fit and
     // the 1×-vs-N× build ratio reads nonsense (r8 first run did)
     locally { narrowModel; narrowCb; wideModel; wideCb
-      narrowModelN; wideModelN; () }
+      narrowModelN; wideModelN; shardedModel1; shardedModelN; () }
 
     // each family: 1× then N×, same code path
     val runs: Seq[(String, Int, () => DataFrame)] = Seq(
@@ -581,7 +619,10 @@ object ScaleSmoke {
         wide = false, factor) ++
       ivfStages(wide1, Queries.wideQueries(wide1), wide = true, 1) ++
       ivfStages(scaleVectors(wide1, "vec_id", factor),
-        Queries.wideQueries(wide1), wide = true, factor) ++ {
+        Queries.wideQueries(wide1), wide = true, factor) ++
+      shardedStages(vecs1, narrowQueries, 1) ++
+      shardedStages(scaleVectors(vecs1, "vec_id", factor), narrowQueries,
+        factor) ++ {
         val ev1 = graft.sources.Tables.load(spark, dir, "events")
         spjStages(ev1, 1) ++ spjStages(scaleEvents(ev1, factor), factor)
       }

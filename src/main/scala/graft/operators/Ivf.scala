@@ -987,11 +987,43 @@ object Ivf {
   def topKSharded(index: graft.catalog.SnapshotTable, queries: DataFrame,
       supers: Model, centroids: DataFrame, k: Int, nsuper: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = shardedQueryProbe(queries, supers, nsuper, idCol, vecCol)
+    topKShardedFrom(index, q, centroids, k, nprobe)
+  }
+
+  /** [[topKSharded]] with the centroids PERSISTED super-partitioned
+    * ([[saveCentroids]]): the query batch's probed super set
+    * (batch-sized) prunes the centroid table at the MANIFEST before
+    * the fine-probe join — only probed supers' centroid files open,
+    * so the centroid read is sublinear in k exactly like the index
+    * read is sublinear in the corpus.
+    */
+  def topKSharded(index: graft.catalog.SnapshotTable, queries: DataFrame,
+      supers: Model, centroidsTable: graft.catalog.SnapshotTable, k: Int,
+      nsuper: Int, nprobe: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    val q = shardedQueryProbe(queries, supers, nsuper, idCol, vecCol)
+    val probedSupers = q.select(explode(col("sids")).as("s")).distinct()
+      .collect().map(_.getInt(0).toString).toSet
+    topKShardedFrom(index, q,
+      centroidsTable.readPartitions(p => p.exists(probedSupers.contains)),
+      k, nprobe)
+  }
+
+  /** Queries with their probed supers pinned once (checkpoint — the
+    * pruning collects and the joins must see the same choices).
+    */
+  private def shardedQueryProbe(queries: DataFrame, supers: Model,
+      nsuper: Int, idCol: String, vecCol: String): DataFrame = {
     val sq = superQuantizer(supers, nsuper)
     val np = math.max(1, math.min(nsuper, supers.size))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+    queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         sq.probe(col(vecCol), np).as("sids"))
       .localCheckpoint(true)
+  }
+
+  private def topKShardedFrom(index: graft.catalog.SnapshotTable,
+      q: DataFrame, centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("fine_id"))
@@ -1008,6 +1040,23 @@ object Ivf {
     scoreAndRank(index.readPartitions(p => p.exists(probed.contains))
       .select(col("cluster"), col("n_id"), col("n_vec")),
       pairs, q.select(col("q_id"), col("q_vec")), k)
+  }
+
+  /** Persist a [[trainSharded]] centroid frame as a snapshot table
+    * hidden-partitioned by `super_id` — the durable model shape for
+    * the sharded family: rebuilds land as one atomic overwrite, and
+    * probed-super reads prune at the manifest
+    * ([[topKSharded]]'s table overload).
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+      centroids: DataFrame, root: String): graft.catalog.SnapshotTable = {
+    val t =
+      if (graft.catalog.SnapshotTable.exists(spark, root))
+        graft.catalog.SnapshotTable.load(spark, root)
+      else graft.catalog.SnapshotTable.create(spark, root, centroids.schema,
+        Some(graft.catalog.PartitionSpec("super_id", "identity")))
+    t.overwrite(centroids)
+    t
   }
 
   // ------------------------------------------------------------------

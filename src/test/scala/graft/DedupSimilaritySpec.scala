@@ -766,6 +766,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rep2.stale, s"drifted batch must flag stale: $rep2")
   }
 
+  test("persisted sharded centroids: super-partitioned table, pruned reads, same results") {
+    import graft.operators.Ivf
+    val corpus = plantedMutantCorpus()
+    val queries = corpus.filter(col("vec_id") >= 100000)
+    val (supers, centroids) = Ivf.trainSharded(corpus, kFine = 16,
+      iters = 4, samplePerSuper = 256)
+    val idxRoot = java.nio.file.Files.createTempDirectory("ivf-shard-ct")
+      .resolve("t").toString
+    val idx = Ivf.buildIndexSharded(spark, corpus, supers, centroids,
+      nsuper = 2, idxRoot)
+    val cRoot = java.nio.file.Files.createTempDirectory("ivf-shard-cents")
+      .resolve("t").toString
+    val ct = Ivf.saveCentroids(spark, centroids, cRoot)
+    // super ids are manifest partition values on the centroid table
+    assert(ct.currentSnapshot().partitions.flatten.nonEmpty)
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaTable = rset(Ivf.topKSharded(idx, queries, supers, ct,
+      k = 1, nsuper = 2, nprobe = 4, "vec_id", "embedding"))
+    val viaDf = rset(Ivf.topKSharded(idx, queries, supers, centroids,
+      k = 1, nsuper = 2, nprobe = 4))
+    assert(viaTable == viaDf, "persisted centroids must not change results")
+    // pruning proof on the CENTROID table: one probed super's read
+    // opens strictly fewer files than the table holds
+    val someSuper = ct.currentSnapshot().partitions.flatten.head
+    val opened = ct.readPartitions(_.contains(someSuper))
+      .select(input_file_name()).distinct().count()
+    assert(opened < ct.currentSnapshot().files.size.toLong,
+      s"expected centroid-table pruning: opened $opened of " +
+        s"${ct.currentSnapshot().files.size}")
+  }
+
   test("sharded IVF-PQ with exact re-rank matches the plain sharded results") {
     import graft.operators.Ivf
     val corpus = plantedMutantCorpus()

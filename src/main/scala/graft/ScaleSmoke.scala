@@ -600,7 +600,20 @@ object ScaleSmoke {
         graft.operators.SemDedup.semanticPairs(v,
           Ivf.quantizer(m, flatMax = 64, nsuper = 4), tau = 0.95,
           probes = 2, "vec_id", "embedding")
-      })) ++
+      }),
+      // the SHARDED twin: same k ∝ N discipline with the fine model as
+      // a DataFrame (join-descent soft assignment) — nothing O(k·d)
+      // materialized, so the same ~flat-per-row shape must hold past
+      // the broadcast wall (pre-trained models: pair time is the probe)
+      ("dedup_semantic_sharded", 1, () =>
+        graft.operators.SemDedup.semanticPairsSharded(vecs1,
+          shardedModel1._1, shardedModel1._2, tau = 0.95,
+          probes = 2, nsuper = 4)),
+      ("dedup_semantic_sharded", factor, () =>
+        graft.operators.SemDedup.semanticPairsSharded(
+          scaleVectors(vecs1, "vec_id", factor),
+          shardedModelN._1, shardedModelN._2, tau = 0.95,
+          probes = 2, nsuper = 4))) ++
       Seq(
       // seeded global shuffle: a pure projection + one exchange — must
       // scale ~linearly with the corpus, no caveats

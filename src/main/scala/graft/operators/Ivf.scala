@@ -840,7 +840,21 @@ object Ivf {
           }
       }
       .toDF("fine_id", "super_id", "centroid")
-    (supers, centroids)
+    // EVERY super must own at least one fine centroid: a super whose
+    // sample came back empty (tiny or skew-starved) would otherwise
+    // strand any row that probes ONLY such supers — the candidate join
+    // in [[assignSharded]] finds nothing, the argmax groupBy emits no
+    // row, and the vector silently drops from indexes. The super
+    // centroid itself backstops, in a reserved id range above every
+    // trained id (g·kPer + sid > (g−1)·kPer + kPer − 1).
+    val fallback = spark.createDataFrame(
+      supers.indices.map(s1 => (g * kPer + s1, s1, supers(s1))))
+      .toDF("fine_id", "super_id", "centroid")
+    val missing = fallback
+      .join(centroids.select(col("super_id")).distinct(),
+        Seq("super_id"), "left_anti")
+      .select(col("fine_id"), col("super_id"), col("centroid"))
+    (supers, centroids.unionByName(missing))
   }
 
   /** Nearest-fine-centroid assignment with the model as a DATAFRAME

@@ -766,6 +766,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rep2.stale, s"drifted batch must flag stale: $rep2")
   }
 
+  test("sharded training backstops sample-starved supers; no row strands") {
+    import graft.operators.Ivf
+    // every vector identical → ALL assign to super 0, so super 1's
+    // sample is empty; without the fallback its probers would find no
+    // candidates and silently drop from assignment
+    val corpus = Seq.tabulate(50)(i => (i.toLong, Seq.fill(8)(1.0)))
+      .toDF("vec_id", "embedding")
+    val (supers, centroids) = Ivf.trainSharded(corpus, kFine = 4,
+      iters = 2, samplePerSuper = 16)
+    assert(supers.size == 2)
+    val c = centroids.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    assert(c.map(_._2).toSet == Set(0, 1),
+      s"every super must own a centroid: ${c.toSeq}")
+    // the starved super's backstop is the super centroid itself, in
+    // the reserved id range
+    val fallback = c.filter(_._1 >= 2 * 2)
+    assert(fallback.nonEmpty &&
+      fallback.forall(f => f._3 == supers(f._2)))
+    // and assignment covers every row
+    val assigned = Ivf.assignSharded(corpus, supers, centroids, nsuper = 2)
+    assert(assigned.count() == 50L)
+  }
+
   test("persisted sharded centroids: super-partitioned table, pruned reads, same results") {
     import graft.operators.Ivf
     val corpus = plantedMutantCorpus()

@@ -63,28 +63,57 @@ object Bench {
     }
     val calibrationSat = (1 to 2).map(_ => calibrateSaturatedOnce()).min
 
+    // Build-once SHARED fixtures, constructed before the sweep and
+    // reported as dedicated fixture_* rows (VERDICT r16 #1a): with
+    // every shared cache warm, a query's two timed runs both measure
+    // the steady-state query — no query's history carries another
+    // feature's build cost, and per-query times are independent of
+    // registry order (the r11→r12 reshuffle footgun is engineered
+    // away rather than guarded by ordering discipline). A fixture
+    // failure is fatal like a query failure — its dependents would
+    // otherwise silently pay (or fail) the build in-sweep.
+    val fixtureOutcomes = Queries.fixtures.map { case (name, fn) =>
+      System.err.println(s"[bench] building $name")
+      val t0 = System.nanoTime()
+      val r = try { fn(spark, cfg.sfDir); Right((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          Left(e.getClass.getSimpleName)
+      }
+      name -> r
+    }
+    val fixtureTimes = fixtureOutcomes.collect { case (k, Right(v)) => k -> v }
+    val fixtureErrors = fixtureOutcomes.collect { case (k, Left(m)) => k -> m }
+
     // best of two runs per query: the repeatable time, insulated from
     // one-off host-contention spikes (standard benchmarking practice;
-    // both runs execute fully through the noop sink). A failing query
-    // must NOT be reported as a (fast) success — swallowing the error
-    // would make a broken build look like the fastest run yet — so
-    // failures are surfaced in an `errors` map and excluded from times
+    // both runs execute fully through the noop sink). When the two
+    // runs disagree by >2× BOTH may have straddled a contention spike
+    // — a third run breaks the tie and the median goes on record
+    // (VERDICT r16 #6: cheap insurance for the official history). A
+    // failing query must NOT be reported as a (fast) success —
+    // swallowing the error would make a broken build look like the
+    // fastest run yet — so failures are surfaced in an `errors` map
+    // and excluded from times
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       exec(fn)
       (System.nanoTime() - t0) / 1e9
     }
+    def timeQuery(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val a = timeOnce(fn)
+      val b = timeOnce(fn)
+      if (math.max(a, b) <= 2.0 * math.min(a, b)) math.min(a, b)
+      else Seq(a, b, timeOnce(fn)).sorted.apply(1)
+    }
     // REGISTRY order, not Map order: SparkEntry.queries is a HashMap,
-    // whose iteration order reshuffles whenever the key set grows — a
-    // new registry entry in round N silently reorders round N's whole
-    // sweep, so any query that shares a build-once fixture (the wide
-    // IVF corpus/model/index, the snapshot-table fixtures) gets the
-    // fixture-build cost attributed to a DIFFERENT name than last
-    // round and the per-query history stops being comparable (the
-    // r11→r12 sim_wide_ivf_index "regression" was exactly this: the
-    // map reshuffle moved the shared wide-fixture build onto it).
-    // Registry order is stable under appends: the first declared user
-    // of a fixture always pays for it.
+    // whose iteration order reshuffles whenever the key set grows.
+    // With all shared fixtures prebuilt above this is hygiene rather
+    // than a correctness requirement for the history, but a stable
+    // sweep order still keeps run-to-run JVM/cache conditions
+    // comparable per query.
     val ordered = Queries.registry.map(q => q.name -> q.query)
     // SPARK_GRAFT_ONLY=q1_agg,dedup_clusters restricts the run — the
     // local iteration loop for single-query tuning; unset = full run
@@ -106,7 +135,7 @@ object Bench {
       // the stdout metric line): a wedged query is identifiable from
       // the log tail instead of requiring a thread-dump hunt
       System.err.println(s"[bench] running $name")
-      val r = try Right(math.min(timeOnce(fn), timeOnce(fn)))
+      val r = try Right(timeQuery(fn))
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -122,7 +151,7 @@ object Bench {
       name -> r
     }
     val results: Map[String, Double] = outcomes.collect { case (k, Right(v)) => k -> v }.toMap
-    val errors = outcomes.collect { case (k, Left(m)) => k -> m }
+    val errors = fixtureErrors ++ outcomes.collect { case (k, Left(m)) => k -> m }
     // The driver keeps the LAST ~2000 chars of the output line
     // (BENCH_r07's tail starts mid-"queries" and the leading headline
     // block was cut), so ordering inside the JSON is load-bearing and
@@ -140,12 +169,20 @@ object Bench {
     val qs = results.toSeq.sortBy(_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val fx = fixtureTimes.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val hl = headline.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, m) => s"\"" + k + "\":\"" + m + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"${cfg.sfDir}","queries":$qs,"headline":$hl,"errors":$errs,"calibration_sec":${fmt(calibration)},"calibration_sat_sec":${fmt(calibrationSat)},"total_sec":${fmt(total)}}""")
+    // fixtures ride EARLY in the line (the driver keeps the tail; the
+    // queries/headline/errors/calibration fields are the ones that
+    // must survive truncation). total_sec counts QUERIES only —
+    // fixture builds are one-time costs a deployment amortizes, and
+    // folding them in would re-pollute the cross-round totals the
+    // fixture rows exist to clean.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"${cfg.sfDir}","fixtures":$fx,"queries":$qs,"headline":$hl,"errors":$errs,"calibration_sec":${fmt(calibration)},"calibration_sat_sec":${fmt(calibrationSat)},"total_sec":${fmt(total)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

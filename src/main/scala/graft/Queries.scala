@@ -4198,10 +4198,14 @@ object Queries {
         }
         val comp = tbl.history().find(_.operation == "compact").get
         val chg = tbl.changes(comp.parent.get, comp.version)
-        val scans = chg.queryExecution.executedPlan.collect {
-          case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
-          case sc: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => sc
-        }
+        // AQE-expanded scan walk (ADVICE r16): sessions run with AQE
+        // on, where a raw executedPlan.collect sees only the
+        // AdaptiveSparkPlanExec leaf and the scan check passes
+        // VACUOUSLY even on the exact-diff path. flattenPlan descends
+        // the wrappers, so removing the netzero skip genuinely flips
+        // this flag (the diff plan carries BatchScanExec nodes).
+        val scans = graft.tools.PlanAudit.scanNodes(
+          chg.queryExecution.executedPlan)
         val skipped = chg.count() == 0L && scans.isEmpty
         tbl.read().groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -5482,6 +5486,78 @@ object Queries {
     schemaOpQueries ++ tpchQueries ++ textQueries ++ dedupQueries ++
       simQueries ++ multimodalQueries ++ streamingQueries ++
       governanceQueries ++ snapshotQueries ++ sqlSurfaceQueries
+
+  /** Build-once fixtures SHARED across registry queries, exposed so
+    * Bench constructs them UNTIMED before the per-query sweep and
+    * reports each as its own `fixture_*` row: a query's recorded time
+    * must measure the query in steady state, never whichever registry
+    * entry happened to touch a shared cache first (the r16 driver run
+    * charged the sharded train + PQ + index build to
+    * `sim_topk_ivf_sharded` under contention — 58.3 s recorded where
+    * the steady-state query measures ~1 s). With every shared fixture
+    * prebuilt, per-query times are also independent of registry ORDER,
+    * retiring the append-only-order discipline as a correctness
+    * requirement for the bench history (it remains good hygiene).
+    * Entries run in declaration order; prerequisites come first.
+    * Verify ignores this list — correctness is cache-agnostic.
+    */
+  val fixtures: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "fixture_ivf_model" -> ((s: SparkSession, dir: String) => {
+      val corpus = nearDupVectors(s, dir)
+      ivfModelCache.computeIfAbsent(dir, _ =>
+        graft.operators.Ivf.train(corpus, k = 16, iters = 2))
+      pqCodebookCache.computeIfAbsent(dir, _ =>
+        graft.operators.Ivf.trainPq(corpus, m = 8, ksub = 16, iters = 5))
+      ()
+    }),
+    "fixture_ivf_index" -> ((s: SparkSession, dir: String) => {
+      val corpus = nearDupVectors(s, dir)
+      ivfIndexTable(s, dir, corpus, ivfModelCache.get(dir))
+      ()
+    }),
+    "fixture_ivf_append_index" -> ((s: SparkSession, dir: String) => {
+      val corpus = nearDupVectors(s, dir)
+      ivfAppendIndexTable(s, dir, corpus, ivfModelCache.get(dir))
+      ()
+    }),
+    "fixture_ivf_two_level" -> ((s: SparkSession, dir: String) => {
+      val corpus = nearDupVectors(s, dir)
+      ivfTwoLevelIndexTable(s, dir, corpus, ivfTwoLevel(dir, corpus))
+      ()
+    }),
+    "fixture_ivf_sharded" -> ((s: SparkSession, dir: String) => {
+      ivfSharded(s, dir, nearDupVectors(s, dir))
+      ()
+    }),
+    "fixture_wide_corpus" -> ((s: SparkSession, dir: String) => {
+      wideVectors(s, dir)
+      ()
+    }),
+    "fixture_wide_model" -> ((s: SparkSession, dir: String) => {
+      val corpus = wideVectors(s, dir)
+      ivfWideModelCache.computeIfAbsent(dir, _ =>
+        graft.operators.Ivf.train(corpus, k = 16, iters = 2))
+      pqWideCodebookCache.computeIfAbsent(dir, _ =>
+        graft.operators.Ivf.trainPq(corpus, m = 64, ksub = 16, iters = 5))
+      ()
+    }),
+    "fixture_wide_index" -> ((s: SparkSession, dir: String) => {
+      val corpus = wideVectors(s, dir)
+      ivfWideIndexTable(s, dir, corpus, ivfWideModelCache.get(dir))
+      ()
+    }),
+    "fixture_minhash_index" -> ((s: SparkSession, dir: String) => {
+      minhashIndexTable(s, dir)
+      ()
+    }),
+    "fixture_bucket_snapshot" -> ((s: SparkSession, dir: String) => {
+      bucketSnapshot(s, dir)
+      ()
+    }),
+    "fixture_snapshot_events" -> ((s: SparkSession, dir: String) => {
+      snapshotEventsTable(s, dir)
+      ()
+    }))
 
   /** name → ((spark, sfDir) => result). */
   def all: Map[String, (SparkSession, String) => DataFrame] =

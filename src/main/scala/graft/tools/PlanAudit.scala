@@ -12,6 +12,39 @@ import graft.config.GraftConfig
   * the per-round red-flag check.
   */
 object PlanAudit {
+
+  /** Whole-tree expansion of a physical plan: `SparkPlan.collect`
+    * stops at AQE / query-stage wrapper leaves (an AQE-enabled plan is
+    * a single `AdaptiveSparkPlanExec` node to `collect`), so any scan
+    * audit over the raw tree is vacuously empty — descend through
+    * `AdaptiveSparkPlanExec.executedPlan` and `QueryStageExec.plan`
+    * so scan/join nodes are actually visible. Shared by `--scan` mode,
+    * the `snap_changes_netzero` registry gate, and the scan-free
+    * assertions in the specs (ADVICE r16: the gate must be able to
+    * FAIL).
+    */
+  def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val next = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case other => other.children
+    }
+    p +: next.flatMap(flattenPlan)
+  }
+
+  /** Data-source scan nodes anywhere in the (AQE-expanded) plan — the
+    * "did this read any files" probe behind the metadata-only gates.
+    */
+  def scanNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    flattenPlan(p).collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      case sc: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => sc
+    }
+
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.fromEnv(appName = "graft-plan-audit")
     val spark = cfg.newSession()
@@ -23,16 +56,7 @@ object PlanAudit {
       import org.apache.spark.sql.execution.SparkPlan
       // collect() stops at AQE / query-stage wrapper leaves — expand
       // them so the whole physical tree is visible to the audit
-      def flatten(p: SparkPlan): Seq[SparkPlan] = {
-        val next = p match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            Seq(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-            Seq(q.plan)
-          case other => other.children
-        }
-        p +: next.flatMap(flatten)
-      }
+      def flatten(p: SparkPlan): Seq[SparkPlan] = flattenPlan(p)
       // ≤1-row proof for the BUILD side only: descend through
       // cardinality-non-increasing wrappers to a zero-key aggregate.
       // Anything that can fan out (joins, generate/explode, unions)

@@ -1654,10 +1654,20 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.provablyNetZero(t.log.read(v0), t.log.read(vC)))
     val skipped = t.changes(v0, vC)
     assert(skipped.count() == 0L)
-    val scans = skipped.queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
-    }
+    // scan walk must EXPAND AQE wrappers (ADVICE r16: a raw collect
+    // sees only the AdaptiveSparkPlanExec leaf and passes vacuously on
+    // the diff path too). Calibrate the probe first: the FORCED diff
+    // over the same window must show scans — if it doesn't, the probe
+    // is blind and the skip assertion below proves nothing.
+    val diffScans = graft.tools.PlanAudit.scanNodes(
+      t.changesDiff(t.log.read(v0), t.log.read(vC))
+        .queryExecution.executedPlan)
+    assert(diffScans.nonEmpty,
+      "probe calibration: the forced endpoint diff must plan data-file " +
+        "scans — an empty result means the scan walk cannot see scans " +
+        "and the skip assertion is vacuous")
+    val scans = graft.tools.PlanAudit.scanNodes(
+      skipped.queryExecution.executedPlan)
     assert(scans.isEmpty,
       s"net-zero window must plan zero data-file scans, got: $scans")
 

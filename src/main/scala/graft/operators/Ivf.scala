@@ -763,6 +763,33 @@ object Ivf {
     cents
   }
 
+  /** Exact row count from table METADATA when `df` is a bare (or
+    * projected) DSv2 scan that reports statistics — the graft snapshot
+    * scan answers from manifest row sums minus delete-vector rows, no
+    * data file opened at any table size. Anything else (unions,
+    * filters above the scan, joins — shapes where manifest arithmetic
+    * is not the row count) answers None and the caller falls back to
+    * counting. Only row-preserving Project nodes are descended, so a
+    * residual Filter — even one whose predicate was also pushed to the
+    * scan (DSv2 pushdown is advisory; the manifest prune is
+    * conservative) — can never smuggle an overcount in.
+    */
+  private[graft] def metadataRowCount(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    def walk(p: LogicalPlan): Option[Long] = p match {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan match {
+          case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+            val n = s.estimateStatistics().numRows()
+            if (n.isPresent) Some(n.getAsLong) else None
+          case _ => None
+        }
+      case pr: Project => walk(pr.child)
+      case _ => None
+    }
+    walk(df.queryExecution.optimizedPlan)
+  }
+
   /** Hierarchical training with the FINE model as a DataFrame — the
     * extreme-k path where no O(k·d) object ever exists on the driver,
     * in a plan, or in a broadcast (the [[TwoLevelQuantizer]] broadcast
@@ -789,7 +816,8 @@ object Ivf {
     */
   def trainSharded(corpus: DataFrame, kFine: Int, iters: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      samplePerSuper: Int = 4096, superIters: Int = 10): (Model, DataFrame) = {
+      samplePerSuper: Int = 4096, superIters: Int = 10,
+      rowCountHint: Option[Long] = None): (Model, DataFrame) = {
     require(kFine >= 1, s"kFine=$kFine must be >= 1")
     val g = math.max(1, math.ceil(math.sqrt(kFine.toDouble)).toInt)
     val kPer = math.ceil(kFine.toDouble / g).toInt
@@ -797,11 +825,18 @@ object Ivf {
       s"samplePerSuper=$samplePerSuper must cover the per-super quota $kPer")
     val supers = train(corpus, g, superIters, idCol, vecCol)
     val sq = superQuantizer(supers, 1)
-    // expected per-super population from ONE count; the threshold keeps
-    // ~2× the cap so the in-group sort still has the deterministic
-    // hash-least rows after collisions, while a skewed super's group
-    // stays O(samplePerSuper), never O(N/g)
-    val n = math.max(1L, corpus.count())
+    // expected per-super population from ONE size probe; the threshold
+    // keeps ~2× the cap so the in-group sort still has the
+    // deterministic hash-least rows after collisions, while a skewed
+    // super's group stays O(samplePerSuper), never O(N/g). The size
+    // only calibrates the sampling fraction, so it comes from (in
+    // order): the caller's hint, the MANIFEST when the corpus is a
+    // bare snapshot-table read (metadata-only — at 100 TB a
+    // corpus.count() is a full-table scan before training even
+    // starts: VERDICT r16 #3), and corpus.count() as the last resort.
+    val n = math.max(1L, rowCountHint
+      .orElse(metadataRowCount(corpus))
+      .getOrElse(corpus.count()))
     val frac = math.min(1.0,
       2.0 * samplePerSuper * g / n.toDouble)
     val mod = 1L << 31

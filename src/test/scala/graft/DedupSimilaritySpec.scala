@@ -944,4 +944,74 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaTl == viaFlat,
       s"two-level incremental dedup diverged: ${viaTl.diff(viaFlat)} / ${viaFlat.diff(viaTl)}")
   }
+
+  test("trainSharded sizes its sample from the manifest on a snapshot-table corpus (no count scan)") {
+    import graft.operators.Ivf
+    val corpus = plantedMutantCorpus()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.shardmeta")
+    spark.sql("DROP TABLE IF EXISTS graft.shardmeta.corpus")
+    spark.sql("CREATE TABLE graft.shardmeta.corpus " +
+      "(vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    corpus.writeTo("graft.shardmeta.corpus").append()
+    def tblRead() = spark.table("graft.shardmeta.corpus")
+    val n = corpus.count()
+    // the metadata probe: exact on a bare catalog read and on a
+    // projected one; None (→ fall back to counting) the moment a
+    // residual Filter sits above the scan — a pushed-but-conservative
+    // prune must never smuggle an overcount into the sampling fraction
+    assert(Ivf.metadataRowCount(tblRead()).contains(n))
+    assert(Ivf.metadataRowCount(
+      tblRead().select(col("vec_id"), col("embedding"))).contains(n))
+    assert(Ivf.metadataRowCount(
+      tblRead().filter(col("vec_id") >= Long.MinValue)).isEmpty)
+    assert(Ivf.metadataRowCount(corpus).isEmpty,
+      "a union corpus has no manifest row count")
+    // the count JOB itself must not run on the snapshot-table corpus:
+    // identical Spark job counts with and without an explicit hint
+    // (the hint variant provably runs no count), strictly fewer than
+    // the forced-fallback shape which must pay one
+    def jobsOf(group: String)(f: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group,
+        interruptOnCancel = false)
+      try f finally spark.sparkContext.clearJobGroup()
+      // statusTracker is fed by an async listener bus: poll until two
+      // consecutive reads agree so the count is settled, bounded retries
+      var prev = -1
+      var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var tries = 0
+      while (cur != prev && tries < 100) {
+        prev = cur
+        Thread.sleep(50)
+        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+        tries += 1
+      }
+      cur
+    }
+    def snap(r: (Ivf.Model, org.apache.spark.sql.DataFrame)) =
+      (r._1, r._2.collect().map(x => (x.getInt(0), x.getInt(1),
+        x.getSeq[Double](2).toSeq)).toSet)
+    var a: (Ivf.Model, Set[(Int, Int, Seq[Double])]) = null
+    var b: (Ivf.Model, Set[(Int, Int, Seq[Double])]) = null
+    var c: (Ivf.Model, Set[(Int, Int, Seq[Double])]) = null
+    val jobsMeta = jobsOf("shard-meta") {
+      a = snap(Ivf.trainSharded(tblRead(), kFine = 16, iters = 4,
+        samplePerSuper = 256))
+    }
+    val jobsHint = jobsOf("shard-hint") {
+      b = snap(Ivf.trainSharded(tblRead(), kFine = 16, iters = 4,
+        samplePerSuper = 256, rowCountHint = Some(n)))
+    }
+    val jobsCount = jobsOf("shard-count") {
+      c = snap(Ivf.trainSharded(
+        tblRead().filter(col("vec_id") >= Long.MinValue), kFine = 16,
+        iters = 4, samplePerSuper = 256))
+    }
+    assert(a == b && b == c,
+      "the size source must not change the trained model")
+    assert(jobsMeta == jobsHint,
+      s"snapshot-table corpus must train with ZERO count jobs: " +
+        s"metadata path ran $jobsMeta jobs vs hint path $jobsHint")
+    assert(jobsCount > jobsMeta,
+      s"fallback shape must pay the count job: $jobsCount vs $jobsMeta")
+  }
 }

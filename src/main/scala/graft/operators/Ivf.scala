@@ -252,6 +252,115 @@ object Ivf {
     else twoLevel(model, math.ceil(math.sqrt(model.size.toDouble)).toInt,
       iters = 10, nsuper = nsuper)
 
+  /** Broadcast budget for quantizer models (bytes): past it,
+    * [[trainAuto]] trains the SHARDED (DataFrame) family instead of a
+    * broadcast hierarchy. Default 256 MiB — comfortably inside every
+    * executor profile, an order of magnitude under the 4 GB broadcast
+    * wall the k ∝ N discipline reaches at k = 10⁶ × d = 512.
+    */
+  val BroadcastBudgetKey = "spark.graft.ann.broadcastBudgetBytes"
+  val BroadcastBudgetDefault: Long = 256L << 20
+
+  /** One trained coarse quantizer regardless of family — what
+    * [[trainAuto]] hands back so callers need not know about the
+    * broadcast wall: the broadcast families (flat / two-level) and the
+    * sharded DataFrame family answer the same three operations with
+    * the same output contracts.
+    */
+  sealed trait TrainedQuantizer {
+    /** Fine-cluster count. */
+    def k: Int
+    /** One (idCol, cluster) row per input row. */
+    def assignments(rows: DataFrame, idCol: String = "vec_id",
+        vecCol: String = "embedding"): DataFrame
+    /** Build/rebuild the cluster-partitioned persisted index. */
+    def buildIndex(spark: org.apache.spark.sql.SparkSession,
+        corpus: DataFrame, root: String, idCol: String = "vec_id",
+        vecCol: String = "embedding",
+        pq: Option[graft.functions.Pq.Codebook] = None)
+        : graft.catalog.SnapshotTable
+    /** Probe a [[buildIndex]] table — output contract identical to
+      * [[Similarity.bruteForceTopK]]: (q_id, n_id, sim, rank).
+      */
+    def topK(index: graft.catalog.SnapshotTable, queries: DataFrame,
+        k: Int, nprobe: Int, idCol: String = "vec_id",
+        vecCol: String = "embedding"): DataFrame
+  }
+
+  /** Model fits the broadcast budget: a [[Quantizer]] (flat or
+    * two-level by [[quantizer]]'s size knee) behind the shared
+    * operations.
+    */
+  final case class BroadcastTrained(q: Quantizer) extends TrainedQuantizer {
+    override def k: Int = q.k
+    override def assignments(rows: DataFrame, idCol: String,
+        vecCol: String): DataFrame =
+      rows.select(col(idCol), q.assign(col(vecCol)).as("cluster"))
+    override def buildIndex(spark: org.apache.spark.sql.SparkSession,
+        corpus: DataFrame, root: String, idCol: String, vecCol: String,
+        pq: Option[graft.functions.Pq.Codebook])
+        : graft.catalog.SnapshotTable =
+      Ivf.buildIndex(spark, corpus, q, root, idCol, vecCol, pq)
+    override def topK(index: graft.catalog.SnapshotTable,
+        queries: DataFrame, k: Int, nprobe: Int, idCol: String,
+        vecCol: String): DataFrame =
+      topKWithIndex(index, queries, q, k, nprobe, idCol, vecCol)
+  }
+
+  /** Model past the broadcast budget: the [[trainSharded]] family —
+    * fine centroids stay a DataFrame, assignment/probing run the join
+    * descent, nothing O(k·d) on the driver, in a plan, or broadcast.
+    */
+  final case class ShardedTrained(supers: Model, centroids: DataFrame,
+      nsuper: Int) extends TrainedQuantizer {
+    override lazy val k: Int =
+      centroids.select(col("fine_id")).distinct().count().toInt
+    override def assignments(rows: DataFrame, idCol: String,
+        vecCol: String): DataFrame =
+      assignSharded(rows, supers, centroids, nsuper, idCol, vecCol)
+    override def buildIndex(spark: org.apache.spark.sql.SparkSession,
+        corpus: DataFrame, root: String, idCol: String, vecCol: String,
+        pq: Option[graft.functions.Pq.Codebook])
+        : graft.catalog.SnapshotTable =
+      buildIndexSharded(spark, corpus, supers, centroids, nsuper, root,
+        idCol, vecCol, pq)
+    override def topK(index: graft.catalog.SnapshotTable,
+        queries: DataFrame, k: Int, nprobe: Int, idCol: String,
+        vecCol: String): DataFrame =
+      topKSharded(index, queries, supers, centroids, k, nsuper, nprobe,
+        idCol, vecCol)
+  }
+
+  /** Train a coarse quantizer, picking the FAMILY by estimated model
+    * size against the session's broadcast budget
+    * ([[BroadcastBudgetKey]], bytes): k·d·8 within budget trains the
+    * broadcast path ([[train]] + [[quantizer]]'s flat/two-level knee);
+    * past it, [[trainSharded]] — so callers scale k with the corpus
+    * (the SemDeDup discipline) without knowing where the 4 GB
+    * broadcast wall is (VERDICT r16 #5). `budgetOverride` keeps the
+    * explicit choice available (`Some(Long.MaxValue)` forces
+    * broadcast, `Some(0)` forces sharded); dimensionality probes ONE
+    * row.
+    */
+  def trainAuto(corpus: DataFrame, k: Int, iters: Int = 10,
+      nsuper: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding", rowCountHint: Option[Long] = None,
+      budgetOverride: Option[Long] = None): TrainedQuantizer = {
+    val budget = budgetOverride.getOrElse(
+      corpus.sparkSession.conf.getOption(BroadcastBudgetKey)
+        .map(_.toLong).getOrElse(BroadcastBudgetDefault))
+    val d = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val modelBytes = k.toLong * d * 8L
+    if (modelBytes <= budget)
+      BroadcastTrained(quantizer(train(corpus, k, iters, idCol, vecCol),
+        nsuper = nsuper))
+    else {
+      val (supers, cents) = trainSharded(corpus, k, iters, idCol, vecCol,
+        rowCountHint = rowCountHint)
+      ShardedTrained(supers, cents, nsuper)
+    }
+  }
+
   /** Nearest-centroid index (0-based; ties → smallest index).
     *
     * `simsExpr` appears twice in the tree, but both occurrences sit in

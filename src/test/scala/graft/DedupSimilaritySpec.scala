@@ -945,6 +945,60 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"two-level incremental dedup diverged: ${viaTl.diff(viaFlat)} / ${viaFlat.diff(viaTl)}")
   }
 
+  test("trainAuto switches family at the broadcast budget; answers agree across the boundary") {
+    import graft.operators.Ivf
+    val corpus = plantedMutantCorpus()
+    val d = corpus.select(size(col("embedding")).as("d")).head.getInt(0)
+    val k = 16
+    val modelBytes = k.toLong * d * 8L
+    // threshold pin: exactly at budget → broadcast; one byte under →
+    // sharded. budgetOverride doubles as the caller override.
+    val atBudget = Ivf.trainAuto(corpus, k, iters = 2,
+      nsuper = 3, budgetOverride = Some(modelBytes))
+    assert(atBudget.isInstanceOf[Ivf.BroadcastTrained],
+      s"model of $modelBytes bytes must fit a budget of $modelBytes")
+    val underBudget = Ivf.trainAuto(corpus, k, iters = 2,
+      nsuper = 3, budgetOverride = Some(modelBytes - 1))
+    assert(underBudget.isInstanceOf[Ivf.ShardedTrained],
+      "one byte under budget must pick the sharded family")
+    // the session CONF drives the default decision
+    val prev = spark.conf.getOption(Ivf.BroadcastBudgetKey)
+    try {
+      spark.conf.set(Ivf.BroadcastBudgetKey, "1")
+      assert(Ivf.trainAuto(corpus, k, iters = 2, nsuper = 3)
+        .isInstanceOf[Ivf.ShardedTrained])
+      spark.conf.set(Ivf.BroadcastBudgetKey, (64L << 20).toString)
+      assert(Ivf.trainAuto(corpus, k, iters = 2, nsuper = 3)
+        .isInstanceOf[Ivf.BroadcastTrained])
+    } finally prev match {
+      case Some(v) => spark.conf.set(Ivf.BroadcastBudgetKey, v)
+      case None => spark.conf.unset(Ivf.BroadcastBudgetKey)
+    }
+    // unchanged RESULTS across the boundary: both families must answer
+    // the planted-mutant recall contract identically through the SAME
+    // handle surface (index build + probe), and assignments must cover
+    // every row exactly once
+    val queries = corpus.filter(col("vec_id") >= 100000)
+    def answers(tq: Ivf.TrainedQuantizer, tag: String): Map[Long, Long] = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-auto-$tag").resolve("t").toString
+      val idx = tq.buildIndex(spark, corpus, root)
+      val n = corpus.count()
+      assert(tq.assignments(corpus).count() == n,
+        s"$tag: every row must receive exactly one cluster")
+      tq.topK(idx, queries, k = 1, nprobe = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val viaBroadcast = answers(atBudget, "bc")
+    val viaSharded = answers(underBudget, "sh")
+    assert(viaBroadcast == viaSharded,
+      "the family switch must not change query answers on this corpus")
+    val qs = queries.select(col("vec_id")).collect().map(_.getLong(0))
+    assert(qs.nonEmpty)
+    for (q <- qs) assert(viaBroadcast.get(q).contains(q - 100000),
+      s"query $q must find its planted original")
+  }
+
   test("trainSharded sizes its sample from the manifest on a snapshot-table corpus (no count scan)") {
     import graft.operators.Ivf
     val corpus = plantedMutantCorpus()

@@ -452,9 +452,17 @@ object ScaleSmoke {
       System.err.println(f"[scale-smoke] quantizer build k=100000: " +
         f"sampled(1024) $bSampled%.2f s vs full $bFull%.2f s " +
         f"(${bFull / bSampled}%.1fx win)")
-      require(bSampled < bFull,
-        f"sampled two-level training must beat the full Lloyd at the " +
-          f"same k: sampled $bSampled%.2f s vs full $bFull%.2f s")
+      // WARNING, not a hard gate (ADVICE r16): this A/B compares two
+      // wall-clock timings on a shared host — a contention spike
+      // landing on both sampled runs must not abort the whole smoke
+      // run. The algorithmic invariants stay hard-pinned elsewhere
+      // (partition coverage in DedupSimilaritySpec; the ~5× margin is
+      // informational here and visible in the JSON metric below).
+      if (bSampled >= bFull)
+        System.err.println(f"[scale-smoke] WARNING: sampled two-level " +
+          f"training did not beat the full Lloyd at the same k " +
+          f"(sampled $bSampled%.2f s vs full $bFull%.2f s) — expected " +
+          f"~5x win; likely host contention, investigate if persistent")
       println(s"""{"metric":"quantizer_build_probe","sampled100k":${f"$bSampled%.2f"},""" +
         s""""full100k":${f"$bFull%.2f"}}""")
     }
@@ -466,49 +474,12 @@ object ScaleSmoke {
     // the curve at linear-or-better (10× files ≤ 30× time, generous
     // headroom for host noise; a quadratic edge would read ≥100×).
     locally {
-      import graft.catalog.{ColStats, DataFileEntry, Snapshot, SnapshotTable}
-      def du(p: java.nio.file.Path): Long = {
-        val s = java.nio.file.Files.walk(p)
-        try s.filter(java.nio.file.Files.isRegularFile(_))
-          .mapToLong(java.nio.file.Files.size(_)).sum()
-        finally s.close()
-      }
-      def probe(n: Int): (Double, Double, Double, Long) = {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-smoke-manifest").resolve("t").toString
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.LongType)))
-        val t = SnapshotTable.create(spark, root, schema, None)
-        val base = t.currentSnapshot()
-        // disjoint id ranges per file: the plan probe's range filter
-        // classifies every file decisively, measuring a REAL prune walk
-        val files = (0 until n).map { i =>
-          DataFileEntry(f"data/f$i%07d.parquet", None, 1000L,
-            stats = Map("id" -> ColStats(Some((i * 1000L).toString),
-              Some((i * 1000L + 999L).toString), 0L)),
-            cols = base.ids, seq = base.version + 1, bytes = 64L << 20)
-        }
-        val cand = Snapshot(base.version + 1, Some(base.version),
-          "synthetic-append", System.currentTimeMillis(), base.schema,
-          None, base.properties, files, base.fieldIds, base.nextFieldId)
-        val c0 = System.nanoTime()
-        require(t.log.tryCommit(cand), "manifest probe commit failed")
-        val commitS = (System.nanoTime() - c0) / 1e9
-        val l0 = System.nanoTime()
-        val t2 = SnapshotTable.load(spark, root)
-        val snap = t2.currentSnapshot()
-        require(snap.files.size == n, s"reloaded ${snap.files.size} of $n")
-        val loadS = (System.nanoTime() - l0) / 1e9
-        val p0 = System.nanoTime()
-        val kept = t2.prunedFiles(snap, Seq(
-          org.apache.spark.sql.sources.GreaterThanOrEqual("id",
-            (n.toLong / 2) * 1000L)))
-        val planS = (System.nanoTime() - p0) / 1e9
-        require(kept.size == n / 2, s"prune kept ${kept.size} of $n")
-        (commitS, loadS, planS,
-          du(java.nio.file.Paths.get(root, "_graft_log")))
-      }
+      // probe body shared with the standalone runner (r17):
+      // graft.tools.ManifestProbe — disjoint id ranges per file, so
+      // the plan probe's range filter classifies every file decisively
+      // and measures a REAL prune walk
+      def probe(n: Int): (Double, Double, Double, Long) =
+        graft.tools.ManifestProbe.probe(spark, n)
       probe(1000) // warm (class loading, JIT, fs caches)
       val (c4, l4, p4, b4) = probe(10000)
       val (c5, l5, p5, b5) = probe(100000)
@@ -532,8 +503,13 @@ object ScaleSmoke {
         val (c6, l6, p6, b6) = probe(1000000)
         System.err.println(f"[scale-smoke] manifest probe XL: 1M files " +
           f"commit $c6%.2f s load $l6%.2f s plan $p6%.3f s ${b6 / 1024}%d KiB")
+        // plan gate tightened to 15× per 10× (VERDICT r16 #4): the
+        // columnar StatsIndex walk measures ~9× for the last decade
+        // (0.78 s at 1M incl. the one-time index build) where the boxed
+        // per-file walk read ≈32×; commit/load stay at the generous 30×
+        // (JSON manifest parse, characterized separately)
         require(c6 < c5 * 30 && l6 < l5 * 30 &&
-            p6 < math.max(p5, 0.01) * 30,
+            p6 < math.max(p5, 0.01) * 15,
           f"manifest layer must stay linear to 1M files: " +
             f"commit $c5%.2f->$c6%.2f, load $l5%.2f->$l6%.2f, " +
             f"plan $p5%.3f->$p6%.3f")

@@ -173,6 +173,14 @@ final case class Snapshot(
     if (dvFiles.isEmpty) Map.empty
     else dvFiles.flatMap(d => d.dataPaths.map(_ -> d))
       .groupBy(_._1).map { case (p, es) => p -> es.map(_._2) }
+
+  /** Columnar per-file stats view ([[StatsIndex]]): primitive bound
+    * arrays built lazily once per snapshot instance and reused by every
+    * prune of it — the flat-array walk that keeps the 10⁶-file prune
+    * from chasing a boxed stats Map per file (VERDICT r16 #4). Derived
+    * state, same discipline as [[dvByPath]].
+    */
+  @transient lazy val statsIndex: StatsIndex = new StatsIndex(this)
 }
 
 /** A concurrent writer won the race for the version this commit was

@@ -1010,10 +1010,22 @@ final class SnapshotTable private (
     */
   private[graft] def prunedFiles(s: Snapshot,
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[DataFileEntry] = {
+    if (filters.isEmpty) return s.files
+    // fast columnar pass first (primitive arrays, one flag byte per
+    // file — [[StatsIndex]]); only its survivors pay the generic boxed
+    // walk, and only for the conjuncts the fast pass could not settle
+    // exactly. Result-identical to the all-generic walk by the
+    // StatsIndex exactness contract (spec-pinned parity).
+    val (mask, residual) = s.statsIndex.evaluate(s.schema, filters)
     val currentById = s.ids.map { case (n, id) => id -> n }.toMap
-    if (filters.isEmpty) s.files
-    else s.files.filter(f => StatsPruner.mayMatchAll(
-      effectiveStats(currentById, f), s.schema, filters, log.resolveBloom) &&
+    val fastKept =
+      if (mask == null) s.files
+      else s.files.iterator.zipWithIndex
+        .collect { case (f, i) if mask(i) => f }.toSeq
+    if (residual.isEmpty && mask != null)
+      fastKept.filter(f => bucketMayMatch(s, f, filters))
+    else fastKept.filter(f => StatsPruner.mayMatchAll(
+      effectiveStats(currentById, f), s.schema, residual, log.resolveBloom) &&
       bucketMayMatch(s, f, filters))
   }
 

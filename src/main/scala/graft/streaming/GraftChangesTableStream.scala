@@ -122,14 +122,125 @@ final class GraftChangesTableStream(
   private def shp(st: StructType) =
     st.fields.toSeq.map(f => (f.name, f.dataType))
 
+  /** The table columns of the pinned change schema (everything after
+    * the leading `_change_type`).
+    */
+  private val dataSchema = StructType(pinned.fields.drop(1))
+
+  /** The requested table columns (pruned projection minus
+    * `_change_type`) — what direct partitions must surface.
+    */
+  private val directRequired = StructType(
+    required.fields.filterNot(_.name == "_change_type"))
+
+  /** Pinned FIELD-ID state for evolved direct serving — the tail's
+    * discipline ([[GraftTableStream]]): captured at stream
+    * construction; None when the table evolved between analysis and
+    * construction (such runs stage evolved ranges — correct, just not
+    * direct).
+    */
+  private val pinnedIds: Option[(Map[String, Int], Seq[(String, Int)])] = {
+    val pub = table.publishedSnapshot()
+    if (shp(pub.schema) == shp(dataSchema))
+      Some((pub.ids.toMap, pub.nestedIds))
+    else None
+  }
+
+  // ---- evolved-shape DIRECT reads (r17, VERDICT r16 #8): a blind-
+  // append range on the far side of a schema evolution previously fell
+  // to the staged diff — one parquet write-amplification of the batch
+  // just because the shape differed. The tail's field-id resolution
+  // serves it directly: each distinct historical shape registers a
+  // physical read schema positionally aligned with [[directRequired]]
+  // (renames follow ids, absent columns null-fill under reserved names
+  // or surface their recorded initial default). Unresolvable shapes
+  // memoize None and stage — the fallback is never an error here.
+
+  private val shapeIdx = scala.collection.mutable.LinkedHashMap
+    .empty[(Seq[(String, Int)], Seq[(String, Int)]), Option[Int]]
+  private val shapeSchemas = scala.collection.mutable.ArrayBuffer
+    .empty[(StructType, Seq[(Int, org.apache.spark.sql.types.DataType, Any)])]
+
+  /** Direct shape index for a version's snapshot: 0 = the pinned
+    * shape, k ≥ 1 = the k-th registered evolved shape, None = not
+    * directly servable (stage instead).
+    */
+  private def directShapeFor(vSnap: graft.catalog.Snapshot): Option[Int] = {
+    if (shp(vSnap.schema) == shp(dataSchema)) return Some(0)
+    shapeIdx.getOrElseUpdate((vSnap.ids, vSnap.nestedIds), {
+      pinnedIds.filter { case (idByName, _) =>
+        directRequired.fields.forall(f => idByName.contains(f.name))
+      }.map { case (idByName, pinnedNested) =>
+        val tnMap = pinnedNested.toMap
+        val wnById = vSnap.ids.map { case (wn, id) => id -> wn }.toMap
+        val fileNestedById: Map[Int, (Int, String)] =
+          vSnap.nestedIds.flatMap { case (k, nid) =>
+            val dot = k.indexOf('.')
+            if (dot <= 0) None
+            else k.substring(0, dot).toIntOption
+              .map(pid => nid -> (pid, k.substring(dot + 1)))
+          }.toMap
+        val defaults = Seq.newBuilder[(Int,
+          org.apache.spark.sql.types.DataType, Any)]
+        val phys = directRequired.fields.zipWithIndex.map {
+          case (f, reqOrd) =>
+            val i = dataSchema.fieldIndex(f.name)
+            val id = idByName(f.name)
+            wnById.get(id) match {
+              case Some(wn) =>
+                val physType = f.dataType match {
+                  case st: StructType =>
+                    StructType(st.fields.zipWithIndex.map { case (nf, j) =>
+                      val nname = tnMap.get(s"$id.${nf.name}") match {
+                        case Some(nid) => fileNestedById.get(nid) match {
+                          case Some((p, fwn)) if p == id => fwn
+                          case Some(_) => s"__graft_absent_${i}_$j"
+                          case None =>
+                            if (vSnap.nestedIds.isEmpty) nf.name
+                            else s"__graft_absent_${i}_$j"
+                        }
+                        case None => nf.name
+                      }
+                      nf.copy(name = nname, nullable = true)
+                    })
+                  case dt => dt
+                }
+                org.apache.spark.sql.types.StructField(wn, physType,
+                  nullable = true)
+              case None =>
+                if (f.metadata.contains(SnapshotTable.InitialDefaultKey)) {
+                  val value = org.apache.spark.sql.catalyst.expressions.Cast(
+                    org.apache.spark.sql.catalyst.expressions.Literal(
+                      org.apache.spark.unsafe.types.UTF8String.fromString(
+                        f.metadata.getString(
+                          SnapshotTable.InitialDefaultKey)),
+                      org.apache.spark.sql.types.StringType),
+                    f.dataType,
+                    Some(SnapshotTable.sessionZone(table.session)))
+                    .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+                  defaults += ((reqOrd, f.dataType, value))
+                }
+                org.apache.spark.sql.types.StructField(
+                  s"__graft_absent_$i", f.dataType, nullable = true)
+            }
+        }
+        shapeSchemas += ((StructType(phys), defaults.result()))
+        shapeSchemas.size
+      }
+    })
+  }
+
   /** Direct-serve plan for a pure blind-append range: the appended
     * files themselves, read under the table columns with
     * `_change_type = 'insert'` synthesized per row — the COMMON case
     * (steady-state ingest) never write-amplifies the feed through the
-    * checkpoint. None when any version in range is row-changing
-    * (staging conforms the diff), has a different schema shape
-    * (staging conforms columns), or is expired (staging serves the
-    * catch-up diff between living endpoints). Structural checks, never
+    * checkpoint. Versions on either side of a schema EVOLUTION serve
+    * directly too (r17): their shapes register evolved physical read
+    * schemas resolved by field id, the tail's discipline. None when
+    * any version in range is row-changing (staging conforms the diff),
+    * has a shape field ids cannot resolve against the pinned columns
+    * (staging conforms), or is expired (staging serves the catch-up
+    * diff between living endpoints). Structural checks, never
     * operation strings. Replays re-read the table files; a file
     * compacted AND expired inside a restart gap degrades, not crashes:
     * expiry can only delete a data file once NO live snapshot
@@ -144,16 +255,20 @@ final class GraftChangesTableStream(
     * deliberately declined (SURVEY §19.8 #4).
     */
   private def directAppendFiles(s: Long, e: Long,
-      fs: org.apache.hadoop.fs.FileSystem): Option[Seq[(String, Long)]] = {
-    val dataSchema = StructType(pinned.fields.drop(1))
-    val out = Seq.newBuilder[(String, Long)]
+      fs: org.apache.hadoop.fs.FileSystem): Option[Seq[(String, Long, Int)]] = {
+    val out = Seq.newBuilder[(String, Long, Int)]
     var prev: Option[(Long, Set[String])] = None
     var v = s + 1
     while (v <= e) {
       val snap =
         try table.snapshotAt(v)
         catch { case scala.util.control.NonFatal(_) => return None }
-      if (shp(snap.schema) != shp(dataSchema)) return None
+      // 0 = pinned shape; k ≥ 1 = registered evolved shape (field-id
+      // resolution); None = unresolvable → the staged path conforms
+      val k = directShapeFor(snap) match {
+        case Some(x) => x
+        case None => return None
+      }
       val parentPaths = snap.parent match {
         case Some(p) if prev.exists(_._1 == p) => prev.get._2
         case Some(p) =>
@@ -175,7 +290,7 @@ final class GraftChangesTableStream(
       added.foreach { f =>
         val p = new Path(table.root, f.path)
         out += ((fs.makeQualified(p).toString,
-          if (f.bytes > 0L) f.bytes else fs.getFileStatus(p).getLen))
+          if (f.bytes > 0L) f.bytes else fs.getFileStatus(p).getLen, k))
       }
       v += 1
     }
@@ -197,11 +312,18 @@ final class GraftChangesTableStream(
       table.session.sessionState.newHadoopConf())
     if (directEligible) {
       directAppendFiles(s, e, fs) match {
-        case Some(sized) =>
-          return StreamSplits.plan(table.session, sized).map(p =>
-            p.asInstanceOf[GraftStreamInputPartition].copy(shape = 1)
-              : InputPartition)
-        case None => () // row-changing / evolved / expired: stage
+        case Some(tagged) =>
+          // partition shape: 0 = staged, 1 = direct pinned, k+1 =
+          // direct under evolved shape k. Shape groups plan separately
+          // (their reader schemas differ).
+          return tagged.groupBy(_._3).toSeq.sortBy(_._1)
+            .iterator.flatMap { case (k, grp) =>
+              StreamSplits.plan(table.session,
+                  grp.map(t => (t._1, t._2)))
+                .iterator.map(p => p.asInstanceOf[GraftStreamInputPartition]
+                  .copy(shape = k + 1): InputPartition)
+            }.toArray
+        case None => () // row-changing / unresolvable / expired: stage
       }
     }
     val dir = stageDir(s, e)
@@ -252,12 +374,17 @@ final class GraftChangesTableStream(
   override def createReaderFactory(): PartitionReaderFactory = {
     val staged = ParquetReadBridge.readFunction(
       table.session, pinned, required, Nil)
-    val dataSchema = StructType(pinned.fields.drop(1))
-    val directRequired = StructType(
-      required.fields.filterNot(_.name == "_change_type"))
-    val direct = ParquetReadBridge.readFunction(
-      table.session, dataSchema, directRequired, Nil)
-    GraftChangesReaderFactory(staged, direct, directRequired,
+    // direct reads: index 0 = pinned shape (pruned projection); the
+    // evolved shapes read their positional-rename physical schemas in
+    // full (write-time names differ — no pushed pruning, the
+    // projection above conforms)
+    val directs = ParquetReadBridge.readFunction(
+        table.session, dataSchema, directRequired, Nil) +:
+      shapeSchemas.toIndexedSeq.map { case (ss, _) =>
+        ParquetReadBridge.readFunction(table.session, ss, ss, Nil)
+      }
+    GraftChangesReaderFactory(staged, directs,
+      Seq.empty +: shapeSchemas.toIndexedSeq.map(_._2), directRequired,
       required.fieldNames.contains("_change_type"))
   }
 
@@ -266,16 +393,21 @@ final class GraftChangesTableStream(
 }
 
 /** Reader for the change-feed stream: shape 0 partitions read STAGED
-  * batches (full pinned change schema on disk); shape 1 partitions
-  * read appended table files DIRECTLY and synthesize
-  * `_change_type = 'insert'` per row via an executor-built unsafe
-  * projection.
+  * batches (full pinned change schema on disk); shape k ≥ 1 partitions
+  * read appended table files DIRECTLY — k = 1 under the pinned shape,
+  * k ≥ 2 under the (k−1)-th registered EVOLVED physical schema — and
+  * synthesize `_change_type = 'insert'` per row via an executor-built
+  * unsafe projection, substituting recorded initial defaults into
+  * absent columns' slots (the reader null-filled them).
   */
 final case class GraftChangesReaderFactory(
     staged: org.apache.spark.sql.execution.datasources.PartitionedFile =>
       Iterator[org.apache.spark.sql.catalyst.InternalRow],
-    direct: org.apache.spark.sql.execution.datasources.PartitionedFile =>
-      Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    directs: IndexedSeq[
+      org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow]],
+    defaults: IndexedSeq[
+      Seq[(Int, org.apache.spark.sql.types.DataType, Any)]],
     directRequired: StructType,
     prependType: Boolean) extends PartitionReaderFactory {
 
@@ -284,22 +416,32 @@ final case class GraftChangesReaderFactory(
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[GraftStreamInputPartition]
-    val read = if (sp.shape == 0) staged else direct
+    val read = if (sp.shape == 0) staged else directs(sp.shape - 1)
     val base = sp.splits.iterator.flatMap { case (path, off, len) =>
       read(ParquetReadBridge.split(path, off, len))
     }
+    val defs =
+      if (sp.shape >= 1 && sp.shape - 1 < defaults.length)
+        defaults(sp.shape - 1)
+      else Nil
     val it =
-      if (sp.shape == 0 || !prependType) base
+      if (sp.shape == 0 || (!prependType && defs.isEmpty)) base
       else {
         // codegen'd projections build executor-side (not serializable)
         import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
+        val byOrd = defs.map(d => d._1 -> d).toMap
+        val body = directRequired.fields.toIndexedSeq.zipWithIndex.map {
+          case (f, i) => byOrd.get(i) match {
+            case Some((_, dt, v)) => Literal(v, dt)
+            case None => BoundReference(i, f.dataType, nullable = true)
+          }
+        }
         val proj = UnsafeProjection.create(
-          Literal(org.apache.spark.unsafe.types.UTF8String
-            .fromString("insert"),
-            org.apache.spark.sql.types.StringType) +:
-          directRequired.fields.toIndexedSeq.zipWithIndex.map {
-            case (f, i) => BoundReference(i, f.dataType, nullable = true)
-          })
+          if (prependType)
+            Literal(org.apache.spark.unsafe.types.UTF8String
+              .fromString("insert"),
+              org.apache.spark.sql.types.StringType) +: body
+          else body)
         base.map(proj)
       }
     new PartitionReader[InternalRow] {

@@ -258,6 +258,27 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
   private val sidecarCache = scala.collection.concurrent.TrieMap
     .empty[String, Map[String, Map[String, String]]]
 
+  /** Columnar stats indexes shared ACROSS snapshot reloads (SURVEY
+    * §20.7 #1): [[Snapshot.statsIndex]] is lazy per INSTANCE, and every
+    * `publishedSnapshot()` assembles a fresh instance — without this, a
+    * many-queries-per-second planner over a 10⁵+-file table would
+    * rebuild the primitive arrays per read. Version files are never
+    * rewritten in place (same coherence argument as [[manifestCache]]);
+    * the key still carries file count + first path so a synthetic
+    * same-version snapshot with different content can never poach a
+    * committed version's index. Small bounded window — prunes
+    * overwhelmingly hit the current version.
+    */
+  private val statsIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(Long, Int, Option[String]), StatsIndex]
+
+  def statsIndexOf(s: Snapshot): StatsIndex = {
+    if (statsIndexCache.size > 16) statsIndexCache.clear()
+    statsIndexCache.getOrElseUpdate(
+      (s.version, s.files.length, s.files.headOption.map(_.path)),
+      s.statsIndex)
+  }
+
   private def snapPath(v: Long): Path =
     new Path(logDir, f"snap-$v%011d.json")
 

@@ -1015,8 +1015,10 @@ final class SnapshotTable private (
     // file — [[StatsIndex]]); only its survivors pay the generic boxed
     // walk, and only for the conjuncts the fast pass could not settle
     // exactly. Result-identical to the all-generic walk by the
-    // StatsIndex exactness contract (spec-pinned parity).
-    val (mask, residual) = s.statsIndex.evaluate(s.schema, filters)
+    // StatsIndex exactness contract (spec-pinned parity). The index is
+    // shared across reloads of the same version (log.statsIndexOf) so
+    // repeated planning over a large table builds it once.
+    val (mask, residual) = log.statsIndexOf(s).evaluate(s.schema, filters)
     val currentById = s.ids.map { case (n, id) => id -> n }.toMap
     val fastKept =
       if (mask == null) s.files

@@ -190,4 +190,30 @@ class StatsIndexSpec extends AnyFunSuite {
     assert(m2 != null && r2 == Seq(EqualTo("id", 42L)),
       "a recorded Bloom must send the equality through the generic probe")
   }
+
+  test("statsIndexOf shares one index across reloads of the same version") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sidx-cache")
+      .resolve("t").toString
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val t = graft.catalog.SnapshotTable.create(spark, root, df.schema, None)
+    t.append(df)
+    // two independent reloads assemble fresh Snapshot instances; the
+    // log hands both the SAME columnar index (build once per version)
+    val s1 = t.log.read(t.currentVersion())
+    val s2 = t.log.read(t.currentVersion())
+    assert(!(s1 eq s2))
+    assert(t.log.statsIndexOf(s1) eq t.log.statsIndexOf(s2))
+    // a new version gets its own index, and pruning through the cached
+    // one stays correct
+    t.append(df.select((col("id") + 1000L).as("id"), col("v")))
+    val s3 = t.log.read(t.currentVersion())
+    assert(!(t.log.statsIndexOf(s3) eq t.log.statsIndexOf(s1)))
+    val kept = t.prunedFiles(s3,
+      Seq(org.apache.spark.sql.sources.GreaterThan("id", 1000L)))
+    assert(kept.nonEmpty && kept.size < s3.files.size,
+      s"prune through the cached index must still skip files: " +
+        s"${kept.size} of ${s3.files.size}")
+  }
 }

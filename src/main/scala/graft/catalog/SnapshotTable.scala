@@ -779,12 +779,7 @@ final class SnapshotTable private (
     val files =
       if (filters.isEmpty) all
       else {
-        val classified = all.map { f =>
-          if (StatsPruner.mustMatchAll(f, s.schema, filters)) Some(true)
-          else if (!StatsPruner.mayMatchAll(f, s.schema, filters,
-            log.resolveBloom)) Some(false)
-          else None
-        }
+        val classified = classifyFiles(s, all, filters)
         if (classified.contains(None)) return None
         all.zip(classified).collect { case (f, Some(true)) => f }
       }
@@ -923,12 +918,7 @@ final class SnapshotTable private (
     val kept =
       if (filters.isEmpty) allFiles
       else {
-        val classified = allFiles.map { f =>
-          if (StatsPruner.mustMatchAll(f, s.schema, filters)) Some(true)
-          else if (!StatsPruner.mayMatchAll(f, s.schema, filters,
-            log.resolveBloom)) Some(false)
-          else None
-        }
+        val classified = classifyFiles(s, allFiles, filters)
         if (classified.contains(None)) return None
         allFiles.zip(classified).collect { case (f, Some(true)) => f }
       }
@@ -1100,6 +1090,37 @@ final class SnapshotTable private (
     * the field ids, so pruning keeps working across renames (a file
     * written as `v` still skips for predicates on its renamed self).
     */
+  /** Decisive per-file classification for metadata-only answers:
+    * Some(true) = every live row provably matches, Some(false) =
+    * provably none does, None = straddles (the caller refuses and the
+    * ordinary scan runs). `all` must be the effectiveStats-translated
+    * twin of `s.files`, index-aligned. Fast columnar masks settle the
+    * eligible conjuncts ([[StatsIndex.evaluate]]/[[StatsIndex
+    * .evaluateMust]] — r17, the same 10⁶-file shape the prune walk
+    * had); the generic walks run only for residual conjuncts.
+    * must-before-may order preserved: a zero-live-row file is provably
+    * all-matching even though no comparison can match.
+    */
+  private def classifyFiles(s: Snapshot, all: Seq[DataFileEntry],
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Seq[Option[Boolean]] = {
+    val idx = log.statsIndexOf(s)
+    val (mayMask, mayRes) = idx.evaluate(s.schema, filters)
+    val (mustMask, mustRes) = idx.evaluateMust(s.schema, filters)
+    all.zipWithIndex.map { case (f, i) =>
+      val must = filters.nonEmpty &&
+        (mustMask == null || mustMask(i)) &&
+        (mustRes.isEmpty || StatsPruner.mustMatchAll(f, s.schema, mustRes))
+      if (must) Some(true)
+      else {
+        val may = (mayMask == null || mayMask(i)) &&
+          (mayRes.isEmpty ||
+            StatsPruner.mayMatchAll(f, s.schema, mayRes, log.resolveBloom))
+        if (!may) Some(false) else None
+      }
+    }
+  }
+
   private def effectiveStats(currentById: Map[Int, String],
       f: DataFileEntry): DataFileEntry =
     if (f.cols.isEmpty) f

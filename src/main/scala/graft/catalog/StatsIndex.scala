@@ -162,6 +162,127 @@ final class StatsIndex(snapshot: Snapshot) {
     (mask, residual.result())
   }
 
+  /** The MUST-match dual ([[StatsPruner.mustMatch]]): a mask where
+    * true means every fast-eligible conjunct is PROVEN true for all
+    * live rows of the file; residual conjuncts still need the generic
+    * proof. Same exactness discipline as [[evaluate]] — a conjunct is
+    * settled here only when the primitive proof equals the generic one
+    * (numeric kinds, matching value type; value proofs require the
+    * no-nulls flag exactly as `provablyNoNulls` does; a missing or
+    * unparseable bound proves nothing). The caller must still refuse
+    * when `filters` is empty (mustMatchAll's contract).
+    */
+  def evaluateMust(schema: StructType,
+      filters: Seq[Filter]): (Array[Boolean], Seq[Filter]) = {
+    var mask: Array[Boolean] = null
+    def m(): Array[Boolean] = {
+      if (mask == null) mask = Array.fill(files.length)(true)
+      mask
+    }
+    val residual = Seq.newBuilder[Filter]
+    filters.foreach { flt =>
+      val handled = flt match {
+        case GreaterThan(a, v) => mustCmp(schema, a, v, OpGt, m)
+        case GreaterThanOrEqual(a, v) => mustCmp(schema, a, v, OpGe, m)
+        case LessThan(a, v) => mustCmp(schema, a, v, OpLt, m)
+        case LessThanOrEqual(a, v) => mustCmp(schema, a, v, OpLe, m)
+        case EqualTo(a, v) if v != null => mustCmp(schema, a, v, OpEq, m)
+        case IsNull(a) => mustNullness(schema, a, wantNull = true, m)
+        case IsNotNull(a) => mustNullness(schema, a, wantNull = false, m)
+        case _ => Exactness.No
+      }
+      if (handled != Exactness.Exact) residual += flt
+    }
+    (mask, residual.result())
+  }
+
+  private def mustCmp(schema: StructType, a: String, v: Any, op: Int,
+      m: () => Array[Boolean]): Exactness.Value = {
+    val dt = fieldType(schema, a)
+    if (dt == null) return Exactness.No
+    colArrays(a, dt) match {
+      case c: NumCol =>
+        val isLong = c.kind == KindLong || c.kind == KindMicros
+        val vl = if (isLong) longValue(c.kind, v) else None
+        val vd = if (isLong) None else doubleValue(c.kind, v)
+        if (vl.isEmpty && vd.isEmpty) return Exactness.No
+        val mask = m()
+        val n = files.length
+        var i = 0
+        if (isLong) {
+          val x = vl.get
+          while (i < n) {
+            if (mask(i)) mask(i) = mustCmpLong(c, i, x, op)
+            i += 1
+          }
+        } else {
+          val x = vd.get
+          while (i < n) {
+            if (mask(i)) mask(i) = mustCmpDouble(c, i, x, op)
+            i += 1
+          }
+        }
+        Exactness.Exact
+      case _ => Exactness.No
+    }
+  }
+
+  // proof per file, replicating StatsPruner.mustCompare/mustEqual: a
+  // value proof needs provably-no-nulls (a NULL makes the predicate
+  // NULL, which DELETE must keep) plus the DECISIVE bound — GT proves
+  // off min > v, GE min >= v, LT max < v, LE max <= v, EQ needs
+  // min == v == max. No stats / missing bound / unparsed bound ⇒ no
+  // proof (false), exactly the generic getOrElse(false).
+  private def mustCmpLong(c: NumCol, i: Int, v: Long, op: Int): Boolean = {
+    val fl = c.flags(i)
+    if ((fl & HasStats) == 0 || (fl & SomeNull) != 0) return false
+    op match {
+      case OpGt => (fl & MinOk) != 0 && c.minL(i) > v
+      case OpGe => (fl & MinOk) != 0 && c.minL(i) >= v
+      case OpLt => (fl & MaxOk) != 0 && c.maxL(i) < v
+      case OpLe => (fl & MaxOk) != 0 && c.maxL(i) <= v
+      case _ => (fl & MinOk) != 0 && (fl & MaxOk) != 0 &&
+        c.minL(i) == v && c.maxL(i) == v
+    }
+  }
+
+  private def mustCmpDouble(c: NumCol, i: Int, v: Double, op: Int): Boolean = {
+    val fl = c.flags(i)
+    if ((fl & HasStats) == 0 || (fl & SomeNull) != 0) return false
+    op match {
+      case OpGt => (fl & MinOk) != 0 && c.minD(i) > v
+      case OpGe => (fl & MinOk) != 0 && c.minD(i) >= v
+      case OpLt => (fl & MaxOk) != 0 && c.maxD(i) < v
+      case OpLe => (fl & MaxOk) != 0 && c.maxD(i) <= v
+      case _ => (fl & MinOk) != 0 && (fl & MaxOk) != 0 &&
+        c.minD(i) == v && c.maxD(i) == v
+    }
+  }
+
+  private def mustNullness(schema: StructType, a: String,
+      wantNull: Boolean, m: () => Array[Boolean]): Exactness.Value = {
+    val dt = fieldType(schema, a)
+    if (dt == null) return Exactness.No
+    colArrays(a, dt) match {
+      case c: NumCol =>
+        val mask = m()
+        val n = files.length
+        var i = 0
+        while (i < n) {
+          if (mask(i)) {
+            val fl = c.flags(i)
+            mask(i) =
+              if ((fl & HasStats) == 0) false // no stats: no proof
+              else if (wantNull) (fl & AllNull) != 0
+              else (fl & SomeNull) == 0
+          }
+          i += 1
+        }
+        Exactness.Exact
+      case _ => Exactness.No
+    }
+  }
+
   private def fieldType(schema: StructType, a: String): DataType =
     schema.fields.find(_.name == a).map(_.dataType).orNull
 

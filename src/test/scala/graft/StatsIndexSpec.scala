@@ -170,6 +170,40 @@ class StatsIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("columnar MUST-match composed with its residual equals the generic proof") {
+    def genericMust(s: Snapshot, f: DataFileEntry,
+        filters: Seq[Filter]): Boolean = {
+      val currentById = s.ids.map { case (n, id) => id -> n }.toMap
+      val eff =
+        if (f.cols.isEmpty) f
+        else f.copy(stats = f.cols.flatMap { case (wn, id) =>
+          for { cn <- currentById.get(id); st <- f.stats.get(wn) }
+            yield cn -> st
+        }.toMap)
+      StatsPruner.mustMatchAll(eff, s.schema, filters)
+    }
+    val rnd = new scala.util.Random(20260817L)
+    for {
+      renamed <- Seq(false, true)
+      trial <- 0 until 3
+    } {
+      val files = mkFiles(rnd, 200, renamed, withBloom = false)
+      val s = mkSnapshot(files)
+      for (filters <- filterCases) {
+        val (mask, residual) = s.statsIndex.evaluateMust(s.schema, filters)
+        files.zipWithIndex.foreach { case (f, i) =>
+          val fastMust = filters.nonEmpty &&
+            (mask == null || mask(i)) &&
+            (residual.isEmpty || genericMust(s, f, residual))
+          val refMust = genericMust(s, f, filters)
+          assert(fastMust == refMust,
+            s"MUST divergence on file $i (renamed=$renamed trial=$trial) " +
+              s"filters=$filters stats=${f.stats}")
+        }
+      }
+    }
+  }
+
   test("bloom-bearing equality keeps the conjunct in the residual; bloom-free settles exactly") {
     val rnd = new scala.util.Random(7L)
     val noBloom = mkSnapshot(mkFiles(rnd, 50, renamed = false,

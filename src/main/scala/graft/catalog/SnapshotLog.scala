@@ -312,7 +312,24 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
   def read(version: Long): Snapshot = {
     val (snap, manifests) = SnapshotLog.fromJsonSharded(readBytes(snapPath(version)))
     if (manifests.isEmpty) snap // format v1: inline file list
-    else snap.copy(files = manifests.flatMap(m => loadManifest(m.path)))
+    else snap.copy(files = loadManifests(manifests))
+  }
+
+  /** All shards of a manifest list, global file order preserved.
+    * Shards parse in PARALLEL over driver cores (r17): json4s builds a
+    * boxed AST per entry, so a 10⁶-entry list is seconds of
+    * driver-side parse — write-time sharding caps the unit and this
+    * fans the units out. Cache-hot shards skip the pool entirely.
+    */
+  private def loadManifests(manifests: Seq[ManifestRef]): Seq[DataFileEntry] = {
+    val ms = manifests.toIndexedSeq
+    val miss = ms.filter(m => !manifestCache.contains(m.path))
+    if (miss.length > 1) {
+      val out = new Array[Seq[DataFileEntry]](miss.length)
+      java.util.stream.IntStream.range(0, miss.length).parallel()
+        .forEach(i => out(i) = loadManifest(miss(i).path))
+    }
+    ms.flatMap(m => loadManifest(m.path))
   }
 
   /** The manifest list of `version` — empty for format-v1 snapshots. */
@@ -338,8 +355,7 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
     val (snap, manifests) =
       SnapshotLog.fromJsonSharded(readBytes(snapPath(version)))
     if (manifests.isEmpty) (snap, manifests)
-    else (snap.copy(files = manifests.flatMap(m => loadManifest(m.path))),
-      manifests)
+    else (snap.copy(files = loadManifests(manifests)), manifests)
   }
 
   /** Entries of one immutable manifest file (cached). */
@@ -489,12 +505,22 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
           })
         }))
       }
-    val manifests = kept ++ (if (batch.isEmpty) Nil else {
-      val manRel = s"${SnapshotLog.ManifestDirName}/m-$uuid.json"
-      writeAux(manRel, SnapshotLog.manifestToJson(batch))
-      manifestCache.put(manRel, batch)
-      Seq(ManifestRef(manRel, batch.size))
-    })
+    // large batches split into FIXED-SIZE manifest shards (r17): one
+    // mega-manifest made the table-load parse single-threaded (12-23 s
+    // at 10⁶ entries) and any one-file change rewrote the whole list;
+    // shards cap the parse unit (loaded in parallel — [[read]]) and a
+    // later row-level commit rewrites only the touched shard while the
+    // rest are reused verbatim (Iceberg's many-manifests posture).
+    val shardRows = math.max(1, s.properties.get("graft.manifest.shard_rows")
+      .flatMap(v => Try(v.toInt).toOption)
+      .getOrElse(SnapshotLog.ManifestShardRows))
+    val manifests = kept ++ batch.grouped(shardRows).zipWithIndex.map {
+      case (grp, i) =>
+        val manRel = s"${SnapshotLog.ManifestDirName}/m-$uuid-$i.json"
+        writeAux(manRel, SnapshotLog.manifestToJson(grp))
+        manifestCache.put(manRel, grp)
+        ManifestRef(manRel, grp.size)
+    }.toSeq
     SnapshotLog.toJsonSharded(s, manifests)
   }
 
@@ -633,6 +659,16 @@ object SnapshotLog {
     * `graft.manifest.max` property).
     */
   val MaxManifests = 100
+
+  /** Default max entries per manifest SHARD (override per table with
+    * the `graft.manifest.shard_rows` property): caps the JSON-parse
+    * unit a table load pays (shards parse in parallel) and the rewrite
+    * unit a row-level commit pays. 100k entries ≈ 17 MB ≈ ~1 s parse —
+    * a 10⁶-file table loads as 10 parallel shards instead of one
+    * 170 MB single-threaded parse. With [[MaxManifests]] = 100 the
+    * soft ceiling is ~10⁷ files per table before fold pressure.
+    */
+  val ManifestShardRows = 100000
 
   private val SnapName = raw"snap-(\d+)\.json".r
 

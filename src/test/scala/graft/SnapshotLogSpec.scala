@@ -191,6 +191,31 @@ class SnapshotLogSpec extends AnyFunSuite {
     assert(log.read(1).files.size == perCommit)
   }
 
+  test("large batches shard into fixed-size manifests; shards reuse and load in order") {
+    val root = freshRoot()
+    val log = new SnapshotLog(new Path(root), new Configuration())
+    val props = Map("graft.manifest.shard_rows" -> "1000")
+    val base = (1 to 5500).map(entry(_))
+    assert(log.tryCommit(snap(1, None, base, props)))
+    val mans = log.manifestList(1)
+    assert(mans.size == 6, s"5500 rows at shard_rows=1000 must write " +
+      s"6 shards, got ${mans.size}")
+    assert(mans.map(_.fileCount) == Seq(1000, 1000, 1000, 1000, 1000, 500))
+    // read-back: every entry, GLOBAL order preserved across shards
+    val got = log.read(1).files
+    assert(got == base, "sharded read-back must preserve entry order")
+    // an appending commit reuses EVERY shard verbatim and writes only
+    // its own batch — the row-level rewrite unit is one shard, never
+    // the whole list
+    val added = (9001 to 9005).map(entry(_))
+    assert(log.tryCommit(snap(2, Some(1), base ++ added, props)))
+    val mans2 = log.manifestList(2)
+    assert(mans2.take(6).map(_.path) == mans.map(_.path),
+      "append must reuse the parent's shards by path")
+    assert(mans2.size == 7 && mans2.last.fileCount == 5)
+    assert(log.read(2).files == base ++ added)
+  }
+
   test("manifest list stays bounded by folding smallest manifests") {
     val root = freshRoot()
     val log = new SnapshotLog(new Path(root), new Configuration())

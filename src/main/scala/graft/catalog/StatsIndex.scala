@@ -71,10 +71,12 @@ final class StatsIndex(snapshot: Snapshot) {
       else new Array[Long](n)
     val minD = if (minL == null) new Array[Double](n) else null
     val maxD = if (minL == null) new Array[Double](n) else null
-    var anyBloom = false
+    val anyBloom = new java.util.concurrent.atomic.AtomicBoolean(false)
     val id = idByName.get(name)
-    var i = 0
-    while (i < n) {
+    // per-file work is independent (disjoint array slots); at manifest
+    // scale (10⁵-10⁶ entries) the parse-and-flag pass fans out over
+    // driver cores — the same discipline as the shard loads
+    val body: java.util.function.IntConsumer = { (i: Int) =>
       val f = files(i)
       // the same name translation [[SnapshotTable.effectiveStats]]
       // applies per prune: stats key on WRITE-TIME names; files with
@@ -98,7 +100,7 @@ final class StatsIndex(snapshot: Snapshot) {
         var fl = HasStats
         if (st.nullCount == f.rows) fl |= AllNull
         if (st.nullCount > 0) fl |= SomeNull
-        if (st.bloom.isDefined) anyBloom = true
+        if (st.bloom.isDefined) anyBloom.set(true)
         st.min match {
           case Some(b) => kind match {
             case KindLong | KindMicros =>
@@ -125,9 +127,11 @@ final class StatsIndex(snapshot: Snapshot) {
         }
         flags(i) = fl.toByte
       }
-      i += 1
     }
-    NumCol(kind, flags, minL, maxL, minD, maxD, anyBloom)
+    if (n > (1 << 15))
+      java.util.stream.IntStream.range(0, n).parallel().forEach(body)
+    else java.util.stream.IntStream.range(0, n).forEach(body)
+    NumCol(kind, flags, minL, maxL, minD, maxD, anyBloom.get())
   }
 
   /** Evaluate the fast-eligible conjuncts of `filters` into a keep

@@ -504,9 +504,10 @@ object ScaleSmoke {
         System.err.println(f"[scale-smoke] manifest probe XL: 1M files " +
           f"commit $c6%.2f s load $l6%.2f s plan $p6%.3f s ${b6 / 1024}%d KiB")
         // plan gate tightened to 15× per 10× (VERDICT r16 #4): the
-        // columnar StatsIndex walk measures ~9× quiet / ~14× contended
-        // for the last decade (0.78 s at 1M quiet, incl. the one-time
-        // index build) where the boxed per-file walk read ≈32×.
+        // columnar StatsIndex walk (parallel build, late r17) measures
+        // ~3× per decade quiet (0.28 s at 1M incl. the one-time index
+        // build) where the boxed per-file walk read ≈32× — 15× leaves
+        // ~5× contention headroom over the worst observed reading.
         // commit/load are WARNINGS, not gates (r17): they are one-shot
         // I/O + JSON-parse wall clocks whose 100k and 1M measurements
         // land minutes apart on a shared host — observed 8× swings on

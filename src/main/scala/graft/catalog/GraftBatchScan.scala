@@ -59,6 +59,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * Filters are skip-only here exactly as on the V1 path — the scan
   * declares every filter residual, Catalyst re-applies them above.
   */
+/** Scans able to answer an EXACT live row count from metadata alone —
+  * None whenever metadata cannot PROVE it (pending equality deletes,
+  * pushed filters, limit/TopN, unprovable delete-vector coverage).
+  * The strict twin of `SupportsReportStatistics`, whose numRows may
+  * round up; exact consumers ([[graft.operators.Ivf.metadataRowCount]])
+  * match this trait instead.
+  */
+private[graft] trait GraftExactRows {
+  def exactRowCount: Option[Long]
+}
+
 final class GraftBatchScan(
     table: SnapshotTable,
     snap: Snapshot,
@@ -71,7 +82,7 @@ final class GraftBatchScan(
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream] =
       None) extends Scan with Batch
     with SupportsReportStatistics with SupportsReportPartitioning
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with GraftExactRows {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -661,6 +672,19 @@ final class GraftBatchScan(
     * multi-snapshot-table joins with. All metadata-only — no file is
     * opened at any table size.
     */
+  /** EXACT live row count from the manifest alone, or None when
+    * metadata cannot know it: pending equality deletes (match counts
+    * are data-dependent), pushed filters / limit / TopN (the scan
+    * returns a subset), unsound or overlapping delete-vector coverage
+    * (the subtraction cannot prove position-disjointness). This is the
+    * strict twin of [[estimateStatistics]]'s numRows, which rounds UP
+    * on those shapes because CBO estimates may — an "exact" consumer
+    * ([[graft.operators.Ivf.metadataRowCount]]) must refuse instead.
+    */
+  override def exactRowCount: Option[Long] =
+    if (filters.nonEmpty || limit.isDefined || topn.isDefined) None
+    else SnapshotTable.exactLiveRows(snap)
+
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val kept = groups.flatMap(_._2)

@@ -230,8 +230,17 @@ final class GraftV2Table(
       }
 
       private def v1Scan(): Scan = new V1Scan
-          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics
+          with GraftExactRows {
         override def readSchema(): StructType = required
+
+        /** Exact metadata row count for [[GraftExactRows]] consumers —
+          * None under pushed limit/TopN (the scan returns a prefix) or
+          * whenever [[SnapshotTable.exactRowCount]] cannot prove it.
+          */
+        override def exactRowCount: Option[Long] =
+          if (limit.isDefined || topn.isDefined) None
+          else table.exactRowCount(version, filters.toIndexedSeq)
 
         override def toMicroBatchStream(checkpointLocation: String)
             : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =

@@ -323,12 +323,14 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
     */
   private def loadManifests(manifests: Seq[ManifestRef]): Seq[DataFileEntry] = {
     val ms = manifests.toIndexedSeq
-    val miss = ms.filter(m => !manifestCache.contains(m.path))
-    if (miss.length > 1) {
-      val out = new Array[Seq[DataFileEntry]](miss.length)
+    // warm the cache in parallel for the missing shards (distinct —
+    // TrieMap getOrElseUpdate is not compute-once, so duplicates would
+    // parse the same shard twice), then assemble in list order
+    val miss = ms.map(_.path).distinct
+      .filter(p => !manifestCache.contains(p)).toIndexedSeq
+    if (miss.length > 1)
       java.util.stream.IntStream.range(0, miss.length).parallel()
-        .forEach(i => out(i) = loadManifest(miss(i).path))
-    }
+        .forEach(i => { loadManifest(miss(i)); () })
     ms.flatMap(m => loadManifest(m.path))
   }
 
@@ -472,16 +474,36 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
     var newEntries = s.files.filterNot(f => covered.contains(f.path))
     var kept = reusable
     // bound the manifest list: fold the SMALLEST reused manifests into
-    // this commit's new manifest (amortized manifest compaction — read
+    // this commit's new manifests (amortized manifest compaction — read
     // fan-out stays bounded without ever rewriting the whole table)
     val max = math.max(2, s.properties.get("graft.manifest.max")
       .flatMap(v => Try(v.toInt).toOption).getOrElse(SnapshotLog.MaxManifests))
-    if (kept.size + (if (newEntries.nonEmpty) 1 else 0) > max) {
-      val fold = kept.sortBy(_.fileCount)
-        .take(kept.size + 1 - max).map(_.path).toSet
-      newEntries = newEntries ++ kept.filter(m => fold.contains(m.path))
-        .flatMap(m => loadManifest(m.path))
-      kept = kept.filterNot(m => fold.contains(m.path))
+    val shardRows = math.max(1, s.properties.get("graft.manifest.shard_rows")
+      .flatMap(v => Try(v.toInt).toOption)
+      .getOrElse(SnapshotLog.ManifestShardRows))
+    // the batch writes ceil(n/shardRows) SHARDS, not one manifest —
+    // the fold must budget the real count (folding grows the batch, so
+    // the target recomputes as manifests fold in). Unsatisfiable only
+    // past shardRows×max total entries; then everything folds and the
+    // bound is best-effort.
+    def shardsOf(n: Int): Int = if (n == 0) 0 else 1 + (n - 1) / shardRows
+    if (kept.size + shardsOf(newEntries.size) > max) {
+      val bySize = scala.collection.mutable.Queue(kept.sortBy(_.fileCount): _*)
+      var keptN = kept.size
+      var batchN = newEntries.size
+      val folded = Set.newBuilder[String]
+      while (bySize.nonEmpty && keptN + shardsOf(batchN) > max) {
+        val m = bySize.dequeue()
+        folded += m.path
+        keptN -= 1
+        batchN += m.fileCount
+      }
+      val fold = folded.result()
+      if (fold.nonEmpty) {
+        newEntries = newEntries ++ kept.filter(m => fold.contains(m.path))
+          .flatMap(m => loadManifest(m.path))
+        kept = kept.filterNot(m => fold.contains(m.path))
+      }
     }
     val uuid = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val inline = newEntries.flatMap(e => e.stats.toSeq.collect {
@@ -511,9 +533,6 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
     // shards cap the parse unit (loaded in parallel — [[read]]) and a
     // later row-level commit rewrites only the touched shard while the
     // rest are reused verbatim (Iceberg's many-manifests posture).
-    val shardRows = math.max(1, s.properties.get("graft.manifest.shard_rows")
-      .flatMap(v => Try(v.toInt).toOption)
-      .getOrElse(SnapshotLog.ManifestShardRows))
     // shards render+write in parallel (json4s rendering is CPU-bound —
     // the commit's dominant cost at 10⁶ entries); the manifest-list
     // ORDER stays the deterministic grouped order regardless

@@ -1031,6 +1031,20 @@ final class SnapshotTable private (
     * accident). Equality deletes are ignored for the same reason:
     * their matched-row count is unknowable without reading.
     */
+  /** EXACT live row count from the manifest alone, or None when
+    * metadata cannot prove it: pending equality deletes (match counts
+    * are data-dependent), any pushed filters (the read is a subset),
+    * or delete-vector coverage whose position-disjointness is
+    * unprovable (a path covered by two vectors). The strict twin of
+    * [[scanEstimate]], which rounds UP on those shapes because CBO
+    * estimates may — exact consumers must refuse instead.
+    */
+  private[graft] def exactRowCount(version: Option[Long],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Option[Long] =
+    if (filters.nonEmpty) None
+    else SnapshotTable.exactLiveRows(
+      version.map(snapshotAt).getOrElse(publishedSnapshot()))
+
   private[graft] def scanEstimate(version: Option[Long],
       filters: Seq[org.apache.spark.sql.sources.Filter]): Long = {
     val s = version.map(snapshotAt).getOrElse(publishedSnapshot())
@@ -3971,6 +3985,24 @@ final class SnapshotTable private (
 }
 
 object SnapshotTable {
+
+  /** EXACT live row count of a snapshot from its manifest, or None
+    * when metadata cannot prove it: pending equality deletes (match
+    * counts are data-dependent) or delete-vector coverage whose
+    * position-disjointness is unprovable. Shared by the exact-count
+    * consumers ([[GraftExactRows]]); the estimating twin
+    * ([[SnapshotTable.scanEstimate]]) rounds up instead of refusing.
+    */
+  private[graft] def exactLiveRows(s: Snapshot): Option[Long] = {
+    if (s.deleteFiles.nonEmpty) return None
+    val covered = s.dvFiles.flatMap(_.dataPaths)
+    val seqByPath = s.files.map(f => f.path -> f.seq).toMap
+    val sound = s.dvFiles.forall(dv => dv.dataPaths.forall(p =>
+      seqByPath.get(p).exists(_ < dv.seq)))
+    if (covered.size != covered.distinct.size || !sound) None
+    else Some(math.max(0L,
+      s.files.map(_.rows).sum - s.dvFiles.map(_.rows).sum))
+  }
 
   /** Decoded filesystem path of a file URI as rendered by
     * `_metadata.file_path` / `input_file_name()`: percent-encoding

@@ -873,26 +873,31 @@ object Ivf {
   }
 
   /** Exact row count from table METADATA when `df` is a bare (or
-    * projected) DSv2 scan that reports statistics — the graft snapshot
-    * scan answers from manifest row sums minus delete-vector rows, no
-    * data file opened at any table size. Anything else (unions,
-    * filters above the scan, joins — shapes where manifest arithmetic
-    * is not the row count) answers None and the caller falls back to
-    * counting. Only row-preserving Project nodes are descended, so a
-    * residual Filter — even one whose predicate was also pushed to the
-    * scan (DSv2 pushdown is advisory; the manifest prune is
-    * conservative) — can never smuggle an overcount in.
+    * projected) read of a graft snapshot catalog table — manifest row
+    * sums minus provably-disjoint delete-vector rows, no data file
+    * opened at any table size ([[graft.catalog.GraftBatchScan
+    * .exactRowCount]]). Anything else answers None and the caller
+    * falls back to counting: unions/joins/filters above the scan (only
+    * row-preserving Project nodes are descended), non-graft sources
+    * (their reported numRows may be an estimate), and graft snapshots
+    * whose live count metadata cannot prove — pending equality deletes,
+    * pushed filters, limit/TopN, overlapping vector coverage.
     */
   private[graft] def metadataRowCount(df: DataFrame): Option[Long] = {
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    def ofScan(scan: org.apache.spark.sql.connector.read.Scan): Option[Long] =
+      scan match {
+        case g: graft.catalog.GraftExactRows => g.exactRowCount
+        case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper =>
+          w.v1Scan match {
+            case g: graft.catalog.GraftExactRows => g.exactRowCount
+            case _ => None
+          }
+        case _ => None
+      }
     def walk(p: LogicalPlan): Option[Long] = p match {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-        r.scan match {
-          case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-            val n = s.estimateStatistics().numRows()
-            if (n.isPresent) Some(n.getAsLong) else None
-          case _ => None
-        }
+        ofScan(r.scan)
       case pr: Project => walk(pr.child)
       case _ => None
     }

@@ -168,64 +168,14 @@ final class GraftChangesTableStream(
   private def directShapeFor(vSnap: graft.catalog.Snapshot): Option[Int] = {
     if (shp(vSnap.schema) == shp(dataSchema)) return Some(0)
     shapeIdx.getOrElseUpdate((vSnap.ids, vSnap.nestedIds), {
-      pinnedIds.filter { case (idByName, _) =>
-        directRequired.fields.forall(f => idByName.contains(f.name))
-      }.map { case (idByName, pinnedNested) =>
-        val tnMap = pinnedNested.toMap
-        val wnById = vSnap.ids.map { case (wn, id) => id -> wn }.toMap
-        val fileNestedById: Map[Int, (Int, String)] =
-          vSnap.nestedIds.flatMap { case (k, nid) =>
-            val dot = k.indexOf('.')
-            if (dot <= 0) None
-            else k.substring(0, dot).toIntOption
-              .map(pid => nid -> (pid, k.substring(dot + 1)))
-          }.toMap
-        val defaults = Seq.newBuilder[(Int,
-          org.apache.spark.sql.types.DataType, Any)]
-        val phys = directRequired.fields.zipWithIndex.map {
-          case (f, reqOrd) =>
-            val i = dataSchema.fieldIndex(f.name)
-            val id = idByName(f.name)
-            wnById.get(id) match {
-              case Some(wn) =>
-                val physType = f.dataType match {
-                  case st: StructType =>
-                    StructType(st.fields.zipWithIndex.map { case (nf, j) =>
-                      val nname = tnMap.get(s"$id.${nf.name}") match {
-                        case Some(nid) => fileNestedById.get(nid) match {
-                          case Some((p, fwn)) if p == id => fwn
-                          case Some(_) => s"__graft_absent_${i}_$j"
-                          case None =>
-                            if (vSnap.nestedIds.isEmpty) nf.name
-                            else s"__graft_absent_${i}_$j"
-                        }
-                        case None => nf.name
-                      }
-                      nf.copy(name = nname, nullable = true)
-                    })
-                  case dt => dt
-                }
-                org.apache.spark.sql.types.StructField(wn, physType,
-                  nullable = true)
-              case None =>
-                if (f.metadata.contains(SnapshotTable.InitialDefaultKey)) {
-                  val value = org.apache.spark.sql.catalyst.expressions.Cast(
-                    org.apache.spark.sql.catalyst.expressions.Literal(
-                      org.apache.spark.unsafe.types.UTF8String.fromString(
-                        f.metadata.getString(
-                          SnapshotTable.InitialDefaultKey)),
-                      org.apache.spark.sql.types.StringType),
-                    f.dataType,
-                    Some(SnapshotTable.sessionZone(table.session)))
-                    .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-                  defaults += ((reqOrd, f.dataType, value))
-                }
-                org.apache.spark.sql.types.StructField(
-                  s"__graft_absent_$i", f.dataType, nullable = true)
-            }
+      pinnedIds.flatMap { case (idByName, pinnedNested) =>
+        EvolvedShapes.resolve(table.session, directRequired, dataSchema,
+            idByName, pinnedNested, vSnap) match {
+          case Left(_) => None // unresolvable: the staged path conforms
+          case Right((phys, defaults)) =>
+            shapeSchemas += ((phys, defaults))
+            Some(shapeSchemas.size)
         }
-        shapeSchemas += ((StructType(phys), defaults.result()))
-        shapeSchemas.size
       }
     })
   }

@@ -199,76 +199,23 @@ final class GraftTableStream(
         "(readStream.table(\"graft.db.`t#changes`\"))")
 
   /** Register (or look up) the shape of version `v`'s snapshot and
-    * return its index. Resolution mirrors the batch scan's positional
-    * rename trick ([[graft.catalog.GraftBatchScan]] shapeSchema):
-    * pinned types are kept (legal evolutions are reader-upcastable);
-    * nested struct fields resolve through nested ids one level down.
+    * return its index. Resolution lives in [[EvolvedShapes.resolve]]
+    * (shared with the change feed — the batch scan's positional rename
+    * trick: renames follow field ids, absent columns null-fill under
+    * reserved names or surface their recorded initial default).
     */
   private def shapeIndexFor(vSnap: graft.catalog.Snapshot, v: Long): Int = {
     val key = (vSnap.ids, vSnap.nestedIds)
     shapeIdx.getOrElseUpdate(key, {
       val (idByName, pinnedNested) = pinnedIds.getOrElse(boundaryError(v,
         "the table evolved between query analysis and stream start"))
-      val tnMap = pinnedNested.toMap
-      val wnById = vSnap.ids.map { case (wn, id) => id -> wn }.toMap
-      val fileNestedById: Map[Int, (Int, String)] =
-        vSnap.nestedIds.flatMap { case (k, nid) =>
-          val dot = k.indexOf('.')
-          if (dot <= 0) None
-          else k.substring(0, dot).toIntOption
-            .map(pid => nid -> (pid, k.substring(dot + 1)))
-        }.toMap
-      val defaults = Seq.newBuilder[(Int,
-        org.apache.spark.sql.types.DataType, Any)]
-      val phys = StructType(required.fields.zipWithIndex.map {
-        case (f, reqOrd) =>
-        val i = tableSchema.fieldIndex(f.name)
-        val id = idByName.getOrElse(f.name, boundaryError(v,
-          s"pinned column ${f.name} has no field id"))
-        wnById.get(id) match {
-          case Some(wn) =>
-            val physType = f.dataType match {
-              case st: StructType =>
-                StructType(st.fields.zipWithIndex.map { case (nf, j) =>
-                  val nname = tnMap.get(s"$id.${nf.name}") match {
-                    case Some(nid) => fileNestedById.get(nid) match {
-                      case Some((p, fwn)) if p == id => fwn
-                      case Some(_) => s"__graft_absent_${i}_$j"
-                      case None =>
-                        if (vSnap.nestedIds.isEmpty) nf.name
-                        else s"__graft_absent_${i}_$j"
-                    }
-                    case None => nf.name
-                  }
-                  nf.copy(name = nname, nullable = true)
-                })
-              case dt => dt
-            }
-            org.apache.spark.sql.types.StructField(wn, physType,
-              nullable = true)
-          case None =>
-            // a column the shape predates null-fills — unless it
-            // recorded an INITIAL DEFAULT, whose constant the reader
-            // substitutes per row (Iceberg v3; the batch scan's
-            // shapeDefaults, stream edition). Evaluated once
-            // driver-side with the same lit(s).cast(dt) semantics.
-            if (f.metadata.contains(SnapshotTable.InitialDefaultKey)) {
-              val value = org.apache.spark.sql.catalyst.expressions.Cast(
-                org.apache.spark.sql.catalyst.expressions.Literal(
-                  org.apache.spark.unsafe.types.UTF8String.fromString(
-                    f.metadata.getString(SnapshotTable.InitialDefaultKey)),
-                  org.apache.spark.sql.types.StringType),
-                f.dataType,
-                Some(SnapshotTable.sessionZone(table.session)))
-                .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-              defaults += ((reqOrd, f.dataType, value))
-            }
-            org.apache.spark.sql.types.StructField(s"__graft_absent_$i",
-              f.dataType, nullable = true)
-        }
-      })
-      shapeSchemas += ((phys, defaults.result()))
-      shapeIdx.size + 1 // index 0 is the pinned shape
+      EvolvedShapes.resolve(table.session, required, tableSchema,
+          idByName, pinnedNested, vSnap) match {
+        case Left(reason) => boundaryError(v, reason)
+        case Right((phys, defaults)) =>
+          shapeSchemas += ((phys, defaults))
+          shapeIdx.size + 1 // index 0 is the pinned shape
+      }
     })
   }
 

@@ -1067,5 +1067,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"metadata path ran $jobsMeta jobs vs hint path $jobsHint")
     assert(jobsCount > jobsMeta,
       s"fallback shape must pay the count job: $jobsCount vs $jobsMeta")
+    // MoR shapes: a delete VECTOR keeps the count exact (position
+    // counts are manifest facts); a pending EQUALITY delete makes the
+    // live count unknowable without reading — the probe must refuse,
+    // not overcount (the estimate twin rounds up by design)
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val underlying = graft.catalog.SnapshotTable.load(spark,
+      s"$wh/shardmeta/corpus")
+    underlying.deleteWithVectors(col("vec_id") === 3L)
+    assert(Ivf.metadataRowCount(tblRead()).contains(n - 1),
+      "delete-vector rows subtract exactly")
+    import spark.implicits._
+    underlying.deleteByKeys(Seq(5L).toDF("vec_id"), Seq("vec_id"))
+    assert(Ivf.metadataRowCount(tblRead()).isEmpty,
+      "pending equality deletes must refuse the metadata count")
   }
 }

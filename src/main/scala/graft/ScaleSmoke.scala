@@ -522,6 +522,13 @@ object ScaleSmoke {
             f"commit/load ratio above 30x at the XL tier (commit " +
             f"$c5%.2f->$c6%.2f, load $l5%.2f->$l6%.2f) — expected " +
             f"~10-25x; likely host contention, investigate if persistent")
+        // ...but keep a VERY loose hard backstop (ADVICE r17): 100×
+        // per decade is past any observed contention swing (worst 8×),
+        // while a genuinely super-linear regression (a quadratic fold)
+        // reads ≥100× and must fail the run, not hide in stderr
+        require(c6 < math.max(c5, 0.05) * 100 && l6 < math.max(l5, 0.05) * 100,
+          f"manifest commit/load super-linear at the XL tier: commit " +
+            f"$c5%.2f->$c6%.2f, load $l5%.2f->$l6%.2f (backstop 100x)")
         println(s"""{"metric":"manifest_probe_xl","files1m":{"commit_sec":${f"$c6%.3f"},""" +
           s""""load_sec":${f"$l6%.3f"},"plan_sec":${f"$p6%.3f"},"log_bytes":$b6}}""")
       }

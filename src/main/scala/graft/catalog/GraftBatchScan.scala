@@ -682,7 +682,8 @@ final class GraftBatchScan(
     * ([[graft.operators.Ivf.metadataRowCount]]) must refuse instead.
     */
   override def exactRowCount: Option[Long] =
-    if (filters.nonEmpty || limit.isDefined || topn.isDefined) None
+    if (filters.nonEmpty || runtimeFilters.nonEmpty ||
+        limit.isDefined || topn.isDefined) None
     else SnapshotTable.exactLiveRows(snap)
 
   override def estimateStatistics()

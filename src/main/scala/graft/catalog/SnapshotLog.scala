@@ -264,19 +264,38 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
     * many-queries-per-second planner over a 10⁵+-file table would
     * rebuild the primitive arrays per read. Version files are never
     * rewritten in place (same coherence argument as [[manifestCache]]);
-    * the key still carries file count + first path so a synthetic
-    * same-version snapshot with different content can never poach a
-    * committed version's index. Small bounded window — prunes
-    * overwhelmingly hit the current version.
+    * the key carries an order-sensitive fingerprint of the FULL file
+    * list (ADVICE r17: count + first path let a synthetic/reordered
+    * same-version snapshot poach another's positional masks and
+    * mis-prune), cheap because manifest entries are shared via
+    * [[manifestCache]] and `String` caches its hashCode. Eviction is
+    * LRU (access-order `LinkedHashMap`), not clear-all — the
+    * hot current-version index survives a burst of historical reads,
+    * and the pinned count bounds driver memory with the oldest, not
+    * the hottest, paying.
     */
-  private val statsIndexCache = scala.collection.concurrent.TrieMap
-    .empty[(Long, Int, Option[String]), StatsIndex]
+  private val statsIndexCache =
+    new java.util.LinkedHashMap[(Long, Int, Int), StatsIndex](
+      32, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Long, Int, Int), StatsIndex]): Boolean =
+        size() > 8
+    }
 
   def statsIndexOf(s: Snapshot): StatsIndex = {
-    if (statsIndexCache.size > 16) statsIndexCache.clear()
-    statsIndexCache.getOrElseUpdate(
-      (s.version, s.files.length, s.files.headOption.map(_.path)),
-      s.statsIndex)
+    val fp = scala.util.hashing.MurmurHash3.orderedHash(
+      s.files.iterator.map(_.path.hashCode))
+    val key = (s.version, s.files.length, fp)
+    val hit = statsIndexCache.synchronized(statsIndexCache.get(key))
+    if (hit != null) hit
+    else {
+      val built = s.statsIndex // build outside the lock (can be seconds)
+      statsIndexCache.synchronized {
+        val raced = statsIndexCache.get(key)
+        if (raced != null) raced
+        else { statsIndexCache.put(key, built); built }
+      }
+    }
   }
 
   private def snapPath(v: Long): Path =
@@ -328,9 +347,7 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
     // parse the same shard twice), then assemble in list order
     val miss = ms.map(_.path).distinct
       .filter(p => !manifestCache.contains(p)).toIndexedSeq
-    if (miss.length > 1)
-      java.util.stream.IntStream.range(0, miss.length).parallel()
-        .forEach(i => { loadManifest(miss(i)); () })
+    SnapshotLog.ioParallel(miss.length)(i => { loadManifest(miss(i)); () })
     ms.flatMap(m => loadManifest(m.path))
   }
 
@@ -545,10 +562,7 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
       manifestCache.put(manRel, grp)
       newMans(i) = ManifestRef(manRel, grp.size)
     }
-    if (groups.length > 1)
-      java.util.stream.IntStream.range(0, groups.length).parallel()
-        .forEach(write)
-    else groups.indices.foreach(write.accept)
+    SnapshotLog.ioParallel(groups.length)(write.accept)
     val manifests = kept ++ newMans.toSeq
     SnapshotLog.toJsonSharded(s, manifests)
   }
@@ -668,6 +682,43 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
 }
 
 object SnapshotLog {
+
+  /** Dedicated bounded pool for BLOCKING manifest I/O (ADVICE r17):
+    * shard parses at load and shard writes at commit used the JVM
+    * common ForkJoinPool, which the CPU-bound StatsIndex build also
+    * shares — a slow-I/O table load could starve concurrent planning
+    * work driver-wide (and vice versa). Daemon threads, capped at
+    * min(cores, 16): enough to saturate a filesystem, never enough to
+    * oversubscribe the driver.
+    */
+  private lazy val ioPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-manifest-io")
+        t.setDaemon(true)
+        t
+      })
+
+  /** Run `body(0..n-1)` on [[ioPool]], rethrowing the first failure
+    * unwrapped. Falls back to inline execution when called FROM an
+    * ioPool thread (nested fan-out must not deadlock a bounded pool).
+    */
+  private[catalog] def ioParallel(n: Int)(body: Int => Unit): Unit = {
+    if (n <= 0) return
+    if (n == 1 || Thread.currentThread().getName.startsWith("graft-manifest-io")) {
+      (0 until n).foreach(body); return
+    }
+    val futs = (0 until n).map { i =>
+      ioPool.submit(new Runnable { def run(): Unit = body(i) })
+    }
+    futs.foreach { f =>
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    }
+  }
 
   val LogDirName = "_graft_log"
   val DataDirName = "data"

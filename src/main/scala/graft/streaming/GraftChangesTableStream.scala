@@ -139,10 +139,10 @@ final class GraftChangesTableStream(
     * construction (such runs stage evolved ranges — correct, just not
     * direct).
     */
-  private val pinnedIds: Option[(Map[String, Int], Seq[(String, Int)])] = {
+  private val pinnedIds: Option[(Seq[(String, Int)], Seq[(String, Int)])] = {
     val pub = table.publishedSnapshot()
     if (shp(pub.schema) == shp(dataSchema))
-      Some((pub.ids.toMap, pub.nestedIds))
+      Some((pub.ids, pub.nestedIds))
     else None
   }
 
@@ -166,11 +166,19 @@ final class GraftChangesTableStream(
     * directly servable (stage instead).
     */
   private def directShapeFor(vSnap: graft.catalog.Snapshot): Option[Int] = {
-    if (shp(vSnap.schema) == shp(dataSchema)) return Some(0)
+    // the pinned fast path needs ID equality, not just shape equality
+    // (ADVICE r17): two same-typed columns swapped via renames leave
+    // the shape identical while name-based reads would surface the
+    // wrong column's data — such versions route through field-id
+    // resolution like any other evolved shape
+    if (shp(vSnap.schema) == shp(dataSchema) &&
+        pinnedIds.exists { case (ids, nested) =>
+          vSnap.ids == ids && vSnap.nestedIds == nested
+        }) return Some(0)
     shapeIdx.getOrElseUpdate((vSnap.ids, vSnap.nestedIds), {
-      pinnedIds.flatMap { case (idByName, pinnedNested) =>
+      pinnedIds.flatMap { case (pinnedSeq, pinnedNested) =>
         EvolvedShapes.resolve(table.session, directRequired, dataSchema,
-            idByName, pinnedNested, vSnap) match {
+            pinnedSeq.toMap, pinnedNested, vSnap) match {
           case Left(_) => None // unresolvable: the staged path conforms
           case Right((phys, defaults)) =>
             shapeSchemas += ((phys, defaults))

@@ -271,7 +271,8 @@ final class GraftDeltaBatchWrite(table: SnapshotTable, baseVersion: Long,
       case Command.MERGE => "merge-pos"
     }
     table.commitDelta(baseVersion, op,
-      if (dataFiles.nonEmpty) Some(dataRel) else None, dataFiles, dvs)
+      if (dataFiles.nonEmpty) Some(dataRel) else None, dataFiles, dvs,
+      updFiles = msgs.flatMap(_.updFiles).toSet)
     ()
   }
 
@@ -286,8 +287,17 @@ final class GraftDeltaBatchWrite(table: SnapshotTable, baseVersion: Long,
   }
 }
 
-final case class GraftDeltaCommit(dvs: Seq[(String, Long, Seq[String])],
-    dataFiles: Seq[String]) extends WriterCommitMessage
+/** One task's delta outcome. `dvs` tuples are (vector rel path, total
+  * masked positions, covered data paths, op) where op ∈ delete|update
+  * — the CDC provenance the labeled change feed serves
+  * ([[SnapshotTable.changesCdf]]); `updFiles` names which of
+  * `dataFiles` hold UPDATE/MERGE-matched row images rather than
+  * genuine inserts.
+  */
+final case class GraftDeltaCommit(
+    dvs: Seq[(String, Long, Seq[String], String)],
+    dataFiles: Seq[String],
+    updFiles: Seq[String]) extends WriterCommitMessage
 
 final class GraftDeltaWriterFactory(
     rootStr: String,
@@ -329,16 +339,41 @@ final class GraftDeltaWriter(
     partitionId: Int,
     taskId: Long) extends DeltaWriter[InternalRow] {
 
-  private val bitmaps =
+  // separate bitmap sets per provenance (r18 CDC update images): a
+  // position marked via update() is a superseded pre-image, one marked
+  // via delete() is a genuine removal — reads mask both identically,
+  // the labeled change feed does not
+  private val delBitmaps =
     mutable.HashMap.empty[String, org.roaringbitmap.RoaringBitmap]
-  // the single open writer and the partition value it serves
-  private var current: Option[(Option[String], OutputWriter)] = None
+  private val updBitmaps =
+    mutable.HashMap.empty[String, org.roaringbitmap.RoaringBitmap]
+
+  /** One row-image output lane: its own open writer (keyed by the
+    * partition value it serves) and its own file list. Two lanes —
+    * genuine inserts vs update images — so a MERGE's mixed actions
+    * land in separately-labeled files; memory stays bounded at two
+    * open writers regardless of partition count (rows arrive sorted
+    * by partition per the declared write ordering).
+    */
+  private final class Lane(val isUpd: Boolean) {
+    var current: Option[(Option[String], OutputWriter)] = None
+    val written = Seq.newBuilder[String]
+    def write(row: InternalRow, part: Option[String]): Unit =
+      current match {
+        case Some((p, w)) if p == part => w.write(row)
+        case other =>
+          other.foreach(_._2.close())
+          val w = openWriter(part, this)
+          current = Some((part, w))
+          w.write(row)
+      }
+    def close(): Unit = { current.foreach(_._2.close()); current = None }
+  }
+  private val insLane = new Lane(isUpd = false)
+  private val updLane = new Lane(isUpd = true)
+
   private lazy val partProj =
     partExpr.map(e => UnsafeProjection.create(Seq(e)))
-  // rel paths of every data file THIS attempt opened — the commit
-  // message names them explicitly so only committed attempts' files
-  // are adopted
-  private val written = Seq.newBuilder[String]
 
   /** Manifest-relative path of a scanned file URI — the same
     * uriPath-decode + root-strip discipline as every vector path.
@@ -349,7 +384,8 @@ final class GraftDeltaWriter(
     else p
   }
 
-  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+  private def mark(bitmaps: mutable.HashMap[String,
+      org.roaringbitmap.RoaringBitmap], id: InternalRow): Unit = {
     val rel = relOf(id.getUTF8String(0).toString)
     val pos = id.getLong(1)
     require(pos <= 0xFFFFFFFFL,
@@ -359,33 +395,37 @@ final class GraftDeltaWriter(
       new org.roaringbitmap.RoaringBitmap()).add(pos.toInt)
   }
 
-  override def insert(row: InternalRow): Unit = {
-    val part: Option[String] = partProj match {
-      case None => None
-      case Some(p) =>
-        val r = p(row)
-        if (r.isNullAt(0)) None else Some(r.getUTF8String(0).toString)
-    }
-    current match {
-      case Some((p, w)) if p == part => w.write(row)
-      case other =>
-        other.foreach(_._2.close())
-        val w = openWriter(part)
-        current = Some((part, w))
-        w.write(row)
-    }
+  private def partOf(row: InternalRow): Option[String] = partProj match {
+    case None => None
+    case Some(p) =>
+      val r = p(row)
+      if (r.isNullAt(0)) None else Some(r.getUTF8String(0).toString)
   }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    mark(delBitmaps, id)
+
+  override def insert(row: InternalRow): Unit =
+    insLane.write(row, partOf(row))
 
   override def update(meta: InternalRow, id: InternalRow,
       row: InternalRow): Unit = {
-    delete(meta, id)
-    insert(row)
+    mark(updBitmaps, id)
+    updLane.write(row, partOf(row))
   }
 
+  /** The re-insert half of an update Spark chose to represent as
+    * delete+reinsert — still an update image, so it rides the update
+    * lane (its delete half arrives through [[delete]] in whichever
+    * task scanned the row; per-row pairing is not required, only lane
+    * labeling — but note [[GraftRowLevelOperation]] keeps the default
+    * `representUpdateAsDeleteAndInsert = false`, so this path is
+    * currently unreachable and kept for API completeness).
+    */
   override def reinsert(meta: InternalRow, row: InternalRow): Unit =
-    insert(row)
+    updLane.write(row, partOf(row))
 
-  private def openWriter(part: Option[String]): OutputWriter = {
+  private def openWriter(part: Option[String], lane: Lane): OutputWriter = {
     val (factory, conf) = dataFactory.getOrElse(sys.error(
       s"$dataRel: row image arrived for a delete-only write"))
     // Spark's own partition-segment rendering (Hive %XX escaping;
@@ -398,50 +438,55 @@ final class GraftDeltaWriter(
     }
     val name = f"part-$partitionId%05d-$taskId-" +
       s"${UUID.randomUUID().toString.replace("-", "").take(8)}.parquet"
-    written += s"$dirRel/$name"
+    lane.written += s"$dirRel/$name"
     ParquetWriteBridge.newWriter(factory, conf.value,
       new Path(new Path(rootStr), s"$dirRel/$name").toString, rowSchema)
   }
 
-  override def commit(): WriterCommitMessage = {
-    current.foreach(_._2.close())
-    current = None
-    val dvs =
-      if (bitmaps.isEmpty) Nil
-      else {
-        val (factory, conf) = dvFactory
-        val name = f"dv-$partitionId%05d-$taskId.parquet"
-        val rel = s"$dvRel/$name"
-        val w = ParquetWriteBridge.newWriter(factory, conf.value,
-          new Path(new Path(rootStr), rel).toString,
-          SnapshotTable.DvSchema)
-        var rows = 0L
-        val covered = Seq.newBuilder[String]
-        bitmaps.foreach { case (dataPath, bm) =>
-          bm.runOptimize()
-          val buf = new Array[Byte](bm.serializedSizeInBytes())
-          bm.serialize(ByteBuffer.wrap(buf))
-          w.write(InternalRow(UTF8String.fromString(dataPath), buf,
-            bm.getLongCardinality))
-          rows += bm.getLongCardinality
-          covered += dataPath
-        }
-        w.close()
-        Seq((rel, rows, covered.result()))
+  private def writeDv(bitmaps: mutable.HashMap[String,
+      org.roaringbitmap.RoaringBitmap], op: String)
+      : Seq[(String, Long, Seq[String], String)] =
+    if (bitmaps.isEmpty) Nil
+    else {
+      val (factory, conf) = dvFactory
+      val name = f"dv-$op-$partitionId%05d-$taskId.parquet"
+      val rel = s"$dvRel/$name"
+      val w = ParquetWriteBridge.newWriter(factory, conf.value,
+        new Path(new Path(rootStr), rel).toString,
+        SnapshotTable.DvSchema)
+      var rows = 0L
+      val covered = Seq.newBuilder[String]
+      bitmaps.foreach { case (dataPath, bm) =>
+        bm.runOptimize()
+        val buf = new Array[Byte](bm.serializedSizeInBytes())
+        bm.serialize(ByteBuffer.wrap(buf))
+        w.write(InternalRow(UTF8String.fromString(dataPath), buf,
+          bm.getLongCardinality))
+        rows += bm.getLongCardinality
+        covered += dataPath
       }
-    GraftDeltaCommit(dvs, written.result())
+      w.close()
+      Seq((rel, rows, covered.result(), op))
+    }
+
+  override def commit(): WriterCommitMessage = {
+    insLane.close()
+    updLane.close()
+    val updFiles = updLane.written.result()
+    GraftDeltaCommit(
+      writeDv(delBitmaps, "delete") ++ writeDv(updBitmaps, "update"),
+      insLane.written.result() ++ updFiles, updFiles)
   }
 
   override def abort(): Unit = {
-    try current.foreach(_._2.close())
+    try { insLane.close(); updLane.close() }
     catch { case _: java.io.IOException => }
-    current = None
     // best-effort: drop this attempt's files so the staging dir does
     // not accumulate across retries (the commit-side explicit file
     // list already makes leftovers inert; removeOrphanFiles reclaims
     // whatever survives a crash)
     val conf = dataFactory.map(_._2).getOrElse(dvFactory._2).value
-    written.result().foreach { rel =>
+    (insLane.written.result() ++ updLane.written.result()).foreach { rel =>
       try {
         val p = new Path(new Path(rootStr), rel)
         p.getFileSystem(conf).delete(p, false)

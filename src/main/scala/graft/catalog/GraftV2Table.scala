@@ -501,7 +501,12 @@ final class GraftMetadataV2Table(
 /** The CDC change feed as a catalog table (`graft.db.\`t#changes\``):
   * `_change_type ∈ {insert, delete}` plus the table columns (updates
   * surface as delete+insert pairs — the Delta CDF shape the V1
-  * `changesFrom` source serves). Readable BOTH ways:
+  * `changesFrom` source serves). With `.option("updateImages",
+  * "true")` — or table property `graft.cdc.update-images=true` for
+  * SQL-only consumers — the feed is served PER-COMMIT with
+  * UPDATE/MERGE-matched rewrites labeled `update_preimage` /
+  * `update_postimage` ([[SnapshotTable.changesCdf]]). Readable BOTH
+  * ways:
   *
   *  - batch: the net changelog over `(changesFrom, changesTo]` —
   *    defaults to the FULL history (earliest → current);
@@ -575,7 +580,11 @@ final class GraftChangesV2Table(
           }
           new graft.streaming.GraftChangesTableStream(table, schema,
             required, checkpointLocation, versionOpt(options, "changesFrom"),
-            maxV)
+            maxV,
+            updateImages = Option(options.get("updateImages"))
+              .orElse(table.publishedSnapshot().properties
+                .get("graft.cdc.update-images"))
+              .exists(_.equalsIgnoreCase("true")))
         }
 
         override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -588,7 +597,16 @@ final class GraftChangesV2Table(
                 .getOrElse(table.log.versions().head)
               val to = versionOpt(options, "changesTo")
                 .getOrElse(table.currentVersion())
-              val changes = table.changes(from, to)
+              // opt-in per-commit labeled feed (update_preimage /
+              // update_postimage): read option wins; the table
+              // property sets a default for SQL-only consumers
+              val cdf = Option(options.get("updateImages"))
+                .orElse(table.publishedSnapshot().properties
+                  .get("graft.cdc.update-images"))
+                .exists(_.equalsIgnoreCase("true"))
+              val changes =
+                if (cdf) table.changesCdf(from, to)
+                else table.changes(from, to)
               changes.select(required.fieldNames.toIndexedSeq.map(c =>
                 org.apache.spark.sql.functions.col(
                   SnapshotTable.quoted(c))): _*).rdd

@@ -53,12 +53,16 @@ final case class ColStats(min: Option[String], max: Option[String],
   * and DROP metadata-only: the read path matches files to the current
   * schema by id, never by name (empty = legacy entry, names map
   * positionally to the snapshot schema). `stats` keys are write-time
-  * names; pruning translates them through `cols`.
+  * names; pruning translates them through `cols`. `upd` marks the file
+  * as holding UPDATE/MERGE-matched row images (Delta-CDF
+  * `update_postimage` provenance, r18) — reads ignore it; only the
+  * labeled change feed ([[SnapshotTable.changesCdf]]) consumes it.
   */
 final case class DataFileEntry(path: String, partition: Option[String],
     rows: Long, stats: Map[String, ColStats] = Map.empty,
     cols: Seq[(String, Int)] = Seq.empty, seq: Long = 0L,
-    nested: Seq[(String, Int)] = Seq.empty, bytes: Long = 0L)
+    nested: Seq[(String, Int)] = Seq.empty, bytes: Long = 0L,
+    upd: Boolean = false)
 
 /** One equality-delete file (merge-on-read — Iceberg v2 delete files):
   * a parquet file of DISTINCT key tuples whose matching data rows are
@@ -90,10 +94,15 @@ final case class DeleteFileEntry(path: String, rows: Long,
   * carries a new path, so path-exact coverage already gives
   * sequence-number semantics; `seq` guards pathological path reuse).
   * Unlike equality deletes, vectors are position-based and therefore
-  * column-independent: schema evolution never strands them.
+  * column-independent: schema evolution never strands them. `op`
+  * records WHY the positions died — `"delete"` (a DELETE or the
+  * delete action of a MERGE) or `"update"` (positions superseded by
+  * UPDATE/MERGE-matched row images) — every read path masks both
+  * identically; only the labeled change feed distinguishes them
+  * (`update_preimage` provenance, r18).
   */
 final case class DvFileEntry(path: String, rows: Long,
-    dataPaths: Seq[String], seq: Long)
+    dataPaths: Seq[String], seq: Long, op: String = "delete")
 
 /** One manifest file in a snapshot's manifest list: log-relative path
   * plus its entry count (recorded so list-bounding decisions never
@@ -363,6 +372,16 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
   def operationOf(version: Long): Option[String] =
     scala.util.Try(
       SnapshotLog.fromJsonSharded(readBytes(snapPath(version)))._1.operation
+    ).toOption
+
+  /** Schema of `version` WITHOUT loading its manifests — the cheap
+    * shape probe per-commit change serving wants ([[SnapshotTable
+    * .changesCdf]] falls back to the netted diff across evolution).
+    */
+  def schemaOf(version: Long)
+      : Option[org.apache.spark.sql.types.StructType] =
+    scala.util.Try(
+      SnapshotLog.fromJsonSharded(readBytes(snapPath(version)))._1.schema
     ).toOption
 
   /** One parse serving both halves: the resolved snapshot AND its
@@ -784,7 +803,12 @@ object SnapshotLog {
       if (f.nested.isEmpty) Nil
       else List("nested" -> (JArray(f.nested.toList.map { case (n, id) =>
         JArray(List(JString(n), JInt(id))) }): JValue))
-    JObject(base ++ stats ++ cols ++ seq ++ nested)
+    // omitted when false (the legacy value), so pre-CDF manifests and
+    // fixtures stay byte-stable
+    val upd =
+      if (!f.upd) Nil
+      else List("upd" -> (JBool(true): JValue))
+    JObject(base ++ stats ++ cols ++ seq ++ nested ++ upd)
   }
 
   private def deleteFileToJValue(d: DeleteFileEntry): JValue =
@@ -803,11 +827,17 @@ object SnapshotLog {
   // omitted when empty, so pre-DV logs and fixtures stay byte-stable
   private def dvFilesJson(s: Snapshot): List[(String, JValue)] =
     if (s.dvFiles.isEmpty) Nil
-    else List("dvFiles" -> (JArray(s.dvFiles.toList.map(d => JObject(List(
-      "path" -> (JString(d.path): JValue),
-      "rows" -> (JLong(d.rows): JValue),
-      "dataPaths" -> (JArray(d.dataPaths.toList.map(JString(_))): JValue),
-      "seq" -> (JLong(d.seq): JValue))))): JValue))
+    else {
+      def one(d: DvFileEntry): JValue = JObject(List(
+        "path" -> (JString(d.path): JValue),
+        "rows" -> (JLong(d.rows): JValue),
+        "dataPaths" -> (JArray(d.dataPaths.toList.map(JString(_))): JValue),
+        "seq" -> (JLong(d.seq): JValue)) ++
+        // omitted for "delete" (the legacy value) — pre-CDF logs stable
+        (if (d.op == "delete") Nil
+         else List("op" -> (JString(d.op): JValue))))
+      List("dvFiles" -> (JArray(s.dvFiles.toList.map(one)): JValue))
+    }
 
   // omitted when empty, so pre-nested logs and fixtures stay byte-stable
   private def nestedIdsJson(s: Snapshot): List[(String, JValue)] =
@@ -821,7 +851,7 @@ object SnapshotLog {
       (d \ "dataPaths") match {
         case JArray(ps) => ps.map(jStr)
         case _ => Seq.empty
-      }, jLng(d \ "seq")))
+      }, jLng(d \ "seq"), jOptStr(d \ "op").getOrElse("delete")))
     case _ => Seq.empty
   }
 
@@ -903,7 +933,8 @@ object SnapshotLog {
     DataFileEntry(jStr(f \ "path"), jOptStr(f \ "partition"),
       jLng(f \ "rows"), stats, jPairs(f \ "cols"),
       jOptLong(f \ "seq").getOrElse(0L), jPairs(f \ "nested"),
-      jOptLong(f \ "bytes").getOrElse(0L))
+      jOptLong(f \ "bytes").getOrElse(0L),
+      (f \ "upd") match { case JBool(b) => b; case _ => false })
   }
 
   private def deleteFilesFromJValue(v: JValue): Seq[DeleteFileEntry] =

@@ -712,6 +712,115 @@ final class SnapshotTable private (
     decodeMapCols(diffed, mf)
   }
 
+  /** Per-commit LABELED change feed (Delta-CDF / Iceberg-changelog
+    * shape, VERDICT r17 #2): `_change_type ∈ {insert, delete,
+    * update_preimage, update_postimage}`, one batch of change rows per
+    * commit in `(fromVersion, toVersion]`, in version order. Unlike
+    * [[changes]] (the netted two-label diff this table serves by
+    * default), the CDF view is PER-COMMIT: a row deleted in one commit
+    * and re-inserted identically in a later one emits both rows —
+    * Delta CDF semantics, what `update_*` consumers (SCD-2 appliers,
+    * incremental materialized views) key on.
+    *
+    * Label provenance is STRUCTURAL, written at commit time by the
+    * native delta writer ([[graft.catalog.GraftRowLevelOperation]]):
+    * UPDATE/MERGE-matched row images carry `upd` in their manifest
+    * entry and their superseded positions ride `op = "update"` delete
+    * vectors, so serving a labeled commit costs O(changed data) — the
+    * new files plus the DV-masked rows — never an endpoint diff. The
+    * copy-on-write Scala-API `update` relabels its netted diff
+    * (everything in an `update` commit IS an update image); CoW
+    * `upsert` cannot distinguish its insert/update mix post-hoc and
+    * keeps the two-label shape, as do legacy `merge-pos` commits
+    * written before the provenance fields. A range containing an
+    * EXPIRED intermediate version cannot be served per-commit, and
+    * neither can one CROSSING schema evolution (per-version frames
+    * render under their own schemas and cannot union) — both degrade
+    * to the endpoint-netted [[changes]] (the stream's catch-up
+    * posture), never an error.
+    */
+  def changesCdf(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(toVersion >= fromVersion,
+      s"inverted range: $fromVersion .. $toVersion")
+    if (fromVersion == toVersion) return changes(fromVersion, toVersion)
+    val vs = (fromVersion + 1) to toVersion
+    if (!vs.forall(v => log.operationOf(v).isDefined))
+      return changes(fromVersion, toVersion)
+    // per-version frames render under each version's own schema; a
+    // window CROSSING schema evolution cannot union them — degrade to
+    // the endpoint-netted diff (rendered under the TO schema by field
+    // id) rather than mislabel or fail
+    val endShape = log.schemaOf(toVersion)
+    if ((fromVersion to toVersion).exists(v => log.schemaOf(v) != endShape))
+      return changes(fromVersion, toVersion)
+    vs.map(changesCdfOne).reduce(_ unionByName _)
+  }
+
+  private def changesCdfOne(v: Long): DataFrame = {
+    val op = log.operationOf(v).getOrElse("")
+    op match {
+      case "update-pos" | "merge-pos" =>
+        val sv = snapshotAt(v)
+        val newFiles = sv.files.filter(_.seq == v)
+        val newDvs = sv.dvFiles.filter(_.seq == v)
+        val flagged = newFiles.exists(_.upd) || newDvs.exists(_.op == "update")
+        // a pure UPDATE statement can only write matched-row images
+        // and update marks — structural, so even pre-provenance
+        // commits label; a legacy MERGE's mix is unknowable → netted
+        val allUpd = op == "update-pos"
+        if (!flagged && !allUpd) return changes(v - 1, v)
+        val (updF, insF) =
+          if (flagged) newFiles.partition(_.upd)
+          else (newFiles, Seq.empty[DataFileEntry])
+        val (updDvs, delDvs) =
+          if (flagged) newDvs.partition(_.op == "update")
+          else (newDvs, Seq.empty[DvFileEntry])
+        val sp = snapshotAt(v - 1)
+        def img(files: Seq[DataFileEntry], label: String): DataFrame =
+          readWithDeletes(sv.schema, sv.ids, sv, files)
+            .select(lit(label).as("_change_type") +: changeCols(sv): _*)
+        img(updF, "update_postimage")
+          .unionByName(img(insF, "insert"))
+          .unionByName(readAtDvPositions(sv, sp, updDvs)
+            .select(lit("update_preimage").as("_change_type") +:
+              changeCols(sv): _*))
+          .unionByName(readAtDvPositions(sv, sp, delDvs)
+            .select(lit("delete").as("_change_type") +: changeCols(sv): _*))
+      case "update" =>
+        changes(v - 1, v).withColumn("_change_type",
+          when(col("_change_type") === "insert", "update_postimage")
+            .otherwise("update_preimage"))
+      case _ => changes(v - 1, v)
+    }
+  }
+
+  /** The pre-commit content of the rows the given vectors masked:
+    * covered files read under the TO schema in the PREVIOUS snapshot's
+    * context (its own deletes applied — a position already dead at
+    * v−1 is not part of commit v's change), position-semi-joined
+    * against the vectors' bitmaps. O(covered files + masked rows).
+    */
+  private def readAtDvPositions(sTo: Snapshot, sPrev: Snapshot,
+      dvEntries: Seq[DvFileEntry]): DataFrame = {
+    val covered = dvEntries.flatMap(_.dataPaths).toSet
+    val files = sPrev.files.filter(f => covered.contains(f.path))
+    val base = readWithDeletes(sTo.schema, sTo.ids, sPrev, files,
+      targetNested = sTo.nestedIds, withPos = true)
+    if (dvEntries.isEmpty || files.isEmpty)
+      return base.drop(SnapshotTable.DvFileCol, SnapshotTable.DvPosCol)
+      .limit(0)
+    // the position frame's columns collide with the withPos metadata
+    // names (__graft_dvf/__graft_dvp) — rename before the join
+    val dead = dvPositionsDf(files, dvEntries)
+      .withColumnRenamed("__graft_dvf", "__cdf_f")
+      .withColumnRenamed("__graft_dvp", "__cdf_p")
+    base.withColumn("__graft_dvfn",
+        SnapshotTable.uriPathCol(col(SnapshotTable.DvFileCol)))
+      .join(dead, col("__graft_dvfn") === col("__cdf_f") &&
+        col(SnapshotTable.DvPosCol) === col("__cdf_p"), "left_semi")
+      .drop("__graft_dvfn", SnapshotTable.DvFileCol, SnapshotTable.DvPosCol)
+  }
+
   /** Stats-pruned read: files whose manifest column bounds PROVE no
     * row can satisfy `pred` are skipped before any file opens — the
     * Iceberg lower/upper-bound file skipping, working on ANY
@@ -1333,11 +1442,15 @@ final class SnapshotTable private (
         .getOrElse(col(SnapshotTable.quoted(f.name))).as(f.name)
     }
     val staged = stage(marked.select(outCols: _*), base.spec, base.properties)
+    // CDC provenance (r18): every image here is a matched-row rewrite
+    // and every vector an update mark — flag them so the labeled
+    // change feed serves this commit without inference
     val c = next(base, "update-pos", base.schema, base.files ++
-      staged.map(_.copy(cols = base.ids, nested = nestedPairsOf(base))))
+      staged.map(_.copy(cols = base.ids, nested = nestedPairsOf(base),
+        upd = true)))
     commitStrict(base, c.copy(dvFiles = c.dvFiles ++
       stagedDv.map { case (p, rows, dataPaths) =>
-        DvFileEntry(p, rows, dataPaths, c.version) }))
+        DvFileEntry(p, rows, dataPaths, c.version, "update") }))
   }
 
   /** SQL `UPDATE` routing — the Iceberg `write.update.mode` table
@@ -1579,18 +1692,29 @@ final class SnapshotTable private (
     }
     // MoR: every target row a clause fired on — matched update/delete,
     // NMBS update/delete — is hidden under a positional vector; the
-    // update images re-enter through the staged additions
-    val deadPositions =
+    // update images re-enter through the staged additions. Vectors are
+    // SPLIT by action class (r18 CDC provenance): positions superseded
+    // by an update image ride "update" vectors, genuine removals ride
+    // "delete" vectors — reads mask both identically, only the labeled
+    // change feed ([[changesCdf]]) distinguishes them.
+    def actionIdx(clauses: Seq[MergeClause],
+        isUpd: Boolean): Seq[Int] = clauses.zipWithIndex.collect {
+      case (MergeClause(_, MergeAction.Delete), i) if !isUpd => i
+      case (MergeClause(_, a), i) if isUpd && a != MergeAction.Delete => i
+    }
+    val deadPositionsBy: Option[Boolean => DataFrame] =
       if (!mor) None
-      else {
+      else Some { (isUpd: Boolean) =>
         val posSel = Seq(
           col("t." + SnapshotTable.DvFileCol).as(SnapshotTable.DvFileCol),
           col("t." + SnapshotTable.DvPosCol).as(SnapshotTable.DvPosCol))
-        val matchedDead = pairsDf.filter(col("__graft_clause") =!= -1)
-          .select(posSel: _*)
+        def sel(df: DataFrame, idx: Seq[Int]): DataFrame =
+          df.filter(col("__graft_clause")
+            .isin(idx.map(Int.box): _*)).select(posSel: _*)
+        val matchedDead = sel(pairsDf, actionIdx(whenMatched, isUpd))
         val unmatchedDead = uTagged.map(
-          _.filter(col("__graft_clause") =!= -1).select(posSel: _*))
-        Some(unmatchedDead.foldLeft(matchedDead)(_ unionByName _))
+          sel(_, actionIdx(notMatchedBySource, isUpd)))
+        unmatchedDead.foldLeft(matchedDead)(_ unionByName _)
       }
     val emitted = cowKept ++ unmatched ++ updated
     // not-matched source rows walk the INSERT clauses first-match-wins;
@@ -1613,22 +1737,41 @@ final class SnapshotTable private (
               f => lit(null).cast(evolved(f).dataType))
         }
     }
-    val staged = stage(
-      (emitted ++ additions).reduce(_ unionByName _),
-      base.spec, base.properties)
     if (mor) {
-      val stagedDv = deadPositions.map(stageDvsFor).getOrElse(Nil)
+      // stage update images and genuine inserts SEPARATELY so the
+      // manifest entries carry their CDC provenance (`upd`); under MoR
+      // `emitted` is exactly the update-image set (cowKept is empty,
+      // `unmatched` = NMBS-rewritten images only)
+      val stagedUpd = stage(
+        (emitted :+ src.limit(0)).reduce(_ unionByName _),
+        base.spec, base.properties)
+      val stagedIns = stage(
+        additions.reduce(_ unionByName _), base.spec, base.properties)
+      val stagedDvUpd = deadPositionsBy.map(f => stageDvsFor(f(true)))
+        .getOrElse(Nil)
+      val stagedDvDel = deadPositionsBy.map(f => stageDvsFor(f(false)))
+        .getOrElse(Nil)
       val c = nextWithIds(base, "merge-pos", ig.schema2, ig.ids2, ig.nextId,
-        base.files ++ staged.map(_.copy(cols = pairs, nested = nestedPairs)))
+        base.files ++
+          stagedUpd.map(_.copy(cols = pairs, nested = nestedPairs,
+            upd = true)) ++
+          stagedIns.map(_.copy(cols = pairs, nested = nestedPairs)))
         .copy(nestedIds = ig.nestedIds2)
       commitStrict(base, c.copy(dvFiles = c.dvFiles ++
-        stagedDv.map { case (p, rows, dataPaths) =>
+        stagedDvUpd.map { case (p, rows, dataPaths) =>
+          DvFileEntry(p, rows, dataPaths, c.version, "update") } ++
+        stagedDvDel.map { case (p, rows, dataPaths) =>
           DvFileEntry(p, rows, dataPaths, c.version) }))
-    } else commitStrict(base, nextWithIds(base, "merge", ig.schema2, ig.ids2,
-      ig.nextId,
-      base.files.filterNot(f => hitSet.contains(f.path)) ++
-        staged.map(_.copy(cols = pairs, nested = nestedPairs)))
-      .copy(nestedIds = ig.nestedIds2))
+    } else {
+      val staged = stage(
+        (emitted ++ additions).reduce(_ unionByName _),
+        base.spec, base.properties)
+      commitStrict(base, nextWithIds(base, "merge", ig.schema2, ig.ids2,
+        ig.nextId,
+        base.files.filterNot(f => hitSet.contains(f.path)) ++
+          staged.map(_.copy(cols = pairs, nested = nestedPairs)))
+        .copy(nestedIds = ig.nestedIds2))
+    }
   }
 
   /** Sub-path of a freshly staged file INSIDE its batch directory, from
@@ -1726,30 +1869,7 @@ final class SnapshotTable private (
     if (hit.isEmpty) return readResolved(target, targetIds, owner, files,
       withPos = withPos, targetNested = targetNested)
     val dvEntries = hit.flatMap(f => dvsOf(owner, f)).distinct
-    // rel-path → the NORMALIZED absolute path _metadata.file_path
-    // renders (scheme stripped) — tiny, broadcast with the decode
-    val rootStr = root.toString
-    val relToAbs = spark.sparkContext.broadcast(hit.map(f =>
-      f.path -> fs.makeQualified(new Path(root, f.path)).toUri.getPath).toMap)
-    import spark.implicits._
-    val deadPos = spark.read.schema(SnapshotTable.DvSchema)
-      .parquet(dvEntries.map(d => new Path(root, d.path).toString): _*)
-      .select(col("path"), col("dv"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (rel, bytes) =>
-        relToAbs.value.get(rel) match {
-          case None => Iterator.empty // covers a file outside this read
-          case Some(abs) =>
-            val bm = new org.roaringbitmap.RoaringBitmap()
-            bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
-            val it = bm.iterator()
-            new Iterator[(String, Long)] {
-              def hasNext: Boolean = it.hasNext
-              def next(): (String, Long) =
-                (abs, java.lang.Integer.toUnsignedLong(it.next()))
-            }
-        }
-      }.toDF("__graft_dvf", "__graft_dvp")
+    val deadPos = dvPositionsDf(hit, dvEntries)
     val scanned = readResolved(target, targetIds, owner, hit, withPos = true,
       targetNested = targetNested)
       // _metadata.file_path is a URI ("file:/…"); decode to the bare
@@ -1773,6 +1893,39 @@ final class SnapshotTable private (
     if (clean.isEmpty) survivors
     else readResolved(target, targetIds, owner, clean, withPos = withPos,
       targetNested = targetNested).unionByName(survivors)
+  }
+
+  /** The (normalized absolute path, row ordinal) pairs the given
+    * vectors mask within `files`, read DISTRIBUTED (one tiny parquet
+    * scan, bitmaps decoded executor-side) — no position list ever
+    * sits on the driver. Columns `__graft_dvf`/`__graft_dvp`, keyed
+    * on the `_metadata.file_path` rendering after [[uriPath]] decode.
+    */
+  private def dvPositionsDf(files: Seq[DataFileEntry],
+      dvEntries: Seq[DvFileEntry]): DataFrame = {
+    // rel-path → the NORMALIZED absolute path _metadata.file_path
+    // renders (scheme stripped) — tiny, broadcast with the decode
+    val relToAbs = spark.sparkContext.broadcast(files.map(f =>
+      f.path -> fs.makeQualified(new Path(root, f.path)).toUri.getPath).toMap)
+    import spark.implicits._
+    spark.read.schema(SnapshotTable.DvSchema)
+      .parquet(dvEntries.map(d => new Path(root, d.path).toString): _*)
+      .select(col("path"), col("dv"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (rel, bytes) =>
+        relToAbs.value.get(rel) match {
+          case None => Iterator.empty // covers a file outside this read
+          case Some(abs) =>
+            val bm = new org.roaringbitmap.RoaringBitmap()
+            bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+            val it = bm.iterator()
+            new Iterator[(String, Long)] {
+              def hasNext: Boolean = it.hasNext
+              def next(): (String, Long) =
+                (abs, java.lang.Integer.toUnsignedLong(it.next()))
+            }
+        }
+      }.toDF("__graft_dvf", "__graft_dvp")
   }
 
   /** Read one equality-delete file's key tuples under CURRENT names and
@@ -3910,7 +4063,8 @@ final class SnapshotTable private (
     */
   private[catalog] def commitDelta(baseVersion: Long, op: String,
       dataRel: Option[String], dataFiles: Seq[String],
-      dvs: Seq[(String, Long, Seq[String])]): Snapshot = {
+      dvs: Seq[(String, Long, Seq[String], String)],
+      updFiles: Set[String] = Set.empty): Snapshot = {
     val base = snapshotAt(baseVersion)
     val staged = dataRel.toSeq.flatMap(rel =>
       statsForStaged(rel, base.schema, base.spec, base.properties,
@@ -3969,10 +4123,11 @@ final class SnapshotTable private (
             "resurrect)")
       }
       val c = next(latest, op, latest.schema, latest.files ++
-        staged.map(_.copy(cols = base.ids, nested = nestedPairsOf(base))))
+        staged.map(f => f.copy(cols = base.ids, nested = nestedPairsOf(base),
+          upd = updFiles.contains(f.path))))
       c.copy(dvFiles = c.dvFiles ++
-        dvs.map { case (p, rows, dataPaths) =>
-          DvFileEntry(p, rows, dataPaths, c.version) })
+        dvs.map { case (p, rows, dataPaths, dvOp) =>
+          DvFileEntry(p, rows, dataPaths, c.version, dvOp) })
     }
   }
 
@@ -4018,17 +4173,15 @@ object SnapshotTable {
     * space.
     */
   private[catalog] def uriPath(uri: String): String =
-    try {
-      val p = new java.net.URI(uri).getPath
-      if (p == null || p.isEmpty) uri else p
-    } catch { case _: java.net.URISyntaxException => uri }
+    graft.functions.UriPath.decode(uri)
 
-  /** [[uriPath]] as a column function for per-row normalization of
-    * `_metadata.file_path` (top-level function, so the closure ships
-    * without dragging a SnapshotTable instance into the task).
+  /** [[uriPath]] as a column: the [[graft.functions.UriPathExpr]]
+    * codegen expression (VERDICT r17 #5 — formerly a Scala `udf`, the
+    * engine's last interpreted per-row hop, on the MoR DV anti-join
+    * read path of every scanned row of a DV-covered file).
     */
   private[catalog] val uriPathCol: Column => Column =
-    org.apache.spark.sql.functions.udf(uriPath _).apply(_)
+    graft.functions.UriPath.uriPath
 
   /** One aggregate for [[SnapshotTable.metadataAggregate]] /
     * [[SnapshotTable.aggregate]]: `op` ∈ `count_star` | `count` |

@@ -45,7 +45,8 @@ final class GraftChangesTableStream(
     required: StructType,
     checkpointLocation: String,
     startFrom: Option[Long],
-    maxVersionsPerTrigger: Option[Long])
+    maxVersionsPerTrigger: Option[Long],
+    updateImages: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger.forall(_ >= 1L),
@@ -287,7 +288,10 @@ final class GraftChangesTableStream(
     val dir = stageDir(s, e)
     if (!fs.exists(new Path(dir, "_SUCCESS"))) {
       if (fs.exists(dir)) fs.delete(dir, true) // partial prior attempt
-      val changes = table.changes(s, e)
+      // per-commit labeled feed when opted in — staging makes the
+      // labels replay-stable exactly like the two-label diff's rows
+      val changes =
+        if (updateImages) table.changesCdf(s, e) else table.changes(s, e)
       // conform to the pinned stream schema (V1 source contract): cast
       // only on a REAL type change — nullability-only differences need
       // no conversion and Spark refuses such casts

@@ -47,10 +47,12 @@ class DeltaConflictSpec extends AnyFunSuite {
   /** Stage a real serialized roaring vector covering `positions` of
     * manifest-relative data file `dataPath`, exactly as the delta
     * writers do; returns the (staged rel path, rows, covered paths)
-    * tuple [[SnapshotTable.commitDelta]] takes.
+    * tuple [[SnapshotTable.commitDelta]] takes (op per the r18 CDC
+    * provenance field; tests default to "delete").
     */
   private def stageDv(t: SnapshotTable, dataPath: String,
-      positions: Seq[Int]): (String, Long, Seq[String]) = {
+      positions: Seq[Int],
+      op: String = "delete"): (String, Long, Seq[String], String) = {
     val bm = new org.roaringbitmap.RoaringBitmap()
     positions.foreach(bm.add)
     bm.runOptimize()
@@ -67,7 +69,7 @@ class DeltaConflictSpec extends AnyFunSuite {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val name = fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).head
-    (s"$rel/$name", positions.size.toLong, Seq(dataPath))
+    (s"$rel/$name", positions.size.toLong, Seq(dataPath), op)
   }
 
   test("snapshot isolation: a disjoint concurrent append and the delta both land") {

@@ -85,16 +85,24 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(newByPart.nonEmpty && newByPart.values.max <= 2,
       s"files per partition after clustered merge: $newByPart")
 
-    // one vector builder per data file: across the committed vector
-    // files, covered data files are DISJOINT (no file's bitmap was
-    // split across tasks) and every covered path is a pre-merge file
+    // one vector builder per data file PER OP CLASS (r18: delete marks
+    // and update marks ride separate vectors for CDC provenance, and a
+    // file holding both deleted and updated rows is legitimately
+    // covered by one of each): within an op class, covered data files
+    // are DISJOINT (no bitmap split across tasks) and every covered
+    // path is a pre-merge file
     val newDvs = cur.dvFiles.filter(_.seq == cur.version)
     assert(newDvs.nonEmpty)
-    val covered = newDvs.flatMap(_.dataPaths)
-    assert(covered.distinct.size == covered.size,
-      s"a data file's delete bitmap was split across vector files: " +
-        newDvs.map(d => d.path -> d.dataPaths).mkString("; "))
-    assert(covered.toSet.subsetOf(preFiles))
+    assert(newDvs.map(_.op).toSet == Set("delete", "update"),
+      s"MERGE with delete+update actions must split vectors by op: " +
+        newDvs.map(_.op).toSet)
+    newDvs.groupBy(_.op).foreach { case (op, ds) =>
+      val covered = ds.flatMap(_.dataPaths)
+      assert(covered.distinct.size == covered.size,
+        s"a data file's $op bitmap was split across vector files: " +
+          ds.map(d => d.path -> d.dataPaths).mkString("; "))
+      assert(covered.toSet.subsetOf(preFiles))
+    }
     // 1000 deletes + 1000 update-deletes marked
     assert(newDvs.map(_.rows).sum == 2000L, newDvs.map(_.rows).sum)
 
@@ -428,4 +436,78 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(sql("SELECT sum(v) FROM graft.dw.orph").as[Double].head == liveSum)
     sql("DROP TABLE graft.dw.orph")
   }
+
+  test("CDC provenance: UPDATE/MERGE flag update images; changesCdf labels pairs") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.dw")
+    sql("DROP TABLE IF EXISTS graft.dw.cdf")
+    sql("CREATE TABLE graft.dw.cdf (id BIGINT, v DOUBLE)")
+    sql("INSERT INTO graft.dw.cdf SELECT id, cast(id as double) " +
+      "FROM range(0, 100)")
+    val t = SnapshotTable.load(spark, s"$warehouse/dw/cdf")
+    val v1 = t.currentVersion()
+
+    // native SQL UPDATE: every staged image upd-flagged, every vector
+    // an "update" mark — the structural provenance changesCdf serves
+    sql("UPDATE graft.dw.cdf SET v = v + 1000 WHERE id % 10 = 0")
+    val v2 = t.currentVersion()
+    val s2 = t.snapshotAt(v2)
+    assert(s2.operation == "update-pos")
+    val newFiles2 = s2.files.filter(_.seq == v2)
+    assert(newFiles2.nonEmpty && newFiles2.forall(_.upd),
+      "UPDATE images must carry the upd flag")
+    val newDvs2 = s2.dvFiles.filter(_.seq == v2)
+    assert(newDvs2.nonEmpty && newDvs2.forall(_.op == "update"),
+      "UPDATE vectors must carry op=update")
+    val cdf1 = t.changesCdf(v1, v2)
+      .selectExpr("_change_type", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val hit = (0L until 100L).filter(_ % 10 == 0)
+    assert(cdf1.sorted.toSeq ==
+      (hit.map(i => ("update_postimage", i, i + 1000.0)) ++
+        hit.map(i => ("update_preimage", i, i.toDouble))).sorted,
+      s"labeled pairs: ${cdf1.take(5).mkString(", ")}")
+
+    // native SQL MERGE mixing all three actions: matched updates flag,
+    // delete-action positions ride delete vectors, inserts stay plain
+    spark.range(0, 130).selectExpr("id * 1 as id",
+      "cast(id as double) + 0.5 as v")
+      .where("id % 5 = 0").createOrReplaceTempView("cdf_src")
+    sql("""MERGE INTO graft.dw.cdf t USING cdf_src s ON t.id = s.id
+          |WHEN MATCHED AND s.id % 20 = 5 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val v3 = t.currentVersion()
+    val s3 = t.snapshotAt(v3)
+    assert(s3.operation == "merge-pos")
+    val newFiles3 = s3.files.filter(_.seq == v3)
+    assert(newFiles3.exists(_.upd) && newFiles3.exists(!_.upd),
+      "MERGE must stage update images and inserts separately")
+    val dvOps3 = s3.dvFiles.filter(_.seq == v3).map(_.op).toSet
+    assert(dvOps3 == Set("update", "delete"),
+      s"MERGE vectors must split by action: $dvOps3")
+    val cdf2 = t.changesCdf(v2, v3)
+      .selectExpr("_change_type", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // recompute the expected pairs from the same predicates: source =
+    // multiples of 5 below 130; matched rows delete at id%20=5
+    // (5,25,…,85), update otherwise; ids ≥ 100 insert
+    val srcIds = (0L until 130L).filter(_ % 5 == 0)
+    val matched = srcIds.filter(_ < 100)
+    val deleted = matched.filter(_ % 20 == 5)
+    val updated = matched.filterNot(_ % 20 == 5)
+    val inserted = srcIds.filterNot(_ < 100)
+    val expect =
+      deleted.map(i => ("delete", i, priorV(i, hit))) ++
+        updated.flatMap(i => Seq(
+          ("update_preimage", i, priorV(i, hit)),
+          ("update_postimage", i, i + 0.5))) ++
+        inserted.map(i => ("insert", i, i + 0.5))
+    assert(cdf2.sorted.toSeq == expect.sorted,
+      s"merge labels: ${cdf2.take(8).mkString(", ")}")
+    sql("DROP TABLE graft.dw.cdf")
+  }
+
+  /** Value of id after the first UPDATE (+1000 on multiples of 10). */
+  private def priorV(i: Long, hit: Seq[Long]): Double =
+    if (hit.contains(i)) i + 1000.0 else i.toDouble
 }

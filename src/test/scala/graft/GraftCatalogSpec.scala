@@ -164,8 +164,15 @@ class GraftCatalogSpec extends AnyFunSuite {
     val preFiles = st.currentSnapshot().files.map(_.path).toSet
     sql("DELETE FROM graft.dml.t WHERE id = 99")
     val post = st.currentSnapshot()
-    assert(post.files.map(_.path).toSet == preFiles, "MoR: no rewrite")
-    assert(post.dvFiles.nonEmpty)
+    // MoR never rewrites: surviving files are untouched originals. The
+    // r18 lane split stages the merge-INSERTED row (id=99) in its own
+    // file, so this point delete provably fully-matches that file and
+    // drops it metadata-only — no vector needed, still zero rewrite.
+    val postFiles = post.files.map(_.path).toSet
+    assert(postFiles.subsetOf(preFiles) && (preFiles -- postFiles).size <= 1,
+      "MoR: no rewrite (a provably-all-matching file may drop outright)")
+    assert(post.dvFiles.nonEmpty || postFiles != preFiles,
+      "the delete must leave a vector or drop the matched file")
     assert(!sql("SELECT id FROM graft.dml.t").as[Long].collect()
       .contains(99L))
   }

@@ -420,4 +420,64 @@ class GraftTableStreamSpec extends AnyFunSuite with Matchers {
       .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toList
     tagged shouldBe Seq(("insert", 10L), ("insert", 11L))
   }
+
+  test("#changes updateImages streams labeled update pairs; restart exactly-once") {
+    val t = mkTable("st_cdfupd")
+    val ckpt = Files.createTempDirectory("st-cdfu-ckpt").toString
+    val rows = ArrayBuffer.empty[(String, Long, Double)]
+    def drainCdf(): Unit = {
+      val q = spark.readStream
+        .option("changesFrom", "earliest")
+        .option("updateImages", "true")
+        .table("graft.probe.`st_cdfupd#changes`")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = df.select(col("_change_type"), col("id"), col("v"))
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          rows.synchronized { rows ++= got }
+          ()
+        }
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    insert(t, 0 until 6)                                // v2: blind append
+    spark.sql(s"UPDATE $t SET v = v + 100 WHERE id < 2") // v3: update-pos
+    drainCdf()
+    val expected =
+      (0L until 6L).map(i => ("insert", i, i.toDouble)) ++
+        (0L until 2L).map(i => ("update_preimage", i, i.toDouble)) ++
+        (0L until 2L).map(i => ("update_postimage", i, i + 100.0))
+    rows.synchronized(rows.sorted.toList) shouldBe expected.sorted.toList
+    // restart on the same checkpoint: staged labels replay nowhere —
+    // nothing re-delivers (exactly-once across the labeled path)
+    drainCdf()
+    rows.synchronized(rows.size) shouldBe expected.size
+    // a post-restart update flows once, still labeled
+    spark.sql(s"UPDATE $t SET v = v + 100 WHERE id = 5")
+    drainCdf()
+    rows.synchronized(rows.sorted.toList) shouldBe
+      (expected ++ Seq(("update_preimage", 5L, 5.0),
+        ("update_postimage", 5L, 105.0))).sorted.toList
+    // the BATCH surface honors the same option per-commit (no netting)
+    val batch = spark.read.option("updateImages", "true")
+      .table("graft.probe.`st_cdfupd#changes`")
+      .select(col("_change_type"), col("id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    batch.sorted.toList shouldBe
+      (expected ++ Seq(("update_preimage", 5L, 5.0),
+        ("update_postimage", 5L, 105.0))).sorted.toList
+    // table property `graft.cdc.update-images` defaults it for SQL-only
+    // consumers (no reader option anywhere)
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    graft.catalog.SnapshotTable.load(spark, s"$wh/probe/st_cdfupd")
+      .setProperties(Map("graft.cdc.update-images" -> "true"))
+    val viaProp = spark.sql(
+        s"SELECT _change_type, count(*) AS n FROM graft.probe.`st_cdfupd#changes` " +
+          "GROUP BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toList
+    viaProp shouldBe List(("insert", 6L), ("update_postimage", 3L),
+      ("update_preimage", 3L))
+  }
 }

@@ -3352,6 +3352,28 @@ object Queries {
              |  count(CASE WHEN event_id % 2 = 1 THEN props END) AS n_props
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // Append-only BATCH change window ACROSS schema evolution (VERDICT
+    // r17 #8): the window (v2, v5] spans a RENAME, a DROP and one
+    // append — the route election must stay on the O(appended data)
+    // fast path (fast_route pins it; evolution commits are metadata-
+    // only and classify as blind), never the two-endpoint diff the
+    // netted machinery would pay, and the appended rows render under
+    // the END schema by field id (value→score, props under its fresh
+    // id). The streaming side has served this shape directly since
+    // r17 (EvolvedShapes); this is its batch mirror.
+    QueryDef("snap_changes_evolved_append",
+      (s, dir) => {
+        val tbl = evolutionSnapshot(s, dir)
+        val fast = tbl.changesRoute(2, 5) == "fast"
+        tbl.changes(2, 5)
+          .select(col("_change_type"), col("event_id"), col("user_id"),
+            col("event_type"), col("score"), col("props"))
+          .withColumn("fast_route", lit(fast))
+      },
+      Some("""SELECT 'insert' AS _change_type, event_id, user_id,
+             |       event_type, value AS score, props, TRUE AS fast_route
+             |FROM events WHERE event_id % 2 = 1""".stripMargin)),
+
     // MERGE INTO at file granularity (WHEN MATCHED UPDATE SET * +
     // WHEN NOT MATCHED INSERT): ids %50 update in place (+5000 on
     // value), ids %97 insert under shifted keys; key-range stats bound

@@ -531,6 +531,26 @@ object ScaleSmoke {
             f"$c5%.2f->$c6%.2f, load $l5%.2f->$l6%.2f (backstop 100x)")
         println(s"""{"metric":"manifest_probe_xl","files1m":{"commit_sec":${f"$c6%.3f"},""" +
           s""""load_sec":${f"$l6%.3f"},"plan_sec":${f"$p6%.3f"},"log_bytes":$b6}}""")
+        // XXL tier — 10⁷ files, the decade ABOVE where a 100 TB table
+        // lives (VERDICT r17 #4): ~1.6 GiB of metadata and minutes of
+        // driver work, so double-opt-in (SPARK_GRAFT_MANIFEST_XXL=1,
+        // implies XL ran first for the ratio). Only the loose 100×
+        // backstop gates — at this size GC pauses dominate wall-clock
+        // variance; the metric line is the record.
+        if (sys.env.get("SPARK_GRAFT_MANIFEST_XXL").contains("1")) {
+          val (c7, l7, p7, b7) = probe(10000000)
+          System.err.println(f"[scale-smoke] manifest probe XXL: 10M " +
+            f"files commit $c7%.2f s load $l7%.2f s plan $p7%.3f s " +
+            f"${b7 / (1024 * 1024)}%d MiB")
+          require(c7 < math.max(c6, 0.05) * 100 &&
+            l7 < math.max(l6, 0.05) * 100 &&
+            p7 < math.max(p6, 0.01) * 100,
+            f"manifest layer super-linear at the XXL tier: commit " +
+              f"$c6%.2f->$c7%.2f, load $l6%.2f->$l7%.2f, " +
+              f"plan $p6%.3f->$p7%.3f (backstop 100x)")
+          println(s"""{"metric":"manifest_probe_xxl","files10m":{"commit_sec":${f"$c7%.3f"},""" +
+            s""""load_sec":${f"$l7%.3f"},"plan_sec":${f"$p7%.3f"},"log_bytes":$b7}}""")
+        }
       }
     }
 

@@ -508,6 +508,34 @@ final class SnapshotTable private (
       return readWithDeletes(sTo.schema, sTo.ids, sTo, Nil)
         .select(lit("").as("_change_type") +: changeCols(sTo): _*).limit(0)
     val sFrom = endpoint(fromVersion)
+    changesRouteOf(sFrom, sTo) match {
+      case "netzero" =>
+        readWithDeletes(sTo.schema, sTo.ids, sTo, Nil)
+          .select(lit("").as("_change_type") +: changeCols(sTo): _*).limit(0)
+      case "fast" => changesFast(sFrom, sTo)
+      case _ => changesDiff(sFrom, sTo)
+    }
+  }
+
+  /** Route election of [[changes]]: `netzero` (provably zero rows,
+    * nothing read), `fast` (O(changed data) — appended files plus any
+    * new equality-delete keys; never an endpoint diff), or `diff`
+    * (two-endpoint multiset diff). `private[graft]` so specs pin the
+    * route — an append-only window must never silently degrade to the
+    * endpoint diff (VERDICT r17 #8), including across schema
+    * EVOLUTION: metadata-only evolution commits add and remove no
+    * files, and [[readResolved]]'s per-file field-id resolution
+    * renders pre-evolution appends under the endpoint schema (renames
+    * follow ids, added columns null-fill or surface their recorded
+    * initial default), so they classify as blind here exactly as the
+    * streaming side's EvolvedShapes direct serve does.
+    */
+  private[graft] def changesRoute(fromVersion: Long, toVersion: Long): String =
+    if (fromVersion == toVersion) "netzero"
+    else changesRouteOf(log.read(fromVersion), log.read(toVersion))
+
+  private def changesRouteOf(sFrom: Snapshot, sTo: Snapshot): String = {
+    val (fromVersion, toVersion) = (sFrom.version, sTo.version)
     // Pure-maintenance window (SURVEY §19.8 #3): every commit in the
     // range only rearranges bytes (compact / rewrite-dv /
     // set-properties), and the manifests PROVE the logical row
@@ -519,15 +547,17 @@ final class SnapshotTable private (
     if (((fromVersion + 1) to toVersion).forall(v =>
           log.operationOf(v).exists(SnapshotTable.isPreservingOp)) &&
         provablyNetZero(sFrom, sTo))
-      return readWithDeletes(sTo.schema, sTo.ids, sTo, Nil)
-        .select(lit("").as("_change_type") +: changeCols(sTo): _*).limit(0)
+      return "netzero"
     val toIds = sTo.ids.map(_.swap).toMap
     // op classification needs the intermediate snapshots (manifest-free
     // reads); a range spanning EXPIRED versions (catch-up from an old
     // tag) cannot be classified, but the endpoint-only diff path still
-    // serves it — fall back rather than fail.
+    // serves it — fall back rather than fail. Metadata-only evolution
+    // commits count as blind (zero files, zero rows, id-resolved
+    // rendering).
     val fastOps = ((fromVersion + 1) to toVersion).forall(v =>
-      log.operationOf(v).exists(SnapshotTable.isBlindOp))
+      log.operationOf(v).exists(o =>
+        SnapshotTable.isBlindOp(o) || SnapshotTable.isEvolutionOp(o)))
     // one homogeneous key-column set (by field id, rename-proof) whose
     // ids all live in the `to` schema keeps the delete side a single
     // distinct semi-join; mixed key sets are legal but rare — diff path
@@ -536,8 +566,7 @@ final class SnapshotTable private (
     val fastKeys = delKeyIdSets.size <= 1 &&
       delKeyIdSets.forall(_.forall(toIds.contains)) &&
       sFrom.deleteFiles.forall(_.cols.map(_._2).forall(toIds.contains))
-    if (fastOps && fastKeys) changesFast(sFrom, sTo)
-    else changesDiff(sFrom, sTo)
+    if (fastOps && fastKeys) "fast" else "diff"
   }
 
   /** Metadata proof that two snapshots hold the SAME logical row
@@ -4495,6 +4524,20 @@ object SnapshotTable {
     */
   private[graft] def isPreservingOp(op: String): Boolean =
     op == "compact" || op == "rewrite-dv" || op == "set-properties"
+
+  /** Metadata-only schema/spec evolution commits: they add no data
+    * files and remove none, and every read renders files by field id,
+    * so a change window treats them as blind (zero row contribution).
+    * Enumerated closed — a new evolution verb must be added here
+    * deliberately, never inferred.
+    */
+  private[graft] def isEvolutionOp(op: String): Boolean =
+    op.startsWith("add-columns[") || op.startsWith("widen[") ||
+      op.startsWith("rename[") || op.startsWith("drop[") ||
+      op.startsWith("add-struct-field[") ||
+      op.startsWith("rename-struct-field[") ||
+      op.startsWith("drop-struct-field[") ||
+      op.startsWith("evolve-spec[")
 
   /** `bucket[N]` transform name pattern (Iceberg's bucket transform). */
   private[graft] val BucketXform = raw"bucket\[(\d+)\]".r

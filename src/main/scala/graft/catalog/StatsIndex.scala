@@ -38,8 +38,42 @@ final class StatsIndex(snapshot: Snapshot) {
   /** current field id per current name (None for legacy schemas). */
   private val idByName: Map[String, Int] = snapshot.ids.toMap
 
+  /** Per-column primitive arrays, LRU-ordered under a driver MEMORY
+    * BUDGET (VERDICT r17 #4): each numeric column costs ~17 B/file
+    * (one flag byte + two 8-byte bounds), so at 10⁷ files an
+    * unbounded map could pin ~170 MB PER PRUNED COLUMN on the driver.
+    * `graft.stats.index.budget-bytes` (table property, default 1 GiB)
+    * caps the total; exceeding it evicts the least-recently-pruned
+    * columns (never the one just built). Eviction is a cache miss, not
+    * a correctness event — the column rebuilds on its next prune.
+    */
+  private val budgetBytes: Long = snapshot.properties
+    .get(StatsIndex.BudgetProp).flatMap(v =>
+      scala.util.Try(v.toLong).toOption).getOrElse(1L << 30)
+
   private val cols =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+    new java.util.LinkedHashMap[String, AnyRef](16, 0.75f,
+      /*accessOrder=*/ true)
+
+  /** Bytes currently pinned by built columns (spec hook — the budget
+    * contract is `residentBytes ≤ budget` after any prune sequence).
+    */
+  private[graft] def residentBytes: Long = cols.synchronized {
+    var t = 0L
+    val it = cols.values().iterator()
+    while (it.hasNext) t += bytesOf(it.next())
+    t
+  }
+
+  private def bytesOf(v: AnyRef): Long = v match {
+    case c: NumCol =>
+      val bounds =
+        if (c.minL != null) (c.minL.length + c.maxL.length) * 8L else 0L
+      val boundsD =
+        if (c.minD != null) (c.minD.length + c.maxD.length) * 8L else 0L
+      c.flags.length.toLong + bounds + boundsD
+    case _ => 0L
+  }
 
   private def kindOf(dt: DataType): Int = dt match {
     case ByteType | ShortType | IntegerType | LongType => KindLong
@@ -53,11 +87,31 @@ final class StatsIndex(snapshot: Snapshot) {
     * the type is outside the fast set.
     */
   private def colArrays(name: String, dt: DataType): AnyRef = {
-    val cached = cols.get(name)
-    if (cached != null) return cached
-    val built = build(name, dt)
-    val prev = cols.putIfAbsent(name, built)
-    if (prev != null) prev else built
+    cols.synchronized {
+      val cached = cols.get(name)
+      if (cached != null) return cached
+    }
+    val built = build(name, dt) // outside the lock: can be a large pass
+    cols.synchronized {
+      val raced = cols.get(name)
+      if (raced != null) return raced
+      cols.put(name, built)
+      // enforce the budget LRU-first, sparing the entry just built
+      var total = 0L
+      val it0 = cols.values().iterator()
+      while (it0.hasNext) total += bytesOf(it0.next())
+      if (total > budgetBytes) {
+        val it = cols.entrySet().iterator()
+        while (total > budgetBytes && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != name) {
+            total -= bytesOf(e.getValue)
+            it.remove()
+          }
+        }
+      }
+      built
+    }
   }
 
   private def build(name: String, dt: DataType): AnyRef = {
@@ -436,6 +490,13 @@ final class StatsIndex(snapshot: Snapshot) {
 }
 
 object StatsIndex {
+
+  /** Table property capping the driver bytes one snapshot's columnar
+    * stats index may pin (default 1 GiB); least-recently-pruned
+    * columns evict first. ~17 B/file/column, so the default holds ~6
+    * pruned columns of a 10⁷-file table.
+    */
+  val BudgetProp = "graft.stats.index.budget-bytes"
 
   private[catalog] object Exactness extends Enumeration {
     val Exact, Partial, No = Value

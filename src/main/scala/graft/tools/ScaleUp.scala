@@ -28,9 +28,13 @@ import org.apache.spark.sql.functions._
   *    the ×N corpus into a ×N² query set — not a scale-up, a different
   *    workload;
   *  - `documents.text` letter-rotates per replica and `embeddings`
-  *    jitter per replica (the [[graft.ScaleSmoke]] mutations): replicas
-  *    contribute NEW content with the same shingle/geometry profile
-  *    rather than multiplying every shingle's document frequency by N;
+  *    cyclic-shift their dimension axis per replica (orthogonal, so
+  *    intra-replica geometry — including planted-mutant margins — is
+  *    preserved exactly while cross-replica vectors decorrelate):
+  *    replicas contribute NEW content with the same shingle/geometry
+  *    profile rather than multiplying every shingle's document
+  *    frequency — or planting 10 near-duplicate decoys of every
+  *    vector — by N;
   *  - `events` keeps its timestamps (a ×N-denser stream over the same
   *    wall-clock range — windows gain rows, not count) and offsets
   *    `user_id` so sessions never straddle replicas.
@@ -92,10 +96,24 @@ object ScaleUp {
           .withColumn("text", translate(col("text"), Letters, rot(r)))
       },
       "embeddings" -> replicate(t("embeddings"), factor) { (r, d) =>
+        // CYCLIC DIMENSION ROTATION, not jitter (r18): a permutation is
+        // orthogonal, so every intra-replica distance/dot/norm — and
+        // with them the planted-mutant margins the sim_* oracles rely
+        // on — is preserved EXACTLY, while cross-replica vectors
+        // decorrelate. The previous ±0.01 jitter left all N replicas
+        // of a vector mutually τ-close: 10× near-duplicate decoys that
+        // (a) broke the quantized top-k oracles at sf1 (a PQ cell is
+        // coarser than the decoy gap, so the approximate answer picks
+        // a different replica than the exact oracle — correct operator
+        // behavior, ill-posed certification corpus) and (b) grew the
+        // SemDeDup pair set ~N², violating this file's own "replicas
+        // contribute NEW content" contract.
         shiftKeys(r, d, "vec_id" -> 3000L)
-          .withColumn("embedding", transform(col("embedding"), (x, i) =>
-            (x + (pmod(i * 131 + lit(r * 17), lit(11)) - lit(5)).cast("float")
-              * lit(0.002f)).cast("float")))
+          .withColumn("embedding",
+            when(lit(r % 64) === 0, col("embedding")).otherwise(
+              concat(slice(col("embedding"), lit(r % 64 + 1),
+                  size(col("embedding")) - lit(r % 64)),
+                slice(col("embedding"), lit(1), lit(r % 64)))))
       })
   }
 

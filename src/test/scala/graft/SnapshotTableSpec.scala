@@ -2950,4 +2950,35 @@ class SnapshotTableSpec extends AnyFunSuite {
       MetaAgg("min", "id", "min_id"))).collect().head
     assert(fb.getAs[Long]("n") == 3L && fb.getAs[Long]("min_id") == 1L)
   }
+
+  test("changes route: append-only windows across ADD DEFAULT + RENAME stay fast") {
+    val t = SnapshotTable.create(spark, freshRoot(), eventsSchema, None)
+    t.append(rows((1, "2024-01-05", 1.0), (2, "2024-02-06", 2.0))) // v2
+    val v2 = t.currentVersion()
+    // metadata-only evolution: ADD with an initial default + RENAME
+    t.addColumnWithDefault(StructField("src", StringType), "legacy") // v3
+    t.renameColumn("v", "score")                                     // v4
+    // post-evolution append under the new shape
+    t.append(Seq((3L, Timestamp.valueOf("2024-03-07 00:00:00"), 3.0, "live"))
+      .toDF("id", "ts", "score", "src"))                             // v5
+    val v5 = t.currentVersion()
+    // VERDICT r17 #8: the window must elect the O(appended data) fast
+    // path, not the endpoint diff — evolution commits are blind
+    assert(t.changesRoute(v2, v5) == "fast",
+      s"append-only window across evolution degraded: ${t.changesRoute(v2, v5)}")
+    val got = t.changes(v2, v5)
+      .select(col("_change_type"), col("id"), col("score"), col("src"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3)))
+    assert(got.toSeq == Seq(("insert", 3L, 3.0, "live")),
+      s"only the appended row, under the END schema: ${got.mkString("; ")}")
+    // calibration: the route probe can fail — a row-changing commit in
+    // the window must elect the diff
+    t.delete(col("id") === 1L) // v6, copy-on-write delete
+    assert(t.changesRoute(v2, t.currentVersion()) == "diff")
+    // and a maintenance-only window proves net-zero without reading
+    t.setProperties(Map("k" -> "v"))
+    assert(t.changesRoute(t.currentVersion() - 1, t.currentVersion())
+      == "netzero")
+  }
 }

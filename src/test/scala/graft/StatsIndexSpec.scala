@@ -250,4 +250,40 @@ class StatsIndexSpec extends AnyFunSuite {
       s"prune through the cached index must still skip files: " +
         s"${kept.size} of ${s3.files.size}")
   }
+
+  test("memory budget: least-recently-pruned columns evict; exactness survives eviction") {
+    val rnd = new scala.util.Random(424242L)
+    val files = mkFiles(rnd, 400, renamed = false, withBloom = false)
+    // one numeric column costs 400 × 17 B ≈ 6.8 KB; budget for ~2
+    val budget = 15000L
+    val s = mkSnapshot(files)
+      .copy(properties = Map(graft.catalog.StatsIndex.BudgetProp ->
+        budget.toString))
+    val idx = s.statsIndex
+    val probes = Seq(
+      Seq[Filter](GreaterThan("id", 500L)),
+      Seq[Filter](LessThan("score", 8.0)),
+      Seq[Filter](GreaterThan("w", 30.0f)),
+      Seq[Filter](GreaterThan("ts",
+        java.time.Instant.ofEpochSecond(1700000500L))))
+    // cycle the columns twice: every build beyond the budget evicts the
+    // LRU column, and every prune stays exactly equal to the generic
+    // walk whether it hit a resident column or rebuilt an evicted one
+    for (_ <- 0 until 2; filters <- probes) {
+      val (mask, residual) = idx.evaluate(s.schema, filters)
+      files.zipWithIndex.foreach { case (f, i) =>
+        val fastKeep = (mask == null || mask(i)) &&
+          (residual.isEmpty || genericKeep(s, f, residual))
+        assert(fastKeep == genericKeep(s, f, filters),
+          s"post-eviction divergence on file $i filters=$filters")
+      }
+      assert(idx.residentBytes <= budget,
+        s"budget exceeded: ${idx.residentBytes} > $budget")
+    }
+    // an unbudgeted index keeps everything resident (default 1 GiB)
+    val free = mkSnapshot(files).statsIndex
+    probes.foreach(f => free.evaluate(s.schema, f))
+    assert(free.residentBytes > budget,
+      "all four columns should stay resident under the default budget")
+  }
 }

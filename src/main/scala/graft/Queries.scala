@@ -1737,7 +1737,7 @@ object Queries {
         (s, dir) => {
           val corpus = wideVectors(s, dir)
           val model = ivfWideModelCache.computeIfAbsent(dir, _ =>
-            graft.operators.Ivf.train(corpus, k = 16, iters = 2))
+            graft.operators.Ivf.train(corpus, k = wideK(s, dir), iters = 2))
           graft.operators.Ivf.topKWithIndex(
             ivfWideIndexTable(s, dir, corpus, model),
             wideQueries(corpus), model,
@@ -1751,7 +1751,7 @@ object Queries {
         (s, dir) => {
           val corpus = wideVectors(s, dir)
           val model = ivfWideModelCache.computeIfAbsent(dir, _ =>
-            graft.operators.Ivf.train(corpus, k = 16, iters = 2))
+            graft.operators.Ivf.train(corpus, k = wideK(s, dir), iters = 2))
           // m scales with width: 8-dim subvectors (m=64), the same
           // quantization granularity as the 64-dim ladder — codes are
           // 64 bytes vs 2 KB of floats, still a 32x narrower scan
@@ -1826,6 +1826,24 @@ object Queries {
     */
   private[graft] def wideQueries(corpus: DataFrame): DataFrame =
     corpus.filter(col("vec_id") >= 100000L && col("vec_id") < 1000000L)
+
+  /** Cluster count for the wide fixture: k ∝ N (the engine's own
+    * quantizer-ladder doctrine — "clusters grow with the corpus so
+    * each inverted list stays constant-sized") anchored at the sf0.1
+    * geometry (52.8k wide vectors → k = 16 → ~3.3k-vector cells).
+    * nprobe stays FIXED at 8: per-query probed volume is then
+    * constant across SF, so the wide pair's bench cost scales with
+    * the query count, not quadratically — at sf1 the r18
+    * re-certification measured the hardcoded k = 16 at 47× for 10×
+    * data (probed volume ×10 × queries ×10), exactly the cliff the
+    * doctrine exists to prevent. The corpus row count comes from
+    * parquet metadata (one count() on the base table), never a scan.
+    */
+  private def wideK(s: SparkSession, dir: String): Int = {
+    val base = t(s, dir, "embeddings").count()
+    val n = 16L * (base + base / 10) // 16 families × (corpus + mutants)
+    math.max(16, (n / 3300L).toInt)
+  }
 
   private val ivfWideModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Ivf.Model]()
@@ -5596,7 +5614,7 @@ object Queries {
     "fixture_wide_model" -> ((s: SparkSession, dir: String) => {
       val corpus = wideVectors(s, dir)
       ivfWideModelCache.computeIfAbsent(dir, _ =>
-        graft.operators.Ivf.train(corpus, k = 16, iters = 2))
+        graft.operators.Ivf.train(corpus, k = wideK(s, dir), iters = 2))
       pqWideCodebookCache.computeIfAbsent(dir, _ =>
         graft.operators.Ivf.trainPq(corpus, m = 64, ksub = 16, iters = 5))
       ()

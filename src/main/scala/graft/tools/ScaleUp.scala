@@ -114,6 +114,15 @@ object ScaleUp {
               concat(slice(col("embedding"), lit(r % 64 + 1),
                   size(col("embedding")) - lit(r % 64)),
                 slice(col("embedding"), lit(1), lit(r % 64)))))
+          // ...composed with a per-replica SIGN pattern (also
+          // orthogonal): rotation alone aliases when the generator's
+          // dimension profile is near-periodic; deterministic sign
+          // flips decorrelate those residuals too
+          .withColumn("embedding",
+            if (r == 0) col("embedding")
+            else transform(col("embedding"), (x, i) =>
+              (x * when(pmod(i * 2654435761L + lit(r * 40503L), lit(2)) === 0,
+                lit(1.0f)).otherwise(lit(-1.0f))).cast("float")))
       })
   }
 

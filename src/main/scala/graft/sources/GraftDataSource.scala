@@ -103,7 +103,9 @@ final class GraftDataSource extends RelationProvider
         require(Seq("versionasof", "tag", "timestampasof")
           .forall(k => !parameters.contains(k)),
           "changesFrom/changesTo cannot combine with versionAsOf/tag/timestampAsOf")
-        return new GraftChangesRelation(sqlContext, path, f, t)
+        return new GraftChangesRelation(sqlContext, path, f, t,
+          updateImages = parameters.get("updateimages")
+            .exists(_.equalsIgnoreCase("true")))
       case (None, None) => ()
       case _ => sys.error("pass BOTH changesFrom and changesTo (or neither)")
     }
@@ -402,18 +404,23 @@ final class GraftRelation(
   * SQL-only incremental consumers. Versions are pinned at relation
   * creation, so repeated queries over one view read one consistent
   * window. [[graft.plans.GraftScanStrategy]] plans it natively; this
-  * DSv1 `buildScan` is the fallback for subquery shapes.
+  * DSv1 `buildScan` is the fallback for subquery shapes. With
+  * `updateImages 'true'` the window is served per-commit with
+  * Delta-CDF labels ([[graft.catalog.SnapshotTable.changesCdf]]) —
+  * V2 `#changes` option parity for SQL-only consumers.
   */
 final class GraftChangesRelation(
     override val sqlContext: SQLContext,
     root: String,
     fromVersion: Long,
-    toVersion: Long) extends BaseRelation with TableScan {
+    toVersion: Long,
+    updateImages: Boolean = false) extends BaseRelation with TableScan {
 
   private[graft] val table = SnapshotTable.load(sqlContext.sparkSession, root)
 
   private[graft] def changesDf: org.apache.spark.sql.DataFrame =
-    table.changes(fromVersion, toVersion)
+    if (updateImages) table.changesCdf(fromVersion, toVersion)
+    else table.changes(fromVersion, toVersion)
 
   override val schema: StructType = StructType(
     StructField("_change_type", org.apache.spark.sql.types.StringType,

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.SnapshotTable
+
+/** Cross-path invariant for the labeled change feed (r18): for ANY
+  * window, collapsing [[SnapshotTable.changesCdf]]'s per-commit labels
+  * (`update_preimage → delete`, `update_postimage → insert`) and
+  * NETTING the result as a multiset must equal the netted two-label
+  * diff [[SnapshotTable.changes]] serves — both views describe the
+  * same pair of endpoint snapshots, so they may differ only in HOW
+  * they tell the story, never in the net story itself. A labeling bug
+  * (a pre-image read at the wrong snapshot, an update image counted
+  * twice, a dropped delete vector) breaks the equality.
+  *
+  * The DML sequence deliberately mixes every commit class the router
+  * distinguishes: blind appends, MoR UPDATE (`update-pos`, flagged
+  * provenance), native-SQL-equivalent MoR MERGE via the Scala API
+  * (`merge-pos`, split lanes), CoW update (relabeled netted diff),
+  * MoR positional delete, equality delete, and a no-op maintenance
+  * commit.
+  */
+class ChangesCdfNettingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSparkSession.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = true)))
+
+  private def rows(ids: Seq[(Long, Double)]): DataFrame = {
+    val data = ids.map { case (i, v) => Row(i, v) }
+    spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+  }
+
+  /** Collapse CDF labels to the two-label alphabet. */
+  private def collapsed(df: DataFrame): DataFrame =
+    df.withColumn("_change_type",
+      when(col("_change_type") === "update_preimage", "delete")
+        .when(col("_change_type") === "update_postimage", "insert")
+        .otherwise(col("_change_type")))
+
+  /** Net a two-label change frame as a signed multiset:
+    * (+1 insert / −1 delete) summed per row image.
+    */
+  private def netted(df: DataFrame): Seq[(Long, Double, Long)] =
+    df.groupBy(col("id"), col("v"))
+      .agg(sum(when(col("_change_type") === "insert", 1L)
+        .otherwise(-1L)).as("w"))
+      .filter(col("w") =!= 0L)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+
+  test("netted changesCdf equals netted changes across every commit class") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdf-net")
+      .resolve("t").toString
+    val t = SnapshotTable.create(spark, root, schema, None,
+      properties = Map(
+        "graft.update.mode" -> "merge-on-read",
+        "graft.merge.mode" -> "merge-on-read",
+        "graft.delete.mode" -> "merge-on-read"))
+    t.append(rows((0L until 40L).map(i => i -> i.toDouble)))      // v2
+    t.updateRouted(Seq("v" -> (col("v") + lit(100.0d))),
+      col("id") % 5 === 0)                                        // v3 update-pos
+    t.append(rows((40L until 50L).map(i => i -> i.toDouble)))     // v4
+    t.mergeConditional(
+      rows((30L until 60L by 3).map(i => i -> (i + 0.5))),
+      Seq("id"),
+      Seq(
+        graft.catalog.MergeClause(Some(col("s.id") % 2 === 0),
+          graft.catalog.MergeAction.Delete),
+        graft.catalog.MergeClause(None, graft.catalog.MergeAction.UpdateAll)),
+      Seq(graft.catalog.InsertClause(None)), Nil)                 // v5 merge-pos
+    t.deleteRouted(col("id") === 7L)                              // v6 delete-pos
+    t.deleteByKeys(Seq(Tuple1(11L)).toDF("id"), Seq("id"))        // v7 delete-eq
+    t.setProperties(Map("probe" -> "1"))                          // v8 netzero
+    val head = t.currentVersion()
+
+    // every window shape: single versions, multi-version runs, the
+    // full history, and windows starting mid-history
+    val windows = (1L until head).flatMap(a =>
+      Seq((a, a + 1), (a, head))).distinct
+    windows.foreach { case (from, to) =>
+      val viaCdf = netted(collapsed(t.changesCdf(from, to)))
+      val viaNet = netted(t.changes(from, to))
+      assert(viaCdf == viaNet,
+        s"window ($from, $to]: labeled-feed net ${viaCdf.take(5)}... != " +
+          s"netted-diff ${viaNet.take(5)}...")
+    }
+
+    // and the labels themselves are present where promised: the
+    // update-pos window must carry only update pairs
+    val lbl = t.changesCdf(2, 3).select("_change_type").distinct()
+      .as[String].collect().toSet
+    assert(lbl == Set("update_preimage", "update_postimage"), lbl.toString)
+  }
+}

@@ -2980,5 +2980,20 @@ class SnapshotTableSpec extends AnyFunSuite {
     t.setProperties(Map("k" -> "v"))
     assert(t.changesRoute(t.currentVersion() - 1, t.currentVersion())
       == "netzero")
+    // DSv1 OPTIONS parity for the labeled feed: a copy-on-write update
+    // window read with updateImages 'true' serves CDF labels (the
+    // relabeled netted diff — everything in an `update` commit IS an
+    // update image) to a SQL-only consumer
+    t.update(Seq("score" -> (col("score") + lit(1.0d))), col("id") === 2L)
+    val v = t.currentVersion()
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_cdf_sql " +
+      s"USING graft OPTIONS (path '${t.root}', changesFrom '${v - 1}', " +
+      s"changesTo '$v', updateImages 'true')")
+    val lbl = spark.sql(
+        "SELECT _change_type, id, score FROM graft_cdf_sql")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(lbl.sorted.toSeq == Seq(
+      ("update_postimage", 2L, 3.0), ("update_preimage", 2L, 2.0)),
+      s"DSv1 updateImages labels: ${lbl.mkString("; ")}")
   }
 }

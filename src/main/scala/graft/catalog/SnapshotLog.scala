@@ -375,8 +375,7 @@ final class SnapshotLog(val root: Path, conf: Configuration) {
     ).toOption
 
   /** Schema of `version` WITHOUT loading its manifests — the cheap
-    * shape probe per-commit change serving wants ([[SnapshotTable
-    * .changesCdf]] falls back to the netted diff across evolution).
+    * shape probe for callers that classify history without reading it.
     */
   def schemaOf(version: Long)
       : Option[org.apache.spark.sql.types.StructType] =

@@ -487,35 +487,50 @@ final class SnapshotTable private (
     *    schedule rewrites outside consumers' windows to stay on the
     *    metadata path.
     */
-  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+  def changes(fromVersion: Long, toVersion: Long): DataFrame =
+    changesRendered(fromVersion, toVersion, render = null)
+
+  /** [[changes]] with an explicit RENDER snapshot: the window's rows
+    * surface under `render`'s schema (by field id — the same
+    * resolution every read uses) instead of the window end's own.
+    * `null` = the window end (the public contract). The labeled feed
+    * uses this to give every per-commit frame of a multi-version
+    * window ONE schema — the query endpoint's — even when the window
+    * crosses evolution.
+    */
+  private def changesRendered(fromVersion: Long, toVersion: Long,
+      render: Snapshot): DataFrame = {
     require(toVersion >= fromVersion,
       s"inverted range: $fromVersion .. $toVersion")
-    // ENDPOINT versions must be live: intermediates may expire freely
-    // (the diff path only reads the endpoints), but a diff against a
-    // vanished endpoint has no sound semantics — fail with guidance,
-    // not a raw file-not-found
-    def endpoint(v: Long): Snapshot =
-      try log.read(v) catch {
-        case e: Exception if log.operationOf(v).isEmpty =>
-          throw new IllegalStateException(
-            s"changelog endpoint version $v has been EXPIRED at $root — " +
-              "re-seed the consumer from a live version, and protect " +
-              "consumer ranges from expiry with a tag or a larger " +
-              "vacuum_min_snapshots_to_keep", e)
-      }
-    val sTo = endpoint(toVersion)
+    val sTo = endpointSnap(toVersion)
+    val rs = Option(render).getOrElse(sTo)
     if (fromVersion == toVersion)
-      return readWithDeletes(sTo.schema, sTo.ids, sTo, Nil)
-        .select(lit("").as("_change_type") +: changeCols(sTo): _*).limit(0)
-    val sFrom = endpoint(fromVersion)
-    changesRouteOf(sFrom, sTo) match {
+      return readWithDeletes(rs.schema, rs.ids, sTo, Nil)
+        .select(lit("").as("_change_type") +: changeCols(rs): _*).limit(0)
+    val sFrom = endpointSnap(fromVersion)
+    changesRouteOf(sFrom, sTo, rs) match {
       case "netzero" =>
-        readWithDeletes(sTo.schema, sTo.ids, sTo, Nil)
-          .select(lit("").as("_change_type") +: changeCols(sTo): _*).limit(0)
-      case "fast" => changesFast(sFrom, sTo)
-      case _ => changesDiff(sFrom, sTo)
+        readWithDeletes(rs.schema, rs.ids, sTo, Nil)
+          .select(lit("").as("_change_type") +: changeCols(rs): _*).limit(0)
+      case "fast" => changesFast(sFrom, sTo, rs)
+      case _ => changesDiff(sFrom, sTo, rs)
     }
   }
+
+  /** ENDPOINT versions must be live: intermediates may expire freely
+    * (the diff path only reads the endpoints), but a diff against a
+    * vanished endpoint has no sound semantics — fail with guidance,
+    * not a raw file-not-found.
+    */
+  private def endpointSnap(v: Long): Snapshot =
+    try log.read(v) catch {
+      case e: Exception if log.operationOf(v).isEmpty =>
+        throw new IllegalStateException(
+          s"changelog endpoint version $v has been EXPIRED at $root — " +
+            "re-seed the consumer from a live version, and protect " +
+            "consumer ranges from expiry with a tag or a larger " +
+            "vacuum_min_snapshots_to_keep", e)
+    }
 
   /** Route election of [[changes]]: `netzero` (provably zero rows,
     * nothing read), `fast` (O(changed data) — appended files plus any
@@ -532,9 +547,13 @@ final class SnapshotTable private (
     */
   private[graft] def changesRoute(fromVersion: Long, toVersion: Long): String =
     if (fromVersion == toVersion) "netzero"
-    else changesRouteOf(log.read(fromVersion), log.read(toVersion))
+    else {
+      val sTo = log.read(toVersion)
+      changesRouteOf(log.read(fromVersion), sTo, sTo)
+    }
 
-  private def changesRouteOf(sFrom: Snapshot, sTo: Snapshot): String = {
+  private def changesRouteOf(sFrom: Snapshot, sTo: Snapshot,
+      rs: Snapshot): String = {
     val (fromVersion, toVersion) = (sFrom.version, sTo.version)
     // Pure-maintenance window (SURVEY §19.8 #3): every commit in the
     // range only rearranges bytes (compact / rewrite-dv /
@@ -548,7 +567,9 @@ final class SnapshotTable private (
           log.operationOf(v).exists(SnapshotTable.isPreservingOp)) &&
         provablyNetZero(sFrom, sTo))
       return "netzero"
-    val toIds = sTo.ids.map(_.swap).toMap
+    // key-column resolvability is checked against the RENDER schema:
+    // that is where delete keys must surface as named columns
+    val toIds = rs.ids.map(_.swap).toMap
     // op classification needs the intermediate snapshots (manifest-free
     // reads); a range spanning EXPIRED versions (catch-up from an old
     // tag) cannot be classified, but the endpoint-only diff path still
@@ -682,30 +703,37 @@ final class SnapshotTable private (
   /** Metadata path: O(changed data). Private[graft] so the spec can
     * pin fast/diff parity on a scenario both paths accept.
     */
-  private[graft] def changesFast(sFrom: Snapshot, sTo: Snapshot): DataFrame = {
-    val toIds = sTo.ids.map(_.swap).toMap
+  private[graft] def changesFast(sFrom: Snapshot, sTo: Snapshot,
+      render: Snapshot = null): DataFrame = {
+    // `render` (default: the window end) carries the OUTPUT schema —
+    // per-file field-id resolution reads any window's files under it,
+    // so the labeled feed can give every per-commit frame the query
+    // endpoint's schema even across evolution
+    val rs = Option(render).getOrElse(sTo)
+    val toIds = rs.ids.map(_.swap).toMap
     val fromPaths = sFrom.files.map(_.path).toSet
     val newFiles = sTo.files.filterNot(f => fromPaths.contains(f.path))
-    val inserts = readWithDeletes(sTo.schema, sTo.ids, sTo, newFiles)
-      .select(lit("insert").as("_change_type") +: changeCols(sTo): _*)
+    val inserts = readWithDeletes(rs.schema, rs.ids, sTo, newFiles,
+        targetNested = rs.nestedIds)
+      .select(lit("insert").as("_change_type") +: changeCols(rs): _*)
     val newDels = sTo.deleteFiles.filter(_.seq > sFrom.version)
     if (newDels.isEmpty) return inserts
     val keyNames = newDels.head.cols.map { case (_, id) => toIds(id) }
-    val keys = newDels.map(d => readDeleteKeys(sTo.schema, d, keyNames))
+    val keys = newDels.map(d => readDeleteKeys(rs.schema, d, keyNames))
       .reduce(_ unionByName _).distinct()
     // every from-visible file has seq ≤ from < delete seq, so the
     // new delete files apply to ALL of them — plain semi-join
     val deletes =
-      readWithDeletes(sTo.schema, sTo.ids, sFrom, sFrom.files,
-          targetNested = sTo.nestedIds)
+      readWithDeletes(rs.schema, rs.ids, sFrom, sFrom.files,
+          targetNested = rs.nestedIds)
         .join(keys, keyNames, "left_semi")
-        .select(lit("delete").as("_change_type") +: changeCols(sTo): _*)
+        .select(lit("delete").as("_change_type") +: changeCols(rs): _*)
     // NET the two sides (multiset): a key deleted and re-appended with
     // IDENTICAL content inside the window must emit nothing, matching
     // changesDiff and the documented contract. Both sides are already
     // O(changed data), so the compensation join is too.
-    val names = sTo.schema.fieldNames.toIndexedSeq
-    val mf = mapFields(sTo.schema)
+    val names = rs.schema.fieldNames.toIndexedSeq
+    val mf = mapFields(rs.schema)
     val insData = encodeMapCols(inserts.drop("_change_type"), mf)
     val delData = encodeMapCols(deletes.drop("_change_type"), mf)
     val netted = insData.exceptAll(delData)
@@ -721,15 +749,18 @@ final class SnapshotTable private (
     * from-row, group by every column, emit |Σ| copies signed by the
     * total.
     */
-  private[graft] def changesDiff(sFrom: Snapshot, sTo: Snapshot): DataFrame = {
-    val names = sTo.schema.fieldNames.toIndexedSeq
-    val mf = mapFields(sTo.schema)
+  private[graft] def changesDiff(sFrom: Snapshot, sTo: Snapshot,
+      render: Snapshot = null): DataFrame = {
+    val rs = Option(render).getOrElse(sTo)
+    val names = rs.schema.fieldNames.toIndexedSeq
+    val mf = mapFields(rs.schema)
     val toDf = encodeMapCols(
-      readWithDeletes(sTo.schema, sTo.ids, sTo, sTo.files), mf)
+      readWithDeletes(rs.schema, rs.ids, sTo, sTo.files,
+        targetNested = rs.nestedIds), mf)
       .withColumn("__w", lit(1L))
     val fromDf = encodeMapCols(
-      readWithDeletes(sTo.schema, sTo.ids, sFrom, sFrom.files,
-        targetNested = sTo.nestedIds), mf)
+      readWithDeletes(rs.schema, rs.ids, sFrom, sFrom.files,
+        targetNested = rs.nestedIds), mf)
       .withColumn("__w", lit(-1L))
     val diffed = toDf.unionByName(fromDf)
       .groupBy(names.map(n => col(SnapshotTable.quoted(n))): _*)
@@ -737,7 +768,7 @@ final class SnapshotTable private (
       .filter(col("__delta") =!= 0L)
       .withColumn("__i", explode(sequence(lit(1L), abs(col("__delta")))))
       .select(when(col("__delta") > 0, "insert").otherwise("delete")
-        .as("_change_type") +: changeCols(sTo): _*)
+        .as("_change_type") +: changeCols(rs): _*)
     decodeMapCols(diffed, mf)
   }
 
@@ -761,12 +792,15 @@ final class SnapshotTable private (
     * (everything in an `update` commit IS an update image); CoW
     * `upsert` cannot distinguish its insert/update mix post-hoc and
     * keeps the two-label shape, as do legacy `merge-pos` commits
-    * written before the provenance fields. A range containing an
-    * EXPIRED intermediate version cannot be served per-commit, and
-    * neither can one CROSSING schema evolution (per-version frames
-    * render under their own schemas and cannot union) — both degrade
-    * to the endpoint-netted [[changes]] (the stream's catch-up
-    * posture), never an error.
+    * written before the provenance fields. Every frame renders under
+    * the QUERY ENDPOINT's schema by field id (r18 follow-through), so
+    * windows CROSSING schema evolution serve labeled — renames follow
+    * ids, columns added later null-fill or surface their recorded
+    * initial default on pre-evolution frames, Delta-CDF's
+    * current-schema posture. Only a range containing an EXPIRED
+    * intermediate version cannot be served per-commit; it degrades to
+    * the endpoint-netted [[changes]] (the stream's catch-up posture),
+    * never an error.
     */
   def changesCdf(fromVersion: Long, toVersion: Long): DataFrame = {
     require(toVersion >= fromVersion,
@@ -775,17 +809,17 @@ final class SnapshotTable private (
     val vs = (fromVersion + 1) to toVersion
     if (!vs.forall(v => log.operationOf(v).isDefined))
       return changes(fromVersion, toVersion)
-    // per-version frames render under each version's own schema; a
-    // window CROSSING schema evolution cannot union them — degrade to
-    // the endpoint-netted diff (rendered under the TO schema by field
-    // id) rather than mislabel or fail
-    val endShape = log.schemaOf(toVersion)
-    if ((fromVersion to toVersion).exists(v => log.schemaOf(v) != endShape))
-      return changes(fromVersion, toVersion)
-    vs.map(changesCdfOne).reduce(_ unionByName _)
+    // every per-commit frame renders under the QUERY ENDPOINT's
+    // schema (field-id resolution — renames follow ids, later-added
+    // columns null-fill or surface their recorded initial default on
+    // pre-evolution frames), so a window crossing evolution serves
+    // labeled with ONE schema, exactly like Delta CDF under the
+    // current table schema
+    val sEnd = endpointSnap(toVersion)
+    vs.map(changesCdfOne(_, sEnd)).reduce(_ unionByName _)
   }
 
-  private def changesCdfOne(v: Long): DataFrame = {
+  private def changesCdfOne(v: Long, sEnd: Snapshot): DataFrame = {
     val op = log.operationOf(v).getOrElse("")
     op match {
       case "update-pos" | "merge-pos" =>
@@ -797,7 +831,8 @@ final class SnapshotTable private (
         // and update marks — structural, so even pre-provenance
         // commits label; a legacy MERGE's mix is unknowable → netted
         val allUpd = op == "update-pos"
-        if (!flagged && !allUpd) return changes(v - 1, v)
+        if (!flagged && !allUpd)
+          return changesRendered(v - 1, v, sEnd)
         val (updF, insF) =
           if (flagged) newFiles.partition(_.upd)
           else (newFiles, Seq.empty[DataFileEntry])
@@ -806,20 +841,21 @@ final class SnapshotTable private (
           else (newDvs, Seq.empty[DvFileEntry])
         val sp = snapshotAt(v - 1)
         def img(files: Seq[DataFileEntry], label: String): DataFrame =
-          readWithDeletes(sv.schema, sv.ids, sv, files)
-            .select(lit(label).as("_change_type") +: changeCols(sv): _*)
+          readWithDeletes(sEnd.schema, sEnd.ids, sv, files,
+              targetNested = sEnd.nestedIds)
+            .select(lit(label).as("_change_type") +: changeCols(sEnd): _*)
         img(updF, "update_postimage")
           .unionByName(img(insF, "insert"))
-          .unionByName(readAtDvPositions(sv, sp, updDvs)
+          .unionByName(readAtDvPositions(sEnd, sp, updDvs)
             .select(lit("update_preimage").as("_change_type") +:
-              changeCols(sv): _*))
-          .unionByName(readAtDvPositions(sv, sp, delDvs)
-            .select(lit("delete").as("_change_type") +: changeCols(sv): _*))
+              changeCols(sEnd): _*))
+          .unionByName(readAtDvPositions(sEnd, sp, delDvs)
+            .select(lit("delete").as("_change_type") +: changeCols(sEnd): _*))
       case "update" =>
-        changes(v - 1, v).withColumn("_change_type",
+        changesRendered(v - 1, v, sEnd).withColumn("_change_type",
           when(col("_change_type") === "insert", "update_postimage")
             .otherwise("update_preimage"))
-      case _ => changes(v - 1, v)
+      case _ => changesRendered(v - 1, v, sEnd)
     }
   }
 

@@ -101,4 +101,57 @@ class ChangesCdfNettingSpec extends AnyFunSuite {
       .as[String].collect().toSet
     assert(lbl == Set("update_preimage", "update_postimage"), lbl.toString)
   }
+
+  test("labeled windows CROSSING schema evolution render under the endpoint schema") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdf-evo")
+      .resolve("t").toString
+    val t = SnapshotTable.create(spark, root, schema, None,
+      properties = Map("graft.update.mode" -> "merge-on-read"))
+    t.append(rows((0L until 10L).map(i => i -> i.toDouble)))      // v2
+    t.updateRouted(Seq("v" -> (col("v") + lit(100.0d))),
+      col("id") === 3L)                                           // v3 update-pos
+    t.addColumnWithDefault(
+      StructField("src", org.apache.spark.sql.types.StringType),
+      "legacy")                                                   // v4 ADD DEFAULT
+    t.renameColumn("v", "score")                                  // v5 RENAME
+    t.append(Seq((20L, 20.0, "live")).toDF("id", "score", "src")) // v6
+    t.updateRouted(Seq("score" -> (col("score") + lit(7.0d))),
+      col("id") === 20L)                                          // v7 update-pos
+    val head = t.currentVersion()
+
+    // the full window serves LABELED (no netted fallback): the v3
+    // update pair renders under the END schema — `v` surfaces as
+    // `score`, `src` carries the recorded initial default
+    val cdf = t.changesCdf(1, head)
+      .select(col("_change_type"), col("id"), col("score"), col("src"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3)))
+    val expected =
+      (0L until 10L).map(i => ("insert", i, i.toDouble, "legacy")) ++
+        Seq(
+          ("update_preimage", 3L, 3.0, "legacy"),
+          ("update_postimage", 3L, 103.0, "legacy"),
+          ("insert", 20L, 20.0, "live"),
+          ("update_preimage", 20L, 20.0, "live"),
+          ("update_postimage", 20L, 27.0, "live"))
+    assert(cdf.sorted.toSeq == expected.sorted,
+      s"evolution-crossing labels: ${cdf.sorted.take(6).mkString("; ")}")
+
+    // netting invariant holds across the evolution too (changes()
+    // renders under the same endpoint schema)
+    val viaCdf = nettedEvo(collapsed(t.changesCdf(1, head)))
+    val viaNet = nettedEvo(t.changes(1, head))
+    assert(viaCdf == viaNet, s"$viaCdf != $viaNet")
+  }
+
+  private def nettedEvo(df: DataFrame): Seq[(Long, Double, String, Long)] =
+    df.groupBy(col("id"), col("score"), col("src"))
+      .agg(sum(when(col("_change_type") === "insert", 1L)
+        .otherwise(-1L)).as("w"))
+      .filter(col("w") =!= 0L)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
+        r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
 }

@@ -1836,13 +1836,39 @@ object Queries {
     * the query count, not quadratically — at sf1 the r18
     * re-certification measured the hardcoded k = 16 at 47× for 10×
     * data (probed volume ×10 × queries ×10), exactly the cliff the
-    * doctrine exists to prevent. The corpus row count comes from
-    * parquet metadata (one count() on the base table), never a scan.
+    * doctrine exists to prevent. The corpus row count is genuinely
+    * metadata-only: driver-side parquet FOOTER reads (row counts live
+    * in the file metadata) — no Spark job at all, the same posture as
+    * `Ivf.metadataRowCount` on snapshot tables. Callers reach this
+    * only inside per-directory model-cache computes, so the footer
+    * walk runs once per directory.
     */
   private def wideK(s: SparkSession, dir: String): Int = {
-    val base = t(s, dir, "embeddings").count()
+    val base = parquetFooterRowCount(s, s"$dir/embeddings.parquet")
     val n = 16L * (base + base / 10) // 16 families × (corpus + mutants)
     math.max(16, (n / 3300L).toInt)
+  }
+
+  /** Sum of parquet footer record counts under `path` — driver-side
+    * metadata reads only (footers end with the row count; no column
+    * chunk is touched, no job is scheduled).
+    */
+  private def parquetFooterRowCount(s: SparkSession, path: String): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try total += r.getRecordCount finally r.close()
+      }
+    }
+    total
   }
 
   private val ivfWideModelCache =
@@ -2918,7 +2944,11 @@ object Queries {
           confs.foreach { case (k, v) => s.conf.set(k, v) }
           val j = s.table(lName).alias("l")
             .join(s.table(rName).alias("r"), Seq("event_id"))
-          j.collect() // materialize so executedPlan is the FINAL plan
+          // Finalize AQE by executing the join's OWN query execution
+          // distributed — zero rows reach the driver (a collect() here
+          // would materialize |l⋈r| rows driver-side, the one shape
+          // that cannot survive a 100× scale-up).
+          j.queryExecution.toRdd.foreach(_ => ())
           val noExchange =
             !j.queryExecution.executedPlan.toString.contains("Exchange")
           j.groupBy(col("l.event_type"))
@@ -2959,7 +2989,9 @@ object Queries {
         })
         val dim = s.read.parquet(dimDir).filter(col("grp") === 1)
         val j = s.table(lName).join(dim, Seq("event_id"))
-        j.collect()
+        // Distributed materialization (zero driver rows) to finalize
+        // the AQE plan before pinning the runtime-filter flag.
+        j.queryExecution.toRdd.foreach(_ => ())
         val plan = j.queryExecution.executedPlan.toString
         val pruned = plan.contains("dynamicpruning") ||
           plan.contains("RuntimeFilters: [in(")

@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Local pre-flight for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> \
+           [oracleBudgetSec] [--approx-recall]
+
+--approx-recall (sf1+ certification mode): rows in APPROX — operators
+whose contract is approximate — pass at row-multiset agreement >=
+APPROX_FLOOR instead of hash equality; everything else stays
+hash-gated. The driver's sf0.01 gate never sets it.
 
 Replays what the driver does with CORRECTNESS_r{N}.json: registers the
 testdata parquet as DuckDB views, runs each oracle_sql.json entry, and
@@ -14,8 +20,47 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Operators whose CONTRACT is approximate (probe-bounded ANN, banded
+# LSH, k-means-clustered SemDeDup) against exact-recomputation oracles.
+# At sf0.01/sf0.1 the corpus margins are engineered so they match the
+# oracle EXACTLY and stay hash-gated (the driver's gate). At sf1+ the
+# exact-match property belongs to the corpus, not the operator, so the
+# certification gate scores these rows by row-multiset AGREEMENT
+# (|oracle ∩ spark| / max(|oracle|, |spark|) — bounds misses AND
+# extras) against APPROX_FLOOR instead of hash equality. The floor is
+# recorded in BASELINE.md ("sf1 certification anchor"); a planted
+# recall regression (e.g. nprobe=1 on an IVF row) drops agreement far
+# below the floor and FAILS the gate. Enabled only with
+# --approx-recall; exact operators are hash-gated in every mode.
+APPROX_FLOOR = 0.99
+APPROX = {
+    "dedup_minhash", "dedup_incremental", "dedup_edit_distance",
+    "dedup_semantic", "dedup_semantic_incremental",
+    "dedup_semantic_pairs", "dedup_semantic_sharded",
+    "dedup_semantic_sharded_incremental", "dedup_semantic_two_level",
+    "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_append",
+    "sim_topk_ivf_index", "sim_topk_ivf_model", "sim_topk_ivf_sharded",
+    "sim_topk_ivf_two_level", "sim_topk_ivfpq", "sim_topk_ivfpq_index",
+    "sim_topk_ivfpq_sharded", "sim_wide_ivf_index",
+    "sim_wide_ivfpq_index",
+}
 
-def main(sf_dir: str, out_dir: str, budget_sec: float = 0.0) -> int:
+
+def approx_agreement(o, s) -> float:
+    """Row-multiset agreement between two same-schema frames: the size
+    of the multiset intersection over the LARGER side (so both missed
+    and spurious rows count against it). Bitwise float equality — the
+    same strictness as the exact gate's frame compare."""
+    cols = list(o.columns)
+    o2, s2 = o.copy(), s.copy()
+    o2["_occ"] = o2.groupby(cols, dropna=False).cumcount()
+    s2["_occ"] = s2.groupby(cols, dropna=False).cumcount()
+    inter = o2.merge(s2, on=cols + ["_occ"], how="inner")
+    return len(inter) / max(len(o), len(s), 1)
+
+
+def main(sf_dir: str, out_dir: str, budget_sec: float = 0.0,
+         approx_recall: bool = False) -> int:
     """budget_sec > 0 enables the per-query oracle wall-clock budget
     (sf1 pre-flight): an oracle SQL exceeding it is recorded SKIPPED
     (oracle-too-slow), not failed — several oracles are deliberately
@@ -36,23 +81,56 @@ def main(sf_dir: str, out_dir: str, budget_sec: float = 0.0) -> int:
     sqls = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
     skipped = []
+
+    def execute_df(sql: str, interrupted: "threading.Event"):
+        """Execute with one retry against a STALE interrupt: if the
+        budget timer fired after the oracle fetch returned but before
+        cancel(), the pending con.interrupt() poisons the NEXT execute
+        (this spark-side read or the next oracle). When the flag says
+        the interrupt was ours and the poisoned statement is not the
+        budgeted one, consume it and retry once."""
+        try:
+            return con.execute(sql).fetchdf()
+        except duckdb.InterruptException:
+            if interrupted.is_set():
+                interrupted.clear()
+                return con.execute(sql).fetchdf()
+            raise
+
+    # set when a fired timer's interrupt could not have been consumed
+    # by the query it budgeted (the fetch returned first) — the next
+    # execute may be poisoned and retries once
+    stale = threading.Event()
     for name, sql in sqls.items():
         try:
             if budget_sec > 0:
-                timer = threading.Timer(budget_sec, con.interrupt)
+                fired = threading.Event()
+
+                def _budget_interrupt(f=fired):
+                    f.set()
+                    con.interrupt()
+                timer = threading.Timer(budget_sec, _budget_interrupt)
                 timer.start()
                 try:
-                    oracle = con.execute(sql).fetchdf()
+                    oracle = execute_df(sql, stale)
+                    # fetch returned despite the timer: if it fired,
+                    # its interrupt is pending and will poison the
+                    # NEXT execute — flag it stale
+                    if fired.is_set():
+                        stale.set()
                 except duckdb.InterruptException:
-                    print(f"{name}: SKIPPED (oracle exceeded {budget_sec:.0f}s budget)", flush=True)
-                    skipped.append(name)
-                    continue
+                    if fired.is_set():
+                        print(f"{name}: SKIPPED (oracle exceeded {budget_sec:.0f}s budget)", flush=True)
+                        skipped.append(name)
+                        continue
+                    raise
                 finally:
                     timer.cancel()
             else:
-                oracle = con.execute(sql).fetchdf()
-            spark = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+                oracle = execute_df(sql, stale)
+            spark = execute_df(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')",
+                stale)
         except Exception as e:
             print(f"{name}: ERROR {e}")
             failed.append(name)
@@ -66,6 +144,22 @@ def main(sf_dir: str, out_dir: str, budget_sec: float = 0.0) -> int:
         cols = sorted(o.columns)
         o = o.sort_values(by=cols).reset_index(drop=True)
         s = s.sort_values(by=cols).reset_index(drop=True)
+        if approx_recall and name in APPROX and not o.equals(s):
+            try:
+                s_cast = s.astype(dict(o.dtypes))
+            except (TypeError, ValueError):
+                s_cast = s
+            agree = approx_agreement(o, s_cast)
+            if agree >= APPROX_FLOOR:
+                print(f"{name}: MATCH (approx agreement={agree:.4f} "
+                      f">= {APPROX_FLOOR}) oracle_rows={len(o)} "
+                      f"spark_rows={len(s)}", flush=True)
+            else:
+                print(f"{name}: APPROX FAIL agreement={agree:.4f} "
+                      f"< {APPROX_FLOOR} oracle_rows={len(o)} "
+                      f"spark_rows={len(s)}")
+                failed.append(name)
+            continue
         if o.equals(s):
             print(f"{name}: MATCH rows={len(o)}", flush=True)
         else:
@@ -88,5 +182,7 @@ def main(sf_dir: str, out_dir: str, budget_sec: float = 0.0) -> int:
 
 
 if __name__ == "__main__":
-    budget = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
-    sys.exit(main(sys.argv[1], sys.argv[2], budget))
+    args = [a for a in sys.argv[1:] if a != "--approx-recall"]
+    approx = "--approx-recall" in sys.argv[1:]
+    budget = float(args[2]) if len(args) > 2 else 0.0
+    sys.exit(main(args[0], args[1], budget, approx))

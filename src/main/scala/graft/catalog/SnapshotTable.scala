@@ -801,6 +801,30 @@ final class SnapshotTable private (
     * intermediate version cannot be served per-commit; it degrades to
     * the endpoint-netted [[changes]] (the stream's catch-up posture),
     * never an error.
+    *
+    * **Plan admission (VERDICT r18 #3).** The feed carries no
+    * per-row commit version, so commits whose coalesced frame is
+    * PROVABLY the same row multiset as their per-commit union serve
+    * as ONE frame instead of one union branch per commit:
+    *   - a run of pure file-adding commits with no delete content
+    *     (append / stream-append / set-properties / metadata-only
+    *     evolution) is a single fast-route serve — no delete side
+    *     exists in the run, so no cross-commit netting can occur and
+    *     the coalesced inserts equal the per-commit inserts exactly;
+    *   - a run of content-preserving maintenance commits (compact /
+    *     rewrite-dv) whose endpoints pass [[provablyNetZero]]
+    *     contributes NOTHING (each per-commit frame is empty); an
+    *     unprovable run falls back to per-commit frames.
+    * Labeled commits (update / merge / delete and the equality-delete
+    * append) always serve per-commit — their labels are the contract.
+    * A long catch-up window (the 10⁴-commit shape) therefore plans
+    * O(labeled commits + run boundaries) branches, not O(commits).
+    * The residual pathology — thousands of CONSECUTIVE labeled
+    * commits in one batch window — is refused at
+    * `graft.cdf.max-frames` (table property, default 256) with the
+    * iteration contract in the error: serve `[from, from+cap]`
+    * sub-windows in order, or consume the streaming `#changes` feed,
+    * whose `maxVersionsPerTrigger` admission this cap mirrors.
     */
   def changesCdf(fromVersion: Long, toVersion: Long): DataFrame = {
     require(toVersion >= fromVersion,
@@ -809,6 +833,11 @@ final class SnapshotTable private (
     val vs = (fromVersion + 1) to toVersion
     if (!vs.forall(v => log.operationOf(v).isDefined))
       return changes(fromVersion, toVersion)
+    // BOTH endpoints validated up front (ADVICE r18): an expired
+    // fromVersion surfaces as the guided re-seed error — the same one
+    // changes() raises — not a raw file-not-found when the first
+    // labeled commit's changesCdfOne reads snapshotAt(fromVersion)
+    endpointSnap(fromVersion)
     // every per-commit frame renders under the QUERY ENDPOINT's
     // schema (field-id resolution — renames follow ids, later-added
     // columns null-fill or surface their recorded initial default on
@@ -816,7 +845,52 @@ final class SnapshotTable private (
     // labeled with ONE schema, exactly like Delta CDF under the
     // current table schema
     val sEnd = endpointSnap(toVersion)
-    vs.map(changesCdfOne(_, sEnd)).reduce(_ unionByName _)
+    // coalescible insert-only run ('A'), provably-net-zero-candidate
+    // maintenance run ('M'), labeled per-commit ('U')
+    def cls(v: Long): Char = {
+      val op = log.operationOf(v).getOrElse("")
+      if (op == "append" || op == "set-properties" ||
+          op.startsWith("stream-append") ||
+          SnapshotTable.isEvolutionOp(op)) 'A'
+      else if (SnapshotTable.isPreservingOp(op)) 'M'
+      else 'U'
+    }
+    val runs = vs.foldLeft(Vector.empty[(Char, Long, Long)]) { (acc, v) =>
+      val c = cls(v)
+      acc.lastOption match {
+        case Some((`c`, s0, _)) if c != 'U' => acc.init :+ ((c, s0, v))
+        case _ => acc :+ ((c, v, v))
+      }
+    }
+    // frame count BEFORE building any plan: refusal must be cheap
+    val frameCount = runs.map {
+      case ('A', _, _) => 1
+      case ('M', v1, v2) =>
+        if (provablyNetZero(snapshotAt(v1 - 1), snapshotAt(v2))) 0
+        else (v2 - v1 + 1).toInt
+      case (_, v1, v2) => (v2 - v1 + 1).toInt
+    }.sum
+    val cap = sEnd.properties.getOrElse(
+      SnapshotTable.CdfMaxFramesProp, "256").toInt
+    if (frameCount > cap)
+      throw new IllegalStateException(
+        s"labeled change window ($fromVersion, $toVersion] plans " +
+          s"$frameCount per-commit frames after run coalescing — over " +
+          s"the $cap admission cap (${SnapshotTable.CdfMaxFramesProp}). " +
+          "Serve bounded sub-windows in version order (e.g. " +
+          s"changesCdf(v, min(v + $cap, $toVersion)) iterated), or " +
+          "consume the streaming #changes feed, whose " +
+          "maxVersionsPerTrigger admission bounds every micro-batch.")
+    val frames = runs.flatMap {
+      case ('A', v1, v2) => Seq(changesRendered(v1 - 1, v2, sEnd))
+      case ('M', v1, v2) =>
+        if (provablyNetZero(snapshotAt(v1 - 1), snapshotAt(v2))) Nil
+        else (v1 to v2).map(changesCdfOne(_, sEnd))
+      case (_, v1, v2) => (v1 to v2).map(changesCdfOne(_, sEnd))
+    }
+    if (frames.isEmpty)
+      changesRendered(toVersion, toVersion, sEnd) // typed empty frame
+    else frames.reduce(_ unionByName _)
   }
 
   private def changesCdfOne(v: Long, sEnd: Snapshot): DataFrame = {
@@ -4464,6 +4538,12 @@ object SnapshotTable {
     * (see [[SnapshotTable.beginAudit]]).
     */
   private[graft] val WapBaseProp = "graft.wap.base"
+
+  /** Admission cap on the labeled change feed's per-commit union
+    * width, AFTER run coalescing (see [[SnapshotTable.changesCdf]]).
+    * Table property; default 256 frames.
+    */
+  private[graft] val CdfMaxFramesProp = "graft.cdf.max-frames"
 
   /** Directory under the table root holding one self-contained version
     * log per named branch.

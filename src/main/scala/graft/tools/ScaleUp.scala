@@ -114,14 +114,23 @@ object ScaleUp {
               concat(slice(col("embedding"), lit(r % 64 + 1),
                   size(col("embedding")) - lit(r % 64)),
                 slice(col("embedding"), lit(1), lit(r % 64)))))
-          // ...composed with a per-replica SIGN pattern (also
-          // orthogonal): rotation alone aliases when the generator's
-          // dimension profile is near-periodic; deterministic sign
-          // flips decorrelate those residuals too
+          // ...composed with a per-replica SIGN pattern (any diagonal
+          // ±1 matrix is orthogonal): rotation alone aliases when the
+          // generator's dimension profile is near-periodic, and the
+          // rotation offset repeats every 64 replicas — the sign
+          // pattern must therefore be DISTINCT per replica. The sign
+          // comes from HIGH hash bits (shiftright 16), not the low
+          // bit: with two odd multipliers the low bit reduces to
+          // (i + r) mod 2 — only two patterns total, and replicas 64
+          // apart applied the IDENTICAL transform, reintroducing
+          // exact-duplicate decoys at factor > 64 (ADVICE r18). For
+          // Δr = 64, Δ(r·40503) = 2,592,192 > 2¹⁶, so same-rotation
+          // replicas always draw different high-bit sign patterns.
           .withColumn("embedding",
             if (r == 0) col("embedding")
             else transform(col("embedding"), (x, i) =>
-              (x * when(pmod(i * 2654435761L + lit(r * 40503L), lit(2)) === 0,
+              (x * when(pmod(shiftright(
+                  i * 2654435761L + lit(r * 40503L), 16), lit(2)) === 0,
                 lit(1.0f)).otherwise(lit(-1.0f))).cast("float")))
       })
   }

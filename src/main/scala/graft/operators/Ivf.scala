@@ -48,8 +48,11 @@ object Ivf {
     * implementations with one contract:
     *
     *  - [[FlatQuantizer]] scores ALL k centroids per row (exact
-    *    nearest-centroid; O(k·d) per row, k Literal nodes in the plan)
-    *    — right while k is small;
+    *    nearest-centroid; O(k·d) per row) as a native broadcast loop
+    *    — one argmax pass, no k-element sims array in flight, and no
+    *    k-literal plan (whose single CSE'd codegen method trips
+    *    Janino's 64 KB limit at k ≈ 10³ and fell back to interpreted;
+    *    see [[FlatLitMax]]). Right while k is small;
     *  - [[TwoLevelQuantizer]] descends a coarse→fine hierarchy (score
     *    g supers, then only the `nsuper` nearest supers' children) —
     *    O((g + nsuper·k/g)·d) per row with the model in TWO plan
@@ -81,14 +84,56 @@ object Ivf {
   /** Score-all-centroids quantizer — the small-k path (identical
     * expressions to [[assignExpr]]/[[probeExpr]]).
     */
+  /** Size above which the flat quantizer serves through the native
+    * broadcast-loop descent instead of k per-centroid literal
+    * expressions. Two measurements set it to 0 (loop ALWAYS):
+    *  - correctness of compilation: whole-stage codegen folds the
+    *    k-literal array into ONE subexpression-elimination method,
+    *    which Janino refuses past its 64 KB limit (k = 1024 × d = 64
+    *    trips it; the stage then silently runs interpreted — SURVEY
+    *    §20.7 #2, the ScaleSmoke ERROR);
+    *  - speed: the loop wins at EVERY k measured, including the
+    *    registry's smallest (k = 16: dedup_semantic 1.07 → 0.46 s,
+    *    sim_topk_ivf 2.04 → 1.56 s at sf0.1; k = 1024: 3.52 → 0.49 s)
+    *    — it never materializes the k-element sims array that
+    *    array_position/array_max then rescan.
+    * The literal formulation ([[assignExpr]]/[[probeExpr]]) stays as
+    * the executable REFERENCE the equivalence specs pin the loop
+    * against (bit-identical ranking, same tie-breaks).
+    */
+  private[operators] val FlatLitMax = 0
+
   final case class FlatQuantizer(model: Model) extends Quantizer {
     require(model.nonEmpty, "empty centroid model")
     override def k: Int = model.size
-    override def assign(vec: Column): Column = assignExpr(vec, model)
+
+    /** Degenerate one-super hierarchy over the WHOLE model: with a
+      * single super every probe descends into all k fine centroids, so
+      * the native loop ranks exactly like the literal formulation
+      * (same cosine accumulation, same (sim desc, id asc) tie-break —
+      * the nsuper = supers.size equivalence the two-level spec pins).
+      * Fine ids are the flat indices, so answers are positionally
+      * identical too. Built lazily once per quantizer instance.
+      */
+    @transient private lazy val bcFlat
+        : org.apache.spark.broadcast.Broadcast[
+          graft.functions.TwoLevelQuantize.Model] =
+      org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(
+        new graft.functions.TwoLevelQuantize.Model(
+          Array(model.head.toArray),
+          Array(Array.range(0, model.size)),
+          Array(model.map(_.toArray).toArray)))
+
+    override def assign(vec: Column): Column =
+      if (k <= FlatLitMax) assignExpr(vec, model)
+      else element_at(
+        graft.functions.TwoLevelQuantize.probeCol(vec, bcFlat, 1, 1), 1)
     override def probe(vec: Column, nprobe: Int): Column =
-      probeExpr(vec, model, nprobe)
+      if (k <= FlatLitMax) probeExpr(vec, model, nprobe)
+      else graft.functions.TwoLevelQuantize.probeCol(vec, bcFlat, 1, nprobe)
     override def bestSim(vec: Column): Column =
-      array_max(simsExpr(vec, model))
+      if (k <= FlatLitMax) array_max(simsExpr(vec, model))
+      else graft.functions.TwoLevelQuantize.bestSimCol(vec, bcFlat, 1)
   }
 
   /** Coarse→fine two-level quantizer: `supers(s)` is a super-centroid,
@@ -423,8 +468,14 @@ object Ivf {
       // one select, the generate-stage codegen re-evaluates the k×dims
       // assignment subexpression per EXPLODED dim row — a dims× blowup
       // of the most expensive expression in the loop
+      // FlatQuantizer.assign rather than assignExpr directly: past
+      // FlatLitMax (sharded supers reach g = √k ≈ 10³) the literal
+      // formulation trips Janino's method limit and the whole Lloyd
+      // round would run interpreted; the quantizer routes to the
+      // broadcast loop with bit-identical ranking
       val means = sample
-        .select(assignExpr(col(vecCol), model).as("cluster"), col(vecCol))
+        .select(FlatQuantizer(model).assign(col(vecCol)).as("cluster"),
+          col(vecCol))
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
         .agg(avg(col("x")).as("m"))

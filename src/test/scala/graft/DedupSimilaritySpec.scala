@@ -637,6 +637,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a.supers == b.supers && a.children == b.children)
   }
 
+  test("flat quantizer ranks identically across the FlatLitMax codegen threshold") {
+    // past FlatLitMax (256) FlatQuantizer swaps the k-literal plan for
+    // the broadcast loop (the k-literal subexpression method trips
+    // Janino's 64 KB limit at k ≈ 10³ and silently ran interpreted —
+    // SURVEY §20.7 #2); this pins that the swap changes the PLAN only:
+    // assign/probe answers at k = 300 equal the literal formulation's
+    import graft.operators.Ivf
+    val model: Ivf.Model = Seq.tabulate(300)(j =>
+      Seq.tabulate(16)(d => 1.0 + math.sin(j * 131 + d * 17)))
+    val vecs = spark.range(0, 200).select(col("id"),
+      transform(sequence(lit(0), lit(15)),
+        d => sin(col("id") * lit(37) + d * lit(5)) + lit(1.1))
+        .as("embedding"))
+    val q = Ivf.FlatQuantizer(model) // k = 300 > FlatLitMax -> loop path
+    val got = vecs.select(col("id"), q.assign(col("embedding")).as("c"),
+        q.probe(col("embedding"), 4).as("p"),
+        q.bestSim(col("embedding")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toVector, r.getDouble(3))).sortBy(_._1)
+    val want = vecs.select(col("id"),
+        Ivf.assignExpr(col("embedding"), model).as("c"),
+        Ivf.probeExpr(col("embedding"), model, 4).as("p"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toVector)).sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == want.toSeq,
+      s"loop path diverged: ${got.take(3).mkString("; ")} vs " +
+        s"${want.take(3).mkString("; ")}")
+    // bestSim must be the cosine of the assigned centroid, bit-exact
+    // (spot-checked — one collect per probe)
+    got.take(5).foreach { case (id, c, _, s) =>
+      val viaLit = vecs.filter(col("id") === id)
+        .select(graft.functions.VectorFunctions.cosine(col("embedding"),
+          typedLit(model(c))))
+        .head.getDouble(0)
+      assert(s == viaLit, s"id=$id bestSim $s != cos(assigned) $viaLit")
+    }
+  }
+
   test("quantizer() picks flat for small k, two-level past the cap") {
     import graft.operators.Ivf
     val corpus = plantedMutantCorpus()

@@ -1025,10 +1025,130 @@ object SnapshotLog {
     JsonMethods.compact(JsonMethods.render(obj))
   }
 
-  def manifestToJson(entries: Seq[DataFileEntry]): String =
+  /** Manifest shard serialization — a STREAMING writer, not the
+    * json4s AST (VERDICT r18 #5 / SURVEY §20.7 #3): at 10⁷ files the
+    * commit's dominant cost was building millions of boxed JValue
+    * nodes per shard before rendering them; appending fields straight
+    * into one StringBuilder per shard cuts the constant several-fold
+    * while producing BYTE-IDENTICAL output (same field order, same
+    * omit-defaults, jackson-compatible string escaping — the parity
+    * spec compares against [[manifestToJsonAst]] character-for-
+    * character, and existing read-back specs parse it with the
+    * unchanged [[manifestFromJson]]).
+    */
+  def manifestToJson(entries: Seq[DataFileEntry]): String = {
+    val sb = new java.lang.StringBuilder(
+      math.min(Int.MaxValue.toLong, 64L + entries.size.toLong * 160L).toInt)
+    sb.append("{\"formatVersion\":1,\"files\":[")
+    var i = 0
+    while (i < entries.size) {
+      if (i > 0) sb.append(',')
+      appendFileJson(sb, entries(i))
+      i += 1
+    }
+    sb.append("]}")
+    sb.toString
+  }
+
+  /** The pre-streaming json4s formulation, kept as the executable
+    * REFERENCE the byte-parity spec pins [[manifestToJson]] against.
+    */
+  private[graft] def manifestToJsonAst(entries: Seq[DataFileEntry]): String =
     JsonMethods.compact(JsonMethods.render(JObject(List(
       "formatVersion" -> JInt(1),
       "files" -> JArray(entries.toList.map(fileToJValue))))))
+
+  /** Jackson-compatible JSON string escaping (what json4s's compact
+    * rendering emits): named escapes, uppercase-hex \u00XX for other
+    * control chars, nothing else touched.
+    */
+  private def appendEscaped(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case _ if c < ' ' =>
+          sb.append("\\u00")
+          sb.append("0123456789ABCDEF".charAt((c >> 4) & 0xF))
+          sb.append("0123456789ABCDEF".charAt(c & 0xF))
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  private def appendPairs(sb: java.lang.StringBuilder,
+      pairs: Seq[(String, Int)]): Unit = {
+    sb.append('[')
+    var i = 0
+    while (i < pairs.size) {
+      if (i > 0) sb.append(',')
+      val (n, id) = pairs(i)
+      sb.append('[')
+      appendEscaped(sb, n)
+      sb.append(',').append(id).append(']')
+      i += 1
+    }
+    sb.append(']')
+  }
+
+  /** One file entry, field-for-field the shape [[fileToJValue]]
+    * produces (optional fields omitted at their defaults, stats
+    * columns sorted by name).
+    */
+  private def appendFileJson(sb: java.lang.StringBuilder,
+      f: DataFileEntry): Unit = {
+    sb.append("{\"path\":")
+    appendEscaped(sb, f.path)
+    sb.append(",\"partition\":")
+    f.partition match {
+      case Some(p) => appendEscaped(sb, p)
+      case None => sb.append("null")
+    }
+    sb.append(",\"rows\":").append(f.rows)
+    if (f.bytes > 0) sb.append(",\"bytes\":").append(f.bytes)
+    if (f.stats.nonEmpty) {
+      sb.append(",\"stats\":{")
+      val cols = f.stats.toIndexedSeq.sortBy(_._1)
+      var i = 0
+      while (i < cols.size) {
+        if (i > 0) sb.append(',')
+        val (c, st) = cols(i)
+        appendEscaped(sb, c)
+        sb.append(":{\"min\":")
+        st.min match {
+          case Some(v) => appendEscaped(sb, v); case None => sb.append("null")
+        }
+        sb.append(",\"max\":")
+        st.max match {
+          case Some(v) => appendEscaped(sb, v); case None => sb.append("null")
+        }
+        sb.append(",\"nulls\":").append(st.nullCount)
+        st.bloom.foreach { b => sb.append(",\"bloom\":"); appendEscaped(sb, b) }
+        st.ndv.foreach { n => sb.append(",\"ndv\":"); appendEscaped(sb, n) }
+        st.sum.foreach { s => sb.append(",\"sum\":"); appendEscaped(sb, s) }
+        sb.append('}')
+        i += 1
+      }
+      sb.append('}')
+    }
+    if (f.cols.nonEmpty) { sb.append(",\"cols\":"); appendPairs(sb, f.cols) }
+    if (f.seq != 0L) sb.append(",\"seq\":").append(f.seq)
+    if (f.nested.nonEmpty) {
+      sb.append(",\"nested\":"); appendPairs(sb, f.nested)
+    }
+    if (f.upd) sb.append(",\"upd\":true")
+    sb.append('}')
+  }
 
   def manifestFromJson(json: String): Seq[DataFileEntry] =
     (JsonMethods.parse(json) \ "files") match {

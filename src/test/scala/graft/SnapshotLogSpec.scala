@@ -41,6 +41,35 @@ class SnapshotLogSpec extends AnyFunSuite {
   private def snapSize(root: String, v: Long): Long =
     Files.size(Paths.get(root, SnapshotLog.LogDirName, f"snap-$v%011d.json"))
 
+  test("streaming manifest writer is byte-identical to the json4s reference") {
+    // every optional-field combination, plus strings that exercise
+    // the full escaping table (quotes, backslashes, named control
+    // escapes, generic \u00XX control chars, unicode passthrough)
+    val nasty = "a\"b\\c\bd\fe\nf\rg\thij — ünïcødé"
+    val entries = Seq(
+      DataFileEntry("data/plain.parquet", None, 0L),
+      DataFileEntry(nasty, Some(nasty), 42L,
+        Map(nasty -> ColStats(Some(nasty), None, 7L, Some("QUJD"),
+            Some("12"), Some("3.50")),
+          "a" -> ColStats(None, Some("z"), 0L),
+          "b" -> ColStats(Some("1"), Some("2"), 1L, None, Some("5"))),
+        Seq(nasty -> 3, "k" -> 0), seq = 9L,
+        nested = Seq("1.x" -> 4), bytes = 1L << 40, upd = true),
+      DataFileEntry("data/defaults.parquet", Some("p"), 1L,
+        Map.empty, Seq("k" -> 0), seq = 0L, bytes = 0L),
+      entry(5, bloom = true))
+    // whole-manifest parity, single-entry parity, and empty manifest
+    assert(SnapshotLog.manifestToJson(entries) ==
+      SnapshotLog.manifestToJsonAst(entries))
+    entries.foreach(e => assert(SnapshotLog.manifestToJson(Seq(e)) ==
+      SnapshotLog.manifestToJsonAst(Seq(e)), e.path))
+    assert(SnapshotLog.manifestToJson(Nil) ==
+      SnapshotLog.manifestToJsonAst(Nil))
+    // and the unchanged parser round-trips the streamed bytes
+    assert(SnapshotLog.manifestFromJson(
+      SnapshotLog.manifestToJson(entries)) == entries)
+  }
+
   test("commit cost is O(batch), not O(table): 1000-file table, 10-file append") {
     val root = freshRoot()
     val log = new SnapshotLog(new Path(root), new Configuration())

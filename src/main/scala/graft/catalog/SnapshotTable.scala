@@ -790,9 +790,12 @@ final class SnapshotTable private (
     * new files plus the DV-masked rows — never an endpoint diff. The
     * copy-on-write Scala-API `update` relabels its netted diff
     * (everything in an `update` commit IS an update image); CoW
-    * `upsert` cannot distinguish its insert/update mix post-hoc and
-    * keeps the two-label shape, as do legacy `merge-pos` commits
-    * written before the provenance fields. Every frame renders under
+    * `upsert` stages its matched rows in an `upd`-flagged lane and
+    * records the key field ids in the operation string, so its frames
+    * serve update pairs + fresh inserts at O(touched partitions)
+    * (r19; legacy bracketless `upsert` commits keep the two-label
+    * shape, as do legacy `merge-pos` commits written before the
+    * provenance fields). Every frame renders under
     * the QUERY ENDPOINT's schema by field id (r18 follow-through), so
     * windows CROSSING schema evolution serve labeled — renames follow
     * ids, columns added later null-fill or surface their recorded
@@ -929,6 +932,43 @@ final class SnapshotTable private (
         changesRendered(v - 1, v, sEnd).withColumn("_change_type",
           when(col("_change_type") === "insert", "update_postimage")
             .otherwise("update_preimage"))
+      // CoW upsert with recorded key ids + the two-lane staging
+      // (VERDICT r18 nit 3): postimages are the upd-flagged lane,
+      // preimages the removed files' rows at the matched keys (read in
+      // the PREVIOUS snapshot's context), inserts the plain-lane rows
+      // whose key no removed row carries (plain-lane survivor copies
+      // all carry removed keys and drop out). O(touched partitions) —
+      // the rewrite's own cost class. Legacy bracketless `upsert`
+      // commits (and keys whose field ids no longer resolve in the
+      // render schema) keep the netted two-label fallback below.
+      case u if u.startsWith("upsert[") =>
+        val endById = sEnd.ids.map(_.swap).toMap
+        val keyIds = u.stripPrefix("upsert[").stripSuffix("]")
+          .split(",").toSeq.filter(_.nonEmpty).map(_.toInt)
+        if (keyIds.isEmpty || !keyIds.forall(endById.contains))
+          return changesRendered(v - 1, v, sEnd)
+        val keyNames = keyIds.map(endById)
+        val sv = snapshotAt(v)
+        val sp = snapshotAt(v - 1)
+        val newPaths = sv.files.map(_.path).toSet
+        val removed = sp.files.filterNot(f => newPaths.contains(f.path))
+        val newFiles = sv.files.filter(_.seq == v)
+        val (updF, plainF) = newFiles.partition(_.upd)
+        def rd(owner: Snapshot, files: Seq[DataFileEntry]): DataFrame =
+          readWithDeletes(sEnd.schema, sEnd.ids, owner, files,
+            targetNested = sEnd.nestedIds)
+        val keyExprs = keyNames.map(n => col(SnapshotTable.quoted(n)))
+        val post = rd(sv, updF)
+        val oldRows = rd(sp, removed)
+        val pre = oldRows
+          .join(post.select(keyExprs: _*).distinct(), keyNames, "left_semi")
+        val ins = rd(sv, plainF)
+          .join(oldRows.select(keyExprs: _*).distinct(), keyNames, "left_anti")
+        ins.select(lit("insert").as("_change_type") +: changeCols(sEnd): _*)
+          .unionByName(post.select(
+            lit("update_postimage").as("_change_type") +: changeCols(sEnd): _*))
+          .unionByName(pre.select(
+            lit("update_preimage").as("_change_type") +: changeCols(sEnd): _*))
       case _ => changesRendered(v - 1, v, sEnd)
     }
   }
@@ -2692,15 +2732,31 @@ final class SnapshotTable private (
     // streaming sink can legitimately deliver empty micro-batches)
     if (incoming.isEmpty) return base
     val keys = incoming.select(keyCols.map(col): _*).distinct()
+    // op records the KEY FIELD IDS (rename-proof), and the incoming
+    // batch stages in TWO LANES — matched rows (key exists in the
+    // base) as `upd`-flagged files, fresh rows with the survivors —
+    // so the labeled change feed can serve a CoW upsert commit with
+    // update pairs instead of the netted two-label fallback (VERDICT
+    // r18 nit 3): postimages are the upd lane, preimages the removed
+    // files' rows at the matched keys, inserts the plain-lane rows
+    // whose key no removed row carries. Everything stays O(touched
+    // partitions) — the cost class of the rewrite itself.
+    val idByName = ig.ids2.toMap
+    val op = s"upsert[${keyCols.map(idByName).mkString(",")}]"
     base.spec match {
       case None =>
         // unpartitioned: whole-table rewrite, still one atomic commit
-        val survivors = readWithDeletes(evolved, pairs, base, base.files,
-            targetNested = ig.nestedIds2)
-          .join(keys, keyCols, "left_anti")
-        val staged = stage(survivors.unionByName(incoming), None, base.properties)
-        commitStrict(base, nextWithIds(base, "upsert", ig.schema2, ig.ids2,
-          ig.nextId, staged.map(_.copy(cols = pairs, nested = ig.nested)))
+        val current = readWithDeletes(evolved, pairs, base, base.files,
+          targetNested = ig.nestedIds2)
+        val survivors = current.join(keys, keyCols, "left_anti")
+        val oldKeys = current.select(keyCols.map(col): _*).distinct()
+        val matched = incoming.join(oldKeys, keyCols, "left_semi")
+        val fresh = incoming.join(oldKeys, keyCols, "left_anti")
+        val staged =
+          stage(survivors.unionByName(fresh), None, base.properties) ++
+            stage(matched, None, base.properties).map(_.copy(upd = true))
+        commitStrict(base, nextWithIds(base, op, ig.schema2, ig.ids2,
+          ig.nextId, staged.map(f => f.copy(cols = pairs, nested = ig.nested)))
           .copy(nestedIds = ig.nestedIds2))
       case Some(spec) =>
         requireUniformSpec(base, "partition-scoped upsert")
@@ -2712,13 +2768,21 @@ final class SnapshotTable private (
             .join(keys, keyCols, "left_semi").select(pExpr.as("p")).distinct())
           .distinct().collect().map(r => Option(r.getString(0))).toSet
         val touchedFiles = base.files.filter(f => touched.contains(f.partition))
-        val survivors = readWithDeletes(evolved, pairs, base, touchedFiles,
-            targetNested = ig.nestedIds2)
-          .join(keys, keyCols, "left_anti")
-        val staged = stage(survivors.unionByName(incoming), Some(spec), base.properties)
+        val current = readWithDeletes(evolved, pairs, base, touchedFiles,
+          targetNested = ig.nestedIds2)
+        val survivors = current.join(keys, keyCols, "left_anti")
+        // keys of the touched partitions suffice for the matched/fresh
+        // split: any base row matching an incoming key is in a touched
+        // partition by construction of `touched`
+        val oldKeys = current.select(keyCols.map(col): _*).distinct()
+        val matched = incoming.join(oldKeys, keyCols, "left_semi")
+        val fresh = incoming.join(oldKeys, keyCols, "left_anti")
+        val staged =
+          stage(survivors.unionByName(fresh), Some(spec), base.properties) ++
+            stage(matched, Some(spec), base.properties).map(_.copy(upd = true))
         val files = base.files.filterNot(f => touched.contains(f.partition)) ++
-          staged.map(_.copy(cols = pairs, nested = ig.nested))
-        commitStrict(base, nextWithIds(base, "upsert", ig.schema2, ig.ids2,
+          staged.map(f => f.copy(cols = pairs, nested = ig.nested))
+        commitStrict(base, nextWithIds(base, op, ig.schema2, ig.ids2,
           ig.nextId, files).copy(nestedIds = ig.nestedIds2))
     }
   }

@@ -81,7 +81,20 @@ class ChangesCdfNettingSpec extends AnyFunSuite {
     t.deleteRouted(col("id") === 7L)                              // v6 delete-pos
     t.deleteByKeys(Seq(Tuple1(11L)).toDF("id"), Seq("id"))        // v7 delete-eq
     t.setProperties(Map("probe" -> "1"))                          // v8 netzero
+    t.upsert(rows(Seq(1L -> 500.0, 999L -> 9.0)), Seq("id"))      // v9 CoW upsert
     val head = t.currentVersion()
+
+    // the CoW upsert serves LABELED (r19 two-lane staging + key ids
+    // in the op): matched key 1 becomes an update pair, fresh key 999
+    // a plain insert — not the netted two-label fallback
+    val ups = t.changesCdf(8, 9)
+      .select(col("_change_type"), col("id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(ups == Set(
+      ("update_preimage", 1L, 1.0),
+      ("update_postimage", 1L, 500.0),
+      ("insert", 999L, 9.0)), ups.toString)
 
     // every window shape: single versions, multi-version runs, the
     // full history, and windows starting mid-history

@@ -1150,7 +1150,105 @@ object SnapshotLog {
     sb.append('}')
   }
 
-  def manifestFromJson(json: String): Seq[DataFileEntry] =
+  /** Manifest shard parse — jackson STREAMING tokens straight into
+    * [[DataFileEntry]]s, the read-side twin of the streaming writer:
+    * at 10⁷ files table load was dominated by materializing the
+    * json4s AST per shard before extraction. Field-order agnostic
+    * (any writer ordering parses), unknown fields skipped — the same
+    * tolerance the AST reference has. Parity spec compares both
+    * parsers entry-for-entry over the full optional-field matrix.
+    */
+  def manifestFromJson(json: String): Seq[DataFileEntry] = {
+    import com.fasterxml.jackson.core.{JsonFactory, JsonParser, JsonToken}
+    val p = jsonFactory.createParser(json)
+    try {
+      def bad(msg: String): Nothing =
+        sys.error(s"manifest parse: $msg at ${p.currentLocation()}")
+      def optText(): Option[String] =
+        if (p.nextToken() == JsonToken.VALUE_NULL) None else Some(p.getText)
+      def pairs(): Seq[(String, Int)] = {
+        if (p.nextToken() != JsonToken.START_ARRAY) bad("expected pairs array")
+        val b = Seq.newBuilder[(String, Int)]
+        while (p.nextToken() == JsonToken.START_ARRAY) {
+          p.nextToken(); val n = p.getText
+          p.nextToken(); val id = p.getIntValue
+          if (p.nextToken() != JsonToken.END_ARRAY) bad("pair arity != 2")
+          b += (n -> id)
+        }
+        b.result()
+      }
+      def colStats(): ColStats = {
+        var min, max, bloom, ndv, sum: Option[String] = None
+        var nulls = 0L
+        if (p.currentToken() != JsonToken.START_OBJECT) bad("expected stats object")
+        while (p.nextToken() == JsonToken.FIELD_NAME) {
+          p.currentName match {
+            case "min"   => min = optText()
+            case "max"   => max = optText()
+            case "nulls" => p.nextToken(); nulls = p.getLongValue
+            case "bloom" => bloom = optText()
+            case "ndv"   => ndv = optText()
+            case "sum"   => sum = optText()
+            case _ => p.nextToken(); p.skipChildren()
+          }
+        }
+        ColStats(min, max, nulls, bloom, ndv, sum)
+      }
+      def file(): DataFileEntry = {
+        var path: String = null
+        var partition: Option[String] = None
+        var rows = 0L; var bytes = 0L; var seq = 0L; var upd = false
+        var stats = Map.empty[String, ColStats]
+        var cols, nested = Seq.empty[(String, Int)]
+        while (p.nextToken() == JsonToken.FIELD_NAME) {
+          p.currentName match {
+            case "path" => p.nextToken(); path = p.getText
+            case "partition" => partition = optText()
+            case "rows"  => p.nextToken(); rows = p.getLongValue
+            case "bytes" => p.nextToken(); bytes = p.getLongValue
+            case "seq"   => p.nextToken(); seq = p.getLongValue
+            case "upd"   => p.nextToken(); upd = p.getBooleanValue
+            case "cols"  => cols = pairs()
+            case "nested" => nested = pairs()
+            case "stats" =>
+              if (p.nextToken() != JsonToken.START_OBJECT) bad("expected stats map")
+              val b = Map.newBuilder[String, ColStats]
+              while (p.nextToken() == JsonToken.FIELD_NAME) {
+                val c = p.currentName
+                p.nextToken()
+                b += (c -> colStats())
+              }
+              stats = b.result()
+            case _ => p.nextToken(); p.skipChildren()
+          }
+        }
+        if (path == null) bad("file entry without path")
+        DataFileEntry(path, partition, rows, stats, cols, seq, nested,
+          bytes, upd)
+      }
+      if (p.nextToken() != JsonToken.START_OBJECT) bad("expected object")
+      var files: Seq[DataFileEntry] = null
+      while (p.nextToken() == JsonToken.FIELD_NAME) {
+        p.currentName match {
+          case "files" =>
+            if (p.nextToken() != JsonToken.START_ARRAY) bad("expected files array")
+            val b = Vector.newBuilder[DataFileEntry]
+            while (p.nextToken() == JsonToken.START_OBJECT) b += file()
+            files = b.result()
+          case _ => p.nextToken(); p.skipChildren()
+        }
+      }
+      if (files == null) sys.error("manifest without files array")
+      files
+    } finally p.close()
+  }
+
+  private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
+
+  /** The pre-streaming json4s parse, kept as the executable REFERENCE
+    * the parser-parity spec pins [[manifestFromJson]] against.
+    */
+  private[graft] def manifestFromJsonAst(json: String): Seq[DataFileEntry] =
     (JsonMethods.parse(json) \ "files") match {
       case JArray(items) => items.map(fileFromJValue)
       case other => sys.error(s"manifest without files array: $other")

@@ -65,9 +65,24 @@ class SnapshotLogSpec extends AnyFunSuite {
       SnapshotLog.manifestToJsonAst(Seq(e)), e.path))
     assert(SnapshotLog.manifestToJson(Nil) ==
       SnapshotLog.manifestToJsonAst(Nil))
-    // and the unchanged parser round-trips the streamed bytes
+    // round trip through the streaming writer AND parser
     assert(SnapshotLog.manifestFromJson(
       SnapshotLog.manifestToJson(entries)) == entries)
+    // streaming parser ≡ json4s reference parser, on both writers'
+    // bytes (field-order tolerance is exercised by the AST writer
+    // emitting the same order; unknown-field skipping by a doctored
+    // payload)
+    val jsons = Seq(SnapshotLog.manifestToJson(entries),
+      SnapshotLog.manifestToJsonAst(entries))
+    jsons.foreach { j =>
+      assert(SnapshotLog.manifestFromJson(j) ==
+        SnapshotLog.manifestFromJsonAst(j))
+    }
+    val doctored = SnapshotLog.manifestToJson(entries)
+      .replaceFirst("\\{\"path\"",
+        "{\"futureField\":{\"x\":[1,2,{\"y\":null}]},\"path\"")
+    assert(SnapshotLog.manifestFromJson(doctored) ==
+      SnapshotLog.manifestFromJsonAst(doctored))
   }
 
   test("commit cost is O(batch), not O(table): 1000-file table, 10-file append") {

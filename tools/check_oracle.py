@@ -34,6 +34,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # --approx-recall; exact operators are hash-gated in every mode.
 APPROX_FLOOR = 0.99
 APPROX = {
+    # dedup_embedding verifies with exact cosine but generates
+    # candidates through 8x16-bit sign-LSH bands — a tau-close pair
+    # missing all 8 bands (p ~ 2e-4 at sim 0.997) is its contract
+    "dedup_embedding",
     "dedup_minhash", "dedup_incremental", "dedup_edit_distance",
     "dedup_semantic", "dedup_semantic_incremental",
     "dedup_semantic_pairs", "dedup_semantic_sharded",

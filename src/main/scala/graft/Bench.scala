@@ -61,7 +61,26 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val calibrationSat = (1 to 2).map(_ => calibrateSaturatedOnce()).min
+    val calibrationSatStart = (1 to 2).map(_ => calibrateSaturatedOnce()).min
+
+    // INTERLEAVED calibration (r19, SURVEY §21.5 #1): a single
+    // start-of-run probe cannot correct load that oscillates WITHIN
+    // the sweep — same-HEAD full runs spread 70-133 s raw this round
+    // with untouched rows moving by the same ratios as touched ones.
+    // Every ~50 queries the FULL saturated probe samples the host
+    // again (a scaled-down probe is NOT unit-compatible: its ~0.3 s
+    // job-launch overhead amplifies under the rescale and
+    // over-reports sat 3-4×, measured). The official
+    // `calibration_sat_sec` KEEPS its historical definition (start-
+    // of-run best-of-2 — every BENCH_r* and BASELINE anchor is in
+    // those units); the series and its median ride the JSON as
+    // separate fields so a reader can see whether the window held:
+    // a median far from the start probe marks the run's normalized
+    // total as untrustworthy rather than silently re-normalizing it
+    // (the linear formula over-corrects for non-CPU-bound rows when
+    // fed mid-sweep contention). Overhead ≈ 4 × probe ≈ 2-4 s on a
+    // ~75 s sweep.
+    val satSeries = scala.collection.mutable.ArrayBuffer[Double]()
 
     // Build-once SHARED fixtures, constructed before the sweep and
     // reported as dedicated fixture_* rows (VERDICT r16 #1a): with
@@ -137,7 +156,8 @@ object Bench {
         ordered.filter { case (n, _) => keep(n) }
       case None => ordered
     }
-    val outcomes = selected.map { case (name, fn) =>
+    val outcomes = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % 50 == 0) satSeries += calibrateSaturatedOnce()
       // progress marker BEFORE the run (stderr — the driver reads only
       // the stdout metric line): a wedged query is identifiable from
       // the log tail instead of requiring a thread-dump hunt
@@ -157,6 +177,10 @@ object Bench {
       System.gc()
       name -> r
     }
+    satSeries += calibrateSaturatedOnce() // close the window
+    val calibrationSat = calibrationSatStart
+    val calibrationSatMedian =
+      Bench.medianOf(calibrationSatStart +: satSeries.toSeq)
     val results: Map[String, Double] = outcomes.collect { case (k, Right(v)) => k -> v }.toMap
     val errors = fixtureErrors ++ outcomes.collect { case (k, Left(m)) => k -> m }
     // The driver keeps the LAST ~2000 chars of the output line
@@ -189,8 +213,18 @@ object Bench {
     // fixture builds are one-time costs a deployment amortizes, and
     // folding them in would re-pollute the cross-round totals the
     // fixture rows exist to clean.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"${cfg.sfDir}","fixtures":$fx,"queries":$qs,"headline":$hl,"errors":$errs,"calibration_sec":${fmt(calibration)},"calibration_sat_sec":${fmt(calibrationSat)},"total_sec":${fmt(total)}}""")
+    val satSer = (calibrationSatStart +: satSeries.toSeq)
+      .map(fmt).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"${cfg.sfDir}","fixtures":$fx,"calibration_sat_series":$satSer,"calibration_sat_median":${fmt(calibrationSatMedian)},"queries":$qs,"headline":$hl,"errors":$errs,"calibration_sec":${fmt(calibration)},"calibration_sat_sec":${fmt(calibrationSat)},"total_sec":${fmt(total)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Median (lower-middle for even sizes — conservative: never above
+    * the true median, so normalization never inflates the record).
+    */
+  private[graft] def medianOf(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "medianOf on empty series")
+    xs.sorted.apply((xs.size - 1) / 2)
   }
 }

@@ -26,6 +26,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every createImageInputStream/
+  // OutputStream with a TEMP FILE on disk — one file created and
+  // deleted per encode/decode call. All payloads here are in-memory
+  // byte arrays, so memory-cached streams are strictly cheaper
+  // (optimization guide §1.2 step 2: per-task work). JVM-global,
+  // idempotent; set once when any codec path loads.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried next to the payload. */
   val MetaSchema: StructType = StructType(Seq(
     StructField("width", IntegerType),
@@ -131,11 +139,52 @@ object Multimodal {
         (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42) || // TIFF BE
         (b(0) == 0 && b(1) == 0))                              // WBMP
 
+    /** Per-thread JPEG reader: `ImageIO.read` re-runs the reader-SPI
+      * probe (every registered reader peeks the stream) and constructs
+      * a fresh reader PER CALL — measurable when the hot path decodes
+      * thousands of KB-sized frames (MJPEG video: one call per frame).
+      * JPEG payloads are identified by magic bytes and dispatch
+      * straight to one reusable reader; everything else keeps the
+      * generic probe. Same plugin either way, so decoded pixels are
+      * identical (guide §1.2 step 2 / §4.5: amortize per-call setup).
+      */
+    private val jpegReader =
+      new ThreadLocal[javax.imageio.ImageReader] {
+        override def initialValue(): javax.imageio.ImageReader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+      }
+
+    private val pngReader =
+      new ThreadLocal[javax.imageio.ImageReader] {
+        override def initialValue(): javax.imageio.ImageReader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      }
+
+    private def readWith(reader: javax.imageio.ImageReader,
+        bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(stream, true, true)
+        reader.read(0)
+      } finally {
+        reader.setInput(null)
+        stream.close()
+      }
+    }
+
+    private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      if (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte)
+        readWith(jpegReader.get(), bytes)
+      else if (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N')
+        readWith(pngReader.get(), bytes)
+      else
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
     def decode(bytes: Array[Byte]): Option[Decoded] = {
       if (bytes == null || bytes.isEmpty || !looksLikeImage(bytes)) return None
       try {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
+        val img = readImage(bytes)
         if (img == null) return None
         val w = img.getWidth
         val h = img.getHeight
@@ -174,9 +223,28 @@ object Multimodal {
         y += 1
       }
       val baos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", baos)
+      val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      val writer = pngWriter.get()
+      try {
+        writer.setOutput(out)
+        writer.write(img)
+      } finally {
+        writer.setOutput(null)
+        out.close()
+      }
       baos.toByteArray
     }
+
+    /** Per-thread PNG writer — same rationale as [[jpegReader]]: the
+      * `ImageIO.write(img, "png", …)` convenience re-runs the
+      * writer-SPI lookup per call; the encoder itself is stateless
+      * between `setOutput` cycles.
+      */
+    private val pngWriter =
+      new ThreadLocal[javax.imageio.ImageWriter] {
+        override def initialValue(): javax.imageio.ImageWriter =
+          javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      }
   }
 
   /** Real JVM audio codec: `javax.sound.sampled` WAV/PCM decode to
@@ -396,19 +464,30 @@ object Multimodal {
         while (x < width) { img.setRGB(x, y, rgb); x += 1 }
         y += 1
       }
-      val writer = javax.imageio.ImageIO
-        .getImageWritersByFormatName("jpeg").next()
+      // per-thread writer reuse: the SPI lookup + writer construction
+      // per FRAME dominated the encode of multi-frame clips (guide
+      // §4.5 shape: heavyweight state once per task, not per call)
+      val writer = grayJpegWriter.get()
       val param = writer.getDefaultWriteParam
       param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       param.setCompressionQuality(1.0f)
       val baos = new java.io.ByteArrayOutputStream()
       val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
-      writer.setOutput(out)
-      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-      writer.dispose()
-      out.close()
+      try {
+        writer.setOutput(out)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      } finally {
+        writer.setOutput(null)
+        out.close()
+      }
       baos.toByteArray
     }
+
+    private val grayJpegWriter =
+      new ThreadLocal[javax.imageio.ImageWriter] {
+        override def initialValue(): javax.imageio.ImageWriter =
+          javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      }
 
     /** Minimal MJPEG AVI: RIFF(`AVI `) → LIST(hdrl){avih, LIST(strl)
       * {strh `vids`/`MJPG`, strf BITMAPINFOHEADER}} → LIST(movi)

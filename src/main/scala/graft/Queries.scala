@@ -60,6 +60,23 @@ object Queries {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** [[spread]] by hash of explicit key columns: a keyless
+    * round-robin `repartition(n)` first SORTS each input partition
+    * (`spark.sql.execution.sortBeforeRepartition`, guide §2.5) — a
+    * single-task sort exactly where the point was to escape the
+    * single task. Hash partitioning by a real high-cardinality key
+    * skips that sort and is deterministic under task retries. Applied
+    * only where an interleaved A/B showed a repeatable win (q1_agg
+    * 0.94→0.66 s, q_profile 1.00→0.51, q3 0.56→0.37 at sf0.1);
+    * rollup/cube/q5/q_events_hourly/q_distinct_agg measured neutral
+    * to 2× WORSE with the same spread and keep their direct scans.
+    */
+  private def spreadBy(df: DataFrame, keys: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, keys: _*)
+    else df
+  }
+
   /** Decimal-exact sum of a double column, returned as double. */
   private def dsum(c: Column, dt: String = "decimal(12,2)"): Column =
     sum(c.cast(dt)).cast("double")
@@ -184,7 +201,7 @@ object Queries {
 
   private val tpchQueries: Seq[QueryDef] = Seq(
     QueryDef("q1_agg",
-      (s, dir) => t(s, dir, "lineitem")
+      (s, dir) => spreadBy(t(s, dir, "lineitem"), col("l_orderkey"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -218,7 +235,7 @@ object Queries {
           .filter(col("c_mktsegment") === "BUILDING")
         val o = t(s, dir, "orders")
           .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
-        val l = t(s, dir, "lineitem")
+        val l = spreadBy(t(s, dir, "lineitem"), col("l_orderkey"))
           .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
         // dims are tiny relative to lineitem at every SF: broadcast both
         l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
@@ -482,7 +499,7 @@ object Queries {
     // data profiling: exact-safe per-group column statistics (the
     // pre-ingest sanity pass a pipeline runs before heavy work)
     QueryDef("q_profile",
-      (s, dir) => t(s, dir, "lineitem")
+      (s, dir) => spreadBy(t(s, dir, "lineitem"), col("l_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("l_orderkey")).as("n_orders"),

@@ -67,7 +67,16 @@ object TermWeights {
     // side (a zero-key aggregate), i.e. a scalar attach — PlanAudit
     // recognizes the shape structurally and does not flag it.
     val nDf = tf.agg(count_distinct(col("doc_id")).cast("double").as("n"))
-    tf.join(dft, "term")
+    // merge hint (r19, guide §3.1): the planner's estimate broadcasts
+    // the dft aggregate, building it in a serial side job that re-runs
+    // the tokenize+tf pipeline; the sort-merge shape reuses tf's
+    // term-keyed exchange for both sides instead. Interleaved A/B at
+    // sf0.1 measures the two within noise of each other (the codegen
+    // tokenizer makes the duplicated build cheap at harness scale),
+    // but dft is VOCABULARY-sized — at corpus scale it is not
+    // broadcast material, so the merge join is the only sound plan
+    // and pinning it removes an estimate-driven cliff.
+    tf.join(dft.hint("merge"), "term")
       .crossJoin(broadcast(nDf))
       .withColumn("weight",
         col("tf") * (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

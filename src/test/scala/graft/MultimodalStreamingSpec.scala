@@ -146,6 +146,34 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     for (f <- au) assert(math.abs(f.features.sum - 1.0) < 1e-9)
   }
 
+  test("AudioCodec preferred-reader hint falls back across formats") {
+    import Multimodal.AudioCodec
+    // r19: decode() remembers the last-successful SPI reader and tries
+    // it first. A WAV decode plants the WaveFileReader hint; an
+    // AU-format payload must still decode correctly through the
+    // fallback probe (wrong hint throws, next provider accepts), and a
+    // corrupt RIFF/WAVE body must still degrade to None.
+    val wav = AudioCodec.encodeWavPcm16(8000, 1, 4, (f, _) => (f * 10).toShort)
+    assert(AudioCodec.decode(wav).get.channelSums.toSeq == Seq(0L + 10 + 20 + 30))
+    // hand-built AU payload via the JDK's own writer
+    val raw = Array[Byte](0, 1, 0, 2, 0, 3, 0, 4) // 4 BE PCM16 frames
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, 4L)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AU, baos)
+    val auBytes = baos.toByteArray
+    assert(auBytes(0) == '.'.toByte && auBytes(1) == 's'.toByte, "AU magic")
+    val d = AudioCodec.decode(auBytes).get
+    assert(d.nFrames == 4L && d.channelSums.toSeq == Seq(1L + 2 + 3 + 4))
+    // corrupt body behind valid RIFF/WAVE magic: still None, and the
+    // hint survives for the next well-formed payload
+    val corrupt = java.util.Arrays.copyOf(wav, 20)
+    assert(AudioCodec.decode(corrupt).isEmpty)
+    assert(AudioCodec.decode(wav).nonEmpty)
+  }
+
   test("VideoCodec: MJPEG AVI roundtrip recovers exact gray sums and shape") {
     import Multimodal.VideoCodec
     // hand-built 2-frame clip: solid grays 10 and 200 (q=1.0 JPEG gray

@@ -215,7 +215,39 @@ object Bench {
     // fixture rows exist to clean.
     val satSer = (calibrationSatStart +: satSeries.toSeq)
       .map(fmt).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"${cfg.sfDir}","fixtures":$fx,"calibration_sat_series":$satSer,"calibration_sat_median":${fmt(calibrationSatMedian)},"queries":$qs,"headline":$hl,"errors":$errs,"calibration_sec":${fmt(calibration)},"calibration_sat_sec":${fmt(calibrationSat)},"total_sec":${fmt(total)}}""")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"${cfg.sfDir}","fixtures":$fx,"calibration_sat_series":$satSer,"calibration_sat_median":${fmt(calibrationSatMedian)},"queries":$qs,"headline":$hl,"errors":$errs,"calibration_sec":${fmt(calibration)},"calibration_sat_sec":${fmt(calibrationSat)},"total_sec":${fmt(total)}}"""
+    println(fullLine)
+    // The full line above (~6-10 KB for 172 queries) has NEVER fit the
+    // driver's ~2000-char stdout tail capture — `parsed` was null in
+    // every BENCH_r01..r19.json, so PERF never carried per-query data
+    // (VERDICT r19 item 2). Print a COMPACT digest as the final line,
+    // budgeted to survive the tail window intact: all scalar fields,
+    // the headline map, and the slowest per-query rows that fit.
+    // `"queries_omitted"` marks how many (fast) rows were cut so a
+    // reader never mistakes the digest for the full registry; the full
+    // line remains authoritative and is also written to bench_full.json.
+    val compactBudget = 1800
+    val slowestFirst = results.toSeq.sortBy(-_._2)
+    val fixedHead = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"${cfg.sfDir}","errors_n":${errors.size},"calibration_sec":${fmt(calibration)},"calibration_sat_sec":${fmt(calibrationSat)},"calibration_sat_median":${fmt(calibrationSatMedian)},"headline":$hl,"queries_omitted":OMIT,"queries":"""
+    val fixedTail = s""","total_sec":${fmt(total)}}"""
+    val room = compactBudget - fixedHead.length - fixedTail.length - 8
+    val kept = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    var used = 2 // braces
+    for ((k, v) <- slowestFirst) {
+      val entry = "\"" + k + "\":" + fmt(v)
+      if (used + entry.length + 1 <= room) { kept += ((k, v)); used += entry.length + 1 }
+    }
+    val keptAsc = kept.sortBy(_._2)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(fixedHead.replace("OMIT", (results.size - kept.size).toString) +
+      keptAsc + fixedTail)
+    try {
+      val out = java.nio.file.Paths.get("bench_full.json")
+      java.nio.file.Files.write(out,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } catch { case _: java.io.IOException => () }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

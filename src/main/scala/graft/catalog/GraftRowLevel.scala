@@ -255,7 +255,10 @@ final class GraftDeltaBatchWrite(table: SnapshotTable, baseVersion: Long,
       SnapshotTable.DvSchema)
     new GraftDeltaWriterFactory(table.root.toString,
       table.qualifiedRootPath, dataRel, dvRel, rowSchema, partExpr,
-      dataFactory, dvFactory)
+      dataFactory, dvFactory,
+      BloomSpec.fromProperties(base.properties),
+      NdvSpec.fromProperties(base.properties),
+      spark.sessionState.conf.sessionLocalTimeZone)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -263,16 +266,20 @@ final class GraftDeltaBatchWrite(table: SnapshotTable, baseVersion: Long,
     val dvs = msgs.flatMap(_.dvs)
     // adopt ONLY the files the committed task attempts name — a retried
     // or speculative task's orphans in the batch dir must not be
-    // double-counted (removeOrphanFiles reclaims them later)
-    val dataFiles = msgs.flatMap(_.dataFiles)
+    // double-counted (removeOrphanFiles reclaims them later). Manifest
+    // stats arrive INLINE with the commit messages (computed by the
+    // writers as the rows streamed through) — no read-back job.
+    val entries = msgs.flatMap(_.entries)
     val op = cmd match {
       case Command.DELETE => "delete-pos"
       case Command.UPDATE => "update-pos"
       case Command.MERGE => "merge-pos"
     }
     table.commitDelta(baseVersion, op,
-      if (dataFiles.nonEmpty) Some(dataRel) else None, dataFiles, dvs,
-      updFiles = msgs.flatMap(_.updFiles).toSet)
+      if (entries.nonEmpty) Some(dataRel) else None,
+      entries.map(_.path), dvs,
+      updFiles = msgs.flatMap(_.updFiles).toSet,
+      inline = Some(entries))
     ()
   }
 
@@ -297,7 +304,8 @@ final class GraftDeltaBatchWrite(table: SnapshotTable, baseVersion: Long,
 final case class GraftDeltaCommit(
     dvs: Seq[(String, Long, Seq[String], String)],
     dataFiles: Seq[String],
-    updFiles: Seq[String]) extends WriterCommitMessage
+    updFiles: Seq[String],
+    entries: Seq[DataFileEntry] = Nil) extends WriterCommitMessage
 
 final class GraftDeltaWriterFactory(
     rootStr: String,
@@ -307,12 +315,16 @@ final class GraftDeltaWriterFactory(
     rowSchema: StructType,
     partExpr: Option[Expression],
     dataFactory: Option[(OutputWriterFactory, SerializableConfiguration)],
-    dvFactory: (OutputWriterFactory, SerializableConfiguration))
+    dvFactory: (OutputWriterFactory, SerializableConfiguration),
+    bloom: BloomSpec,
+    ndv: NdvSpec,
+    zoneId: String)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(rootStr, rootPathStr, dataRel, dvRel, rowSchema,
-      partExpr, dataFactory, dvFactory, partitionId, taskId)
+      partExpr, dataFactory, dvFactory, partitionId, taskId,
+      bloom, ndv, zoneId)
 }
 
 /** One task's delta writer: deleted/updated positions accumulate into
@@ -337,7 +349,13 @@ final class GraftDeltaWriter(
     dataFactory: Option[(OutputWriterFactory, SerializableConfiguration)],
     dvFactory: (OutputWriterFactory, SerializableConfiguration),
     partitionId: Int,
-    taskId: Long) extends DeltaWriter[InternalRow] {
+    taskId: Long,
+    bloom: BloomSpec,
+    ndv: NdvSpec,
+    zoneId: String) extends DeltaWriter[InternalRow] {
+
+  private lazy val fsys = new Path(rootStr).getFileSystem(
+    dataFactory.map(_._2).getOrElse(dvFactory._2).value)
 
   // separate bitmap sets per provenance (r18 CDC update images): a
   // position marked via update() is a superseded pre-image, one marked
@@ -357,17 +375,39 @@ final class GraftDeltaWriter(
     */
   private final class Lane(val isUpd: Boolean) {
     var current: Option[(Option[String], OutputWriter)] = None
+    private var stats: InlineFileStats = null
+    private var currentRel: String = null
     val written = Seq.newBuilder[String]
+    val entries = Seq.newBuilder[DataFileEntry]
     def write(row: InternalRow, part: Option[String]): Unit =
       current match {
-        case Some((p, w)) if p == part => w.write(row)
+        case Some((p, w)) if p == part =>
+          stats.update(row)
+          w.write(row)
         case other =>
-          other.foreach(_._2.close())
-          val w = openWriter(part, this)
+          closeCurrent(other.map(c => (c._1, c._2)))
+          val (w, rel) = openWriter(part, this)
           current = Some((part, w))
+          currentRel = rel
+          stats = new InlineFileStats(rowSchema, bloom, ndv, zoneId)
+          stats.update(row)
           w.write(row)
       }
-    def close(): Unit = { current.foreach(_._2.close()); current = None }
+    private def closeCurrent(
+        c: Option[(Option[String], OutputWriter)]): Unit = c.foreach {
+      case (part, w) =>
+        w.close()
+        // manifest stats computed inline with the write — the commit
+        // adopts these entries without any read-back job. Null and
+        // empty partition values both live in the default partition.
+        entries += DataFileEntry(currentRel,
+          part.filter(_.nonEmpty), stats.rows, stats.finish(),
+          seq = -1L,
+          bytes = fsys.getFileStatus(
+            new Path(new Path(rootStr), currentRel)).getLen)
+        stats = null
+    }
+    def close(): Unit = { closeCurrent(current); current = None }
   }
   private val insLane = new Lane(isUpd = false)
   private val updLane = new Lane(isUpd = true)
@@ -425,12 +465,13 @@ final class GraftDeltaWriter(
   override def reinsert(meta: InternalRow, row: InternalRow): Unit =
     updLane.write(row, partOf(row))
 
-  private def openWriter(part: Option[String], lane: Lane): OutputWriter = {
+  private def openWriter(part: Option[String],
+      lane: Lane): (OutputWriter, String) = {
     val (factory, conf) = dataFactory.getOrElse(sys.error(
       s"$dataRel: row image arrived for a delete-only write"))
     // Spark's own partition-segment rendering (Hive %XX escaping;
-    // null/empty → __HIVE_DEFAULT_PARTITION__), so the stats read-back
-    // decodes these directories exactly like a partitionBy batch
+    // null/empty → __HIVE_DEFAULT_PARTITION__), so these directories
+    // decode exactly like a partitionBy batch's
     val dirRel = partExpr match {
       case None => dataRel
       case Some(_) => s"$dataRel/" + ExternalCatalogUtils
@@ -439,8 +480,9 @@ final class GraftDeltaWriter(
     val name = f"part-$partitionId%05d-$taskId-" +
       s"${UUID.randomUUID().toString.replace("-", "").take(8)}.parquet"
     lane.written += s"$dirRel/$name"
-    ParquetWriteBridge.newWriter(factory, conf.value,
-      new Path(new Path(rootStr), s"$dirRel/$name").toString, rowSchema)
+    (ParquetWriteBridge.newWriter(factory, conf.value,
+      new Path(new Path(rootStr), s"$dirRel/$name").toString, rowSchema),
+      s"$dirRel/$name")
   }
 
   private def writeDv(bitmaps: mutable.HashMap[String,
@@ -475,7 +517,8 @@ final class GraftDeltaWriter(
     val updFiles = updLane.written.result()
     GraftDeltaCommit(
       writeDv(delBitmaps, "delete") ++ writeDv(updBitmaps, "update"),
-      insLane.written.result() ++ updFiles, updFiles)
+      insLane.written.result() ++ updFiles, updFiles,
+      insLane.entries.result() ++ updLane.entries.result())
   }
 
   override def abort(): Unit = {

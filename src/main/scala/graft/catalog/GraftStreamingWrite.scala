@@ -87,6 +87,9 @@ final class GraftStreamingWrite(
     val rootPathStr = table.qualifiedRootPath
     val rel = dataRel
     val schema = writeSchema
+    val bloom = BloomSpec.fromProperties(snap.properties)
+    val ndv = NdvSpec.fromProperties(snap.properties)
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
@@ -94,7 +97,8 @@ final class GraftStreamingWrite(
         // insert); file names get a fresh uuid per open, so epochs
         // and retried attempts never collide in the shared dir
         new GraftDeltaWriter(rootStr, rootPathStr, rel, rel, schema,
-          partExpr, Some(dataFactory), dvFactory, partitionId, taskId)
+          partExpr, Some(dataFactory), dvFactory, partitionId, taskId,
+          bloom, ndv, zone)
     }
   }
 
@@ -123,10 +127,10 @@ final class GraftStreamingWrite(
           "table's maintenance configuration (the stream's epochs are " +
           "committed; data is not at risk)", e)
     }
-    val files = messages.toSeq
-      .collect { case m: GraftDeltaCommit => m.dataFiles }.flatten
-    val adopted = table.adoptStreamBatch(dataRel, files, epochKey,
-      epochId, planned)
+    val entries = messages.toSeq
+      .collect { case m: GraftDeltaCommit => m.entries }.flatten
+    val adopted = table.adoptStreamBatch(dataRel, entries.map(_.path),
+      epochKey, epochId, planned, inline = Some(entries))
     // streaming ingest accretes small files — `.option("maintainEvery",
     // n)` runs the table's own threshold-driven maintenance (compaction
     // / vector rewrite / vacuum per its TBLPROPERTIES) every n epochs,

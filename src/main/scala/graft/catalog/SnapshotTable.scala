@@ -2853,19 +2853,22 @@ final class SnapshotTable private (
     */
   private[catalog] def adoptStreamBatch(dataRel: String,
       files: Seq[String], key: String, epochId: Long,
-      planned: Snapshot): Option[Snapshot] = {
+      planned: Snapshot,
+      inline: Option[Seq[DataFileEntry]] = None): Option[Snapshot] = {
     def committed(s: Snapshot): Boolean =
       s.properties.get(key).exists(SnapshotTable.epochOf(_) >= epochId)
     def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
     if (committed(currentSnapshot())) return None
-    // read back under the PLANNED snapshot's schema and spec — the
-    // shapes the executor writers actually produced. Commit-time state
-    // is validated against the SAME plan below, so an evolution landing
+    // stats arrive INLINE with the epoch's commit messages (computed
+    // under the PLANNED snapshot's schema and spec — the shapes the
+    // executor writers actually produced; commit-time state is
+    // validated against the SAME plan below, so an evolution landing
     // anywhere between query start and this epoch conflicts instead of
-    // mislabeling files (the commit-time base alone could already
-    // carry the new spec on the FIRST epoch).
-    val staged = statsForStaged(dataRel, planned.schema, planned.spec,
-      planned.properties, onlyFiles = Some(files))
+    // mislabeling files). The read-back remains only for callers that
+    // staged files outside the graft writers.
+    val staged = inline.getOrElse(
+      statsForStaged(dataRel, planned.schema, planned.spec,
+        planned.properties, onlyFiles = Some(files)))
     var attempts = 0
     while (attempts < SnapshotTable.MaxCommitAttempts) {
       val latest = currentSnapshot()
@@ -4147,6 +4150,16 @@ final class SnapshotTable private (
     def locallySorted(df: DataFrame, lead: Seq[Column]): DataFrame =
       if (sortCols.isEmpty && lead.isEmpty) df
       else df.sortWithinPartitions(lead ++ sortCols.map(col): _*)
+    // ONE pass (guide §1.2 step 1): [[StagedWrite]] writes the rows AND
+    // computes each file's manifest stats inline, so no statsForStaged
+    // read-back job re-reads the staged bytes. The partitioned plan
+    // sorts within tasks by PartCol FIRST — exactly the sort
+    // FileFormatWriter inserted for the dynamic partitionBy write this
+    // replaces (stable, so the sort-by clustering inside each
+    // partition is preserved) — and one writer per partition RUN keeps
+    // task memory bounded at one open file.
+    val bloom = BloomSpec.fromProperties(props)
+    val ndv = NdvSpec.fromProperties(props)
     spec match {
       case Some(ps) =>
         val withPart = aligned
@@ -4167,15 +4180,17 @@ final class SnapshotTable private (
             byRange(withPart, col(PartCol) +: sortCols.map(col))
           case _ => withPart
         }
-        locallySorted(distributed, Nil)
-          .write.partitionBy(PartCol).parquet(dir.toString)
+        StagedWrite.run(new Path(root.toString), rel,
+          locallySorted(distributed, Seq(col(PartCol))), aligned.schema,
+          partitioned = true, bloom, ndv)
       case None =>
         val distributed =
           if (mode.contains("range")) byRange(aligned, sortCols.map(col))
           else aligned
-        locallySorted(distributed, Nil).write.parquet(dir.toString)
+        StagedWrite.run(new Path(root.toString), rel,
+          locallySorted(distributed, Nil), aligned.schema,
+          partitioned = false, bloom, ndv)
     }
-    statsForStaged(rel, aligned.schema, spec, props)
   }
 
   /** Manifest entries (partition value, row count, column stats,
@@ -4267,11 +4282,15 @@ final class SnapshotTable private (
   private[catalog] def commitDelta(baseVersion: Long, op: String,
       dataRel: Option[String], dataFiles: Seq[String],
       dvs: Seq[(String, Long, Seq[String], String)],
-      updFiles: Set[String] = Set.empty): Snapshot = {
+      updFiles: Set[String] = Set.empty,
+      inline: Option[Seq[DataFileEntry]] = None): Snapshot = {
     val base = snapshotAt(baseVersion)
-    val staged = dataRel.toSeq.flatMap(rel =>
+    // entries computed INLINE by the delta writers (r20) adopt without
+    // a read-back; the statsForStaged path remains for callers staging
+    // files outside the graft writers (tests, external adoption)
+    val staged = inline.getOrElse(dataRel.toSeq.flatMap(rel =>
       statsForStaged(rel, base.schema, base.spec, base.properties,
-        onlyFiles = Some(dataFiles)))
+        onlyFiles = Some(dataFiles))))
     if (staged.isEmpty && dvs.isEmpty) return currentSnapshot() // no-op
     val serial = base.properties
       .getOrElse("graft.write.isolation-level", "snapshot") match {

@@ -52,4 +52,14 @@ object ParquetWriteBridge {
       new TaskID(new JobID("graft-delta", 0), TaskType.MAP, 0), 0)
     factory.newInstance(path, schema, new TaskAttemptContextImpl(conf, attempt))
   }
+
+  /** The codec-bearing file extension (e.g. `.zstd.parquet`) the
+    * factory's writers produce — same synthetic-context trick as
+    * [[newWriter]].
+    */
+  def fileExtension(factory: OutputWriterFactory, conf: Configuration): String = {
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID("graft-delta", 0), TaskType.MAP, 0), 0)
+    factory.getFileExtension(new TaskAttemptContextImpl(conf, attempt))
+  }
 }

@@ -213,10 +213,19 @@ object Dedup {
           .withColumnRenamed("rep", "nbr_rep"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_rep")).as("nbr_rep"))
-      val next = materialize(labels.join(neighborMin, Seq("id"), "left")
+      val next0 = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"),
-          (coalesce(col("nbr_rep"), col("rep")) < col("rep")).as("chg")))
+          (coalesce(col("nbr_rep"), col("rep")) < col("rep")).as("chg"))
+      // LAZY local checkpoint (r20, VERDICT r19 #5): the convergence
+      // count below materializes the round's partitions AND cuts the
+      // lineage in ONE job instead of the eager-checkpoint + count
+      // pair — local checkpoints save partitions as the first action
+      // computes them, no recompute. The reliable path stays EAGER: a
+      // lazy reliable checkpoint re-runs the round to write HDFS.
+      val next =
+        if (reliableCheckpoints) next0.checkpoint(true)
+        else next0.localCheckpoint(false)
       val changed = next.filter(col("chg")).count()
       labels = next.select(col("id"), col("rep"))
       converged = changed == 0

@@ -381,6 +381,15 @@ object Governance {
     val rare = toks.groupBy("tok").count()
       .filter(col("count") <= rareMax).select("tok")
     val perDoc = toks.groupBy(idCol).agg(count(lit(1)).as("n_tokens"))
+    // merge pins on BOTH joins were A/B-measured in r20 (the planner
+    // broadcasts rare and rareHits at harness scale) and REJECTED:
+    // pinning the rare semi join forces an extra full shuffle of raw
+    // token occurrences (~1.25× worse), and pinning the outer join
+    // alone still measured ~1.10× worse control-normalized. At corpus
+    // scale both sides' estimates exceed the broadcast threshold and
+    // the planner picks the shuffle itself — the cliff only bites on
+    // wrong estimates, which the r19/r20 pins reserve for sides the
+    // planner PROVABLY mis-sizes (see OPTIMIZATION_r20.md sweep).
     val rareHits = toks.join(rare, Seq("tok"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_rare"))
     perDoc.join(rareHits, Seq(idCol), "left")

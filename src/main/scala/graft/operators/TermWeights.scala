@@ -120,7 +120,14 @@ object TermWeights {
     val tf = toks.filter(col("term").isInCollection(qt))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(dft, "term").join(dl, "doc_id")
+    // dft stays broadcast: it is bounded by |queryTerms| at ANY corpus
+    // size — broadcast is the sound plan there. dl is ONE ROW PER
+    // DOCUMENT: the planner's estimate was broadcasting it (r20 plan
+    // audit), a corpus-scale broadcast built in a serial side job that
+    // re-runs the tokenize pipeline — the same estimate cliff as the
+    // r19 contamination pin (guide §3.1). merge reuses the doc-keyed
+    // shuffle; measured within noise locally, sound at 100 TB.
+    tf.join(dft, "term").join(dl.hint("merge"), "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
@@ -206,7 +213,9 @@ object TermWeights {
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val tf = toks.filter(col("term").isInCollection(qt))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    tf.join(dft, "term").join(dl, "doc_id")
+    // same pin as [[bm25]]: dl is one row per BATCH document — a
+    // backfill-sized batch must not be broadcast on an estimate
+    tf.join(dft, "term").join(dl.hint("merge"), "doc_id")
       .withColumn("idf",
         log(lit(1.0) +
           (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

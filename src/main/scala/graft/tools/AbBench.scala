@@ -54,11 +54,12 @@ object AbBench {
       .foreach(fn => try noop(fn(spark, cfg.sfDir)) catch { case _: Throwable => () })
 
     args.toList match {
-      case "ab" :: qlist :: rest =>
+      case mode :: qlist :: rest if mode == "ab" || mode == "abnf" =>
         val names = qlist.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val rounds = rest.headOption.map(_.toInt).getOrElse(6)
-        val needed = graft.Queries.fixtures
-        needed.foreach { case (fname, ffn) =>
+        // "abnf" skips the shared-fixture prebuild (for queries that
+        // lazily build what they need — saves ~30 s per measurement)
+        if (mode == "ab") graft.Queries.fixtures.foreach { case (fname, ffn) =>
           System.err.println(s"[ab] building $fname")
           ffn(spark, cfg.sfDir)
         }

@@ -53,27 +53,50 @@ object Queries {
     * would be pure loss. Deliberately NOT applied where row order
     * feeds float accumulation (embeddings k-means training) or where
     * fixtures write snapshot tables (their file layout is pinned by
-    * in-result flags).
-    */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
-
-  /** [[spread]] by hash of explicit key columns: a keyless
+    * in-result flags). The keyed variant exists because a keyless
     * round-robin `repartition(n)` first SORTS each input partition
     * (`spark.sql.execution.sortBeforeRepartition`, guide §2.5) — a
     * single-task sort exactly where the point was to escape the
-    * single task. Hash partitioning by a real high-cardinality key
-    * skips that sort and is deterministic under task retries. Applied
-    * only where an interleaved A/B showed a repeatable win (q1_agg
-    * 0.94→0.66 s, q_profile 1.00→0.51, q3 0.56→0.37 at sf0.1);
+    * single task; hashing a real high-cardinality key skips that sort
+    * and is deterministic under task retries. Applied only where an
+    * interleaved A/B showed a repeatable win (q1_agg 0.94→0.66 s,
+    * q_profile 1.00→0.51, q3 0.56→0.37 at sf0.1);
     * rollup/cube/q5/q_events_hourly/q_distinct_agg measured neutral
     * to 2× WORSE with the same spread and keep their direct scans.
     */
-  private def spreadBy(df: DataFrame, keys: Column*): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, keys: _*)
+  /** Scan partition count of a BASE TABLE load, cached per
+    * (path, parallelism) for the JVM (r20, VERDICT r19 nit #4):
+    * `df.rdd.getNumPartitions` physically plans the subtree a second
+    * time at every query CONSTRUCTION — ~0.06 s of driver time per
+    * bench run on each spread query. A bare scan's split count is a
+    * pure function of the immutable file layout and the session's
+    * split conf, so one planning per JVM serves every construction.
+    */
+  private val scanParts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def tableScanParts(s: SparkSession, dir: String,
+      name: String): Int =
+    scanParts.computeIfAbsent(
+      s"$dir/$name@${s.sparkContext.defaultParallelism}",
+      _ => t(s, dir, name).rdd.getNumPartitions)
+
+  /** Round-robin spread of a bare table load (cached split count). */
+  private def spreadT(s: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val df = t(s, dir, name)
+    val target = s.sparkContext.defaultParallelism
+    if (tableScanParts(s, dir, name) < target) df.repartition(target)
+    else df
+  }
+
+  /** Key-hashed spread of a bare table load (cached split count). */
+  private def spreadByT(s: SparkSession, dir: String, name: String,
+      keys: Column*): DataFrame = {
+    val df = t(s, dir, name)
+    val target = s.sparkContext.defaultParallelism
+    if (tableScanParts(s, dir, name) < target)
+      df.repartition(target, keys: _*)
     else df
   }
 
@@ -201,7 +224,7 @@ object Queries {
 
   private val tpchQueries: Seq[QueryDef] = Seq(
     QueryDef("q1_agg",
-      (s, dir) => spreadBy(t(s, dir, "lineitem"), col("l_orderkey"))
+      (s, dir) => spreadByT(s, dir, "lineitem", col("l_orderkey"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -235,7 +258,7 @@ object Queries {
           .filter(col("c_mktsegment") === "BUILDING")
         val o = t(s, dir, "orders")
           .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
-        val l = spreadBy(t(s, dir, "lineitem"), col("l_orderkey"))
+        val l = spreadByT(s, dir, "lineitem", col("l_orderkey"))
           .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
         // dims are tiny relative to lineitem at every SF: broadcast both
         l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
@@ -499,7 +522,7 @@ object Queries {
     // data profiling: exact-safe per-group column statistics (the
     // pre-ingest sanity pass a pipeline runs before heavy work)
     QueryDef("q_profile",
-      (s, dir) => spreadBy(t(s, dir, "lineitem"), col("l_orderkey"))
+      (s, dir) => spreadByT(s, dir, "lineitem", col("l_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("l_orderkey")).as("n_orders"),
@@ -4832,7 +4855,7 @@ object Queries {
       // (pixel order, dims, channel swap) breaks exact equality
       QueryDef("mm_decode_image",
         (s, dir) => Multimodal.decodeImageStats(
-          Multimodal.imagesFromDocuments(spread(t(s, dir, "documents")))),
+          Multimodal.imagesFromDocuments(spreadT(s, dir, "documents"))),
         Some("""WITH d AS (
                |  SELECT doc_id AS media_id,
                |         doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
@@ -4861,7 +4884,7 @@ object Queries {
       // equality. The image-proof pattern applied to audio.
       QueryDef("mm_decode_audio",
         (s, dir) => Multimodal.decodeAudioStats(
-          Multimodal.audioFromDocuments(spread(t(s, dir, "documents")))),
+          Multimodal.audioFromDocuments(spreadT(s, dir, "documents"))),
         Some("""WITH d AS (
                |  SELECT doc_id AS media_id,
                |         CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
@@ -4893,7 +4916,7 @@ object Queries {
       // exact equality. Closes the last labeled decode fallback.
       QueryDef("mm_decode_video",
         (s, dir) => Multimodal.decodeVideoStats(
-          Multimodal.videosFromDocuments(spread(t(s, dir, "documents")))),
+          Multimodal.videosFromDocuments(spreadT(s, dir, "documents"))),
         Some("""WITH d AS (
                |  SELECT doc_id AS media_id,
                |         doc_id % 10 + 4 AS w, doc_id % 7 + 4 AS h,
@@ -4964,7 +4987,7 @@ object Queries {
       // opaque to Catalyst, so the decode genuinely runs here)
       QueryDef("mm_features",
         (s, dir) => Multimodal.extractFeatures(
-            Multimodal.mediaFromDocuments(spread(t(s, dir, "documents"))))
+            Multimodal.mediaFromDocuments(spreadT(s, dir, "documents")))
           .drop("features"),
         Some("""SELECT doc_id AS media_id,
                |  CASE CAST(doc_id % 3 AS INTEGER)

@@ -127,6 +127,20 @@ class InlineStatsSpec extends AnyFunSuite {
     assert(snap.files.forall(_.partition.isEmpty))
   }
 
+  test("mid-cardinality file (HLL SET mode): sketch bytes still match") {
+    // ~100 distinct values per file lands the HLL sketch in its SET
+    // promotion band (between the LIST mode the tiny fixtures cover
+    // and the dense HLL mode the 500-row delta test covers)
+    import org.apache.spark.sql.functions._
+    val t = SnapshotTable.create(spark, freshRoot(),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("v", DoubleType, nullable = false))), None)
+    val df = spark.range(0, 100).select(col("id"),
+      (col("id") * 1.5).as("v")).coalesce(1)
+    val snap = t.append(df)
+    assertParity(t, snap)
+  }
+
   test("ndv off: no sketches, everything else still matches") {
     val t = SnapshotTable.create(spark, freshRoot(), schema, None,
       properties = Map("graft.stats.ndv" -> "off"))
